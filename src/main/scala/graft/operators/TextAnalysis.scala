@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for LLM-data pipelines, over the `documents`
+  * fixture (FIXTURES.md §A). All pure Catalyst expressions — per-row,
+  * shuffle-free, embarrassingly parallel: the shape that scales linearly
+  * to 100 TB because it is a single codegen'd projection over the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. `split` on a single space mirrors the
+    * simplest reproducible tokenizer (empty strings kept — deterministic,
+    * portable). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** BPE-ish subword token estimate: words + punctuation marks counted
+    * separately (a cheap, deterministic proxy for tokenizer counts). */
+  def tokenEstimate(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** Token/char statistics. */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_tokens", size(tokens(col(textCol))))
+    .withColumn("n_chars_m", length(col(textCol)))
+    .withColumn("n_punct", length(regexp_replace(col(textCol), "[^.,;:!?]", "")))
+    .withColumn("token_estimate", tokenEstimate(col(textCol)))
+
+  /** Quality score in [0,1]: penalize extreme length, high punctuation
+    * density, low alphabetic ratio, very short words. Integer counts +
+    * one final double division, truncated with floor(x*1e6)/1e6 —
+    * bit-reproducible in any engine (round() is boundary-sensitive). */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def f6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000L)) / lit(1000000.0)
+    val nChars = length(t).cast("double")
+    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val nPunct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val nWords = size(split(trim(t), "\\s+")).cast("double")
+    df.withColumn("alpha_ratio", f6(nAlpha / nChars))
+      .withColumn("punct_ratio", f6(nPunct / nChars))
+      .withColumn("avg_word_len", f6(nChars / nWords))
+      .withColumn("quality_score", f6(
+        least(lit(1.0), nWords / lit(20.0)) * (nAlpha / nChars)))
+  }
+
+  /** N-gram (word) language-ID heuristic: score each candidate language
+    * by counting hits of its most frequent function words inside the
+    * text; argmax wins, ties broken by language code order. Stopword
+    * lists are tiny and public-knowledge. At scale this is a per-row
+    * projection — no shuffle, no dictionary join. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " de "),
+    "es" -> Seq(" el ", " que ", " los ", " una ", " y "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
+    "zh" -> Seq(" 的 ", " 是 ", " 了 ", " 在 ", " 我 "))
+
+  private def langScore(t: Column, lang: String): Column =
+    stopwords(lang).map { w =>
+      // occurrence count of word w: (len - len(remove(w))) / len(w)
+      ((length(t) - length(regexp_replace(t, w, ""))) / lit(w.length)).cast("long")
+    }.reduce(_ + _)
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val langs = stopwords.keys.toSeq.sorted // tie-break: alphabetical code
+    val scored = langs.foldLeft(df)((d, l) =>
+      d.withColumn(s"score_$l", langScore(padded, l)))
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und"): Column)((l, other) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(other))
+    scored.withColumn("lang_pred", pred)
+      .drop(langs.map(l => s"score_$l"): _*)
+  }
+
+  /** Rolling polynomial fingerprint of the token stream:
+    * fold(h = (h*31 + md5mod(token)) mod p). Order-sensitive (unlike a
+    * set hash) so it fingerprints the document, not its vocabulary.
+    * Expressed with the `aggregate` higher-order function — sequential
+    * left fold, reproducible anywhere. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), w => Hashing.md5Mod(w)),
+      lit(0L),
+      (h, x) => (h * lit(31L) + x) % lit(Hashing.SmallPrime))
+
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+}

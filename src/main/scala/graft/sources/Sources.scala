@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.SystemConn
+
+/** Pluggable table sources. The reference reads only JDBC
+  * (pyspark_ingestion/spark.py:119-133); the test harness reads parquet.
+  * A `Source` yields a DataFrame lazily so Catalyst sees the whole plan
+  * (scan → prep → filter) and can push predicates into the scan.
+  */
+trait Source {
+  def read(spark: SparkSession): DataFrame
+}
+
+/** Parquet directory/table source (harness path). Column pruning and
+  * predicate pushdown reach the parquet footer automatically. */
+final case class ParquetSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** JDBC table scan (reference: spark.py:119-133) with fetchsize tuning.
+  *
+  * At 100 TB scale a single-connection JDBC scan is the bottleneck the
+  * reference worked around with `.repartition(32)` AFTER the scan
+  * (ingestion/ingestion.py:44,53) — that still funnels every row through
+  * one connection. We instead parallelize the scan itself with
+  * partitionColumn/lowerBound/upperBound/numPartitions when a numeric
+  * split column is known; the post-scan repartition becomes unnecessary.
+  */
+final case class JdbcSource(
+    url: String,
+    table: String,
+    driver: String,
+    fetchsize: String = "100000",
+    partitioning: Option[JdbcPartitioning] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .option("fetchsize", fetchsize)
+    partitioning.fold(r) { p =>
+      r.option("partitionColumn", p.column)
+        .option("lowerBound", p.lower.toString)
+        .option("upperBound", p.upper.toString)
+        .option("numPartitions", p.numPartitions.toString)
+    }.load()
+  }
+}
+
+final case class JdbcPartitioning(column: String, lower: Long, upper: Long,
+    numPartitions: Int)
+
+/** Dialect-specific JDBC URL builders (reference: spark.py:78-116). */
+object JdbcUrl {
+  /** Oracle thin (spark.py:78-82). */
+  def oracleThin(user: String, password: String, host: String, port: String,
+      service: String): String =
+    s"jdbc:oracle:thin:$user/$password@//$host:$port/$service"
+
+  /** SQL Server (spark.py:107-116). */
+  def sqlServer(user: String, password: String, server: String, port: String,
+      database: String): String =
+    s"jdbc:sqlserver://$server:$port;databaseName=$database;user=$user;password=$password"
+
+  /** Dialect dispatch (spark.py:85-104, config.py:96-99). */
+  def forSystem(c: SystemConn): String = c.dbms match {
+    case "oracle" => oracleThin(c.user.getOrElse(""), c.password.getOrElse(""),
+      c.host.getOrElse(""), c.port.getOrElse("1521"), c.service.getOrElse(""))
+    case "sqlserver" => sqlServer(c.user.getOrElse(""), c.password.getOrElse(""),
+      c.host.getOrElse(""), c.port.getOrElse("1433"), c.service.getOrElse(""))
+    case other => throw new IllegalArgumentException(s"unknown dbms: $other")
+  }
+}
+
+/** Convenience loader for the driver testdata layout
+  * (`$dir/{name}.parquet`, TESTDATA.md). */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    ParquetSource(s"$dir/$name.parquet").read(spark)
+}
