@@ -1,0 +1,394 @@
+package graft
+
+import graft.functions.Hashing
+import graft.operators.Similarity
+
+/** DuckDB oracle SQL for every SQL-expressible SparkEntry query.
+  *
+  * Contract (driver): each SQL runs in DuckDB against the same parquet
+  * tables; the driver sorts columns BY NAME and hash-compares values —
+  * so every computed column is aliased to exactly the Spark-side name,
+  * and engine-variant arithmetic is avoided by construction: decimal-
+  * exact sums cast to double, floor(x*1e6)/1e6 truncation instead of
+  * round, md5-based portable hashing (Hashing.scala) recomputed here
+  * with DuckDB's own md5().
+  *
+  * Omitted (rows-only check by design): q38 (LSH ANN — covered by a
+  * recall ScalaTest vs q37), q40 (HLL++ sketch is engine-specific).
+  */
+object Oracle {
+
+  private val P = Hashing.SmallPrime // 1000000007
+
+  /** DuckDB rendering of Hashing.md5Long: first 15 hex chars of md5 →
+    * int64 (60 bits, non-negative). */
+  private def md5Long(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  private def md5Mod(x: String): String = s"(${md5Long(x)} % $P)"
+
+  /** DuckDB rendering of TextAnalysis.tokens. */
+  private val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+
+  /** DuckDB rendering of Dedup.shingles(text, n) given a `toks` list
+    * column: sliding word windows joined by spaces (list comprehension
+    * over 1-based inclusive slices). */
+  private def shingles(toksCol: String, n: Int): String =
+    s"CASE WHEN len($toksCol) >= $n " +
+      s"THEN [array_to_string($toksCol[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len($toksCol) - ${n - 2})] " +
+      s"ELSE [array_to_string($toksCol, ' ')] END"
+
+  /** Decimal-exact double sum (mirrors Queries.dsum). */
+  private def dsum(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** floor-truncation to 6 dp (mirrors Queries.f6). */
+  private def f6(c: String): String = s"floor(($c) * 1000000) / 1000000.0"
+
+  // -- q28/q29 minhash: same deterministic coefficients as Hashing -----
+  private def sigElems(hsCol: String, numHashes: Int): Seq[String] =
+    (0 until numHashes).map { i =>
+      s"list_min(list_transform($hsCol, h -> (h * ${Hashing.coefA(i)} + ${Hashing.coefB(i)}) % $P))"
+    }
+
+  // -- q38: same hyperplane literals as Similarity.planeComponent ------
+  private def lshBucketSql(vecCol: String, dim: Int, bits: Int): String = {
+    val terms = (0 until bits).map { i =>
+      val d = (0 until dim).map { j =>
+        s"$vecCol[${j + 1}] * (${Similarity.planeComponent(i, j)})"
+      }.mkString(" + ")
+      s"CASE WHEN ($d) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  val sql: Map[String, String] = Map(
+    "q01_incremental_watermark" ->
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  CAST(year(ts) AS VARCHAR) AS year, CAST(month(ts) AS VARCHAR) AS month
+        |FROM events
+        |WHERE ts IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q02_sap_timestamp" ->
+      """SELECT event_id, strftime(ts, '%Y%m%d') AS budat,
+        |  strftime(ts, '%H%M%S') AS cputm,
+        |  date_trunc('second', ts) AS ref_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q03_pii_sha256" ->
+      """SELECT c_custkey, sha256(c_name) AS name_hash,
+        |  sha256(c_mktsegment) AS segment_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q04_projection_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q05_partition_strings" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS VARCHAR) AS year,
+        |  CAST(month(o_orderdate) AS VARCHAR) AS month,
+        |  CAST(weekofyear(o_orderdate) AS VARCHAR) AS week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q06_watermark_advance" ->
+      "SELECT strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%fZ') AS sync_value FROM events",
+
+    "q07_counts" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+        |  count(value) AS n_values
+        |FROM events""".stripMargin,
+
+    "q08_stringify" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_id_str,
+        |  CAST(value > 100 AS VARCHAR) AS is_big_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q09_c1_prep" ->
+      """SELECT event_id, ts AS sysmodtime, sha256(event_type) AS email_hash,
+        |  CAST(user_id AS VARCHAR) AS is_pro,
+        |  CAST(weekofyear(ts) AS VARCHAR) AS week
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q10_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+         |  sum_disc_price, count_order,
+         |  ${f6("sum_qty / count_order")} AS avg_qty
+         |FROM (
+         |  SELECT l_returnflag, l_linestatus,
+         |    ${dsum("l_quantity")} AS sum_qty,
+         |    ${dsum("l_extendedprice")} AS sum_base_price,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         |      AS sum_disc_price,
+         |    count(*) AS count_order
+         |  FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |  GROUP BY l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q11_join_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q12_join_multiway" ->
+      s"""SELECT r_name, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_price
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_dedup_keep_latest" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q16_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q17_running_window" ->
+      """SELECT user_id, CAST(rn AS INTEGER) AS rn, event_id, running_n,
+        |  running_value
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |  FROM events)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q18_order_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "q19_set_except" ->
+      """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |EXCEPT
+        |(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q20_set_intersect" ->
+      """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |INTERSECT
+        |(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q21_union_compact" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |  UNION
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY event_id""".stripMargin,
+
+    "q22_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q23_sliding_window" ->
+      """SELECT window_start, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q24_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts >= lag(ts) OVER w + INTERVAL '10 minutes' THEN 1 ELSE 0 END AS news
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessioned AS (
+        |  SELECT user_id, ts, sum(news) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+        |  max(ts) AS last_ts
+        |FROM sessioned GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q25_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q26_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q27_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q28_minhash_signature" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s)
+         |SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS signature
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q29_minhash_candidates" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)
+         |SELECT doc_id, CAST(${(0 until 32).map(b =>
+              s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) % 2 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END")
+              .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |sgl AS (SELECT doc_id, ${shingles("tk", 2)} AS sh FROM t),
+         |ex AS (SELECT doc_id AS jid, unnest(list_distinct(sh)) AS sh FROM sgl),
+         |sizes AS (SELECT jid, count(*) AS set_size FROM ex GROUP BY jid),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter_size
+         |  FROM pairs
+         |  JOIN ex sa ON sa.jid = pairs.id_a
+         |  JOIN ex sb ON sb.jid = pairs.id_b AND sb.sh = sa.sh
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b,
+         |  ${f6("CAST(inter_size AS DOUBLE) / CAST(size_a + size_b - inter_size AS DOUBLE)")} AS jaccard
+         |FROM inter
+         |JOIN (SELECT jid AS id_a, set_size AS size_a FROM sizes) USING (id_a)
+         |JOIN (SELECT jid AS id_b, set_size AS size_b FROM sizes) USING (id_b)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_text_stats" ->
+      s"""SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars_m,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
+         |  CAST(len(string_split_regex(trim(text), '\\s+'))
+         |    + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS token_estimate
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_text_quality" ->
+      s"""SELECT doc_id,
+         |  ${f6("nalpha / nchars")} AS alpha_ratio,
+         |  ${f6("npunct / nchars")} AS punct_ratio,
+         |  ${f6("nchars / nwords")} AS avg_word_len,
+         |  ${f6("least(1.0, nwords / 20.0) * (nalpha / nchars)")} AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nwords
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q34_langid" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val words = Map(
+        "de" -> Seq("der", "und", "die", "das", "ist"),
+        "en" -> Seq("the", "and", "of", "to", "is"),
+        "es" -> Seq("el", "que", "los", "una", "y"),
+        "fr" -> Seq("le", "la", "et", "les", "de"),
+        "zh" -> Seq("的", "是", "了", "在", "我"))
+      val scoreCols = langs.map { l =>
+        val in = words(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(tk, x -> x IN ($in))) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |scored AS (SELECT doc_id, lang, $scoreCols FROM t),
+         |m AS (SELECT *, $mx AS mx FROM scored)
+         |SELECT doc_id, lang,
+         |  CASE WHEN mx = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q35_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+         |SELECT doc_id, list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> ${md5Mod("x")})),
+         |  (h, x) -> (h * 31 + x) % $P) AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q36_json_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_knn_brute_force" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  list_dot_product(qv, v) /
+         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         |  FROM q, e WHERE query_id <> e.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q39_multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(length(text) AS INTEGER) AS byte_len,
+        |  lower(hex(substr(text, 1, 4))) AS header_hex,
+        |  [CAST(length(text) AS DOUBLE),
+        |   CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+        |   CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
+        |   CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) AS DOUBLE)
+        |     / length(text)] AS feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

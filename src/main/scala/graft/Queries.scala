@@ -184,11 +184,12 @@ object Queries {
       .orderBy("c_custkey")
   }
 
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS) — customers with no high-value order
+    * (the complement of q13, so the result is non-trivially non-empty). */
   def q14AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val customer = t(s, dir, "customer")
-    val orders = t(s, dir, "orders")
-    customer.join(orders, customer("c_custkey") === orders("o_custkey"),
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"),
       "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -339,13 +340,15 @@ object Queries {
       .orderBy("doc_id")
 
   /** Exact n-gram Jaccard over bounded candidate pairs (same source,
-    * nearby ids — at scale the candidate set comes from q29's LSH). */
+    * nearby ids — at scale the candidate set comes from q29's LSH).
+    * Same-source doc_ids are spaced 20 apart in the fixture, so the
+    * id-distance window is 100 (≤5 partners per doc). */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val a = docs.select(col("doc_id").as("id_a"), col("source"))
     val b = docs.select(col("doc_id").as("id_b"), col("source"))
     val pairs = a.join(b, "source")
-      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= 5)
+      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= 100)
       .select("id_a", "id_b")
     Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 2)
       .withColumn("jaccard", f6(col("jaccard")))
@@ -380,7 +383,8 @@ object Queries {
   /** JSON event-property extraction + aggregation (from_json). */
   def q36JsonProps(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k", from_json(col("props"), "k INT").getField("k"))
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))

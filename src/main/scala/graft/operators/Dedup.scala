@@ -51,7 +51,7 @@ object Dedup {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, n), " ")))
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
   }
 

@@ -54,8 +54,8 @@ object Ingestion {
 
     // 2-5. scan → not-null ref → system prep with strict-> watermark
     val scanned = source.read(spark)
-    val notNullable = Prep.bySystem(system) match {
-      case p if p eq Prep.sap =>
+    val notNullable = system match {
+      case "sap-pru" =>
         // SAP's ref column is derived inside the pipeline; the raw date
         // column is what must be non-null pre-prep.
         scanned.filter(col(tableSettings.dateColumn.get).isNotNull)

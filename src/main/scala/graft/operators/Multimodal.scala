@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -55,24 +54,22 @@ object Multimodal {
         length(col(textCol)).as("n_chars"),
         col("lang").as("lang")).as("media_meta"))
 
-  /** Batched per-partition feature extraction over the payload column —
-    * the mapPartitions seam where a real decoder plugs in. */
+  /** Feature extraction over the payload column. Everything that is a
+    * plain column function stays a Catalyst expression (codegen'd,
+    * prunable): byte_len = length(payload), header_hex =
+    * hex(substring(payload, 1, 4)). ONLY the decode itself — opaque
+    * native-codec work by nature — crosses the row seam, as a single
+    * Scala UDF; this keeps the whole operator one projection stage (no
+    * shuffle, no join) with the narrowest possible non-codegen island. */
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val enc = RowEncoder.encoderFor(featureSchema)
-    df.select(col(idCol).cast("long"), col("media_meta.media_type"),
-      col("payload"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val feat = decodeStub(payload)
-          Row(
-            r.getLong(0),
-            r.getString(1),
-            if (payload == null) 0 else payload.length,
-            if (payload == null || payload.isEmpty) ""
-            else payload.take(4).map("%02x".format(_)).mkString,
-            feat.toSeq)
-        }
-      }(enc)
+    val decode = udf((payload: Array[Byte]) => decodeStub(payload))
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col("media_meta.media_type").as("media_type"),
+      coalesce(length(col("payload")), lit(0)).as("byte_len"),
+      when(col("payload").isNull, lit(""))
+        .otherwise(lower(hex(substring(col("payload"), 1, 4))))
+        .as("header_hex"),
+      decode(col("payload")).as("feature"))
   }
 }

@@ -59,7 +59,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane i,
     * dim j): a value in [-0.5, 0.5) derived from md5 — reproducible
     * everywhere, no RNG state. */
-  private def planeComponent(i: Int, j: Int): Double = {
+  private[graft] def planeComponent(i: Int, j: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane_${i}_$j".getBytes("UTF-8"))
       .take(7).map("%02x".format(_)).mkString

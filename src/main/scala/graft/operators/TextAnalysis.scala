@@ -12,10 +12,13 @@ import graft.functions.Hashing
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. `split` on a single space mirrors the
-    * simplest reproducible tokenizer (empty strings kept — deterministic,
-    * portable). */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Whitespace tokens, lowercased. ONE token definition shared by every
+    * operator in this file and by Dedup (shingles/simhash): trim then
+    * split on `\s+` — newlines/tabs/runs of spaces all count as one
+    * separator, and the trim avoids leading/trailing empty tokens. The
+    * DuckDB oracle uses the same definition
+    * (`string_split_regex(trim(lower(text)), '\s+')`). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** BPE-ish subword token estimate: words + punctuation marks counted
     * separately (a cheap, deterministic proxy for tokenizer counts). */
@@ -48,32 +51,34 @@ object TextAnalysis {
         least(lit(1.0), nWords / lit(20.0)) * (nAlpha / nChars)))
   }
 
-  /** N-gram (word) language-ID heuristic: score each candidate language
-    * by counting hits of its most frequent function words inside the
-    * text; argmax wins, ties broken by language code order. Stopword
-    * lists are tiny and public-knowledge. At scale this is a per-row
-    * projection — no shuffle, no dictionary join. */
+  /** Function-word language-ID heuristic: score each candidate language
+    * by counting tokens equal to one of its most frequent function
+    * words; argmax wins, ties broken by language code order; all-zero
+    * scores → "und". Stopword lists are tiny and public-knowledge. At
+    * scale this is a per-row projection — no shuffle, no dictionary
+    * join. Token-equality counting (size∘filter over the token array)
+    * counts repeated adjacent words correctly, unlike remove-and-measure
+    * on the raw string (overlapping separators undercount). */
   val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
-    "fr" -> Seq(" le ", " la ", " et ", " les ", " de "),
-    "es" -> Seq(" el ", " que ", " los ", " una ", " y "),
-    "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
-    "zh" -> Seq(" 的 ", " 是 ", " 了 ", " 在 ", " 我 "))
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "de"),
+    "es" -> Seq("el", "que", "los", "una", "y"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def langScore(t: Column, lang: String): Column =
-    stopwords(lang).map { w =>
-      // occurrence count of word w: (len - len(remove(w))) / len(w)
-      ((length(t) - length(regexp_replace(t, w, ""))) / lit(w.length)).cast("long")
-    }.reduce(_ + _)
+  private def langScore(toks: Column, lang: String): Column =
+    size(filter(toks,
+      t => stopwords(lang).map(w => t === lit(w)).reduce(_ || _))).cast("long")
 
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val toks = tokens(col(textCol))
     val langs = stopwords.keys.toSeq.sorted // tie-break: alphabetical code
     val scored = langs.foldLeft(df)((d, l) =>
-      d.withColumn(s"score_$l", langScore(padded, l)))
+      d.withColumn(s"score_$l", langScore(toks, l)))
     val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
-    val pred = langs.foldRight(lit("und"): Column)((l, other) =>
-      when(col(s"score_$l") === maxScore, lit(l)).otherwise(other))
+    val pred = when(maxScore === 0, lit("und")).otherwise(
+      langs.foldRight(lit("und"): Column)((l, other) =>
+        when(col(s"score_$l") === maxScore, lit(l)).otherwise(other)))
     scored.withColumn("lang_pred", pred)
       .drop(langs.map(l => s"score_$l"): _*)
   }

@@ -75,8 +75,29 @@ object JdbcUrl {
 }
 
 /** Convenience loader for the driver testdata layout
-  * (`$dir/{name}.parquet`, TESTDATA.md). */
+  * (`$dir/{name}.parquet`, TESTDATA.md).
+  *
+  * The driver writes `events.ts` as parquet TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+  * We read nanos as raw longs (legacy flag) and normalize to a
+  * microsecond timestamp in the plan — `div 1000` floor-truncates
+  * exactly like DuckDB's own nanos→micros read, so oracle comparisons
+  * stay bit-identical. The schema guard keeps this a no-op if the
+  * fixture is ever regenerated with micros precision. */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    ParquetSource(s"$dir/$name.parquet").read(spark)
+  import org.apache.spark.sql.functions.{expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** (table, column) pairs stored as TIMESTAMP(NANOS) in the fixtures. */
+  private val nanoCols = Set(("events", "ts"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = ParquetSource(s"$dir/$name.parquet").read(spark)
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == LongType && nanoCols.contains((name, f.name)))
+        d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else d
+    }
+  }
 }

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query output
+under OUT_DIR, run the matching oracle SQL from oracle_sql.json in DuckDB
+against the same parquet tables, sort columns by name, and compare values.
+
+Usage: compare_oracle.py <sf_dir> <out_dir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if hasattr(a, "__len__") and not isinstance(a, str) and \
+       hasattr(b, "__len__") and not isinstance(b, str):
+        if len(a) != len(b):
+            return False
+        return all(values_equal(x, y) for x, y in zip(a, b))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob
+    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*"))
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracle:
+            print(f"{name}: ROWS_ONLY rows={len(spark_df)}")
+            n_rows_only += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE_SQL_ERROR {e}")
+            n_fail += 1
+            continue
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"{name}: COLS_MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"{name}: ROWCOUNT_MISMATCH spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in s.columns:
+            sv, dv = s[col].tolist(), d[col].tolist()
+            for i, (x, y) in enumerate(zip(sv, dv)):
+                if not values_equal(x, y):
+                    bad = (col, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, x, y = bad
+            print(f"{name}: VALUE_MISMATCH col={col} row={i} spark={x!r} duck={y!r}")
+            n_fail += 1
+        else:
+            print(f"{name}: MATCH rows={len(s)}")
+            n_pass += 1
+    print(f"\n== {n_pass} match, {n_fail} fail, {n_rows_only} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
