@@ -380,6 +380,22 @@ object Oracle {
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "q38_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 64, 6)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+         |  list_dot_product(qv, v) /
+         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         |  FROM q JOIN b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q39_multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(length(text) AS INTEGER) AS byte_len,

@@ -31,6 +31,21 @@ object Hashing {
   def affine(h: Column, a: Long, b: Long): Column =
     (h * lit(a) + lit(b)) % lit(SmallPrime)
 
+  /** Same family with the permutation index as a COLUMN (a lambda
+    * variable): a_i/b_i are computed by the same formulas as
+    * coefA/coefB but in plan arithmetic. This lets N permutations share
+    * ONE copy of the hashed-shingle subtree (`transform(sequence(0,
+    * N-1), i => ...)`), keeping plan size O(1) in N — the naive
+    * per-permutation expression duplicated the whole tokenize→shingle→
+    * md5 tree N times, which cost tens of seconds of optimizer/codegen
+    * time per query. */
+  def affineAt(h: Column, i: Column): Column = {
+    val iL = i.cast("long")
+    val a = iL * lit(2L) + lit(1L) + (iL + lit(1L)) * lit(104729L)
+    val b = (iL + lit(1L)) * lit(7919L)
+    (h * a + b) % lit(SmallPrime)
+  }
+
   /** Deterministic coefficient for permutation i (derived, not random —
     * reproducibility across engines beats entropy here). */
   def coefA(i: Int): Long = 2L * i + 1 + 104729L * (i + 1) // odd, < 2^31

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Expr, Hashing}
 
 /** Deduplication operators for LLM-data pipelines.
   *
@@ -46,43 +46,51 @@ object Dedup {
   // MinHash + LSH near-duplicate detection
   // ------------------------------------------------------------------
 
-  /** Word shingles of size n as strings ("w1 w2 w3"). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
-  }
+  /** Word shingles of size n as strings ("w1 w2 w3"). The token array
+    * is let-bound (Expr.let) so the per-shingle slice reads a lambda
+    * variable instead of re-tokenizing the document per position. */
+  def shingles(text: Column, n: Int): Column =
+    Expr.let(TextAnalysis.tokens(text)) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(toks, " ")))
+    }
 
   /** MinHash signature: for permutation i, min over shingles of
     * (a_i * md5mod(shingle) + b_i) mod p. Returns array<long> of length
-    * numHashes. Pure per-row expressions → no shuffle to compute. */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val hashed = transform(shingles(text, shingleSize), s => Hashing.md5Mod(s))
-    val perms = (0 until numHashes).map { i =>
-      array_min(transform(hashed,
-        h => Hashing.affine(h, Hashing.coefA(i), Hashing.coefB(i))))
+    * numHashes. Pure per-row expressions → no shuffle to compute.
+    *
+    * Plan-size note: the permutation loop is a `transform` over
+    * `sequence(0, N-1)` with coefficients computed from the lambda
+    * index (Hashing.affineAt), so the tokenize→shingle→md5 subtree
+    * appears exactly ONCE in the plan regardless of numHashes. */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    Expr.let(transform(shingles(text, shingleSize), s => Hashing.md5Mod(s))) {
+      hashed =>
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(hashed, h => Hashing.affineAt(h, i))))
     }
-    array(perms: _*)
-  }
 
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows each; bucket id = portable hash of the band's
-    * joined values. Emits one row per (doc, band). */
+    * joined values. Emits one row per (doc, band). The band loop is a
+    * `transform` over the band index so the signature subtree appears
+    * once (same plan-size rationale as minhashSignature). */
   def withMinhashBands(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(col(textCol), shingleSize, numHashes)
-    val banded = df.withColumn("sig", sig)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => Hashing.md5Long(concat_ws("_",
-            (0 until rows).map(r =>
-              element_at(col("sig"), b * lit(rows) + lit(r + 1))): _*)))))
+    val buckets = Expr.let(
+      minhashSignature(col(textCol), shingleSize, numHashes)) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => Hashing.md5Long(array_join(
+          transform(slice(sig, b * lit(rows) + lit(1), lit(rows)),
+            x => x.cast("string")),
+          "_")))
+    }
+    df.select(col(idCol), posexplode(buckets))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    banded
   }
 
   /** Candidate near-dup pairs: docs sharing any (band, bucket). The
@@ -106,17 +114,18 @@ object Dedup {
     * count of tokens whose hash has bit b set exceeds half the token
     * count (strict majority vote with ±1 votes). Expression-only:
     * per-bit popcount via filter+size over the hashed token array. */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val hashed = transform(TextAnalysis.tokens(text), w => Hashing.md5Long(w))
-    val n = size(hashed).cast("long")
-    val terms = (0 until bits).map { b =>
-      val ones = size(filter(hashed,
-        h => shiftright(h, b) % 2 === 1)).cast("long")
-      // majority: 2*ones > n  →  bit contributes 2^b
-      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+  def simhash(text: Column, bits: Int = 32): Column =
+    Expr.let(transform(TextAnalysis.tokens(text), w => Hashing.md5Long(w))) {
+      hashed =>
+        val n = size(hashed).cast("long")
+        val terms = (0 until bits).map { b =>
+          val ones = size(filter(hashed,
+            h => shiftright(h, b) % 2 === 1)).cast("long")
+          // majority: 2*ones > n  →  bit contributes 2^b
+          when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+        }
+        terms.reduce(_ + _)
     }
-    terms.reduce(_ + _)
-  }
 
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", simhash(col(textCol)))

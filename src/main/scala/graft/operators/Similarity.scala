@@ -66,17 +66,29 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16).toDouble / Math.pow(2.0, 56)) - 0.5
   }
 
-  /** Sign-LSH bucket: bit i = 1 iff dot(v, plane_i) > 0. Hyperplane
-    * components are literals folded into the plan (dim * bits doubles —
-    * tiny), so the whole bucket computation is one codegen'd projection. */
+  /** Sign-LSH bucket: bit i = 1 iff dot(v, plane_i) > 0. The
+    * hyperplanes are ONE array-of-arrays literal (data, not expression
+    * nodes) and both loops are higher-order functions, so plan size is
+    * O(1) in dim × bits — at production embedding sizes (768-dim,
+    * 64-bit) the naive inlined-literal expression tree was ~50k nodes
+    * and broke codegen. The per-plane dot product folds left-to-right
+    * in double, identical to `dot`, so bucket ids are reproducible in
+    * any engine. */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
-    val terms = (0 until bits).map { i =>
-      val d = (0 until dim).map { j =>
-        element_at(vec, j + 1).cast("double") * lit(planeComponent(i, j))
-      }.reduce(_ + _)
-      when(d > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
+    val planes: Seq[Seq[Double]] =
+      (0 until bits).map(i => (0 until dim).map(j => planeComponent(i, j)))
+    val planesLit = typedLit(planes)
+    // fold bits high→low with acc*2 + bit ≡ Σ bit_i · 2^i, in exact
+    // integer arithmetic (shiftleft only takes a literal bit count)
+    aggregate(
+      transform(sequence(lit(bits - 1), lit(0), lit(-1)), i => {
+        val d = aggregate(
+          zip_with(vec, element_at(planesLit, i + 1),
+            (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v)
+        when(d > 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc * lit(2L) + v)
   }
 
   /** ANN top-k via LSH buckets: candidates = corpus rows in the query's
