@@ -1,7 +1,6 @@
 package graft
 
 import graft.functions.Hashing
-import graft.operators.Similarity
 
 /** DuckDB oracle SQL for every SQL-expressible SparkEntry query.
   *
@@ -52,16 +51,13 @@ object Oracle {
       s"list_min(list_transform($hsCol, h -> (h * ${Hashing.coefA(i)} + ${Hashing.coefB(i)}) % $P))"
     }
 
-  // -- q38: same hyperplane literals as Similarity.planeComponent ------
-  private def lshBucketSql(vecCol: String, dim: Int, bits: Int): String = {
-    val terms = (0 until bits).map { i =>
-      val d = (0 until dim).map { j =>
-        s"$vecCol[${j + 1}] * (${Similarity.planeComponent(i, j)})"
-      }.mkString(" + ")
-      s"CASE WHEN ($d) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }
-    terms.mkString("(", " + ", ")")
-  }
+  // -- q38: recompute Similarity.planeComponent in SQL -----------------
+  // planeComponent(i, j) = int64(md5("plane_<i>_<j>")[0:14 hex]) / 2^56
+  // − 0.5; both engines round the 56-bit integer to double identically
+  // (IEEE nearest-even), and division by 2^56 is exact.
+  private val planeSql =
+    "CAST('0x' || substr(md5('plane_' || i || '_' || j), 1, 14) AS BIGINT)" +
+      " / 72057594037927936.0 - 0.5"
 
   val sql: Map[String, String] = Map(
     "q01_incremental_watermark" ->
@@ -382,12 +378,24 @@ object Oracle {
 
     "q38_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 64, 6)} AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
-         |scored AS (SELECT query_id, b.vec_id AS neighbor_id,
-         |  list_dot_product(qv, v) /
-         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
-         |  FROM q JOIN b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
+         |planes AS (SELECT i, j, $planeSql AS c
+         |  FROM range(0, 96) t1(i), range(0, 64) t2(j)),
+         |pl AS (SELECT i, list(c ORDER BY j) AS p FROM planes GROUP BY i),
+         |bitvals AS (SELECT e.vec_id, pl.i,
+         |  CASE WHEN list_dot_product(v, p) > 0
+         |    THEN CAST(POWER(2, pl.i % 6) AS BIGINT) ELSE 0 END AS bit
+         |  FROM e, pl),
+         |bkts AS (SELECT vec_id, i // 6 AS tbl, sum(bit) AS bucket
+         |  FROM bitvals GROUP BY 1, 2),
+         |cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bkts q JOIN bkts c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_dot_product(qe.v, ce.v) /
+         |    (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+         |  FROM cands
+         |  JOIN e qe ON qe.vec_id = query_id
+         |  JOIN e ce ON ce.vec_id = neighbor_id),
          |r AS (SELECT query_id, neighbor_id, cos,
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -395,6 +403,17 @@ object Oracle {
          |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q41_data_dictionary" ->
+      """SELECT table_name, list_sort(list(DISTINCT column_name)) AS columns,
+        |  min_by(incremental_reference, event_id)
+        |    FILTER (WHERE incremental_reference IS NOT NULL) AS incremental_reference
+        |FROM (SELECT event_type AS table_name,
+        |    'col_' || CAST(user_id % 10 AS VARCHAR) AS column_name,
+        |    CASE WHEN value > 150 THEN ts END AS incremental_reference,
+        |    event_id
+        |  FROM events)
+        |GROUP BY table_name ORDER BY table_name""".stripMargin,
 
     "q39_multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,

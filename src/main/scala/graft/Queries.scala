@@ -399,12 +399,14 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** ANN via sign-LSH buckets (the 100 TB path; recall vs q37 asserted in
-    * ScalaTest, not SQL-expressible cheaply → rows-only oracle). */
+  /** ANN via multi-table sign-LSH (the 100 TB path; recall vs q37
+    * asserted in ScalaTest; the DuckDB oracle recomputes the same
+    * md5-derived hyperplanes). */
   def q38KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
-    Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 10, bits = 6)
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 10,
+      bits = 6, tables = 16)
       .withColumn("cos", f6(col("cos")))
       .orderBy("query_id", "rank")
   }
@@ -426,6 +428,29 @@ object Queries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** A4/S4: the data-dictionary aggregation (reference
+    * bin/ingestion/parse-data-dictionary.py:28-45) — per table, the
+    * distinct column set plus the first non-null incremental reference.
+    * The fixture has no dictionary file, so the dictionary shape is
+    * derived from `events`; the aggregation family is the point:
+    * collect_set (sorted for determinism) + first-non-null. The
+    * reference's pandas `first non-null in file order` is made
+    * deterministic as min_by over a FILTER(non-null) — first non-null
+    * in event_id order. */
+  def q41DataDictionary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type").as("table_name"),
+        concat(lit("col_"), col("user_id") % 10).as("column_name"),
+        when(col("value") > 150, col("ts")).as("incremental_reference"),
+        col("event_id"))
+      .groupBy("table_name")
+      .agg(
+        array_sort(collect_set(col("column_name"))).as("columns"),
+        expr("min_by(incremental_reference, event_id) " +
+          "FILTER (WHERE incremental_reference IS NOT NULL)")
+          .as("incremental_reference"))
+      .orderBy("table_name")
 
   // =======================================================================
   // Registry
@@ -471,5 +496,6 @@ object Queries {
     "q38_knn_lsh" -> (q38KnnLsh _),
     "q39_multimodal_features" -> (q39MultimodalFeatures _),
     "q40_approx_distinct" -> (q40ApproxDistinct _),
+    "q41_data_dictionary" -> (q41DataDictionary _),
   )
 }

@@ -66,45 +66,73 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16).toDouble / Math.pow(2.0, 56)) - 0.5
   }
 
-  /** Sign-LSH bucket: bit i = 1 iff dot(v, plane_i) > 0. The
-    * hyperplanes are ONE array-of-arrays literal (data, not expression
-    * nodes) and both loops are higher-order functions, so plan size is
-    * O(1) in dim × bits — at production embedding sizes (768-dim,
-    * 64-bit) the naive inlined-literal expression tree was ~50k nodes
-    * and broke codegen. The per-plane dot product folds left-to-right
-    * in double, identical to `dot`, so bucket ids are reproducible in
-    * any engine. */
-  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
-    val planes: Seq[Seq[Double]] =
-      (0 until bits).map(i => (0 until dim).map(j => planeComponent(i, j)))
+  /** Multi-table sign-LSH buckets: `tables` independent hash tables of
+    * `bits` hyperplanes each; bucket_t bit i = 1 iff
+    * dot(v, plane_{t·bits+i}) > 0. Returns array<long> of length
+    * `tables`.
+    *
+    * Single-table sign-LSH has collision probability (1 − θ/π)^bits per
+    * true neighbor — at the fixture's neighbor angles (~70°) and 6 bits
+    * that is ~5%, i.e. near-zero recall. L independent tables lift
+    * recall to 1 − (1 − p)^L (the standard LSH construction); the
+    * corpus index grows by L rows per vector, which is the classic
+    * space-for-recall trade.
+    *
+    * The hyperplanes are ONE array-of-arrays literal (data, not
+    * expression nodes) and all loops are higher-order functions, so
+    * plan size is O(1) in dim × bits × tables — a naive inlined-literal
+    * tree at production sizes (768-dim × 64-bit) is ~50k nodes and
+    * breaks codegen. Per-plane dots fold left-to-right in double,
+    * identical to `dot`, so bucket ids are reproducible in any engine
+    * (the DuckDB oracle recomputes them from the same md5-derived
+    * planes). */
+  def lshBuckets(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
+    val planes: Seq[Seq[Double]] = (0 until tables * bits).map(gi =>
+      (0 until dim).map(j => planeComponent(gi, j)))
     val planesLit = typedLit(planes)
-    // fold bits high→low with acc*2 + bit ≡ Σ bit_i · 2^i, in exact
-    // integer arithmetic (shiftleft only takes a literal bit count)
-    aggregate(
-      transform(sequence(lit(bits - 1), lit(0), lit(-1)), i => {
-        val d = aggregate(
-          zip_with(vec, element_at(planesLit, i + 1),
-            (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, v) => acc + v)
-        when(d > 0, lit(1L)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc * lit(2L) + v)
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      // fold bits high→low with acc*2 + bit ≡ Σ bit_i · 2^i, in exact
+      // integer arithmetic (shiftleft only takes a literal bit count)
+      aggregate(
+        transform(sequence(lit(bits - 1), lit(0), lit(-1)), i => {
+          val d = aggregate(
+            zip_with(vec, element_at(planesLit, t * lit(bits) + i + 1),
+              (x, p) => x.cast("double") * p),
+            lit(0.0), (acc, v) => acc + v)
+          when(d > 0, lit(1L)).otherwise(lit(0L))
+        }),
+        lit(0L), (acc, v) => acc * lit(2L) + v))
   }
 
-  /** ANN top-k via LSH buckets: candidates = corpus rows in the query's
-    * bucket; exact cosine re-rank inside the bucket. Falls back to fewer
-    * than k results when a bucket is sparse (standard IVF/LSH trade-off;
-    * recall measured against bruteForceTopK in tests). */
+  /** ANN top-k via multi-table LSH: candidate = corpus row sharing any
+    * (table, bucket) with the query; exact cosine re-rank over the
+    * deduplicated candidate set. May return fewer than k rows when
+    * buckets are sparse (standard ANN trade-off; recall vs
+    * bruteForceTopK is asserted in ScalaTest).
+    *
+    * Scale shape: the exploded index carries only (id, table, bucket) —
+    * vectors are joined back afterwards from the base table — so the
+    * candidate-join shuffle is narrow even with L tables; the query
+    * side is broadcast twice (buckets, then vectors). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, bits: Int = 8): DataFrame = {
-    val bucket = lshBucket(col(vecCol), dim, bits)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol),
-      bucket.as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec"), bucket.as("bucket")))
-    val scored = c.join(q, Seq("bucket"))
+      vecCol: String, dim: Int, k: Int, bits: Int = 6,
+      tables: Int = 16): DataFrame = {
+    val buckets = lshBuckets(col(vecCol), dim, bits, tables)
+    val cb = corpus
+      .select(col(idCol).as("neighbor_id"), posexplode(buckets))
+      .toDF("neighbor_id", "tbl", "bucket")
+    val qb = broadcast(queries
+      .select(col(idCol).as("query_id"), posexplode(buckets))
+      .toDF("query_id", "tbl", "bucket"))
+    val cands = qb.join(cb, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qvec"), col(vecCol)))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), Seq("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

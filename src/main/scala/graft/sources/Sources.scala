@@ -19,6 +19,16 @@ final case class ParquetSource(path: String) extends Source {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** CSV file source — the offline equivalent of the reference's Excel
+  * data-dictionary scan (bin/ingestion/parse-data-dictionary.py:22-24;
+  * no Excel reader in a zero-egress container, so the dictionary is
+  * expected as a CSV export). */
+final case class CsvSource(path: String, header: Boolean = true)
+    extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("header", header.toString).csv(path)
+}
+
 /** JDBC table scan (reference: spark.py:119-133) with fetchsize tuning.
   *
   * At 100 TB scale a single-connection JDBC scan is the bottleneck the

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Behavior of the LLM-pipeline dedup/similarity operators on
+  * controlled inputs plus the sf0.001 fixtures (read-only). */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps the deterministic min-id representative") {
+    val df = Seq(
+      ("a", "x", 30L), ("a", "x", 10L), ("a", "x", 20L), ("b", "y", 5L)
+    ).toDF("k1", "k2", "id")
+    val out = Dedup.exactCanonical(df, Seq("k1", "k2"), "id")
+      .orderBy("k1").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("a", 10L, 3L), ("b", 5L, 1L)))
+  }
+
+  test("minhash: identical docs share the full signature; LSH pairs them") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id",
+      Dedup.minhashSignature($"text", 3, 16).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+    val pairs = Dedup.minhashCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance") {
+    val df = Seq(
+      (1L, "spark makes distributed data processing simple and fast today"),
+      (2L, "spark makes distributed data processing simple and quick today"),
+      (3L, "unrelated text with nothing in common whatsoever here at all")
+    ).toDF("doc_id", "text")
+    val hs = Dedup.withSimhash(df, "text").orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint pairs are absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // inner join drops the zero-intersection (1,3) pair
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("LSH top-k: scores agree with brute force; recall is useful") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 10,
+      bits = 6, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    // exact-cosine re-rank: any pair surfaced by LSH that is also in the
+    // brute-force top-k must carry the identical score
+    val common = lsh.keySet intersect bf.keySet
+    assert(common.nonEmpty)
+    common.foreach(k => assert(lsh(k) === bf(k)))
+    // recall@10 over the 5 queries: bucketed candidates at 6 bits must
+    // recover a non-trivial fraction of the true top-k
+    val recall = common.size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
+}

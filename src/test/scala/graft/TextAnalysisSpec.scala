@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Tokenization/lang-ID/fingerprint behavior, including the round-1
+  * findings: \s+ unification and the repeated-adjacent-word count. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: newlines/tabs/runs of spaces are one separator") {
+    val df = Seq("A  b\tc\nd ").toDF("text")
+      .select(TextAnalysis.tokens($"text").as("t"))
+    assert(df.first().getSeq[String](0) === Seq("a", "b", "c", "d"))
+  }
+
+  test("n_tokens and nWords agree on messy whitespace") {
+    val df = Seq(("x", "one  two\tthree\nfour")).toDF("doc_id", "text")
+    val stats = TextAnalysis.withTokenStats(df, "text").first()
+    assert(stats.getAs[Int]("n_tokens") === 4)
+    val q = TextAnalysis.withQuality(df, "text").first()
+    // avg_word_len = chars/words with the same word count (4)
+    assert(q.getAs[Double]("avg_word_len") === 19.0 / 4.0)
+  }
+
+  test("lang-ID counts repeated adjacent function words correctly") {
+    // round-1 bug: remove-and-measure missed every second adjacent match
+    val df = Seq((1L, "the the the le la et")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df, "text").first()
+    // en score 3 (three 'the') beats fr score 3? 'le','la','et' = 3 too;
+    // tie broken alphabetically: en before fr
+    assert(out.getAs[String]("lang_pred") === "en")
+  }
+
+  test("lang-ID returns 'und' when no stopword matches") {
+    val df = Seq((1L, "xyzzy plugh quux")).toDF("doc_id", "text")
+    assert(TextAnalysis.withLangId(df, "text")
+      .first().getAs[String]("lang_pred") === "und")
+  }
+
+  test("fingerprint is order-sensitive (documents, not vocabularies)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.withFingerprint(df, "text")
+      .orderBy("doc_id").select("fingerprint").as[Long].collect()
+    assert(fps(0) !== fps(1))
+  }
+}
