@@ -131,11 +131,10 @@ object Dedup {
     df.withColumn("simhash", simhash(col(textCol)))
 
   /** Hamming distance between two simhash sketches (for candidate
-    * verification) — popcount of xor via bit loop, expression-only. */
-  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column = {
-    val x = a.bitwiseXOR(b)
-    (0 until bits).map(i => (shiftright(x, i) % 2).cast("int")).reduce(_ + _)
-  }
+    * verification): popcount of xor via the codegen'd `bit_count`
+    * built-in — one expression instead of a 32-term shift loop. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 
   // ------------------------------------------------------------------
   // N-gram Jaccard verification

@@ -3,8 +3,8 @@ package graft.operators
 import java.nio.file.Path
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max}
 import org.apache.spark.storage.StorageLevel
 
 import graft.config.{Json, Settings, Sync}
@@ -26,8 +26,9 @@ import graft.sources.Source
   *     is pure cost;
   *   - `df.isEmpty` instead of `df.rdd.isEmpty()` (ingestion.py:73) —
   *     avoids RDD conversion and runs a LIMIT 1 plan;
-  *   - the count/write/max actions reuse one MEMORY_AND_DISK persist,
-  *     exactly the reference's 4-action cache contract (ingestion.py:68).
+  *   - the reference's count/write/max trio of jobs (ingestion.py:75-95)
+  *     collapses into ONE write job with `observe()` metrics; the
+  *     MEMORY_AND_DISK persist now only bridges isEmpty → write.
   */
 object Ingestion {
 
@@ -70,15 +71,22 @@ object Ingestion {
       if (cached.isEmpty) {
         StepResult(wrote = false, rowCount = None, newSync = sync)
       } else {
-        // 8. optional count (ingestion.py:75-77)
-        val n = if (counting) Some(cached.count()) else None
-        // 9. append-only incremental write (ingestion.py:80-85)
-        PartitionedSink.appendIncrement(cached, outputPath, partitionColumns,
-          fileFormat)
-        // 10. advance watermark = global max of ref column
-        // (ingestion.py:88-95), formatted µs+'Z'
-        val maxTs = cached.agg(max(col(sync.refColumn))).first()
-          .getAs[Timestamp](0)
+        // 8-10. count + append write + watermark max in ONE pass: the
+        // reference ran three separate jobs over the increment
+        // (ingestion.py:75-95); observe() piggybacks the count and the
+        // global max onto the write job's scan, which at 100 TB saves
+        // two full passes (the persist cache only helps if the
+        // increment fits in cluster memory — observe works regardless).
+        val obs = Observation()
+        val observed = cached.observe(obs,
+          max(col(sync.refColumn)).as("max_ref"),
+          count(lit(1)).as("n_rows"))
+        PartitionedSink.appendIncrement(observed, outputPath,
+          partitionColumns, fileFormat)
+        val metrics = obs.get
+        val n = if (counting) Some(metrics("n_rows").asInstanceOf[Long])
+          else None
+        val maxTs = metrics("max_ref").asInstanceOf[Timestamp]
         val newSync = sync.advanced(maxTs.toLocalDateTime)
         // 11. persist new sync next to the data (ingestion.py:96,161-164)
         Json.writeSyncFile(newSync, tablePath)

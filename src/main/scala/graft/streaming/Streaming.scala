@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Prep
+
+/** Structured Streaming operators — the streaming upgrade of the
+  * reference's batch-emulated incremental consumption (SURVEY.md §2.11).
+  *
+  * The reference implements "streaming" as: persisted watermark JSON +
+  * strict-> filter + max-advance + append write
+  * (ingestion/ingestion.py:16-103). Structured Streaming replaces every
+  * piece with engine-managed state:
+  *   - `sync.json`            → checkpointed file-source offsets
+  *     (exactly-once, no hand-rolled parse/format/reparse cycle);
+  *   - strict-> ref filter    → source offset tracking (a file is
+  *     consumed exactly once, so no boundary-equality row loss);
+  *   - driver-side max+write  → the sink commits data and offsets
+  *     atomically per micro-batch.
+  */
+object Streaming {
+
+  /** Streaming incremental ingestion: watch a directory of parquet
+    * files, derive the reference's partition columns, append to a
+    * partitioned parquet sink. `Trigger.AvailableNow` processes
+    * everything present and stops — the batch-job operational model
+    * (cron-style, like the reference's entry points) with streaming
+    * exactly-once bookkeeping. Re-running after new files arrive
+    * ingests ONLY the new files: the checkpoint is the watermark.
+    *
+    * Scale notes: maxFilesPerTrigger bounds micro-batch size (memory
+    * ceiling independent of backlog size); the sink's partitionBy gives
+    * the same Hive layout as the batch path. */
+  def ingestStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      refColumn: String,
+      outputPath: String,
+      checkpointPath: String,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(inputPath)
+      .filter(col(refColumn).isNotNull)
+      .withColumn("YEAR", Prep.yearString(col(refColumn)))
+      .withColumn("MONTH", Prep.monthString(col(refColumn)))
+    src.writeStream
+      .format("parquet")
+      .option("path", outputPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("YEAR", "MONTH")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation (the streaming q22): late
+    * rows beyond `delay` are dropped and window state is garbage
+    * collected — bounded state at unbounded input, which is what makes
+    * this run forever at scale. */
+  def windowedCounts(events: DataFrame, tsCol: String, delay: String,
+      windowDuration: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  // ------------------------------------------------------------------
+  // Custom state: event-time sessionization via flatMapGroupsWithState
+  // ------------------------------------------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      n_events: Long, last_ts: Timestamp)
+
+  /** Streaming sessionization with a gap timeout — the stateful
+    * generalization of q24's batch `session_window`. Sessions close
+    * (and emit) when the event-time watermark passes last_ts + gap;
+    * a batch may also close sessions mid-stream when a gap occurs
+    * inside it. State per key is O(1) — one open session — so state
+    * store size is bounded by live keys, not history. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          def emit(s: SessionState): Session =
+            Session(user, new Timestamp(s.startMs), s.n,
+              new Timestamp(s.lastMs))
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(emit)
+            state.remove()
+            closed.iterator
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t < s.lastMs + gapMs =>
+                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  Some(SessionState(t, t, 1))
+                case None =>
+                  Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

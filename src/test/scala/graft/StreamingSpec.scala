@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.SessionEvent
+
+/** Structured Streaming behavior: exactly-once file ingestion via
+  * checkpoint (the sync.json replacement), watermarked window aggs,
+  * and flatMapGroupsWithState sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = {
+    val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+  }
+
+  test("ingestStream: checkpoint = watermark; re-run ingests only new files") {
+    val in = tmp("st-in"); val out = tmp("st-out"); val cp = tmp("st-cp")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, ref TIMESTAMP")
+
+    Seq((1L, Timestamp.valueOf("2024-01-10 08:00:00")),
+      (2L, Timestamp.valueOf("2024-02-12 09:30:00")))
+      .toDF("id", "ref").coalesce(1).write.mode(SaveMode.Append)
+      .parquet(in.toString)
+    val q1 = Streaming.ingestStream(spark, in.toString, schema, "ref",
+      out.toString, cp.toString)
+    q1.awaitTermination()
+
+    val first = spark.read.parquet(out.toString)
+    assert(first.count() === 2)
+    // unpadded partition layout, same as the batch path
+    assert(Files.exists(out.resolve("YEAR=2024").resolve("MONTH=1")))
+    assert(Files.exists(out.resolve("YEAR=2024").resolve("MONTH=2")))
+
+    // second batch of files: only the increment is consumed
+    Seq((3L, Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("id", "ref").coalesce(1).write.mode(SaveMode.Append)
+      .parquet(in.toString)
+    val q2 = Streaming.ingestStream(spark, in.toString, schema, "ref",
+      out.toString, cp.toString)
+    q2.awaitTermination()
+    val all = spark.read.parquet(out.toString).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L)) // no re-ingestion of files 1-2
+  }
+
+  test("windowedCounts: watermark drops late rows beyond the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedCounts(df, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window -> it finalizes
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    // a late row for the finalized window is dropped, not re-aggregated
+    mem.addData((Timestamp.valueOf("2024-01-01 10:40:00"), "click", 99.0))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 15:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wc")
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(!rows.exists { case (_, _, _, total) => total == 102.0 })
+  }
+
+  test("sessionize: gap splits sessions; timeout closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = Streaming.sessionize(mem.toDS(), gapMinutes = 10,
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+
+    // user 1: two events 5 min apart (one session), then a 30-min gap
+    // inside the same batch -> first session closes mid-batch
+    mem.addData(
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00")),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:35:00")))
+    q.processAllAvailable()
+    // watermark jump closes the open session via event-time timeout
+    mem.addData(SessionEvent(2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, Timestamp.valueOf("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2))).toSet
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L))) // gap split
+    assert(got.contains((1L, "2024-01-01 10:35:00.0", 1L))) // timeout close
+  }
+}
