@@ -103,6 +103,14 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // watermark predicates on the derived micros column must still reach
+    // the parquet footer — see graft.plans.NanosWatermarkPushdown
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.NanosWatermarkPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.NanosWatermarkPushdown
+    }
     val df = ParquetSource(s"$dir/$name.parquet").read(spark)
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == LongType && nanoCols.contains((name, f.name)))
