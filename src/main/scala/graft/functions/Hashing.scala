@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** Portable non-negative 60-bit hash of a string column. */
+  /** Portable non-negative 60-bit hash of a string column — the native
+    * Md5Long60 expression (one digest, no hex-string round trip). */
   def md5Long(c: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      Md5Long60(org.apache.spark.sql.GraftSql.expression(c)))
+
+  /** Built-in-only equivalent of md5Long (3-expression chain). Kept as
+    * the cross-engine specification: HashingSpec asserts md5Long ===
+    * md5LongBuiltin, and the DuckDB oracle recomputes this formula. */
+  def md5LongBuiltin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Reduce to a smaller modulus so affine re-hashing (a*h+b) stays

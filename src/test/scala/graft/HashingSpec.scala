@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** The native Md5Long60 expression must be bit-identical to its
+  * built-in specification chain (which is also what the DuckDB oracle
+  * recomputes). */
+class HashingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5Long == conv(substring(md5, 1, 15), 16, 10) on varied inputs") {
+    val samples = Seq("", "a", "hello world", "日本語テキスト",
+      "with\nnewline\tand tab", "0", "ÿ" * 100,
+      (1 to 500).map(i => s"w$i").mkString(" "))
+    val df = samples.toDF("s").select(
+      Hashing.md5Long($"s").as("native"),
+      Hashing.md5LongBuiltin($"s").as("builtin"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("md5Long: null in, null out; codegen'd projection works") {
+    // file-backed scan so the optimizer cannot constant-fold the whole
+    // projection into a LocalTableScan (which would bypass doGenCode)
+    val dir = java.nio.file.Files.createTempDirectory("hash-parquet")
+    dir.toFile.deleteOnExit()
+    Seq(Some("x"), None).toDF("s").write.mode("overwrite")
+      .parquet(dir.toString)
+    val df = spark.read.parquet(dir.toString)
+      .select(Hashing.md5Long($"s").as("h"))
+    assert(df.queryExecution.executedPlan.toString.contains("md5long60"))
+    val rows = df.orderBy($"h".asc_nulls_last).collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("md5Long values are non-negative 60-bit") {
+    val hs = (1 to 1000).map(i => s"doc $i").toDF("s")
+      .select(Hashing.md5Long($"s")).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)))
+    assert(hs.distinct.length === 1000) // no collisions on this sample
+  }
+}
