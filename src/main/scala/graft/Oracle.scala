@@ -415,6 +415,33 @@ object Oracle {
         |  FROM events)
         |GROUP BY table_name ORDER BY table_name""".stripMargin,
 
+    "q42_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |ac AS (SELECT e.vec_id, e.v, cid,
+         |  list_dot_product(e.v, cv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+         |  FROM e, cent),
+         |assign AS (SELECT vec_id AS neighbor_id, v AS nv, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac WHERE vec_id < 5)
+         |  WHERE rn <= 4),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_dot_product(qv, nv) /
+         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+         |  FROM probes JOIN assign USING (cell)
+         |  WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q39_multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(length(text) AS INTEGER) AS byte_len,

@@ -429,6 +429,17 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** IVF ANN top-k — the cell-partitioned alternative to q38's LSH
+    * (deterministic sampled centroids, nprobe=4 of nlist=16 cells). */
+  def q42KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 4)
+      .withColumn("cos", f6(col("cos")))
+      .orderBy("query_id", "rank")
+  }
+
   /** A4/S4: the data-dictionary aggregation (reference
     * bin/ingestion/parse-data-dictionary.py:28-45) — per table, the
     * distinct column set plus the first non-null incremental reference.
@@ -497,5 +508,6 @@ object Queries {
     "q39_multimodal_features" -> (q39MultimodalFeatures _),
     "q40_approx_distinct" -> (q40ApproxDistinct _),
     "q41_data_dictionary" -> (q41DataDictionary _),
+    "q42_knn_ivf" -> (q42KnnIvf _),
   )
 }

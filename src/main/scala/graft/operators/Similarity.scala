@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Expr
+
 /** Embedding similarity search over `array<float>` columns.
   *
   * Two tiers, per SURVEY.md §7 phase 6:
@@ -102,6 +104,71 @@ object Similarity {
           when(d > 0, lit(1L)).otherwise(lit(0L))
         }),
         lit(0L), (acc, v) => acc * lit(2L) + v))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the cell-partitioned alternative
+    * to sign-LSH. Index build: `nlist` centroids = the lowest-id
+    * vectors (deterministic sampled init — the k-means seeding step,
+    * reproducible by any engine), collected to the driver exactly like
+    * a production coarse quantizer lives on the driver/broadcast side.
+    * Each corpus vector is assigned to its nearest centroid by a pure
+    * per-row expression (argmax over a centroid literal — map-only, no
+    * shuffle); each query probes its `nprobe` nearest cells; exact
+    * cosine re-ranks the union of probed cells.
+    *
+    * Scale shape: assignment cost is nlist×dim multiplications per row
+    * with zero shuffle; the only shuffle is the candidate equi-join on
+    * `cell`, which touches nprobe/nlist of the corpus per query. Cells
+    * are disjoint (unlike LSH tables) so no candidate dedup is needed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids: Seq[Seq[Double]] = corpus.filter(col(idCol) < nlist)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val centLit = typedLit(centroids)
+
+    /** cos(vec, centroid_i) with the same left-fold arithmetic as
+      * `cosine`, centroid elements already double. */
+    def cosTo(vec: Column, i: Column): Column =
+      Expr.let(element_at(centLit, i + 1)) { c =>
+        aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v) /
+          (norm(vec) * sqrt(aggregate(c, lit(0.0), (a, v) => a + v * v)))
+      }
+
+    def cosArr(vec: Column): Column =
+      transform(sequence(lit(0), lit(nlist - 1)), i => cosTo(vec, i))
+
+    // nearest cell: index of the max cos (first occurrence — ties break
+    // to the smallest centroid id, mirroring the oracle's cid ASC)
+    def cell(vec: Column): Column =
+      Expr.let(cosArr(vec)) { a =>
+        (array_position(a, array_max(a)) - 1).cast("int")
+      }
+
+    // nprobe nearest cells: sort (−cos, idx) structs, take the prefix
+    def probeCells(vec: Column): Column =
+      Expr.let(cosArr(vec)) { a =>
+        transform(
+          slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
+            (c, i) => struct((-c).as("negcos"), i.as("idx")))),
+            1, nprobe),
+          s => s.getField("idx"))
+      }
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nvec"), cell(col(vecCol)).as("cell"))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      explode(probeCells(col(vecCol))).as("cell")))
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
   }
 
   /** ANN top-k via multi-table LSH: candidate = corpus row sharing any

@@ -60,6 +60,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("IVF top-k: scores agree with brute force; recall is useful") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    val common = ivf.keySet intersect bf.keySet
+    assert(common.nonEmpty)
+    common.foreach(k => assert(ivf(k) === bf(k)))
+    val recall = common.size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+  }
+
   test("LSH top-k: scores agree with brute force; recall is useful") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
