@@ -415,6 +415,54 @@ object Oracle {
         |  FROM events)
         |GROUP BY table_name ORDER BY table_name""".stripMargin,
 
+    "q43_training_pipeline" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val words = Map(
+        "de" -> Seq("der", "und", "die", "das", "ist"),
+        "en" -> Seq("the", "and", "of", "to", "is"),
+        "es" -> Seq("el", "que", "los", "una", "y"),
+        "fr" -> Seq("le", "la", "et", "les", "de"),
+        "zh" -> Seq("的", "是", "了", "在", "我"))
+      val scoreCols = langs.map { l =>
+        val in = words(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tk, x -> x IN ($in))) AS s_$l"
+      }.mkString(", ")
+      val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      val qualityScore = f6(
+        "least(1.0, nwords / 20.0) * (nalpha / nchars)")
+      s"""WITH base AS (SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nwords
+         |  FROM documents),
+         |q AS (SELECT doc_id, text, $qualityScore AS quality_score FROM base),
+         |qf AS (SELECT doc_id, text, quality_score, $toks AS tk FROM q
+         |  WHERE quality_score >= 0.8),
+         |sc AS (SELECT *, $scoreCols FROM qf),
+         |m AS (SELECT *, $mx AS mx FROM sc),
+         |lf AS (SELECT doc_id, text, quality_score, tk FROM m
+         |  WHERE (CASE WHEN mx = 0 THEN 'und' $caseChain ELSE 'und' END) = 'en'),
+         |fp AS (SELECT *, list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> ${md5Mod("x")})),
+         |  (h, x) -> (h * 31 + x) % $P) AS fingerprint FROM lf),
+         |exact AS (SELECT * FROM fp WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM exact),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens, quality_score
+         |FROM exact WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q42_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

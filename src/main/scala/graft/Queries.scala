@@ -440,6 +440,32 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The composed training-data prep pipeline — the end-to-end flow a
+    * 100 TB corpus actually runs, chaining the individually-verified
+    * stages: quality gate → language gate → content-fingerprint exact
+    * dedup (canonical min-id) → MinHash-LSH near-dup removal (greedy:
+    * drop the higher id of each candidate pair) → token accounting.
+    * Every stage is a narrow projection or one hash-shuffle; nothing
+    * collects to the driver. */
+  def q43TrainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = TextAnalysis.withQuality(docs, "text")
+      .filter(col("quality_score") >= 0.8)
+    val lang = TextAnalysis.withLangId(quality, "text")
+      .filter(col("lang_pred") === "en")
+    val fp = TextAnalysis.withFingerprint(lang, "text")
+    val keep = fp.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = fp.join(keep, Seq("doc_id"), "left_semi")
+    val nearDups = Dedup.minhashCandidates(exact, "text", "doc_id")
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(nearDups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("int").as("n_tokens"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** A4/S4: the data-dictionary aggregation (reference
     * bin/ingestion/parse-data-dictionary.py:28-45) — per table, the
     * distinct column set plus the first non-null incremental reference.
@@ -509,5 +535,6 @@ object Queries {
     "q40_approx_distinct" -> (q40ApproxDistinct _),
     "q41_data_dictionary" -> (q41DataDictionary _),
     "q42_knn_ivf" -> (q42KnnIvf _),
+    "q43_training_pipeline" -> (q43TrainingPipeline _),
   )
 }

