@@ -463,6 +463,15 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q44_frame_sample" ->
+      """SELECT doc_id, frame_idx, CAST(length(f) AS INTEGER) AS frame_len,
+        |  md5(f) AS frame_md5
+        |FROM (
+        |  SELECT doc_id, i AS frame_idx, substr(text, i * 64 + 1, 64) AS f
+        |  FROM documents, range(0, 4) t(i)
+        |  WHERE i <= least(3, CAST(ceil(length(text) / 64.0) AS INTEGER) - 1))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q42_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -440,6 +440,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Multimodal frame sampling: payloads exploded into fixed-size
+    * binary frames with md5 fingerprints (first 4 frames of 64 bytes). */
+  def q44FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Multimodal.frameSample(
+      Multimodal.withPayload(docs, "text", "doc_id"), "payload", "doc_id",
+      frameSize = 64, maxFrames = 4)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The composed training-data prep pipeline — the end-to-end flow a
     * 100 TB corpus actually runs, chaining the individually-verified
     * stages: quality gate → language gate → content-fingerprint exact
@@ -536,5 +546,6 @@ object Queries {
     "q41_data_dictionary" -> (q41DataDictionary _),
     "q42_knn_ivf" -> (q42KnnIvf _),
     "q43_training_pipeline" -> (q43TrainingPipeline _),
+    "q44_frame_sample" -> (q44FrameSample _),
   )
 }

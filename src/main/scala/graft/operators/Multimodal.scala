@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Expr
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with a typed metadata struct.
   *
@@ -53,6 +55,29 @@ object Multimodal {
         lit("text/plain").as("media_type"),
         length(col(textCol)).as("n_chars"),
         col("lang").as("lang")).as("media_meta"))
+
+  /** Frame sampling: explode an opaque media payload into fixed-size
+    * binary frames — the batch shape a video/audio pipeline feeds to a
+    * per-frame decoder (which would plug into the decodeStub seam).
+    * Pure expressions: `substr` slices the binary column per frame
+    * index, capped at `maxFrames` (uniform head-sampling; a production
+    * sampler would stride). One row per (doc, frame), md5-fingerprinted
+    * so downstream frame-level dedup can run the exact-dedup operator
+    * unchanged. No shuffle — the explode is pipelined into the scan. */
+  def frameSample(df: DataFrame, payloadCol: String, idCol: String,
+      frameSize: Int, maxFrames: Int): DataFrame = {
+    val frames = Expr.let(col(payloadCol)) { p =>
+      transform(
+        sequence(lit(0),
+          least(lit(maxFrames - 1),
+            ceil(length(p).cast("double") / frameSize).cast("int") - 1)),
+        i => substr(p, i * frameSize + 1, lit(frameSize)))
+    }
+    df.select(col(idCol), posexplode(frames))
+      .select(col(idCol), col("pos").as("frame_idx"),
+        length(col("col")).as("frame_len"),
+        md5(col("col")).as("frame_md5"))
+  }
 
   /** Feature extraction over the payload column. Everything that is a
     * plain column function stays a Catalyst expression (codegen'd,

@@ -29,12 +29,18 @@ object PartitionedSink {
       fileFormat: String = "parquet",
       filesPerPartition: Int = 1): Unit = {
 
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     val repartitioned =
       if (partitionColumns.isEmpty) df
       else if (filesPerPartition <= 1) df.repartition(partitionColumns.map(col): _*)
-      else df.repartition(
-        (partitionColumns.map(col) :+
-          (org.apache.spark.sql.functions.spark_partition_id() % filesPerPartition)): _*)
+      else {
+        // deterministic content-hash salt: spreads each partition value
+        // over exactly N tasks regardless of input partitioning
+        // (spark_partition_id-based salting inherits upstream skew)
+        val salt = pmod(xxhash64(df.columns.map(col): _*),
+          lit(filesPerPartition.toLong))
+        df.repartition((partitionColumns.map(col) :+ salt): _*)
+      }
 
     val writer0 = repartitioned.write
       .mode(mode)

@@ -74,6 +74,18 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the continuous form of the batch pipeline's
+    * exact-dedup stage: drop any row whose key was already seen within
+    * the watermark horizon. State per key is garbage-collected once the
+    * event-time watermark passes (`dropDuplicatesWithinWatermark`), so
+    * state size is bounded by the key arrival rate × delay, not by
+    * stream history — the property that lets a 100 TB/day ingest dedup
+    * run indefinitely. */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ------------------------------------------------------------------
   // Custom state: event-time sessionization via flatMapGroupsWithState
   // ------------------------------------------------------------------

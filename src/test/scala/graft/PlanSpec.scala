@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression tests: the properties that make these queries
+  * survive a 100× scale-up, pinned so a refactor can't silently lose
+  * them. String-matching executedPlan is crude but catches the big
+  * regressions (lost pushdown, lost broadcast, lost partial agg). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    Queries.all(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: watermark predicate reaches the parquet footer (custom rule)") {
+    val p = plan("q01_incremental_watermark")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
+  }
+
+  test("q04: filter and projection push into the scan") {
+    val p = plan("q04_projection_filter")
+    assert(p.contains("GreaterThan(l_quantity,30.0)"), p)
+    assert(p.contains(
+      "struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("q10: aggregation is partial (map-side combine) with pruned scan") {
+    val p = plan("q10_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), p) // unused columns pruned
+  }
+
+  test("q11/q12: dimension joins broadcast; fact side never exchanges " +
+    "before the join") {
+    val p11 = plan("q11_join_broadcast")
+    assert(p11.contains("BroadcastHashJoin"), p11)
+    val p12 = plan("q12_join_multiway")
+    assert(p12.split("BroadcastHashJoin").length === 4, p12) // 3 joins
+    assert(!p12.contains("SortMergeJoin"), p12)
+  }
+
+  test("q27: exact dedup is one hash aggregate, no window/sort shuffle") {
+    val p = plan("q27_dedup_exact")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q38: LSH candidate join is an equi-join (no nested-loop blowup)") {
+    val p = plan("q38_knn_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -81,6 +81,25 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists { case (_, _, _, total) => total == 102.0 })
   }
 
+  test("dedupStream: duplicate keys across batches are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "ts")
+    val deduped = Streaming.dedupStream(df, Seq("doc_id"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:01:00")), // same batch dup
+      (2L, Timestamp.valueOf("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 10:30:00")), // cross-batch dup
+      (3L, Timestamp.valueOf("2024-01-01 10:31:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
