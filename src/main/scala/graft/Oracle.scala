@@ -463,6 +463,33 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q45_embedding_near_dup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |aug AS (SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(v, x -> x * 1.5) FROM base
+         |  WHERE vec_id < 50),
+         |planes AS (SELECT i, j, $planeSql AS c
+         |  FROM range(0, 64) t1(i), range(0, 64) t2(j)),
+         |pl AS (SELECT i, list(c ORDER BY j) AS p FROM planes GROUP BY i),
+         |bitvals AS (SELECT aug.vec_id, pl.i,
+         |  CASE WHEN list_dot_product(v, p) > 0
+         |    THEN CAST(POWER(2, pl.i % 8) AS BIGINT) ELSE 0 END AS bit
+         |  FROM aug, pl),
+         |bkts AS (SELECT vec_id, i // 8 AS tbl, sum(bit) AS bucket
+         |  FROM bitvals GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkts a JOIN bkts b
+         |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |  list_dot_product(va.v, vb.v) /
+         |    (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS cos
+         |  FROM pairs
+         |  JOIN aug va ON va.vec_id = id_a
+         |  JOIN aug vb ON vb.vec_id = id_b)
+         |SELECT id_a, id_b, ${f6("cos")} AS cos FROM scored
+         |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+
     "q44_frame_sample" ->
       """SELECT doc_id, frame_idx, CAST(length(f) AS INTEGER) AS frame_len,
         |  md5(f) AS frame_md5

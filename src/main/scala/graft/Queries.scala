@@ -440,6 +440,26 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup detection: the corpus is augmented with
+    * 50 positively-scaled copies (cos = 1 up to rounding; same LSH
+    * bucket in every table by sign-invariance), and the operator must
+    * recover exactly those pairs above the 0.999 threshold. Scaling is
+    * done in double (×1.5 of a float-exact value is exact), so cosine
+    * is bit-identical in any engine. */
+  def q45EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 1.5).as("vec"))
+    val corpus = base.unionByName(planted)
+    Similarity.nearDupPairs(corpus, "vec_id", "vec", 64,
+      threshold = 0.999, bits = 8, tables = 8)
+      .withColumn("cos", f6(col("cos")))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Multimodal frame sampling: payloads exploded into fixed-size
     * binary frames with md5 fingerprints (first 4 frames of 64 bytes). */
   def q44FrameSample(s: SparkSession, dir: String): DataFrame = {
@@ -547,5 +567,6 @@ object Queries {
     "q42_knn_ivf" -> (q42KnnIvf _),
     "q43_training_pipeline" -> (q43TrainingPipeline _),
     "q44_frame_sample" -> (q44FrameSample _),
+    "q45_embedding_near_dup" -> (q45EmbeddingNearDup _),
   )
 }

@@ -106,6 +106,34 @@ object Similarity {
         lit(0L), (acc, v) => acc * lit(2L) + v))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (multi-table sign-LSH) + exact cosine verification
+    * against a threshold. The near-dup regime is where sign-LSH shines:
+    * cos ≥ 0.95 ⇒ per-bit collision ≥ 0.9, so a handful of tables
+    * recovers essentially all true pairs — and a positively-scaled
+    * duplicate lands in the SAME bucket in every table (signs are
+    * scale-invariant), giving exact recall on rescaled copies. Shuffle
+    * profile matches minhashCandidates: bucket-join, collision-bound. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val buckets = lshBuckets(col(vecCol), dim, bits, tables)
+    val b = corpus.select(col(idCol).as("vid"), posexplode(buckets))
+      .toDF("vid", "tbl", "bucket")
+    val pairs = b.toDF("id_a", "tbl", "bucket")
+      .join(b.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")),
+        Seq("id_a"))
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
+        Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** IVF (inverted-file) ANN top-k — the cell-partitioned alternative
     * to sign-LSH. Index build: `nlist` centroids = the lowest-id
     * vectors (deterministic sampled init — the k-means seeding step,
