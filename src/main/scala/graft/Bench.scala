@@ -18,6 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: session/codegen/file-index initialization is
+    // JVM startup cost, not query cost — without it the first timed
+    // query absorbs ~5s of one-time work
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).limit(1).count())
+    catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -440,6 +440,29 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** SQL-API surface (spark.sql over registered views): TPC-H Q3-shaped
+    * shipping-priority query — same decimal-exact arithmetic contract
+    * as the DataFrame queries. */
+  def q46SqlApi(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          AS revenue,
+        o_orderdate
+      FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+      JOIN lineitem_v ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-06-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-06-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+  }
+
   /** Embedding-cosine near-dup detection: the corpus is augmented with
     * 50 positively-scaled copies (cos = 1 up to rounding; same LSH
     * bucket in every table by sign-invariance), and the operator must
@@ -568,5 +591,6 @@ object Queries {
     "q43_training_pipeline" -> (q43TrainingPipeline _),
     "q44_frame_sample" -> (q44FrameSample _),
     "q45_embedding_near_dup" -> (q45EmbeddingNearDup _),
+    "q46_sql_api" -> (q46SqlApi _),
   )
 }
