@@ -463,6 +463,14 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q47_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INTEGER)
+        |    AS n_bpe_tokens,
+        |  regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')[1:5]
+        |    AS head_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q46_sql_api" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

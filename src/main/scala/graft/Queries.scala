@@ -440,6 +440,15 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** BPE-ish subword token accounting (GPT-2-style pretokenizer regex,
+    * identical under Java regex and RE2). */
+  def q47BpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens"),
+        slice(TextAnalysis.bpeTokens(col("text")), 1, 5).as("head_tokens"))
+      .orderBy("doc_id")
+
   /** SQL-API surface (spark.sql over registered views): TPC-H Q3-shaped
     * shipping-priority query — same decimal-exact arithmetic contract
     * as the DataFrame queries. */
@@ -592,5 +601,6 @@ object Queries {
     "q44_frame_sample" -> (q44FrameSample _),
     "q45_embedding_near_dup" -> (q45EmbeddingNearDup _),
     "q46_sql_api" -> (q46SqlApi _),
+    "q47_bpe_tokens" -> (q47BpeTokens _),
   )
 }

@@ -95,10 +95,29 @@ object Dedup {
 
   /** Candidate near-dup pairs: docs sharing any (band, bucket). The
     * self-join shuffles on (band, bucket) — collision-rate-bound, the
-    * LSH property that makes this viable at 100 TB. */
+    * LSH property that makes this viable at 100 TB.
+    *
+    * `maxBucketSize` (0 = uncapped) drops degenerate hot buckets before
+    * the self-join: a corpus with k identical boilerplate documents
+    * puts all k in one bucket and the join emits k²/2 pairs — at 100 TB
+    * that single bucket is the job. Oversized buckets are near-certain
+    * duplicates anyway; route them to the exact-dedup operator instead
+    * of enumerating pairs. Costs one extra aggregation on the banded
+    * rows (map-side combined). */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b = withMinhashBands(df, textCol, idCol, shingleSize, numHashes, bands)
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
+    val banded = withMinhashBands(df, textCol, idCol, shingleSize,
+      numHashes, bands)
+    val b =
+      if (maxBucketSize <= 0) banded
+      else {
+        val sizes = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsize"))
+          .where(col("bsize") <= maxBucketSize)
+          .select("band", "bucket")
+        banded.join(sizes, Seq("band", "bucket"), "left_semi")
+      }
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))

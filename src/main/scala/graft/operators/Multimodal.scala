@@ -56,6 +56,15 @@ object Multimodal {
         length(col(textCol)).as("n_chars"),
         col("lang").as("lang")).as("media_meta"))
 
+  /** Resize-shaped payload normalization: truncate or zero-pad the
+    * binary payload to exactly `n` bytes — the plumbing contract of an
+    * image-resize stage (fixed-size input to a batched decoder), with
+    * the actual pixel resample living behind the decodeStub seam. Pure
+    * expressions; rpad on binary pads with 0x00. */
+  def resizePayload(df: DataFrame, payloadCol: String, n: Int): DataFrame =
+    df.withColumn(payloadCol,
+      rpad(substring(col(payloadCol), 1, n), n, Array[Byte](0)))
+
   /** Frame sampling: explode an opaque media payload into fixed-size
     * binary frames — the batch shape a video/audio pipeline feeds to a
     * per-frame decoder (which would plug into the decodeStub seam).

@@ -26,6 +26,17 @@ object TextAnalysis {
     size(split(trim(text), "\\s+")) +
       length(regexp_replace(text, "[^.,;:!?]", ""))
 
+  /** BPE-ish subword tokenization via a GPT-2-style pretokenizer regex:
+    * leading-space-attached letter runs, digit runs, and punctuation
+    * runs as separate tokens. Deliberately lookahead-free so the same
+    * pattern runs identically under Java regex (Spark) and RE2
+    * (DuckDB oracle); alternatives are disjoint so engine preference
+    * order cannot differ. */
+  val BpePattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Token/char statistics. */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("n_tokens", size(tokens(col(textCol))))

@@ -37,6 +37,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("minhash bucket cap drops degenerate hot buckets") {
+    val boiler = "identical boilerplate text repeated across the corpus"
+    val df = ((1L to 6L).map(i => (i, boiler)) :+ (7L, "something else"))
+      .toDF("doc_id", "text")
+    // uncapped: 6 identical docs -> C(6,2)=15 pairs
+    assert(Dedup.minhashCandidates(df, "text", "doc_id").count() === 15)
+    // capped below the clique size: the hot bucket is dropped entirely
+    assert(Dedup.minhashCandidates(df, "text", "doc_id",
+      maxBucketSize = 5).count() === 0)
+  }
+
   test("simhash: near-identical docs are close in Hamming distance") {
     val df = Seq(
       (1L, "spark makes distributed data processing simple and fast today"),

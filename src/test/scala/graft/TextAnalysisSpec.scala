@@ -37,6 +37,13 @@ class TextAnalysisSpec extends SparkSpec {
       .first().getAs[String]("lang_pred") === "und")
   }
 
+  test("bpe tokens: space-attached words, digit runs, punct runs") {
+    val df = Seq("Hello world, 42 times!").toDF("text")
+      .select(TextAnalysis.bpeTokens($"text").as("t"))
+    assert(df.first().getSeq[String](0) ===
+      Seq("Hello", " world", ",", " 42", " times", "!"))
+  }
+
   test("fingerprint is order-sensitive (documents, not vocabularies)") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
       .toDF("doc_id", "text")
