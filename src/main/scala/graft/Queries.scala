@@ -518,7 +518,12 @@ object Queries {
     val fp = TextAnalysis.withFingerprint(lang, "text")
     val keep = fp.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    // exact is consumed three times (both sides of the LSH band
+    // self-join + the final anti-join); persist it — at scale this is
+    // the stage boundary a production pipeline would materialize to
+    // storage anyway
     val exact = fp.join(keep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDups = Dedup.minhashCandidates(exact, "text", "doc_id")
       .select(col("id_b").as("doc_id")).distinct()
     exact.join(nearDups, Seq("doc_id"), "left_anti")

@@ -88,7 +88,17 @@ object Similarity {
     * identical to `dot`, so bucket ids are reproducible in any engine
     * (the DuckDB oracle recomputes them from the same md5-derived
     * planes). */
-  def lshBuckets(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
+  def lshBuckets(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.SignLshBuckets(
+        org.apache.spark.sql.GraftSql.expression(vec), dim, bits, tables))
+
+  /** Higher-order-function formulation of lshBuckets — kept as the
+    * executable specification the native SignLshBuckets expression is
+    * asserted bit-identical against (HashingSpec); the DuckDB oracle
+    * independently recomputes the same construction in SQL. */
+  private[graft] def lshBucketsHof(vec: Column, dim: Int, bits: Int,
+      tables: Int): Column = {
     val planes: Seq[Seq[Double]] = (0 until tables * bits).map(gi =>
       (0 until dim).map(j => planeComponent(gi, j)))
     val planesLit = typedLit(planes)

@@ -35,6 +35,24 @@ class HashingSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("SignLshBuckets == higher-order formulation, float and double") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val floatCmp = emb.select(
+      Similarity.lshBuckets($"embedding", 64, 6, 16).as("native"),
+      Similarity.lshBucketsHof($"embedding", 64, 6, 16).as("hof"))
+    floatCmp.collect().foreach(r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    val dbl = emb.select(transform($"embedding",
+      x => x.cast("double") * 1.5).as("v"))
+    val doubleCmp = dbl.select(
+      Similarity.lshBuckets($"v", 64, 8, 8).as("native"),
+      Similarity.lshBucketsHof($"v", 64, 8, 8).as("hof"))
+    doubleCmp.collect().foreach(r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("md5Long values are non-negative 60-bit") {
     val hs = (1 to 1000).map(i => s"doc $i").toDF("s")
       .select(Hashing.md5Long($"s")).as[Long].collect()
