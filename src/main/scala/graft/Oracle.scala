@@ -463,6 +463,28 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q48_asof_join" ->
+      """WITH l AS (SELECT user_id AS k, ts AS _ts, 1 AS _side,
+        |    CAST(NULL AS BIGINT) AS _tie, event_id,
+        |    CAST(NULL AS BIGINT) AS o_orderkey,
+        |    CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM events),
+        |r AS (SELECT o_custkey AS k, o_orderdate AS _ts, 0 AS _side,
+        |    o_orderkey AS _tie, CAST(NULL AS BIGINT) AS event_id,
+        |    o_orderkey, o_totalprice
+        |  FROM orders),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN _side = 0 THEN o_orderkey END IGNORE NULLS)
+        |    OVER win AS asof_o_orderkey,
+        |  last_value(CASE WHEN _side = 0 THEN o_totalprice END IGNORE NULLS)
+        |    OVER win AS asof_o_totalprice
+        |  FROM u WINDOW win AS (PARTITION BY k
+        |    ORDER BY _ts ASC, _side ASC, _tie ASC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, k AS user_id, asof_o_orderkey, asof_o_totalprice
+        |FROM w WHERE _side = 1 ORDER BY event_id""".stripMargin,
+
     "q47_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INTEGER)

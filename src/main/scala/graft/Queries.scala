@@ -440,6 +440,22 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** As-of join: each event attached to the latest order (by
+    * o_orderdate <= ts) of the matching customer — the point-in-time
+    * operator, composed as one shuffle+sort (AsOf.asOfJoin) instead of
+    * a range join that would plan as a nested loop. */
+  def q48AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+      col("event_id"))
+    val ord = t(s, dir, "orders").select(col("o_custkey").as("user_id"),
+      col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    AsOf.asOfJoin(ev, ord, Seq("user_id"), "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("asof_o_orderkey"),
+        col("asof_o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** BPE-ish subword token accounting (GPT-2-style pretokenizer regex,
     * identical under Java regex and RE2). */
   def q47BpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -607,5 +623,6 @@ object Queries {
     "q45_embedding_near_dup" -> (q45EmbeddingNearDup _),
     "q46_sql_api" -> (q46SqlApi _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
+    "q48_asof_join" -> (q48AsofJoin _),
   )
 }

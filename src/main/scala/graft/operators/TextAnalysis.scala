@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Expr, Hashing}
 
 /** Text-analysis operators for LLM-data pipelines, over the `documents`
   * fixture (FIXTURES.md §A). All pure Catalyst expressions — per-row,
@@ -82,16 +82,21 @@ object TextAnalysis {
       t => stopwords(lang).map(w => t === lit(w)).reduce(_ || _))).cast("long")
 
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
     val langs = stopwords.keys.toSeq.sorted // tie-break: alphabetical code
-    val scored = langs.foldLeft(df)((d, l) =>
-      d.withColumn(s"score_$l", langScore(toks, l)))
-    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
-    val pred = when(maxScore === 0, lit("und")).otherwise(
-      langs.foldRight(lit("und"): Column)((l, other) =>
-        when(col(s"score_$l") === maxScore, lit(l)).otherwise(other)))
-    scored.withColumn("lang_pred", pred)
-      .drop(langs.map(l => s"score_$l"): _*)
+    // one tokenization and one score array per row (let-bound):
+    // score-as-columns would inline the split into every comparison via
+    // CollapseProject, and filter() keeps this out of codegen/CSE
+    val pred = Expr.let(tokens(col(textCol))) { tk =>
+      Expr.let(array(langs.map(l => langScore(tk, l)): _*)) { arr =>
+        when(array_max(arr) === 0, lit("und")).otherwise(
+          langs.zipWithIndex.foldRight(lit("und"): Column) {
+            case ((l, i), other) =>
+              when(element_at(arr, i + 1) === array_max(arr), lit(l))
+                .otherwise(other)
+          })
+      }
+    }
+    df.withColumn("lang_pred", pred)
   }
 
   /** Rolling polynomial fingerprint of the token stream:
