@@ -463,6 +463,18 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q49_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS price_quantiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q48_asof_join" ->
       """WITH l AS (SELECT user_id AS k, ts AS _ts, 1 AS _side,
         |    CAST(NULL AS BIGINT) AS _tie, event_id,

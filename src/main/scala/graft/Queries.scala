@@ -456,6 +456,32 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Interval self-join: pairs of events of the same user within 10
+    * minutes — bucketed range join (one hash shuffle), never a
+    * nested-loop plan. */
+  def q49RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"))
+    RangeJoin.withinInterval(a, b, Seq("user_id"), "ts_a", "ts_b",
+      toleranceUs = 600000000L)
+      .where(col("id_a") < col("id_b"))
+      .select(col("user_id"), col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact interpolated percentiles (the deterministic counterpart of
+    * the approx sketch in q40; percentile() and DuckDB quantile_cont
+    * share the type-7 definition). */
+  def q50Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+        .as("price_quantiles"))
+      .orderBy("l_returnflag")
+
   /** BPE-ish subword token accounting (GPT-2-style pretokenizer regex,
     * identical under Java regex and RE2). */
   def q47BpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -624,5 +650,7 @@ object Queries {
     "q46_sql_api" -> (q46SqlApi _),
     "q47_bpe_tokens" -> (q47BpeTokens _),
     "q48_asof_join" -> (q48AsofJoin _),
+    "q49_range_join" -> (q49RangeJoin _),
+    "q50_percentiles" -> (q50Percentiles _),
   )
 }

@@ -66,6 +66,23 @@ object PartitionedSink {
   def appendIncrement(df: DataFrame, path: String, partitionColumns: Seq[String],
       fileFormat: String = "parquet"): Unit =
     write(df, path, partitionColumns, mode = "append", fileFormat = fileFormat)
+
+  /** Small-file compaction: rewrite a partitioned dataset so each
+    * partition value holds `filesPerPartition` files. Incremental
+    * append (one file per increment per partition) accretes thousands
+    * of small files per partition over time — the #1 operational decay
+    * mode of a watermark-append pipeline at scale; periodic compaction
+    * restores scan efficiency (fewer tasks, bigger sequential reads).
+    * Writes to `targetPath` (swap-in is the caller's transactional
+    * concern — never compact in place). */
+  def compact(spark: SparkSession, sourcePath: String, targetPath: String,
+      partitionColumns: Seq[String], fileFormat: String = "parquet",
+      filesPerPartition: Int = 1): Unit = {
+    val df = spark.read.format(fileFormat)
+      .option("header", "true").load(sourcePath)
+    write(df, targetPath, partitionColumns, mode = "errorifexists",
+      fileFormat = fileFormat, filesPerPartition = filesPerPartition)
+  }
 }
 
 /** Catalog DDL helpers — the Spark-session-catalog equivalents of the

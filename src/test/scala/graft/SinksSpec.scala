@@ -62,6 +62,24 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 4)
   }
 
+  test("compact: many appended small files collapse to one per partition") {
+    val out = tmp("sink-compact").resolve("t").toString
+    (1 to 5).foreach { i =>
+      PartitionedSink.appendIncrement(
+        Seq((i.toLong, s"v$i", "2024", "1")).toDF("id", "payload", "YEAR", "MONTH"),
+        out, Seq("YEAR"))
+    }
+    val before = Files.walk(java.nio.file.Paths.get(out, "YEAR=2024"))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(before === 5)
+    val compacted = tmp("sink-compact2").resolve("t").toString
+    PartitionedSink.compact(spark, out, compacted, Seq("YEAR"))
+    val after = Files.walk(java.nio.file.Paths.get(compacted, "YEAR=2024"))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(after === 1)
+    assert(spark.read.parquet(compacted).count() === 5)
+  }
+
   test("DDL: CTAS + MSCK + CVAS view + DROP against the session catalog") {
     val loc = tmp("ddl-loc").resolve("t1").toString
     sample.createOrReplaceTempView("sink_src")
