@@ -45,6 +45,12 @@ object Oracle {
   /** floor-truncation to 6 dp (mirrors Queries.f6). */
   private def f6(c: String): String = s"floor(($c) * 1000000) / 1000000.0"
 
+  /** DuckDB rendering of Dedup.simhash over an `hs` hashed-token list:
+    * 32 per-bit majority votes summed with 2^b weights. */
+  private val simhashSql: String = (0 until 32).map(b =>
+    s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) % 2 = 1)) > len(hs) " +
+      s"THEN ${1L << b} ELSE 0 END").mkString(" + ")
+
   // -- q28/q29 minhash: same deterministic coefficients as Hashing -----
   private def sigElems(hsCol: String, numHashes: Int): Seq[String] =
     (0 until numHashes).map { i =>
@@ -277,10 +283,22 @@ object Oracle {
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)
-         |SELECT doc_id, CAST(${(0 until 32).map(b =>
-              s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) % 2 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END")
-              .mkString(" + ")} AS BIGINT) AS simhash
+         |SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q51_simhash_candidates" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t),
+         |sk AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sk FROM h),
+         |banded AS (SELECT doc_id, sk, unnest([0, 1, 2, 3]) AS band FROM sk),
+         |bv AS (SELECT doc_id, sk, band, (sk >> (band * 8)) & 255 AS bandval
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sk, b.sk)) AS INTEGER) AS hamming
+         |  FROM bv a JOIN bv b
+         |  ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q31_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

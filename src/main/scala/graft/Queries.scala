@@ -339,6 +339,15 @@ object Queries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** SimHash band candidates verified by exact Hamming distance — the
+    * sketch pipeline counterpart of q29 (threshold 2 of 32 bits — the
+    * fixture's shared-vocabulary docs correlate strongly, so looser
+    * thresholds admit a quadratic candidate set). */
+  def q51SimhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 2)
+      .orderBy("id_a", "id_b")
+
   /** Exact n-gram Jaccard over bounded candidate pairs (same source,
     * nearby ids — at scale the candidate set comes from q29's LSH).
     * Same-source doc_ids are spaced 20 apart in the fixture, so the
@@ -652,5 +661,6 @@ object Queries {
     "q48_asof_join" -> (q48AsofJoin _),
     "q49_range_join" -> (q49RangeJoin _),
     "q50_percentiles" -> (q50Percentiles _),
+    "q51_simhash_candidates" -> (q51SimhashCandidates _),
   )
 }

@@ -155,6 +155,35 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup candidates + verification — the sketch-family
+    * pipeline mirroring minhashCandidates: docs sharing any byte-band
+    * of their 32-bit sketch become candidates (an 8-bit band is
+    * preserved whenever all 8 of its bits survive the perturbation, so
+    * a ≤ maxHamming pair almost always shares a band); candidates are
+    * verified with the exact Hamming distance. Same bucketed-join
+    * shuffle shape as MinHash LSH: collision-bound, never all-pairs. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
+    val bandBits = 32 / bands
+    val mask = (1L << bandBits) - 1
+    val sk = df.select(col(idCol), simhash(col(textCol)).as("sk"))
+    val banded = sk.select(col(idCol), col("sk"), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("sk"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandval")
+    val l = banded.select(col("band"), col("bandval"),
+      col(idCol).as("id_a"), col("sk").as("sk_a"))
+    val r = banded.select(col("band"), col("bandval"),
+      col(idCol).as("id_b"), col("sk").as("sk_b"))
+    l.join(r, Seq("band", "bandval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sk_a"), col("sk_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------------------
   // N-gram Jaccard verification
   // ------------------------------------------------------------------
