@@ -65,8 +65,16 @@ object Dedup {
     * `sequence(0, N-1)` with coefficients computed from the lambda
     * index (Hashing.affineAt), so the tokenize→shingle→md5 subtree
     * appears exactly ONCE in the plan regardless of numHashes. */
+  /** Native tokenize→shingle→hash (see functions.ShingleHashes); the
+    * HOF formulation it must match is `transform(shingles(text, n),
+    * md5Mod)` (asserted in HashingSpec). */
+  private[graft] def shingleHashes(text: Column, n: Int, mod: Boolean): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftSql.expression(text), n, mod))
+
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
-    Expr.let(transform(shingles(text, shingleSize), s => Hashing.md5Mod(s))) {
+    Expr.let(shingleHashes(text, shingleSize, mod = true)) {
       hashed =>
         transform(sequence(lit(0), lit(numHashes - 1)),
           i => array_min(transform(hashed, h => Hashing.affineAt(h, i))))
@@ -134,7 +142,7 @@ object Dedup {
     * count (strict majority vote with ±1 votes). Expression-only:
     * per-bit popcount via filter+size over the hashed token array. */
   def simhash(text: Column, bits: Int = 32): Column =
-    Expr.let(transform(TextAnalysis.tokens(text), w => Hashing.md5Long(w))) {
+    Expr.let(shingleHashes(text, n = 1, mod = false)) {
       hashed =>
         val n = size(hashed).cast("long")
         val terms = (0 until bits).map { b =>

@@ -106,7 +106,7 @@ object TextAnalysis {
     * left fold, reproducible anywhere. */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), w => Hashing.md5Mod(w)),
+      Dedup.shingleHashes(text, n = 1, mod = true),
       lit(0L),
       (h, x) => (h * lit(31L) + x) % lit(Hashing.SmallPrime))
 

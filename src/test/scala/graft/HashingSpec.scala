@@ -53,6 +53,26 @@ class HashingSpec extends SparkSpec {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("ShingleHashes == transform(shingles, md5Mod) on fixture + edges") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(Seq("one", "a b", "  padded  ", "Tab\there",
+        "exactly three word doc").toDF("text"))
+    for ((n, mod) <- Seq((3, true), (2, true), (1, true), (1, false))) {
+      val hof =
+        if (mod) transform(Dedup.shingles($"text", n),
+          s => graft.functions.Hashing.md5Mod(s))
+        else transform(Dedup.shingles($"text", n),
+          s => graft.functions.Hashing.md5Long(s))
+      val cmp = docs.select(
+        Dedup.shingleHashes($"text", n, mod).as("native"), hof.as("spec"))
+      cmp.collect().foreach(r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n mod=$mod"))
+    }
+  }
+
   test("md5Long values are non-negative 60-bit") {
     val hs = (1 to 1000).map(i => s"doc $i").toDF("s")
       .select(Hashing.md5Long($"s")).as[Long].collect()
