@@ -280,6 +280,27 @@ object Oracle {
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q52_dedup_components" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+         |SELECT v AS doc_id, min(u) AS component FROM reach
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
+
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)

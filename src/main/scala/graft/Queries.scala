@@ -339,6 +339,17 @@ object Queries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** Near-dup CLUSTERS: connected components over q29's MinHash-LSH
+    * candidate pairs — the grouping a dedup pass consumes (one keeper
+    * per component). */
+  def q52DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    Dedup.connectedComponents(docs, "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** SimHash band candidates verified by exact Hamming distance — the
     * sketch pipeline counterpart of q29 (threshold 2 of 32 bits — the
     * fixture's shared-vocabulary docs correlate strongly, so looser
@@ -662,5 +673,6 @@ object Queries {
     "q49_range_join" -> (q49RangeJoin _),
     "q50_percentiles" -> (q50Percentiles _),
     "q51_simhash_candidates" -> (q51SimhashCandidates _),
+    "q52_dedup_components" -> (q52DedupComponents _),
   )
 }

@@ -133,6 +133,50 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Connected components over near-dup candidate pairs: clusters, not
+    * pairs — the form a dedup pass actually consumes (keep one doc per
+    * component). Min-label propagation: every node starts labeled with
+    * its own id; each round takes the min of its label and its
+    * neighbors' labels; fixpoint in O(component diameter) rounds. The
+    * driver only runs the convergence probe (a LIMIT-1 count of changed
+    * labels); all data stays distributed, each round is two shuffles
+    * (neighbor join + label join), and rounds are persisted/unpersisted
+    * pairwise so lineage stays bounded. The fixpoint is unique, so the
+    * result is deterministic regardless of iteration count. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    var prev: Option[DataFrame] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = adj
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = updated
+        .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
+        .where(col("component") =!= col("old"))
+        .limit(1).count()
+      prev.foreach(_.unpersist())
+      prev = Some(updated)
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

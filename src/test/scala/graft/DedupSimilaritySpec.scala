@@ -37,6 +37,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("connected components: chain, triangle, singleton") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round),
+    // triangle 5-6-7 via two edges, node ... none for 7? add 6-7
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, "id", edges)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("minhash bucket cap drops degenerate hot buckets") {
     val boiler = "identical boilerplate text repeated across the corpus"
     val df = ((1L to 6L).map(i => (i, boiler)) :+ (7L, "something else"))
