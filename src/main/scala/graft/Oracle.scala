@@ -280,6 +280,17 @@ object Oracle {
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q53_kmv_distinct" ->
+      s"""SELECT event_type,
+         |  CASE WHEN len(m) < 32 THEN len(m)
+         |    ELSE CAST(floor(31.0 * 1152921504606846976.0 / m[32]) AS BIGINT)
+         |  END AS approx_distinct
+         |FROM (
+         |  SELECT event_type,
+         |    list_sort(list(DISTINCT ${md5Long("CAST(user_id AS VARCHAR)")}))[1:32] AS m
+         |  FROM events GROUP BY event_type)
+         |ORDER BY event_type""".stripMargin,
+
     "q52_dedup_components" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
          |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),

@@ -339,6 +339,14 @@ object Queries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
+    * and rows-only; KMV over the md5 family is reproducible anywhere,
+    * so the approx-counting family gets a hash-checked oracle too). */
+  def q53KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(t(s, dir, "events"), Seq("event_type"),
+      "user_id", k = 32)
+      .orderBy("event_type")
+
   /** Near-dup CLUSTERS: connected components over q29's MinHash-LSH
     * candidate pairs — the grouping a dedup pass consumes (one keeper
     * per component). */
@@ -674,5 +682,6 @@ object Queries {
     "q50_percentiles" -> (q50Percentiles _),
     "q51_simhash_candidates" -> (q51SimhashCandidates _),
     "q52_dedup_components" -> (q52DedupComponents _),
+    "q53_kmv_distinct" -> (q53KmvDistinct _),
   )
 }

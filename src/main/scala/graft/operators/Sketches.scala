@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Engine-portable cardinality sketching.
+  *
+  * `approx_count_distinct` (HLL++, q40) is the right built-in at 100 TB
+  * but its sketch is Spark-internal — no other engine reproduces the
+  * estimate, so differential testing stops at row counts. KMV
+  * (k-minimum-values) built on the md5 hash family is the portable
+  * alternative: the k smallest hashes of a set determine the estimate
+  * (k−1)·2^60/h_k, any engine computes the identical value, and sketches
+  * merge by taking the k smallest of a union (the same mergeability HLL
+  * offers). Exact below k distinct values, ~k^-1/2 relative error above.
+  */
+object Sketches {
+
+  /** Grouped KMV distinct-count estimate. This formulation collects the
+    * distinct hash set per group before slicing — fine for verification
+    * scale; the 100 TB formulation bounds state with a
+    * TypedImperativeAggregate keeping a k-element heap (same estimate,
+    * same portability — the contract is the (k, h_k) pair, not the
+    * implementation). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val mins = slice(
+      array_sort(collect_set(Hashing.md5Long(col(valueCol).cast("string")))),
+      1, k)
+    val estimate: Column => Column = m =>
+      when(size(m) < k, size(m).cast("long"))
+        .otherwise(floor(
+          lit((k - 1).toDouble * math.pow(2.0, 60)) / element_at(m, k))
+          .cast("long"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(mins.as("kmins"))
+      .withColumn("approx_distinct", estimate(col("kmins")))
+      .drop("kmins")
+  }
+}
