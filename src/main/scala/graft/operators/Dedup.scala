@@ -149,8 +149,18 @@ object Dedup {
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
-    var prev: Option[DataFrame] = None
+    // propagate only over nodes incident to an edge — a dedup candidate
+    // graph is overwhelmingly singletons, which are their own component
+    // by definition and don't need to ride O(diameter) join rounds.
+    // localCheckpoint (not persist) each round: caching short-circuits
+    // EXECUTION but not PLANNING — the logical plan otherwise grows by
+    // three joins per round and Catalyst re-optimizes the whole chain
+    // every iteration, which dominated wall time (~6s/round on a
+    // 600-row graph). Checkpointing truncates the lineage so each
+    // round plans O(1) work.
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -158,23 +168,33 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .persist()
+      // path shortcutting (pointer doubling): follow the label's own
+      // label, collapsing chains exponentially — min-propagation alone
+      // needs O(diameter) rounds, which a chain-shaped candidate graph
+      // turns into the whole job; with shortcutting it's O(log diameter)
+      val mapping = propagated
+        .select(col("id").as("component"), col("component").as("cc"))
+      val updated = propagated.join(mapping, Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("cc"), col("component")).as("component"))
+        .localCheckpoint(true)
       val changed = updated
         .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
         .where(col("component") =!= col("old"))
         .limit(1).count()
-      prev.foreach(_.unpersist())
-      prev = Some(updated)
       labels = updated
       converged = changed == 0
       iter += 1
     }
+    val result = nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     adj.unpersist()
-    labels
+    result
   }
 
   // ------------------------------------------------------------------
@@ -218,12 +238,22 @@ object Dedup {
       maxHamming: Int = 2, bands: Int = 4): DataFrame = {
     val bandBits = 32 / bands
     val mask = (1L << bandBits) - 1
-    val sk = df.select(col(idCol), simhash(col(textCol)).as("sk"))
-    val banded = sk.select(col(idCol), col("sk"), posexplode(
-      array((0 until bands).map(b =>
-        shiftright(col("sk"), b * bandBits).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandval")
+    // one (sk, band, bandval) struct array per row with the sketch
+    // let-bound: projecting sk and the 4 band values as separate
+    // columns would re-inline the 32-vote sketch 5x via CollapseProject
+    val bandedArr = Expr.let(simhash(col(textCol))) { s =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(s.as("sk"), b.as("band"),
+          // shiftright needs a literal count; exact equivalent via
+          // double division by 2^(bandBits·b) (s < 2^32, division by a
+          // power of two — both exact in double)
+          floor(s.cast("double") /
+            pow(lit(2.0), (b * lit(bandBits)).cast("double")))
+            .cast("long").bitwiseAND(lit(mask)).as("bandval")))
+    }
+    val banded = df.select(col(idCol), explode(bandedArr).as("e"))
+      .select(col(idCol), col("e.sk").as("sk"), col("e.band").as("band"),
+        col("e.bandval").as("bandval"))
     val l = banded.select(col("band"), col("bandval"),
       col(idCol).as("id_a"), col("sk").as("sk_a"))
     val r = banded.select(col("band"), col("bandval"),
