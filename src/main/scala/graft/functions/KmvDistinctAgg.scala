@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV distinct-count estimate as a TypedImperativeAggregate — the
+  * 100 TB formulation of Sketches.kmvDistinct: per-group state is a
+  * bounded sorted set of the k smallest distinct Md5Long60 hashes
+  * (O(k) memory regardless of group size, mergeable by keeping the k
+  * smallest of a union — the same partial-aggregation shape as HLL),
+  * versus the verification formulation's collect_set of ALL distinct
+  * hashes. Both produce the identical estimate: exact size below k,
+  * else (k−1)·2^60/h_k (asserted in ScalaTest; the DuckDB oracle pins
+  * the same contract). */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct requires a string argument, got ${child.dataType}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  private def add(buf: mutable.TreeSet[Long], h: Long): Unit = {
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
+  }
+
+  override def update(buf: mutable.TreeSet[Long],
+      input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, Md5Long60.hash(v.asInstanceOf[UTF8String]))
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[Long],
+      other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else math.floor((k - 1).toDouble * math.pow(2.0, 60) /
+      buf.last.toDouble).toLong
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = newChildren.head)
+}

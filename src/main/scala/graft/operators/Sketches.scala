@@ -18,14 +18,27 @@ import graft.functions.Hashing
   */
 object Sketches {
 
-  /** Grouped KMV distinct-count estimate. This formulation collects the
-    * distinct hash set per group before slicing — fine for verification
-    * scale; the 100 TB formulation bounds state with a
-    * TypedImperativeAggregate keeping a k-element heap (same estimate,
-    * same portability — the contract is the (k, h_k) pair, not the
-    * implementation). */
+  /** Grouped KMV distinct-count estimate — the scale path: a custom
+    * TypedImperativeAggregate whose per-group state is the bounded
+    * k-element sorted set (O(k) memory regardless of group size,
+    * partial-merge by keeping the k smallest of a union — the same
+    * mergeable-sketch shape as approx_count_distinct). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val agg = GraftSql.column(
+      graft.functions.KmvDistinctAgg(
+        GraftSql.expression(col(valueCol).cast("string")), k)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("approx_distinct"))
+  }
+
+  /** Built-ins-only formulation (collects the full distinct hash set
+    * per group) — the executable specification kmvDistinct is asserted
+    * identical to in ScalaTest, and what the DuckDB oracle recomputes. */
+  private[graft] def kmvDistinctSpec(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int): DataFrame = {
     val mins = slice(
       array_sort(collect_set(Hashing.md5Long(col(valueCol).cast("string")))),
       1, k)

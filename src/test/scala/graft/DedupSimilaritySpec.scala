@@ -37,15 +37,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
-  test("KMV sketch: exact below k, ~k^-1/2 error above") {
+  test("KMV sketch: exact below k, ~k^-1/2 error above, agg == spec") {
     import graft.operators.Sketches
     val df = ((1 to 10).map(i => ("small", s"v$i")) ++
       (1 to 5000).map(i => ("big", s"u$i"))).toDF("g", "v")
+      .repartition(7) // force partial-aggregate merges across partitions
     val out = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out("small") === 10L) // below k -> exact
     val est = out("big").toDouble
     assert(math.abs(est - 5000) / 5000 < 0.4, s"estimate $est") // ~12% rse
+    // the bounded-buffer aggregate must equal the collect-everything spec
+    val spec = Sketches.kmvDistinctSpec(df, Seq("g"), "v", k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === spec)
   }
 
   test("connected components: chain, triangle, singleton") {
