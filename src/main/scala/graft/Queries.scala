@@ -339,6 +339,28 @@ object Queries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
+  /** TPC-H Q5-shaped 6-table join (local-supplier volume): exercises
+    * Catalyst join ordering/reordering across two independent paths to
+    * the nation key (customer and supplier). */
+  def q54SqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+    s.sql("""
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          AS revenue
+      FROM customer_v, orders_v, lineitem_v, supplier_v, nation_v, region_v
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  }
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -683,5 +705,6 @@ object Queries {
     "q51_simhash_candidates" -> (q51SimhashCandidates _),
     "q52_dedup_components" -> (q52DedupComponents _),
     "q53_kmv_distinct" -> (q53KmvDistinct _),
+    "q54_sql_tpch_q5" -> (q54SqlTpchQ5 _),
   )
 }
