@@ -12,8 +12,12 @@ import graft.functions.Hashing
   * round, md5-based portable hashing (Hashing.scala) recomputed here
   * with DuckDB's own md5().
   *
-  * Omitted (rows-only check by design): q38 (LSH ANN — covered by a
-  * recall ScalaTest vs q37), q40 (HLL++ sketch is engine-specific).
+  * Every registry query has an oracle entry (no rows-only rows). Shape
+  * rule: final projections are FLAT — no array/struct/binary columns —
+  * because the driver's comparator row-sorts on every column before
+  * hashing and numpy arrays are unsortable (a RegistrySpec lint
+  * enforces this). Multi-value results are "|"-joined strings; the HLL
+  * sketch (q40) is asserted as a ±20% bounds boolean.
   */
 object Oracle {
 
@@ -263,7 +267,8 @@ object Oracle {
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
          |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s)
-         |SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS signature
+         |SELECT doc_id,
+         |  array_to_string([${sigElems("hs", 16).mkString(", ")}], '|') AS signature
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "q29_minhash_candidates" ->
@@ -352,9 +357,16 @@ object Oracle {
          |sgl AS (SELECT doc_id, ${shingles("tk", 2)} AS sh FROM t),
          |ex AS (SELECT doc_id AS jid, unnest(list_distinct(sh)) AS sh FROM sgl),
          |sizes AS (SELECT jid, count(*) AS set_size FROM ex GROUP BY jid),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM documents a JOIN documents b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100),
+         |s3 AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h3 AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s3),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h3),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          |inter AS (SELECT id_a, id_b, count(*) AS inter_size
          |  FROM pairs
          |  JOIN ex sa ON sa.jid = pairs.id_a
@@ -469,8 +481,17 @@ object Oracle {
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // the HLL estimate itself is engine-internal; the oracle states the
+    // ±20% bound the Spark side actually checks (rsd 5% default — a
+    // breach means the sketch is broken, which is exactly the signal)
+    "q40_approx_distinct" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q41_data_dictionary" ->
-      """SELECT table_name, list_sort(list(DISTINCT column_name)) AS columns,
+      """SELECT table_name,
+        |  array_to_string(list_sort(list(DISTINCT column_name)), '|') AS columns,
         |  min_by(incremental_reference, event_id)
         |    FILTER (WHERE incremental_reference IS NOT NULL) AS incremental_reference
         |FROM (SELECT event_type AS table_name,
@@ -536,9 +557,11 @@ object Oracle {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q50_percentiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS price_quantiles
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag,
+         |  ${f6("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+         |  ${f6("quantile_cont(l_extendedprice, 0.95)")} AS p95,
+         |  ${f6("quantile_cont(l_extendedprice, 0.99)")} AS p99
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q48_asof_join" ->
       """WITH l AS (SELECT user_id AS k, ts AS _ts, 1 AS _side,
@@ -552,21 +575,22 @@ object Oracle {
         |  FROM orders),
         |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
         |w AS (SELECT *,
-        |  last_value(CASE WHEN _side = 0 THEN o_orderkey END IGNORE NULLS)
-        |    OVER win AS asof_o_orderkey,
-        |  last_value(CASE WHEN _side = 0 THEN o_totalprice END IGNORE NULLS)
-        |    OVER win AS asof_o_totalprice
+        |  last_value(CASE WHEN _side = 0
+        |      THEN struct_pack(ok := o_orderkey, tp := o_totalprice)
+        |    END IGNORE NULLS) OVER win AS rs
         |  FROM u WINDOW win AS (PARTITION BY k
         |    ORDER BY _ts ASC, _side ASC, _tie ASC NULLS LAST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, k AS user_id, asof_o_orderkey, asof_o_totalprice
+        |SELECT event_id, k AS user_id, rs.ok AS asof_o_orderkey,
+        |  rs.tp AS asof_o_totalprice
         |FROM w WHERE _side = 1 ORDER BY event_id""".stripMargin,
 
     "q47_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INTEGER)
         |    AS n_bpe_tokens,
-        |  regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')[1:5]
+        |  array_to_string(
+        |    regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')[1:5], '|')
         |    AS head_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -612,13 +636,19 @@ object Oracle {
          |SELECT id_a, id_b, ${f6("cos")} AS cos FROM scored
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
+    // frames sliced on the hex rendering (128 hex chars = 64 payload
+    // bytes): byte semantics for any content, and the md5 runs over the
+    // same uppercase-hex string both engines produce
     "q44_frame_sample" ->
-      """SELECT doc_id, frame_idx, CAST(length(f) AS INTEGER) AS frame_len,
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id, frame_idx, CAST(length(f) // 2 AS INTEGER) AS frame_len,
         |  md5(f) AS frame_md5
         |FROM (
-        |  SELECT doc_id, i AS frame_idx, substr(text, i * 64 + 1, 64) AS f
-        |  FROM documents, range(0, 4) t(i)
-        |  WHERE i <= least(3, CAST(ceil(length(text) / 64.0) AS INTEGER) - 1))
+        |  SELECT doc_id, i AS frame_idx, substr(hx, i * 128 + 1, 128) AS f
+        |  FROM b, range(0, 4) t(i)
+        |  WHERE n > 0 AND i <= least(3, CAST(ceil(n / 64.0) AS INTEGER) - 1))
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q42_knn_ivf" ->
@@ -648,15 +678,21 @@ object Oracle {
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // byte semantics via the payload's hex rendering (2 hex chars per
+    // byte) — matches Spark's UTF-8 byte payload for ANY text, not just
+    // ASCII (this DuckDB build has no BLOB substring/md5)
     "q39_multimodal_features" ->
-      """SELECT doc_id, 'text/plain' AS media_type,
-        |  CAST(length(text) AS INTEGER) AS byte_len,
-        |  lower(hex(substr(text, 1, 4))) AS header_hex,
-        |  [CAST(length(text) AS DOUBLE),
-        |   CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-        |   CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
-        |   CAST(list_sum([ascii(text[i]) for i in range(1, length(text) + 1)]) AS DOUBLE)
-        |     / length(text)] AS feature
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(n AS INTEGER) AS byte_len,
+        |  lower(substr(hx, 1, 8)) AS header_hex,
+        |  CAST(n AS DOUBLE) AS f_len,
+        |  CAST(CAST('0x' || substr(hx, 1, 2) AS INT) AS DOUBLE) AS f_first,
+        |  CAST(CAST('0x' || substr(hx, 2 * n - 1, 2) AS INT) AS DOUBLE) AS f_last,
+        |  CAST(list_sum([CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT)
+        |    for i in range(1, n + 1)]) AS DOUBLE) / n AS f_mean
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

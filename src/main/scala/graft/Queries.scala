@@ -321,11 +321,16 @@ object Queries {
     Dedup.exactCanonical(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
       .orderBy("lang", "source")
 
-  /** MinHash signatures (portable md5-based hash family). */
+  /** MinHash signatures (portable md5-based hash family). The 16-slot
+    * signature is emitted "|"-joined: a flat string survives any
+    * row-sorting comparator, and the join is lossless for fixed-width
+    * non-negative longs. */
   def q28MinhashSignature(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        Dedup.minhashSignature(col("text"), 3, 16).as("signature"))
+        array_join(
+          transform(Dedup.minhashSignature(col("text"), 3, 16),
+            _.cast("string")), "|").as("signature"))
       .orderBy("doc_id")
 
   /** MinHash LSH candidate pairs (4 bands × 4 rows). */
@@ -389,17 +394,14 @@ object Queries {
       maxHamming = 2)
       .orderBy("id_a", "id_b")
 
-  /** Exact n-gram Jaccard over bounded candidate pairs (same source,
-    * nearby ids — at scale the candidate set comes from q29's LSH).
-    * Same-source doc_ids are spaced 20 apart in the fixture, so the
-    * id-distance window is 100 (≤5 partners per doc). */
+  /** Exact n-gram Jaccard verification fed by q29's MinHash-LSH
+    * candidate pairs — the executed plan IS the scale story: the
+    * candidate set is collision-bound (bucket equi-join), never an
+    * all-pairs or low-cardinality-key self-join, and the verify stage
+    * is one explode + equi-join + group-by over those pairs. */
   def q31NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val a = docs.select(col("doc_id").as("id_a"), col("source"))
-    val b = docs.select(col("doc_id").as("id_b"), col("source"))
-    val pairs = a.join(b, "source")
-      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= 100)
-      .select("id_a", "id_b")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
     Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 2)
       .withColumn("jaccard", f6(col("jaccard")))
       .orderBy("id_a", "id_b")
@@ -470,13 +472,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Approx distinct (HLL++) — the 100 TB replacement for exact counts;
-    * engine-specific sketch → rows-only oracle. */
+  /** Approx distinct (HLL++) — the 100 TB replacement for exact counts.
+    * The sketch value itself is engine-internal, so the gate emits a
+    * portable assertion instead of a grey rows-only row: exact n /
+    * n_users both engines compute, plus `approx_ok` = the HLL estimate
+    * landing within ±20% of truth (default rsd 5% ⇒ always true unless
+    * the sketch breaks; the oracle states TRUE). The exact countDistinct
+    * exists for the bound check only — production uses the sketch. */
   def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("event_type"), col("n"), col("n_users"),
+        (col("approx") >= col("n_users") * 0.8 &&
+          col("approx") <= col("n_users") * 1.2).as("approx_ok"))
       .orderBy("event_type")
 
   /** IVF ANN top-k — the cell-partitioned alternative to q38's LSH
@@ -524,12 +535,19 @@ object Queries {
 
   /** Exact interpolated percentiles (the deterministic counterpart of
     * the approx sketch in q40; percentile() and DuckDB quantile_cont
-    * share the type-7 definition). */
+    * share the type-7 definition). Flat scalar columns, f6-truncated:
+    * interpolation arithmetic is engine-deterministic but not spec'd
+    * bit-exact, so the 6-dp floor is the portable contract. */
   def q50Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
-        .as("price_quantiles"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95"),
+        expr("percentile(l_extendedprice, 0.99D)").as("p99"))
+      .select(col("l_returnflag"),
+        f6(col("p50")).as("p50"), f6(col("p95")).as("p95"),
+        f6(col("p99")).as("p99"))
       .orderBy("l_returnflag")
 
   /** BPE-ish subword token accounting (GPT-2-style pretokenizer regex,
@@ -538,7 +556,8 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"),
         size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens"),
-        slice(TextAnalysis.bpeTokens(col("text")), 1, 5).as("head_tokens"))
+        array_join(slice(TextAnalysis.bpeTokens(col("text")), 1, 5), "|")
+          .as("head_tokens"))
       .orderBy("doc_id")
 
   /** SQL-API surface (spark.sql over registered views): TPC-H Q3-shaped
@@ -642,7 +661,9 @@ object Queries {
         col("event_id"))
       .groupBy("table_name")
       .agg(
-        array_sort(collect_set(col("column_name"))).as("columns"),
+        // sorted + "|"-joined: deterministic AND flat (comparator-safe)
+        array_join(array_sort(collect_set(col("column_name"))), "|")
+          .as("columns"),
         expr("min_by(incremental_reference, event_id) " +
           "FILTER (WHERE incremental_reference IS NOT NULL)")
           .as("incremental_reference"))

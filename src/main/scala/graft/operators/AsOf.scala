@@ -51,10 +51,16 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsOf = rightCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"asof_$c",
-        last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w)))
+    // ONE struct of all rightCols per right row, so every asof_ column
+    // comes from the SAME (latest) right row — per-column last(...,
+    // ignoreNulls) would silently mix fields from different right rows
+    // whenever the latest row has a NULL in one attached column
+    val withStruct = unioned.withColumn("_rs",
+      last(when(col("_side") === 0, struct(rightCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val withAsOf = rightCols.foldLeft(withStruct)((d, c) =>
+      d.withColumn(s"asof_$c", col("_rs").getField(c)))
     withAsOf.filter(col("_side") === 1)
-      .drop((rightCols :+ "_ts" :+ "_side" :+ "_tie"): _*)
+      .drop((rightCols :+ "_ts" :+ "_side" :+ "_tie" :+ "_rs"): _*)
   }
 }

@@ -29,17 +29,22 @@ object Multimodal {
     StructField("media_type", StringType),
     StructField("byte_len", IntegerType),
     StructField("header_hex", StringType),
-    StructField("feature", ArrayType(DoubleType))))
+    StructField("f_len", DoubleType),
+    StructField("f_first", DoubleType),
+    StructField("f_last", DoubleType),
+    StructField("f_mean", DoubleType)))
 
   /** STUB — deterministic fake decode: real implementation would wrap a
     * codec (JavaCV / PIL-via-Arrow). Derives a stable 4-dim "feature"
-    * from payload bytes so tests have something to assert. */
+    * from payload bytes so tests have something to assert. Byte values
+    * are UNSIGNED (0-255) so the vector is reproducible from the hex
+    * rendering of the payload by any engine. */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     if (payload == null || payload.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
     else Array(
       payload.length.toDouble,
-      payload.head.toDouble,
-      payload.last.toDouble,
+      (payload.head & 0xff).toDouble,
+      (payload.last & 0xff).toDouble,
       payload.map(_.toInt & 0xff).sum.toDouble / payload.length)
   }
 
@@ -75,17 +80,25 @@ object Multimodal {
     * unchanged. No shuffle — the explode is pipelined into the scan. */
   def frameSample(df: DataFrame, payloadCol: String, idCol: String,
       frameSize: Int, maxFrames: Int): DataFrame = {
+    // empty/null payloads yield NO frames: without the guard the upper
+    // bound is least(maxFrames-1, -1) = -1 and sequence(0, -1) is the
+    // DESCENDING array [0, -1] — two bogus frame rows
     val frames = Expr.let(col(payloadCol)) { p =>
-      transform(
-        sequence(lit(0),
-          least(lit(maxFrames - 1),
-            ceil(length(p).cast("double") / frameSize).cast("int") - 1)),
-        i => substr(p, i * frameSize + 1, lit(frameSize)))
+      when(length(p) > 0,
+        transform(
+          sequence(lit(0),
+            least(lit(maxFrames - 1),
+              ceil(length(p).cast("double") / frameSize).cast("int") - 1)),
+          i => substr(p, i * frameSize + 1, lit(frameSize))))
+        .otherwise(array().cast("array<binary>"))
     }
+    // fingerprint = md5 of the frame's HEX rendering (not the raw
+    // bytes): byte-identical in any engine even where md5 is only
+    // defined over strings, and still injective in the frame bytes
     df.select(col(idCol), posexplode(frames))
       .select(col(idCol), col("pos").as("frame_idx"),
         length(col("col")).as("frame_len"),
-        md5(col("col")).as("frame_md5"))
+        md5(hex(col("col"))).as("frame_md5"))
   }
 
   /** Feature extraction over the payload column. Everything that is a
@@ -94,9 +107,17 @@ object Multimodal {
     * hex(substring(payload, 1, 4)). ONLY the decode itself — opaque
     * native-codec work by nature — crosses the row seam, as a single
     * Scala UDF; this keeps the whole operator one projection stage (no
-    * shuffle, no join) with the narrowest possible non-codegen island. */
+    * shuffle, no join) with the narrowest possible non-codegen island.
+    *
+    * The 4-dim feature is emitted as FLAT double columns (f_len,
+    * f_first, f_last, f_mean), not an array: flat schemas survive any
+    * downstream comparator/row-sort, and the four `element_at`s over
+    * the one deterministic UDF call collapse to a single evaluation
+    * under projection-level subexpression elimination (ScalaUDF is
+    * codegen-capable, so the projection stays one codegen stage). */
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
     val decode = udf((payload: Array[Byte]) => decodeStub(payload))
+    val feat = decode(col("payload"))
     df.select(
       col(idCol).cast("long").as("doc_id"),
       col("media_meta.media_type").as("media_type"),
@@ -104,6 +125,9 @@ object Multimodal {
       when(col("payload").isNull, lit(""))
         .otherwise(lower(hex(substring(col("payload"), 1, 4))))
         .as("header_hex"),
-      decode(col("payload")).as("feature"))
+      element_at(feat, 1).as("f_len"),
+      element_at(feat, 2).as("f_first"),
+      element_at(feat, 3).as("f_last"),
+      element_at(feat, 4).as("f_mean"))
   }
 }

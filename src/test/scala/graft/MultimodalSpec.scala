@@ -26,9 +26,20 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("media_type") === "text/plain")
     assert(row.getAs[Int]("byte_len") === 6)
     assert(row.getAs[String]("header_hex") === "61626364")
-    val feat = row.getSeq[Double](row.fieldIndex("feature"))
-    assert(feat === Seq(6.0, 97.0, 102.0,
-      "abcdef".getBytes.map(_.toInt).sum.toDouble / 6))
+    assert(row.getAs[Double]("f_len") === 6.0)
+    assert(row.getAs[Double]("f_first") === 97.0)
+    assert(row.getAs[Double]("f_last") === 102.0)
+    assert(row.getAs[Double]("f_mean") ===
+      "abcdef".getBytes.map(_.toInt).sum.toDouble / 6)
+  }
+
+  test("frameSample emits no frames for an empty payload") {
+    val empty = Multimodal.withPayload(
+      Seq((1L, "", "en"), (2L, "abcd", "en")).toDF("doc_id", "text", "lang"),
+      "text", "doc_id")
+    val rows = Multimodal.frameSample(empty, "payload", "doc_id",
+      frameSize = 4, maxFrames = 4).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
   test("frameSample caps frames and fingerprints each slice") {

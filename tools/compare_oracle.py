@@ -17,7 +17,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the driver's canonicalization EXACTLY: sort columns by
+    name, then row-sort on all columns (pandas sort_values). The row
+    sort CRASHES on array-typed cells ('unhashable type: numpy.ndarray')
+    — deliberately not caught here, so a local green can never again
+    ship a driver red (round-2 lesson: q28/q39/q41/q47/q50)."""
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 
@@ -63,7 +70,12 @@ def main() -> int:
             print(f"{name}: ORACLE_SQL_ERROR {e}")
             n_fail += 1
             continue
-        s, d = canon(spark_df), canon(duck_df)
+        try:
+            s, d = canon(spark_df), canon(duck_df)
+        except Exception as e:
+            print(f"{name}: SORT_ERROR (driver would crash too) {e}")
+            n_fail += 1
+            continue
         if list(s.columns) != list(d.columns):
             print(f"{name}: COLS_MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1
