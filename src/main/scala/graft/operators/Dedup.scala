@@ -138,10 +138,10 @@ object Dedup {
     * component). Min-label propagation: every node starts labeled with
     * its own id; each round takes the min of its label and its
     * neighbors' labels; fixpoint in O(component diameter) rounds. The
-    * driver only runs the convergence probe (a LIMIT-1 count of changed
-    * labels); all data stays distributed, each round is two shuffles
-    * (neighbor join + label join), and rounds are persisted/unpersisted
-    * pairwise so lineage stays bounded. The fixpoint is unique, so the
+    * convergence check is an `observe()` metric collected on the same
+    * job that materializes the round (ONE job per round, no separate
+    * probe); all data stays distributed, each round is two shuffles
+    * (neighbor join + label join), and lineage is truncated per round. The fixpoint is unique, so the
     * result is deterministic regardless of iteration count. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -168,8 +168,12 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("ncomp"))
+      // carry the previous label as `old` so the convergence check rides
+      // the SAME job as the checkpoint (observe metric) — a separate
+      // changed-count probe doubles the jobs per round, which at toy
+      // scale was 25% of the whole bench (per-round driver overhead)
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
       // path shortcutting (pointer doubling): follow the label's own
@@ -178,14 +182,20 @@ object Dedup {
       // turns into the whole job; with shortcutting it's O(log diameter)
       val mapping = propagated
         .select(col("id").as("component"), col("component").as("cc"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val updated = propagated.join(mapping, Seq("component"), "left")
         .select(col("id"),
-          coalesce(col("cc"), col("component")).as("component"))
+          coalesce(col("cc"), col("component")).as("component"),
+          col("old"))
+        .observe(obs,
+          sum(when(col("component") =!= col("old"), 1L).otherwise(0L))
+            .as("changed"))
+        .select("id", "component")
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.select(col("id"), col("component").as("old")), Seq("id"))
-        .where(col("component") =!= col("old"))
-        .limit(1).count()
+      // the eager checkpoint IS the action; the metric is free on it
+      // (sum over zero rows is null → 0)
+      val changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = updated
       converged = changed == 0
       iter += 1
