@@ -300,6 +300,16 @@ object Oracle {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q55_correlated_subquery" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q53_kmv_distinct" ->
       s"""SELECT event_type,
          |  CASE WHEN len(m) < 32 THEN len(m)
@@ -651,9 +661,27 @@ object Oracle {
         |  WHERE n > 0 AND i <= least(3, CAST(ceil(n / 64.0) AS INTEGER) - 1))
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // the refined-centroid CTEs replay Similarity.lloydStep exactly:
+    // assignment to the seed centroids, per-(cell,dim) exact integer
+    // sums of floor(x*2^20) (order-independent), one double division
     "q42_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |ac0 AS (SELECT e.vec_id, e.v, cid,
+         |  list_dot_product(e.v, cv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+         |  FROM e, cent0),
+         |a0 AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac0) WHERE rn = 1),
+         |qsums AS (SELECT cell, j,
+         |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum, count(*) AS n
+         |  FROM a0, range(1, 65) t(j) GROUP BY cell, j),
+         |cent1 AS (SELECT cell AS cid,
+         |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
+         |  FROM qsums GROUP BY cell),
+         |cent AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+         |  FROM cent0 c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid),
          |ac AS (SELECT e.vec_id, e.v, cid,
          |  list_dot_product(e.v, cv) /
          |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS ccos

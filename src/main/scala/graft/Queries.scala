@@ -366,6 +366,27 @@ object Queries {
       ORDER BY revenue DESC, n_name""")
   }
 
+  /** TPC-H Q17-shaped correlated scalar subquery (small-quantity
+    * revenue per brand): each lineitem is gated on 20% of the average
+    * quantity OF ITS OWN PART — the Catalyst subquery-rewrite family
+    * (`RewriteCorrelatedScalarSubquery` → aggregate + join) that no
+    * other registry query exercises. Deterministic across engines:
+    * quantities are integral, so avg = exact-integer-sum / count is
+    * order-independent; revenue uses the decimal-exact sum contract. */
+  def q55CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql("""
+      SELECT p_brand,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          AS avg_yearly,
+        count(*) AS n_small
+      FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+      WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand""")
+  }
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -727,5 +748,6 @@ object Queries {
     "q52_dedup_components" -> (q52DedupComponents _),
     "q53_kmv_distinct" -> (q53KmvDistinct _),
     "q54_sql_tpch_q5" -> (q54SqlTpchQ5 _),
+    "q55_correlated_subquery" -> (q55CorrelatedSubquery _),
   )
 }

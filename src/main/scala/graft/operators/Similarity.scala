@@ -144,11 +144,63 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** cos(vec, centroid_i) against a centroid array-of-arrays literal,
+    * with the same left-fold arithmetic as `cosine` (centroid elements
+    * already double). */
+  private def cosToCent(centLit: Column)(vec: Column, i: Column): Column =
+    Expr.let(element_at(centLit, i + 1)) { c =>
+      aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v) /
+        (norm(vec) * sqrt(aggregate(c, lit(0.0), (a, v) => a + v * v)))
+    }
+
+  private def cosArrCent(centLit: Column, nlist: Int)(vec: Column): Column =
+    transform(sequence(lit(0), lit(nlist - 1)), i => cosToCent(centLit)(vec, i))
+
+  /** Nearest cell: index of the max cos (first occurrence — ties break
+    * to the smallest centroid id, mirroring the oracle's cid ASC). */
+  private def cellOf(centLit: Column, nlist: Int)(vec: Column): Column =
+    Expr.let(cosArrCent(centLit, nlist)(vec)) { a =>
+      (array_position(a, array_max(a)) - 1).cast("int")
+    }
+
+  /** One Lloyd (k-means) refinement step over the current centroids,
+    * executed distributed: map-only cell assignment, one groupBy over
+    * (cell, dim), and a bounded nlist×dim collect (the coarse quantizer
+    * lives driver-side, same as the bootstrap).
+    *
+    * The new centroid is the mean of 2^-20-QUANTIZED member values:
+    * per (cell, dim) we sum floor(x·2^20) as exact integers — an
+    * order-INDEPENDENT reduction (double mean is not: float addition
+    * doesn't associate, so a shuffle-order-dependent mean could never
+    * be reproduced by another engine) — then divide once in double.
+    * Quantization error (≤2^-20 per element) is irrelevant to a coarse
+    * quantizer; determinism is what makes q42's oracle hash-match. */
+  private def lloydStep(corpus: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]], nlist: Int): Seq[Seq[Double]] = {
+    val centLit = typedLit(cents)
+    val stats = corpus
+      .select(cellOf(centLit, nlist)(col(vecCol)).as("cell"),
+        posexplode(col(vecCol)))
+      .groupBy("cell", "pos")
+      .agg(sum(floor(col("col").cast("double") * lit(1048576.0)).cast("long"))
+        .as("qsum"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = stats.groupBy(_.getInt(0))
+    (0 until nlist).map { c =>
+      byCell.get(c) match {
+        case Some(rows) => rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2).toDouble / r.getLong(3)) / 1048576.0).toSeq
+        case None => cents(c) // empty cell keeps its seed
+      }
+    }
+  }
+
   /** IVF (inverted-file) ANN top-k — the cell-partitioned alternative
-    * to sign-LSH. Index build: `nlist` centroids = the lowest-id
-    * vectors (deterministic sampled init — the k-means seeding step,
-    * reproducible by any engine), collected to the driver exactly like
-    * a production coarse quantizer lives on the driver/broadcast side.
+    * to sign-LSH. Index build: `nlist` seed centroids = the lowest-id
+    * vectors (deterministic init, reproducible by any engine) refined
+    * by `refine` Lloyd iterations (distributed groupBy-mean, see
+    * lloydStep) — actual k-means seeding, not just "first 16 vectors".
     * Each corpus vector is assigned to its nearest centroid by a pure
     * per-row expression (argmax over a centroid literal — map-only, no
     * shuffle); each query probes its `nprobe` nearest cells; exact
@@ -159,34 +211,20 @@ object Similarity {
     * `cell`, which touches nprobe/nlist of the corpus per query. Cells
     * are disjoint (unlike LSH tables) so no candidate dedup is needed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids: Seq[Seq[Double]] = corpus.filter(col(idCol) < nlist)
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      refine: Int = 1): DataFrame = {
+    val seeds: Seq[Seq[Double]] = corpus.filter(col(idCol) < nlist)
       .orderBy(col(idCol)).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val centroids = (0 until refine)
+      .foldLeft(seeds)((c, _) => lloydStep(corpus, vecCol, c, nlist))
     val centLit = typedLit(centroids)
 
-    /** cos(vec, centroid_i) with the same left-fold arithmetic as
-      * `cosine`, centroid elements already double. */
-    def cosTo(vec: Column, i: Column): Column =
-      Expr.let(element_at(centLit, i + 1)) { c =>
-        aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, v) => acc + v) /
-          (norm(vec) * sqrt(aggregate(c, lit(0.0), (a, v) => a + v * v)))
-      }
-
-    def cosArr(vec: Column): Column =
-      transform(sequence(lit(0), lit(nlist - 1)), i => cosTo(vec, i))
-
-    // nearest cell: index of the max cos (first occurrence — ties break
-    // to the smallest centroid id, mirroring the oracle's cid ASC)
-    def cell(vec: Column): Column =
-      Expr.let(cosArr(vec)) { a =>
-        (array_position(a, array_max(a)) - 1).cast("int")
-      }
+    def cell(vec: Column): Column = cellOf(centLit, nlist)(vec)
 
     // nprobe nearest cells: sort (−cos, idx) structs, take the prefix
     def probeCells(vec: Column): Column =
-      Expr.let(cosArr(vec)) { a =>
+      Expr.let(cosArrCent(centLit, nlist)(vec)) { a =>
         transform(
           slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
             (c, i) => struct((-c).as("negcos"), i.as("idx")))),

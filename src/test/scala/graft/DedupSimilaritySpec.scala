@@ -114,6 +114,13 @@ class DedupSimilaritySpec extends SparkSpec {
     common.foreach(k => assert(ivf(k) === bf(k)))
     val recall = common.size.toDouble / bf.size
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
+    // Lloyd refinement (the default) must not cost recall vs the raw
+    // first-nlist-vectors seeding it replaces
+    val unrefined = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      10, nlist = 16, nprobe = 4, refine = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall0 = (unrefined intersect bf.keySet).size.toDouble / bf.size
+    assert(recall >= recall0, s"refined $recall < unrefined $recall0")
   }
 
   test("LSH top-k: scores agree with brute force; recall is useful") {
