@@ -662,14 +662,18 @@ object Oracle {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // the refined-centroid CTEs replay Similarity.lloydStep exactly:
-    // assignment to the seed centroids, per-(cell,dim) exact integer
-    // sums of floor(x*2^20) (order-independent), one double division
+    // assignment scores are dot(v, ĉ) against L2-NORMALIZED centroids
+    // (≡ cosine ordering — positive per-row scaling); refinement sums
+    // floor(x*2^20) per (cell,dim) as exact integers (order-
+    // independent), one double division, then re-normalizes
     "q42_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |cent0r AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |cent0 AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+         |  FROM cent0r),
          |ac0 AS (SELECT e.vec_id, e.v, cid,
-         |  list_dot_product(e.v, cv) /
-         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+         |  list_dot_product(e.v, cv) AS ccos
          |  FROM e, cent0),
          |a0 AS (SELECT vec_id, v, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -680,11 +684,13 @@ object Oracle {
          |cent1 AS (SELECT cell AS cid,
          |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
          |  FROM qsums GROUP BY cell),
-         |cent AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
-         |  FROM cent0 c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid),
+         |centr AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+         |  FROM cent0r c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid),
+         |cent AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+         |  FROM centr),
          |ac AS (SELECT e.vec_id, e.v, cid,
-         |  list_dot_product(e.v, cv) /
-         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+         |  list_dot_product(e.v, cv) AS ccos
          |  FROM e, cent),
          |assign AS (SELECT vec_id AS neighbor_id, v AS nv, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -144,23 +144,36 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** cos(vec, centroid_i) against a centroid array-of-arrays literal,
-    * with the same left-fold arithmetic as `cosine` (centroid elements
-    * already double). */
-  private def cosToCent(centLit: Column)(vec: Column, i: Column): Column =
-    Expr.let(element_at(centLit, i + 1)) { c =>
-      aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v) /
-        (norm(vec) * sqrt(aggregate(c, lit(0.0), (a, v) => a + v * v)))
-    }
+  /** Driver-side L2 normalization with the SAME arithmetic the SQL
+    * oracle uses (left-fold sum of squares → sqrt → per-element
+    * divide), so a pre-normalized centroid literal is reproducible by
+    * any engine. Assumes nonzero vectors (seeds are real embeddings;
+    * a quantized mean of nonzero members cancelling to exactly zero
+    * does not occur). */
+  private def normalized(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
+    c.map(_ / n)
+  }
 
-  private def cosArrCent(centLit: Column, nlist: Int)(vec: Column): Column =
-    transform(sequence(lit(0), lit(nlist - 1)), i => cosToCent(centLit)(vec, i))
+  /** Per-cell assignment SCOREs: dot(vec, ĉ_i) against pre-normalized
+    * centroids. Equal to cos(vec, c_i) · ‖vec‖ — a positive per-row
+    * scaling, so the argmax/ordering over cells is IDENTICAL to cosine
+    * while the per-row cost drops ~3× (no ‖vec‖ and no ‖c_i‖
+    * recomputation per centroid; these HOFs run interpreted, so
+    * constant factors are real). The oracle computes the same score
+    * from the same normalized centroids. */
+  private def scoreArrCent(centHatLit: Column, nlist: Int)(vec: Column): Column =
+    transform(sequence(lit(0), lit(nlist - 1)), i =>
+      aggregate(
+        zip_with(vec, element_at(centHatLit, i + 1),
+          (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v))
 
-  /** Nearest cell: index of the max cos (first occurrence — ties break
-    * to the smallest centroid id, mirroring the oracle's cid ASC). */
-  private def cellOf(centLit: Column, nlist: Int)(vec: Column): Column =
-    Expr.let(cosArrCent(centLit, nlist)(vec)) { a =>
+  /** Nearest cell: index of the max score (first occurrence — ties
+    * break to the smallest centroid id, mirroring the oracle's cid
+    * ASC). */
+  private def cellOf(centHatLit: Column, nlist: Int)(vec: Column): Column =
+    Expr.let(scoreArrCent(centHatLit, nlist)(vec)) { a =>
       (array_position(a, array_max(a)) - 1).cast("int")
     }
 
@@ -178,10 +191,17 @@ object Similarity {
     * quantizer; determinism is what makes q42's oracle hash-match. */
   private def lloydStep(corpus: DataFrame, vecCol: String,
       cents: Seq[Seq[Double]], nlist: Int): Seq[Seq[Double]] = {
-    val centLit = typedLit(cents)
+    val centHatLit = typedLit(cents.map(normalized))
+    // the (cell, vec) pair is exploded out of a single-element struct
+    // array: selecting the cell expression as a SIBLING of posexplode
+    // lets CollapseProject re-inline it ABOVE the generator, where it
+    // re-runs once per exploded element (64× — this was 30s of a 39s
+    // query); a generator's own input is evaluated once per input row
     val stats = corpus
-      .select(cellOf(centLit, nlist)(col(vecCol)).as("cell"),
-        posexplode(col(vecCol)))
+      .select(explode(array(struct(
+        cellOf(centHatLit, nlist)(col(vecCol)).as("cell"),
+        col(vecCol).as("v")))).as("e"))
+      .select(col("e.cell").as("cell"), posexplode(col("e.v")))
       .groupBy("cell", "pos")
       .agg(sum(floor(col("col").cast("double") * lit(1048576.0)).cast("long"))
         .as("qsum"), count(lit(1)).as("n"))
@@ -218,13 +238,14 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     val centroids = (0 until refine)
       .foldLeft(seeds)((c, _) => lloydStep(corpus, vecCol, c, nlist))
-    val centLit = typedLit(centroids)
+    val centHatLit = typedLit(centroids.map(normalized))
 
-    def cell(vec: Column): Column = cellOf(centLit, nlist)(vec)
+    def cell(vec: Column): Column = cellOf(centHatLit, nlist)(vec)
 
-    // nprobe nearest cells: sort (−cos, idx) structs, take the prefix
+    // nprobe nearest cells: sort (−score, idx) structs, take the prefix
+    // (score ordering ≡ cosine ordering, see scoreArrCent)
     def probeCells(vec: Column): Column =
-      Expr.let(cosArrCent(centLit, nlist)(vec)) { a =>
+      Expr.let(scoreArrCent(centHatLit, nlist)(vec)) { a =>
         transform(
           slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
             (c, i) => struct((-c).as("negcos"), i.as("idx")))),

@@ -101,6 +101,17 @@ object Tables {
   /** (table, column) pairs stored as TIMESTAMP(NANOS) in the fixtures. */
   private val nanoCols = Set(("events", "ts"))
 
+  /** One logical-plan instance per (session, dir, table): building a
+    * parquet DataFrame lists the directory and reads footers for the
+    * schema, and a registry run touches the same handful of tables
+    * 50+ times — per-query re-listing was ~1.5s of fixed overhead per
+    * query at toy scale (at cluster scale, repeated driver-side object
+    * -store listings are the same tax, larger). The cached value is a
+    * lazy plan, not data; keyed by session so a stopped session's
+    * entries are never served to a new one. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // watermark predicates on the derived micros column must still reach
@@ -111,11 +122,13 @@ object Tables {
         spark.experimental.extraOptimizations :+
           graft.plans.NanosWatermarkPushdown
     }
-    val df = ParquetSource(s"$dir/$name.parquet").read(spark)
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == LongType && nanoCols.contains((name, f.name)))
-        d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
-      else d
-    }
+    cache.computeIfAbsent((spark, dir, name), _ => {
+      val df = ParquetSource(s"$dir/$name.parquet").read(spark)
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == LongType && nanoCols.contains((name, f.name)))
+          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        else d
+      }
+    })
   }
 }
