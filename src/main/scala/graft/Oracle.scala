@@ -310,6 +310,28 @@ object Oracle {
         |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    "q56_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q57_unpivot" ->
+      s"""WITH w AS (SELECT l_returnflag,
+         |    ${dsum("l_quantity")} AS qty,
+         |    ${dsum("l_extendedprice")} AS price,
+         |    ${dsum("l_discount")} AS disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, metric, value FROM (
+         |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+         |  UNION ALL
+         |  SELECT l_returnflag, 'price', price FROM w
+         |  UNION ALL
+         |  SELECT l_returnflag, 'disc', disc FROM w)
+         |ORDER BY l_returnflag, metric""".stripMargin,
+
     "q53_kmv_distinct" ->
       s"""SELECT event_type,
          |  CASE WHEN len(m) < 32 THEN len(m)
@@ -568,10 +590,11 @@ object Oracle {
 
     "q50_percentiles" ->
       s"""SELECT l_returnflag,
-         |  ${f6("quantile_cont(l_extendedprice, 0.5)")} AS p50,
-         |  ${f6("quantile_cont(l_extendedprice, 0.95)")} AS p95,
-         |  ${f6("quantile_cont(l_extendedprice, 0.99)")} AS p99
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+         |  ${f6("pq[1]")} AS p50, ${f6("pq[2]")} AS p95, ${f6("pq[3]")} AS p99
+         |FROM (SELECT l_returnflag,
+         |  quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS pq
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
 
     "q48_asof_join" ->
       """WITH l AS (SELECT user_id AS k, ts AS _ts, 1 AS _side,

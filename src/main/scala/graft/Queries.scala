@@ -387,6 +387,38 @@ object Queries {
       GROUP BY p_brand ORDER BY p_brand""")
   }
 
+  /** Pivot (long→wide): order counts by priority × status. The pivot
+    * values are EXPLICIT (`Seq("F","O","P")`), which matters at scale:
+    * without them Spark runs an extra distinct-scan job over the pivot
+    * column before it can even plan. With them this is ONE hash
+    * aggregate — the same plan as the oracle's conditional-count
+    * formulation. Empty cells coalesce to 0 (pivot yields null). */
+  def q56Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot/melt (wide→long): per-flag decimal-exact sums unpivoted
+    * into (metric, value) rows — the inverse of q56's family, planned
+    * as Expand (each input row fans out to one row per metric, no
+    * shuffle beyond the feeding aggregate). */
+  def q57Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount")).as("disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+      Array(col("qty"), col("price"), col("disc")), "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -562,13 +594,15 @@ object Queries {
   def q50Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5D)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95D)").as("p95"),
-        expr("percentile(l_extendedprice, 0.99D)").as("p99"))
+      // ONE percentile buffer per group (the array form), flattened
+      // above the aggregate — three scalar percentile() calls would
+      // sort-buffer the group three times
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+        .as("pq"))
       .select(col("l_returnflag"),
-        f6(col("p50")).as("p50"), f6(col("p95")).as("p95"),
-        f6(col("p99")).as("p99"))
+        f6(element_at(col("pq"), 1)).as("p50"),
+        f6(element_at(col("pq"), 2)).as("p95"),
+        f6(element_at(col("pq"), 3)).as("p99"))
       .orderBy("l_returnflag")
 
   /** BPE-ish subword token accounting (GPT-2-style pretokenizer regex,
@@ -749,5 +783,7 @@ object Queries {
     "q53_kmv_distinct" -> (q53KmvDistinct _),
     "q54_sql_tpch_q5" -> (q54SqlTpchQ5 _),
     "q55_correlated_subquery" -> (q55CorrelatedSubquery _),
+    "q56_pivot" -> (q56Pivot _),
+    "q57_unpivot" -> (q57Unpivot _),
   )
 }
