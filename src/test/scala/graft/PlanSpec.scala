@@ -49,4 +49,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q31: candidate generation never joins on the low-cardinality " +
+    "source key") {
+    val p = plan("q31_ngram_jaccard")
+    // the LSH pair generator joins on (band, bucket); a join keyed on
+    // `source` is the skewed shuffle that degenerates at 100×
+    assert(!p.contains("[source"), p)
+    assert(p.contains("band"), p)
+  }
+
+  test("q55: correlated scalar subquery is rewritten to aggregate+join " +
+    "(no per-row subquery, no nested loop)") {
+    val p = plan("q55_correlated_subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_avg"), p) // the decorrelated aggregate
+  }
+
+  test("q56: explicit pivot values plan as ONE aggregate over one scan " +
+    "(no distinct-scan of the pivot column)") {
+    val p = plan("q56_pivot")
+    assert(p.split("Scan parquet").length === 2, p) // exactly one scan
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
