@@ -332,6 +332,26 @@ object Oracle {
          |  SELECT l_returnflag, 'disc', disc FROM w)
          |ORDER BY l_returnflag, metric""".stripMargin,
 
+    // truncate/zero-pad on the hex rendering: 128 hex chars = 64 bytes,
+    // and '0'-char padding is exactly the hex of 0x00 bytes
+    "q58_resize_payload" ->
+      """SELECT doc_id,
+        |  CAST(length(rp) // 2 AS INTEGER) AS resized_len,
+        |  md5(rp) AS resized_md5
+        |FROM (SELECT doc_id,
+        |    rpad(substr(hex(encode(text)), 1, 128), 128, '0') AS rp
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q59_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) // 1000000
+        |    - lag(epoch_us(ts) // 1000000, 1) OVER w AS gap_s,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+
     "q53_kmv_distinct" ->
       s"""SELECT event_type,
          |  CASE WHEN len(m) < 32 THEN len(m)

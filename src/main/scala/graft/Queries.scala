@@ -419,6 +419,36 @@ object Queries {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Multimodal resize plumbing: every payload truncated/zero-padded to
+    * exactly 64 bytes (the fixed-size input contract of a batched
+    * decoder), fingerprinted via the portable md5-of-hex convention.
+    * Pure expressions, no shuffle — the whole operator pipelines into
+    * the scan. */
+  def q58ResizePayload(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Multimodal.resizePayload(
+      Multimodal.withPayload(docs, "text", "doc_id"), "payload", 64)
+      .select(col("doc_id"),
+        length(col("payload")).as("resized_len"),
+        md5(hex(col("payload"))).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Lead/lag window family: per-user inter-event gaps — seconds since
+    * the previous event and the next event's type. One shuffle on
+    * user_id (same window as q17's running frame). */
+  def q59LeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+          .as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .select("user_id", "event_id", "gap_s", "next_type")
+      .orderBy("event_id")
+  }
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -785,5 +815,7 @@ object Queries {
     "q55_correlated_subquery" -> (q55CorrelatedSubquery _),
     "q56_pivot" -> (q56Pivot _),
     "q57_unpivot" -> (q57Unpivot _),
+    "q58_resize_payload" -> (q58ResizePayload _),
+    "q59_lead_lag" -> (q59LeadLag _),
   )
 }
