@@ -352,6 +352,17 @@ object Oracle {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY event_id""".stripMargin,
 
+    // identical semantics to q16 — the salted two-phase plan must land
+    // on exactly the direct-window answer
+    "q60_salted_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
     "q53_kmv_distinct" ->
       s"""SELECT event_type,
          |  CASE WHEN len(m) < 32 THEN len(m)

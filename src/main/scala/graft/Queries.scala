@@ -449,6 +449,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Salted two-phase top-k (the skew-safe q16): windows need every row
+    * of a key in ONE task, so a hot key is the scale-killer neither
+    * partial aggregation nor AQE rescues. Local top-k per (key, salt)
+    * then global top-k over ≤ salt×k survivors — identical result
+    * (proven vs the direct window in SkewSpec, and against q16's own
+    * oracle SQL here), bounded task size. */
+  def q60SaltedTopK(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedTopK(t(s, dir, "orders"), Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3,
+      salt = 8, saltBy = Seq("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -817,5 +830,6 @@ object Queries {
     "q57_unpivot" -> (q57Unpivot _),
     "q58_resize_payload" -> (q58ResizePayload _),
     "q59_lead_lag" -> (q59LeadLag _),
+    "q60_salted_topk" -> (q60SaltedTopK _),
   )
 }

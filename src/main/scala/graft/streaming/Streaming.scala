@@ -86,6 +86,23 @@ object Streaming {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream INNER join within an event-time bound —
+    * the streaming form of the batch interval join (q49). Both sides
+    * carry a watermark and the join condition bounds |rightTs − leftTs|,
+    * which is what lets the engine garbage-collect buffered rows on
+    * BOTH sides: without the time bound each side must buffer forever
+    * (unbounded state), with it state is O(arrival rate × (delay +
+    * within)). Column names must be disjoint across sides (streaming
+    * joins need an explicit condition, not USING). */
+  def joinStreamsWithin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      delay: String, within: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
   // ------------------------------------------------------------------
   // Custom state: event-time sessionization via flatMapGroupsWithState
   // ------------------------------------------------------------------

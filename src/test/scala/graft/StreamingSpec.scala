@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("joinStreamsWithin: matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.joinStreamsWithin(
+      clicks.toDF().toDF("c_user", "c_ts"),
+      views.toDF().toDF("v_user", "v_ts"),
+      "c_user", "v_user", "c_ts", "v_ts",
+      delay = "1 hour", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    views.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00")), // in bound
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"))) // out of bound
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj").select("c_user").as[Long].collect().toSeq
+    assert(got === Seq(1L)) // only the within-10-min pair joins
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
