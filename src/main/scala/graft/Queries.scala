@@ -462,6 +462,24 @@ object Queries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
 
+  /** TPC-H Q16-shaped NOT IN subquery (supplier diversity per brand,
+    * excluding a supplier subset): `NOT IN (subquery)` plans as a
+    * null-aware anti join — a distinct Catalyst family from q14's
+    * left_anti (NOT EXISTS), because NOT IN must also reject when the
+    * subquery yields any NULL. s_suppkey is non-null here, so both
+    * engines agree; the plan family still gets exercised. */
+  def q61NotInSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+    s.sql("""
+      SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+      WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier_v WHERE s_nationkey < 5)
+      GROUP BY p_brand ORDER BY p_brand""")
+  }
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -831,5 +849,6 @@ object Queries {
     "q58_resize_payload" -> (q58ResizePayload _),
     "q59_lead_lag" -> (q59LeadLag _),
     "q60_salted_topk" -> (q60SaltedTopK _),
+    "q61_not_in_subquery" -> (q61NotInSubquery _),
   )
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native evaluator for cosine similarity over two vector columns —
+  * bit-identical to the higher-order-function formulation it replaces
+  * (graft.operators.Similarity.cosineHof: left-fold dot product and
+  * left-fold norms in double, then dot / (normA * normB); asserted in
+  * HashingSpec) but computed in ONE flat loop per row instead of three
+  * interpreted aggregate/zip_with lambda chains. The three accumulators
+  * are independent left folds, so fusing them into one pass changes no
+  * bit of any of them. CodegenFallback: the node itself is the fast
+  * path; surrounding projections still codegen.
+  *
+  * Mismatched lengths yield NULL (the HOF's zip_with pads with nulls,
+  * which also nulls the fold). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float|double>, got " +
+        s"${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val leftFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = va.numElements()
+    if (vb.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) va.getFloat(i).toDouble else va.getDouble(i)
+      val y = if (rightFloat) vb.getFloat(i).toDouble else vb.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

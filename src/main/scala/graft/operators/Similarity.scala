@@ -37,8 +37,16 @@ object Similarity {
 
   /** Cosine similarity — raw double. With a fixed fold order the value is
     * bit-identical in any engine, so it is safe as a ranking key; callers
-    * truncate for display/hash stability. */
+    * truncate for display/hash stability. Evaluated by the native
+    * one-pass CosineSim expression; `cosineHof` below is the executable
+    * HOF specification it is asserted bit-identical against. */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.CosineSim(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
+  private[graft] def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k: for each query vector (small set — broadcast), rank the

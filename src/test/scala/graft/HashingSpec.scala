@@ -53,6 +53,29 @@ class HashingSpec extends SparkSpec {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("CosineSim == higher-order formulation, float/double/mixed, bit-exact") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val pairs = emb.select($"embedding".as("a"),
+      transform($"embedding", x => x.cast("double") * 1.5).as("b"))
+    val cmp = pairs.select(
+      Similarity.cosine($"a", $"a").as("n_ff"),
+      Similarity.cosineHof($"a", $"a").as("h_ff"),
+      Similarity.cosine($"a", $"b").as("n_fd"),
+      Similarity.cosineHof($"a", $"b").as("h_fd"),
+      Similarity.cosine($"b", $"b").as("n_dd"),
+      Similarity.cosineHof($"b", $"b").as("h_dd"))
+    cmp.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(5)))
+    }
+  }
+
   test("ShingleHashes == transform(shingles, md5Mod) on fixture + edges") {
     import graft.operators.Dedup
     val docs = spark.read
