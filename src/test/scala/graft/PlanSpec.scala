@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_avg"), p) // the decorrelated aggregate
   }
 
+  test("q54/q61: SQL joins never degrade to cartesian products") {
+    val p54 = plan("q54_sql_tpch_q5")
+    assert(!p54.contains("CartesianProduct"), p54)
+    assert(!p54.contains("BroadcastNestedLoopJoin"), p54)
+    val p61 = plan("q61_not_in_subquery")
+    assert(!p61.contains("CartesianProduct"), p61)
+  }
+
   test("q56: explicit pivot values plan as ONE aggregate over one scan " +
     "(no distinct-scan of the pivot column)") {
     val p = plan("q56_pivot")
