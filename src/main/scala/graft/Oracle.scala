@@ -370,6 +370,19 @@ object Oracle {
         |  SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    "q62_top_tokens" ->
+      s"""SELECT token, count(*) AS df FROM (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS token FROM documents)
+         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q63_hash_split" ->
+      s"""SELECT lang, split, count(*) AS n_docs, min(doc_id) AS min_doc_id
+         |FROM (SELECT lang, doc_id,
+         |    CASE WHEN ${md5Long("CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |      THEN 'train' ELSE 'valid' END AS split
+         |  FROM documents)
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
     "q53_kmv_distinct" ->
       s"""SELECT event_type,
          |  CASE WHEN len(m) < 32 THEN len(m)

@@ -480,6 +480,35 @@ object Queries {
       GROUP BY p_brand ORDER BY p_brand""")
   }
 
+  /** Corpus vocabulary top-k: the most document-frequent tokens — the
+    * stopword/vocabulary analysis a corpus pipeline runs before
+    * quality scoring. Explode→distinct-per-doc→count→top-k: one
+    * map-side-combined aggregate over exploded tokens, then a global
+    * top-k (rank by df desc, token asc — total order). */
+  def q62TopTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(array_distinct(TextAnalysis.tokens(col("text"))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(20)
+
+  /** Deterministic hash-based train/validation split — THE reproducible
+    * way to partition a corpus (random() is neither reproducible nor
+    * engine-portable): split = md5-hash of the doc id mod 100, train if
+    * < 95. Any engine recomputes the identical assignment, so the
+    * split survives re-runs, backfills, and engine migrations. */
+  def q63HashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(pmod(graft.functions.Hashing.md5Long(
+          col("doc_id").cast("string")), lit(100)) < 95, lit("train"))
+          .otherwise(lit("valid")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang", "split")
+
   /** Portable KMV distinct-count sketch (q40's HLL is engine-internal
     * and rows-only; KMV over the md5 family is reproducible anywhere,
     * so the approx-counting family gets a hash-checked oracle too). */
@@ -850,5 +879,7 @@ object Queries {
     "q59_lead_lag" -> (q59LeadLag _),
     "q60_salted_topk" -> (q60SaltedTopK _),
     "q61_not_in_subquery" -> (q61NotInSubquery _),
+    "q62_top_tokens" -> (q62TopTokens _),
+    "q63_hash_split" -> (q63HashSplit _),
   )
 }
