@@ -61,6 +61,12 @@ object Prep {
   def project(df: DataFrame, columnsToImport: Option[Seq[String]]): DataFrame =
     columnsToImport.fold(df)(cols => df.select(cols.map(col): _*))
 
+  // ---- P5: column drop (config.py:40 — the reference keeps its
+  // ref-column drop commented out; provided as an explicit operator so
+  // a pipeline CAN shed derived columns before the sink) ----
+  def dropColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
   // ---------------------------------------------------------------------
   // System pipelines (config.py:95-105 dispatch). Each is
   // (TableSettings, watermark) => DataFrame => DataFrame so pipelines

@@ -85,6 +85,93 @@ object PartitionedSink {
   }
 }
 
+/** Object-store shipping & lifecycle — the Hadoop-`FileSystem`
+  * re-expression of the reference's driver-side GCS/S3 plumbing. The
+  * FileSystem API resolves ANY URI scheme (file://, hdfs://, s3a://,
+  * gs://), so the same code ships to local disk in tests and to an
+  * object store in production — which is why these are genuine library
+  * surface, not environment glue.
+  */
+object ObjectStore {
+  import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** K4: recursively copy `srcDir` under `destDir`, renaming any file
+    * whose name contains "part" to `stem-<batchId>.rest` (split at the
+    * FIRST dot, like the reference's
+    * `file_name.split('.')[0] + '-{day}{hour}.'` —
+    * ingestion/ingestion.py:106-140). The reference derives the suffix
+    * from the wall clock, which collides within the hour and is not
+    * reproducible; an explicit `batchId` keeps the collision-avoidance
+    * semantics and determinism. Returns the destination paths. */
+  def ship(spark: SparkSession, srcDir: String, destDir: String,
+      batchId: String): Seq[String] = {
+    val sfs = fsFor(spark, new Path(srcDir))
+    val dst = new Path(destDir)
+    val dfs = fsFor(spark, dst)
+    // qualify so relativize sees the same scheme/authority as the
+    // listed file paths (a bare /tmp/... src would never relativize
+    // against file:/tmp/... children)
+    val src = sfs.makeQualified(new Path(srcDir))
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val it = sfs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val rel = src.toUri.relativize(f.getPath.toUri).getPath
+      val renamed =
+        if (!name.contains("part")) name
+        else name.indexOf('.') match {
+          case -1 => s"$name-$batchId"
+          case dot => name.substring(0, dot) + s"-$batchId" + name.substring(dot)
+        }
+      val target = new Path(dst, rel.stripSuffix(name) + renamed)
+      FileUtil.copy(sfs, f.getPath, dfs, target, false,
+        spark.sparkContext.hadoopConfiguration)
+      out += target.toString
+    }
+    out.toList
+  }
+
+  /** K5: archive a table directory then reset it — copy `tableDir` to
+    * `archiveDir` (must not exist; becomes the archived copy), delete
+    * the source, recreate it empty, and restore `keep` files (the sync
+    * watermark) from the archive, exactly the reference's
+    * archive-then-keep-sync.json cycle
+    * (bin/ingestion/batch-all-tables-ingestion-to-gcs.py:104-116). */
+  def archiveAndReset(spark: SparkSession, tableDir: String,
+      archiveDir: String, keep: Seq[String] = Seq("sync.json")): Unit = {
+    val src = new Path(tableDir)
+    val dst = new Path(archiveDir)
+    val sfs = fsFor(spark, src)
+    val afs = fsFor(spark, dst)
+    require(!afs.exists(dst), s"archive target already exists: $archiveDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileUtil.copy(sfs, src, afs, dst, false, conf)
+    sfs.delete(src, true)
+    sfs.mkdirs(src)
+    keep.foreach { k =>
+      val archived = new Path(dst, k)
+      if (afs.exists(archived))
+        FileUtil.copy(afs, archived, sfs, new Path(src, k), false, conf)
+    }
+  }
+
+  /** K10: bulk delete by URI prefix (aws/athena.py:53-58's
+    * list-then-delete, minus the 1000-key pagination S3's raw API
+    * forces — FileSystem connectors page internally). Returns the
+    * number of top-level matches removed. */
+  def deleteByPrefix(spark: SparkSession, uriPrefix: String): Int = {
+    val glob = new Path(uriPrefix + "*")
+    val f = fsFor(spark, glob)
+    val matches = Option(f.globStatus(glob)).getOrElse(Array.empty)
+    matches.foreach(m => f.delete(m.getPath, true))
+    matches.length
+  }
+}
+
 /** Catalog DDL helpers — the Spark-session-catalog equivalents of the
   * reference's Athena statements (aws/athena.py). Each returns the SQL it
   * ran so callers/tests can inspect it. */

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.config.Security
+import graft.operators.Prep
+import graft.sinks.ObjectStore
+
+/** Driver-side lifecycle surface: object-store shipping (K4), archive +
+  * reset (K5), bulk delete (K10), settings crypto (F9), column drop
+  * (P5) — everything SURVEY §7.3 initially scoped out, re-expressed on
+  * public abstractions (Hadoop FileSystem, JCE) so it runs identically
+  * on file://, s3a://, gs://. */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = {
+    val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+  }
+
+  test("ship (K4): recursive copy renames part files with the batch id") {
+    val src = tmp("ship-src"); val dst = tmp("ship-dst")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/t")
+    val shipped = ObjectStore.ship(spark, src.toString, dst.toString, "b42")
+    val partNames = shipped.map(_.split('/').last).filter(_.contains("part"))
+    assert(partNames.nonEmpty)
+    // stem-<batch>.<rest of the original name after the first dot>
+    partNames.foreach(n => assert(n.matches("part-[0-9a-f-]+-b42\\..*"), n))
+    // non-part files (_SUCCESS) keep their names
+    assert(shipped.exists(_.endsWith("_SUCCESS")))
+    // the shipped parquet is still readable
+    val back = spark.read.parquet(s"$dst/t")
+    assert(back.count() === 2)
+  }
+
+  test("archiveAndReset (K5): archives everything, keeps only sync.json") {
+    val table = tmp("arch-src"); val archive = tmp("arch-parent")
+    Files.writeString(Paths.get(s"$table/sync.json"), """{"v":"2024"}""")
+    Files.writeString(Paths.get(s"$table/data.csv"), "1,2,3")
+    val dst = s"$archive/t-archived"
+    ObjectStore.archiveAndReset(spark, table.toString, dst)
+    assert(Files.exists(Paths.get(s"$dst/data.csv")))
+    assert(Files.exists(Paths.get(s"$dst/sync.json")))
+    assert(!Files.exists(Paths.get(s"$table/data.csv"))) // reset
+    assert(Files.readString(Paths.get(s"$table/sync.json"))
+      === """{"v":"2024"}""") // watermark survives the reset
+    intercept[IllegalArgumentException] { // refuses to clobber an archive
+      ObjectStore.archiveAndReset(spark, table.toString, dst)
+    }
+  }
+
+  test("deleteByPrefix (K10): removes only the matching prefix") {
+    val d = tmp("del")
+    Files.writeString(Paths.get(s"$d/run1-a.txt"), "x")
+    Files.writeString(Paths.get(s"$d/run1-b.txt"), "x")
+    Files.writeString(Paths.get(s"$d/run2-a.txt"), "x")
+    val n = ObjectStore.deleteByPrefix(spark, s"$d/run1-")
+    assert(n === 2)
+    assert(!Files.exists(Paths.get(s"$d/run1-a.txt")))
+    assert(Files.exists(Paths.get(s"$d/run2-a.txt")))
+  }
+
+  test("Security (F9): 2-key 3DES round-trip + file helpers") {
+    val json = """{"systems": {"s1": {"dbms": "oracle"}}}"""
+    val ct = Security.encrypt(json.getBytes("UTF-8"), "hunter2")
+    assert(ct.length % 8 === 0) // DES block size, PKCS5-padded
+    assert(!new String(ct, "ISO-8859-1").contains("systems"))
+    assert(new String(Security.decrypt(ct, "hunter2"), "UTF-8") === json)
+    intercept[Exception](Security.decrypt(ct, "wrong-password"))
+    val f = Files.createTempFile("settings", ".json")
+    Files.writeString(f, json)
+    val enc = Security.encryptJsonFile(f.toString, "pw")
+    assert(enc.endsWith(".pydes")) // reference's suffix convention
+    assert(Security.decryptJsonFile(enc, "pw") === json)
+  }
+
+  test("dropColumns (P5): sheds derived columns before the sink") {
+    val df = Seq((1L, "x", "2024")).toDF("id", "v", "YEAR")
+    val out = Prep.dropColumns(df, Seq("YEAR", "not_there"))
+    assert(out.columns.toSeq === Seq("id", "v"))
+  }
+}
