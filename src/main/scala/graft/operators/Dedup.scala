@@ -213,9 +213,19 @@ object Dedup {
 
   /** 32-bit SimHash over word hashes: bit b of the sketch is 1 iff the
     * count of tokens whose hash has bit b set exceeds half the token
-    * count (strict majority vote with ±1 votes). Expression-only:
-    * per-bit popcount via filter+size over the hashed token array. */
+    * count (strict majority vote with ±1 votes). Evaluated by the
+    * native one-pass SimHashBits expression; `simhashHof` below is the
+    * executable spec it is asserted bit-identical against. */
   def simhash(text: Column, bits: Int = 32): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.SimHashBits(
+        org.apache.spark.sql.GraftSql.expression(
+          shingleHashes(text, n = 1, mod = false)), bits))
+
+  /** Higher-order-function formulation — the asserted specification of
+    * SimHashBits (HashingSpec): per-bit popcount via filter+size over
+    * the hashed token array, majority as 2·ones > n. */
+  private[graft] def simhashHof(text: Column, bits: Int = 32): Column =
     Expr.let(shingleHashes(text, n = 1, mod = false)) {
       hashed =>
         val n = size(hashed).cast("long")

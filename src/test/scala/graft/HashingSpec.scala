@@ -76,6 +76,21 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("SimHashBits == higher-order formulation on fixture documents") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").limit(200)
+    val cmp = docs.select(Dedup.simhash($"text").as("native"),
+      Dedup.simhashHof($"text").as("hof"))
+    cmp.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // edge: empty text (zero tokens after split) must agree too
+    val edge = Seq("", "   ", "one").toDF("text")
+      .select(Dedup.simhash($"text").as("native"),
+        Dedup.simhashHof($"text").as("hof"))
+    edge.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("ShingleHashes == transform(shingles, md5Mod) on fixture + edges") {
     import graft.operators.Dedup
     val docs = spark.read
