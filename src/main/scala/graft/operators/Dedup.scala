@@ -74,6 +74,15 @@ object Dedup {
         org.apache.spark.sql.GraftSql.expression(text), n, mod))
 
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftSql.expression(
+          shingleHashes(text, shingleSize, mod = true)), numHashes))
+
+  /** Higher-order-function formulation — the asserted specification of
+    * the native MinHashSignature expression (HashingSpec). */
+  private[graft] def minhashSignatureHof(text: Column, shingleSize: Int,
+      numHashes: Int): Column =
     Expr.let(shingleHashes(text, shingleSize, mod = true)) {
       hashed =>
         transform(sequence(lit(0), lit(numHashes - 1)),

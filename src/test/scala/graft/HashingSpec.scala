@@ -76,6 +76,21 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSignature == higher-order formulation on fixture + edges") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").limit(200)
+    val cmp = docs.select(
+      Dedup.minhashSignature($"text", 3, 16).as("native"),
+      Dedup.minhashSignatureHof($"text", 3, 16).as("hof"))
+    cmp.collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    val edge = Seq("", "one two").toDF("text").select(
+      Dedup.minhashSignature($"text", 3, 8).as("native"),
+      Dedup.minhashSignatureHof($"text", 3, 8).as("hof"))
+    edge.collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("SimHashBits == higher-order formulation on fixture documents") {
     import graft.operators.Dedup
     val docs = spark.read
