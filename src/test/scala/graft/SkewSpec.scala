@@ -25,6 +25,30 @@ class SkewSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("saltedTopK == direct window under heavy skew, duplicates, ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 90% of rows land on one hot key; values collide constantly so the
+    // tiebreak column does real work
+    val rows = (0 until 5000).map { i =>
+      val key = if (rnd.nextInt(10) < 9) 0L else rnd.nextInt(50).toLong + 1
+      (key, rnd.nextInt(7).toDouble, i.toLong)
+    }
+    val df = rows.toDF("k", "score", "uid")
+    val order = Seq(col("score").desc, col("uid").asc)
+    val direct = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(order: _*)))
+      .filter(col("rn") <= 7)
+      .select("k", "uid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = Skew.saltedTopK(df, Seq("k"), order, k = 7, salt = 16,
+      saltBy = Seq("uid"))
+      .select("k", "uid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted === direct)
+  }
+
   test("saltedTopK phase-1 window partitions on the salt (bounded tasks)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val p = Skew.saltedTopK(orders, Seq("o_custkey"),
