@@ -33,4 +33,40 @@ class AsOfSpec extends SparkSpec {
       (101L, Some(10L), Some(8.0)), // latest before 01-20
       (102L, None, None))) // no right rows for key 2
   }
+
+  test("as-of join == brute force on seeded random data (incl. null attach col)") {
+    val rnd = new scala.util.Random(7)
+    def t(day: Int) = ts(f"2024-01-$day%02d 00:00:00")
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(28) + 1), i.toLong))
+      .toDF("k", "lts", "lid")
+    // rv is sometimes NULL — the struct-attach semantics must still take
+    // BOTH columns from the single latest row (a per-column last would
+    // backfill rv from an older row)
+    val right = (0 until 150).map { i =>
+      val rv: java.lang.Double =
+        if (rnd.nextInt(4) == 0) null else rnd.nextInt(100).toDouble
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(28) + 1), i.toLong, rv)
+    }.toDF("k", "rts", "rid", "rv")
+
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      Seq("rid", "rv"), rightTieBreak = "rid")
+      .collect()
+      .map(r => r.getAs[Long]("lid") ->
+        (Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("asof_rv")).map(_.toDouble)))
+      .toMap
+
+    val rightRows = right.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double](3)).map(_.toDouble)))
+    left.collect().foreach { l =>
+      val (k, lts, lid) = (l.getLong(0), l.getTimestamp(1), l.getLong(2))
+      val best = rightRows
+        .filter(r => r._1 == k && !r._2.after(lts))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption
+      assert(out(lid) === (best.map(_._3), best.flatMap(_._4)),
+        s"lid=$lid k=$k lts=$lts")
+    }
+  }
 }

@@ -28,4 +28,29 @@ class RangeJoinSpec extends SparkSpec {
       "ts_a", "ts_b", toleranceUs = 600000000L).count()
     assert(n === 3)
   }
+
+  test("withinInterval == brute force on seeded random data") {
+    val rnd = new scala.util.Random(11)
+    def t(sec: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L)
+    val a = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, t(rnd.nextInt(7200))))
+      .toDF("user_id", "id_a", "ts_a")
+    val b = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, t(rnd.nextInt(7200))))
+      .toDF("user_id", "id_b", "ts_b")
+    val tol = 137000000L // 137s — deliberately not bucket-aligned
+    val got = RangeJoin.withinInterval(a, b, Seq("user_id"),
+      "ts_a", "ts_b", toleranceUs = tol)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val av = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val bv = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val expect = (for {
+      (ka, ia, ta) <- av
+      (kb, ib, tb) <- bv
+      if ka == kb && math.abs(ta.getTime - tb.getTime) * 1000L <= tol
+    } yield (ia, ib)).toSet
+    assert(got === expect)
+  }
 }
