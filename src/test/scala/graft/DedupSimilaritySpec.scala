@@ -66,6 +66,35 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("connected components == union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(5)
+    // sparse (many components, long chains) and denser (few components)
+    for (nEdges <- Seq(80, 400)) {
+      val n = 300
+      val edgePairs = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = edgePairs.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, "id", edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference: plain union-find with min-label canonicalization
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edgePairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val canon = (0 until n).groupBy(find).flatMap { case (_, members) =>
+        val label = members.min.toLong
+        members.map(m => m.toLong -> label)
+      }
+      assert(got === canon, s"nEdges=$nEdges")
+    }
+  }
+
   test("minhash bucket cap drops degenerate hot buckets") {
     val boiler = "identical boilerplate text repeated across the corpus"
     val df = ((1L to 6L).map(i => (i, boiler)) :+ (7L, "something else"))
