@@ -167,21 +167,30 @@ object Similarity {
     * centroids. Equal to cos(vec, c_i) · ‖vec‖ — a positive per-row
     * scaling, so the argmax/ordering over cells is IDENTICAL to cosine
     * while the per-row cost drops ~3× (no ‖vec‖ and no ‖c_i‖
-    * recomputation per centroid; these HOFs run interpreted, so
-    * constant factors are real). The oracle computes the same score
-    * from the same normalized centroids. */
-  private def scoreArrCent(centHatLit: Column, nlist: Int)(vec: Column): Column =
-    transform(sequence(lit(0), lit(nlist - 1)), i =>
+    * recomputation per centroid). Evaluated by the native DotScores
+    * expression (flat nlist×dim loop, matrix as data); the HOF
+    * formulation below is the asserted spec. The oracle computes the
+    * same score from the same normalized centroids. */
+  private def scoreArrCent(centsHat: Seq[Seq[Double]])(vec: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.DotScores(
+        org.apache.spark.sql.GraftSql.expression(vec), centsHat))
+
+  private[graft] def scoreArrCentHof(centsHat: Seq[Seq[Double]])(
+      vec: Column): Column = {
+    val centHatLit = typedLit(centsHat)
+    transform(sequence(lit(0), lit(centsHat.length - 1)), i =>
       aggregate(
         zip_with(vec, element_at(centHatLit, i + 1),
           (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v))
+  }
 
   /** Nearest cell: index of the max score (first occurrence — ties
     * break to the smallest centroid id, mirroring the oracle's cid
     * ASC). */
-  private def cellOf(centHatLit: Column, nlist: Int)(vec: Column): Column =
-    Expr.let(scoreArrCent(centHatLit, nlist)(vec)) { a =>
+  private def cellOf(centsHat: Seq[Seq[Double]])(vec: Column): Column =
+    Expr.let(scoreArrCent(centsHat)(vec)) { a =>
       (array_position(a, array_max(a)) - 1).cast("int")
     }
 
@@ -199,7 +208,7 @@ object Similarity {
     * quantizer; determinism is what makes q42's oracle hash-match. */
   private def lloydStep(corpus: DataFrame, vecCol: String,
       cents: Seq[Seq[Double]], nlist: Int): Seq[Seq[Double]] = {
-    val centHatLit = typedLit(cents.map(normalized))
+    val centsHat = cents.map(normalized)
     // the (cell, vec) pair is exploded out of a single-element struct
     // array: selecting the cell expression as a SIBLING of posexplode
     // lets CollapseProject re-inline it ABOVE the generator, where it
@@ -207,7 +216,7 @@ object Similarity {
     // query); a generator's own input is evaluated once per input row
     val stats = corpus
       .select(explode(array(struct(
-        cellOf(centHatLit, nlist)(col(vecCol)).as("cell"),
+        cellOf(centsHat)(col(vecCol)).as("cell"),
         col(vecCol).as("v")))).as("e"))
       .select(col("e.cell").as("cell"), posexplode(col("e.v")))
       .groupBy("cell", "pos")
@@ -246,14 +255,14 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     val centroids = (0 until refine)
       .foldLeft(seeds)((c, _) => lloydStep(corpus, vecCol, c, nlist))
-    val centHatLit = typedLit(centroids.map(normalized))
+    val centsHat = centroids.map(normalized)
 
-    def cell(vec: Column): Column = cellOf(centHatLit, nlist)(vec)
+    def cell(vec: Column): Column = cellOf(centsHat)(vec)
 
     // nprobe nearest cells: sort (−score, idx) structs, take the prefix
     // (score ordering ≡ cosine ordering, see scoreArrCent)
     def probeCells(vec: Column): Column =
-      Expr.let(scoreArrCent(centHatLit, nlist)(vec)) { a =>
+      Expr.let(scoreArrCent(centsHat)(vec)) { a =>
         transform(
           slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
             (c, i) => struct((-c).as("negcos"), i.as("idx")))),

@@ -91,6 +91,26 @@ class HashingSpec extends SparkSpec {
     edge.collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("DotScores == higher-order formulation, float and double vectors") {
+    import graft.operators.Similarity
+    val cents = (0 until 16).map(i =>
+      (0 until 64).map(j => Similarity.planeComponent(i, j)))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val native = org.apache.spark.sql.GraftSql.column(
+      graft.functions.DotScores(
+        org.apache.spark.sql.GraftSql.expression($"embedding"), cents))
+    val cmp = emb.select(native.as("n"),
+      Similarity.scoreArrCentHof(cents)($"embedding").as("h"))
+    cmp.collect().foreach { r =>
+      val (n, h) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      n.zip(h).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b))
+      }
+    }
+  }
+
   test("SimHashBits == higher-order formulation on fixture documents") {
     import graft.operators.Dedup
     val docs = spark.read
