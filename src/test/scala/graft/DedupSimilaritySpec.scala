@@ -66,6 +66,16 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("connected components: zero edges -> every node its own component") {
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // exercises the empty-label loop: the observe() metric is a sum
+    // over zero rows (null) and must read as converged, not crash
+    val cc = Dedup.connectedComponents(nodes, "id", edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq === (1L to 5L).map(i => i -> i))
+  }
+
   test("connected components == union-find on seeded random graphs") {
     val rnd = new scala.util.Random(5)
     // sparse (many components, long chains) and denser (few components)
