@@ -100,6 +100,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("windowedCounts: aggregation state survives a restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp("wcr-out"); val cp = tmp("wcr-cp")
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    def start() = Streaming.windowedCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes", "1 hour")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append").start()
+
+    val q1 = start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0))
+    q1.processAllAvailable()
+    q1.stop() // window 10:00 is still OPEN state in the state store
+
+    val q2 = start() // recover from checkpoint
+    // advancing the watermark must finalize the PRE-restart window with
+    // both pre-restart rows — proof the state store was recovered
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "view", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)), rows)
+  }
+
   test("joinStreamsWithin: matches within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
