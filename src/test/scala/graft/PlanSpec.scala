@@ -82,4 +82,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("q57: unpivot plans as Expand over the aggregate (no join, no " +
+    "repeated scan)") {
+    val p = plan("q57_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(p.split("Scan parquet").length === 2, p) // one lineitem scan
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q59: lead+lag share ONE window sort (single exchange on user_id)") {
+    val p = plan("q59_lead_lag")
+    assert(p.split("Window").length === 2, p) // one Window node for both
+    assert(p.split("Exchange").length <= 3, p) // window + output sort only
+  }
 }
