@@ -55,9 +55,11 @@ object PartitionedSink {
         // (spark.py:63-65)
         writer.option("header", "true").option("quote", "\u0000").csv(path)
       case other =>
-        // parquet/json/orc/avro are all first-class `format(...)` in
-        // Spark 4 — the reference's avro package fallback (spark.py:68-75)
-        // is obsolete.
+        // parquet/json/orc are built-in `format(...)` sources; avro
+        // dispatches the same way but needs the external spark-avro
+        // module on the classpath (the reference's avro package
+        // fallback, spark.py:68-75, is the same dependency stated
+        // differently).
         writer.format(other).save(path)
     }
   }

@@ -53,6 +53,18 @@ class SinksSpec extends SparkSpec {
     assert(!lines.exists(_.contains("\"")))
   }
 
+  test("orc and json writes round-trip with the same Hive layout") {
+    for (fmt <- Seq("orc", "json")) {
+      val out = tmp(s"sink-$fmt").resolve("t").toString
+      PartitionedSink.write(sample, out, Seq("YEAR"), fileFormat = fmt,
+        compression = if (fmt == "json") "gzip" else "zlib")
+      assert(Files.exists(java.nio.file.Paths.get(out, "YEAR=2024")), fmt)
+      val back = spark.read.format(fmt).load(out)
+      assert(back.count() === 3, fmt)
+      assert(back.columns.toSet === Set("id", "payload", "YEAR", "MONTH"), fmt)
+    }
+  }
+
   test("append increments accumulate without clobbering") {
     val out = tmp("sink-append").resolve("t").toString
     PartitionedSink.appendIncrement(sample, out, Seq("YEAR"))
