@@ -23,6 +23,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forward bench knobs (-DgraftBenchRuns / -DgraftBenchOnly on the sbt
+// command line) into the forked run JVM.
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graftBench") => s"-D$k=$v"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

