@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
   * path; surrounding projections still codegen.
   *
   * Mismatched lengths yield NULL (the HOF's zip_with pads with nulls,
-  * which also nulls the fold). */
+  * which also nulls the fold), and so does a NULL element on either
+  * side (a null product nulls the left fold). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
@@ -35,6 +36,14 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // MUST be true even for non-nullable inputs: mismatched lengths and
+  // null ELEMENTS yield NULL, which the default (children-derived)
+  // nullability can't see. An expression that under-declares
+  // nullability corrupts results silently — InterpretedMutableProjection
+  // (ConvertToLocalRelation) trusts `nullable` and writes an unchecked
+  // null into a primitive slot as 0.0.
+  override def nullable: Boolean = true
+
   private lazy val leftFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val rightFloat: Boolean =
@@ -50,6 +59,7 @@ case class CosineSim(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
       val x = if (leftFloat) va.getFloat(i).toDouble else va.getDouble(i)
       val y = if (rightFloat) vb.getFloat(i).toDouble else vb.getDouble(i)
       dot += x * y

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   *
   * A vector whose length differs from a centroid's yields a NULL score
   * for that centroid (zip_with pads the shorter side with nulls, which
-  * nulls the HOF's fold). */
+  * nulls the HOF's fold); a NULL element in the vector nulls EVERY
+  * centroid's score (the null product nulls each per-centroid fold). */
 case class DotScores(child: Expression, cents: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
 
@@ -42,6 +43,8 @@ case class DotScores(child: Expression, cents: Seq[Seq[Double]])
     val v = new Array[Double](n)
     var j = 0
     while (j < n) {
+      if (ad.isNullAt(j))
+        return new GenericArrayData(new Array[Any](matrix.length))
       v(j) = if (isFloat) ad.getFloat(j).toDouble else ad.getDouble(j)
       j += 1
     }

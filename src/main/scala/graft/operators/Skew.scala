@@ -26,18 +26,31 @@ object Skew {
     * task shrinks by ~`salt`× and phase 2's input is k×salt rows per
     * key regardless of skew.
     *
+    * The result ADDS an `rn` output column (the within-key rank); the
+    * input must not already have one — silently clobbering caller data
+    * is worse than failing. Internal working columns are generated
+    * collision-free against the input schema.
+    *
     * @param orderBy must be a TOTAL order (include a tiebreak column)
     *                for a deterministic result, same as any top-k
     * @param saltBy  columns whose hash spreads a key's rows across
     *                subgroups (any row-distinguishing columns work) */
   def saltedTopK(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
       k: Int, salt: Int, saltBy: Seq[String]): DataFrame = {
-    val salted = df.withColumn("_salt",
+    require(!df.columns.contains("rn"),
+      "saltedTopK adds an `rn` output column but the input already has " +
+        "one — rename it first")
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val saltCol = fresh("_salt")
+    val rnCol = fresh("_rn")
+    val salted = df.withColumn(saltCol,
       pmod(xxhash64(saltBy.map(col): _*), lit(salt.toLong)))
-    val w1 = Window.partitionBy((keys.map(col) :+ col("_salt")): _*)
+    val w1 = Window.partitionBy((keys.map(col) :+ col(saltCol)): _*)
       .orderBy(orderBy: _*)
-    val local = salted.withColumn("_rn", row_number().over(w1))
-      .filter(col("_rn") <= k).drop("_rn", "_salt")
+    val local = salted.withColumn(rnCol, row_number().over(w1))
+      .filter(col(rnCol) <= k).drop(rnCol, saltCol)
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
     local.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
   }

@@ -164,13 +164,27 @@ object ObjectStore {
   /** K10: bulk delete by URI prefix (aws/athena.py:53-58's
     * list-then-delete, minus the 1000-key pagination S3's raw API
     * forces — FileSystem connectors page internally). Returns the
-    * number of top-level matches removed. */
+    * number of top-level matches removed.
+    *
+    * The prefix is matched LITERALLY (list parent + startsWith), never
+    * as a Hadoop glob: in a destructive operation, glob metacharacters
+    * in the prefix ("run[12]-", "run{1") must not widen the match or
+    * throw — S3's own prefix-delete semantics are literal too. */
   def deleteByPrefix(spark: SparkSession, uriPrefix: String): Int = {
-    val glob = new Path(uriPrefix + "*")
-    val f = fsFor(spark, glob)
-    val matches = Option(f.globStatus(glob)).getOrElse(Array.empty)
-    matches.foreach(m => f.delete(m.getPath, true))
-    matches.length
+    val (parent, prefix) =
+      if (uriPrefix.endsWith("/")) (new Path(uriPrefix), "")
+      else {
+        val p = new Path(uriPrefix)
+        (Option(p.getParent).getOrElse(p), p.getName)
+      }
+    val f = fsFor(spark, parent)
+    if (!f.exists(parent)) 0
+    else {
+      val matches = f.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(prefix))
+      matches.foreach(m => f.delete(m.getPath, true))
+      matches.length
+    }
   }
 }
 

@@ -28,6 +28,18 @@ object Excel {
 
   private val xf = DocumentBuilderFactory.newInstance()
   xf.setNamespaceAware(false)
+  // XXE hardening: a workbook is untrusted input, and a default parser
+  // honors DOCTYPE — a crafted .xlsx could read driver-local files via
+  // external entities or DoS via entity expansion. Spreadsheet XML
+  // never legitimately carries a DOCTYPE, so reject it outright.
+  xf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+  xf.setFeature(
+    "http://xml.org/sax/features/external-general-entities", false)
+  xf.setFeature(
+    "http://xml.org/sax/features/external-parameter-entities", false)
+  xf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+  xf.setXIncludeAware(false)
+  xf.setExpandEntityReferences(false)
 
   private def elems(parent: Element, tag: String): Seq[Element] = {
     val nl = parent.getElementsByTagName(tag)

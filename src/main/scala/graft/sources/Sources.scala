@@ -107,10 +107,47 @@ object Tables {
     * 50+ times — per-query re-listing was ~1.5s of fixed overhead per
     * query at toy scale (at cluster scale, repeated driver-side object
     * -store listings are the same tax, larger). The cached value is a
-    * lazy plan, not data; keyed by session so a stopped session's
-    * entries are never served to a new one. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    * lazy plan, not data.
+    *
+    * Lifecycle: the outer map holds its SparkSession keys WEAKLY and a
+    * listener drops a session's entries when its context stops, so a
+    * long-lived multi-session service doesn't accumulate dead sessions'
+    * file indexes. NOTE the cache freezes the FILE LISTING per
+    * (session, dir, table) — files appended to a table directory after
+    * first access are invisible until [[invalidate]]. */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      cache.put(spark, m)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            cache.synchronized { cache.remove(spark) }
+        })
+    }
+    m
+  }
+
+  /** Drop the cached plan (and its frozen file listing) for one table,
+    * or for every table when `name` is None — for writers that append
+    * to a directory a live session already read. */
+  def invalidate(spark: SparkSession, dir: String,
+      name: Option[String] = None): Unit = {
+    val m = cache.synchronized(Option(cache.get(spark)))
+    m.foreach { sc =>
+      name match {
+        case Some(n) => sc.remove((dir, n))
+        case None =>
+          sc.keySet.removeIf(k => k._1 == dir)
+      }
+    }
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -122,7 +159,7 @@ object Tables {
         spark.experimental.extraOptimizations :+
           graft.plans.NanosWatermarkPushdown
     }
-    cache.computeIfAbsent((spark, dir, name), _ => {
+    sessionCache(spark).computeIfAbsent((dir, name), _ => {
       val df = ParquetSource(s"$dir/$name.parquet").read(spark)
       df.schema.fields.foldLeft(df) { (d, f) =>
         if (f.dataType == LongType && nanoCols.contains((name, f.name)))

@@ -96,6 +96,24 @@ class ExcelSpec extends SparkSpec {
     assert(df.filter(df("column_name") === "o_custkey").count() === 1)
   }
 
+  test("a DOCTYPE-bearing worksheet is rejected (XXE hardening) — " +
+    "legitimate spreadsheet XML never carries one") {
+    val f = Files.createTempFile("xxe", ".xlsx")
+    f.toFile.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(f.toString))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(("""<?xml version="1.0"?>""" +
+      """<!DOCTYPE worksheet [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>""" +
+      """<worksheet><sheetData><row r="1">""" +
+      """<c r="A1" t="inlineStr"><is><t>&xxe;</t></is></c>""" +
+      """</row></sheetData></worksheet>""").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val e = intercept[Exception](Excel.readSheet(f.toString))
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("doctype"),
+      e.toString)
+  }
+
   test("colIndex handles multi-letter columns") {
     assert(Excel.colIndex("A1") === 0)
     assert(Excel.colIndex("Z9") === 25)

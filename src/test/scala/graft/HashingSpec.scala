@@ -146,6 +146,31 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("CosineSim / DotScores: a NULL vector element nulls the fold, " +
+    "matching the HOF spec (null product nulls the left fold)") {
+    import graft.operators.Similarity
+    val df = Seq(1).toDF("x").select(
+      array(lit(1.0), lit(null).cast("double"), lit(3.0)).as("withNull"),
+      array(lit(1.0), lit(2.0), lit(3.0)).as("clean"))
+    val r = df.select(
+      Similarity.cosine($"withNull", $"clean").as("n1"),
+      Similarity.cosineHof($"withNull", $"clean").as("h1"),
+      Similarity.cosine($"clean", $"withNull").as("n2"),
+      Similarity.cosineHof($"clean", $"withNull").as("h2"),
+      Similarity.cosine($"clean", $"clean").as("n3")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(!r.isNullAt(4)) // the clean pair still scores
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val native = org.apache.spark.sql.GraftSql.column(
+      graft.functions.DotScores(
+        org.apache.spark.sql.GraftSql.expression($"withNull"), cents))
+    val r2 = df.select(native.as("n"),
+      Similarity.scoreArrCentHof(cents)($"withNull").as("h")).collect().head
+    val (n, h) = (r2.getSeq[Any](0), r2.getSeq[Any](1))
+    assert(n.length === cents.length && n === h)
+    assert(n.forall(_ == null))
+  }
+
   test("md5Long values are non-negative 60-bit") {
     val hs = (1 to 1000).map(i => s"doc $i").toDF("s")
       .select(Hashing.md5Long($"s")).as[Long].collect()

@@ -61,6 +61,26 @@ class LifecycleSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$d/run2-a.txt")))
   }
 
+  test("deleteByPrefix matches the prefix LITERALLY — glob " +
+    "metacharacters neither widen the match nor throw") {
+    val d = tmp("delglob")
+    Files.writeString(Paths.get(s"$d/run[12]-a.txt"), "x")
+    Files.writeString(Paths.get(s"$d/run1-a.txt"), "x")
+    Files.writeString(Paths.get(s"$d/run2-a.txt"), "x")
+    // as a glob, "run[12]-" would match (and delete) run1-/run2- files;
+    // literally it names only the bracket-named file
+    val n = ObjectStore.deleteByPrefix(spark, s"$d/run[12]-")
+    assert(n === 1)
+    assert(!Files.exists(Paths.get(s"$d/run[12]-a.txt")))
+    assert(Files.exists(Paths.get(s"$d/run1-a.txt")))
+    assert(Files.exists(Paths.get(s"$d/run2-a.txt")))
+    // "{" in a glob throws; literally it's just a character
+    Files.writeString(Paths.get(s"$d/run{1-x.txt"), "x")
+    assert(ObjectStore.deleteByPrefix(spark, s"$d/run{1") === 1)
+    // a missing parent is 0 matches, not an exception
+    assert(ObjectStore.deleteByPrefix(spark, s"$d/nosuchdir/pfx") === 0)
+  }
+
   test("Security (F9): 2-key 3DES round-trip + file helpers") {
     val json = """{"systems": {"s1": {"dbms": "oracle"}}}"""
     val ct = Security.encrypt(json.getBytes("UTF-8"), "hunter2")

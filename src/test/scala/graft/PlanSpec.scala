@@ -75,6 +75,17 @@ class PlanSpec extends SparkSpec {
     assert(!p61.contains("CartesianProduct"), p61)
   }
 
+  test("q54: the dimension sides (supplier/nation/region and customer) " +
+    "broadcast — losing these to SortMergeJoin is the 2-3x regression " +
+    "mode for a star join") {
+    val p = plan("q54_sql_tpch_q5")
+    // 5 joins over 6 tables; at least 4 must be broadcast-hash (the
+    // only shuffle join tolerated is orders JOIN lineitem, the two
+    // fact tables)
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p)
+    assert(p.split("SortMergeJoin").length - 1 <= 1, p)
+  }
+
   test("q56: explicit pivot values plan as ONE aggregate over one scan " +
     "(no distinct-scan of the pivot column)") {
     val p = plan("q56_pivot")
@@ -89,6 +100,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(p.split("Scan parquet").length === 2, p) // one lineitem scan
     assert(!p.contains("Join"), p)
+  }
+
+  test("q50: the three quantiles share ONE percentile buffer (array " +
+    "form) — scalar calls would sort-buffer every group three times") {
+    val p = plan("q50_percentiles")
+    assert(p.split("percentile").length - 1 <= 2, p) // partial + final
+    assert(p.contains("partial_percentile"), p)
   }
 
   test("q59: lead+lag share ONE window sort (single exchange on user_id)") {

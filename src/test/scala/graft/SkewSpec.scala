@@ -58,4 +58,25 @@ class SkewSpec extends SparkSpec {
     assert(p.contains("_salt"), p) // the salted partitioning survives
     assert(p.split("Window").length >= 3, p) // two window phases
   }
+
+  test("saltedTopK refuses an input `rn` column and dodges _salt/_rn " +
+    "collisions instead of clobbering caller data") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, 7L, 9L), (1L, 20L, 8L, 3L))
+      .toDF("k", "uid", "_salt", "_rn")
+    // working names present in the input: result is still correct and
+    // the caller's columns survive untouched
+    val out = Skew.saltedTopK(base, Seq("k"),
+      Seq(col("uid").desc), k = 1, salt = 4, saltBy = Seq("uid"))
+    val r = out.select("k", "uid", "_salt", "_rn", "rn").collect()
+    assert(r.length === 1 && r.head.getLong(1) === 20L)
+    assert(r.head.getLong(2) === 8L && r.head.getLong(3) === 3L)
+    // an input `rn` would be clobbered by the output rank: refuse
+    val withRn = base.withColumnRenamed("_rn", "rn")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedTopK(withRn, Seq("k"),
+        Seq(col("uid").desc), k = 1, salt = 4, saltBy = Seq("uid"))
+    }
+    assert(e.getMessage.contains("rn"))
+  }
 }

@@ -47,6 +47,23 @@ class SourcesSpec extends SparkSpec {
     assert(agg(1).isNullAt(2))
   }
 
+  test("Tables cache freezes the file listing until invalidate") {
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("tblcache")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/tbl.parquet"
+    spark.range(2).toDF("id").write.parquet(path)
+    assert(Tables(spark, dir.toString, "tbl").count() === 2)
+    spark.range(3).toDF("id").write.mode("append").parquet(path)
+    // frozen listing: the appended files are invisible to the cached plan
+    assert(Tables(spark, dir.toString, "tbl").count() === 2)
+    Tables.invalidate(spark, dir.toString, Some("tbl"))
+    assert(Tables(spark, dir.toString, "tbl").count() === 5)
+    // dir-wide invalidate is also accepted
+    Tables.invalidate(spark, dir.toString)
+    assert(Tables(spark, dir.toString, "tbl").count() === 5)
+  }
+
   test("JdbcSource wires url/driver/fetchsize/partitioned-read options") {
     val src = JdbcSource("jdbc:oracle:thin:u/p@//h:1521/s", "tbl",
       "oracle.jdbc.OracleDriver", fetchsize = "50000",
