@@ -802,5 +802,18 @@ object Oracle {
         |  CAST(list_sum([CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT)
         |    for i in range(1, n + 1)]) AS DOUBLE) / n AS f_mean
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // recomputes q64's channel sums straight from the pixel formula —
+    // the Spark side must recover the identical sums from actual PNG
+    // bytes through ImageIO, so a match proves lossless decode
+    "q64_image_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(sum((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((d.doc_id * 17 + x.i * 11 + y.i * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((d.doc_id * 5 + x.i * 19 + y.i * 29) % 256) AS BIGINT) AS sum_b
+        |FROM documents d,
+        |  generate_series(0, 7) AS x(i), generate_series(0, 7) AS y(i)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
   )
 }

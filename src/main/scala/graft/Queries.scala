@@ -615,6 +615,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode through the multimodal seam: deterministic PNGs
+    * generated per doc (pixel channels are affine-mod-256 in
+    * (doc_id, x, y)), decoded back with JDK ImageIO, reduced to
+    * integer-exact channel sums. PNG is lossless, so the oracle — which
+    * recomputes the sums from the pixel formula, never touching a PNG —
+    * verifies true pixel-for-pixel decode fidelity, not just plumbing. */
+  def q64ImageDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+      Multimodal.withGeneratedPng(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+      "doc_id")
+      .orderBy("doc_id")
+
   /** Approx distinct (HLL++) — the 100 TB replacement for exact counts.
     * The sketch value itself is engine-internal, so the gate emits a
     * portable assertion instead of a grey rows-only row: exact n /
@@ -881,5 +894,6 @@ object Queries {
     "q61_not_in_subquery" -> (q61NotInSubquery _),
     "q62_top_tokens" -> (q62TopTokens _),
     "q63_hash_split" -> (q63HashSplit _),
+    "q64_image_decode" -> (q64ImageDecode _),
   )
 }

@@ -10,12 +10,14 @@ import graft.functions.Expr
   * payloads with a typed metadata struct.
   *
   * The Spark-side architecture is real and tested — schema, batched
-  * per-partition processing, partition-count control — while the actual
-  * media decode is STUBBED with a deterministic fake (media codecs are
-  * not in this container). At deploy time `decodeStub` is the single
-  * function to replace with a real decoder (or a `mapInPandas`-style
-  * Arrow UDF on the PySpark side); everything around it is
-  * production-shaped.
+  * per-partition processing, partition-count control. IMAGE decode is
+  * REAL (JDK `javax.imageio`: PNG/JPEG/GIF/BMP readers ship in every
+  * JRE — see [[decodeImage]]/[[imageFeatures]]); audio/video decode
+  * remains STUBBED with a deterministic fake (those codecs are not in
+  * this container). At deploy time `decodeStub` is the single function
+  * to replace with a real audio/video decoder (or a
+  * `mapInPandas`-style Arrow UDF on the PySpark side); everything
+  * around it is production-shaped.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
   * collect); feature extraction is mapPartitions — one task per input
@@ -34,11 +36,13 @@ object Multimodal {
     StructField("f_last", DoubleType),
     StructField("f_mean", DoubleType)))
 
-  /** STUB — deterministic fake decode: real implementation would wrap a
-    * codec (JavaCV / PIL-via-Arrow). Derives a stable 4-dim "feature"
-    * from payload bytes so tests have something to assert. Byte values
-    * are UNSIGNED (0-255) so the vector is reproducible from the hex
-    * rendering of the payload by any engine. */
+  /** STUB (audio/video only — images decode for real via
+    * [[decodeImage]]) — deterministic fake decode: real implementation
+    * would wrap a codec (JavaCV / PIL-via-Arrow). Derives a stable
+    * 4-dim "feature" from payload bytes so tests have something to
+    * assert. Byte values are UNSIGNED (0-255) so the vector is
+    * reproducible from the hex rendering of the payload by any
+    * engine. */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     if (payload == null || payload.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
     else Array(
@@ -46,6 +50,93 @@ object Multimodal {
       (payload.head & 0xff).toDouble,
       (payload.last & 0xff).toDouble,
       payload.map(_.toInt & 0xff).sum.toDouble / payload.length)
+  }
+
+  // ------------------------------------------------------------------
+  // Real image decode (JDK ImageIO — no external codec)
+  // ------------------------------------------------------------------
+
+  /** Deterministic 8×8 RGB test image for doc `id`, PNG-encoded. Each
+    * channel is an affine-mod-256 function of (id, x, y) — deliberately
+    * SQL-expressible so an independent engine can recompute the channel
+    * sums the decoder must recover; PNG is lossless, so the
+    * encode→decode round trip is exactly assertable, pixel for pixel. */
+  def generatePng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 5 + x * 19 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL image decode — replaces the stub seam for image payloads.
+    * JDK ImageIO ships PNG/JPEG/GIF/BMP readers in every JRE, so this
+    * needs no external codec and works offline. Emits
+    * [width, height, sum_r, sum_g, sum_b]: integer channel SUMS rather
+    * than float means — exact, engine-portable, and independent of
+    * pixel visit order. None for null/empty/undecodable bytes. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Long]] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None // bytes no installed reader recognizes
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array(w.toLong, h.toLong, sr, sg, sb))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Attach a generated PNG payload (media_type image/png) — the image
+    * counterpart of [[withPayload]], feeding [[imageFeatures]]. */
+  def withGeneratedPng(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf((id: Long) => generatePng(id))
+    df.select(col(idCol),
+      gen(col(idCol).cast("long")).as("payload"),
+      struct(lit("image/png").as("media_type")).as("media_meta"))
+  }
+
+  /** Image feature extraction over a binary payload column via the REAL
+    * ImageIO decode. Same plan shape as [[extractFeatures]]: one
+    * projection stage, no shuffle; the single deterministic UDF call is
+    * shared across the five output columns by projection-level
+    * subexpression elimination; output is FLAT (ints + longs). */
+  def imageFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val decode = udf((p: Array[Byte]) => decodeImage(p).orNull)
+    val feat = decode(col("payload"))
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      element_at(feat, 1).cast("int").as("width"),
+      element_at(feat, 2).cast("int").as("height"),
+      element_at(feat, 3).as("sum_r"),
+      element_at(feat, 4).as("sum_g"),
+      element_at(feat, 5).as("sum_b"))
   }
 
   /** Attach a binary payload + metadata struct to a text table

@@ -42,6 +42,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("decodeImage recovers the exact pixels generatePng encoded " +
+    "(PNG is lossless) — and rejects non-image bytes") {
+    for (id <- Seq(0L, 1L, 42L, 999999L)) {
+      val Some(f) = Multimodal.decodeImage(Multimodal.generatePng(id))
+      assert(f(0) === 8L && f(1) === 8L)
+      // recompute the channel sums from the pixel formula directly
+      val px = for (y <- 0 until 8; x <- 0 until 8) yield (
+        (id * 31 + x * 7 + y * 13) % 256,
+        (id * 17 + x * 11 + y * 3) % 256,
+        (id * 5 + x * 19 + y * 29) % 256)
+      assert(f(2) === px.map(_._1).sum, s"sum_r id=$id")
+      assert(f(3) === px.map(_._2).sum, s"sum_g id=$id")
+      assert(f(4) === px.map(_._3).sum, s"sum_b id=$id")
+    }
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+  }
+
+  test("imageFeatures: end-to-end DataFrame path over generated PNGs") {
+    val df = Multimodal.imageFeatures(
+      Multimodal.withGeneratedPng(
+        Seq(3L, 7L).toDF("doc_id"), "doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(df.length === 2)
+    df.foreach { r =>
+      assert(r.getInt(1) === 8 && r.getInt(2) === 8)
+      val expected = Multimodal.decodeImage(
+        Multimodal.generatePng(r.getLong(0))).get
+      assert(r.getLong(3) === expected(2))
+      assert(r.getLong(4) === expected(3))
+      assert(r.getLong(5) === expected(4))
+    }
+  }
+
   test("frameSample caps frames and fingerprints each slice") {
     val df = Multimodal.frameSample(payloads, "payload", "doc_id",
       frameSize = 4, maxFrames = 4).orderBy("doc_id", "frame_idx")
