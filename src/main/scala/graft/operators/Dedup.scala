@@ -153,7 +153,15 @@ object Dedup {
     * (neighbor join + label join), and lineage is truncated per round. The fixpoint is unique, so the
     * result is deterministic regardless of iteration count. */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+      edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, edges, maxIter)._1
+
+  /** As [[connectedComponents]], also reporting the number of executed
+    * double-rounds — the quantity scale probes assert grows
+    * O(log diameter), not O(n). */
+  private[graft] def connectedComponentsWithRounds(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -233,7 +241,7 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     adj.unpersist()
-    result
+    (result, iter)
   }
 
   // ------------------------------------------------------------------
