@@ -815,5 +815,58 @@ object Oracle {
         |FROM documents d,
         |  generate_series(0, 7) AS x(i), generate_series(0, 7) AS y(i)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q65_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, source, list_distinct(
+         |    list_transform(${shingles("tk", 3)}, x -> ${md5Long("x")})) AS hs
+         |  FROM t),
+         |e AS (SELECT doc_id, source, unnest(hs) AS sh FROM s),
+         |bench AS (SELECT DISTINCT sh FROM e WHERE source = 'src0'),
+         |train AS (SELECT doc_id, sh FROM e WHERE source <> 'src0')
+         |SELECT train.doc_id,
+         |  CAST(count(DISTINCT train.sh) AS BIGINT) AS n_shared
+         |FROM train JOIN bench USING (sh)
+         |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q66_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 2)} AS bg FROM t)
+         |SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+         |  CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct_bigrams,
+         |  ${f6("CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)")} AS dup_frac
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // plain (non-interpolated) string: the regex backslashes must stay
+    // literal
+    "q67_pii_redaction" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR)
+        |    ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]+')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q68_token_budget_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($toks) AS n_tokens,
+         |    ${md5Long("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |w AS (SELECT doc_id, lang, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  CAST(cum AS BIGINT) AS cum_n_tokens
+         |FROM w WHERE cum - n_tokens < 3000 ORDER BY doc_id""".stripMargin,
   )
 }

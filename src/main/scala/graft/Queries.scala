@@ -628,6 +628,62 @@ object Queries {
       "doc_id")
       .orderBy("doc_id")
 
+  /** Test-set decontamination: training docs (every source but src0)
+    * sharing at least one word trigram with the src0 "benchmark" set.
+    * Benchmark shingle hashes broadcast; the corpus side never
+    * shuffles its text. */
+  def q65Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Within-doc repetition (duplicate-bigram fraction) — Gopher-style
+    * boilerplate/spam signal; pure projection, zero shuffle. */
+  def q66Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRepetition(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        col("n_distinct_bigrams"), col("dup_frac"))
+      .orderBy("doc_id")
+
+  /** PII count+mask over text with synthetic-but-deterministic PII
+    * injected (the fixture corpus has none): every 7th doc gains an
+    * email, every 11th a phone number — both derived from doc_id so
+    * the oracle regenerates them exactly. */
+  def q67PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            (col("doc_id") % 10000))).otherwise(lit(""))))
+    TextAnalysis.redactPii(withPii, "text2")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-stratified token-budget sampling: each language's
+    * hash-ordered document prefix totalling <3000 tokens — the
+    * "N tokens per language, reproducibly" pipeline stage, via the
+    * two-phase bounded-task prefix sum (Sampling.budgetPrefix). */
+  def q68TokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+      Sampling.idHash(col("doc_id")).as("h"))
+    Sampling.budgetPrefix(docs, "lang", "n_tokens", "h", budget = 3000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Approx distinct (HLL++) — the 100 TB replacement for exact counts.
     * The sketch value itself is engine-internal, so the gate emits a
     * portable assertion instead of a grey rows-only row: exact n /
@@ -895,5 +951,9 @@ object Queries {
     "q62_top_tokens" -> (q62TopTokens _),
     "q63_hash_split" -> (q63HashSplit _),
     "q64_image_decode" -> (q64ImageDecode _),
+    "q65_decontamination" -> (q65Decontamination _),
+    "q66_repetition" -> (q66Repetition _),
+    "q67_pii_redaction" -> (q67PiiRedaction _),
+    "q68_token_budget_sample" -> (q68TokenBudgetSample _),
   )
 }

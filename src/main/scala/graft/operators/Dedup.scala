@@ -245,6 +245,33 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Test-set decontamination
+  // ------------------------------------------------------------------
+
+  /** Benchmark contamination check — the decontamination pass every
+    * LLM training pipeline runs before a corpus ships: which training
+    * docs share at least one word n-gram with a benchmark/eval set?
+    * Returns (id, n_shared) for contaminated training docs only.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval sets are
+    * thousands of docs, the corpus is billions) — its distinct shingle
+    * hashes broadcast, so the corpus side is one explode + broadcast
+    * hash join + partial-aggregated count, no shuffle of corpus text
+    * and no all-pairs anything. Hashes (md5, 60-bit) rather than raw
+    * shingle strings keep the broadcast compact and the probe
+    * engine-portable. */
+  def contamination(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    def exploded(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        shingleHashes(col(textCol), n, mod = false))).as("sh"))
+    val benchSh = broadcast(exploded(bench).select("sh").distinct())
+    exploded(train).join(benchSh, Seq("sh"))
+      .groupBy("id")
+      .agg(countDistinct(col("sh")).as("n_shared"))
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -99,6 +99,48 @@ object TextAnalysis {
     df.withColumn("lang_pred", pred)
   }
 
+  /** Within-document repetition (Gopher-style quality signal): the
+    * fraction of word bigrams that are repeats of an earlier bigram in
+    * the same doc. High values flag boilerplate/spam/generated loops.
+    * Pure per-row projection — zero shuffle. `shingles` falls back to a
+    * single whole-text shingle below 2 tokens, so n_bigrams ≥ 1 and the
+    * division is total. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    def f6(c: Column) = floor(c * lit(1000000L)) / lit(1000000.0)
+    val res = Expr.let(Dedup.shingles(col(textCol), 2)) { bg =>
+      struct(
+        size(bg).as("n"),
+        size(array_distinct(bg)).as("d"))
+    }
+    df.withColumn("_rep", res)
+      .withColumn("n_bigrams", col("_rep.n"))
+      .withColumn("n_distinct_bigrams", col("_rep.d"))
+      .withColumn("dup_frac", f6(
+        (col("_rep.n") - col("_rep.d")).cast("double") /
+          col("_rep.n").cast("double")))
+      .drop("_rep")
+  }
+
+  /** PII redaction patterns — deliberately lookahead-free so they run
+    * identically under Java regex (Spark) and RE2 (the DuckDB oracle).
+    * A production pass would carry a larger battery (SSNs, IBANs,
+    * addresses); the operator shape — count + replace in one
+    * codegen'd projection — is the contract. */
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]+"
+
+  /** Count and mask emails/phone numbers. Adds n_emails, n_phones and
+    * `redacted` (the scrubbed text). Per-row projection, no shuffle. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_emails",
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+    .withColumn("n_phones",
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))))
+    .withColumn("redacted",
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"))
+
   /** Rolling polynomial fingerprint of the token stream:
     * fold(h = (h*31 + md5mod(token)) mod p). Order-sensitive (unlike a
     * set hash) so it fingerprints the document, not its vocabulary.

@@ -109,6 +109,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_percentile"), p)
   }
 
+  test("q65: benchmark shingles BROADCAST to the corpus side (the " +
+    "corpus never shuffles its text for a decontamination probe)") {
+    val p = plan("q65_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q68: the budget sampler's big window partitions on the hash " +
+    "BUCKET (bounded tasks), never on the group alone") {
+    val p = plan("q68_token_budget_sample")
+    // phase-1 window must include _bucket in its partition spec; the
+    // naive shape (whole language in one window task) would not
+    assert(p.contains("_bucket"), p)
+    // the offsets table joins back via broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q59: lead+lag share ONE window sort (single exchange on user_id)") {
     val p = plan("q59_lead_lag")
     assert(p.split("Window").length === 2, p) // one Window node for both
