@@ -868,5 +868,64 @@ object Oracle {
          |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
          |  CAST(cum AS BIGINT) AS cum_n_tokens
          |FROM w WHERE cum - n_tokens < 3000 ORDER BY doc_id""".stripMargin,
+
+    "q69_tfidf_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |    ${f6("tf * (n_docs + 1.0) / (df_t + 1.0)")} AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q70_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${md5Mod("CAST(doc_id AS VARCHAR)")} <
+         |  CASE source WHEN 'src0' THEN ${(0.5 * Hashing.SmallPrime).toLong}
+         |    WHEN 'src1' THEN ${(0.2 * Hashing.SmallPrime).toLong}
+         |    ELSE ${(0.08 * Hashing.SmallPrime).toLong} END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q71_length_band" ->
+      """WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+        |    quantile_disc(n_chars, 0.95) AS hi FROM documents)
+        |SELECT doc_id, n_chars, lo, hi FROM documents CROSS JOIN b
+        |WHERE n_chars BETWEEN lo AND hi ORDER BY doc_id""".stripMargin,
+
+    // every derived double constant is interpolated from the SAME Scala
+    // doubles the query uses (shortest round-trip repr), so both
+    // engines evaluate bit-identical literals in the same op order
+    "q72_bm25" -> {
+      val terms = Seq("join", "hash", "merge")
+      val (k1, b) = (1.2, 0.75)
+      val contrib = s"(n_docs - df_t + 0.5) / (df_t + 0.5) * " +
+        s"(tf * ${k1 + 1}) / (tf + $k1 * " +
+        s"(${1 - b} + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+      val slots = terms.map(t0 =>
+        s"COALESCE(max(CASE WHEN term = '$t0' THEN contrib END), 0.0)")
+        .mkString(" + ")
+      s"""WITH dl AS (SELECT doc_id, len($toks) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+         |  WHERE term IN (${terms.map(t0 => s"'$t0'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |per AS (SELECT tf.doc_id, tf.term, $contrib AS contrib
+         |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |agg AS (SELECT doc_id, ${f6(slots)} AS bm25,
+         |    CAST(count(*) AS INTEGER) AS n_terms_hit
+         |  FROM per GROUP BY doc_id),
+         |r AS (SELECT doc_id, bm25, n_terms_hit, row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg)
+         |SELECT doc_id, bm25, n_terms_hit, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
   )
 }

@@ -684,6 +684,107 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF-style top terms per doc with a RATIONAL idf —
+    * tf·(N+1)/(df+1) instead of tf·log(N/df): the ranking logic and the
+    * dataflow (explode → tf agg → df join → per-doc top-k window) are
+    * the real thing, while every arithmetic op (int mult, one double
+    * divide) is bit-identical across engines — log() is
+    * library-dependent and would make the oracle flaky at f6
+    * boundaries. */
+  def q69TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        f6(col("tf") * (col("n_docs") + lit(1.0)) / (col("df_t") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Deterministic stratified sampling: per-source keep fractions
+    * applied as integer hash thresholds (md5Mod(doc_id) < frac·P) — the
+    * sampleBy shape, but reproducible across engines/backfills because
+    * the coin is the portable hash, not an RNG. Pure filter, zero
+    * shuffle. */
+  def q70StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.functions.Hashing.SmallPrime
+    val thresholds: Seq[(String, Long)] = Seq(
+      "src0" -> (0.5 * P).toLong, "src1" -> (0.2 * P).toLong)
+    val defaultThreshold = (0.08 * P).toLong
+    val th = thresholds.foldRight(lit(defaultThreshold): Column) {
+      case ((src, t), other) =>
+        when(col("source") === src, lit(t)).otherwise(other)
+    }
+    t(s, dir, "documents")
+      .filter(graft.functions.Hashing.md5Mod(
+        col("doc_id").cast("string")) < th)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Quantile-band length filter: keep docs whose n_chars lies within
+    * the corpus's [p05, p95] — DISCRETE percentiles (actual set
+    * members, integer-exact) so the band edges carry no float
+    * interpolation ulp risk; the one-row bounds aggregate broadcasts. */
+  def q71LengthBand(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bounds = docs.agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .select(col("doc_id"), col("n_chars"), col("lo"), col("hi"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval scoring for a fixed query against the corpus —
+    * rational idf (N−df+0.5)/(df+0.5), k1=1.2, b=0.75. Per-term
+    * contributions land in FIXED conditional-aggregation slots and sum
+    * in literal order (a bare sum(double) over shuffled rows is
+    * order-dependent and can't be oracled); every division is written
+    * in the same order in both engines. Only query-term rows survive
+    * the explode (early filter), stats/df broadcast. */
+  def q72Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "hash", "merge")
+    val (k1, b) = (1.2, 0.75)
+    val docs = t(s, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("dl"))
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val contrib =
+      ((col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl") /
+            (col("sum_dl").cast("double") / col("n_docs"))))
+    val perTerm = tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+    val slots = terms.map(tm =>
+      coalesce(max(when(col("term") === tm, col("contrib"))), lit(0.0)))
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    perTerm.groupBy("doc_id")
+      .agg(f6(slots.reduce(_ + _)).as("bm25"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("bm25"), col("n_terms_hit"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** Approx distinct (HLL++) — the 100 TB replacement for exact counts.
     * The sketch value itself is engine-internal, so the gate emits a
     * portable assertion instead of a grey rows-only row: exact n /
@@ -955,5 +1056,9 @@ object Queries {
     "q66_repetition" -> (q66Repetition _),
     "q67_pii_redaction" -> (q67PiiRedaction _),
     "q68_token_budget_sample" -> (q68TokenBudgetSample _),
+    "q69_tfidf_top_terms" -> (q69TfidfTopTerms _),
+    "q70_stratified_sample" -> (q70StratifiedSample _),
+    "q71_length_band" -> (q71LengthBand _),
+    "q72_bm25" -> (q72Bm25 _),
   )
 }
