@@ -696,11 +696,17 @@ object Queries {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df via a count window over the (doc,term)-distinct tf rows — NOT
+    // a self-join against a re-aggregated copy: one scan of the text
+    // column instead of two, and the term-hash exchange the window
+    // needs is the same one the join would have paid (power-law term
+    // skew in that exchange is AQE-split either way)
+    val wTerm = Window.partitionBy("term")
+    val n = docs.agg(count(lit(1)).as("n_docs")) // metadata-only scan
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    tf.withColumn("df_t", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         f6(col("tf") * (col("n_docs") + lit(1.0)) / (col("df_t") + lit(1.0))))
       .withColumn("rank", row_number().over(w))
@@ -756,21 +762,41 @@ object Queries {
     val terms = Seq("join", "hash", "merge")
     val (k1, b) = (1.2, 0.75)
     val docs = t(s, dir, "documents")
-    val dl = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).as("dl"))
-    val tf = docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // ONE scan of the text column: tokenize once, carry doc length and
+    // the query-term-filtered token list through a single-element
+    // explode (the struct-wrap keeps the expensive tokenize out of the
+    // sibling-of-generator recompute trap), then explode_outer so
+    // hitless docs still reach the corpus-stats aggregate. The naive
+    // formulation scans documents twice more (dl + tf branches are
+    // physically separate scans — branch reuse does not exist in a
+    // single action).
+    val base = docs.select(col("doc_id"),
+        explode(array(graft.functions.Expr.let(
+          TextAnalysis.tokens(col("text"))) { tk =>
+          struct(size(tk).as("dl"),
+            filter(tk, t0 => terms.map(t0 === lit(_)).reduce(_ || _))
+              .as("hits"))
+        })).as("s"))
+      .select(col("doc_id"), col("s.dl").as("dl"),
+        explode_outer(col("s.hits")).as("term"))
+    // persist the post-aggregate frame (≈1 row per doc, text column
+    // gone): its three consumers (corpus stats, tf, df) would otherwise
+    // each re-scan and re-tokenize the corpus — predicate pushdown
+    // specializes their subtrees, so exchange reuse can't save them
+    val agg1 = base.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist()
+    val stats = agg1.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = agg1.filter(col("term").isNotNull)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val contrib =
       ((col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))) *
         (col("tf") * lit(k1 + 1)) /
         (col("tf") + lit(k1) *
           (lit(1 - b) + lit(b) * col("dl") /
             (col("sum_dl").cast("double") / col("n_docs"))))
-    val perTerm = tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+    val perTerm = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("contrib", contrib)
     val slots = terms.map(tm =>

@@ -126,6 +126,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q69: document frequency rides a window over tf — ONE text scan " +
+    "(a df self-join would scan and tokenize the corpus twice)") {
+    val p = plan("q69_tfidf_top_terms")
+    // two scans total: the text scan + the metadata-only count(*) scan
+    assert(p.split("Scan parquet").length - 1 <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q72: BM25 scans the text column ONCE; stats/tf/df consumers " +
+    "read the persisted post-aggregate frame") {
+    val q = Queries.all("q72_bm25")(spark, dir)
+    q.collect() // materialize so AQE finalizes stage reuse
+    val p = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.split("Scan parquet").length - 1 === 1, p)
+  }
+
   test("q59: lead+lag share ONE window sort (single exchange on user_id)") {
     val p = plan("q59_lead_lag")
     assert(p.split("Window").length === 2, p) // one Window node for both
