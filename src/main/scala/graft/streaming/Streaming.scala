@@ -103,6 +103,34 @@ object Streaming {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 
+  /** Stream–static decontamination probe: emit the documents from a
+    * stream that share at least one word n-gram with a STATIC
+    * benchmark/blocklist set — the continuous form of the batch
+    * decontamination pass (q65), producing the quarantine feed an
+    * ingest pipeline routes away from training data.
+    *
+    * Shape: the static side's distinct shingle hashes broadcast (eval
+    * sets are small by nature); the stream side explodes to shingles
+    * and LEFT SEMI equi-joins per micro-batch — a stateless broadcast
+    * hash join, no join state. The only state is the
+    * within-watermark dedup that collapses multi-shingle matches to
+    * one row per doc, bounded by arrival rate × delay. */
+  def quarantineStream(docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, delay: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val benchSh = broadcast(bench.select(explode(array_distinct(
+      Dedup.shingleHashes(col(benchTextCol), n, mod = false))).as("sh"))
+      .distinct())
+    docs.withWatermark(tsCol, delay)
+      .select(col(idCol), col(tsCol),
+        explode(array_distinct(
+          Dedup.shingleHashes(col(textCol), n, mod = false))).as("sh"))
+      .join(benchSh, Seq("sh"), "left_semi")
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   // ------------------------------------------------------------------
   // Custom state: event-time sessionization via flatMapGroupsWithState
   // ------------------------------------------------------------------

@@ -61,6 +61,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
   }
 
+  test("decodeImage handles JPEG (lossy: dimensions exact, channel " +
+    "sums within codec tolerance)") {
+    val img = new java.awt.image.BufferedImage(16, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 16)
+      img.setRGB(x, y, (128 << 16) | (64 << 8) | 200)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val Some(f) = Multimodal.decodeImage(baos.toByteArray)
+    assert(f(0) === 16L && f(1) === 9L)
+    val n = 16 * 9
+    // flat-color JPEG decodes near the source values (chroma subsampling
+    // shifts them slightly); ±6 per pixel is far beyond any codec drift
+    assert(math.abs(f(2) - 128L * n) <= 6L * n, f.mkString(","))
+    assert(math.abs(f(3) - 64L * n) <= 6L * n, f.mkString(","))
+    assert(math.abs(f(4) - 200L * n) <= 6L * n, f.mkString(","))
+  }
+
   test("imageFeatures: end-to-end DataFrame path over generated PNGs") {
     val df = Multimodal.imageFeatures(
       Multimodal.withGeneratedPng(

@@ -100,6 +100,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("quarantineStream: docs sharing a trigram with the static " +
+    "benchmark set are flagged exactly once; clean docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta", "one two three four")
+      .toDF("text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = Streaming.quarantineStream(docs, "text", "doc_id", "ts",
+      "1 hour", bench, "text")
+    val q = out.writeStream.format("memory").queryName("quarantine")
+      .outputMode("append").start()
+    mem.addData(
+      // shares "alpha beta gamma" AND "beta gamma delta": must emit ONCE
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "prefix alpha beta gamma delta suffix"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"),
+        "totally unrelated clean document text"),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"),
+        "the words one two three appear here"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("quarantine").select("doc_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq === Seq(1L, 3L))
+  }
+
   test("windowedCounts: aggregation state survives a restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val out = tmp("wcr-out"); val cp = tmp("wcr-cp")
