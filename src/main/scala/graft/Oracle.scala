@@ -927,5 +927,13 @@ object Oracle {
          |SELECT doc_id, bm25, n_terms_hit, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
+
+    // the bloom prefilter must be result-invisible: the oracle is the
+    // PLAIN semi join
+    "q73_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+        |WHERE l_suppkey IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -811,6 +811,21 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** Bloom-prefiltered semi join: lineitem rows for suppliers of one
+    * nation. Result ≡ the plain semi join (the oracle states exactly
+    * that) — the bloom admits false positives, never false negatives,
+    * and the exact join removes the former — but the probe side sheds
+    * non-matching rows BEFORE its shuffle via a 128 KB broadcast
+    * bitset, the runtime-filter shape that dominates selective semi
+    * joins at 100 TB. */
+  def q73BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val suppliers = t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+    RuntimeFilter.bloomSemiJoin(
+      t(s, dir, "lineitem"), suppliers, "l_suppkey", "s_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Approx distinct (HLL++) — the 100 TB replacement for exact counts.
     * The sketch value itself is engine-internal, so the gate emits a
     * portable assertion instead of a grey rows-only row: exact n /
@@ -1086,5 +1101,6 @@ object Queries {
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_length_band" -> (q71LengthBand _),
     "q72_bm25" -> (q72Bm25 _),
+    "q73_bloom_semi_join" -> (q73BloomSemiJoin _),
   )
 }

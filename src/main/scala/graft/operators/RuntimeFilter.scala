@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BloomFilterAgg, BloomMightContain, Hashing}
+
+/** Runtime filters: ship a compact summary of a join's build side to
+  * the probe side so rows that cannot match are dropped BEFORE the
+  * probe's shuffle — at 100 TB the probe shuffle is the dominant cost
+  * of a selective semi join, and a 128 KB bloom broadcast routinely
+  * eliminates 90%+ of it. (Spark's own runtime row-level filtering has
+  * the same shape; this one is engine-portable — md5-based hashes, a
+  * serializable bitset — and composes with any of our operators.)
+  */
+object RuntimeFilter {
+
+  private def hashed(c: Column): Column = Hashing.md5Long(c.cast("string"))
+
+  /** The build side's keys aggregated into one m-bit bloom (a 1-row,
+    * 1-column DataFrame holding the serialized bitset). */
+  def bloomOf(build: DataFrame, keyCol: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = BloomMightContain.DefaultNumHashes): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val agg = GraftSql.column(
+      BloomFilterAgg(GraftSql.expression(col("_bloom_h")), numBits,
+        numHashes).toAggregateExpression())
+    build.select(hashed(col(keyCol)).as("_bloom_h"))
+      .agg(agg.as("bloom"))
+  }
+
+  /** Semi join with a bloom prefilter: exactly `probe LEFT SEMI JOIN
+    * build` (the bloom admits false positives, never false negatives,
+    * and the exact join removes the former), but the probe side is
+    * filtered down BEFORE its shuffle by the broadcast bloom. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = BloomMightContain.DefaultNumHashes): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val bloom = bloomOf(build, buildKey, numBits, numHashes)
+    val mightContain = GraftSql.column(BloomMightContain(
+      GraftSql.expression(col("bloom")),
+      GraftSql.expression(hashed(col(probeKey))), numHashes))
+    probe.crossJoin(broadcast(bloom))
+      .filter(mightContain)
+      .drop("bloom")
+      .join(build.select(col(buildKey).as(probeKey)).distinct(),
+        Seq(probeKey), "left_semi")
+  }
+}
