@@ -928,6 +928,28 @@ object Oracle {
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
 
+    "q74_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+         |  count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), (l_linestatus), ())
+         |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q75_outer_join" ->
+      s"""WITH per AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+         |    ${dsum("o_totalprice")} AS total_spent
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT c_nationkey, count(*) AS n_customers,
+         |  CAST(sum(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_without_orders,
+         |  ${dsum("COALESCE(total_spent, 0.0)")} AS nation_spend
+         |FROM customer LEFT JOIN per USING (c_custkey)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     // the bloom prefilter must be result-invisible: the oracle is the
     // PLAIN semi join
     "q73_bloom_semi_join" ->

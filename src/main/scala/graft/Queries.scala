@@ -304,6 +304,46 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form q25/q26 specialize,
+    * with grouping() markers disambiguating "NULL because subtotal"
+    * from "NULL in the data" (the distinction Hive-style reports rely
+    * on). Plans as ONE Expand over one scan, like rollup/cube. */
+  def q74GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status,
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), (l_linestatus), ())
+      ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+        l_linestatus ASC NULLS FIRST""")
+  }
+
+  /** Outer joins — the coverage q11–q14 (inner/semi/anti) leaves out:
+    * LEFT OUTER preserving customers with no orders (their aggregates
+    * coalesce to 0), plus a count proving the preserved-side rows
+    * survive. One shuffle per side; the orders side pre-aggregates
+    * BEFORE the join (aggregate-below-join beats join-then-aggregate:
+    * the join input shrinks from |orders| to |customers-with-orders|). */
+  def q75OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+    t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(perCust, Seq("c_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders").isNull, 1L).otherwise(0L))
+          .as("n_without_orders"),
+        dsum(coalesce(col("total_spent"), lit(0.0))).as("nation_spend"))
+      .orderBy("c_nationkey")
+  }
+
   /** CUBE grouping sets. */
   def q26Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1102,5 +1142,7 @@ object Queries {
     "q71_length_band" -> (q71LengthBand _),
     "q72_bm25" -> (q72Bm25 _),
     "q73_bloom_semi_join" -> (q73BloomSemiJoin _),
+    "q74_grouping_sets" -> (q74GroupingSets _),
+    "q75_outer_join" -> (q75OuterJoin _),
   )
 }

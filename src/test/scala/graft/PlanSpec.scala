@@ -94,6 +94,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("q74: GROUPING SETS plans as ONE Expand over ONE scan (no " +
+    "per-set rescans, no union of aggregates)") {
+    val p = plan("q74_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(p.split("Scan parquet").length === 2, p) // exactly one scan
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q57: unpivot plans as Expand over the aggregate (no join, no " +
     "repeated scan)") {
     val p = plan("q57_unpivot")
