@@ -950,6 +950,17 @@ object Oracle {
          |FROM customer LEFT JOIN per USING (c_custkey)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // the Misra-Gries sketch must be result-invisible: the oracle is
+    // the PLAIN exact top-10 by frequency
+    "q76_heavy_hitters" ->
+      s"""WITH f AS (SELECT term, count(*) AS freq
+         |  FROM (SELECT unnest($toks) AS term FROM documents) GROUP BY 1),
+         |r AS (SELECT term, freq, row_number() OVER (
+         |    ORDER BY freq DESC, term ASC) AS rank FROM f)
+         |SELECT term, CAST(freq AS BIGINT) AS freq,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // the bloom prefilter must be result-invisible: the oracle is the
     // PLAIN semi join
     "q73_bloom_semi_join" ->

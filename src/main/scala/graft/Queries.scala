@@ -866,6 +866,18 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Heavy hitters: exact top-10 tokens by raw frequency, computed via
+    * the Misra–Gries candidate sketch + exact recount — the shuffle
+    * carries O(capacity) candidate terms, not the vocabulary. The
+    * oracle is the PLAIN exact top-10: the sketch must be
+    * result-invisible (same contract as the bloom prefilter). */
+  def q76HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    HeavyHitters.topKByFrequency(toks, "term", 10)
+      .orderBy("rank")
+  }
+
   /** Approx distinct (HLL++) — the 100 TB replacement for exact counts.
     * The sketch value itself is engine-internal, so the gate emits a
     * portable assertion instead of a grey rows-only row: exact n /
@@ -1144,5 +1156,6 @@ object Queries {
     "q73_bloom_semi_join" -> (q73BloomSemiJoin _),
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_outer_join" -> (q75OuterJoin _),
+    "q76_heavy_hitters" -> (q76HeavyHitters _),
   )
 }
