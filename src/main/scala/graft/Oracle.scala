@@ -950,6 +950,18 @@ object Oracle {
          |FROM customer LEFT JOIN per USING (c_custkey)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // shift-and-mask reconstruction of the Morton interleave — bit
+    // positions are disjoint so + is |
+    "q77_zorder" -> {
+      val z = (0 until 16).flatMap(i => Seq(
+        s"(((l_suppkey >> $i) & 1) << ${2 * i})",
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS z
+         |FROM lineitem
+         |ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
+         |LIMIT 100""".stripMargin
+    },
+
     // the Misra-Gries sketch must be result-invisible: the oracle is
     // the PLAIN exact top-10 by frequency
     "q76_heavy_hitters" ->

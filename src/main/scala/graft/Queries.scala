@@ -866,6 +866,19 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Z-order (Morton) values — the clustering key behind
+    * two-dimensional file pruning (Layout.zorderWrite): bit-exact
+    * engine-portable interleave, verified against the oracle's
+    * shift-and-mask reconstruction. Top-100 rows by z keeps the result
+    * small while exercising every bit position. */
+  def q77Zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zorder(col("l_suppkey"), col("l_partkey")).as("z"))
+      .orderBy(col("z").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(100)
+
   /** Heavy hitters: exact top-10 tokens by raw frequency, computed via
     * the Misra–Gries candidate sketch + exact recount — the shuffle
     * carries O(capacity) candidate terms, not the vocabulary. The
@@ -1157,5 +1170,6 @@ object Queries {
     "q74_grouping_sets" -> (q74GroupingSets _),
     "q75_outer_join" -> (q75OuterJoin _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
+    "q77_zorder" -> (q77Zorder _),
   )
 }
