@@ -70,12 +70,17 @@ class BloomSpec extends SparkSpec {
     assert(viaBloom === exact)
     assert(exact.nonEmpty)
     // selectivity: the bloom-passed subset is far smaller than the
-    // probe (here build keys are a small fraction of supplier keys)
-    val bloom = RuntimeFilter.bloomOf(build, "s_suppkey", 1 << 20, k)
-    val passed = probe.crossJoin(broadcast(bloom))
-      .filter(mightContain(col("bloom"),
-        graft.functions.Hashing.md5Long(col("l_suppkey").cast("string"))))
-      .count()
+    // probe (here build keys are a small fraction of supplier keys);
+    // literal-embedded filter, the operator's own fast path
+    val bloomBytes = RuntimeFilter.bloomOf(build, "s_suppkey", 1 << 20, k)
+      .collect().head.getAs[Array[Byte]](0)
+    val pred = org.apache.spark.sql.GraftSql.column(BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.GraftSql.expression(
+        graft.functions.Hashing.md5Long(col("l_suppkey").cast("string"))),
+      k))
+    val passed = probe.filter(pred).count()
     assert(passed < probe.count() / 2, s"passed=$passed")
     assert(passed >= exact.size)
   }
