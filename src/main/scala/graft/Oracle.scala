@@ -950,6 +950,42 @@ object Oracle {
          |FROM customer LEFT JOIN per USING (c_custkey)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // naive a<b<c triangle count — the degree-oriented Spark plan must
+    // find exactly the same triangles
+    "q78_triangles" ->
+      """WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |    JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    "q79_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS c_ts FROM events e
+        |    JOIN v USING (user_id)
+        |    WHERE event_type = 'click' AND ts > v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS p_ts FROM events e
+        |    JOIN c USING (user_id)
+        |    WHERE event_type = 'purchase' AND ts > c_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+
+    "q80_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS aw FROM events)
+        |SELECT CAST(cw AS VARCHAR) AS cohort_week,
+        |  CAST((aw - cw) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // shift-and-mask reconstruction of the Morton interleave — bit
     // positions are disjoint so + is |
     "q77_zorder" -> {

@@ -879,6 +879,97 @@ object Queries {
         col("l_linenumber").asc)
       .limit(100)
 
+  /** Triangle count on the co-purchase graph (parts sharing an order),
+    * via DEGREE ORIENTATION: direct every edge toward its higher-
+    * (degree, id) endpoint, enumerate wedges only at each triangle's
+    * π-minimal vertex, close them against the oriented edge set. Out-
+    * degrees are O(√m) under this orientation, so the wedge join is
+    * bounded — the standard trick that keeps triangle counting feasible
+    * when a hub vertex would make naive wedge enumeration quadratic.
+    * The oracle counts the same triangles with the naive a<b<c SQL. */
+  def q78Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct().persist()
+    // degree table = |vertices| rows (keys, not edges) — broadcastable
+    // for dimension-like vertex sets; at vertex counts past the
+    // broadcast threshold these two joins fall back to shuffles on a/b
+    val deg = broadcast(
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    // carry the destination's π-rank (degree, id) so wedge pairs can be
+    // ordered WITHOUT re-joining degrees: only π-ordered wedges (v,w)
+    // are emitted, halving the wedge join and matching the oriented
+    // close edge exactly once per triangle
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+        .otherwise(
+          struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"),
+        col("e.dt").as("dd"))
+      .persist()
+    val w1 = oriented.select(col("src"), col("dst").as("v"),
+      col("dd").as("dv"))
+    val w2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dd").as("dw"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(triangles))
+  }
+
+  /** Conversion funnel view → click → purchase with STRICT event-time
+    * ordering per user (a click counts only after that user's first
+    * view; a purchase only after that click). Three conditional-min
+    * aggregates chained by co-partitioned user_id joins — one shuffle
+    * key end to end. */
+  def q79Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+  }
+
+  /** Weekly cohort retention: users bucketed by the Monday-truncated
+    * week of their first event; n_active per (cohort, week offset).
+    * Two aggregates and one user-keyed join — the classic retention
+    * matrix with no driver-side loops. */
+  def q80CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("aw")).distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cw"), ((datediff(col("aw"), col("cw")) / 7)
+        .cast("int")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("cw").cast("string").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Heavy hitters: exact top-10 tokens by raw frequency, computed via
     * the Misra–Gries candidate sketch + exact recount — the shuffle
     * carries O(capacity) candidate terms, not the vocabulary. The
@@ -1171,5 +1262,8 @@ object Queries {
     "q75_outer_join" -> (q75OuterJoin _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q77_zorder" -> (q77Zorder _),
+    "q78_triangles" -> (q78Triangles _),
+    "q79_funnel" -> (q79Funnel _),
+    "q80_cohort_retention" -> (q80CohortRetention _),
   )
 }
