@@ -889,10 +889,16 @@ object Queries {
     * The oracle counts the same triangles with the naive a<b<c SQL. */
   def q78Triangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("l1").join(li.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
-      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+    // per-order pair expansion beats a lineitem self-join: one groupBy
+    // exchange + an in-memory C(k,2) explode over tiny (≤7-item)
+    // sorted part lists, instead of a sort-merge join over the full
+    // table — the order key never re-sorts
+    val e = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct().persist()
     // degree table = |vertices| rows (keys, not edges) — broadcastable
     // for dimension-like vertex sets; at vertex counts past the

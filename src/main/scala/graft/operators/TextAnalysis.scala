@@ -96,7 +96,10 @@ object TextAnalysis {
           })
       }
     }
-    df.withColumn("lang_pred", pred)
+    // NULL text → NULL prediction, not a fabricated "und" (the fold's
+    // null comparisons would otherwise fall through to the default)
+    df.withColumn("lang_pred",
+      when(col(textCol).isNotNull, pred))
   }
 
   /** Within-document repetition (Gopher-style quality signal): the
@@ -107,11 +110,15 @@ object TextAnalysis {
     * division is total. */
   def withRepetition(df: DataFrame, textCol: String): DataFrame = {
     def f6(c: Column) = floor(c * lit(1000000L)) / lit(1000000.0)
-    val res = Expr.let(Dedup.shingles(col(textCol), 2)) { bg =>
-      struct(
-        size(bg).as("n"),
-        size(array_distinct(bg)).as("d"))
-    }
+    // NULL text must yield NULL stats, not a fabricated 0.0 dup_frac:
+    // shingles' whole-text fallback turns a null doc into [null] (one
+    // "bigram"), so guard explicitly
+    val res = when(col(textCol).isNotNull,
+      Expr.let(Dedup.shingles(col(textCol), 2)) { bg =>
+        struct(
+          size(bg).as("n"),
+          size(array_distinct(bg)).as("d"))
+      })
     df.withColumn("_rep", res)
       .withColumn("n_bigrams", col("_rep.n"))
       .withColumn("n_distinct_bigrams", col("_rep.d"))

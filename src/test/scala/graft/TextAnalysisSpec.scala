@@ -51,4 +51,32 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").select("fingerprint").as[Long].collect()
     assert(fps(0) !== fps(1))
   }
+
+  test("NULL text flows through every text operator as NULL — no " +
+    "crash, no fabricated zero stats (production corpora have nulls " +
+    "even though the fixture doesn't)") {
+    import graft.operators.Dedup
+    val df = Seq((1L, Option("alpha beta gamma two three")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.withFingerprint(
+      TextAnalysis.withLangId(
+        TextAnalysis.withRepetition(
+          TextAnalysis.withQuality(
+            TextAnalysis.withTokenStats(df, "text"), "text"), "text"),
+        "text"), "text")
+      .withColumn("mh", Dedup.minhashSignature($"text", 3, 8))
+      .withColumn("sh", Dedup.simhash($"text"))
+      .orderBy("doc_id").collect()
+    val nullRow = out(1)
+    for (c <- Seq("n_tokens", "quality_score", "dup_frac", "lang_pred",
+      "fingerprint", "mh", "sh"))
+      assert(nullRow.isNullAt(nullRow.fieldIndex(c)), c)
+    val okRow = out(0)
+    assert(!okRow.isNullAt(okRow.fieldIndex("n_tokens")))
+    // redactPii: null text → null counts + null redacted
+    val red = TextAnalysis.redactPii(df, "text").orderBy("doc_id").collect()
+    assert(red(1).isNullAt(red(1).fieldIndex("n_emails")))
+    assert(red(1).isNullAt(red(1).fieldIndex("redacted")))
+    assert(!red(0).isNullAt(red(0).fieldIndex("n_emails")))
+  }
 }
