@@ -134,6 +134,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q78: triangle counting never degrades to a cartesian; the " +
+    "degree table broadcasts") {
+    val p = plan("q78_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly ONE nested-loop join: the 1-row × 1-row scalar combine
+    // (n_edges × n_triangles) — never on the edge/wedge sides
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q69: document frequency rides a window over tf — ONE text scan " +
     "(a df self-join would scan and tokenize the corpus twice)") {
     val p = plan("q69_tfidf_top_terms")
