@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Prep
@@ -129,6 +129,47 @@ object Streaming {
       .join(benchSh, Seq("sh"), "left_semi")
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol), col(tsCol))
+  }
+
+  // ------------------------------------------------------------------
+  // Arbitrary state v2: transformWithState (Spark 4's successor to
+  // [flat]mapGroupsWithState — typed state handles, TTL, timers,
+  // RocksDB-backed)
+  // ------------------------------------------------------------------
+
+  final case class KeyedValue(key: String, value: Double)
+  final case class RunningTotal(key: String, n: Long, total: Double)
+
+  /** Per-key running count+sum that survives across micro-batches —
+    * the transformWithState form of a continuously-updated aggregate.
+    * State is one (count, sum) pair per live key in the RocksDB state
+    * store (transformWithState requires the RocksDB provider; the
+    * caller sets `spark.sql.streaming.stateStore.providerClass`), with
+    * an optional TTL so abandoned keys age out instead of accumulating
+    * forever — the state-bound story at unbounded input. */
+  class RunningTotalProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedValue, RunningTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      var (n, tot) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; tot += e.value }
+      totals.update((n, tot))
+      Iterator.single(RunningTotal(key, n, tot))
+    }
+  }
+
+  def runningTotals(events: Dataset[KeyedValue],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new RunningTotalProcessor(ttl),
+        TimeMode.None(), OutputMode.Update)
   }
 
   // ------------------------------------------------------------------

@@ -126,6 +126,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 3L))
   }
 
+  test("runningTotals (transformWithState): per-key state accumulates " +
+    "across micro-batches on the RocksDB store") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Double)]
+      val ds = mem.toDS().map(t =>
+        Streaming.KeyedValue(t._1, t._2))
+      val q = Streaming.runningTotals(ds).toDF()
+        .writeStream.format("memory").queryName("rt")
+        .outputMode("update").start()
+      mem.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+      q.processAllAvailable()
+      mem.addData(("click", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      // update mode emits one row per key per batch: the final state is
+      // the emission with the highest count (collect order is not
+      // guaranteed)
+      val last = spark.table("rt").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(last("click") === ((3L, 7.0))) // state crossed the batches
+      assert(last("view") === ((1L, 5.0)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowedCounts: aggregation state survives a restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val out = tmp("wcr-out"); val cp = tmp("wcr-cp")
