@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components.
+  *
+  * PageRank here uses ORDER-INDEPENDENT fixed-point arithmetic: ranks
+  * are int64 scaled by 2^30, per-edge contributions are integer
+  * divisions, and per-node sums are exact long additions — so the
+  * result is bit-identical under any partitioning/merge order (double
+  * sums over shuffled contributions are not, which is why a float
+  * formulation can't be differentially tested — the same trick as the
+  * IVF Lloyd step). Each round is one shuffle (contributions grouped by
+  * destination) plus a broadcast of the two scalar aggregates (dangling
+  * mass, total nodes); lineage is truncated per round with
+  * localCheckpoint exactly like connectedComponents — plans stay O(1)
+  * per iteration.
+  */
+object Graph {
+
+  val Scale: Long = 1L << 30
+
+  /** Exact integer floor-division for longs (Column./ is always DOUBLE
+    * division). Safe because every numerator here is < 2^53: the double
+    * quotient m/n can only round across an integer boundary when
+    * n·q > 2^53, i.e. m > 2^53 — so cast-truncate ≡ floor exactly. */
+  private def ldiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (a / b).cast("long")
+
+  /** `iters` rounds of damped PageRank over a DIRECTED edge list
+    * (src, dst). Dangling mass (nodes with no out-edges) redistributes
+    * uniformly. Returns (id, pr_fixed) with pr_fixed = rank · 2^30;
+    * ranks sum to ~2^30·N/N = 2^30 up to integer-floor loss. Scaling
+    * bound: intermediate products stay under 2^63 for N·damping·2^30 <
+    * 2^62, i.e. any graph under ~4B nodes with damping as d100/100. */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      iters: Int = 10, dampingPct: Int = 85): DataFrame = {
+    require(dampingPct > 0 && dampingPct < 100)
+    val n = nodes.select(col(idCol).as("id")).distinct().persist()
+    val e = edges.select(col("src"), col("dst")).persist()
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nCount = n.agg(count(lit(1)).as("n_nodes"))
+
+    // init: every node starts at 2^30 / N (exact integer division —
+    // the tiny floor loss is identical everywhere)
+    var ranks = n.crossJoin(broadcast(nCount))
+      .select(col("id"), ldiv(lit(Scale), col("n_nodes")).as("pr"),
+        col("n_nodes"))
+      .join(outDeg, Seq("id"), "left")
+      .localCheckpoint(true)
+
+    var i = 0
+    while (i < iters) {
+      // per-edge contribution = floor(pr/outdeg); per-node inflow is an
+      // exact long sum — the one shuffle of the round
+      val contrib = ranks.filter(col("outdeg").isNotNull)
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), ldiv(col("pr"), col("outdeg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("inflow"))
+      val dangling = ranks.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling"))
+      // pr' = (100-d)·S/(100·N) + d·(inflow + dangling/N)/100, all in
+      // integer arithmetic with a FIXED operation order
+      val prNew =
+        ldiv(lit((100L - dampingPct) * Scale),
+          lit(100L) * col("n_nodes")) +
+          ldiv(lit(dampingPct.toLong) * (coalesce(col("inflow"), lit(0L)) +
+            ldiv(col("dangling"), col("n_nodes"))), lit(100L))
+      ranks = ranks
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), prNew.as("pr"), col("n_nodes"), col("outdeg"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = ranks.select(col("id"), col("pr").as("pr_fixed"))
+    n.unpersist()
+    e.unpersist()
+    out
+  }
+}

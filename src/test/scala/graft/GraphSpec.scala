@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** PageRank contract: the distributed fixed-point recurrence equals a
+  * sequential reference EXACTLY (the arithmetic is order-independent by
+  * construction), under any partitioning, and tracks float PageRank. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference computing the identical fixed-point
+    * recurrence. */
+  private def reference(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int, dampingPct: Int): Map[Long, Long] = {
+    val n = nodes.size.toLong
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) => inflow(d) += pr(s) / outDeg(s) }
+      val dangling = nodes.filterNot(outDeg.contains).map(pr).sum
+      pr = nodes.map(v => v ->
+        ((100L - dampingPct) * Graph.Scale / (100L * n) +
+          dampingPct.toLong * (inflow(v) + dangling / n) / 100L)).toMap
+    }
+    pr
+  }
+
+  private def randomGraph(nNodes: Int, nEdges: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = (0L until nNodes.toLong).toSeq
+    val edges = (1 to nEdges).map(_ =>
+      (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      .filter(e => e._1 != e._2).distinct
+    (nodes, edges)
+  }
+
+  test("distributed fixed-point PageRank == sequential reference, " +
+    "bit-exact, under 1/8/32-way partitioning") {
+    val (nodes, edges) = randomGraph(120, 600, 3)
+    val expected = reference(nodes, edges, iters = 8, dampingPct = 85)
+    for (parts <- Seq(1, 8, 32)) {
+      val nDf = nodes.toDF("id").repartition(parts)
+      val eDf = edges.toDF("src", "dst").repartition(parts)
+      val got = Graph.pageRank(nDf, "id", eDf, iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("ranks behave like PageRank: a sink everyone links to outranks " +
+    "everything; mass is conserved up to floor loss") {
+    // star: 0..9 all link to 10
+    val nodes = (0L to 10L).toSeq
+    val edges = (0L to 9L).map(s => (s, 10L))
+    val pr = Graph.pageRank(nodes.toDF("id"), "id",
+      edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(10L) > 5 * pr(0L))
+    assert((0L to 9L).map(pr).distinct.size === 1) // symmetric leaves
+    val total = pr.values.sum.toDouble
+    assert(total > 0.9 * Graph.Scale && total <= Graph.Scale)
+  }
+}
