@@ -81,4 +81,39 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** The k-core: the maximal subgraph where every vertex has degree ≥ k,
+    * found by iterative peeling — drop sub-k vertices, recompute
+    * degrees, repeat to fixpoint. The fixpoint is unique, so the result
+    * is deterministic regardless of peel order/parallelism. Each round
+    * is one degree aggregate + two semi joins; the edge count rides the
+    * checkpoint job via observe() (no separate probe job), and
+    * convergence = no edge dropped. Returns the surviving vertex ids. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    var adj = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var prevEdges = -1L
+    var curEdges = adj.count()
+    var iter = 0
+    while (curEdges != prevEdges && curEdges > 0 && iter < maxIter) {
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      val obs = new org.apache.spark.sql.Observation(s"kcore_$iter")
+      val pruned = adj
+        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .observe(obs, count(lit(1)).as("n_edges"))
+        .localCheckpoint(true)
+      prevEdges = curEdges
+      curEdges = Option(obs.get("n_edges"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      adj = pruned
+      iter += 1
+    }
+    adj.select(col("src").as("id")).distinct()
+  }
 }

@@ -51,6 +51,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Sequential peeling reference for the k-core. */
+  private def kCoreRef(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+    var adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+    var changed = true
+    while (changed && adj.nonEmpty) {
+      val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val pruned = adj.filter(e => keep(e._1) && keep(e._2))
+      changed = pruned.size != adj.size
+      adj = pruned
+    }
+    adj.map(_._1).toSet
+  }
+
+  test("kCore == sequential peeling on seeded random graphs, for " +
+    "several k, under 1/8/32-way partitioning") {
+    val (_, edges0) = randomGraph(80, 300, 17)
+    val edges = edges0.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    for (k <- Seq(2, 3, 5); parts <- Seq(1, 8, 32)) {
+      val eDf = edges.toDF("id_a", "id_b").repartition(parts)
+      val got = Graph.kCore(eDf, k).as[Long].collect().toSet
+      assert(got === kCoreRef(edges, k), s"k=$k parts=$parts")
+    }
+    // known structure: a 4-clique with a pendant tail — the 3-core is
+    // exactly the clique
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val core3 = Graph.kCore(clique.toDF("id_a", "id_b"), 3)
+      .as[Long].collect().toSet
+    assert(core3 === Set(1L, 2L, 3L, 4L))
+    // k above max degree: empty core
+    assert(Graph.kCore(clique.toDF("id_a", "id_b"), 10).count() === 0L)
+  }
+
   test("ranks behave like PageRank: a sink everyone links to outranks " +
     "everything; mass is conserved up to floor loss") {
     // star: 0..9 all link to 10
