@@ -950,6 +950,20 @@ object Oracle {
          |FROM customer LEFT JOIN per USING (c_custkey)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // the priority division is ONE double op computed identically in
+    // both engines; rank ties break on doc_id
+    "q81_priority_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($toks) AS w,
+         |    ${md5Long("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT doc_id, lang, w, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY CAST(h AS DOUBLE) / CAST(w AS DOUBLE) ASC,
+         |      doc_id ASC) AS rank
+         |  FROM t)
+         |SELECT doc_id, lang, CAST(w AS INTEGER) AS n_tokens,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY doc_id""".stripMargin,
+
     // naive a<b<c triangle count — the degree-oriented Spark plan must
     // find exactly the same triangles
     "q78_triangles" ->

@@ -851,6 +851,18 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** Weighted sampling with zero randomness: sequential Poisson /
+    * priority sampling — k smallest h/w priorities per language, so
+    * token-heavy docs are proportionally likelier to be drawn and the
+    * draw replays identically on any engine or backfill. */
+  def q81PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    Sampling.prioritySample(docs, "lang", "n_tokens", "doc_id", k = 20)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered semi join: lineitem rows for suppliers of one
     * nation. Result ≡ the plain semi join (the oracle states exactly
     * that) — the bloom admits false positives, never false negatives,
@@ -1271,5 +1283,6 @@ object Queries {
     "q78_triangles" -> (q78Triangles _),
     "q79_funnel" -> (q79Funnel _),
     "q80_cohort_retention" -> (q80CohortRetention _),
+    "q81_priority_sample" -> (q81PrioritySample _),
   )
 }

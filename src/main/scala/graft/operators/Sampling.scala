@@ -78,4 +78,23 @@ object Sampling {
     * string — any engine recomputes it). */
   def idHash(idCol: Column): Column =
     graft.functions.Hashing.md5Long(idCol.cast("string"))
+
+  /** Weighted sampling without randomness: sequential Poisson /
+    * priority sampling (Ohlsson; Duffield et al.) — each item gets
+    * priority h/w (deterministic uniform hash over its weight) and the
+    * k SMALLEST priorities per group are the sample, so heavier items
+    * are proportionally likelier to be drawn yet the draw is exactly
+    * reproducible across runs, engines and backfills. The ranking
+    * division is one double op computed identically everywhere; ties
+    * break on the id. One window shuffle per group — or compose with
+    * the q68 bucketing for the bounded-task variant. Adds a `rank`
+    * column; weight 0 → +Infinity priority → sampled last. */
+  def prioritySample(df: DataFrame, groupCol: String, weightCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((idHash(col(idCol)).cast("double") /
+        col(weightCol).cast("double")).asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

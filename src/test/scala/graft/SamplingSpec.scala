@@ -36,6 +36,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("prioritySample: deterministic under partitioning, respects k, " +
+    "and a dominant weight is drawn") {
+    val rnd = new scala.util.Random(9)
+    val base = (1L to 200L).map(i =>
+      (i, s"g${i % 3}", 1L + rnd.nextInt(20))) :+ ((999L, "g0", 1000000000L))
+    val draws = for (parts <- Seq(1, 32)) yield {
+      val df = base.toDF("id", "grp", "w").repartition(parts)
+      Sampling.prioritySample(df, "grp", "w", "id", k = 5)
+        .select("id", "grp", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    }
+    assert(draws(0) === draws(1)) // partitioning-invariant
+    val byGroup = draws(0).groupBy(_._2)
+    assert(byGroup.keySet === Set("g0", "g1", "g2"))
+    byGroup.values.foreach(g => assert(g.size === 5))
+    // the 10^9-weight item has priority ~1e9x smaller than any other:
+    // it must be in g0's sample
+    assert(draws(0).exists(_._1 === 999L))
+  }
+
   test("budgetPrefix: every group keeps at least its first doc, and " +
     "cumulative totals overshoot by at most one doc") {
     val df = fixture(200, 5)
