@@ -787,7 +787,12 @@ object Queries {
       expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("hi"))
     docs.crossJoin(broadcast(bounds))
       .filter(col("n_chars").between(col("lo"), col("hi")))
-      .select(col("doc_id"), col("n_chars"), col("lo"), col("hi"))
+      // percentile_disc returns DOUBLE in Spark but quantile_disc over a
+      // BIGINT column returns BIGINT in DuckDB; both are integer-valued
+      // (discrete percentile = an actual set member), so cast to long to
+      // make the emitted cells type-identical, not just numerically equal.
+      .select(col("doc_id"), col("n_chars"),
+        col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"))
       .orderBy("doc_id")
   }
 
@@ -912,12 +917,15 @@ object Queries {
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct().persist()
-    // degree table = |vertices| rows (keys, not edges) — broadcastable
-    // for dimension-like vertex sets; at vertex counts past the
-    // broadcast threshold these two joins fall back to shuffles on a/b
-    val deg = broadcast(
-      e.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("d")))
+    // degree table = |vertices| rows (keys, not edges). No broadcast
+    // HINT: a hint overrides autoBroadcastJoinThreshold and would
+    // collect |V| rows to the driver no matter the graph size — at
+    // billions of vertices that is a driver OOM, not a fallback. Left
+    // unhinted, Spark/AQE broadcasts small degree tables (this fixture
+    // qualifies) and degrades to a shuffle join on a/b past the
+    // threshold, which is the behavior a 100 TB graph needs.
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
     // carry the destination's π-rank (degree, id) so wedge pairs can be
     // ordered WITHOUT re-joining degrees: only π-ordered wedges (v,w)
     // are emitted, halving the wedge join and matching the oriented

@@ -134,14 +134,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q78: triangle counting never degrades to a cartesian; the " +
-    "degree table broadcasts") {
+  test("q78: triangle counting never degrades to a cartesian in either " +
+    "degree-join mode (broadcast or shuffle)") {
     val p = plan("q78_triangles")
     assert(!p.contains("CartesianProduct"), p)
     // exactly ONE nested-loop join: the 1-row × 1-row scalar combine
-    // (n_edges × n_triangles) — never on the edge/wedge sides
+    // (n_edges × n_triangles) — never on the edge/wedge sides.
+    // The degree joins carry NO broadcast hint (a hint would force a
+    // |V|-row driver collect at any graph size); whether they resolve
+    // to BroadcastHashJoin (small graphs, threshold/AQE) or a shuffle
+    // join (100 TB graphs) both shapes are equi-joins — cartesian-free
+    // is the invariant, the join mode is Spark's choice
     assert(p.split("BroadcastNestedLoopJoin").length - 1 === 1, p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
   test("q69: document frequency rides a window over tf — ONE text scan " +

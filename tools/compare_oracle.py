@@ -10,6 +10,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,23 +29,46 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def type_class(v) -> str:
+    """Coarse type class for strict cross-engine comparison. The driver's
+    hash is TYPE-sensitive: 86 (BIGINT) and 86.0 (DOUBLE) hash differently
+    even though == passes — the round-4 q71 failure shipped exactly because
+    this comparator accepted them as equal. Bool must be checked before int
+    (bool is an int subclass in Python and numpy)."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    return type(v).__name__
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    if hasattr(a, "__len__") and not isinstance(a, str) and \
-       hasattr(b, "__len__") and not isinstance(b, str):
+    if hasattr(a, "__len__") and not isinstance(a, (str, bytes)) and \
+       hasattr(b, "__len__") and not isinstance(b, (str, bytes)):
         if len(a) != len(b):
             return False
         return all(values_equal(x, y) for x, y in zip(a, b))
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if pd.isna(a) != pd.isna(b):
+            return False
     except (TypeError, ValueError):
         pass
+    if type_class(a) != type_class(b):
+        return False
+    if isinstance(a, (float, np.floating)):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
     return a == b
 
 
@@ -82,6 +106,24 @@ def main() -> int:
             continue
         if len(s) != len(d):
             print(f"{name}: ROWCOUNT_MISMATCH spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        # Column-level dtype audit: integer-vs-float kind mismatch is the
+        # q71 failure class — fail hard. Other dtype diffs (object vs
+        # string repr, int32 vs int64) get a visible warning so any driver
+        # sensitivity there can be chased from the log.
+        kind_bad = None
+        for col in s.columns:
+            sk, dk = s[col].dtype.kind, d[col].dtype.kind
+            if sk != dk and {sk, dk} <= {"i", "u", "f"} and "f" in {sk, dk}:
+                kind_bad = (col, s[col].dtype, d[col].dtype)
+                break
+            if s[col].dtype != d[col].dtype:
+                print(f"{name}: DTYPE_WARN col={col} "
+                      f"spark={s[col].dtype} duck={d[col].dtype}")
+        if kind_bad:
+            col, sd, dd = kind_bad
+            print(f"{name}: DTYPE_MISMATCH col={col} spark={sd} duck={dd}")
             n_fail += 1
             continue
         bad = None
