@@ -1030,5 +1030,59 @@ object Oracle {
         |WHERE l_suppkey IN
         |  (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // replays Graph.pageRank's int64 fixed-point recurrence verbatim as
+    // 10 chained CTEs — every op is an integer floor-div (DuckDB `//` ≡
+    // Spark (a/b).cast(long) for the nonnegative operands here) or an
+    // exact long sum, so the hash match is bit-for-bit, no tolerance.
+    // Constants: Scale 2^30, damping 85/100 — interpolated from the
+    // SAME Scala values the query passes to Graph.pageRank.
+    "q82_pagerank" -> {
+      val sc = graft.operators.Graph.Scale
+      val d = 85
+      def round(i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT n.id,
+           |    ((${(100L - d) * sc}) // (100 * nn.n))
+           |      + ($d * (COALESCE(inf.inflow, 0) + (dang.dm // nn.n))) // 100
+           |      AS pr
+           |  FROM nodes n
+           |  CROSS JOIN nn
+           |  CROSS JOIN (SELECT COALESCE(CAST(SUM(r.pr) AS BIGINT), 0) AS dm
+           |    FROM r${i - 1} r LEFT JOIN outdeg o USING (id)
+           |    WHERE o.od IS NULL) dang
+           |  LEFT JOIN (SELECT e.dst AS id,
+           |      CAST(SUM(r.pr // o.od) AS BIGINT) AS inflow
+           |    FROM r${i - 1} r JOIN outdeg o USING (id)
+           |      JOIN edges e ON e.src = r.id
+           |    GROUP BY 1) inf USING (id))""".stripMargin
+      s"""WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT l_partkey AS src, l_suppkey + 1000000 AS dst
+         |    FROM lineitem
+         |    UNION ALL
+         |    SELECT l_suppkey + 1000000 AS src, l_partkey AS dst
+         |    FROM lineitem WHERE l_suppkey % 2 = 1)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges
+         |    UNION ALL SELECT dst AS id FROM edges)),
+         |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, $sc // nn.n AS pr FROM nodes CROSS JOIN nn),
+         |${(1 to 10).map(round).mkString(",\n")}
+         |SELECT id, pr AS pr_fixed FROM r10 ORDER BY id""".stripMargin
+    },
+
+    // the GK sketch is merge-order-dependent so it must be
+    // result-invisible: the oracle states the exact quantiles and TRUE
+    // for the bound booleans (rank error ≤ n/accuracy by construction)
+    "q83_approx_percentile" ->
+      s"""SELECT l_returnflag,
+         |  ${f6("pq[2]")} AS p50, ${f6("pq[5]")} AS p95,
+         |  TRUE AS approx50_ok, TRUE AS approx95_ok
+         |FROM (SELECT l_returnflag,
+         |  quantile_cont(l_extendedprice,
+         |    [0.48, 0.5, 0.52, 0.93, 0.95, 0.97]) AS pq
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -868,6 +868,61 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Damped PageRank over the part↔supplier graph, ORACLE-PROVEN: the
+    * int64 fixed-point formulation (Graph.pageRank — ranks scaled by
+    * 2^30, every division an exact integer floor, every sum an exact
+    * long add) is bit-identical under any partitioning, so DuckDB can
+    * replay the same recurrence as 10 chained CTEs and hash-match
+    * cell-for-cell — no float tolerance anywhere. The graph: every
+    * lineitem part points at its supplier (offset +1e6 to disjoin the
+    * key spaces); odd suppliers point back, so even suppliers are
+    * DANGLING (exercising the dangling-mass redistribution) and parts
+    * fed by odd suppliers have genuine inflow. */
+  def q82PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val fwd = li.select(col("l_partkey").as("src"),
+      (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val rev = li.filter(col("l_suppkey") % 2 === 1)
+      .select((col("l_suppkey") + lit(1000000L)).as("src"),
+        col("l_partkey").as("dst"))
+    val edges = fwd.unionByName(rev).distinct()
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    Graph.pageRank(nodes, "id", edges, iters = 10, dampingPct = 85)
+      .orderBy("id")
+  }
+
+  /** approx_percentile with a rank-error-bound contract — the operator
+    * a real 100 TB pipeline runs instead of q50's exact sort (the GK
+    * sketch is one bounded-memory pass; the exact percentile buffers
+    * whole groups). Mirrors q40's HLL pattern: the sketch value is
+    * merge-order-dependent so it can't be emitted, but its GUARANTEE —
+    * rank error ≤ n/accuracy — is portable. accuracy=100 bounds rank
+    * error by 0.01·n; the assertion brackets each approx value between
+    * the exact quantiles at p∓0.02 (double the guaranteed bound, same
+    * slack ratio as q40's ±20% vs 5% rsd), which the quantile
+    * function's monotonicity makes equivalent to the rank bound. The
+    * exact percentile exists for the check only — production keeps the
+    * sketch. ONE buffer each (array forms), flattened above the agg. */
+  def q83ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, " +
+          "array(0.48D, 0.5D, 0.52D, 0.93D, 0.95D, 0.97D))").as("pq"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 100)")
+          .as("aq"))
+      .select(col("l_returnflag"),
+        f6(element_at(col("pq"), 2)).as("p50"),
+        f6(element_at(col("pq"), 5)).as("p95"),
+        (element_at(col("aq"), 1) >= element_at(col("pq"), 1) &&
+          element_at(col("aq"), 1) <= element_at(col("pq"), 3))
+          .as("approx50_ok"),
+        (element_at(col("aq"), 2) >= element_at(col("pq"), 4) &&
+          element_at(col("aq"), 2) <= element_at(col("pq"), 6))
+          .as("approx95_ok"))
+      .orderBy("l_returnflag")
+
   /** Bloom-prefiltered semi join: lineitem rows for suppliers of one
     * nation. Result ≡ the plain semi join (the oracle states exactly
     * that) — the bloom admits false positives, never false negatives,
@@ -1292,5 +1347,7 @@ object Queries {
     "q79_funnel" -> (q79Funnel _),
     "q80_cohort_retention" -> (q80CohortRetention _),
     "q81_priority_sample" -> (q81PrioritySample _),
+    "q82_pagerank" -> (q82PageRank _),
+    "q83_approx_percentile" -> (q83ApproxPercentile _),
   )
 }

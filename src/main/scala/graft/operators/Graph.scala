@@ -42,37 +42,40 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).persist()
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
-    val nCount = n.agg(count(lit(1)).as("n_nodes"))
+    // N is a bounded driver scalar (1 row) — a literal in every round's
+    // plan beats carrying an n_nodes column through every row
+    val nNodes: Long = n.count()
 
     // init: every node starts at 2^30 / N (exact integer division —
     // the tiny floor loss is identical everywhere)
-    var ranks = n.crossJoin(broadcast(nCount))
-      .select(col("id"), ldiv(lit(Scale), col("n_nodes")).as("pr"),
-        col("n_nodes"))
+    var ranks = n
+      .select(col("id"), lit(Scale / nNodes).as("pr"))
       .join(outDeg, Seq("id"), "left")
       .localCheckpoint(true)
 
     var i = 0
     while (i < iters) {
+      // dangling mass is a bounded driver scalar over the MATERIALIZED
+      // checkpoint (one cheap job) — embedding it as a literal removes
+      // a broadcast exchange + crossJoin from every round's plan
+      val dangling: Long = ranks.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)))
+        .head().getLong(0)
       // per-edge contribution = floor(pr/outdeg); per-node inflow is an
       // exact long sum — the one shuffle of the round
       val contrib = ranks.filter(col("outdeg").isNotNull)
         .join(e, col("id") === col("src"))
         .select(col("dst").as("id"), ldiv(col("pr"), col("outdeg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("inflow"))
-      val dangling = ranks.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling"))
       // pr' = (100-d)·S/(100·N) + d·(inflow + dangling/N)/100, all in
       // integer arithmetic with a FIXED operation order
       val prNew =
-        ldiv(lit((100L - dampingPct) * Scale),
-          lit(100L) * col("n_nodes")) +
+        lit((100L - dampingPct) * Scale / (100L * nNodes)) +
           ldiv(lit(dampingPct.toLong) * (coalesce(col("inflow"), lit(0L)) +
-            ldiv(col("dangling"), col("n_nodes"))), lit(100L))
+            lit(dangling / nNodes)), lit(100L))
       ranks = ranks
         .join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"), prNew.as("pr"), col("n_nodes"), col("outdeg"))
+        .select(col("id"), prNew.as("pr"), col("outdeg"))
         .localCheckpoint(true)
       i += 1
     }
