@@ -71,7 +71,16 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(jstr).mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"errors":$errJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"errors":$errJson}"""
+    println(line)
+    // ALSO write the line to a file: the driver's log capture truncated
+    // BENCH_r04's tail mid-JSON, making the q01-q21 head unauditable —
+    // the file copy is kept whole regardless of log buffering
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props.get("graftBenchOut")
+        .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+        .getOrElse("/root/repo/BENCH_LAST.json")), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN scale probe (the round-4 LSH/CC probes' missing sibling): recall
+  * and wall time of the two approximate kNN paths (sign-LSH q38, IVF
+  * q42) against brute force (q37) on a 25×-replicated embedding corpus.
+  *
+  * Replication is deterministic: replica r of vector v gets id
+  * v·25+r and a per-(replica, dim) perturbation of ±0.009 — a corpus
+  * with heavy near-duplicate cluster structure (the realistic hard case
+  * for bucketed ANN: clusters concentrate buckets) while every vector
+  * stays distinct so top-k is unambiguous under the (cos desc, id asc)
+  * tie-break both paths share.
+  *
+  * Candidate-set sizes are measured by running each ANN path with
+  * k=MaxValue (the ranked output below the cut IS the candidate set),
+  * so the collision-bound claim is observed, not asserted.
+  *
+  * Usage: runMain graft.ProbeAnn [sfDir] [replicas]
+  */
+object ProbeAnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 25
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables(spark, sfDir, "embeddings")
+    val corpus = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select((col("vec_id") * reps + col("r")).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x + ((col("r") * 31 + j) % 7 - 3).cast("float") * lit(0.003f))
+            .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") % reps === 0 &&
+      col("vec_id") < 20 * reps).localCheckpoint(true)
+    val nC = corpus.count()
+    val nQ = queries.count()
+    println(s"[probe] corpus=$nC queries=$nQ reps=$reps")
+
+    def timed(label: String)(df: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = df.localCheckpoint(true)
+      println(f"[probe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      out
+    }
+
+    val brute = timed("brute") {
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+    }
+    val lsh = timed("lsh") {
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 64, 10,
+        bits = 6, tables = 16)
+    }
+    val ivf = timed("ivf") {
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4)
+    }
+
+    def recall(ann: DataFrame): Double =
+      brute.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / (nQ * 10)
+    println(f"[probe] recall@10 lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f")
+
+    // candidate-set sizes: k=MaxValue keeps every scored candidate
+    val lshCands = Similarity.lshTopK(corpus, queries, "vec_id",
+      "embedding", 64, Int.MaxValue, bits = 6, tables = 16).count()
+    val ivfCands = Similarity.ivfTopK(corpus, queries, "vec_id",
+      "embedding", Int.MaxValue, nlist = 16, nprobe = 4).count()
+    println(s"[probe] candidates lsh=$lshCands " +
+      s"(${lshCands / nQ}/query of $nC) ivf=$ivfCands " +
+      s"(${ivfCands / nQ}/query, nprobe/nlist bound=${nC * 4 / 16})")
+    spark.stop()
+  }
+}
