@@ -1072,6 +1072,63 @@ object Oracle {
          |SELECT id, pr AS pr_fixed FROM r10 ORDER BY id""".stripMargin
     },
 
+    // wedges from the degree table, triangles via the naive a<b<c SQL;
+    // the coefficient division is written in the same op order as the
+    // Spark query (3.0 * T, then / W) before the shared f6 floor
+    "q84_clustering_coefficient" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |deg AS (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+         |  GROUP BY 1),
+         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |t AS (SELECT count(*) AS n_triangles FROM e e1
+         |  JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT n_wedges, n_triangles,
+         |  ${f6("3.0 * n_triangles / n_wedges")} AS global_coeff
+         |FROM w CROSS JOIN t""".stripMargin,
+
+    // replays Graph.labelPropagation's 3 synchronous rounds as chained
+    // CTEs: neighbor-label counts, argmax with (count DESC, label ASC)
+    // tie-break, keep-own-label for isolated nodes — every step exact
+    // integer arithmetic, so the assignment hash-matches bit-for-bit
+    "q86_label_propagation" -> {
+      def round(i: Int): String =
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.id, COALESCE(n.new_label, l.label) AS label
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT dst AS id, label AS new_label FROM (
+           |      SELECT dst, label, row_number() OVER (
+           |        PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+           |      FROM (SELECT a.dst, l2.label, count(*) AS c
+           |        FROM adj a JOIN l${i - 1} l2 ON a.src = l2.id
+           |        GROUP BY 1, 2))
+           |    WHERE rn = 1) n ON l.id = n.id)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION SELECT b AS src, a AS dst FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label
+         |  FROM adj),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+    },
+
+    // the count-min sketch must be result-invisible: the oracle is the
+    // plain exact recount over the probe terms plus TRUE for the
+    // one-sided bound boolean
+    "q85_count_min_freq" ->
+      s"""SELECT term, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS cms_ok
+         |FROM (SELECT unnest($toks) AS term FROM documents)
+         |WHERE term IN ('the', 'data', 'join', 'hash', 'merge')
+         |GROUP BY term ORDER BY term""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

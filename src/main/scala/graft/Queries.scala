@@ -959,7 +959,11 @@ object Queries {
     * bounded — the standard trick that keeps triangle counting feasible
     * when a hub vertex would make naive wedge enumeration quadratic.
     * The oracle counts the same triangles with the naive a<b<c SQL. */
-  def q78Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** The part co-occurrence graph (a<b part pairs sharing an order) +
+    * its degree table + the degree-oriented triangle count — shared by
+    * q78 (triangles) and q84 (clustering coefficient). */
+  private def partGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     // per-order pair expansion beats a lineitem self-join: one groupBy
     // exchange + an in-memory C(k,2) explode over tiny (≤7-item)
@@ -1008,7 +1012,71 @@ object Queries {
       .join(oriented.select(col("src").as("v"), col("dst").as("w")),
         Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
+    (e, deg, triangles)
+  }
+
+  def q78Triangles(s: SparkSession, dir: String): DataFrame = {
+    val (e, _, triangles) = partGraph(s, dir)
     e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(triangles))
+  }
+
+  /** Global clustering coefficient = 3·triangles / wedges, where the
+    * wedge count is ONE aggregate over the degree table (Σ C(d,2) — no
+    * wedge materialization; the triangle count reuses q78's
+    * degree-oriented plan). The coefficient division is a single
+    * double op, f6-floored for the portable 6-dp contract. */
+  def q84ClusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
+    val (_, deg, triangles) = partGraph(s, dir)
+    // per-row C(d,2) is an exact long (d·(d−1) is even); the SUM is
+    // then an exact long add — order-independent, unlike a double sum
+    val wedges = deg.agg(
+      sum((col("d") * (col("d") - 1) / lit(2)).cast("long")).as("n_wedges"))
+    wedges.crossJoin(broadcast(triangles))
+      .select(col("n_wedges"), col("n_triangles"),
+        f6(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("global_coeff"))
+  }
+
+  /** Deterministic synchronous label propagation over the part
+    * co-occurrence graph, ORACLE-PROVEN like q82: 3 fixed rounds of
+    * adopt-the-neighbor-mode (ties → smallest label) are exact integer
+    * argmaxes, so DuckDB replays the identical rounds as chained CTEs
+    * and the full 2000-row community assignment hash-matches. */
+  def q86LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = partGraph(s, dir)
+    Graph.labelPropagation(
+      e.select(col("a").as("src"), col("b").as("dst")), iters = 3)
+      .orderBy("id")
+  }
+
+  /** Count-min point-frequency estimates with the bloom-style
+    * sketch-prunes/exact-confirms contract: the depth×width counter
+    * array is merged map-side and driver-collected (bounded, like the
+    * bloom bitset), per-term estimates are computed against it JVM-side,
+    * and the EMITTED columns are the exact counts plus `cms_ok` — the
+    * one-sided guarantee (estimate ≥ truth always; ≤ truth + 3N/width
+    * slack) that any merge order satisfies. The oracle states the exact
+    * counts and TRUE: the sketch must stay result-invisible. */
+  def q85CountMinFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("the", "data", "join", "hash", "merge")
+    val (depth, width) = (4, 2048)
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .persist() // scanned by the sketch, the N count, and the recount
+    val sketch = Sketches.countMinSketch(toks, "term", depth, width)
+    val nTotal = toks.count()
+    val slack = 3L * nTotal / width
+    val estDf = probes
+      .map(p => (p, Sketches.countMinEstimate(sketch, depth, width, p)))
+      .toDF("term", "cm_est")
+    toks.filter(col("term").isin(probes: _*))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(estDf), Seq("term"))
+      .select(col("term"), col("n_exact"),
+        (col("cm_est") >= col("n_exact") &&
+          col("cm_est") <= col("n_exact") + lit(slack)).as("cms_ok"))
+      .orderBy("term")
   }
 
   /** Conversion funnel view → click → purchase with STRICT event-time
@@ -1349,5 +1417,8 @@ object Queries {
     "q81_priority_sample" -> (q81PrioritySample _),
     "q82_pagerank" -> (q82PageRank _),
     "q83_approx_percentile" -> (q83ApproxPercentile _),
+    "q84_clustering_coefficient" -> (q84ClusteringCoefficient _),
+    "q85_count_min_freq" -> (q85CountMinFreq _),
+    "q86_label_propagation" -> (q86LabelPropagation _),
   )
 }

@@ -85,6 +85,46 @@ object Graph {
     out
   }
 
+  /** Synchronous label propagation (community detection), fully
+    * deterministic: labels start as the node id; each round every node
+    * adopts the MODE of its neighbors' labels with ties broken by the
+    * smallest label — an argmax over exact integer counts, so unlike
+    * the classic randomized-order LPA the result is identical under
+    * any partitioning AND replayable by plain SQL (the q86 oracle runs
+    * the same rounds as chained CTEs). Fixed `iters` rounds (the
+    * convergence-free variant — data-dependent stopping would make the
+    * round count, and thus the oracle, input-dependent). One shuffle
+    * per round (the neighbor-label count) + the argmax window;
+    * localCheckpoint truncates lineage exactly like pageRank. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val counts = adj
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label").asc)
+      val next = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label").as("new_label"))
+      labels = labels.join(next, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** The k-core: the maximal subgraph where every vertex has degree ≥ k,
     * found by iterative peeling — drop sub-k vertices, recompute
     * degrees, repeat to fixpoint. The fixpoint is unique, so the result

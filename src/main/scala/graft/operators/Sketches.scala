@@ -18,6 +18,35 @@ import graft.functions.Hashing
   */
 object Sketches {
 
+  /** Count-min sketch of a string column: depth×width long counters,
+    * merged map-side (one aggregate, no shuffle of raw values), then a
+    * BOUNDED driver collect — the same bounded-materialization shape as
+    * the bloom bitset and IVF quantizer. The md5 hash runs in the
+    * codegen'd projection below the aggregate (the q53 lesson). */
+  def countMinSketch(items: DataFrame, valueCol: String, depth: Int,
+      width: Int): Array[Long] = {
+    import org.apache.spark.sql.GraftSql
+    val hashCol = "_cm_h"
+    val agg = GraftSql.column(
+      graft.functions.CountMinAgg(
+        GraftSql.expression(col(hashCol)), depth, width)
+        .toAggregateExpression())
+    items
+      .select(Hashing.md5Long(col(valueCol).cast("string")).as(hashCol))
+      .agg(agg.as("cm"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Point-frequency estimate: min over rows of the addressed counter —
+    * ≥ the true count always; ≤ true + e·N/width w.h.p. */
+  def countMinEstimate(sketch: Array[Long], depth: Int, width: Int,
+      value: String): Long = {
+    val h = graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value))
+    (0 until depth).map(i =>
+      sketch(i * width + graft.functions.CountMinAgg.bucket(h, i, width))).min
+  }
+
   /** Grouped KMV distinct-count estimate — the scale path: a custom
     * TypedImperativeAggregate whose per-group state is the bounded
     * k-element sorted set (O(k) memory regardless of group size,

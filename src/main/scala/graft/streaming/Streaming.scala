@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Prep
@@ -167,9 +167,54 @@ object Streaming {
   def runningTotals(events: Dataset[KeyedValue],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
     import events.sparkSession.implicits._
+    // state TTL is only defined under processing-time semantics, so the
+    // TimeMode follows the TTL config (Spark rejects a TTL'd state
+    // handle in TimeMode.None)
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     events.groupByKey(_.key)
-      .transformWithState(new RunningTotalProcessor(ttl),
-        TimeMode.None(), OutputMode.Update)
+      .transformWithState(new RunningTotalProcessor(ttl), mode,
+        OutputMode.Update)
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserTopK(user_id: Long, top: Seq[String])
+
+  /** Per-user top-k event types, continuously maintained: a MapState
+    * (event_type → count) per user — the MapState form of arbitrary
+    * state, complementing runningTotals' ValueState. State is bounded
+    * by the event-type vocabulary per user (put a TTL on top for
+    * abandoned users); each batch emits the user's current top-k sorted
+    * (count desc, type asc) — deterministic under any input order
+    * within a batch because counts are exact and the sort total. */
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[Long, UserEvent, UserTopK] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserTopK] = {
+      rows.foreach { e =>
+        val c = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+      }
+      val top = counts.iterator().toSeq
+        .sortBy { case (t, c) => (-c, t) }
+        .take(k).map(_._1)
+      Iterator.single(UserTopK(key, top))
+    }
+  }
+
+  def topEventTypes(events: Dataset[UserEvent], k: Int)
+      : Dataset[UserTopK] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Update)
   }
 
   // ------------------------------------------------------------------

@@ -10,6 +10,31 @@ import graft.operators.HeavyHitters
 class HeavyHittersSpec extends SparkSpec {
   import spark.implicits._
 
+  test("count-min: estimates dominate true counts under every " +
+    "partitioning, and the sketch is partition-invariant") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(7)
+    val values = (1 to 8000).map(_ => s"v${rnd.nextInt(300)}")
+    val exact = values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val (d, w) = (4, 512)
+    val sketches = Seq(1, 4, 32).map { p =>
+      Sketches.countMinSketch(values.toDF("x").repartition(p), "x", d, w)
+    }
+    // elementwise-add merge ⇒ the final counters are partition-invariant
+    assert(sketches.forall(_.sameElements(sketches.head)))
+    // one-sided guarantee: estimate ≥ truth for EVERY key; and the
+    // total overcount respects the ε·N expectation within 3×
+    val n = values.size
+    exact.foreach { case (k, c) =>
+      val est = Sketches.countMinEstimate(sketches.head, d, w, k)
+      assert(est >= c, s"$k: est $est < exact $c")
+      assert(est <= c + 3L * n / w, s"$k: est $est way over exact $c")
+    }
+    // unseen keys estimate at most the collision mass, never negative
+    val ghost = Sketches.countMinEstimate(sketches.head, d, w, "never-seen")
+    assert(ghost >= 0 && ghost <= 3L * n / w)
+  }
+
   test("below capacity the summary is exact") {
     import org.apache.spark.sql.GraftSql
     val df = Seq.fill(5)("a").union(Seq.fill(3)("b")).union(Seq("c"))

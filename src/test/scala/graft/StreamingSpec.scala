@@ -163,6 +163,113 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("runningTotals: TTL expires idle state — the count RESTARTS for a " +
+    "key touched after the TTL window (bounded state at unbounded input)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Double)]
+      val ds = mem.toDS().map(t => Streaming.KeyedValue(t._1, t._2))
+      val q = Streaming.runningTotals(ds,
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(2))).toDF()
+        .writeStream.format("memory").queryName("rt_ttl")
+        .outputMode("update").start()
+      // processing-time TTL keeps the microbatch loop live (each batch
+      // re-checks expiry), so processAllAvailable never settles — poll
+      // the sink for the expected emission instead
+      def awaitEmission(n: Long, total: Double): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!spark.table("rt_ttl").collect()
+            .exists(r => r.getLong(1) == n && r.getDouble(2) == total)) {
+          assert(System.nanoTime() < deadline,
+            s"timed out waiting for ($n, $total); saw " +
+              spark.table("rt_ttl").collect().toSeq)
+          Thread.sleep(200)
+        }
+      }
+      mem.addData(("click", 1.0), ("click", 2.0))
+      awaitEmission(2L, 3.0)
+      // let the TTL lapse, then touch the key again: the expired state
+      // must NOT carry the old (2, 3.0) forward
+      Thread.sleep(4000)
+      mem.addData(("click", 10.0))
+      awaitEmission(1L, 10.0)
+      q.stop()
+      val emissions = spark.table("rt_ttl").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(!emissions.contains((3L, 13.0)), emissions) // NOT accumulated
+    }
+  }
+
+  test("runningTotals: state survives a query restart from checkpoint " +
+    "(the accumulator continues, not restarts, across process death)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val out = tmp("rtr-out"); val cp = tmp("rtr-cp")
+      val mem = MemoryStream[(String, Double)]
+      val ds = mem.toDS().map(t => Streaming.KeyedValue(t._1, t._2))
+      def start() = Streaming.runningTotals(ds).toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        // parquet sink is append-only; update-mode emissions append one
+        // row per key per batch, which is exactly what we inspect
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData(("click", 1.0), ("view", 5.0))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start() // recover state from checkpoint
+      mem.addData(("click", 4.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // post-restart emission continues the pre-restart accumulator
+      assert(rows.contains(("click", 2L, 5.0)), rows)
+      assert(rows.contains(("click", 1L, 1.0)), rows)
+      assert(rows.contains(("view", 1L, 5.0)), rows)
+    }
+  }
+
+  test("topEventTypes (MapState): per-user top-k tracks accumulated " +
+    "counts across batches with deterministic tie-break") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val ds = mem.toDS().map(t => Streaming.UserEvent(t._1, t._2))
+      val q = Streaming.topEventTypes(ds, k = 2).toDF()
+        .writeStream.format("memory").queryName("topk")
+        .outputMode("update").start()
+      mem.addData((1L, "view"), (1L, "view"), (1L, "click"), (2L, "buy"))
+      q.processAllAvailable()
+      // batch 2: click catches view at 2-2 — tie breaks alphabetically
+      // (click < view); purchase enters below the top-2 cut
+      mem.addData((1L, "click"), (1L, "purchase"))
+      q.processAllAvailable()
+      q.stop()
+      val byBatchMax = spark.table("topk").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1)))
+      // final emission per user = the one reflecting all input
+      assert(byBatchMax.contains((1L, Seq("click", "view"))), byBatchMax.toSeq)
+      assert(byBatchMax.contains((2L, Seq("buy"))), byBatchMax.toSeq)
+      // batch-1 emission had view on top
+      assert(byBatchMax.contains((1L, Seq("view", "click"))), byBatchMax.toSeq)
+    }
+  }
+
   test("windowedCounts: aggregation state survives a restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val out = tmp("wcr-out"); val cp = tmp("wcr-cp")
