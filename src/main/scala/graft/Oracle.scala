@@ -1129,6 +1129,48 @@ object Oracle {
          |WHERE term IN ('the', 'data', 'join', 'hash', 'merge')
          |GROUP BY term ORDER BY term""".stripMargin,
 
+    // gap-split sessionization in plain SQL: identical lag/new-session/
+    // running-sum windows on epoch-micros longs (exact integer math)
+    "q87_batch_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC)),
+        |g AS (SELECT user_id, ts, CAST(SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q88_rolling_time_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_1h
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // ntile is BIGINT in DuckDB, INT in Spark → cast; the two ratio
+    // columns are single double divisions of exact integer ranks
+    "q89_rank_family" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

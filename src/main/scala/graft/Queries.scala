@@ -1079,6 +1079,67 @@ object Queries {
       .orderBy("term")
   }
 
+  /** BATCH sessionization — the offline counterpart of the streaming
+    * session_window (q24) and flatMapGroupsWithState sessionize: the
+    * classic gap-split is two windows over ONE (user_id, time) sort —
+    * lag to flag gap starts, running sum to number sessions — then a
+    * groupBy. Time arithmetic on unix MICROS longs (exact; interval
+    * subtraction parity across engines is murkier than integer math). */
+  def q87BatchSessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("ts"), unix_micros(col("ts")).as("us"))
+    ev.withColumn("new_s",
+        when(lag(col("us"), 1).over(order).isNull ||
+          col("us") - lag(col("us"), 1).over(order) > lit(1800000000L),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Time-RANGE window frame (RANGE BETWEEN 1h PRECEDING): each event's
+    * trailing-hour count and exact decimal sum per user — the frame the
+    * rows-based q17 can't express (rows ≠ time under irregular event
+    * spacing). The frame is value-bounded on the micros long, so its
+    * membership — and the decimal sum — is deterministic even with
+    * tied timestamps. */
+  def q88RollingTimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+      .rangeBetween(-3600000000L, 0)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("user_id", "event_id", "n_1h", "sum_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** The remaining rank-family windows (ntile / percent_rank /
+    * cume_dist) — quartile bucketing and normalized ranks per group.
+    * The ordering key is made total (price, orderkey, linenumber), so
+    * every rank — and the divisions, single double ops over exact ints
+    * — is engine-deterministic. */
+  def q89RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    t(s, dir, "lineitem")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "quartile",
+        "pct_rank", "cume")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1420,5 +1481,8 @@ object Queries {
     "q84_clustering_coefficient" -> (q84ClusteringCoefficient _),
     "q85_count_min_freq" -> (q85CountMinFreq _),
     "q86_label_propagation" -> (q86LabelPropagation _),
+    "q87_batch_sessionize" -> (q87BatchSessionize _),
+    "q88_rolling_time_window" -> (q88RollingTimeWindow _),
+    "q89_rank_family" -> (q89RankFamily _),
   )
 }

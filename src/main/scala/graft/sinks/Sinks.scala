@@ -20,6 +20,30 @@ import org.apache.spark.sql.functions.col
   */
 object PartitionedSink {
 
+  /** Secondary-sort write: hive-partitioned output whose FILES are
+    * internally ordered by `sortColumns` — the layout that lets a
+    * downstream range/merge reader (or parquet row-group min/max
+    * pruning on the sort key) skip within files, the 1-D sibling of
+    * the 2-D zorderWrite. One shuffle (partition cols) + an in-task
+    * sort; prefixing the sort by the partition cols means each task
+    * emits every hive partition it holds as one contiguous sorted run,
+    * so no file interleaves sort ranges. */
+  def sortedWrite(
+      df: DataFrame,
+      path: String,
+      partitionColumns: Seq[String],
+      sortColumns: Seq[String],
+      mode: String = "errorifexists"): Unit = {
+    val parted =
+      if (partitionColumns.isEmpty) df
+      else df.repartition(partitionColumns.map(col): _*)
+    val sorted = parted.sortWithinPartitions(
+      (partitionColumns ++ sortColumns).map(col): _*)
+    val w = sorted.write.mode(mode)
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+     else w).parquet(path)
+  }
+
   def write(
       df: DataFrame,
       path: String,

@@ -35,6 +35,28 @@ class SinksSpec extends SparkSpec {
     assert(files.size === 1)
   }
 
+  test("sortedWrite: every output file is internally ordered by the " +
+    "sort key (secondary sort), per hive partition") {
+    val out = tmp("sink-sorted").resolve("t").toString
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 4000).map { i =>
+      (s"cat${rnd.nextInt(3)}", rnd.nextInt(500).toLong, i.toLong)
+    }.toDF("cat", "k", "v").repartition(8) // deliberately scrambled
+    PartitionedSink.sortedWrite(rows, out, Seq("cat"), Seq("k", "v"))
+    val files = Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toList
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val vals = spark.read.parquet(f.toString)
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(vals.sameElements(vals.sorted),
+        s"file $f not sorted by (k, v)")
+    }
+    // and the round-trip is lossless
+    assert(spark.read.parquet(out).count() === 4000)
+  }
+
   test("csv write: header, gzip, quoting disabled like the reference") {
     val out = tmp("sink-csv").resolve("t").toString
     PartitionedSink.write(sample, out, Seq("YEAR"), fileFormat = "csv")
