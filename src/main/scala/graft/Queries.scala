@@ -1126,7 +1126,16 @@ object Queries {
     * cume_dist) — quartile bucketing and normalized ranks per group.
     * The ordering key is made total (price, orderkey, linenumber), so
     * every rank — and the divisions, single double ops over exact ints
-    * — is engine-deterministic. */
+    * — is engine-deterministic.
+    *
+    * Scale note: a 3-value partition key means each window task holds
+    * a third of the table — inherent to exact global ranks within a
+    * group (same class as q50's exact percentiles). The 100 TB
+    * formulation is the q68 two-phase shape — range-partition on the
+    * ordering key, per-bucket counts, broadcast prefix offsets, then
+    * rank = offset + local rank — worth it only when groups actually
+    * exceed a task; at dimension-like group counts the plain window
+    * wins by avoiding the extra pass. */
   def q89RankFamily(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
