@@ -46,21 +46,29 @@ object Graph {
     // plan beats carrying an n_nodes column through every row
     val nNodes: Long = n.count()
 
+    // the dangling mass rides each round's checkpoint job via
+    // observe() (the kCore pattern) — a separate per-round aggregation
+    // job would double the round's job count for one scalar
+    def danglingObs(name: String) =
+      new org.apache.spark.sql.Observation(name)
+    def withDangling(df: DataFrame,
+        obs: org.apache.spark.sql.Observation): DataFrame =
+      df.observe(obs, coalesce(sum(when(col("outdeg").isNull,
+        col("pr"))), lit(0L)).as("dangling"))
+
     // init: every node starts at 2^30 / N (exact integer division —
     // the tiny floor loss is identical everywhere)
-    var ranks = n
+    var obs = danglingObs("pr_init")
+    var ranks = withDangling(n
       .select(col("id"), lit(Scale / nNodes).as("pr"))
-      .join(outDeg, Seq("id"), "left")
+      .join(outDeg, Seq("id"), "left"), obs)
       .localCheckpoint(true)
 
     var i = 0
     while (i < iters) {
-      // dangling mass is a bounded driver scalar over the MATERIALIZED
-      // checkpoint (one cheap job) — embedding it as a literal removes
-      // a broadcast exchange + crossJoin from every round's plan
-      val dangling: Long = ranks.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0L)))
-        .head().getLong(0)
+      // the previous checkpoint job already computed this round's
+      // dangling mass
+      val dangling: Long = obs.get("dangling").asInstanceOf[Long]
       // per-edge contribution = floor(pr/outdeg); per-node inflow is an
       // exact long sum — the one shuffle of the round
       val contrib = ranks.filter(col("outdeg").isNotNull)
@@ -73,9 +81,10 @@ object Graph {
         lit((100L - dampingPct) * Scale / (100L * nNodes)) +
           ldiv(lit(dampingPct.toLong) * (coalesce(col("inflow"), lit(0L)) +
             lit(dangling / nNodes)), lit(100L))
-      ranks = ranks
+      obs = danglingObs(s"pr_round_$i")
+      ranks = withDangling(ranks
         .join(contrib, Seq("id"), "left")
-        .select(col("id"), prNew.as("pr"), col("outdeg"))
+        .select(col("id"), prNew.as("pr"), col("outdeg")), obs)
         .localCheckpoint(true)
       i += 1
     }
@@ -94,10 +103,12 @@ object Graph {
     * the same rounds as chained CTEs). Fixed `iters` rounds (the
     * convergence-free variant — data-dependent stopping would make the
     * round count, and thus the oracle, input-dependent). One shuffle
-    * per round (the neighbor-label count) + the argmax window;
+    * per round (the neighbor-label count); the argmax is a plain
+    * max(struct(c, -label)) aggregate — (count desc, label asc) as one
+    * total order over exact integers, partially aggregatable map-side,
+    * where a row_number window would force an extra per-partition sort;
     * localCheckpoint truncates lineage exactly like pageRank. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -110,11 +121,9 @@ object Graph {
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("c").desc, col("label").asc)
-      val next = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("id"), col("label").as("new_label"))
+      val next = counts.groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
       labels = labels.join(next, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
