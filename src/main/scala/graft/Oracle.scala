@@ -1171,6 +1171,31 @@ object Oracle {
         |  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
 
+    // add-one-smoothed bigram probabilities quantized to 2^40 fixed
+    // point: the division is IEEE exactly-rounded and the scaling a
+    // power-of-two multiply, so pf is bit-identical here and in Spark
+    // and the per-doc sum an exact integer (DuckDB sums BIGINT into
+    // HUGEINT → cast back)
+    "q90_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS ts FROM documents),
+         |dd AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 2),
+         |bi AS (SELECT doc_id, ts[g] AS u, ts[g + 1] AS v
+         |  FROM (SELECT doc_id, ts,
+         |    unnest(generate_series(1, len(ts) - 1)) AS g FROM dd)),
+         |cuv AS (SELECT u, v, count(*) AS c_uv FROM bi GROUP BY u, v),
+         |cu AS (SELECT u, count(*) AS c_u FROM bi GROUP BY u),
+         |vs AS (SELECT count(DISTINCT tok) AS vsz
+         |  FROM (SELECT unnest(ts) AS tok FROM dd)),
+         |sc AS (SELECT doc_id,
+         |    CAST(floor(CAST(c_uv + 1 AS DOUBLE) / (c_u + vsz)
+         |      * 1099511627776.0) AS BIGINT) AS pf
+         |  FROM bi JOIN cuv USING (u, v) JOIN cu USING (u) CROSS JOIN vs),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(pf) AS BIGINT) AS sum_pf FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_pf,
+         |  ${f6("sum_pf / 1099511627776.0 / n_bigrams")} AS avg_prob
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1149,6 +1149,49 @@ object Queries {
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
   }
 
+  /** Bigram language-model quality scoring — the CCNet/KenLM-shaped
+    * perplexity filter of LLM data pipelines, made engine-portable by
+    * dropping the logarithm: each bigram's add-one-smoothed conditional
+    * probability (c(u,v)+1)/(c(u)+V) is ONE exactly-rounded IEEE double
+    * division, quantized to 2^40 fixed point (floor of a power-of-two
+    * multiply — both steps exact), so the per-doc score is an exact
+    * LONG sum, order-independent under any partitioning and replayable
+    * cell-for-cell by the DuckDB oracle (ln() carries no cross-engine
+    * bit guarantee; IEEE division and power-of-two scaling do). Higher
+    * avg_prob = more predictable text — the same ranking signal as
+    * negated perplexity. Scale: both count tables are map-side-
+    * combinable aggregates; the scoring join shuffles the bigram
+    * stream on (u,v) once — at 100 TB you'd prune the model to its
+    * top-k rows and broadcast it, turning scoring into a map-only
+    * pass (the bounded-model shape of q42's IVF and q73's bloom). */
+  def q90BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .persist()
+    val bi = docs.select(col("doc_id"),
+        explode(transform(slice(col("ts"), lit(1), size(col("ts")) - 1),
+          (u, i) => struct(u.as("u"),
+            element_at(col("ts"), i + lit(2)).as("v")))).as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+    val cuv = bi.groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+    val cu = bi.groupBy("u").agg(count(lit(1)).as("c_u"))
+    val vocab = docs.select(explode(col("ts")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    bi.join(cuv, Seq("u", "v"))
+      .join(cu, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor((col("c_uv") + lit(1)).cast("double") /
+          (col("c_u") + col("vsz")) * lit(1L << 40)).as("pf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pf")).as("sum_pf"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_pf"),
+        f6(col("sum_pf") / lit((1L << 40).toDouble) / col("n_bigrams"))
+          .as("avg_prob"))
+      .orderBy("doc_id")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1493,5 +1536,6 @@ object Queries {
     "q87_batch_sessionize" -> (q87BatchSessionize _),
     "q88_rolling_time_window" -> (q88RollingTimeWindow _),
     "q89_rank_family" -> (q89RankFamily _),
+    "q90_bigram_lm" -> (q90BigramLm _),
   )
 }
