@@ -1196,6 +1196,24 @@ object Oracle {
          |  ${f6("sum_pf / 1099511627776.0 / n_bigrams")} AS avg_prob
          |FROM agg ORDER BY doc_id""".stripMargin,
 
+    // chunk count = 1 + max(0, ceil((n-W)/S)) in exact integer math
+    // (double-floor over a small numerator, per the Spark side); chunk
+    // content asserted via md5 fingerprint + length
+    "q91_chunking" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |c AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(greatest(0,
+         |      floor(CAST(n - 128 + 95 AS DOUBLE) / 96)) AS BIGINT)))
+         |      AS chunk_id
+         |  FROM d),
+         |ch AS (SELECT doc_id, chunk_id, chunk_id * 96 + 1 AS chunk_start,
+         |    substr(text, CAST(chunk_id * 96 + 1 AS INTEGER), 128) AS chunk
+         |  FROM c)
+         |SELECT doc_id, chunk_id, chunk_start,
+         |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |  ${md5Long("chunk")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1192,6 +1192,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Fixed-window document chunking with overlap — the training-data
+    * prep step that splits long documents into model-context-sized
+    * pieces (window 128 chars, stride 96 → 32-char overlap so no
+    * boundary context is lost). Chunk count = 1 + max(0,
+    * ceil((n−W)/S)) in exact integer arithmetic (the ceil is a
+    * double-floor over a <2^53 numerator — exact, per Graph.ldiv);
+    * every chunk is one substr. MAP-ONLY: a per-row explode with no
+    * shuffle anywhere — output stays partitioned like the input, which
+    * is exactly what a 100 TB chunking pass needs (the token-based
+    * variant composes tokens() into the same shape). Chunk content is
+    * asserted via its md5 fingerprint + length, not the raw string. */
+  def q91Chunking(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (128, 96)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), greatest(lit(0L),
+          floor((col("n") - lit(w) + lit(st) - 1).cast("double") / st))))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * st + 1).as("chunk_start"),
+        col("text").substr((col("chunk_id") * st + 1).cast("int"),
+          lit(w)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        graft.functions.Hashing.md5Long(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1537,5 +1566,6 @@ object Queries {
     "q88_rolling_time_window" -> (q88RollingTimeWindow _),
     "q89_rank_family" -> (q89RankFamily _),
     "q90_bigram_lm" -> (q90BigramLm _),
+    "q91_chunking" -> (q91Chunking _),
   )
 }
