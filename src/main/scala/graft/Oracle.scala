@@ -1214,6 +1214,24 @@ object Oracle {
          |  ${md5Long("chunk")} AS chunk_hash
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // concatenate-and-cut packing: per-language exclusive prefix sum
+    // of token counts, window index = exact-integer floor division
+    "q92_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_off
+         |  FROM d)
+         |SELECT doc_id, lang, n_tokens, tok_off,
+         |  CAST(floor(CAST(tok_off AS DOUBLE) / 2048) AS BIGINT)
+         |    AS seq_first,
+         |  CAST(floor(CAST(tok_off + n_tokens - 1 AS DOUBLE) / 2048)
+         |    AS BIGINT) AS seq_last
+         |FROM o ORDER BY lang, doc_id""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

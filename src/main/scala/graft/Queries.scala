@@ -1221,6 +1221,34 @@ object Queries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Sequence packing for LM pretraining — the concatenate-and-cut
+    * formulation production pipelines actually use: per language, docs
+    * are laid end-to-end in deterministic (doc_id) order and the token
+    * stream is cut into fixed 2048-token context windows; each doc's
+    * placement (stream offset, first/last window it lands in) is an
+    * EXCLUSIVE prefix sum — one window shuffle, every value an exact
+    * integer, bit-replayable in SQL. Greedy no-split bin packing is a
+    * sequential recurrence (not expressible as a prefix sum); the
+    * split-at-boundary variant is both the parallelizable one and the
+    * one LM training uses. Scale: single sum-over-window per language;
+    * when one language exceeds a task, the q68 two-phase shape applies
+    * (range-partition the order key, per-bucket totals, broadcast the
+    * bucket prefix offsets). */
+  def q92SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val b = 2048
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tok_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_off"),
+        floor(col("tok_off").cast("double") / b).as("seq_first"),
+        floor((col("tok_off") + col("n_tokens") - 1).cast("double") / b)
+          .as("seq_last"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1567,5 +1595,6 @@ object Queries {
     "q89_rank_family" -> (q89RankFamily _),
     "q90_bigram_lm" -> (q90BigramLm _),
     "q91_chunking" -> (q91Chunking _),
+    "q92_sequence_pack" -> (q92SequencePack _),
   )
 }
