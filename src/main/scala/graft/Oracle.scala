@@ -1232,6 +1232,33 @@ object Oracle {
          |    AS BIGINT) AS seq_last
          |FROM o ORDER BY lang, doc_id""".stripMargin,
 
+    // sqrt is IEEE-correctly-rounded (unlike ln/pow) and each sqrt is
+    // quantized to 2^30 fixed point before the exact long denominator
+    // sum, so the temperature weights replay bit-for-bit
+    "q93_mixture_weights" ->
+      s"""WITH d AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |sq AS (SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1073741824)
+         |      AS BIGINT) AS sq_fixed FROM d),
+         |tot AS (SELECT CAST(sum(sq_fixed) AS BIGINT) AS tot_fixed FROM sq)
+         |SELECT source, n_docs, n_tokens,
+         |  ${f6("CAST(sq_fixed AS DOUBLE) / tot_fixed")} AS weight,
+         |  CAST(floor(10000.0 * sq_fixed / tot_fixed) AS BIGINT)
+         |    AS epoch_draw
+         |FROM sq CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // per-doc-distinct 8-token spans occurring in >= 2 documents
+    "q94_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 8)} AS sh FROM t),
+         |e AS (SELECT doc_id, unnest(list_distinct(sh)) AS span FROM s)
+         |SELECT span, count(*) AS n_docs, min(doc_id) AS min_doc,
+         |  max(doc_id) AS max_doc
+         |FROM e GROUP BY span HAVING count(*) >= 2
+         |ORDER BY span""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

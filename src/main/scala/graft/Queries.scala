@@ -1249,6 +1249,51 @@ object Queries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Temperature-based source-mixture reweighting (α = 0.5) — the
+    * domain-balancing step of pretraining data recipes: sampling
+    * weight ∝ n_docs^α, flattening the source distribution so small
+    * domains aren't drowned. sqrt is the ONE nonlinearity that is
+    * oracle-safe — IEEE 754 requires it correctly rounded (ln/pow
+    * carry no such guarantee, which is why q90 dropped the log) — and
+    * the weights' denominator Σ√n is made order-independent by
+    * quantizing each √n to 2^30 fixed point before the exact long sum.
+    * Scale: one map-side-combinable aggregate + a 1-row broadcast. */
+  def q93MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val srcs = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      .withColumn("sq_fixed",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1L << 30)))
+    srcs.crossJoin(broadcast(srcs.agg(sum(col("sq_fixed")).as("tot_fixed"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        f6(col("sq_fixed").cast("double") / col("tot_fixed")).as("weight"),
+        floor(lit(10000.0) * col("sq_fixed") / col("tot_fixed"))
+          .as("epoch_draw"))
+      .orderBy("source")
+  }
+
+  /** Repeated-span detection — the n-gram-hash formulation of exact
+    * substring deduplication (the Lee et al. "Deduplicating Training
+    * Data" op): every 8-token span occurring in ≥ 2 distinct
+    * documents, with its document frequency and witness doc ids. One
+    * hash-aggregate over per-doc-distinct spans. Scale: the shuffle
+    * carries the distinct-span stream; at 100 TB a count-min prefilter
+    * (q85's sketch) sheds the singleton spans — the vast majority —
+    * before the exchange, false-positive-only so the exact aggregate
+    * after stays exact; suffix arrays are the single-node alternative,
+    * span hashing the cluster-native one. */
+  def q94SpanDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 8))).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("span")
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1596,5 +1641,7 @@ object Queries {
     "q90_bigram_lm" -> (q90BigramLm _),
     "q91_chunking" -> (q91Chunking _),
     "q92_sequence_pack" -> (q92SequencePack _),
+    "q93_mixture_weights" -> (q93MixtureWeights _),
+    "q94_span_dedup" -> (q94SpanDedup _),
   )
 }
