@@ -1259,6 +1259,29 @@ object Oracle {
          |FROM e GROUP BY span HAVING count(*) >= 2
          |ORDER BY span""".stripMargin,
 
+    // SCD2 merge: changed keys close the old row and open a new one,
+    // unchanged history passes through
+    "q95_scd2_merge" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS addr,
+        |    '2024-01-01' AS valid_from, '9999-12-31' AS valid_to
+        |  FROM customer),
+        |upd AS (SELECT c_custkey AS k, c_mktsegment || ' rev2' AS new_addr
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |m AS (SELECT base.*, upd.new_addr FROM base
+        |  LEFT JOIN upd USING (k)),
+        |out AS (
+        |  SELECT k, addr, valid_from,
+        |    CASE WHEN new_addr IS NOT NULL AND new_addr <> addr
+        |      THEN '2024-06-01' ELSE valid_to END AS valid_to
+        |  FROM m
+        |  UNION ALL
+        |  SELECT k, new_addr AS addr, '2024-06-01' AS valid_from,
+        |    '9999-12-31' AS valid_to
+        |  FROM m WHERE new_addr IS NOT NULL AND new_addr <> addr)
+        |SELECT k, addr, valid_from, valid_to,
+        |  valid_to = '9999-12-31' AS is_current
+        |FROM out ORDER BY k, valid_from""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

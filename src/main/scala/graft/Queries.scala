@@ -1294,6 +1294,44 @@ object Queries {
       .filter(col("n_docs") >= 2)
       .orderBy("span")
 
+  /** SCD2 merge — the CDC upsert the reference's append-only ingestion
+    * (K2) can't express: a change batch against a type-2 dimension
+    * closes the changed rows (valid_to = batch date), opens their new
+    * versions, and passes unchanged history through. ONE scan of the
+    * joined frame: each row explodes into its 1 (unchanged) or 2
+    * (close + open) output versions — no triple re-scan of the merge
+    * join. The change batch is derived deterministically (every 10th
+    * customer gets a revised segment). Scale: one key-co-partitioned
+    * join (change batches are typically tiny → AQE broadcasts), union
+    * preserved partitioning — the same join shape Delta MERGE lowers
+    * to. Sentinel '9999-12-31' keeps valid_to non-null and the output
+    * flat-sortable. */
+  def q95Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("addr"),
+      lit("2024-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"))
+    val upd = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"),
+        concat(col("c_mktsegment"), lit(" rev2")).as("new_addr"))
+    val row = struct(col("addr"), col("valid_from"), col("valid_to"))
+    base.join(upd, Seq("k"), "left")
+      .select(col("k"), explode(
+        when(col("new_addr").isNotNull && col("new_addr") =!= col("addr"),
+          array(
+            struct(col("addr"), col("valid_from"),
+              lit("2024-06-01").as("valid_to")),
+            struct(col("new_addr").as("addr"),
+              lit("2024-06-01").as("valid_from"),
+              lit("9999-12-31").as("valid_to"))))
+          .otherwise(array(row))).as("r"))
+      .select(col("k"), col("r.addr").as("addr"),
+        col("r.valid_from").as("valid_from"),
+        col("r.valid_to").as("valid_to"),
+        (col("r.valid_to") === "9999-12-31").as("is_current"))
+      .orderBy("k", "valid_from")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1643,5 +1681,6 @@ object Queries {
     "q92_sequence_pack" -> (q92SequencePack _),
     "q93_mixture_weights" -> (q93MixtureWeights _),
     "q94_span_dedup" -> (q94SpanDedup _),
+    "q95_scd2_merge" -> (q95Scd2Merge _),
   )
 }
