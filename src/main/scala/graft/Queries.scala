@@ -963,7 +963,7 @@ object Queries {
     * its degree table + the degree-oriented triangle count — shared by
     * q78 (triangles) and q84 (clustering coefficient). */
   private def partGraph(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, () => DataFrame) = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     // per-order pair expansion beats a lineitem self-join: one groupBy
     // exchange + an in-memory C(k,2) explode over tiny (≤7-item)
@@ -1008,16 +1008,32 @@ object Queries {
     val wedges = w1.join(w2, Seq("src"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
-    val triangles = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // wedges outnumber edges ~34:1 here (41M vs 1.2M at sf0.1) and
+    // only ~5% close into triangles — a 2 MB bloom over the oriented
+    // edge pairs, keyed by codegen'd xxhash64 (md5 would cost more
+    // than the shuffle it saves on a 40M-row probe), sheds the
+    // non-closing wedges BEFORE the close join's exchange. False
+    // positives only re-admit rows the exact join drops; the count is
+    // unchanged. The q73 runtime-filter shape applied to a self-join.
+    // thunked: the bloom build is an eager driver action, and q86
+    // consumes only `e` — callers that never count triangles must not
+    // pay for materializing the oriented edges
+    val triangles = () => {
+      val closeBloom = RuntimeFilter.bloomBytesOf(
+        oriented, xxhash64(col("src"), col("dst")), numBits = 1 << 24)
+      wedges
+        .filter(RuntimeFilter.mightContain(closeBloom,
+          xxhash64(col("v"), col("w"))))
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
     (e, deg, triangles)
   }
 
   def q78Triangles(s: SparkSession, dir: String): DataFrame = {
     val (e, _, triangles) = partGraph(s, dir)
-    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(triangles))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(triangles()))
   }
 
   /** Global clustering coefficient = 3·triangles / wedges, where the
@@ -1031,7 +1047,7 @@ object Queries {
     // then an exact long add — order-independent, unlike a double sum
     val wedges = deg.agg(
       sum((col("d") * (col("d") - 1) / lit(2)).cast("long")).as("n_wedges"))
-    wedges.crossJoin(broadcast(triangles))
+    wedges.crossJoin(broadcast(triangles()))
       .select(col("n_wedges"), col("n_triangles"),
         f6(lit(3.0) * col("n_triangles") / col("n_wedges"))
           .as("global_coeff"))

@@ -30,6 +30,33 @@ object RuntimeFilter {
       .agg(agg.as("bloom"))
   }
 
+  /** The bitset of a bloom built over an arbitrary PRE-HASHED long
+    * column — the lower-level entry for callers whose key is already a
+    * well-mixed long (e.g. xxhash64 over a multi-column key, far
+    * cheaper than md5 on a 40M-row probe side). Bounded driver
+    * round-trip: numBits/8 bytes. */
+  def bloomBytesOf(build: DataFrame, hash: Column,
+      numBits: Int = 1 << 20,
+      numHashes: Int = BloomMightContain.DefaultNumHashes): Array[Byte] = {
+    import org.apache.spark.sql.GraftSql
+    val agg = GraftSql.column(
+      BloomFilterAgg(GraftSql.expression(hash), numBits,
+        numHashes).toAggregateExpression())
+    build.select(agg.as("bloom")).collect().head.getAs[Array[Byte]](0)
+  }
+
+  /** Membership predicate against a driver-materialized bitset, with
+    * the caller's own hash column; the bitset is a LITERAL (see
+    * bloomSemiJoin's plan note). */
+  def mightContain(bloomBytes: Array[Byte], hash: Column,
+      numHashes: Int = BloomMightContain.DefaultNumHashes): Column = {
+    import org.apache.spark.sql.GraftSql
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    GraftSql.column(BloomMightContain(Literal(bloomBytes, BinaryType),
+      GraftSql.expression(hash), numHashes))
+  }
+
   /** Semi join with a bloom prefilter: exactly `probe LEFT SEMI JOIN
     * build` (the bloom admits false positives, never false negatives,
     * and the exact join removes the former), but the probe side is
