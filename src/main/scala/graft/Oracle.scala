@@ -1282,6 +1282,41 @@ object Oracle {
         |  valid_to = '9999-12-31' AS is_current
         |FROM out ORDER BY k, valid_from""".stripMargin,
 
+    // seeded md5 order, 256-way sharded with per-shard ranks
+    "q96_epoch_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${md5Long("'42:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h, h % 256 AS shard FROM d)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY h, doc_id) AS BIGINT) AS shard_rank
+         |FROM s ORDER BY shard, shard_rank""".stripMargin,
+
+    // cumulative quality gates as conditional sums over one scan
+    "q97_attrition" ->
+      """SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_length,
+        |  CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_words,
+        |  CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_alpha,
+        |  count(DISTINCT CASE WHEN p3 THEN text END) AS n_after_dedup
+        |FROM (
+        |  SELECT text, p1, p1 AND nwords >= 20 AS p2,
+        |    p1 AND nwords >= 20 AND nalpha / nchars >= 0.5 AS p3
+        |  FROM (
+        |    SELECT text, nchars >= 100 AS p1, nchars, nalpha, nwords
+        |    FROM (
+        |      SELECT text,
+        |        CAST(length(text) AS DOUBLE) AS nchars,
+        |        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |          AS DOUBLE) AS nalpha,
+        |        CAST(len(string_split_regex(trim(text), '\s+'))
+        |          AS DOUBLE) AS nwords
+        |      FROM documents)))""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

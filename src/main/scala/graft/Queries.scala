@@ -1348,6 +1348,50 @@ object Queries {
       .orderBy("k", "valid_from")
   }
 
+  /** Deterministic epoch shuffle — reproducible global training order
+    * without RNG state: order = md5(seed:doc_id), sharded into 256
+    * output files with a per-shard rank. The per-shard window
+    * parallelizes (256 independent sorts) where a single global
+    * row_number would serialize; at 100 TB the same two columns drive
+    * a range-partitioned sorted write (sortedWrite) — no global window
+    * needed, and a new seed is a new literal, not a new pipeline. */
+  def q96EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.Hashing.md5Long(
+      concat(lit("42:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents").select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % 256)
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_rank")
+      .orderBy("shard", "shard_rank")
+  }
+
+  /** Pipeline attrition report — the per-stage survivor counts every
+    * production data pipeline publishes next to its output: cumulative
+    * gates (length ≥ 100 chars → ≥ 20 words → alpha ratio ≥ 0.5 →
+    * exact dedup) over ONE scan, each stage a conditional sum in the
+    * same aggregate. The ratio compare is a single IEEE division —
+    * deterministic without f6 because it's compared, not emitted.
+    * Scale: one map-side-combinable aggregate; the exact-dedup count
+    * is the one all-to-all term — at 100 TB swap countDistinct for the
+    * q40 HLL (±2% on a report row) or the q27 two-phase distinct. */
+  def q97Attrition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("double").as("nchars"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double").as("nalpha"),
+        size(split(trim(col("text")), "\\s+")).cast("double").as("nwords"))
+      .withColumn("p1", col("nchars") >= 100)
+      .withColumn("p2", col("p1") && col("nwords") >= 20)
+      .withColumn("p3", col("p2") && col("nalpha") / col("nchars") >= 0.5)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n_after_length"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("n_after_words"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("n_after_alpha"),
+        countDistinct(when(col("p3"), col("text"))).as("n_after_dedup"))
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1698,5 +1742,7 @@ object Queries {
     "q93_mixture_weights" -> (q93MixtureWeights _),
     "q94_span_dedup" -> (q94SpanDedup _),
     "q95_scd2_merge" -> (q95Scd2Merge _),
+    "q96_epoch_shuffle" -> (q96EpochShuffle _),
+    "q97_attrition" -> (q97Attrition _),
   )
 }
