@@ -62,6 +62,24 @@ final case class JdbcSource(
 final case class JdbcPartitioning(column: String, lower: Long, upper: Long,
     numPartitions: Int)
 
+/** Raw-file directory source for multimodal ingest: each matching file
+  * becomes one row (path, modificationTime, length, content BINARY) —
+  * the entry point that turns a bucket of images/audio into the opaque
+  * binary column the Multimodal operators consume. Spark's binaryFile
+  * format lists and reads files in parallel across executors;
+  * `maxBytesPerFile` guards the scan against a stray huge object (a
+  * 100 TB media crawl always has one). Pruning on path/length happens
+  * at the file index — a `length < x` or path-glob predicate skips
+  * reads entirely. */
+final case class BinaryDirSource(path: String, glob: String = "*",
+    maxBytesPerFile: Long = 512L * 1024 * 1024) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxBytesPerFile)
+}
+
 /** Dialect-specific JDBC URL builders (reference: spark.py:78-116). */
 object JdbcUrl {
   /** Oracle thin (spark.py:78-82). */

@@ -103,6 +103,19 @@ object Streaming {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 
+  /** Stream–static enrichment: join each micro-batch against a STATIC
+    * dimension (the streaming form of q11's broadcast dim join). The
+    * static side is re-resolved per micro-batch — a file-based dim
+    * picks up new files between batches — and broadcast, so the join
+    * is stateless: no watermark, no join state, nothing to GC. This is
+    * the right shape whenever the dim fits the broadcast threshold; a
+    * BIG static side instead becomes a stream-stream join against a
+    * rate-limited snapshot feed (state-bounded by joinStreamsWithin's
+    * time bound). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Stream–static decontamination probe: emit the documents from a
     * stream that share at least one word n-gram with a STATIC
     * benchmark/blocklist set — the continuous form of the batch

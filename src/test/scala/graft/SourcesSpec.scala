@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.config.SystemConn
-import graft.sources.{CsvSource, JdbcPartitioning, JdbcSource, JdbcUrl}
+import graft.sources.{BinaryDirSource, CsvSource, JdbcPartitioning, JdbcSource, JdbcUrl}
 
 /** Source layer: dialect URL builders (S2), CSV dictionary scan (S4),
   * JDBC reader option wiring (S1/X5 — asserted on the plan, no DBMS in
@@ -23,6 +23,23 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       JdbcUrl.forSystem(SystemConn(dbms = "exotic"))
     }
+  }
+
+  test("BinaryDirSource: glob-filtered files become (path, length, " +
+    "content) rows; the size guard drops oversized objects") {
+    val dir = Files.createTempDirectory("bin")
+    dir.toFile.deleteOnExit()
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    Files.write(dir.resolve("a.png"), png)
+    Files.writeString(dir.resolve("b.txt"), "not an image")
+    Files.write(dir.resolve("huge.png"), Array.fill[Byte](2048)(7))
+    val rows = BinaryDirSource(dir.toString, glob = "*.png",
+      maxBytesPerFile = 1024).read(spark)
+      .select("path", "length", "content").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("path").endsWith("a.png"))
+    assert(rows.head.getAs[Long]("length") === png.length.toLong)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq === png.toSeq)
   }
 
   test("CsvSource reads a data-dictionary export (S4) for the A4 aggregation") {

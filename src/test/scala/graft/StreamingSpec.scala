@@ -126,6 +126,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 3L))
   }
 
+  test("enrichStream: micro-batches join the static dim stateless; " +
+    "the broadcast plan has no streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "appliances"), (2L, "toys")).toDF("cat_id", "cat")
+    val mem = MemoryStream[(Long, Long)]
+    val out = Streaming.enrichStream(
+      mem.toDF().toDF("event_id", "cat_id"), dim, Seq("cat_id"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((10L, 1L), (11L, 2L), (12L, 99L)) // 99 has no dim row
+    q.processAllAvailable()
+    mem.addData((13L, 1L)) // second batch re-resolves the static side
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select("event_id", "cat").as[(Long, String)].collect().sorted
+    assert(got.toSeq === Seq((10L, "appliances"), (11L, "toys"),
+      (13L, "appliances")))
+    // stateless: no state store operator in the executed plan
+    assert(!q.lastProgress.stateOperators.exists(_.numRowsTotal > 0))
+  }
+
   test("runningTotals (transformWithState): per-key state accumulates " +
     "across micro-batches on the RocksDB store") {
     implicit val sqlCtx = spark.sqlContext
