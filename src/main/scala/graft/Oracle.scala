@@ -1317,6 +1317,38 @@ object Oracle {
         |          AS DOUBLE) AS nwords
         |      FROM documents)))""".stripMargin,
 
+    // full-outer reconciliation between two derived snapshots
+    "q98_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS va FROM orders),
+        |b AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+        |      ELSE o_totalprice END AS vb
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, o_totalprice AS vb
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |d AS (SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN va IS NULL THEN 'added'
+        |      WHEN vb IS NULL THEN 'removed'
+        |      WHEN va <> vb THEN 'changed'
+        |      ELSE 'unchanged' END AS diff_class
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT diff_class, count(*) AS n, min(k) AS min_key,
+        |  max(k) AS max_key
+        |FROM d GROUP BY diff_class ORDER BY diff_class""".stripMargin,
+
+    // per-span distinct source sets, pair-expanded (the oracle may use
+    // the quadratic self-join — correctness only)
+    "q99_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, source, ${shingles("tk", 8)} AS sh FROM t),
+         |e AS (SELECT DISTINCT source, span FROM (
+         |  SELECT source, unnest(list_distinct(sh)) AS span FROM s))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS n_shared_spans
+         |FROM e a JOIN e b ON a.span = b.span AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

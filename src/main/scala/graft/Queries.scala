@@ -1392,6 +1392,62 @@ object Queries {
         sum(when(col("p3"), 1L).otherwise(0L)).as("n_after_alpha"),
         countDistinct(when(col("p3"), col("text"))).as("n_after_dedup"))
 
+  /** Snapshot diff — the reconciliation report between two versions of
+    * a table (the read-side complement of q95's SCD2 write): one
+    * full-outer join on the key classifies every row added / removed /
+    * changed / unchanged, then a map-side-combinable count per class.
+    * The B snapshot is derived deterministically (every 7th key
+    * replaced by a new high key, every 5th repriced). Scale: ONE
+    * co-partitioned full-outer join (AQE skew-handled) + a 4-group
+    * aggregate — the shape every data-diff / backfill-audit job needs
+    * at 100 TB; decimal compares are exact. */
+  def q98SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("va"))
+    val b = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("vb"))
+      .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("k"),
+          col("o_totalprice").as("vb")))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("va").isNull, "added")
+          .when(col("vb").isNull, "removed")
+          .when(col("va") =!= col("vb"), "changed")
+          .otherwise("unchanged").as("diff_class"))
+      .groupBy("diff_class")
+      .agg(count(lit(1)).as("n"), min("k").as("min_key"),
+        max("k").as("max_key"))
+      .orderBy("diff_class")
+  }
+
+  /** Cross-source span-overlap matrix — how much verbatim text each
+    * pair of corpus domains shares (the between-domain contamination
+    * view of q94's repeated spans): spans → the DISTINCT source set
+    * per span (bounded by |sources|, a safe collect_set) → sorted
+    * C(k,2) pair expansion (the partGraph trick — no span self-join,
+    * whose output would be quadratic in per-span source count) → one
+    * count per pair. Scale: the heavy shuffle is the span aggregate;
+    * everything after operates on ≤ |sources|-wide rows. */
+  def q99SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(Dedup.shingles(col("text"), 8))).as("span"))
+      .distinct()
+    sp.groupBy("span")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1744,5 +1800,7 @@ object Queries {
     "q95_scd2_merge" -> (q95Scd2Merge _),
     "q96_epoch_shuffle" -> (q96EpochShuffle _),
     "q97_attrition" -> (q97Attrition _),
+    "q98_snapshot_diff" -> (q98SnapshotDiff _),
+    "q99_source_overlap" -> (q99SourceOverlap _),
   )
 }
