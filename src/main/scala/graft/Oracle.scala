@@ -1349,6 +1349,19 @@ object Oracle {
          |FROM e a JOIN e b ON a.span = b.span AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the oracle computes the rollup in ONE pass over the whole table;
+    // the Spark side merges partial agg states (existing + delta) —
+    // hash-matching proves merge ≡ recompute for the algebraic aggs
+    "q100_incremental_agg" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

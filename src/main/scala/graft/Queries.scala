@@ -1448,6 +1448,41 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Incremental aggregate maintenance — merge a delta's PARTIAL
+    * aggregate states into an existing rollup instead of recomputing
+    * history: count/sum/max are algebraic, so agg(existing ⊎ delta) =
+    * agg(agg-states unioned then re-aggregated). The oracle computes
+    * the whole table in one pass and must hash-match the merged result
+    * cell-for-cell — the correctness claim behind every incremental
+    * materialized view. Decimal partials re-sum exactly (no double
+    * drift between the two paths); the cast to double happens once, on
+    * the final emit. Scale: history is never re-read — each refresh
+    * touches delta rows + |groups| state rows, which is what makes
+    * daily maintenance of a 100 TB rollup an O(delta) job. */
+  def q100IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("s_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("s_price"),
+        max(col("l_shipdate")).as("mx"))
+    val existing = partial(li.filter(col("l_shipdate") < "1997-01-01"))
+    val delta = partial(li.filter(col("l_shipdate") >= "1997-01-01"))
+    existing.unionByName(delta)
+      .groupBy("ship_month")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("s_qty")).as("s_qty"),
+        sum(col("s_price")).as("s_price"),
+        max(col("mx")).as("mx"))
+      .select(col("ship_month"), col("n_rows"),
+        col("s_qty").cast("double").as("sum_qty"),
+        col("s_price").cast("double").as("sum_price"),
+        date_format(col("mx"), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("ship_month")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1802,5 +1837,6 @@ object Queries {
     "q97_attrition" -> (q97Attrition _),
     "q98_snapshot_diff" -> (q98SnapshotDiff _),
     "q99_source_overlap" -> (q99SourceOverlap _),
+    "q100_incremental_agg" -> (q100IncrementalAgg _),
   )
 }
