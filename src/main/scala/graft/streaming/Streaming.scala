@@ -103,6 +103,80 @@ object Streaming {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 
+  /** Streaming CDC apply: maintain a type-2 (SCD2) dimension table
+    * from a change stream via foreachBatch — each micro-batch is ONE
+    * q95-shaped merge against the parquet state table: changed keys
+    * close their current row (valid_to = the batch's change date) and
+    * open a new version; unseen keys pass through; brand-new keys
+    * insert as current. foreachBatch is the right seam because the
+    * merge must read its own previous output — a cyclic dependency no
+    * declarative streaming sink expresses; inside the batch function
+    * it's plain batch Spark, so the whole q95 analysis applies
+    * (key-co-partitioned join, tiny change batches broadcast). The
+    * rewrite is atomic-per-batch (write to _staging, swap) so a crash
+    * between batches replays idempotently from the checkpoint: a batch
+    * re-applied over its own output is a no-op because equal values
+    * don't close rows. State table size = history rows, not stream
+    * length. Columns: stream (k, v, change_date); table (k, v,
+    * valid_from, valid_to). */
+  def applyCdcScd2(changes: DataFrame, tablePath: String,
+      checkpointPath: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cur =
+          if (new java.io.File(tablePath).exists())
+            spark.read.parquet(tablePath)
+          else
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("v",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("valid_from",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("valid_to",
+                  org.apache.spark.sql.types.StringType))))
+        // latest change per key within the batch (deterministic)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"))
+          .orderBy(col("change_date").desc, col("v").asc)
+        val upd = batch.toDF()
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("k"), col("v").as("new_v"),
+            col("change_date").as("cd"))
+        val open = cur.filter(col("valid_to") === "9999-12-31")
+        val closedHist = cur.filter(col("valid_to") =!= "9999-12-31")
+        val merged = open.join(upd, Seq("k"), "full_outer")
+          .select(col("k"), explode(
+            when(col("new_v").isNotNull && col("v").isNull,
+              // brand-new key: open its first version
+              array(struct(col("new_v").as("v"), col("cd").as("valid_from"),
+                lit("9999-12-31").as("valid_to"))))
+            .when(col("new_v").isNotNull && col("new_v") =!= col("v"),
+              array(
+                struct(col("v"), col("valid_from"),
+                  col("cd").as("valid_to")),
+                struct(col("new_v").as("v"), col("cd").as("valid_from"),
+                  lit("9999-12-31").as("valid_to"))))
+            .otherwise(array(struct(col("v"), col("valid_from"),
+              col("valid_to"))))).as("r"))
+          .select(col("k"), col("r.v").as("v"),
+            col("r.valid_from").as("valid_from"),
+            col("r.valid_to").as("valid_to"))
+        val next = closedHist.unionByName(merged)
+        // atomic-per-batch swap: never read and overwrite in one job
+        val staging = tablePath + "_staging"
+        next.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite")
+          .parquet(tablePath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** Stream–static enrichment: join each micro-batch against a STATIC
     * dimension (the streaming form of q11's broadcast dim join). The
     * static side is re-resolved per micro-batch — a file-based dim

@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     assert(!q.lastProgress.stateOperators.exists(_.numRowsTotal > 0))
   }
 
+  test("applyCdcScd2: change batches maintain SCD2 history across " +
+    "micro-batches — close + open on change, insert on new key") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("cdc")
+    dir.toFile.deleteOnExit()
+    val table = dir.resolve("dim").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.applyCdcScd2(
+      mem.toDF().toDF("k", "v", "change_date"), table, ckpt)
+    mem.addData((1L, "a1", "2024-01-01"), (2L, "b1", "2024-01-01"))
+    q.processAllAvailable()
+    mem.addData(
+      (1L, "a2", "2024-02-01"), // change: closes a1, opens a2
+      (2L, "b1", "2024-02-01"), // same value: no-op
+      (3L, "c1", "2024-02-01")) // new key
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(table)
+      .select("k", "v", "valid_from", "valid_to")
+      .as[(Long, String, String, String)].collect().sorted
+    assert(got.toSeq === Seq(
+      (1L, "a1", "2024-01-01", "2024-02-01"),
+      (1L, "a2", "2024-02-01", "9999-12-31"),
+      (2L, "b1", "2024-01-01", "9999-12-31"),
+      (3L, "c1", "2024-02-01", "9999-12-31")))
+  }
+
   test("runningTotals (transformWithState): per-key state accumulates " +
     "across micro-batches on the RocksDB store") {
     implicit val sqlCtx = spark.sqlContext
