@@ -1362,6 +1362,25 @@ object Oracle {
         |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Deequ-shaped constraint audit: four conditional sums + a
+    // uniqueness delta in one aggregate, plus the RI anti-join count
+    "q101_constraint_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM events) AS n_rows,
+        |  (SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM events) AS null_user,
+        |  (SELECT CAST(sum(CASE WHEN event_type NOT IN
+        |    ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM events) AS off_taxonomy,
+        |  (SELECT CAST(sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM events) AS over_cap,
+        |  (SELECT count(*) - count(DISTINCT event_id) FROM events)
+        |    AS dup_event_ids,
+        |  (SELECT count(*) FROM events e LEFT JOIN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 4 <> 0) c
+        |    ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL)
+        |    AS churned_user_events""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

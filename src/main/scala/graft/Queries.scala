@@ -1483,6 +1483,41 @@ object Queries {
       .orderBy("ship_month")
   }
 
+  /** Data-quality constraint audit (the Deequ-shaped validation layer
+    * an ingestion engine runs before publishing a load): completeness
+    * (null keys), domain membership (order status), range (positive
+    * totals), uniqueness (key duplicates), and referential integrity
+    * (orders without a customer) — the first four are conditional sums
+    * in ONE scan-level aggregate; uniqueness rides the same aggregate
+    * as n_rows − countDistinct; RI is one anti-join count. Scale: the
+    * single-pass block is map-side-combinable; countDistinct and the
+    * anti join are the two all-to-all terms, both key-bounded (swap
+    * HLL for the count at report precision if keys don't fit). */
+  def q101ConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    // audit policy: conversion events only, values capped at 400, and
+    // users must resolve against the ACTIVE customer segment (every
+    // 4th customer is modeled churned) — fixture data is clean by
+    // construction, so the policy is what makes violations real; the
+    // uniqueness check stays green, showing both audit outcomes
+    val scan = e.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L))
+        .as("null_user"),
+      sum(when(!col("event_type").isin("click", "view", "purchase"), 1L)
+        .otherwise(0L)).as("off_taxonomy"),
+      sum(when(col("value") > 400.0, 1L).otherwise(0L))
+        .as("over_cap"),
+      (count(lit(1)) - countDistinct(col("event_id")))
+        .as("dup_event_ids"))
+    val orphans = e.join(t(s, dir, "customer")
+        .filter(col("c_custkey") % 4 =!= 0)
+        .select(col("c_custkey").as("user_id")), Seq("user_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("churned_user_events"))
+    scan.crossJoin(broadcast(orphans))
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1838,5 +1873,6 @@ object Queries {
     "q98_snapshot_diff" -> (q98SnapshotDiff _),
     "q99_source_overlap" -> (q99SourceOverlap _),
     "q100_incremental_agg" -> (q100IncrementalAgg _),
+    "q101_constraint_audit" -> (q101ConstraintAudit _),
   )
 }
