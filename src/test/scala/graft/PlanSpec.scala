@@ -38,6 +38,24 @@ class PlanSpec extends SparkSpec {
     assert(!p12.contains("SortMergeJoin"), p12)
   }
 
+  test("q91: chunking is map-only — no hash exchange anywhere (the " +
+    "only shuffle is the presentation sort's range partitioning)") {
+    val p = plan("q91_chunking")
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q92: sequence packing shuffles ONCE (the per-language window); " +
+    "token counting stays in the map phase") {
+    val p = plan("q92_sequence_pack")
+    assert(p.split("Exchange hashpartitioning").length === 2, p)
+  }
+
+  test("q100: incremental merge keeps partial aggregation on both the " +
+    "partial-state and merge levels") {
+    val p = plan("q100_incremental_agg")
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q27: exact dedup is one hash aggregate, no window/sort shuffle") {
     val p = plan("q27_dedup_exact")
     assert(p.contains("partial_min"), p)
