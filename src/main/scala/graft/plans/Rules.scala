@@ -76,6 +76,8 @@ object NanosWatermarkPushdown extends Rule[LogicalPlan] {
   * `spark.experimental.extraOptimizations` in graft.sources.Tables, so
   * harness sessions need no config.) */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => NanosWatermarkPushdown)
+    graft.functions.GraftFunctions.all.foreach(extensions.injectFunction)
+  }
 }

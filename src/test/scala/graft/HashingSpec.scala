@@ -146,6 +146,20 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("GraftFunctions: the SQL surface (graft_md5long / graft_zorder " +
+    "/ graft_cosine) resolves and matches the Scala API bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_md5long('abc') AS h, graft_zorder(5, 9) AS z, " +
+        "graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c").head()
+    val e = spark.range(1).select(
+      Hashing.md5Long(lit("abc")).as("h"),
+      graft.operators.Layout.zorder(lit(5), lit(9)).as("z")).head()
+    assert(r.getLong(0) === e.getLong(0))
+    assert(r.getLong(1) === e.getLong(1))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-15)
+  }
+
   test("CosineSim / DotScores: a NULL vector element nulls the fold, " +
     "matching the HOF spec (null product nulls the left fold)") {
     import graft.operators.Similarity
