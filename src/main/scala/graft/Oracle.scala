@@ -1381,6 +1381,24 @@ object Oracle {
         |    ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL)
         |    AS churned_user_events""".stripMargin,
 
+    // the naive per-purchase correlated subquery — correct by
+    // construction, and free here; the Spark side runs the one-sort
+    // union formulation instead
+    "q102_last_touch" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.user_id,
+        |    (SELECT t.channel FROM t
+        |      WHERE t.user_id = p.user_id AND t.ts <= p.ts
+        |      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS attr
+        |  FROM p)
+        |SELECT coalesce(attr, 'none') AS channel,
+        |  count(*) AS n_purchases,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1518,6 +1518,32 @@ object Queries {
     scan.crossJoin(broadcast(orphans))
   }
 
+  /** Last-touch attribution — each purchase credits the LATEST
+    * click/view of the same user at-or-before it (ties inside one
+    * timestamp resolve to the highest event id; purchases with no
+    * prior touch credit 'none'): the marketing-attribution op, and the
+    * as-of join's (q48) natural self-application. Same scale shape as
+    * q48 — ONE (user, ts) shuffle+sort via the union trick, where the
+    * naive formulation is a per-purchase correlated subquery (exactly
+    * what the DuckDB oracle runs, since correctness there is free).
+    * The rollup is a 3-row aggregate over the attributed stream. */
+  def q102LastTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("channel"))
+    AsOf.asOfJoin(purchases, touches, Seq("user_id"), "ts", "ts",
+        Seq("channel"), rightTieBreak = "event_id")
+      .select(col("user_id"),
+        coalesce(col("asof_channel"), lit("none")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("channel")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1874,5 +1900,6 @@ object Queries {
     "q99_source_overlap" -> (q99SourceOverlap _),
     "q100_incremental_agg" -> (q100IncrementalAgg _),
     "q101_constraint_audit" -> (q101ConstraintAudit _),
+    "q102_last_touch" -> (q102LastTouch _),
   )
 }
