@@ -39,7 +39,13 @@ object Graph {
       iters: Int = 10, dampingPct: Int = 85): DataFrame = {
     require(dampingPct > 0 && dampingPct < 100)
     val n = nodes.select(col(idCol).as("id")).distinct().persist()
-    val e = edges.select(col("src"), col("dst")).persist()
+    // cache the edge list PRE-PARTITIONED on the join key: upstream
+    // distinct()s leave it hash-partitioned on (src, dst), which does
+    // NOT satisfy the per-round ranks⋈e join on src — without this,
+    // every iteration re-exchanges the (large) edge side; with it the
+    // shuffle happens once at build
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     // N is a bounded driver scalar (1 row) — a literal in every round's
@@ -109,9 +115,13 @@ object Graph {
     * where a row_number window would force an extra per-partition sort;
     * localCheckpoint truncates lineage exactly like pageRank. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    // pre-partitioned on src for the same reason as pageRank's edge
+    // cache: the per-round neighbor-label join keys on src, and the
+    // distinct's (src, dst) partitioning would re-exchange the doubled
+    // edge list every round
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
