@@ -1399,6 +1399,44 @@ object Oracle {
         |  count(DISTINCT user_id) AS n_users
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // basket pairs via the quadratic self-join (oracle-side only);
+    // confidence and lift are single IEEE divisions of exact longs
+    "q103_association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |item AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+        |pairs AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    count(*) AS c_ab
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT a, b, c_ab, ia.c AS c_a, ib.c AS c_b,
+        |  floor(CAST(c_ab AS DOUBLE) / ia.c * 1000000) / 1000000.0
+        |    AS confidence,
+        |  floor(CAST(n_orders * c_ab AS DOUBLE) / (ia.c * ib.c)
+        |    * 1000000) / 1000000.0 AS lift
+        |FROM pairs JOIN item ia ON ia.l_partkey = a
+        |  JOIN item ib ON ib.l_partkey = b CROSS JOIN n
+        |ORDER BY a, b""".stripMargin,
+
+    // dense (user, day) scaffold via generate_series; zero-filled
+    // counts + per-user running cumulative
+    "q104_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE user_id % 10 = 0),
+        |daily AS (SELECT user_id, day, count(*) AS n FROM ev
+        |  GROUP BY 1, 2),
+        |cal AS (SELECT u.user_id, d.day FROM
+        |  (SELECT DISTINCT user_id FROM ev) u CROSS JOIN
+        |  (SELECT unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day) d)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  CAST(sum(coalesce(n, 0)) OVER (PARTITION BY user_id
+        |    ORDER BY day) AS BIGINT) AS cum_events
+        |FROM cal LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1544,6 +1544,72 @@ object Queries {
       .orderBy("channel")
   }
 
+  /** Association rules (market-basket support / confidence / lift)
+    * over co-purchased parts — the classic recommendation mining op,
+    * kept oracle-exact by being RATIO-only: confidence c_ab/c_a is one
+    * IEEE division and lift (N·c_ab)/(c_a·c_b) one division of exact
+    * long products (no log/PMI — ln isn't cross-engine reproducible,
+    * same rationale as q90). Pair counts reuse the per-order C(k,2)
+    * expansion (one groupBy + in-memory explode over ≤7-item baskets —
+    * no lineitem self-join); a min-support filter (c_ab ≥ 3) prunes
+    * the rule space before the two dimension joins. Scale: support
+    * counting is map-side combinable; the pair aggregate is the one
+    * big shuffle, bounded by Σ C(basket,2). */
+  def q103AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val norders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val item = li.distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    pairs
+      .join(item.select(col("l_partkey").as("a"), col("c").as("c_a")),
+        Seq("a"))
+      .join(item.select(col("l_partkey").as("b"), col("c").as("c_b")),
+        Seq("b"))
+      .crossJoin(broadcast(norders))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        f6(col("c_ab").cast("double") / col("c_a")).as("confidence"),
+        f6((col("n_orders") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b"))).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  /** Calendar gap-fill — materialize the missing (user, day) rows a
+    * raw event stream never emits, so downstream time-series consumers
+    * see a dense daily matrix: a generated 31-day scaffold cross-
+    * joined with the (bounded) user dimension, left-joined to the
+    * daily counts, zero-filled, plus a running cumulative per user.
+    * The scaffold side is rows × days — generated, never shuffled at
+    * width; the one exchange is the daily count aggregate (plus the
+    * cumulative's per-user window). The date arithmetic stays in
+    * integer day space (sequence of DATEs, formatted once on emit). */
+  def q104GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val users = ev.select("user_id").distinct()
+    val cal = users.select(col("user_id"),
+      explode(expr(
+        "sequence(to_date('2024-01-01'), to_date('2024-01-31'))"))
+        .as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd")
+        .as("day"), col("n_events"), col("cum_events"))
+      .orderBy("user_id", "day")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1901,5 +1967,7 @@ object Queries {
     "q100_incremental_agg" -> (q100IncrementalAgg _),
     "q101_constraint_audit" -> (q101ConstraintAudit _),
     "q102_last_touch" -> (q102LastTouch _),
+    "q103_association_rules" -> (q103AssociationRules _),
+    "q104_gap_fill" -> (q104GapFill _),
   )
 }
