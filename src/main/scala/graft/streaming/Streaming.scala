@@ -124,7 +124,18 @@ object Streaming {
     changes.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
+        mergeScd2Batch(batch.toDF(), tablePath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
+  /** One SCD2 merge of a change batch into the parquet state table —
+    * the unit foreachBatch applies per micro-batch, exposed so the
+    * idempotency claim (re-applying a batch over its own output is a
+    * no-op) is directly testable. */
+  private[graft] def mergeScd2Batch(batchDf: DataFrame,
+      tablePath: String): Unit = {
+        val spark = batchDf.sparkSession
         val cur =
           if (new java.io.File(tablePath).exists())
             spark.read.parquet(tablePath)
@@ -144,7 +155,7 @@ object Streaming {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("k"))
           .orderBy(col("change_date").desc, col("v").asc)
-        val upd = batch.toDF()
+        val upd = batchDf
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("k"), col("v").as("new_v"),
             col("change_date").as("cd"))
@@ -173,9 +184,7 @@ object Streaming {
         next.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite")
           .parquet(tablePath)
-      }
-      .option("checkpointLocation", checkpointPath)
-      .start()
+  }
 
   /** Stream–static enrichment: join each micro-batch against a STATIC
     * dimension (the streaming form of q11's broadcast dim join). The

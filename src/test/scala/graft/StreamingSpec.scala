@@ -169,11 +169,21 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(table)
       .select("k", "v", "valid_from", "valid_to")
       .as[(Long, String, String, String)].collect().sorted
-    assert(got.toSeq === Seq(
+    val expected = Seq(
       (1L, "a1", "2024-01-01", "2024-02-01"),
       (1L, "a2", "2024-02-01", "9999-12-31"),
       (2L, "b1", "2024-01-01", "9999-12-31"),
-      (3L, "c1", "2024-02-01", "9999-12-31")))
+      (3L, "c1", "2024-02-01", "9999-12-31"))
+    assert(got.toSeq === expected)
+    // idempotency: re-applying the last batch over its own output (the
+    // crash-replay case) is a no-op — equal values never close rows
+    Streaming.mergeScd2Batch(
+      Seq((1L, "a2", "2024-02-01"), (2L, "b1", "2024-02-01"),
+        (3L, "c1", "2024-02-01")).toDF("k", "v", "change_date"), table)
+    val replayed = spark.read.parquet(table)
+      .select("k", "v", "valid_from", "valid_to")
+      .as[(Long, String, String, String)].collect().sorted
+    assert(replayed.toSeq === expected)
   }
 
   test("runningTotals (transformWithState): per-key state accumulates " +
