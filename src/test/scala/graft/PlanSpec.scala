@@ -56,6 +56,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q102: the as-of self-join stays the one-sort union plan — " +
+    "no nested-loop/cartesian from the time condition") {
+    val p = plan("q102_last_touch")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: the item-support dimension joins broadcast; no " +
+    "self-join of lineitem anywhere") {
+    val p = plan("q103_association_rules")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q27: exact dedup is one hash aggregate, no window/sort shuffle") {
     val p = plan("q27_dedup_exact")
     assert(p.contains("partial_min"), p)
