@@ -1437,6 +1437,50 @@ object Oracle {
         |FROM cal LEFT JOIN daily USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
 
+    // session paths: q87's session numbering, then list_sort over
+    // (us, event_id, type) structs makes step order total
+    "q105_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC)),
+        |g AS (SELECT user_id, event_type, us, event_id,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS session_idx
+        |  FROM f),
+        |p AS (SELECT user_id, session_idx,
+        |    array_to_string(list_transform(list_sort(list(
+        |      struct_pack(us := us, eid := event_id,
+        |        et := event_type)))[1:5], x -> x.et), '>') AS path
+        |  FROM g GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions, CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |  ORDER BY n_sessions DESC, path ASC) AS rank FROM c)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // windowed distinct via day-grain expansion: each (day, user)
+    // contributes to 7 window-end days
+    "q106_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |daily AS (SELECT day, count(DISTINCT user_id) AS users_1d
+        |  FROM ud GROUP BY 1),
+        |offs AS (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER)
+        |  AS g),
+        |rolling AS (SELECT tday AS day, count(DISTINCT user_id) AS users_7d
+        |  FROM (SELECT ud.user_id, ud.day + offs.g AS tday
+        |    FROM ud CROSS JOIN offs) x
+        |  GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, users_1d, users_7d
+        |FROM rolling JOIN daily USING (day)
+        |WHERE day BETWEEN DATE '2024-01-07' AND DATE '2024-01-30'
+        |ORDER BY day""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

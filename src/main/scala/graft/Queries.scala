@@ -1610,6 +1610,65 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** Session path analysis — the top event-type SEQUENCES (first 5
+    * steps, '>'-joined) across gap-split sessions: the "what do users
+    * actually do" op next to q79's fixed funnel. Reuses q87's
+    * sessionization (lag-flag + running sum on unix-micros); the path
+    * string is built from a sort_array over (us, event_id, type)
+    * structs, so step order is total even under tied timestamps. The
+    * final top-20 window runs over the aggregated path table (small by
+    * construction — path space, not session space), the q72 pattern.
+    * Scale: two aggregates over the session shuffle; nothing holds a
+    * whole user's history except the per-session collect, bounded by
+    * the 30-min gap. */
+  def q105SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val paths = ev.withColumn("new_s",
+        when(lag(col("us"), 1).over(order).isNull ||
+          col("us") - lag(col("us"), 1).over(order) > lit(1800000000L),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(array_join(transform(slice(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))),
+        1, 5), x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val w = Window.orderBy(col("n_sessions").desc, col("path").asc)
+    paths.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("path"), col("n_sessions"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Rolling 7-day distinct users (the DAU/WAU op): RANGE-window
+    * distinct doesn't exist in any engine, so each (day, user) pair is
+    * EXPANDED to the 7 window-end days it contributes to and distinct-
+    * counted per end day — the standard day-grain trick that turns
+    * windowed distinct into a plain aggregate. Cost is 7× the DAILY
+    * distinct pairs (already deduped — tiny vs the event stream), one
+    * shuffle. Emitted alongside the same-day distinct for ratio
+    * reading; first 6 days dropped (partial windows). */
+  def q106RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val daily = ud.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("users_1d"))
+    val rolling = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("o"))
+      .select(col("user_id"), date_add(col("day"), col("o")).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("users_7d"))
+    rolling.join(daily, Seq("day"))
+      .filter(col("day").between("2024-01-07", "2024-01-30"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("users_1d"), col("users_7d"))
+      .orderBy("day")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -1969,5 +2028,7 @@ object Queries {
     "q102_last_touch" -> (q102LastTouch _),
     "q103_association_rules" -> (q103AssociationRules _),
     "q104_gap_fill" -> (q104GapFill _),
+    "q105_session_paths" -> (q105SessionPaths _),
+    "q106_rolling_distinct" -> (q106RollingDistinct _),
   )
 }
