@@ -1481,6 +1481,22 @@ object Oracle {
         |WHERE day BETWEEN DATE '2024-01-07' AND DATE '2024-01-30'
         |ORDER BY day""".stripMargin,
 
+    // spike = integer inequality n*7 > 2*sum7 (boundary-safe); mean
+    // emitted f6 for the report only
+    "q107_anomaly_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT day, n,
+        |    CAST(sum(n) OVER w AS BIGINT) AS t_sum,
+        |    count(n) OVER w AS t_cnt
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+        |  floor(CAST(t_sum AS DOUBLE) / 7 * 1000000) / 1000000.0
+        |    AS trailing_avg,
+        |  n * 7 > t_sum * 2 AS is_spike
+        |FROM t WHERE t_cnt = 7 ORDER BY day""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1669,6 +1669,30 @@ object Queries {
       .orderBy("day")
   }
 
+  /** Volume anomaly detection — flag days whose event count exceeds
+    * 2× the trailing 7-day mean, the monitoring rule every ingest
+    * pipeline runs over its own throughput. The spike test is the
+    * INTEGER inequality n·7 > 2·Σ₇ (no double threshold — boundary
+    * days would hash-differently); the mean is emitted f6 for the
+    * report. The global day window runs over the already-aggregated
+    * daily table (≤ days rows — tiny by construction; the heavy
+    * aggregate below it is map-side-combinable per day). First 7 days
+    * skipped (no full baseline). */
+  def q107AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("t_sum", sum(col("n")).over(w))
+      .withColumn("t_cnt", count(col("n")).over(w))
+      .filter(col("t_cnt") === 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        f6(col("t_sum").cast("double") / 7).as("trailing_avg"),
+        (col("n") * 7 > col("t_sum") * 2).as("is_spike"))
+      .orderBy("day")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -2030,5 +2054,6 @@ object Queries {
     "q104_gap_fill" -> (q104GapFill _),
     "q105_session_paths" -> (q105SessionPaths _),
     "q106_rolling_distinct" -> (q106RollingDistinct _),
+    "q107_anomaly_days" -> (q107AnomalyDays _),
   )
 }
