@@ -1001,6 +1001,12 @@ object Queries {
       .select(col("e.s").as("src"), col("e.t").as("dst"),
         col("e.dt").as("dd"))
       .persist()
+    // wedge enumeration stays a src-keyed self-join: the tempting
+    // alternative (per-source neighbor-list C(k,2) expansion, as used
+    // for the ≤7-item order baskets above) measured 2× SLOWER here —
+    // π-oriented out-lists reach ~10³ neighbors, and exploding a
+    // million-wedge HOF product through interpreted array code loses
+    // to the codegen'd sort-merge join it replaces
     val w1 = oriented.select(col("src"), col("dst").as("v"),
       col("dd").as("dv"))
     val w2 = oriented.select(col("src"), col("dst").as("w"),
