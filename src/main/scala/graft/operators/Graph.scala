@@ -51,6 +51,13 @@ object Graph {
     // N is a bounded driver scalar (1 row) — a literal in every round's
     // plan beats carrying an n_nodes column through every row
     val nNodes: Long = n.count()
+    // empty graph → well-defined empty rank table (and Scale/nNodes
+    // below would otherwise divide by zero)
+    if (nNodes == 0) {
+      val out = n.select(col("id"), lit(0L).as("pr_fixed"))
+      n.unpersist(); e.unpersist()
+      return out
+    }
 
     // the dangling mass rides each round's checkpoint job via
     // observe() (the kCore pattern) — a separate per-round aggregation

@@ -253,6 +253,12 @@ object Similarity {
     val seeds: Seq[Seq[Double]] = corpus.filter(col(idCol) < nlist)
       .orderBy(col(idCol)).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    // empty corpus → no index to build and a well-defined empty result
+    // (top-k over nothing); returning it beats crashing in cellOf
+    if (seeds.isEmpty)
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        lit(0.0).as("cos"), lit(0).as("rank"))
     val centroids = (0 until refine)
       .foldLeft(seeds)((c, _) => lloydStep(corpus, vecCol, c, nlist))
     val centsHat = centroids.map(normalized)
