@@ -1497,6 +1497,21 @@ object Oracle {
         |  n * 7 > t_sum * 2 AS is_spike
         |FROM t WHERE t_cnt = 7 ORDER BY day""".stripMargin,
 
+    // per-column ANALYZE stats, one row per profiled column
+    "q108_table_stats" -> {
+      val statCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_partkey")
+      statCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1699,6 +1699,35 @@ object Queries {
       .orderBy("day")
   }
 
+  /** Single-pass table statistics (the ANALYZE layer a cost-based
+    * optimizer and every data catalog runs): min / max / distinct /
+    * null-count for each numeric lineitem column in ONE scan-level
+    * aggregate, unpivoted to a (column, stats) row per column — the
+    * per-column profile q101's constraint audit reads thresholds from.
+    * All counts exact longs; min/max emitted as doubles (the columns'
+    * native type). Scale: one map-side-combinable pass for everything
+    * except the ndv terms — per column, swap in HLL (q40) at catalog
+    * precision when exact distincts don't fit. */
+  def q108TableStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_partkey")
+    val li = t(s, dir, "lineitem")
+    val agg = li.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))): _*)
+    agg.select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"), col(s"ndv_$c").as("ndv"),
+          col(s"null_$c").as("n_nulls"))): _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("n_rows"),
+        col("r.min_v").as("min_v"), col("r.max_v").as("max_v"),
+        col("r.ndv").as("ndv"), col("r.n_nulls").as("n_nulls"))
+      .orderBy("col_name")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -2061,5 +2090,6 @@ object Queries {
     "q105_session_paths" -> (q105SessionPaths _),
     "q106_rolling_distinct" -> (q106RollingDistinct _),
     "q107_anomaly_days" -> (q107AnomalyDays _),
+    "q108_table_stats" -> (q108TableStats _),
   )
 }
