@@ -188,16 +188,53 @@ object Streaming {
 
   /** Stream–static enrichment: join each micro-batch against a STATIC
     * dimension (the streaming form of q11's broadcast dim join). The
-    * static side is re-resolved per micro-batch — a file-based dim
-    * picks up new files between batches — and broadcast, so the join
-    * is stateless: no watermark, no join state, nothing to GC. This is
-    * the right shape whenever the dim fits the broadcast threshold; a
-    * BIG static side instead becomes a stream-stream join against a
-    * rate-limited snapshot feed (state-bounded by joinStreamsWithin's
-    * time bound). */
+    * static side's DATA is re-read per micro-batch, but its file
+    * LISTING is frozen at plan time (`InMemoryFileIndex` is captured in
+    * the logical plan), so for a plain file-based dim this is a
+    * SNAPSHOT join: files appended to the dim directory after `start()`
+    * are invisible — pinned by `StreamingSpec`. The join is stateless:
+    * no watermark, no join state, nothing to GC. Right shape whenever
+    * the dim fits the broadcast threshold AND snapshot semantics are
+    * acceptable; for a slowly-changing file-backed dim use
+    * [[enrichStreamRefreshing]]; a BIG static side instead becomes a
+    * stream-stream join against a rate-limited snapshot feed
+    * (state-bounded by joinStreamsWithin's time bound). */
   def enrichStream(stream: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
+
+  /** Stream–static enrichment against a SLOWLY-CHANGING file-backed
+    * dimension. A plain stream-static join freezes the dim's file
+    * listing at plan time (see [[enrichStream]]); this variant instead
+    * enriches inside `foreachBatch`, re-invoking `loadDim` every
+    * `refreshEvery` micro-batches — a fresh `spark.read` re-lists the
+    * directory, so rows appended between batches become visible at the
+    * next refresh. Between refreshes the loaded snapshot is persisted
+    * so a refresh interval > 1 amortizes the listing + read.
+    *
+    * Semantics are per-batch SNAPSHOT lookup: a stream row whose key is
+    * absent from the current snapshot is dropped (inner join), even if
+    * the key appears later — the enrichment answer any batch pipeline
+    * gives, as opposed to the eventual-match answer of a stream-stream
+    * join. The caller supplies the per-batch `sink` (foreachBatch owns
+    * the write); checkpoint replay re-runs a batch against the CURRENT
+    * dim, the standard foreachBatch at-least-once contract. */
+  def enrichStreamRefreshing(stream: DataFrame, keys: Seq[String],
+      loadDim: () => DataFrame, refreshEvery: Int = 1)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    // foreachBatch runs serially on the driver, so plain vars are safe.
+    var dim: DataFrame = null
+    var loadedAt = Long.MinValue
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      if (dim == null || batchId - loadedAt >= refreshEvery) {
+        if (dim != null) dim.unpersist()
+        dim = loadDim().persist()
+        loadedAt = batchId
+      }
+      sink(batch.join(broadcast(dim), keys), batchId)
+    }
+  }
 
   /** Stream–static decontamination probe: emit the documents from a
     * stream that share at least one word n-gram with a STATIC

@@ -148,6 +148,54 @@ class StreamingSpec extends SparkSpec {
     assert(!q.lastProgress.stateOperators.exists(_.numRowsTotal > 0))
   }
 
+  test("enrichStream: a FILE-based dim is a SNAPSHOT — the listing is " +
+    "frozen at plan time, files appended later stay invisible (pinned)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = Files.createTempDirectory("dim").toString
+    Seq((1L, "appliances")).toDF("cat_id", "cat")
+      .write.mode(SaveMode.Append).parquet(dimDir)
+    val mem = MemoryStream[(Long, Long)]
+    val out = Streaming.enrichStream(
+      mem.toDF().toDF("event_id", "cat_id"),
+      spark.read.parquet(dimDir), Seq("cat_id"))
+    val q = out.writeStream.format("memory").queryName("enriched_file")
+      .outputMode("append").start()
+    mem.addData((10L, 1L), (11L, 2L)) // cat 2 not in the dim yet
+    q.processAllAvailable()
+    Seq((2L, "toys")).toDF("cat_id", "cat")
+      .write.mode(SaveMode.Append).parquet(dimDir)
+    mem.addData((12L, 2L)) // in the dir now, but the listing is frozen
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched_file")
+      .select("event_id", "cat").as[(Long, String)].collect().sorted
+    assert(got.toSeq === Seq((10L, "appliances")))
+  }
+
+  test("enrichStreamRefreshing: the dim is re-loaded between " +
+    "micro-batches — rows appended to the dim dir join in batch 2, and " +
+    "a key absent at ITS batch's snapshot is dropped, not matched late") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = Files.createTempDirectory("dim").toString
+    Seq((1L, "appliances")).toDF("cat_id", "cat")
+      .write.mode(SaveMode.Append).parquet(dimDir)
+    val mem = MemoryStream[(Long, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Streaming.enrichStreamRefreshing(
+        mem.toDF().toDF("event_id", "cat_id"), Seq("cat_id"),
+        () => spark.read.parquet(dimDir)) { (df, _) =>
+        buf ++= df.select("event_id", "cat").as[(Long, String)].collect()
+      }.start()
+    mem.addData((10L, 1L), (11L, 2L)) // cat 2 not in the dim yet
+    q.processAllAvailable()
+    Seq((2L, "toys")).toDF("cat_id", "cat")
+      .write.mode(SaveMode.Append).parquet(dimDir)
+    mem.addData((12L, 2L)) // visible after the batch-2 refresh
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.sorted.toSeq === Seq((10L, "appliances"), (12L, "toys")))
+  }
+
   test("applyCdcScd2: change batches maintain SCD2 history across " +
     "micro-batches — close + open on change, insert on new key") {
     implicit val sqlCtx = spark.sqlContext
