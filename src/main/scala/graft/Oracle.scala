@@ -1512,6 +1512,54 @@ object Oracle {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
+    // Lloyd replayed as chained CTE blocks (the q82 pattern): round i
+    // assigns with the NORMALIZED round-i centroids, re-means QUANTIZED
+    // member values as exact integer sums, and coalesces empty cells to
+    // the previous raw centroid — the same recurrence as
+    // Similarity.lloydStep / kmeansStats, bit for bit
+    "q109_kmeans" -> {
+      def round(i: Int): String =
+        s"""ac$i AS (SELECT e.vec_id, e.v, cid, list_dot_product(e.v, cv) AS s
+           |  FROM e, cent${i}n),
+           |a$i AS (SELECT vec_id, v, cid AS cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY s DESC, cid ASC) AS rn FROM ac$i) WHERE rn = 1),
+           |q$i AS (SELECT cell, j,
+           |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum,
+           |  count(*) AS n
+           |  FROM a$i, range(1, 65) t(j) GROUP BY cell, j),
+           |m$i AS (SELECT cell AS cid,
+           |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
+           |  FROM q$i GROUP BY cell),
+           |cent${i + 1} AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+           |  FROM cent$i p LEFT JOIN m$i m USING (cid)),
+           |cent${i + 1}n AS (SELECT cid,
+           |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+           |  FROM cent${i + 1})""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |cent0n AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+         |  FROM cent0),
+         |${(0 until 3).map(round).mkString(",\n")},
+         |acf AS (SELECT e.vec_id, e.v, cid, list_dot_product(e.v, cv) AS s
+         |  FROM e, cent3n),
+         |af AS (SELECT vec_id, v, cid AS cell, s AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) AS rn FROM acf) WHERE rn = 1),
+         |st AS (SELECT cell, count(*) AS n,
+         |  sum(CAST(floor(score / sqrt(list_dot_product(v, v))
+         |    * 1048576.0) AS BIGINT)) AS qc
+         |  FROM af GROUP BY cell)
+         |SELECT CAST(st.cell AS INTEGER) AS cell, CAST(st.n AS BIGINT) AS n,
+         |  ${f6("(CAST(st.qc AS DOUBLE) / st.n) / 1048576.0")} AS mean_cos,
+         |  ${f6("c.cv[1]")} AS c0, ${f6("c.cv[2]")} AS c1,
+         |  ${f6("c.cv[3]")} AS c2, ${f6("c.cv[4]")} AS c3
+         |FROM st JOIN cent3 c ON c.cid = st.cell
+         |ORDER BY cell""".stripMargin
+    },
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1728,6 +1728,22 @@ object Queries {
       .orderBy("col_name")
   }
 
+  /** k-means over the embeddings corpus: 3 Lloyd rounds from
+    * deterministic seeds, reporting per-cluster size, cohesion (mean
+    * cosine to the final centroid) and the leading centroid
+    * coordinates. The whole recurrence is quantized-integer arithmetic
+    * (Similarity.kmeansStats), so DuckDB replays it bit-for-bit as
+    * chained CTEs — an ITERATIVE ML training loop under the oracle
+    * gate, like q82's PageRank. */
+  def q109Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val r = Similarity.kmeansStats(emb, "vec_id", "embedding",
+      k = 8, rounds = 3)
+    r.select(col("cell") +: col("n") +: (
+      "mean_cos" +: (0 until 4).map(i => s"c$i")).map(c => f6(col(c)).as(c)): _*)
+      .orderBy("cell")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -2091,5 +2107,6 @@ object Queries {
     "q106_rolling_distinct" -> (q106RollingDistinct _),
     "q107_anomaly_days" -> (q107AnomalyDays _),
     "q108_table_stats" -> (q108TableStats _),
+    "q109_kmeans" -> (q109Kmeans _),
   )
 }

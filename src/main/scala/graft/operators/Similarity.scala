@@ -291,6 +291,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Full k-means over an embedding corpus — `rounds` Lloyd iterations
+    * from deterministic seeds (the k lowest-id vectors), reporting
+    * per-cluster statistics: member count, mean cosine to the final
+    * centroid (cohesion), and the first centroid coordinates.
+    *
+    * Every piece is oracle-reproducible by construction: seeds are
+    * data-deterministic, each iteration's centroid is the mean of
+    * 2^-20-QUANTIZED member values (exact integer sum → one double
+    * divide; see lloydStep — a raw double mean is shuffle-order-
+    * dependent and can never hash-match another engine), and the
+    * cohesion metric is itself a quantized mean. DuckDB replays the
+    * identical recurrence as `rounds` chained CTE blocks (the q82
+    * PageRank proof pattern applied to Lloyd).
+    *
+    * Scale shape: per round, one map-only assignment pass (argmax over
+    * a k×dim centroid literal — no shuffle, no join) + one
+    * (cell, dim)-keyed aggregate with map-side partial combine; the
+    * k×dim stats collect is bounded by the model size, not the data.
+    * The corpus is scanned rounds+1 times — at 100 TB callers persist
+    * it (here each scan is one parquet pass, cheaper than caching at
+    * test scale). */
+  def kmeansStats(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, coords: Int = 4): DataFrame = {
+    val seeds: Seq[Seq[Double]] = corpus.filter(col(idCol) < k)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val coordCols = (0 until coords).map(i => s"c$i")
+    // empty corpus → no seeds, no model; a well-typed empty result
+    if (seeds.isEmpty)
+      return corpus.limit(0).select(lit(0).as("cell") +: lit(0L).as("n") +:
+        lit(0.0).as("mean_cos") +: coordCols.map(c => lit(0.0).as(c)): _*)
+    val cents = (0 until rounds)
+      .foldLeft(seeds)((c, _) => lloydStep(corpus, vecCol, c, k))
+    val centsHat = cents.map(normalized)
+    // final assignment: cell + score in ONE let-bound evaluation of the
+    // k scores; cos = score / ‖v‖ (score = dot(v, ĉ), see scoreArrCent)
+    val assigned = corpus.select(
+      Expr.let(scoreArrCent(centsHat)(col(vecCol))) { a =>
+        struct((array_position(a, array_max(a)) - 1).cast("int").as("cell"),
+          array_max(a).as("score"))
+      }.as("s"), col(vecCol).as("v"))
+      .select(col("s.cell").as("cell"),
+        (col("s.score") / norm(col("v"))).as("cos"))
+    val stats = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("cos") * lit(1048576.0)).cast("long")).as("qc"))
+    // centroid coords ride as a k×coords literal — map-only, no join
+    val centLit = typedLit(cents.map(_.take(coords)))
+    stats.select(
+      col("cell") +: col("n") +:
+        ((col("qc").cast("double") / col("n")) / lit(1048576.0))
+          .as("mean_cos") +:
+        coordCols.zipWithIndex.map { case (c, i) =>
+          element_at(element_at(centLit, col("cell") + 1), i + 1).as(c)
+        }: _*)
+  }
+
   /** ANN top-k via multi-table LSH: candidate = corpus row sharing any
     * (table, bucket) with the query; exact cosine re-rank over the
     * deduplicated candidate set. May return fewer than k rows when
