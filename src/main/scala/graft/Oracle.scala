@@ -1560,6 +1560,58 @@ object Oracle {
          |ORDER BY cell""".stripMargin
     },
 
+    // DuckDB's windowed sum(BIGINT) is HUGEINT — the integer DIV
+    // arithmetic is exact either way; cast the outputs back to BIGINT
+    "q110_pps_sample" ->
+      """WITH d AS (SELECT doc_id, source, coalesce(n_chars, 0) AS w
+        |  FROM documents),
+        |tot AS (SELECT source, sum(w) AS tw FROM d GROUP BY source),
+        |c AS (SELECT doc_id, source, w,
+        |  sum(w) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+        |  CAST((cum * 32) // tw AS BIGINT) AS pick
+        |FROM c JOIN tot USING (source)
+        |WHERE tw > 0 AND (cum * 32) // tw > ((cum - w) * 32) // tw
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // sketches replayed as full-distinct-list slices (the q53 form);
+    // the set-op estimators are integer/md5-deterministic end to end
+    "q111_kmv_set_ops" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS t, user_id AS u,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |sk AS (SELECT t, list_sort(list(DISTINCT h))[1:32] AS m,
+         |    count(DISTINCT u) AS nd
+         |  FROM h GROUP BY t),
+         |p AS (SELECT a.t AS type_a, b.t AS type_b, a.m AS ma, b.m AS mb,
+         |    a.nd AS nda, b.nd AS ndb
+         |  FROM sk a JOIN sk b ON a.t < b.t),
+         |u AS (SELECT *, list_sort(list_distinct(ma || mb))[1:32] AS mu
+         |  FROM p),
+         |e AS (SELECT *,
+         |  CASE WHEN len(mu) < 32 THEN len(mu)
+         |    ELSE CAST(floor(31.0 * 1152921504606846976.0 / mu[32]) AS BIGINT)
+         |  END AS est_union,
+         |  len(list_filter(mu, x -> list_contains(ma, x)
+         |    AND list_contains(mb, x))) AS ns
+         |  FROM u),
+         |xi AS (SELECT x.t AS type_a, y.t AS type_b,
+         |    count(*) AS exact_intersect
+         |  FROM (SELECT DISTINCT event_type AS t, user_id AS u FROM events) x
+         |  JOIN (SELECT DISTINCT event_type AS t, user_id AS u FROM events) y
+         |    ON x.u = y.u AND x.t < y.t
+         |  GROUP BY 1, 2)
+         |SELECT e.type_a, e.type_b,
+         |  CAST(e.est_union AS BIGINT) AS est_union,
+         |  CAST((e.ns * e.est_union) // 32 AS BIGINT) AS est_intersect,
+         |  CAST(e.nda + e.ndb - coalesce(xi.exact_intersect, 0)
+         |    AS BIGINT) AS exact_union,
+         |  CAST(coalesce(xi.exact_intersect, 0) AS BIGINT) AS exact_intersect
+         |FROM e LEFT JOIN xi USING (type_a, type_b)
+         |ORDER BY type_a, type_b""".stripMargin,
+
     // the GK sketch is merge-order-dependent so it must be
     // result-invisible: the oracle states the exact quantiles and TRUE
     // for the bound booleans (rank error ≤ n/accuracy by construction)

@@ -1744,6 +1744,81 @@ object Queries {
       .orderBy("cell")
   }
 
+  /** Weighted PPS (probability-proportional-to-size) SYSTEMATIC sample:
+    * per source, walk the docs in id order and pick the row whose
+    * cumulative-weight interval crosses each multiple of total/n — the
+    * deterministic, single-pass weighted sampler (vs q70's Bernoulli
+    * and q81's priority top-k). Selection is INTEGER-exact:
+    * (cum·n) DIV tw > ((cum−w)·n) DIV tw — no float thresholds, so any
+    * engine reproduces the exact pick set. A row heavier than the
+    * stride is picked once (pick = highest multiple covered), the
+    * standard PPS certainty-unit behavior.
+    *
+    * Scale shape: one partitioned window cum-sum + a broadcast of the
+    * per-source totals; the cum·n product needs log2(tw·n) bits — at
+    * 100 TB with long weights move the multiply to decimal(38,0), or
+    * split the dominant source by the two-pass per-partition-offset
+    * prefix sum (q92's pattern) if one partition outgrows a task. */
+  def q110PpsSample(s: SparkSession, dir: String): DataFrame = {
+    val n = 32L
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      coalesce(col("n_chars"), lit(0L)).as("w"))
+    val tot = docs.groupBy("source").agg(sum(col("w")).as("tw"))
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("w")).over(win))
+      .join(broadcast(tot), Seq("source"))
+      .filter(col("tw") > 0)
+      .withColumn("pick", expr(s"(cum * $n) DIV tw"))
+      .filter(col("pick") > expr(s"((cum - w) * $n) DIV tw"))
+      .select(col("doc_id"), col("source"), col("w"), col("pick"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** KMV sketch SET OPERATIONS: per-event-type audience sketches
+    * (bounded k-min arrays, KmvMinsAgg) merged pairwise — union
+    * estimate from the k smallest of the concatenation, intersection
+    * via Beyer et al.'s ρ·est(∪) with ρ counted over shared mins —
+    * against the exact |A∪B| / |A∩B| recounted from the data. The
+    * estimates are md5-deterministic, so the oracle hash-matches them
+    * exactly (unlike HLL, whose sketch no other engine reproduces).
+    *
+    * Scale shape: sketch build is one O(k)-state aggregate per type;
+    * the pairwise merge runs over |types|² sketch ROWS (model-sized,
+    * broadcast), never re-touching the data; the exact recount (the
+    * verification half) is one distinct + one equi-join on user_id. */
+  def q111KmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val ev = t(s, dir, "events")
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+    val sides = Sketches.kmvMins(ev, Seq("t"), "u", k)
+      .join(ev.groupBy("t").agg(countDistinct(col("u")).as("nd")), Seq("t"))
+    val a = sides.select(col("t").as("type_a"), col("kmins").as("ma"),
+      col("nd").as("nda"))
+    val b = sides.select(col("t").as("type_b"), col("kmins").as("mb"),
+      col("nd").as("ndb"))
+    val pairs = a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("mu", slice(array_sort(array_union(col("ma"), col("mb"))),
+        1, k))
+      .withColumn("est_union", Sketches.kmvEstimate(col("mu"), k))
+      .withColumn("ns", expr(
+        "CAST(size(filter(mu, x -> array_contains(ma, x) " +
+          "AND array_contains(mb, x))) AS BIGINT)"))
+      .withColumn("est_intersect", expr(s"(ns * est_union) DIV $k"))
+    val ut = ev.distinct()
+    val xi = ut.as("x").join(ut.as("y"),
+        col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    pairs.join(xi, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_union"),
+        col("est_intersect"),
+        (col("nda") + col("ndb") - coalesce(col("exact_intersect"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Conversion funnel view → click → purchase with STRICT event-time
     * ordering per user (a click counts only after that user's first
     * view; a purchase only after that click). Three conditional-min
@@ -2108,5 +2183,7 @@ object Queries {
     "q107_anomaly_days" -> (q107AnomalyDays _),
     "q108_table_stats" -> (q108TableStats _),
     "q109_kmeans" -> (q109Kmeans _),
+    "q110_pps_sample" -> (q110PpsSample _),
+    "q111_kmv_set_ops" -> (q111KmvSetOps _),
   )
 }

@@ -90,4 +90,32 @@ object Sketches {
       .withColumn("approx_distinct", estimate(col("kmins")))
       .drop("kmins")
   }
+
+  /** Grouped KMV SKETCHES (the sorted k-min hash arrays themselves,
+    * column `kmins`) — bounded O(k) state per group like kmvDistinct,
+    * but mergeable downstream: union two sketches by taking the k
+    * smallest of their concatenation, estimate the intersection via
+    * ρ·est(∪) (Beyer et al.'s KMV set-operation estimators). */
+  def kmvMins(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val hashCol = "_kmv_h"
+    val agg = GraftSql.column(
+      graft.functions.KmvMinsAgg(
+        GraftSql.expression(col(hashCol)), k)
+        .toAggregateExpression())
+    df.select(groupCols.map(col) :+
+        Hashing.md5Long(col(valueCol).cast("string")).as(hashCol): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg.as("kmins"))
+  }
+
+  /** The KMV estimate from a k-min array column: exact size below k,
+    * else (k−1)·2^60/h_k — shared by kmvDistinct's contract and the
+    * q111 set-operation composition. */
+  def kmvEstimate(m: Column, k: Int): Column =
+    when(size(m) < k, size(m).cast("long"))
+      .otherwise(floor(
+        lit((k - 1).toDouble * math.pow(2.0, 60)) / element_at(m, k))
+        .cast("long"))
 }

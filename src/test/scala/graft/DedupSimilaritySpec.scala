@@ -53,6 +53,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === spec)
   }
 
+  test("KMV mins sketch: sorted k-min array == collect-everything spec, " +
+    "and the merged-union estimate equals a directly-built union sketch") {
+    import graft.operators.Sketches
+    import graft.functions.Hashing
+    val df = ((1 to 3000).map(i => ("a", s"v$i")) ++
+      (2000 to 6000).map(i => ("b", s"v$i"))).toDF("g", "v")
+      .repartition(7) // force partial-aggregate merges across partitions
+    val k = 64
+    val out = Sketches.kmvMins(df, Seq("g"), "v", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val spec = df
+      .groupBy("g")
+      .agg(slice(array_sort(collect_set(
+        Hashing.md5Long(col("v").cast("string")))), 1, k).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out === spec)
+    assert(out("a").length === k && out("a") === out("a").sorted)
+    // k smallest of (mins(A) ++ mins(B)) == mins(A ∪ B): merging the
+    // bounded sketches loses nothing vs sketching the union directly
+    val mergedUnion = (out("a") ++ out("b")).distinct.sorted.take(k)
+    val direct = Sketches.kmvMins(
+      df.select(col("v")).distinct().withColumn("g", lit("u")),
+      Seq("g"), "v", k)
+      .collect().map(r => r.getSeq[Long](1)).head
+    assert(mergedUnion === direct)
+  }
+
   test("connected components: chain, triangle, singleton") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round),
