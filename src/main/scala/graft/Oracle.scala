@@ -1624,5 +1624,47 @@ object Oracle {
          |    [0.48, 0.5, 0.52, 0.93, 0.95, 0.97]) AS pq
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
+
+    "q112_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |isl AS (SELECT user_id, d,
+        |  d - CAST(row_number() OVER
+        |    (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |  FROM days)
+        |SELECT user_id, strftime(min(d), '%Y-%m-%d') AS streak_start,
+        |  strftime(max(d), '%Y-%m-%d') AS streak_end,
+        |  count(*) AS days
+        |FROM isl GROUP BY user_id, grp HAVING count(*) >= 3
+        |ORDER BY user_id, streak_start""".stripMargin,
+
+    "q113_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F') AS DOUBLE), 0.0) AS f_rev,
+        |  count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O') AS DOUBLE), 0.0) AS o_rev,
+        |  count(*) FILTER (o_orderstatus = 'P') AS p_cnt,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P') AS DOUBLE), 0.0) AS p_rev
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q114_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
+        |    FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'cnt', cnt FROM wide)
+        |ORDER BY l_returnflag, measure""".stripMargin,
   )
 }

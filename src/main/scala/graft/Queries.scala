@@ -2070,6 +2070,68 @@ object Queries {
           .as("incremental_reference"))
       .orderBy("table_name")
 
+  /** Gaps-and-islands: consecutive-day activity streaks per user. The
+    * island key is the classic date − row_number() offset — one window
+    * sort inside the user_id partition, one aggregate, no self-join.
+    * Both shuffles key on user_id, so the plan holds at any user count;
+    * per-user row counts bound the window sort.
+    */
+  def q112GapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("days"))
+      .filter(col("days") >= 3)
+      // dates emit as strings (registry convention: parquet DATE vs
+      // DuckDB date round-trip as different pandas dtypes)
+      .select(col("user_id"),
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+        date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"),
+        col("days"))
+      .orderBy("user_id", "streak_start")
+  }
+
+  /** PIVOT: order count + exact revenue per order-year, spread across
+    * the status enum. The pivot value list is EXPLICIT — Spark skips
+    * the distinct-collect pre-job and the plan is a single hash
+    * aggregate on yr with 6 conditional slots (the same shape the
+    * oracle writes as FILTER aggregates). Missing (year, status) cells
+    * are pinned to 0/0.0 so both engines agree on absent combinations.
+    */
+  def q113Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("rev"))
+      .select(col("yr"),
+        coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
+        coalesce(col("F_rev"), lit(0.0)).as("f_rev"),
+        coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
+        coalesce(col("O_rev"), lit(0.0)).as("o_rev"),
+        coalesce(col("P_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("P_rev"), lit(0.0)).as("p_rev"))
+      .orderBy("yr")
+
+  /** UNPIVOT/melt: the per-returnflag measure matrix flipped to long
+    * form with Dataset.unpivot — ONE Expand over the 5-row aggregate,
+    * not a UNION of re-aggregations (the oracle spells it as UNION ALL
+    * over a shared CTE; Spark's Expand is the single-scan equivalent).
+    */
+  def q114Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("cnt"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("cnt")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2185,5 +2247,8 @@ object Queries {
     "q109_kmeans" -> (q109Kmeans _),
     "q110_pps_sample" -> (q110PpsSample _),
     "q111_kmv_set_ops" -> (q111KmvSetOps _),
+    "q112_gaps_islands" -> (q112GapsIslands _),
+    "q113_pivot" -> (q113Pivot _),
+    "q114_unpivot" -> (q114Unpivot _),
   )
 }
