@@ -1666,5 +1666,33 @@ object Oracle {
         |  UNION ALL
         |  SELECT l_returnflag, 'cnt', cnt FROM wide)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // independent algorithm: quadratic NOT-EXISTS dominance definition
+    // vs the query's running-max frontier scan
+    "q115_skyline" ->
+      """WITH best AS (SELECT p_retailprice AS price,
+        |    CAST(max(p_size) AS BIGINT) AS size
+        |  FROM part GROUP BY 1)
+        |SELECT price, size FROM best b
+        |WHERE NOT EXISTS (SELECT 1 FROM best o
+        |  WHERE o.price < b.price AND o.size >= b.size)
+        |ORDER BY price""".stripMargin,
+
+    "q116_mode_per_group" ->
+      """WITH counts AS (SELECT c_mktsegment AS segment,
+        |    o_orderpriority AS prio, count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment, prio AS mode_priority, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY segment
+        |    ORDER BY cnt DESC, prio) AS rn FROM counts)
+        |WHERE rn = 1 ORDER BY segment""".stripMargin,
+
+    "q117_histogram" ->
+      """SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo,
+        |  CAST((bucket + 1) * 25000 AS DOUBLE) AS hi, count(*) AS cnt
+        |FROM (SELECT CAST(floor(o_totalprice /
+        |  CAST(25000.0 AS DOUBLE)) AS BIGINT) AS bucket FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -2132,6 +2132,62 @@ object Queries {
         "measure", "value")
       .orderBy("l_returnflag", "measure")
 
+  /** Pareto frontier (skyline): parts minimizing price while maximizing
+    * size. Two-phase: (1) distributed per-price max-size collapse —
+    * same-price smaller-size rows are dominated inside the aggregate,
+    * shrinking the input to |distinct prices| (a bounded price domain,
+    * not row count); (2) a single ordered pass keeping rows whose size
+    * beats the running max over all strictly-cheaper prices. The global
+    * window runs over the collapsed domain only — the full-table scan
+    * never sorts globally. The oracle proves the same frontier by the
+    * O(n²) NOT EXISTS dominance definition — two independent
+    * algorithms, one answer.
+    */
+  def q115Skyline(s: SparkSession, dir: String): DataFrame = {
+    val best = t(s, dir, "part")
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).cast("long").as("size"))
+    val w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    best.withColumn("mx", max(col("size")).over(w))
+      .filter(col("mx").isNull || col("size") > col("mx"))
+      .select(col("price"), col("size"))
+      .orderBy("price")
+  }
+
+  /** Mode per group with a total tie order: the modal order priority of
+    * each market segment (ties → lexicographically smallest priority).
+    * The heavy work is the partially-aggregatable (segment, prio)
+    * count; the argmax window then runs over ≤ |segments|·|priorities|
+    * rows. Deterministic by construction — the (cnt desc, prio asc)
+    * order is total.
+    */
+  def q116ModePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("cnt").desc, col("prio").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("segment"), col("prio").as("mode_priority"), col("cnt"))
+      .orderBy("segment")
+  }
+
+  /** Equi-width histogram via pure floor-division binning — no
+    * min/max pre-pass, no width_bucket dialect variance: bucket =
+    * floor(price / 25000). Single map-side-combinable aggregate; bin
+    * edges re-derived from the bucket id (exact double products).
+    */
+  def q117Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / lit(25000.0)).cast("long")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"), (col("bucket") * lit(25000.0)).as("lo"),
+        ((col("bucket") + lit(1L)) * lit(25000.0)).as("hi"), col("cnt"))
+      .orderBy("bucket")
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2250,5 +2306,8 @@ object Queries {
     "q112_gaps_islands" -> (q112GapsIslands _),
     "q113_pivot" -> (q113Pivot _),
     "q114_unpivot" -> (q114Unpivot _),
+    "q115_skyline" -> (q115Skyline _),
+    "q116_mode_per_group" -> (q116ModePerGroup _),
+    "q117_histogram" -> (q117Histogram _),
   )
 }
