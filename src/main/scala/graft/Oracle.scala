@@ -1694,5 +1694,44 @@ object Oracle {
         |FROM (SELECT CAST(floor(o_totalprice /
         |  CAST(25000.0 AS DOUBLE)) AS BIGINT) AS bucket FROM orders)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // exact integer moments (DuckDB sums BIGINT into HUGEINT — exact
+    // like the Spark side's DECIMAL(38,0)); the closed-form corr is one
+    // double expression over identical integers in both engines
+    "q118_corr_moments" ->
+      s"""WITH m AS (SELECT l_returnflag,
+         |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS ix,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS iy
+         |  FROM lineitem),
+         |a AS (SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(ix) AS DOUBLE) AS sx, CAST(sum(iy) AS DOUBLE) AS sy,
+         |  CAST(sum(ix * ix) AS DOUBLE) AS sxx,
+         |  CAST(sum(iy * iy) AS DOUBLE) AS syy,
+         |  CAST(sum(ix * iy) AS DOUBLE) AS sxy
+         |  FROM m GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  ${f6("(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+             "sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")} AS corr
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q119_decile_stats" ->
+      s"""WITH d AS (SELECT c_mktsegment AS segment, c_acctbal,
+         |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+         |    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+         |  FROM customer)
+         |SELECT segment, decile, count(*) AS cnt,
+         |  min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+         |  ${f6("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)" +
+             " / count(*)")} AS mean_bal
+         |FROM d GROUP BY 1, 2 ORDER BY segment, decile""".stripMargin,
+
+    "q120_fuzzy_match" ->
+      """WITH n AS (SELECT c_name AS name, substr(c_name, 1, 16) AS blk
+        |  FROM customer)
+        |SELECT a.name AS name, count(*) AS n_fuzzy
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.name <> b.name
+        |  AND levenshtein(a.name, b.name) <= 1
+        |GROUP BY 1 ORDER BY name""".stripMargin,
   )
 }

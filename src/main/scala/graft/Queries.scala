@@ -2188,6 +2188,78 @@ object Queries {
         ((col("bucket") + lit(1L)) * lit(25000.0)).as("hi"), col("cnt"))
       .orderBy("bucket")
 
+  /** Pearson correlation via EXACT integer moments — the portable
+    * formulation of corr() (whose float running sums are merge-order-
+    * dependent and can't cross-engine hash-match). Both inputs scale to
+    * cents as exact integers; the five moments are exact sums (products
+    * decimal-cast so a 100 TB sum can't wrap int64); the closed-form
+    * corr is then ONE double expression over identical integers —
+    * bit-identical in any engine, any partitioning. Single
+    * map-side-combinable aggregate, one shuffle of 3 rows.
+    */
+  def q118CorrMoments(s: SparkSession, dir: String): DataFrame = {
+    val ix = (col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val iy = (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val m = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), ix.as("ix"), iy.as("iy"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ix").cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum(col("iy").cast(DecimalType(38, 0))).cast("double").as("sy"),
+        sum((col("ix") * col("ix")).cast(DecimalType(38, 0)))
+          .cast("double").as("sxx"),
+        sum((col("iy") * col("iy")).cast(DecimalType(38, 0)))
+          .cast("double").as("syy"),
+        sum((col("ix") * col("iy")).cast(DecimalType(38, 0)))
+          .cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val corr = (nd * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+        sqrt(nd * col("syy") - col("sy") * col("sy")))
+    m.select(col("l_returnflag"), col("n"), f6(corr).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Decile calibration table: ntile(10) of account balance inside each
+    * market segment (tie-broken on custkey so the bucket assignment is
+    * total-ordered → engine-independent), then per-decile count / min /
+    * max / exact mean. One window sort per segment partition.
+    */
+  def q119DecileStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("c_mktsegment").as("segment"), col("decile"))
+      .agg(count(lit(1)).as("cnt"), min(col("c_acctbal")).as("lo"),
+        max(col("c_acctbal")).as("hi"),
+        f6(dsum(col("c_acctbal")) / count(lit(1))).as("mean_bal"))
+      .orderBy("segment", "decile")
+  }
+
+  /** Blocked fuzzy matching (entity-resolution shape): candidate pairs
+    * come ONLY from equality on a blocking key (the name minus its low
+    * 2 digits) — an equi-join, never an all-pairs cross — and the
+    * edit-distance verify runs inside each bounded block. Output is the
+    * per-name fuzzy-neighbor count. At any scale the cost is
+    * Σ|block|², controlled by the key's granularity — same shape as the
+    * LSH-bucketed near-dup verifies (q29/q51).
+    */
+  def q120FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "customer")
+      .select(col("c_name").as("name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.name") =!= col("b.name") &&
+          levenshtein(col("a.name"), col("b.name")) <= 1)
+      .groupBy(col("a.name").as("name"))
+      .agg(count(lit(1)).as("n_fuzzy"))
+      .orderBy("name")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2309,5 +2381,8 @@ object Queries {
     "q115_skyline" -> (q115Skyline _),
     "q116_mode_per_group" -> (q116ModePerGroup _),
     "q117_histogram" -> (q117Histogram _),
+    "q118_corr_moments" -> (q118CorrMoments _),
+    "q119_decile_stats" -> (q119DecileStats _),
+    "q120_fuzzy_match" -> (q120FuzzyMatch _),
   )
 }
