@@ -1733,5 +1733,47 @@ object Oracle {
         |FROM n a JOIN n b ON a.blk = b.blk AND a.name <> b.name
         |  AND levenshtein(a.name, b.name) <= 1
         |GROUP BY 1 ORDER BY name""".stripMargin,
+
+    // the EWMA recurrence replayed as a recursive CTE over day rank —
+    // integer halving, so both engines walk identical longs
+    "q121_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'))
+        |      AS rn
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT prio, day, rn, x AS e FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.prio, d.day, d.rn, (d.x + r.e) // 2
+        |  FROM daily d JOIN r ON d.prio = r.prio AND d.rn = r.rn + 1)
+        |SELECT prio, day, CAST(e AS BIGINT) AS ewma FROM r
+        |ORDER BY prio, day""".stripMargin,
+
+    "q122_novelty" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    unnest(list_distinct(${shingles("tk", 3)})) AS sh FROM t),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY 1)
+         |SELECT s.doc_id, s.source, count(*) AS n_shingles,
+         |  count(*) FILTER (f.first_doc = s.doc_id) AS n_novel,
+         |  ${f6("CAST(count(*) FILTER (f.first_doc = s.doc_id) AS DOUBLE)" +
+             " / CAST(count(*) AS DOUBLE)")} AS novelty
+         |FROM s JOIN f USING (sh)
+         |GROUP BY 1, 2 ORDER BY s.doc_id""".stripMargin,
+
+    "q123_filter_funnel" ->
+      """SELECT source,
+        |  CASE WHEN length(text) < 100 THEN 'too_short'
+        |    WHEN length(text) > 5000 THEN 'too_long'
+        |    WHEN length(regexp_replace(text, '[A-Za-z ]', '', 'g')) * 10
+        |      > length(text) * 3 THEN 'too_symbolic'
+        |    ELSE 'pass' END AS verdict,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin,
   )
 }

@@ -2260,6 +2260,79 @@ object Queries {
       .orderBy("name")
   }
 
+  /** Integer-exact EWMA over the daily revenue series of each order
+    * priority: e_1 = x_1, e_t = (x_t + e_{t-1}) div 2 — an inherently
+    * ORDER-DEPENDENT recurrence (no window frame expresses it), run as
+    * an aggregate() fold over the day-sorted per-group array. The heavy
+    * distributed work is the (prio, day) cents aggregate; the fold's
+    * state is calendar-bounded (#days, not #rows), the same bounded-
+    * group argument as q92's sequence packing. All arithmetic is long
+    * integer, so the trajectory is bit-identical in any engine — the
+    * oracle replays the recurrence as a recursive CTE.
+    */
+  def q121Ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    daily.groupBy("prio")
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("arr"))
+      .select(col("prio"), explode(expr(
+        """aggregate(arr,
+          |  CAST(array() AS ARRAY<STRUCT<day: STRING, e: BIGINT>>),
+          |  (acc, s) -> concat(acc, array(named_struct(
+          |    'day', s.day,
+          |    'e', CASE WHEN size(acc) = 0 THEN s.x
+          |         ELSE (s.x + element_at(acc, -1).e) DIV 2 END))))
+          |""".stripMargin)).as("r"))
+      .select(col("prio"), col("r.day").as("day"), col("r.e").as("ewma"))
+      .orderBy("prio", "day")
+  }
+
+  /** Corpus novelty: for each document, the fraction of its 3-word
+    * shingles never seen in any LOWER-doc_id document — the
+    * incremental-dedup metric a crawl pipeline tracks per batch
+    * ("how much of this source is new?"). First-occurrence attribution
+    * is a min(doc_id) aggregate per shingle (one shuffle on the shingle
+    * key, map-side combinable), then a shingle-keyed join back —
+    * never any doc-to-doc pairing. The ratio is two exact longs
+    * divided once in double.
+    */
+  def q122Novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty", f6(col("n_novel").cast("double") /
+        col("n_shingles").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-filter funnel with FIRST-failing-rule attribution: every
+    * document lands in exactly one verdict bucket (the observability
+    * report a filtering pipeline ships alongside its keep/drop
+    * decision). One codegen'd CASE projection, one tiny aggregate —
+    * zero joins, zero extra scans.
+    */
+  def q123FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val nonAlpha = length(regexp_replace(col("text"), "[A-Za-z ]", ""))
+    val verdict = when(length(col("text")) < 100, "too_short")
+      .when(length(col("text")) > 5000, "too_long")
+      .when(nonAlpha * lit(10) > length(col("text")) * lit(3),
+        "too_symbolic")
+      .otherwise("pass")
+    t(s, dir, "documents")
+      .groupBy(col("source"), verdict.as("verdict"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("source", "verdict")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2384,5 +2457,8 @@ object Queries {
     "q118_corr_moments" -> (q118CorrMoments _),
     "q119_decile_stats" -> (q119DecileStats _),
     "q120_fuzzy_match" -> (q120FuzzyMatch _),
+    "q121_ewma" -> (q121Ewma _),
+    "q122_novelty" -> (q122Novelty _),
+    "q123_filter_funnel" -> (q123FilterFunnel _),
   )
 }
