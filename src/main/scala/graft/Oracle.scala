@@ -1775,5 +1775,60 @@ object Oracle {
         |    ELSE 'pass' END AS verdict,
         |  count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin,
+
+    // q52's recursive-reachability components + per-component argmax
+    "q124_cluster_rep" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |comp AS (SELECT v AS doc_id, min(u) AS component FROM reach
+         |  GROUP BY v),
+         |rk AS (SELECT c.component, c.doc_id, d.n_chars,
+         |  row_number() OVER (PARTITION BY c.component
+         |    ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT component, count(*) AS cluster_size,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+         |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_n_chars
+         |FROM rk GROUP BY 1 ORDER BY component""".stripMargin,
+
+    "q125_next_event_pairs" ->
+      """SELECT user_id, event_id, context, label FROM (
+        |  SELECT user_id, event_id,
+        |    concat_ws('>', lag(event_type, 3) OVER win,
+        |      lag(event_type, 2) OVER win, lag(event_type, 1) OVER win,
+        |      event_type) AS context,
+        |    lead(event_type, 1) OVER win AS label
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE label IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+
+    // the leakage audit recomputed from raw events, not from the
+    // construction
+    "q126_grouped_split" ->
+      s"""WITH ev AS (SELECT *,
+         |  CASE WHEN ${md5Long("CAST(user_id AS VARCHAR)")} % 100 < 90
+         |    THEN 'train' ELSE 'valid' END AS split FROM events),
+         |leak AS (SELECT count(*) FILTER (ns > 1) AS leaked_users
+         |  FROM (SELECT user_id, count(DISTINCT split) AS ns
+         |    FROM ev GROUP BY 1))
+         |SELECT split, count(DISTINCT user_id) AS n_users,
+         |  count(*) AS n_events, leak.leaked_users
+         |FROM ev CROSS JOIN leak
+         |GROUP BY split, leak.leaked_users ORDER BY split""".stripMargin,
   )
 }

@@ -2333,6 +2333,77 @@ object Queries {
       .orderBy("source", "verdict")
   }
 
+  /** Best-of-cluster representative selection: q52's near-dup
+    * components, but keeping the HIGHEST-QUALITY member (longest doc,
+    * ties → smallest id) instead of the min-id canonical — the policy a
+    * real dedup pipeline ships, where the survivor should be the best
+    * exemplar, not an arbitrary one. The argmax is a row_number window
+    * inside each component (bounded cluster sizes ⇒ bounded window
+    * partitions); the component labels come from the same pointer-
+    * doubling CC as q52.
+    */
+  def q124ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comp.withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("rep_n_chars"))
+      .orderBy("component")
+  }
+
+  /** Supervised-dataset construction for next-event prediction: per
+    * user-ordered event stream, (context of the last 4 event types,
+    * label = the next one) — the tabular shape of next-token training
+    * pairs. ALL five window functions share one (user_id, ts, event_id)
+    * sort — a single exchange + sort in the plan; concat_ws drops the
+    * leading NULLs so short prefixes keep their partial context.
+    */
+  def q125NextEventPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        concat_ws(">",
+          lag(col("event_type"), 3).over(w),
+          lag(col("event_type"), 2).over(w),
+          lag(col("event_type"), 1).over(w),
+          col("event_type")).as("context"),
+        lead(col("event_type"), 1).over(w).as("label"))
+      .filter(col("label").isNotNull)
+      .orderBy("user_id", "event_id")
+  }
+
+  /** GROUP-level train/valid split with a leakage audit: the split key
+    * is hash(user_id) — not hash(event_id) — so all of a user's events
+    * land on one side (the grouped split that prevents correlated-
+    * example leakage; q63 is the per-row variant). The audit column
+    * counts users whose events appear in both splits, which is zero BY
+    * CONSTRUCTION — and the oracle recomputes it from the raw events
+    * rather than trusting the construction.
+    */
+  def q126GroupedSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("split",
+      when(pmod(graft.functions.Hashing.md5Long(
+        col("user_id").cast("string")), lit(100)) < 90, lit("train"))
+        .otherwise(lit("valid")))
+    val leak = ev.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(count(when(col("ns") > 1, 1)).as("leaked_users"))
+    ev.groupBy("split")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_users"), col("n_events"),
+        col("leaked_users"))
+      .orderBy("split")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2460,5 +2531,8 @@ object Queries {
     "q121_ewma" -> (q121Ewma _),
     "q122_novelty" -> (q122Novelty _),
     "q123_filter_funnel" -> (q123FilterFunnel _),
+    "q124_cluster_rep" -> (q124ClusterRep _),
+    "q125_next_event_pairs" -> (q125NextEventPairs _),
+    "q126_grouped_split" -> (q126GroupedSplit _),
   )
 }
