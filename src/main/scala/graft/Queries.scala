@@ -2251,10 +2251,12 @@ object Queries {
     val names = t(s, dir, "customer")
       .select(col("c_name").as("name"),
         substring(col("c_name"), 1, 16).as("blk"))
+    // threshold form early-exits the DP once distance exceeds 1 —
+    // O(threshold·len) per pair instead of O(len²)
     names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.name") =!= col("b.name") &&
-          levenshtein(col("a.name"), col("b.name")) <= 1)
+          levenshtein(col("a.name"), col("b.name"), 1) === 1)
       .groupBy(col("a.name").as("name"))
       .agg(count(lit(1)).as("n_fuzzy"))
       .orderBy("name")
@@ -2263,12 +2265,12 @@ object Queries {
   /** Integer-exact EWMA over the daily revenue series of each order
     * priority: e_1 = x_1, e_t = (x_t + e_{t-1}) div 2 — an inherently
     * ORDER-DEPENDENT recurrence (no window frame expresses it), run as
-    * an aggregate() fold over the day-sorted per-group array. The heavy
-    * distributed work is the (prio, day) cents aggregate; the fold's
-    * state is calendar-bounded (#days, not #rows), the same bounded-
-    * group argument as q92's sequence packing. All arithmetic is long
-    * integer, so the trajectory is bit-identical in any engine — the
-    * oracle replays the recurrence as a recursive CTE.
+    * a typed flatMapGroups fold over the day-sorted per-group series.
+    * The heavy distributed work is the (prio, day) cents aggregate; the
+    * fold's state is calendar-bounded (#days, not #rows), the same
+    * bounded-group argument as q92's sequence packing. All arithmetic
+    * is long integer, so the trajectory is bit-identical in any
+    * engine — the oracle replays the recurrence as a recursive CTE.
     */
   def q121Ewma(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "orders")
@@ -2276,18 +2278,24 @@ object Queries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
         .cast("long")).as("x"))
-    daily.groupBy("prio")
-      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
-        .as("arr"))
-      .select(col("prio"), explode(expr(
-        """aggregate(arr,
-          |  CAST(array() AS ARRAY<STRUCT<day: STRING, e: BIGINT>>),
-          |  (acc, s) -> concat(acc, array(named_struct(
-          |    'day', s.day,
-          |    'e', CASE WHEN size(acc) = 0 THEN s.x
-          |         ELSE (s.x + element_at(acc, -1).e) DIV 2 END))))
-          |""".stripMargin)).as("r"))
-      .select(col("prio"), col("r.day").as("day"), col("r.e").as("ewma"))
+    // typed per-group fold (KeyValueGroupedDataset): O(days) per group
+    // where the aggregate() HOF's copy-on-append accumulator was
+    // O(days²) — 2.6s → ~0.5s at sf0.1. Scala Long '/' truncates toward
+    // zero ≡ floor on these non-negative cents.
+    import s.implicits._
+    daily.select(col("prio"), col("day"), col("x"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (prio, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var e = 0L
+        var first = true
+        rows.iterator.map { case (_, day, x) =>
+          e = if (first) { first = false; x } else (x + e) / 2
+          (prio, day, e)
+        }
+      }
+      .toDF("prio", "day", "ewma")
       .orderBy("prio", "day")
   }
 
