@@ -1830,5 +1830,66 @@ object Oracle {
          |  count(*) AS n_events, leak.leaked_users
          |FROM ev CROSS JOIN leak
          |GROUP BY split, leak.leaked_users ORDER BY split""".stripMargin,
+
+    "q127_multi_grain_distinct" ->
+      """WITH e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    event_type, user_id FROM events)
+        |SELECT day, event_type,
+        |  CAST(grouping(day) AS INT) AS g_day,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM e
+        |GROUP BY GROUPING SETS ((day), (event_type), (day, event_type), ())
+        |ORDER BY g_day, g_type, day ASC NULLS FIRST,
+        |  event_type ASC NULLS FIRST""".stripMargin,
+
+    "q128_interval_merge" ->
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS en
+        |  FROM events),
+        |m AS (SELECT user_id, st, en,
+        |  max(en) OVER (PARTITION BY user_id ORDER BY st
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |i AS (SELECT *, sum(CASE WHEN pme IS NULL OR st > pme
+        |    THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY st) AS island FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  min(st) AS start_us, max(en) AS end_us, count(*) AS n_events
+        |FROM i GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
+
+    "q129_revenue_share" ->
+      s"""WITH rev AS (SELECT n_regionkey AS regionkey, n_name AS nation,
+         |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT regionkey, nation,
+         |  CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+         |  ${f6("CAST(cents AS DOUBLE) / CAST(sum(cents) OVER " +
+             "(PARTITION BY regionkey) AS DOUBLE)")} AS share
+         |FROM rev ORDER BY regionkey, nation""".stripMargin,
+
+    "q130_chi_square" ->
+      s"""WITH cell AS (SELECT lang, source, count(*) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rm AS (SELECT lang, sum(o) AS rm FROM cell GROUP BY 1),
+         |cm AS (SELECT source, sum(o) AS cm FROM cell GROUP BY 1),
+         |n AS (SELECT sum(o) AS n FROM cell)
+         |SELECT cell.lang, cell.source, cell.o,
+         |  ${f6("CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / " +
+             "CAST(n.n AS DOUBLE)")} AS expected,
+         |  ${f6("(CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * " +
+             "CAST(cm AS DOUBLE) / CAST(n.n AS DOUBLE)) * " +
+             "(CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * " +
+             "CAST(cm AS DOUBLE) / CAST(n.n AS DOUBLE)) / " +
+             "(CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE) / " +
+             "CAST(n.n AS DOUBLE))")} AS chi2_term
+         |FROM cell JOIN rm USING (lang) JOIN cm USING (source)
+         |  CROSS JOIN n
+         |ORDER BY lang, source""".stripMargin,
   )
 }

@@ -2412,6 +2412,101 @@ object Queries {
       .orderBy("split")
   }
 
+  /** Multi-grain EXACT distinct users in one scan: GROUPING SETS
+    * ((day), (), plus per-type) over count(DISTINCT) — a single Expand
+    * feeding one aggregate, where the naive form is N scans + a union.
+    * grouping() flags disambiguate the NULL grain markers.
+    */
+  def q127MultiGrainDistinct(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("user_id"))
+      .createOrReplaceTempView("events_mg_v")
+    s.sql("""
+      SELECT day, event_type,
+        CAST(grouping(day) AS INT) AS g_day,
+        CAST(grouping(event_type) AS INT) AS g_type,
+        count(DISTINCT user_id) AS n_users,
+        count(*) AS n_events
+      FROM events_mg_v
+      GROUP BY GROUPING SETS ((day), (event_type), (day, event_type), ())
+      ORDER BY g_day, g_type, day ASC NULLS FIRST,
+        event_type ASC NULLS FIRST""")
+  }
+
+  /** Interval merge (overlap coalescing): each event opens a 5-minute
+    * activity window per user; overlapping windows merge into maximal
+    * sessions-by-overlap. A new island starts where the start exceeds
+    * the running max of prior ends (cumulative-max window, one sort per
+    * user partition) — never an interval self-join. Emits micros since
+    * the fixtures' nanos timestamps exceed DuckDB's µs resolution
+    * anyway; long arithmetic end to end.
+    */
+  def q128IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val horizon = 300000000L // 5 min in µs
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(horizon))
+    val w = Window.partitionBy("user_id").orderBy("st")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prev_max_end", max(col("en")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("st") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("start_us"), max(col("en")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "island")
+  }
+
+  /** Ratio-to-report: each nation's revenue as a share of its region's
+    * total — a partition-window division, no second aggregate pass or
+    * self-join. The share is two exact decimal-cents longs divided once
+    * in double.
+    */
+  def q129RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("regionkey"),
+        col("n_name").as("nation"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("cents"))
+    val w = Window.partitionBy("regionkey")
+    rev.withColumn("region_cents", sum(col("cents")).over(w))
+      .select(col("regionkey"), col("nation"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        f6(col("cents").cast("double") /
+          col("region_cents").cast("double")).as("share"))
+      .orderBy("regionkey", "nation")
+  }
+
+  /** Chi-square independence statistic for (lang × source) — the
+    * feature-association screen run before keeping a metadata column
+    * as a sampling stratum. Observed counts are exact longs; expected
+    * counts and the statistic are assembled in double with one fixed
+    * expression (+,-,*,/ only — no libm calls whose rounding could
+    * diverge across engines). Two tiny shuffles (cell counts, margins).
+    */
+  def q130ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowM = cell.groupBy("lang").agg(sum(col("o")).as("rm"))
+    val colM = cell.groupBy("source").agg(sum(col("o")).as("cm"))
+    val n = cell.agg(sum(col("o")).as("n"))
+    val e = col("rm").cast("double") * col("cm").cast("double") /
+      col("n").cast("double")
+    cell.join(rowM, Seq("lang")).join(colM, Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"),
+        f6(e).as("expected"),
+        f6((col("o").cast("double") - e) * (col("o").cast("double") - e)
+          / e).as("chi2_term"))
+      .orderBy("lang", "source")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2542,5 +2637,9 @@ object Queries {
     "q124_cluster_rep" -> (q124ClusterRep _),
     "q125_next_event_pairs" -> (q125NextEventPairs _),
     "q126_grouped_split" -> (q126GroupedSplit _),
+    "q127_multi_grain_distinct" -> (q127MultiGrainDistinct _),
+    "q128_interval_merge" -> (q128IntervalMerge _),
+    "q129_revenue_share" -> (q129RevenueShare _),
+    "q130_chi_square" -> (q130ChiSquare _),
   )
 }
