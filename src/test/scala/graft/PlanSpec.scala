@@ -203,4 +203,71 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Window").length === 2, p) // one Window node for both
     assert(p.split("Exchange").length <= 3, p) // window + output sort only
   }
+
+  test("q113: explicit-list pivot is ONE aggregate over ONE scan — no " +
+    "distinct-collect pre-job, no join") {
+    val p = plan("q113_pivot")
+    assert(p.split("Scan parquet").length - 1 === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q114: unpivot is ONE Expand over the 5-row aggregate, not a " +
+    "union of re-aggregations") {
+    val p = plan("q114_unpivot")
+    assert(p.split("Scan parquet").length - 1 === 1, p)
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q115: skyline pre-collapses with a partial max before the " +
+    "global frontier window") {
+    val p = plan("q115_skyline")
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("q118: correlation moments are all partial (map-side combine), " +
+    "one scan, no join") {
+    val p = plan("q118_corr_moments")
+    assert(p.contains("partial_sum"), p)
+    assert(p.split("Scan parquet").length - 1 === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q120: blocked fuzzy match joins on the blocking key — " +
+    "never a cartesian/nested-loop over names") {
+    val p = plan("q120_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q122: novelty's first-occurrence attribution is a shingle " +
+    "equi-join (no doc-to-doc pairing)") {
+    val p = plan("q122_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q125: all five sequence-window functions share ONE window node " +
+    "(one exchange + sort on user_id)") {
+    val p = plan("q125_next_event_pairs")
+    assert(p.split("Window").length === 2, p)
+  }
+
+  test("q127: four grains ride ONE Expand over ONE scan") {
+    val p = plan("q127_multi_grain_distinct")
+    assert(p.split("Scan parquet").length - 1 === 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q128: interval merge is window-only — no interval self-join") {
+    val p = plan("q128_interval_merge")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q129: region share is a partition window over the aggregate — " +
+    "orders scans once, no second aggregate pass") {
+    val p = plan("q129_revenue_share")
+    assert(p.split("Scan parquet").length - 1 === 3, p) // orders+customer+nation
+    assert(p.contains("Window"), p)
+  }
 }
