@@ -1891,5 +1891,36 @@ object Oracle {
          |FROM cell JOIN rm USING (lang) JOIN cm USING (source)
          |  CROSS JOIN n
          |ORDER BY lang, source""".stripMargin,
+
+    "q131_assortativity" ->
+      s"""WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |b AS (SELECT a AS x, b AS y FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT x AS v, count(*) AS d FROM b GROUP BY 1),
+         |p AS (SELECT dx.d AS dx, dy.d AS dy FROM b
+         |  JOIN deg dx ON b.x = dx.v JOIN deg dy ON b.y = dy.v),
+         |m AS (SELECT count(*) AS n,
+         |  CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+         |  CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         |  CAST(sum(dy * dy) AS DOUBLE) AS syy,
+         |  CAST(sum(dx * dy) AS DOUBLE) AS sxy FROM p)
+         |SELECT n AS n_pairs,
+         |  ${f6("(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+             "sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")} AS assortativity
+         |FROM m""".stripMargin,
+
+    "q132_class_cap_sample" ->
+      s"""WITH h AS (SELECT vec_id, label,
+         |    ${md5Long("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY h, vec_id) AS rn FROM h)
+         |SELECT label, count(*) AS n_kept,
+         |  array_to_string(list_sort(list(CAST(vec_id AS VARCHAR))), '|')
+         |    AS kept_ids
+         |FROM r WHERE rn <= 20 GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -2507,6 +2507,62 @@ object Queries {
       .orderBy("lang", "source")
   }
 
+  /** Degree assortativity of the part co-order graph — "do hub parts
+    * co-occur with hubs?" — as the exact-moment Pearson correlation
+    * (q118's machinery) over the per-orientation endpoint degrees.
+    * Degrees are exact longs from one aggregate over the doubled edge
+    * list; the two degree joins key on vertex id (broadcast or shuffle
+    * by Spark's choice, both equi-joins). One double expression at the
+    * end, so the coefficient is engine-exact.
+    */
+  def q131Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = partGraph(s, dir)
+    val both = e.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+    val deg = both.groupBy(col("x").as("v"))
+      .agg(count(lit(1)).as("d"))
+    val pairs = both
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("dx").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum(col("dy").cast(DecimalType(38, 0))).cast("double").as("sy"),
+      sum((col("dx") * col("dx")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxx"),
+      sum((col("dy") * col("dy")).cast(DecimalType(38, 0)))
+        .cast("double").as("syy"),
+      sum((col("dx") * col("dy")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val r = (nd * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+        sqrt(nd * col("syy") - col("sy") * col("sy")))
+    m.select(col("n").as("n_pairs"), f6(r).as("assortativity"))
+  }
+
+  /** Class-balanced downsampling: cap every label at K examples, chosen
+    * by portable hash rank (deterministic "random" without RNG state).
+    * Runs through Skew.saltedTopK — two bounded window phases instead
+    * of one row_number over a whole (possibly huge) label partition, so
+    * no task ever holds a full class. Kept ids emit sorted+joined
+    * (flat-schema contract).
+    */
+  def q132ClassCapSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val hashed = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.Hashing.md5Long(col("vec_id").cast("string"))
+          .as("h"))
+    Skew.saltedTopK(hashed, Seq("label"),
+        Seq(col("h").asc, col("vec_id").asc), k, salt = 8,
+        saltBy = Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(col("vec_id").cast("string"))),
+          "|").as("kept_ids"))
+      .orderBy("label")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2641,5 +2697,7 @@ object Queries {
     "q128_interval_merge" -> (q128IntervalMerge _),
     "q129_revenue_share" -> (q129RevenueShare _),
     "q130_chi_square" -> (q130ChiSquare _),
+    "q131_assortativity" -> (q131Assortativity _),
+    "q132_class_cap_sample" -> (q132ClassCapSample _),
   )
 }
