@@ -1922,5 +1922,31 @@ object Oracle {
          |  array_to_string(list_sort(list(CAST(vec_id AS VARCHAR))), '|')
          |    AS kept_ids
          |FROM r WHERE rn <= 20 GROUP BY label ORDER BY label""".stripMargin,
+
+    "q133_skew_report" ->
+      """WITH perkey AS (SELECT l_orderkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(length(bin(n)) AS INT) AS bucket,
+        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS rows,
+        |  min(n) AS min_n, max(n) AS max_n
+        |FROM perkey GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q134_wilson_ci" ->
+      s"""WITH a AS (SELECT source, count(*) AS n,
+         |  count(*) FILTER (length(text) >= 100 AND length(text) <= 5000)
+         |    AS k
+         |  FROM documents GROUP BY 1),
+         |d AS (SELECT source, n, k,
+         |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |  CAST(n AS DOUBLE) AS nd,
+         |  CAST(1.96 AS DOUBLE) AS z FROM a)
+         |SELECT source, n, k, ${f6("p")} AS pass_rate,
+         |  ${f6("((p + z * z / (nd * 2.0)) - z * " +
+             "sqrt(p * (1.0 - p) / nd + z * z / (nd * nd * 4.0)))" +
+             " / (1.0 + z * z / nd)")} AS ci_lo,
+         |  ${f6("((p + z * z / (nd * 2.0)) + z * " +
+             "sqrt(p * (1.0 - p) / nd + z * z / (nd * nd * 4.0)))" +
+             " / (1.0 + z * z / nd)")} AS ci_hi
+         |FROM d ORDER BY source""".stripMargin,
   )
 }

@@ -2563,6 +2563,49 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Shuffle-key skew report — the diagnostic run before picking a
+    * join/partitioning strategy: rows-per-key distribution for
+    * l_orderkey, bucketed by bit-length (a log2 histogram in pure
+    * integer ops — no libm). Two map-side-combinable aggregates; the
+    * per-key pre-agg is the only real shuffle. A 100 TB planner reads
+    * this to decide salting (q59) vs AQE skew-join.
+    */
+  def q133SkewReport(s: SparkSession, dir: String): DataFrame = {
+    val perKey = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    perKey
+      .groupBy(length(bin(col("n"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("rows"),
+        min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+      .orderBy("bucket")
+  }
+
+  /** Wilson score intervals for the per-source quality pass rate —
+    * the uncertainty-aware version of q123's funnel (a pass-rate from
+    * 50 docs and one from 50k deserve different trust). k and n are
+    * exact longs; the interval is one fixed double expression
+    * (+,-,*,/,sqrt only — IEEE-identical in any engine).
+    */
+  def q134WilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val pass = length(col("text")) >= 100 && length(col("text")) <= 5000
+    val agg = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count(when(pass, 1)).as("k"))
+    val nd = col("n").cast("double")
+    val p = col("k").cast("double") / nd
+    val z = lit(1.96)
+    val z2 = z * z
+    val center = p + z2 / (nd * lit(2.0))
+    val half = z * sqrt(p * (lit(1.0) - p) / nd +
+      z2 / (nd * nd * lit(4.0)))
+    val denom = lit(1.0) + z2 / nd
+    agg.select(col("source"), col("n"), col("k"),
+        f6(p).as("pass_rate"),
+        f6((center - half) / denom).as("ci_lo"),
+        f6((center + half) / denom).as("ci_hi"))
+      .orderBy("source")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2699,5 +2742,7 @@ object Queries {
     "q130_chi_square" -> (q130ChiSquare _),
     "q131_assortativity" -> (q131Assortativity _),
     "q132_class_cap_sample" -> (q132ClassCapSample _),
+    "q133_skew_report" -> (q133SkewReport _),
+    "q134_wilson_ci" -> (q134WilsonCi _),
   )
 }
