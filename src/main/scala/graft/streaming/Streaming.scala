@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Prep
@@ -348,6 +348,73 @@ object Streaming {
     events.groupByKey(_.user_id)
       .transformWithState(new TopKProcessor(k), TimeMode.None(),
         OutputMode.Update)
+  }
+
+  /** Sessionization on the transformWithState API with EVENT-TIME
+    * TIMERS — the v2 form of `sessionize` below, covering the one
+    * transformWithState surface the other processors don't: a
+    * registered timer per open session (lastMs + gap) that fires when
+    * the watermark passes it, emitting and clearing the session from
+    * `handleExpiredTimer`. Extending a session MOVES its timer
+    * (delete + re-register), so at most one live timer per key — state
+    * and timer count are both O(live keys). */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, Session] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def emit(key: Long, s: SessionState): Session =
+      Session(key, new Timestamp(s.startMs), s.n, new Timestamp(s.lastMs))
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = if (st.exists()) Some(st.get()) else None
+      val oldTimer = cur.map(_.lastMs + gapMs)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t < s.lastMs + gapMs =>
+            Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= emit(key, s)
+            Some(SessionState(t, t, 1))
+          case None =>
+            Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        val newTimer = s.lastMs + gapMs
+        if (!oldTimer.contains(newTimer)) {
+          oldTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(newTimer)
+        }
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
+      if (st.exists() &&
+        expiredTimerInfo.getExpiryTimeInMs >= st.get().lastMs + gapMs) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(emit(key, s))
+      } else Iterator.empty // stale timer of an extended session
+  }
+
+  def sessionizeV2(events: Dataset[SessionEvent], gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append)
   }
 
   // ------------------------------------------------------------------

@@ -430,6 +430,62 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(1L)) // only the within-10-min pair joins
   }
 
+  test("sessionizeV2 (transformWithState + event-time timers): gap " +
+    "splits mid-batch; the registered timer fires on watermark advance " +
+    "and a MOVED timer (extended session) does not double-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SessionEvent]
+      val sessions = Streaming.sessionizeV2(mem.toDS(), gapMinutes = 10,
+        watermarkDelay = "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName("sessv2")
+        .outputMode("append").start()
+
+      // user 1: 2 events 5 min apart, then a 30-min gap in the SAME
+      // batch -> first session closes mid-batch without any timer
+      mem.addData(
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00")),
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:35:00")))
+      q.processAllAvailable()
+      // user 1 extends the open session in a later batch: the old
+      // timer (10:45) must move to 10:50, not fire as a stale close
+      mem.addData(SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      // watermark jump past 10:50 fires the timer -> session emits
+      mem.addData(SessionEvent(2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, Timestamp.valueOf("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("sessv2").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSeq
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L))) // gap split
+      // timer close delivers the EXTENDED session ({10:35, 10:40})
+      // exactly ONCE — the stale 10:45 timer was deleted on extension
+      // (and its handleExpiredTimer guard suppresses a pre-deadline
+      // fire), so no duplicate emission of the same session
+      assert(got.count(s => s._1 == 1L &&
+        s._2 == "2024-01-01 10:35:00.0") === 1)
+      assert(got.contains((1L, "2024-01-01 10:35:00.0", 2L)))
+      // user 2's first session closes when its timer passes at 14:00
+      assert(got.contains((2L, "2024-01-01 12:00:00.0", 1L)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
