@@ -1948,5 +1948,55 @@ object Oracle {
              "sqrt(p * (1.0 - p) / nd + z * z / (nd * nd * 4.0)))" +
              " / (1.0 + z * z / nd)")} AS ci_hi
          |FROM d ORDER BY source""".stripMargin,
+
+    "q135_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q136_k_anonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_groups,
+        |  count(*) FILTER (n < 10) AS n_violating,
+        |  CAST(coalesce(sum(n) FILTER (n < 10), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  min(n) AS min_group
+        |FROM g""".stripMargin,
+
+    // q29's candidate pairs + plain-shingle intersection; containments
+    // are f6-floored BEFORE the threshold filter on both sides
+    "q137_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |sp AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |u AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sp),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM sp),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM u GROUP BY 1),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS common
+         |  FROM pairs p JOIN u a ON a.doc_id = p.id_a
+         |  JOIN u b ON b.doc_id = p.id_b AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |c AS (SELECT i.id_a, i.id_b, i.common,
+         |  ${f6("CAST(i.common AS DOUBLE) / CAST(sa.sz AS DOUBLE)")}
+         |    AS containment_a,
+         |  ${f6("CAST(i.common AS DOUBLE) / CAST(sb.sz AS DOUBLE)")}
+         |    AS containment_b
+         |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+         |  JOIN sz sb ON sb.doc_id = i.id_b)
+         |SELECT * FROM c
+         |WHERE containment_a >= 0.9 OR containment_b >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

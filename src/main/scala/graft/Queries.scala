@@ -2606,6 +2606,73 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Semi-structured extraction: the events' JSON props column parsed
+    * with a SCHEMA'D from_json (a single codegen'd JsonToStructs —
+    * not a per-field get_json_object re-parse), then numeric stats per
+    * event type with a parse-failure tally (from_json yields NULL on
+    * malformed input; count(k) vs count(*) surfaces it).
+    */
+  def q135JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT",
+          Map.empty[String, String]).as("p"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("p.k")).as("n_parsed"),
+        min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"),
+        sum(col("p.k")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** k-anonymity audit over the quasi-identifier (segment, nation):
+    * how many identity groups fall below k members, and how many rows
+    * they expose — the privacy gate run before releasing a training
+    * extract keyed on demographic-ish columns. One aggregate tree,
+    * all exact longs.
+    */
+  def q136KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 10L
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(lit(k).as("k"), count(lit(1)).as("n_groups"),
+        count(when(col("n") < k, 1)).as("n_violating"),
+        coalesce(sum(when(col("n") < k, col("n"))), lit(0L))
+          .as("rows_at_risk"),
+        min(col("n")).as("min_group"))
+  }
+
+  /** Shingle CONTAINMENT over the LSH candidate pairs — the asymmetric
+    * companion to Jaccard (q31): |A∩B|/|A| catches "B contains all of
+    * A" near-dups (quotes, excerpt pages) that symmetric similarity
+    * scores dilute. The intersection join expands each candidate pair
+    * by one side's shingles only (Σ|sh(A)| over candidates — bounded
+    * by the LSH bucket caps, never corpus-quadratic).
+    */
+  def q137Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")),
+        Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        f6(col("common").cast("double") / col("sza").cast("double"))
+          .as("containment_a"),
+        f6(col("common").cast("double") / col("szb").cast("double"))
+          .as("containment_b"))
+      .filter(col("containment_a") >= 0.9 || col("containment_b") >= 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2744,5 +2811,8 @@ object Queries {
     "q132_class_cap_sample" -> (q132ClassCapSample _),
     "q133_skew_report" -> (q133SkewReport _),
     "q134_wilson_ci" -> (q134WilsonCi _),
+    "q135_json_extract" -> (q135JsonExtract _),
+    "q136_k_anonymity" -> (q136KAnonymity _),
+    "q137_containment" -> (q137Containment _),
   )
 }
