@@ -1998,5 +1998,38 @@ object Oracle {
          |SELECT * FROM c
          |WHERE containment_a >= 0.9 OR containment_b >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q138_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag, l_extendedprice AS v,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |  sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+        |  sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM g)
+        |SELECT l_returnflag, min(v) AS weighted_median,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q139_trend_slope" ->
+      s"""WITH daily AS (SELECT o_orderpriority AS prio,
+         |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |    AS x,
+         |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS y
+         |  FROM orders GROUP BY 1, 2),
+         |m AS (SELECT prio, count(*) AS n,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |  CAST(sum(x * y) AS DOUBLE) AS sxy
+         |  FROM daily GROUP BY 1)
+         |SELECT prio, n AS n_days,
+         |  ${f6("(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(CAST(n AS DOUBLE) * sxx - sx * sx)")} AS slope_cents_per_day,
+         |  ${f6("(sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+             "(CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / " +
+             "CAST(n AS DOUBLE)")} AS intercept_cents
+         |FROM m ORDER BY prio""".stripMargin,
   )
 }

@@ -2673,6 +2673,60 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact weighted median (weights = quantity in cents): collapse to
+    * per-value weight first (the window then runs over |distinct
+    * values| per group, not row count), cumulative weight, smallest
+    * value where 2·cum ≥ total. All longs until the emitted value;
+    * no percentile-function dialect variance at all.
+    */
+  def q138WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("v")).agg(sum(col("w")).as("w"))
+    val w1 = Window.partitionBy("l_returnflag").orderBy("v")
+    val tot = Window.partitionBy("l_returnflag")
+    g.withColumn("cw", sum(col("w")).over(w1))
+      .withColumn("tw", sum(col("w")).over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("weighted_median"),
+        max(col("tw")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-group OLS trend: daily revenue regressed on the day index —
+    * "is this order priority growing?". Same exact-integer-moment
+    * machinery as q118 (x = epoch day, y = cents, both longs; products
+    * decimal-cast), closed-form slope/intercept as one double
+    * expression — the distributed regression that needs no ML library
+    * and no iterative solver.
+    */
+  def q139TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("x"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("y"))
+    val m = daily.groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+          .cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0)))
+          .cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val beta = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    m.select(col("prio"), col("n").as("n_days"),
+        f6(beta).as("slope_cents_per_day"),
+        f6((col("sy") - beta * col("sx")) / nd).as("intercept_cents"))
+      .orderBy("prio")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2814,5 +2868,7 @@ object Queries {
     "q135_json_extract" -> (q135JsonExtract _),
     "q136_k_anonymity" -> (q136KAnonymity _),
     "q137_containment" -> (q137Containment _),
+    "q138_weighted_median" -> (q138WeightedMedian _),
+    "q139_trend_slope" -> (q139TrendSlope _),
   )
 }
