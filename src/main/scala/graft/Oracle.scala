@@ -2031,5 +2031,49 @@ object Oracle {
              "(CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / " +
              "CAST(n AS DOUBLE)")} AS intercept_cents
          |FROM m ORDER BY prio""".stripMargin,
+
+    "q140_temporal_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    '0001-01-01' AS eff_from, '1997-01-01' AS eff_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'MACHINERY'
+        |      ELSE c_mktsegment END,
+        |    '1997-01-01', '9999-12-31'
+        |  FROM customer),
+        |o AS (SELECT o_orderkey, o_custkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od
+        |  FROM orders)
+        |SELECT segment, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM o JOIN dim ON o_custkey = c_custkey
+        |  AND od >= eff_from AND od < eff_to
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q141_cohens_kappa" ->
+      s"""WITH cls AS (SELECT
+         |  CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END AS a,
+         |  CASE WHEN (length(text) -
+         |    length(regexp_replace(text, '[0-9]', '', 'g'))) * 50
+         |    < length(text) THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |m AS (SELECT count(*) AS n,
+         |  count(*) FILTER (a = b) AS agree,
+         |  count(*) FILTER (a = 1) AS a1,
+         |  count(*) FILTER (b = 1) AS b1 FROM cls),
+         |d AS (SELECT n, agree, a1, b1,
+         |  CAST(n AS DOUBLE) AS nd,
+         |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |  (CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |    (CAST(b1 AS DOUBLE) / CAST(n AS DOUBLE)) +
+         |  ((CAST(n AS DOUBLE) - CAST(a1 AS DOUBLE)) / CAST(n AS DOUBLE)) *
+         |    ((CAST(n AS DOUBLE) - CAST(b1 AS DOUBLE)) / CAST(n AS DOUBLE))
+         |    AS pe
+         |  FROM m)
+         |SELECT n, agree, a1, b1, ${f6("po")} AS po, ${f6("pe")} AS pe,
+         |  ${f6("(po - pe) / (1.0 - pe)")} AS kappa
+         |FROM d""".stripMargin,
   )
 }

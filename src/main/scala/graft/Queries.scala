@@ -2727,6 +2727,66 @@ object Queries {
       .orderBy("prio")
   }
 
+  /** Point-in-time (temporal) join: orders resolved against a
+    * VERSIONED dimension — each order must see the customer segment
+    * that was valid ON ITS ORDER DATE, the lookup warehouses get wrong
+    * when they join the current row. The versioned dim is derived
+    * deterministically (every 3rd customer changes segment at
+    * 1997-01-01); the join is an equi-join on custkey with the
+    * validity-interval predicate as a post-join filter — pair count is
+    * bounded by versions-per-key (2), never a range blowup.
+    */
+  def q140TemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-01-01"
+    val c = t(s, dir, "customer")
+    // version 1: original segment, valid (-inf, cut); version 2:
+    // switchers get segment 'MACHINERY', valid [cut, +inf)
+    val v1 = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+      lit("0001-01-01").as("eff_from"), lit(cut).as("eff_to"))
+    val v2 = c.select(col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, lit("MACHINERY"))
+        .otherwise(col("c_mktsegment")).as("segment"),
+      lit(cut).as("eff_from"), lit("9999-12-31").as("eff_to"))
+    val dim = v1.unionByName(v2)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    o.join(dim, col("o_custkey") === col("c_custkey") &&
+        col("od") >= col("eff_from") && col("od") < col("eff_to"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("segment")
+  }
+
+  /** Cohen's kappa between two deterministic document classifiers
+    * (length-band vs digit-density) — the agreement-beyond-chance
+    * metric an annotation pipeline reports before trusting auto-labels.
+    * The confusion counts are exact longs from ONE scan; kappa =
+    * (po − pe)/(1 − pe) is one double expression over them.
+    */
+  def q141CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val a = (length(col("text")) >= 500).cast("int") // classifier A
+    val nDigits = length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))
+    val b = (nDigits * lit(50) < length(col("text"))).cast("int") // B
+    val m = t(s, dir, "documents")
+      .select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("a") === col("b"), 1)).as("agree"),
+        count(when(col("a") === 1, 1)).as("a1"),
+        count(when(col("b") === 1, 1)).as("b1"))
+    val nd = col("n").cast("double")
+    val po = col("agree").cast("double") / nd
+    val pe = (col("a1").cast("double") / nd) *
+      (col("b1").cast("double") / nd) +
+      ((nd - col("a1").cast("double")) / nd) *
+        ((nd - col("b1").cast("double")) / nd)
+    m.select(col("n"), col("agree"), col("a1"), col("b1"),
+      f6(po).as("po"), f6(pe).as("pe"),
+      f6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2870,5 +2930,7 @@ object Queries {
     "q137_containment" -> (q137Containment _),
     "q138_weighted_median" -> (q138WeightedMedian _),
     "q139_trend_slope" -> (q139TrendSlope _),
+    "q140_temporal_join" -> (q140TemporalJoin _),
+    "q141_cohens_kappa" -> (q141CohensKappa _),
   )
 }
