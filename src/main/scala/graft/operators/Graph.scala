@@ -141,10 +141,14 @@ object Graph {
       val next = counts.groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
-      labels = labels.join(next, Seq("id"), "left")
+      val merged = labels.join(next, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+      // checkpoint every SECOND round (and the last): two propagation
+      // rounds per materialized job — the q52 pointer-doubling cadence
+      // applied here. Plans stay ≤ 2 rounds deep; job count halves.
+      labels = if (i % 2 == 1 || i == iters - 1)
+        merged.localCheckpoint(true) else merged
       i += 1
     }
     adj.unpersist()
