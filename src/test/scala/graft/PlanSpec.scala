@@ -270,4 +270,33 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Scan parquet").length - 1 === 3, p) // orders+customer+nation
     assert(p.contains("Window"), p)
   }
+
+  test("q135: JSON parses once per row (single from_json, not a " +
+    "per-field get_json_object re-parse) with partial aggregation") {
+    val p = plan("q135_json_extract")
+    assert(p.split("from_json").length - 1 <= 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q138: weighted median collapses per-value weight with a " +
+    "partial sum BEFORE the window") {
+    val p = plan("q138_weighted_median")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q140: the temporal join is an equi-join on custkey (interval " +
+    "predicate as post-join filter, never a range nested-loop)") {
+    val p = plan("q140_temporal_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q131: assortativity's moment aggregate is map-side partial " +
+    "and every join is an equi-join") {
+    val p = plan("q131_assortativity")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
