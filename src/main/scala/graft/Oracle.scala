@@ -2075,5 +2075,37 @@ object Oracle {
          |SELECT n, agree, a1, b1, ${f6("po")} AS po, ${f6("pe")} AS pe,
          |  ${f6("(po - pe) / (1.0 - pe)")} AS kappa
          |FROM d""".stripMargin,
+
+    "q142_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS last_od,
+        |  count(*) AS freq,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS cents
+        |  FROM orders GROUP BY 1),
+        |scored AS (SELECT cents,
+        |  ntile(5) OVER (ORDER BY last_od DESC, o_custkey) AS r,
+        |  ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |  ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+        |  FROM per)
+        |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) AS cents_sum
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q143_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |fv AS (SELECT user_id, min(us) AS v_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT e.user_id, min(e.us - fv.v_us) AS dt_us
+        |  FROM ev e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= fv.v_us
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        |  CAST(quantile_disc(dt_us, 0.5) AS BIGINT) AS p50_us,
+        |  CAST(quantile_disc(dt_us, 0.95) AS BIGINT) AS p95_us,
+        |  max(dt_us) AS max_us
+        |FROM conv""".stripMargin,
   )
 }

@@ -2787,6 +2787,58 @@ object Queries {
       f6((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** RFM segmentation: per-customer Recency/Frequency/Monetary scores
+    * as quintiles (ntile(5) with total tie orders), composed into a
+    * 3-digit segment code, then segment population counts. The
+    * per-customer aggregate is the only full-data shuffle; the three
+    * quintile windows run over |customers| rows. The classic
+    * behavioral-segmentation op, fully deterministic.
+    */
+  def q142RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_od"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long")).as("cents"))
+    def q(c: Column, asc: Boolean) = ntile(5).over(
+      Window.orderBy(if (asc) c.asc else c.desc, col("o_custkey").asc))
+    val scored = per
+      .withColumn("r", q(col("last_od"), asc = false)) // recent = 1
+      .withColumn("f", q(col("freq"), asc = false))    // frequent = 1
+      .withColumn("m", q(col("cents"), asc = false))   // high-spend = 1
+    scored
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long")
+        .as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast("double").as("cents_sum"))
+      .orderBy("segment")
+  }
+
+  /** Time-to-convert: per user, µs between the FIRST view and the
+    * first subsequent purchase; the distribution summarized with exact
+    * discrete percentiles (long µs end to end — no interval types, no
+    * float durations). Two min-aggregates on user_id, one bounded
+    * percentile pass over |converted users|.
+    */
+  def q143TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min(col("us") - col("v_us")).as("dt_us"))
+    conv.agg(count(lit(1)).as("n_converted"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dt_us)")
+        .cast("long").as("p50_us"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY dt_us)")
+        .cast("long").as("p95_us"),
+      max(col("dt_us")).as("max_us"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2932,5 +2984,7 @@ object Queries {
     "q139_trend_slope" -> (q139TrendSlope _),
     "q140_temporal_join" -> (q140TemporalJoin _),
     "q141_cohens_kappa" -> (q141CohensKappa _),
+    "q142_rfm_segments" -> (q142RfmSegments _),
+    "q143_time_to_convert" -> (q143TimeToConvert _),
   )
 }
