@@ -2782,9 +2782,14 @@ object Queries {
       (col("b1").cast("double") / nd) +
       ((nd - col("a1").cast("double")) / nd) *
         ((nd - col("b1").cast("double")) / nd)
+    // the global agg emits ONE row even on empty input (n=0) — and
+    // Spark 4's ANSI mode makes the 0/0 a runtime error, not a NaN —
+    // so the ratios are guarded (null on n=0 / degenerate pe)
     m.select(col("n"), col("agree"), col("a1"), col("b1"),
-      f6(po).as("po"), f6(pe).as("pe"),
-      f6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+      when(col("n") > 0, f6(po)).as("po"),
+      when(col("n") > 0, f6(pe)).as("pe"),
+      when(col("n") > 0 && pe =!= lit(1.0),
+        f6((po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
 
   /** RFM segmentation: per-customer Recency/Frequency/Monetary scores
