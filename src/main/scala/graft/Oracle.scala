@@ -2107,5 +2107,45 @@ object Oracle {
         |  CAST(quantile_disc(dt_us, 0.95) AS BIGINT) AS p95_us,
         |  max(dt_us) AS max_us
         |FROM conv""".stripMargin,
+
+    "q144_survivorship" ->
+      """WITH base AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |  CASE WHEN event_type = 'purchase' THEN value END
+        |    AS purchase_value,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    % 7 <> 0
+        |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+        |    AS k
+        |  FROM events),
+        |f1 AS (SELECT user_id, purchase_value FROM (
+        |  SELECT user_id, purchase_value, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM base WHERE purchase_value IS NOT NULL) WHERE rn = 1),
+        |f2 AS (SELECT user_id, k FROM (
+        |  SELECT user_id, k, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM base WHERE k IS NOT NULL) WHERE rn = 1)
+        |SELECT g.user_id, g.n_updates, f1.purchase_value,
+        |  f2.k AS last_k
+        |FROM (SELECT user_id, count(*) AS n_updates FROM base
+        |  GROUP BY 1) g
+        |LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+        |ORDER BY g.user_id""".stripMargin,
+
+    "q145_datasheet" ->
+      s"""WITH a AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+         |  count(*) FILTER (length(text) < 100) AS n_short
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, total_chars, n_langs, n_exact_dups,
+         |  ${f6("CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS dup_rate,
+         |  ${f6("CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS mean_chars,
+         |  n_short
+         |FROM a ORDER BY source""".stripMargin,
   )
 }

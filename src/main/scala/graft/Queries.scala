@@ -2844,6 +2844,64 @@ object Queries {
       max(col("dt_us")).as("max_us"))
   }
 
+  /** Survivorship (MDM record merge): consolidate each user's event
+    * stream into one golden record where every FIELD independently
+    * takes its latest NON-NULL value — the per-attribute recency rule
+    * entity-resolution pipelines apply after matching. Field nulls are
+    * derived deterministically (purchase-only values; k dropped when
+    * ≡0 mod 7). One ranked window per field over only that field's
+    * non-null rows, then left-joins back to the user spine — never a
+    * whole-stream collect per user.
+    */
+  def q144Survivorship(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "purchase", col("value"))
+          .as("purchase_value"),
+        { // one schema'd parse (q135's rule); CSE collapses the reuse
+          val k = from_json(col("props"), "k BIGINT",
+            Map.empty[String, String]).getField("k")
+          when(k % 7 =!= 0, k).as("k")
+        })
+    def latest(field: String) = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      base.filter(col(field).isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col(field))
+    }
+    base.groupBy("user_id").agg(count(lit(1)).as("n_updates"))
+      .join(latest("purchase_value"), Seq("user_id"), "left")
+      .join(latest("k"), Seq("user_id"), "left")
+      .select(col("user_id"), col("n_updates"), col("purchase_value"),
+        col("k").as("last_k"))
+      .orderBy("user_id")
+  }
+
+  /** Dataset datasheet ("data card"): the one-row-per-source summary a
+    * corpus release ships — volume, language spread, exact-dup rate
+    * (md5 content hash), short-doc share, mean length. ONE scan, all
+    * exact integers plus two guarded ratios.
+    */
+  def q145Datasheet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+        count(when(length(col("text")) < 100, 1)).as("n_short"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"), col("n_exact_dups"),
+        f6(col("n_exact_dups").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"),
+        f6(col("total_chars").cast("double") /
+          col("n_docs").cast("double")).as("mean_chars"),
+        col("n_short"))
+      .orderBy("source")
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -2991,5 +3049,7 @@ object Queries {
     "q141_cohens_kappa" -> (q141CohensKappa _),
     "q142_rfm_segments" -> (q142RfmSegments _),
     "q143_time_to_convert" -> (q143TimeToConvert _),
+    "q144_survivorship" -> (q144Survivorship _),
+    "q145_datasheet" -> (q145Datasheet _),
   )
 }
