@@ -2147,5 +2147,48 @@ object Oracle {
          |    AS mean_chars,
          |  n_short
          |FROM a ORDER BY source""".stripMargin,
+
+    "q146_curriculum" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS within_rank
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY within_rank, source,
+        |    doc_id) AS BIGINT) AS position,
+        |  doc_id, source, within_rank
+        |FROM w ORDER BY position""".stripMargin,
+
+    "q147_shard_balance" ->
+      s"""WITH per AS (SELECT
+         |  ${md5Long("'42:' || CAST(doc_id AS VARCHAR)")} % 256 AS shard,
+         |  count(*) AS n
+         |  FROM documents GROUP BY 1)
+         |SELECT count(*) AS n_shards, min(n) AS min_n, max(n) AS max_n,
+         |  CAST(sum(n) AS BIGINT) AS total,
+         |  ${f6("CAST(max(n) AS DOUBLE) / CAST(min(n) AS DOUBLE)")}
+         |    AS balance_ratio
+         |FROM per""".stripMargin,
+
+    "q148_epoch_decorrelation" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY
+         |    ${md5Long("'42:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS BIGINT) AS r1,
+         |  CAST(row_number() OVER (ORDER BY
+         |    ${md5Long("'43:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS BIGINT) AS r2
+         |  FROM documents),
+         |m AS (SELECT count(*) AS n,
+         |  CAST(sum(r1) AS DOUBLE) AS sx, CAST(sum(r2) AS DOUBLE) AS sy,
+         |  CAST(sum(r1 * r1) AS DOUBLE) AS sxx,
+         |  CAST(sum(r2 * r2) AS DOUBLE) AS syy,
+         |  CAST(sum(r1 * r2) AS DOUBLE) AS sxy FROM r),
+         |d AS (SELECT n,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rho FROM m)
+         |SELECT n AS n_docs, ${f6("rho")} AS spearman_rho,
+         |  abs(rho) < 0.1 AS decorrelated
+         |FROM d""".stripMargin,
   )
 }

@@ -2902,6 +2902,79 @@ object Queries {
         col("n_short"))
       .orderBy("source")
 
+  /** Deterministic curriculum interleave: rank documents inside each
+    * source by a difficulty proxy (length asc, id tiebreak), then
+    * round-robin the sources — global position (within_rank, source)
+    * — so every training prefix sees all sources in fixed proportion.
+    * Two window ranks, both over bounded partitions; the emitted
+    * curriculum position is a dense global row_number (single ordered
+    * pass at emit, the presentation sort any ordered export pays).
+    */
+  def q146Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wGlobal = Window.orderBy(col("within_rank").asc, col("source").asc,
+      col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("within_rank", row_number().over(wSrc).cast("long"))
+      .withColumn("position", row_number().over(wGlobal).cast("long"))
+      .select("position", "doc_id", "source", "within_rank")
+      .orderBy("position")
+  }
+
+  /** Shard-balance audit for the q96 epoch shuffle: per-shard counts
+    * plus the max/min balance ratio — the check a sharded training run
+    * does before trusting hash assignment (a skewed shard becomes the
+    * epoch's straggler). Exact longs; one aggregate over the hash
+    * projection, one 256-row summary.
+    */
+  def q147ShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.Hashing.md5Long(
+      concat(lit("42:"), col("doc_id").cast("string")))
+    val per = t(s, dir, "documents")
+      .select((h % 256).as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+    per.agg(count(lit(1)).as("n_shards"),
+      min(col("n")).as("min_n"), max(col("n")).as("max_n"),
+      sum(col("n")).as("total"),
+      f6(max(col("n")).cast("double") / min(col("n")).cast("double"))
+        .as("balance_ratio"))
+  }
+
+  /** Epoch decorrelation: Spearman rank correlation between two seeded
+    * epoch orderings of the same corpus — near 0 proves the reshuffle
+    * actually decorrelates batch composition across epochs. Ranks are
+    * exact longs (md5-seeded total orders), so Spearman reduces to
+    * q118's exact-moment Pearson over (rank₁, rank₂) — bit-identical
+    * cross-engine where a float rank correlation wouldn't be.
+    */
+  def q148EpochDecorrelation(s: SparkSession, dir: String): DataFrame = {
+    def rankFor(seed: Int) = {
+      val h = graft.functions.Hashing.md5Long(
+        concat(lit(s"$seed:"), col("doc_id").cast("string")))
+      row_number().over(Window.orderBy(h, col("doc_id"))).cast("long")
+    }
+    val ranked = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("r1", rankFor(42))
+      .withColumn("r2", rankFor(43))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r1").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum(col("r2").cast(DecimalType(38, 0))).cast("double").as("sy"),
+      sum((col("r1") * col("r1")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxx"),
+      sum((col("r2") * col("r2")).cast(DecimalType(38, 0)))
+        .cast("double").as("syy"),
+      sum((col("r1") * col("r2")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val rho = (nd * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+        sqrt(nd * col("syy") - col("sy") * col("sy")))
+    m.select(col("n").as("n_docs"), f6(rho).as("spearman_rho"),
+      (abs(rho) < lit(0.1)).as("decorrelated"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3051,5 +3124,8 @@ object Queries {
     "q143_time_to_convert" -> (q143TimeToConvert _),
     "q144_survivorship" -> (q144Survivorship _),
     "q145_datasheet" -> (q145Datasheet _),
+    "q146_curriculum" -> (q146Curriculum _),
+    "q147_shard_balance" -> (q147ShardBalance _),
+    "q148_epoch_decorrelation" -> (q148EpochDecorrelation _),
   )
 }
