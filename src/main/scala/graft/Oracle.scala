@@ -2190,5 +2190,42 @@ object Oracle {
          |SELECT n AS n_docs, ${f6("rho")} AS spearman_rho,
          |  abs(rho) < 0.1 AS decorrelated
          |FROM d""".stripMargin,
+
+    "q149_mad" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |med AS (SELECT prio, CAST(quantile_disc(c, 0.5) AS BIGINT) AS m
+        |  FROM o GROUP BY 1)
+        |SELECT prio, max(m) AS median_cents,
+        |  CAST(quantile_disc(abs(c - m), 0.5) AS BIGINT) AS mad_cents,
+        |  count(*) AS n
+        |FROM o JOIN med USING (prio)
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q150_winsorized_mean" ->
+      s"""WITH o AS (SELECT o_orderpriority AS prio,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM orders),
+         |b AS (SELECT prio,
+         |  CAST(quantile_disc(c, 0.05) AS BIGINT) AS lo,
+         |  CAST(quantile_disc(c, 0.95) AS BIGINT) AS hi
+         |  FROM o GROUP BY 1)
+         |SELECT prio, count(*) AS n,
+         |  ${f6("CAST(sum(greatest(lo, least(hi, c))) AS DOUBLE) / " +
+             "CAST(count(*) AS DOUBLE) / 100.0")} AS winsorized_mean
+         |FROM o JOIN b USING (prio)
+         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "q151_benford" ->
+      s"""WITH per AS (SELECT
+         |  substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS first_digit,
+         |  count(*) AS n
+         |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1)
+         |SELECT first_digit, n,
+         |  ${f6("CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)")}
+         |    AS share
+         |FROM per ORDER BY first_digit""".stripMargin,
   )
 }

@@ -2975,6 +2975,74 @@ object Queries {
       (abs(rho) < lit(0.1)).as("decorrelated"))
   }
 
+  /** Median absolute deviation — the robust spread statistic outlier
+    * filters should use instead of stddev (one corrupt row can't move
+    * it). Two discrete-percentile passes per group: the median, then
+    * the median of |x − median| over a broadcast-joined bound. Cents
+    * arithmetic keeps |x − m| exact; percentile_disc picks actual data
+    * values, so no cross-engine interpolation.
+    */
+  def q149Mad(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), cents.as("c"))
+    val med = o.groupBy("prio")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("m"))
+    o.join(broadcast(med), Seq("prio"))
+      .select(col("prio"), col("m"), abs(col("c") - col("m")).as("d"))
+      .groupBy("prio")
+      .agg(max(col("m")).as("median_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+          .cast("long").as("mad_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("prio")
+  }
+
+  /** Winsorized mean: clamp each value into its group's [p05, p95]
+    * band, then take the exact mean — the robust average that keeps
+    * outlier rows (unlike a trim) but caps their leverage. Discrete
+    * bounds broadcast back; the clamped sum stays exact long cents.
+    */
+  def q150WinsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), cents.as("c"))
+    val bounds = o.groupBy("prio")
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
+          .cast("long").as("hi"))
+    o.join(broadcast(bounds), Seq("prio"))
+      .select(col("prio"),
+        greatest(col("lo"), least(col("hi"), col("c"))).as("w"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        f6(sum(col("w")).cast("double") / count(lit(1)).cast("double") /
+          lit(100.0)).as("winsorized_mean"))
+      .orderBy("prio")
+  }
+
+  /** Benford first-digit audit over order totals — the cheap fraud /
+    * synthetic-data screen: observed count and share per leading
+    * digit. Digit extraction is pure string arithmetic on the integer
+    * part (no logs); shares are guarded exact-long ratios.
+    */
+  def q151Benford(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("long")
+      .cast("string"), 1, 1)
+    val per = t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1.0)
+      .groupBy(digit.as("first_digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy()
+    per.withColumn("share",
+        f6(col("n").cast("double") / sum(col("n")).over(tot).cast("double")))
+      .orderBy("first_digit")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3127,5 +3195,8 @@ object Queries {
     "q146_curriculum" -> (q146Curriculum _),
     "q147_shard_balance" -> (q147ShardBalance _),
     "q148_epoch_decorrelation" -> (q148EpochDecorrelation _),
+    "q149_mad" -> (q149Mad _),
+    "q150_winsorized_mean" -> (q150WinsorizedMean _),
+    "q151_benford" -> (q151Benford _),
   )
 }
