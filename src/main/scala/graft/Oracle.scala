@@ -2227,5 +2227,29 @@ object Oracle {
          |  ${f6("CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)")}
          |    AS share
          |FROM per ORDER BY first_digit""".stripMargin,
+
+    "q152_schema_evolution" ->
+      """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type, CAST(NULL AS BIGINT) AS k FROM events
+        |  WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |  FROM events WHERE event_id % 2 <> 0)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q153_regex_parse" ->
+      """WITH p AS (SELECT c_custkey,
+        |  CASE WHEN regexp_extract(c_name, '^Customer#(\d+)$', 1) <> ''
+        |    THEN CAST(regexp_extract(c_name, '^Customer#(\d+)$', 1)
+        |      AS BIGINT) END AS parsed_id
+        |  FROM customer)
+        |SELECT count(*) AS n, count(parsed_id) AS n_parsed,
+        |  count(*) FILTER (parsed_id = c_custkey) AS n_consistent,
+        |  count(*) FILTER (parsed_id IS NULL OR parsed_id <> c_custkey)
+        |    AS n_bad
+        |FROM p""".stripMargin,
   )
 }

@@ -3043,6 +3043,47 @@ object Queries {
       .orderBy("first_digit")
   }
 
+  /** Schema-evolution union: merge a v1 snapshot (no props field) with
+    * a v2 snapshot (adds the parsed k) via unionByName(allowMissing
+    * Columns) — the absent column null-fills instead of failing or
+    * silently aligning by position. The aggregate then shows exactly
+    * which share of each type carries the new field — the check run
+    * after every schema migration.
+    */
+  def q152SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+    val v2 = ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** Structured field parsing with a consistency audit: the customer
+    * id embedded in c_name ('Customer#NNNNNNNNN') regex-extracted and
+    * cross-checked against c_custkey — the referential sanity pass an
+    * ingestion pipeline runs on denormalized string keys. One codegen'd
+    * projection + one tiny aggregate.
+    */
+  def q153RegexParse(s: SparkSession, dir: String): DataFrame = {
+    val parsed = regexp_extract(col("c_name"), "^Customer#(\\d+)$", 1)
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(parsed =!= "", parsed.cast("long")).as("parsed_id"))
+      .agg(count(lit(1)).as("n"),
+        count(col("parsed_id")).as("n_parsed"),
+        count(when(col("parsed_id") === col("c_custkey"), 1))
+          .as("n_consistent"),
+        count(when(col("parsed_id").isNull ||
+          col("parsed_id") =!= col("c_custkey"), 1)).as("n_bad"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3198,5 +3239,7 @@ object Queries {
     "q149_mad" -> (q149Mad _),
     "q150_winsorized_mean" -> (q150WinsorizedMean _),
     "q151_benford" -> (q151Benford _),
+    "q152_schema_evolution" -> (q152SchemaEvolution _),
+    "q153_regex_parse" -> (q153RegexParse _),
   )
 }
