@@ -103,6 +103,24 @@ object Streaming {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 
+  /** Stream-stream LEFT OUTER join within an event-time bound — the
+    * attribution shape where every left event must emit even when no
+    * right match arrives (click with no conversion). Same interval
+    * condition as joinStreamsWithin, but the engine holds each
+    * unmatched left row until the WATERMARK proves no future right row
+    * can match, then emits it null-padded — so "no match" results are
+    * correct-by-watermark, not timing-dependent, and state stays
+    * bounded exactly like the inner join's. */
+  def joinStreamsLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      delay: String, within: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        "left_outer")
+
   /** Streaming CDC apply: maintain a type-2 (SCD2) dimension table
     * from a change stream via foreachBatch — each micro-batch is ONE
     * q95-shaped merge against the parquet state table: changed keys

@@ -430,6 +430,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(1L)) // only the within-10-min pair joins
   }
 
+  test("joinStreamsLeftOuter: unmatched left rows emit null-padded " +
+    "only after the watermark proves no match can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val convs = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.joinStreamsLeftOuter(
+      clicks.toDF().toDF("c_user", "c_ts"),
+      convs.toDF().toDF("k_user", "k_ts"),
+      "c_user", "k_user", "c_ts", "k_ts",
+      delay = "0 seconds", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sslo")
+      .outputMode("append").start()
+    clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    convs.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // user 2 has no conversion — it must NOT have emitted yet: the
+    // watermark hasn't passed its match horizon (10:10)
+    val early = spark.table("sslo").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(early.toSet === Set((1L, false)))
+    // advance BOTH watermarks past the horizon -> null-padded emit
+    clicks.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    convs.addData((9L, Timestamp.valueOf("2024-01-01 12:00:01")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val late = spark.table("sslo").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2))).toSet
+    assert(late.contains((2L, true)), late.toString) // null-padded
+    assert(late.contains((1L, false)), late.toString) // real match kept
+  }
+
   test("sessionizeV2 (transformWithState + event-time timers): gap " +
     "splits mid-batch; the registered timer fires on watermark advance " +
     "and a MOVED timer (extended session) does not double-emit") {
