@@ -2251,5 +2251,36 @@ object Oracle {
         |  count(*) FILTER (parsed_id IS NULL OR parsed_id <> c_custkey)
         |    AS n_bad
         |FROM p""".stripMargin,
+
+    "q154_cuped" ->
+      s"""WITH per AS (SELECT user_id,
+         |  sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    ELSE 0 END) AS x,
+         |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    ELSE 0 END) AS y
+         |  FROM events GROUP BY 1),
+         |armed AS (SELECT *,
+         |  CASE WHEN ${md5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+         |    THEN 'A' ELSE 'B' END AS arm FROM per),
+         |mom AS (SELECT count(*) AS n,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |  CAST(sum(x * y) AS DOUBLE) AS sxy FROM armed),
+         |arms AS (SELECT arm, count(*) AS n_users,
+         |  CAST(sum(x) AS DOUBLE) AS ax, CAST(sum(y) AS DOUBLE) AS ay
+         |  FROM armed GROUP BY 1),
+         |j AS (SELECT arm, n_users, ax, ay, n, sx, sy, sxx, sxy,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |  (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+         |  sx / CAST(n AS DOUBLE) AS xbar
+         |  FROM arms CROSS JOIN mom)
+         |SELECT arm, n_users,
+         |  ${f6("ay / CAST(n_users AS DOUBLE) / 100.0")} AS raw_mean,
+         |  ${f6("(ay / CAST(n_users AS DOUBLE) - theta * " +
+             "(ax / CAST(n_users AS DOUBLE) - xbar)) / 100.0")}
+         |    AS cuped_mean
+         |FROM j ORDER BY arm""".stripMargin,
   )
 }

@@ -3084,6 +3084,54 @@ object Queries {
           col("parsed_id") =!= col("c_custkey"), 1)).as("n_bad"))
   }
 
+  /** CUPED variance-reduced experiment readout: users hash-split into
+    * A/B; the outcome (post-period event value) is adjusted by the
+    * pre-period covariate, y' = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    * pooled across arms — the standard trick that shrinks experiment
+    * confidence intervals with zero bias. Sums are exact value-cents
+    * longs per user; θ and the adjusted means are one double closed
+    * form — bit-identical cross-engine like q118/q139.
+    */
+  def q154Cuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = Timestamp.valueOf("2024-01-16 00:00:00")
+    val per = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut,
+          (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+          .otherwise(lit(0L))).as("x"),
+        sum(when(col("ts") >= cut,
+          (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+          .otherwise(lit(0L))).as("y"))
+      .withColumn("arm",
+        when(pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)) === 0, "A")
+          .otherwise("B"))
+    // pooled θ from exact moments (decimal-cast products)
+    val mom = per.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum(col("y").cast(DecimalType(38, 0))).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0)))
+        .cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val theta = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    val xbar = col("sx") / nd
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("ax"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("ay"))
+    arms.crossJoin(broadcast(mom))
+      .select(col("arm"), col("n_users"),
+        f6(col("ay") / col("n_users").cast("double") / lit(100.0))
+          .as("raw_mean"),
+        f6((col("ay") / col("n_users").cast("double") -
+          theta * (col("ax") / col("n_users").cast("double") - xbar)) /
+          lit(100.0)).as("cuped_mean"))
+      .orderBy("arm")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3241,5 +3289,6 @@ object Queries {
     "q151_benford" -> (q151Benford _),
     "q152_schema_evolution" -> (q152SchemaEvolution _),
     "q153_regex_parse" -> (q153RegexParse _),
+    "q154_cuped" -> (q154Cuped _),
   )
 }
