@@ -2282,5 +2282,41 @@ object Oracle {
              "(ax / CAST(n_users AS DOUBLE) - xbar)) / 100.0")}
          |    AS cuped_mean
          |FROM j ORDER BY arm""".stripMargin,
+
+    "q155_tpch_q3" ->
+      """SELECT l_orderkey, o_od, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) -
+        |     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, o_custkey,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_od,
+        |    o_orderpriority
+        |  FROM orders
+        |  WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+        |    < '1997-06-15') o ON l_orderkey = o.o_orderkey
+        |JOIN customer ON o.o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') > '1997-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q156_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) -
+        |     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+        |    >= '1997-01-01'
+        |  AND strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+        |    < '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
   )
 }

@@ -3132,6 +3132,63 @@ object Queries {
       .orderBy("arm")
   }
 
+  /** TPC-H Q3 (shipping priority), adapted to the fixture schema
+    * (o_orderpriority stands in for ship priority): segment-filtered
+    * customers ⋈ open orders ⋈ not-yet-shipped lineitems, revenue =
+    * exact decimal Σ price·(1−disc), top 10. Customer side broadcasts;
+    * the l⋈o join shuffles on orderkey; the top-10 is
+    * TakeOrderedAndProject, never a global sort materialization.
+    */
+  def q155TpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-06-15"
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_od"),
+        col("o_orderpriority"))
+    val l = t(s, dir, "lineitem")
+      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_od"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q10 (returned-item reporting): customers ranked by revenue
+    * lost to returns in a quarter — returnflag='R' lineitems ⋈ orders
+    * ⋈ customer ⋈ nation, exact decimal revenue, top 20. The nation
+    * dim broadcasts; aggregation keys on the customer.
+    */
+  def q156TpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+    val o = t(s, dir, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") >= "1997-01-01"
+        && date_format(col("o_orderdate"), "yyyy-MM-dd") < "1997-04-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_mktsegment"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3290,5 +3347,7 @@ object Queries {
     "q152_schema_evolution" -> (q152SchemaEvolution _),
     "q153_regex_parse" -> (q153RegexParse _),
     "q154_cuped" -> (q154Cuped _),
+    "q155_tpch_q3" -> (q155TpchQ3 _),
+    "q156_tpch_q10" -> (q156TpchQ10 _),
   )
 }

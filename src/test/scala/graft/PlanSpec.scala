@@ -299,4 +299,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q155/q156: TPC-H top-k is TakeOrderedAndProject (never a " +
+    "global sort materialization) with broadcast dimensions") {
+    val p3 = plan("q155_tpch_q3")
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p10 = plan("q156_tpch_q10")
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(!p10.contains("CartesianProduct"), p10)
+  }
 }
