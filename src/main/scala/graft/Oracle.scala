@@ -2318,5 +2318,36 @@ object Oracle {
         |    < '1997-04-01'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q157_bag_set_ops" ->
+      """WITH y1995 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1995),
+        |y1996 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |ex AS (SELECT 'except_all' AS op, o_custkey, count(*) AS n
+        |  FROM (SELECT * FROM y1995 EXCEPT ALL SELECT * FROM y1996)
+        |  GROUP BY 2),
+        |inter AS (SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
+        |  FROM (SELECT * FROM y1995 INTERSECT ALL SELECT * FROM y1996)
+        |  GROUP BY 2)
+        |SELECT op, o_custkey, n FROM
+        |  (SELECT * FROM ex UNION ALL SELECT * FROM inter)
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "q158_wow_report" ->
+      s"""WITH weekly AS (SELECT
+         |  CAST(year(o_orderdate) AS VARCHAR) || '-W' ||
+         |    lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0') AS wk,
+         |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS cents
+         |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+         |l AS (SELECT wk, cents,
+         |  lag(cents, 1) OVER (ORDER BY wk) AS prev FROM weekly)
+         |SELECT wk, CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+         |  CAST(prev AS DOUBLE) / CAST(100 AS DOUBLE) AS prev_revenue,
+         |  CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+         |    ${f6("CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)")}
+         |  END AS wow_change
+         |FROM l ORDER BY wk""".stripMargin,
   )
 }

@@ -3189,6 +3189,52 @@ object Queries {
       .limit(20)
   }
 
+  /** BAG-semantics set operations — the multiplicity-preserving
+    * variants q19/q20's distinct set ops leave out: a customer with 3
+    * orders in 1995 and 1 in 1996 survives EXCEPT ALL twice.
+    * Spark's exceptAll/intersectAll plan as count-balancing aggregates
+    * + generate (no row-pairing join); emitted as per-key surviving
+    * multiplicities.
+    */
+  def q157BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995)
+      .select("o_custkey")
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey")
+    val ex = y1995.exceptAll(y1996).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = y1995.intersectAll(y1996).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select(col("op"), col("o_custkey"), col("n"))
+      .orderBy("op", "o_custkey")
+  }
+
+  /** Week-over-week revenue report: weekly exact cents, the previous
+    * week via lag over ONE ordered pass, delta and guarded percent
+    * change — the reporting shape behind every growth dashboard
+    * (q107's anomaly score is its alerting sibling).
+    */
+  def q158WowReport(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(concat(year(col("o_orderdate")).cast("string"), lit("-W"),
+        lpad(weekofyear(col("o_orderdate")).cast("string"), 2, "0"))
+        .as("wk"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("cents"))
+    val w = Window.orderBy("wk")
+    weekly.withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("wk"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("prev").cast("double") / lit(100.0)).as("prev_revenue"),
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          f6((col("cents") - col("prev")).cast("double") /
+            col("prev").cast("double"))).as("wow_change"))
+      .orderBy("wk")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3349,5 +3395,7 @@ object Queries {
     "q154_cuped" -> (q154Cuped _),
     "q155_tpch_q3" -> (q155TpchQ3 _),
     "q156_tpch_q10" -> (q156TpchQ10 _),
+    "q157_bag_set_ops" -> (q157BagSetOps _),
+    "q158_wow_report" -> (q158WowReport _),
   )
 }
