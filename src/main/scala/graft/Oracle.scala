@@ -2349,5 +2349,24 @@ object Oracle {
          |    ${f6("CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)")}
          |  END AS wow_change
          |FROM l ORDER BY wk""".stripMargin,
+
+    "q159_not_in_null" ->
+      """SELECT 'with_null' AS variant, count(*) AS n FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT nullif(c_custkey, 7) FROM customer WHERE c_custkey < 100)
+        |UNION ALL
+        |SELECT 'no_null', count(*) FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer
+        |   WHERE c_custkey < 100 AND c_custkey <> 7)
+        |ORDER BY variant""".stripMargin,
+
+    "q160_correlated_subquery" ->
+      """SELECT k, count(*) AS n_orders FROM (
+        |  SELECT o_orderkey,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+        |      AS k
+        |  FROM orders)
+        |GROUP BY k ORDER BY k""".stripMargin,
   )
 }

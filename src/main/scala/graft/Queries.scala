@@ -3235,6 +3235,46 @@ object Queries {
       .orderBy("wk")
   }
 
+  /** NOT IN with a NULL in the subquery — the ANSI three-valued-logic
+    * corner engines must agree on: one NULL in the list makes every
+    * NOT IN row UNKNOWN (filtered), so the "nulled" branch returns 0
+    * rows while the null-free branch anti-joins normally. Spark plans
+    * this as a null-aware anti join; the query pins BOTH branches so a
+    * future planner change can't silently flip the semantics.
+    */
+  def q159NotInNull(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("o_nin_v")
+    t(s, dir, "customer").createOrReplaceTempView("c_nin_v")
+    s.sql("""
+      SELECT 'with_null' AS variant, count(*) AS n FROM o_nin_v
+      WHERE o_custkey NOT IN
+        (SELECT nullif(c_custkey, 7) FROM c_nin_v WHERE c_custkey < 100)
+      UNION ALL
+      SELECT 'no_null', count(*) FROM o_nin_v
+      WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM c_nin_v
+         WHERE c_custkey < 100 AND c_custkey <> 7)
+      ORDER BY variant""")
+  }
+
+  /** Correlated scalar subquery — written in the correlated FORM so
+    * Catalyst's decorrelation rewrite (subquery → aggregate + join) is
+    * exercised, then histogrammed: how many orders have k lineitems.
+    * The plan guard asserts the rewrite produced an equi-join, not a
+    * per-row nested loop.
+    */
+  def q160CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("o_csq_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("l_csq_v")
+    s.sql("""
+      SELECT k, count(*) AS n_orders FROM (
+        SELECT o_orderkey,
+          (SELECT count(*) FROM l_csq_v WHERE l_orderkey = o_orderkey)
+            AS k
+        FROM o_csq_v)
+      GROUP BY k ORDER BY k""")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3397,5 +3437,7 @@ object Queries {
     "q156_tpch_q10" -> (q156TpchQ10 _),
     "q157_bag_set_ops" -> (q157BagSetOps _),
     "q158_wow_report" -> (q158WowReport _),
+    "q159_not_in_null" -> (q159NotInNull _),
+    "q160_correlated_subquery" -> (q160CorrelatedSubquery _),
   )
 }

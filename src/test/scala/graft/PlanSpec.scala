@@ -300,6 +300,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q160: the correlated scalar subquery decorrelates to an " +
+    "equi-join (no per-row nested loop)") {
+    val p = plan("q160_correlated_subquery")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q155/q156: TPC-H top-k is TakeOrderedAndProject (never a " +
     "global sort materialization) with broadcast dimensions") {
     val p3 = plan("q155_tpch_q3")
