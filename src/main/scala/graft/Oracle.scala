@@ -2368,5 +2368,14 @@ object Oracle {
         |      AS k
         |  FROM orders)
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q161_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT c_custkey FROM customer
+        |      WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 10 = 0) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
   )
 }

@@ -3275,6 +3275,26 @@ object Queries {
       GROUP BY k ORDER BY k""")
   }
 
+  /** LATERAL correlated derived table — per-customer top-2 orders
+    * written in the LATERAL form (the SQL shape analysts reach for
+    * before window functions): Spark plans the correlated LIMIT
+    * subquery as a LateralJoin → rank rewrite, and both engines must
+    * agree on the per-key ordering (total tie order pinned). Restricted
+    * to one segment so the emitted pair list stays review-sized.
+    */
+  def q161LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("o_lat_v")
+    t(s, dir, "customer").createOrReplaceTempView("c_lat_v")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM (SELECT c_custkey FROM c_lat_v
+            WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 10 = 0) c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM o_lat_v o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_orderkey""")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3439,5 +3459,6 @@ object Queries {
     "q158_wow_report" -> (q158WowReport _),
     "q159_not_in_null" -> (q159NotInNull _),
     "q160_correlated_subquery" -> (q160CorrelatedSubquery _),
+    "q161_lateral_topk" -> (q161LateralTopk _),
   )
 }
