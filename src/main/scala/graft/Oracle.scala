@@ -2377,5 +2377,35 @@ object Oracle {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+
+    "q162_id_gaps" ->
+      """WITH ids AS (SELECT event_id AS id FROM events
+        |  WHERE event_id % 97 <> 0),
+        |l AS (SELECT id, lead(id, 1) OVER (ORDER BY id) AS nxt FROM ids)
+        |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - id - 1 AS missing
+        |FROM l WHERE nxt IS NOT NULL AND nxt - id > 1
+        |ORDER BY gap_start""".stripMargin,
+
+    "q163_decile_migration" ->
+      """WITH d95 AS (SELECT o_custkey,
+        |  CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+        |    AS d
+        |  FROM (SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)),
+        |d96 AS (SELECT o_custkey,
+        |  CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+        |    AS d
+        |  FROM (SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1))
+        |SELECT coalesce(d95.d, 0) AS decile_1995,
+        |  coalesce(d96.d, 0) AS decile_1996,
+        |  count(*) AS n_customers
+        |FROM d95 FULL OUTER JOIN d96 USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY decile_1995, decile_1996""".stripMargin,
   )
 }

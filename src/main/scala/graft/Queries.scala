@@ -3295,6 +3295,54 @@ object Queries {
       ORDER BY c.c_custkey, t.o_orderkey""")
   }
 
+  /** Id-sequence gap detection: ranges missing from the event_id
+    * space (the completeness check a CDC/ingest pipeline runs to
+    * prove nothing was dropped). lead() over ONE ordered pass finds
+    * every adjacent pair with a hole; emitted as (gap_start, gap_end)
+    * ranges so a million-id hole is one row, not a million.
+    */
+  def q162IdGaps(s: SparkSession, dir: String): DataFrame = {
+    // synthesize holes deterministically: drop ids ≡ 0 (mod 97)
+    val ids = t(s, dir, "events")
+      .filter(col("event_id") % 97 =!= 0)
+      .select(col("event_id").as("id"))
+    val w = Window.orderBy("id")
+    ids.withColumn("nxt", lead(col("id"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") - col("id") > 1)
+      .select((col("id") + 1).as("gap_start"),
+        (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col("id") - 1).as("missing"))
+      .orderBy("gap_start")
+  }
+
+  /** Rank-migration (decile transition) matrix: each customer's spend
+    * decile in 1995 vs 1996 cross-tabulated — the churn/upsell
+    * movement report. Two per-period aggregates, two ntile windows
+    * (total tie order), one equi-join on the customer, one count
+    * matrix. Customers present in only one period land in decile 0 of
+    * the other (the "new/lost" row and column).
+    */
+  def q163DecileMigration(s: SparkSession, dir: String): DataFrame = {
+    def decilesOf(yr: Int) = {
+      val per = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long")).as("cents"))
+      per.withColumn("d", ntile(10).over(
+        Window.orderBy(col("cents").desc, col("o_custkey").asc))
+        .cast("long"))
+        .select(col("o_custkey"), col("d"))
+    }
+    decilesOf(1995).withColumnRenamed("d", "d95")
+      .join(decilesOf(1996).withColumnRenamed("d", "d96"),
+        Seq("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("d95"), lit(0L)).as("decile_1995"),
+        coalesce(col("d96"), lit(0L)).as("decile_1996"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("decile_1995", "decile_1996")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3460,5 +3508,7 @@ object Queries {
     "q159_not_in_null" -> (q159NotInNull _),
     "q160_correlated_subquery" -> (q160CorrelatedSubquery _),
     "q161_lateral_topk" -> (q161LateralTopk _),
+    "q162_id_gaps" -> (q162IdGaps _),
+    "q163_decile_migration" -> (q163DecileMigration _),
   )
 }
