@@ -519,6 +519,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeV2 ≡ batch sessionization (q87) on the real fixture: " +
+    "the streaming operator, fed the events table in chunks, emits " +
+    "exactly the batch operator's sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      import org.apache.spark.sql.functions.col
+      val batch = Queries.all("q87_batch_sessionize")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4)))
+        .toSet
+      val events = graft.sources.Tables(spark, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .as[Streaming.SessionEvent](
+          org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+        .collect().sortBy(_.ts.getTime)
+      val mem = MemoryStream[Streaming.SessionEvent]
+      val q = Streaming.sessionizeV2(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("sessparity")
+        .outputMode("append").start()
+      // three chronological chunks so the watermark actually advances
+      // between batches, then a far-future sentinel to flush all timers
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      mem.addData(Streaming.SessionEvent(-1L,
+        Timestamp.valueOf("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sessparity").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(3).getTime, r.getLong(2)))
+        .filter(_._1 >= 0).toSet
+      assert(streamed === batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
