@@ -2407,5 +2407,25 @@ object Oracle {
         |  count(*) AS n_customers
         |FROM d95 FULL OUTER JOIN d96 USING (o_custkey)
         |GROUP BY 1, 2 ORDER BY decile_1995, decile_1996""".stripMargin,
+
+    "q164_ref_completeness" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orders' AS relation,
+        |    'orphan_facts' AS direction, count(*) AS n_dangling
+        |  FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orders', 'childless_dims', count(*)
+        |  FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_customer', 'orphan_facts', count(*)
+        |  FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_customer', 'childless_dims', count(*)
+        |  FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |ORDER BY relation, direction""".stripMargin,
   )
 }

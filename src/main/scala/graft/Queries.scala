@@ -3343,6 +3343,34 @@ object Queries {
       .orderBy("decile_1995", "decile_1996")
   }
 
+  /** Bidirectional referential completeness — the fact↔dim audit in
+    * BOTH directions at once: lineitems whose order is missing
+    * (orphans) AND orders with no lineitems (childless), plus the
+    * same for orders↔customer. Four anti-join counts assembled into
+    * one relation/direction report; every join is a key equi-join.
+    */
+  def q164RefCompleteness(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    def cnt(df: DataFrame, rel: String, dirn: String) =
+      df.agg(count(lit(1)).as("n_dangling"))
+        .select(lit(rel).as("relation"), lit(dirn).as("direction"),
+          col("n_dangling"))
+    cnt(l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+        "lineitem_orders", "orphan_facts")
+      .unionByName(cnt(
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti"),
+        "lineitem_orders", "childless_dims"))
+      .unionByName(cnt(
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti"),
+        "orders_customer", "orphan_facts"))
+      .unionByName(cnt(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti"),
+        "orders_customer", "childless_dims"))
+      .orderBy("relation", "direction")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3510,5 +3538,6 @@ object Queries {
     "q161_lateral_topk" -> (q161LateralTopk _),
     "q162_id_gaps" -> (q162IdGaps _),
     "q163_decile_migration" -> (q163DecileMigration _),
+    "q164_ref_completeness" -> (q164RefCompleteness _),
   )
 }
