@@ -72,15 +72,33 @@ object Bench {
     val errJson = errors.map(jstr).mkString("[", ",", "]")
     val total = timings.values.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"errors":$errJson}"""
+    // Full-precision, full-name line goes to the file (whole regardless
+    // of log buffering) and to stdout FIRST for human log readers.
     println(line)
-    // ALSO write the line to a file: the driver's log capture truncated
-    // BENCH_r04's tail mid-JSON, making the q01-q21 head unauditable —
-    // the file copy is kept whole regardless of log buffering
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props.get("graftBenchOut")
         .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
         .getOrElse("/root/repo/BENCH_LAST.json")), line + "\n")
     catch { case _: Throwable => () }
+    // The driver's bench artifact keeps only the LAST 2000 characters of
+    // stdout (BENCH_r01..r05 all have tail_len<=2000, parsed:null — the
+    // 5 KB full line never fit, so every round's artifact clipped
+    // mid-map). Emit a compact line LAST, sized to fit that window
+    // whole: qNN keys (the spec's own example uses "q1"), 2-decimal
+    // seconds, dropping to 1 decimal if the line would exceed 1900
+    // chars. Full names/precision live one line up and in BENCH_LAST.
+    def compact(dec: Int): String = {
+      val cq = timings.map { case (k, v) =>
+        val sk = k.takeWhile(_ != '_')
+        val sv = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.stripTrailingZeros.toPlainString
+        s"${jstr(sk)}:$sv"
+      }.mkString("{", ",", "}")
+      val tv = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$tv,"unit":"sec","queries":$cq,"sf":${jstr(sfDir.split('/').last)},"n_ok":${timings.size},"runs":$runs,"errors":$errJson}"""
+    }
+    val short = { val two = compact(2); if (two.length <= 1900) two else compact(1) }
+    println(short)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

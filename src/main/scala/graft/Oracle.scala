@@ -49,6 +49,17 @@ object Oracle {
   /** floor-truncation to 6 dp (mirrors Queries.f6). */
   private def f6(c: String): String = s"floor(($c) * 1000000) / 1000000.0"
 
+  /** Typed JSON integer extraction mirroring Spark's schema'd
+    * `from_json("k BIGINT")`: only bare JSON integers parse; a
+    * string-encoded number ('k':"12"), a double, or a non-numeric
+    * yields NULL — where DuckDB's bare `CAST(json_extract_string(..))`
+    * would parse "12" or raise. The fixture only emits bare integers
+    * (both engines agree there), but the guard keeps the oracle
+    * equivalent under any future fixture, not just the current one. */
+  private def jint(src: String, path: String, t: String = "BIGINT"): String =
+    s"CASE WHEN json_type(json_extract($src, '$path')) IN ('BIGINT','UBIGINT')" +
+      s" THEN CAST(json_extract_string($src, '$path') AS $t) END"
+
   /** DuckDB rendering of Dedup.simhash over an `hs` hashed-token list:
     * 32 per-bit majority votes summed with 2^b weights. */
   private val simhashSql: String = (0 until 32).map(b =>
@@ -515,10 +526,10 @@ object Oracle {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q36_json_props" ->
-      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      s"""SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  max(k) AS max_k
         |FROM (SELECT event_type,
-        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+        |  ${jint("props", "$.k", "INTEGER")} AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q37_knn_brute_force" ->
@@ -1950,11 +1961,11 @@ object Oracle {
          |FROM d ORDER BY source""".stripMargin,
 
     "q135_json_extract" ->
-      """SELECT event_type, count(*) AS n,
+      s"""SELECT event_type, count(*) AS n,
         |  count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  ${jint("props", "$.k")} AS k
         |  FROM events)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
@@ -2109,13 +2120,13 @@ object Oracle {
         |FROM conv""".stripMargin,
 
     "q144_survivorship" ->
-      """WITH base AS (SELECT user_id,
+      s"""WITH base AS (SELECT user_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
         |  CASE WHEN event_type = 'purchase' THEN value END
         |    AS purchase_value,
-        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |  CASE WHEN ${jint("props", "$.k")}
         |    % 7 <> 0
-        |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+        |    THEN ${jint("props", "$.k")} END
         |    AS k
         |  FROM events),
         |f1 AS (SELECT user_id, purchase_value FROM (
@@ -2229,14 +2240,14 @@ object Oracle {
          |FROM per ORDER BY first_digit""".stripMargin,
 
     "q152_schema_evolution" ->
-      """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+      s"""SELECT event_type, count(*) AS n, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (
         |  SELECT event_type, CAST(NULL AS BIGINT) AS k FROM events
         |  WHERE event_id % 2 = 0
         |  UNION ALL
         |  SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    ${jint("props", "$.k")}
         |  FROM events WHERE event_id % 2 <> 0)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
@@ -2336,8 +2347,7 @@ object Oracle {
 
     "q158_wow_report" ->
       s"""WITH weekly AS (SELECT
-         |  CAST(year(o_orderdate) AS VARCHAR) || '-W' ||
-         |    lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0') AS wk,
+         |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
          |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
          |    AS cents
          |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),

@@ -3215,13 +3215,19 @@ object Queries {
     * week via lag over ONE ordered pass, delta and guarded percent
     * change — the reporting shape behind every growth dashboard
     * (q107's anomaly score is its alerting sibling).
+    *
+    * The week key is the ISO week's MONDAY as a date string, not
+    * year()+weekofyear(): pairing calendar year with ISO week number
+    * mislabels late-December dates that fall in ISO week 1 of the next
+    * year (1997-12-29 is "1997-W01" under the naive formula, merging it
+    * with early January) — the exact Jan-1-in-week-52/53 edge Prep's
+    * partition-string convention documents.
     */
   def q158WowReport(s: SparkSession, dir: String): DataFrame = {
     val weekly = t(s, dir, "orders")
       .filter(year(col("o_orderdate")) === 1997)
-      .groupBy(concat(year(col("o_orderdate")).cast("string"), lit("-W"),
-        lpad(weekofyear(col("o_orderdate")).cast("string"), 2, "0"))
-        .as("wk"))
+      .groupBy(date_format(date_trunc("week", col("o_orderdate")),
+        "yyyy-MM-dd").as("wk"))
       .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
         .cast("long")).as("cents"))
     val w = Window.orderBy("wk")

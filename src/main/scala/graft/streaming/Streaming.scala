@@ -375,7 +375,16 @@ object Streaming {
     * the watermark passes it, emitting and clearing the session from
     * `handleExpiredTimer`. Extending a session MOVES its timer
     * (delete + re-register), so at most one live timer per key — state
-    * and timer count are both O(live keys). */
+    * and timer count are both O(live keys).
+    *
+    * Out-of-order handling (shared with `sessionize` below): an event
+    * older than the open session's start but within gap of it LOWERS
+    * startMs (min-fold), so the emitted window matches batch; an event
+    * more than a full gap older is emitted as its own closed singleton
+    * session. Residual O(1)-state assumption: if several such stragglers
+    * for the SAME earlier session arrive in DIFFERENT micro-batches,
+    * each is a singleton where batch would merge them — tracking that
+    * would need a session buffer per key instead of one open session. */
   class SessionTimerProcessor(gapMs: Long)
       extends StatefulProcessor[Long, SessionEvent, Session] {
     @transient private var st: ValueState[SessionState] = _
@@ -395,11 +404,18 @@ object Streaming {
       rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         cur = cur match {
-          case Some(s) if t < s.lastMs + gapMs =>
-            Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-          case Some(s) =>
+          case Some(s) if t >= s.lastMs + gapMs => // next session begins
             closed ::= emit(key, s)
             Some(SessionState(t, t, 1))
+          case Some(s) if t < s.startMs - gapMs => // out-of-order, disjoint
+            closed ::= emit(key, SessionState(t, t, 1))
+            Some(s)
+          case Some(s) => // in or adjacent to the open session: extend —
+            // taking min(startMs, t) so an out-of-order event older than
+            // the session start (but inside the watermark) yields the
+            // correct window, matching batch sessionization
+            Some(SessionState(math.min(s.startMs, t),
+              math.max(s.lastMs, t), s.n + 1))
           case None =>
             Some(SessionState(t, t, 1))
         }
@@ -474,11 +490,15 @@ object Streaming {
             it.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               cur = cur match {
-                case Some(s) if t < s.lastMs + gapMs =>
-                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) =>
+                case Some(s) if t >= s.lastMs + gapMs =>
                   closed ::= emit(s)
                   Some(SessionState(t, t, 1))
+                case Some(s) if t < s.startMs - gapMs =>
+                  closed ::= emit(SessionState(t, t, 1))
+                  Some(s)
+                case Some(s) =>
+                  Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.n + 1))
                 case None =>
                   Some(SessionState(t, t, 1))
               }
