@@ -572,6 +572,109 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeV2: an out-of-order event older than the open session's " +
+    "start (but within the watermark) LOWERS the emitted start; an event " +
+    "a full gap older emits as its own singleton session") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SessionEvent]
+      val q = Streaming.sessionizeV2(mem.toDS(), gapMinutes = 10,
+        watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName("sessooo")
+        .outputMode("append").start()
+      mem.addData(
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:10:00")),
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:12:00")))
+      q.processAllAvailable()
+      // batch 2 arrives out of order but inside the 2h watermark delay:
+      // 10:05 is older than the open session's start (10:10) yet within
+      // the gap of it -> must extend AND lower the start; 09:40 is a
+      // full gap older -> disjoint, emits as its own closed singleton
+      mem.addData(
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00")),
+        SessionEvent(1L, Timestamp.valueOf("2024-01-01 09:40:00")))
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark past every timer
+      mem.addData(SessionEvent(2L, Timestamp.valueOf("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val u1 = spark.table("sessooo").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .filter(_._1 == 1L).toSet
+      assert(u1 === Set(
+        (1L, "2024-01-01 09:40:00.0", 1L), // disjoint singleton
+        (1L, "2024-01-01 10:05:00.0", 3L))) // start lowered, 3 events
+    }
+  }
+
+  test("sessionize (v1): same out-of-order semantics as v2 — lowered " +
+    "start and disjoint singleton") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Streaming.sessionize(mem.toDS(), gapMinutes = 10,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sessooo1")
+      .outputMode("append").start()
+    mem.addData(
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:10:00")),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:12:00")))
+    q.processAllAvailable()
+    mem.addData(
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00")),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 09:40:00")))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(2L, Timestamp.valueOf("2030-01-01 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessooo1").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .filter(_._1 == 1L).toSet
+    assert(u1 === Set(
+      (1L, "2024-01-01 09:40:00.0", 1L),
+      (1L, "2024-01-01 10:05:00.0", 3L)))
+  }
+
+  test("applyCdcScd2 ≡ batch q95 on the real fixture: streaming the " +
+    "change log in chunks against the seeded base table converges to " +
+    "exactly the batch merge's SCD2 output") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val wd = Files.createTempDirectory("cdcdiff"); wd.toFile.deleteOnExit()
+    val table = wd.resolve("dim").toString
+    val ckpt = wd.resolve("ckpt").toString
+    // batch truth: q95's one-shot merge (k, addr, valid_from, valid_to,
+    // is_current) over customer + its derived change batch
+    val batch = Queries.all("q95_scd2_merge")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    // seed the state table with the same base q95 starts from
+    val cust = graft.sources.Tables(spark, dir, "customer")
+    cust.select(col("c_custkey").as("k"), col("c_mktsegment").as("v"),
+        lit("2024-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"))
+      .write.mode(SaveMode.Overwrite).parquet(table)
+    // the same change log q95 derives, streamed in three micro-batches
+    val changes = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), concat(col("c_mktsegment"), lit(" rev2")))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (k, v) => (k, v, "2024-06-01") }
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.applyCdcScd2(
+      mem.toDF().toDF("k", "v", "change_date"), table, ckpt)
+    changes.grouped(math.max(1, changes.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(table)
+      .select(col("k"), col("v"), col("valid_from"), col("valid_to"),
+        (col("valid_to") === "9999-12-31").as("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
