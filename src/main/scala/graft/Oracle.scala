@@ -2437,5 +2437,28 @@ object Oracle {
         |  FROM customer WHERE NOT EXISTS
         |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
         |ORDER BY relation, direction""".stripMargin,
+
+    // replays Graph.kCoreRounds' 6 synchronous peel rounds as chained
+    // CTEs (the q82/q86 pattern): each round keeps edges whose BOTH
+    // endpoints currently have degree >= 2 — pure set logic, exact
+    "q165_kcore_bounded" -> {
+      def round(i: Int): String =
+        s"""adj$i AS MATERIALIZED (
+           |  SELECT src, dst FROM adj${i - 1}
+           |  WHERE src IN (SELECT src FROM adj${i - 1}
+           |      GROUP BY src HAVING count(*) >= 2)
+           |    AND dst IN (SELECT src FROM adj${i - 1}
+           |      GROUP BY src HAVING count(*) >= 2))""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS a, l_partkey + 3000000 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+         |adj0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION SELECT b, a FROM e),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM adj6 GROUP BY 1 ORDER BY id""".stripMargin
+    },
   )
 }

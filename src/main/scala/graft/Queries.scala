@@ -3377,6 +3377,29 @@ object Queries {
       .orderBy("relation", "direction")
   }
 
+  /** Bounded-round k-core peeling over the 1995Q1 customer↔part
+    * purchase graph, ORACLE-PROVEN like q82/q86: 6 fixed peel rounds
+    * (≥ the graph's peel depth, so this IS the 2-core fixpoint here —
+    * GraphSpec proves rounds≡fixpoint on this graph) replayed as
+    * chained DuckDB CTEs. The quarterly bipartite purchase graph is the
+    * sparse, skewed one — the part co-occurrence graph's min degree is
+    * ~87 at sf0.01, so no small k peels it; here k=2 peels through 5
+    * genuine cascade rounds (2794→…→2542 edges). Output: surviving
+    * vertices with their final in-core degree. */
+  def q165KCoreBounded(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("id_a"),
+        (col("l_partkey") + lit(3000000L)).as("id_b"))
+      .distinct()
+    Graph.kCoreRounds(e, k = 2, rounds = 6).orderBy("id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3545,5 +3568,6 @@ object Queries {
     "q162_id_gaps" -> (q162IdGaps _),
     "q163_decile_migration" -> (q163DecileMigration _),
     "q164_ref_completeness" -> (q164RefCompleteness _),
+    "q165_kcore_bounded" -> (q165KCoreBounded _),
   )
 }

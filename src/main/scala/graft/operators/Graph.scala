@@ -189,4 +189,39 @@ object Graph {
     }
     adj.select(col("src").as("id")).distinct()
   }
+
+  /** Bounded-round k-core peeling — `kCore` with a STATIC round count
+    * instead of the data-dependent convergence probe, the q82/q86
+    * treatment that makes the recurrence replayable as chained DuckDB
+    * CTEs (a data-dependent round count would make the oracle SQL's
+    * shape input-dependent). Each round drops every vertex whose
+    * current degree is < k and keeps only edges with both endpoints
+    * surviving — pure set logic, so the result is deterministic under
+    * any partitioning. With `rounds` ≥ the peel depth it IS the k-core
+    * fixpoint (GraphSpec proves equality against `kCore` on the
+    * fixture); fewer rounds give the partially-peeled subgraph, still
+    * well-defined. Returns (id, deg): surviving vertices with their
+    * degree in the surviving subgraph. Same per-round shape as kCore —
+    * one degree aggregate + two semi joins, lineage truncated per
+    * round — so the 100 TB story is kCore's. */
+  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var adj = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      adj = adj
+        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
 }

@@ -86,6 +86,45 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(clique.toDF("id_a", "id_b"), 10).count() === 0L)
   }
 
+  test("kCoreRounds with rounds >= peel depth == kCore fixpoint (vertex " +
+    "sets equal, degrees match the surviving subgraph); fewer rounds " +
+    "give the partially-peeled supergraph") {
+    val (_, edges0) = randomGraph(80, 300, 23)
+    val edges = edges0.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val eDf = edges.toDF("id_a", "id_b")
+    for (k <- Seq(2, 3)) {
+      val fix = kCoreRef(edges, k)
+      val bounded = Graph.kCoreRounds(eDf, k, rounds = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(bounded.keySet === fix, s"k=$k")
+      // degrees are the surviving subgraph's: every vertex >= k
+      assert(bounded.values.forall(_ >= k), s"k=$k degs=${bounded.take(5)}")
+      // a 1-round peel is a supergraph of the fixpoint
+      val oneRound = Graph.kCoreRounds(eDf, k, rounds = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(fix.subsetOf(oneRound.keySet), s"k=$k")
+    }
+    // q165's graph shape on the fixture is peeled to ITS fixpoint by 6
+    // rounds — proven at the operator level here: bounded(6) == kCore
+    // on the same edge list (sf0.001 keeps this test fast)
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.sources.Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = o.join(graft.sources.Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("id_a"),
+        (col("l_partkey") + lit(3000000L)).as("id_b"))
+      .distinct()
+    val viaRounds = Graph.kCoreRounds(e, 2, rounds = 6)
+      .select("id").as[Long].collect().toSet
+    val viaFixpoint = Graph.kCore(e, 2).as[Long].collect().toSet
+    assert(viaRounds === viaFixpoint)
+  }
+
   test("ranks behave like PageRank: a sink everyone links to outranks " +
     "everything; mass is conserved up to floor loss") {
     // star: 0..9 all link to 10
