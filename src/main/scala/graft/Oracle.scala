@@ -2460,5 +2460,38 @@ object Oracle {
          |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
          |FROM adj6 GROUP BY 1 ORDER BY id""".stripMargin
     },
+
+    "q166_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_od, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q167_tpch_q21" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |     epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+        |      > 7776000000000 AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l1 l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
   )
 }

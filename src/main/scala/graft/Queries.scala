@@ -962,7 +962,7 @@ object Queries {
   /** The part co-occurrence graph (a<b part pairs sharing an order) +
     * its degree table + the degree-oriented triangle count — shared by
     * q78 (triangles) and q84 (clustering coefficient). */
-  private def partGraph(s: SparkSession, dir: String)
+  private[graft] def partGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, () => DataFrame) = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     // per-order pair expansion beats a lineitem self-join: one groupBy
@@ -976,6 +976,15 @@ object Queries {
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct().persist()
+    val (deg, triangles) = orientedTriangles(e)
+    (e, deg, triangles)
+  }
+
+  /** Degree table + degree-oriented triangle-count thunk over an a<b
+    * edge list — partGraph's machinery factored out so ProbeGraph can
+    * drive it on replicated graphs. */
+  private[graft] def orientedTriangles(e: DataFrame)
+      : (DataFrame, () => DataFrame) = {
     // degree table = |vertices| rows (keys, not edges). No broadcast
     // HINT: a hint overrides autoBroadcastJoinThreshold and would
     // collect |V| rows to the driver no matter the graph size — at
@@ -1015,26 +1024,43 @@ object Queries {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
     // wedges outnumber edges ~34:1 here (41M vs 1.2M at sf0.1) and
-    // only ~5% close into triangles — a 2 MB bloom over the oriented
-    // edge pairs, keyed by codegen'd xxhash64 (md5 would cost more
-    // than the shuffle it saves on a 40M-row probe), sheds the
-    // non-closing wedges BEFORE the close join's exchange. False
-    // positives only re-admit rows the exact join drops; the count is
-    // unchanged. The q73 runtime-filter shape applied to a self-join.
+    // only ~5% close into triangles — a bloom over the oriented edge
+    // pairs, keyed by codegen'd xxhash64 (md5 would cost more than the
+    // shuffle it saves on a 40M-row probe), sheds the non-closing
+    // wedges BEFORE the close join's exchange. False positives only
+    // re-admit rows the exact join drops; the count is unchanged. The
+    // q73 runtime-filter shape applied to a self-join.
+    // The bloom is SIZED FROM |E|, not fixed: ProbeGraph caught the
+    // fixed 2 MB bitset saturating at a 25×-replicated graph (29.9M
+    // edges into 16.7M bits → FP≈1), where the unshed wedge stream made
+    // the close exchange 1.19B rows instead of ~70M — shuffle grew 139×
+    // for 25× edges. ~10 bits/key (next pow2), floored at 1<<24 (the
+    // sf0.1 size, unchanged plans there) and capped at 1<<28 (32 MB
+    // driver/literal bound); past ~3 keys/bit the bloom can't shed
+    // anything, so a graph beyond the cap SKIPS the build — the exact
+    // join alone is then the right plan (or Spark's shuffle-side bloom
+    // on a real cluster), and paying for a useless 32 MB probe isn't.
     // thunked: the bloom build is an eager driver action, and q86
     // consumes only `e` — callers that never count triangles must not
     // pay for materializing the oriented edges
     val triangles = () => {
-      val closeBloom = RuntimeFilter.bloomBytesOf(
-        oriented, xxhash64(col("src"), col("dst")), numBits = 1 << 24)
-      wedges
-        .filter(RuntimeFilter.mightContain(closeBloom,
-          xxhash64(col("v"), col("w"))))
+      val nOriented = oriented.count()
+      val idealBits = math.max(1L, nOriented) * 10
+      val bits = math.max(1L << 24, math.min(1L << 28,
+        java.lang.Long.highestOneBit(idealBits - 1) << 1)).toInt
+      val closeJoin = (w: DataFrame) => w
         .join(oriented.select(col("src").as("v"), col("dst").as("w")),
           Seq("v", "w"))
         .agg(count(lit(1)).as("n_triangles"))
+      if (nOriented * 3 > bits.toLong) closeJoin(wedges)
+      else {
+        val closeBloom = RuntimeFilter.bloomBytesOf(
+          oriented, xxhash64(col("src"), col("dst")), numBits = bits)
+        closeJoin(wedges.filter(RuntimeFilter.mightContain(closeBloom,
+          xxhash64(col("v"), col("w")))))
+      }
     }
-    (e, deg, triangles)
+    (deg, triangles)
   }
 
   def q78Triangles(s: SparkSession, dir: String): DataFrame = {
@@ -3400,6 +3426,67 @@ object Queries {
     Graph.kCoreRounds(e, k = 2, rounds = 6).orderBy("id")
   }
 
+  /** TPC-H Q18 adaptation (large-quantity orders): the canonical
+    * semi-join-over-grouped-HAVING shape — the IN subquery aggregates
+    * lineitem per order, the HAVING filters, the outer query SEMI-joins
+    * the key set then re-aggregates with the order/customer context.
+    * Quantities are integral doubles in the fixture; cast to long so
+    * both the HAVING sum and the emitted sum are exact integer adds.
+    * Top-100 by (o_totalprice DESC, o_orderkey) is a strict total
+    * order → deterministic under the comparator's row sort, and plans
+    * as TakeOrderedAndProject (PlanSpec-guarded). */
+  def q166TpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val bigKeys = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .filter(col("sq") > 300).select("l_orderkey")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_od"),
+      col("o_totalprice"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    l.join(bigKeys, Seq("l_orderkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_od"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q21 adaptation (suppliers who alone delayed multi-supplier
+    * orders): the remaining canonical subquery shape — an EXISTS and a
+    * NOT EXISTS both correlated on the same outer row. The fixture has
+    * no receipt/commit dates, so "late" is shipped >90 days after the
+    * order date, compared in exact epoch micros. Catalyst decorrelates
+    * the EXISTS to a left-semi and the NOT EXISTS to a left-anti join,
+    * both keyed on l_orderkey with the supplier inequality as a join
+    * residual — no nested loop (PlanSpec-guarded). */
+  def q167TpchQ21(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("li_q21_v")
+    t(s, dir, "orders").createOrReplaceTempView("o_q21_v")
+    t(s, dir, "supplier").createOrReplaceTempView("s_q21_v")
+    s.sql("""
+      WITH l1 AS (
+        SELECT l_orderkey, l_suppkey,
+          unix_micros(CAST(l_shipdate AS TIMESTAMP)) -
+            unix_micros(CAST(o_orderdate AS TIMESTAMP))
+            > 7776000000000 AS late
+        FROM li_q21_v JOIN o_q21_v ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F')
+      SELECT s_name, count(*) AS numwait
+      FROM l1 JOIN s_q21_v ON s_suppkey = l1.l_suppkey
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM l1 l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l1 l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3569,5 +3656,7 @@ object Queries {
     "q163_decile_migration" -> (q163DecileMigration _),
     "q164_ref_completeness" -> (q164RefCompleteness _),
     "q165_kcore_bounded" -> (q165KCoreBounded _),
+    "q166_tpch_q18" -> (q166TpchQ18 _),
+    "q167_tpch_q21" -> (q167TpchQ21 _),
   )
 }

@@ -308,6 +308,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q166: the grouped-HAVING key set semi-joins (no re-aggregation " +
+    "join) and the top-100 is TakeOrderedAndProject") {
+    val p = plan("q166_tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q167: the correlated EXISTS decorrelates to a semi join and " +
+    "the NOT EXISTS to an anti join, both equi-keyed on the order — " +
+    "no per-row nested loop") {
+    val p = plan("q167_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q155/q156: TPC-H top-k is TakeOrderedAndProject (never a " +
     "global sort materialization) with broadcast dimensions") {
     val p3 = plan("q155_tpch_q3")
