@@ -2493,5 +2493,44 @@ object Oracle {
         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q168_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |        epoch_us(CAST(o_orderdate AS TIMESTAMP)) > 5184000000000)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q169_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q170_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer),
+        |pos AS (SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    count(*) AS n_pos
+        |  FROM c WHERE cents > 0)
+        |SELECT CAST(c_nationkey % 5 AS VARCHAR) AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM c CROSS JOIN pos
+        |WHERE cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY cntrycode""".stripMargin,
   )
 }

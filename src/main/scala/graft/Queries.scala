@@ -3487,6 +3487,77 @@ object Queries {
       ORDER BY numwait DESC, s_name""")
   }
 
+  /** TPC-H Q4 adaptation (order-priority checking): EXISTS whose inner
+    * predicate references the OUTER row's date — a correlation through
+    * an inequality, not just the join key. "Late" = any lineitem
+    * shipped >60 days after the order date (the fixture has no
+    * commit/receipt dates), exact epoch-micros arithmetic. Catalyst
+    * decorrelates to a left-semi on l_orderkey with the date residual
+    * in the join condition — plan-guarded nested-loop-free. */
+  def q168TpchQ4(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("o_q4_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("li_q4_v")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM o_q4_v
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM li_q4_v
+          WHERE l_orderkey = o_orderkey
+            AND unix_micros(CAST(l_shipdate AS TIMESTAMP)) -
+              unix_micros(CAST(o_orderdate AS TIMESTAMP)) > 5184000000000)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q13 adaptation (customer order-count distribution): the
+    * canonical outer-join-then-histogram-of-counts — customers with
+    * ZERO matching orders must appear as c_count=0, which only a LEFT
+    * OUTER join with the predicate in the JOIN CONDITION (not WHERE —
+    * there it would turn the join inner) expresses. count(o_orderkey)
+    * counts non-null matches only. */
+  def q169TpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q22 adaptation (global-sales-opportunity): an UNCORRELATED
+    * scalar aggregate gating the outer filter plus a NOT EXISTS anti
+    * join — the two-subquery shape q160 (correlated scalar) and q159
+    * (NOT IN) don't cover. "Above-average balance" is compared WITHOUT
+    * a division: cents·n > sum_cents (exact integer cross-multiply),
+    * so the threshold is hash-exact where avg()'s double sum is
+    * order-dependent. Country code = c_nationkey % 5 as a string. The
+    * anti set is "ever placed an urgent finalized order" — nearly every
+    * fixture customer has SOME order, so the classic no-orders-at-all
+    * predicate would select zero rows; this one keeps 333 at sf0.01. */
+  def q170TpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("cents"))
+    val pos = c.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(pos))
+      .filter(col("cents") * col("n_pos") > col("sum_cents"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).cast("string").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("totacctbal_cents"))
+      .orderBy("cntrycode")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3658,5 +3729,8 @@ object Queries {
     "q165_kcore_bounded" -> (q165KCoreBounded _),
     "q166_tpch_q18" -> (q166TpchQ18 _),
     "q167_tpch_q21" -> (q167TpchQ21 _),
+    "q168_tpch_q4" -> (q168TpchQ4 _),
+    "q169_tpch_q13" -> (q169TpchQ13 _),
+    "q170_tpch_q22" -> (q170TpchQ22 _),
   )
 }

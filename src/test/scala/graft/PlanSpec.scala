@@ -327,6 +327,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q168: EXISTS correlated through the outer date decorrelates " +
+    "to a semi join with the residual in the condition — no nested loop") {
+    val p = plan("q168_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q169: the zero-preserving outer join keeps its predicate in " +
+    "the JOIN condition (a WHERE would drop c_count=0 customers)") {
+    val p = plan("q169_tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q155/q156: TPC-H top-k is TakeOrderedAndProject (never a " +
     "global sort materialization) with broadcast dimensions") {
     val p3 = plan("q155_tpch_q3")
