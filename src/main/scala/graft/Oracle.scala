@@ -2532,5 +2532,40 @@ object Oracle {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY cntrycode""".stripMargin,
+
+    // recomputes the aHash from the PNG generator's closed-form
+    // channels (q64's trick, extended to the full hash): gray = sum of
+    // the three affine-mod-256 channels, bit = gray·64 > imageTotal
+    // (the 8×8 image makes every grid cell one pixel), packed into
+    // unsigned 32-bit halves so no BIGINT shift overflows
+    "q171_image_ahash" ->
+      """WITH g AS (SELECT DISTINCT doc_id - doc_id % 7 AS gid
+        |    FROM documents),
+        |cells AS (SELECT g.gid, x.i AS x, y.i AS y,
+        |    ((g.gid*31 + x.i*7 + y.i*13) % 256)
+        |      + ((g.gid*17 + x.i*11 + y.i*3) % 256)
+        |      + ((g.gid*5 + x.i*19 + y.i*29) % 256) AS gray
+        |  FROM g, generate_series(0, 7) AS x(i),
+        |    generate_series(0, 7) AS y(i)),
+        |tot AS (SELECT gid, CAST(sum(gray) AS BIGINT) AS total
+        |  FROM cells GROUP BY 1),
+        |bits AS (SELECT c.gid, c.y * 8 + c.x AS idx
+        |  FROM cells c JOIN tot USING (gid) WHERE c.gray * 64 > tot.total),
+        |h AS (SELECT gid,
+        |    CAST(COALESCE(sum(CASE WHEN idx >= 32
+        |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
+        |      AS ahash_hi,
+        |    CAST(COALESCE(sum(CASE WHEN idx < 32
+        |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT)
+        |      AS ahash_lo
+        |  FROM bits GROUP BY gid),
+        |hashes AS (SELECT g.gid, COALESCE(h.ahash_hi, 0) AS ahash_hi,
+        |    COALESCE(h.ahash_lo, 0) AS ahash_lo
+        |  FROM g LEFT JOIN h USING (gid))
+        |SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, doc_id - doc_id % 7 AS gid FROM documents)
+        |JOIN hashes USING (gid)
+        |GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""".stripMargin,
   )
 }

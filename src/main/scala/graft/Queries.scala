@@ -3558,6 +3558,30 @@ object Queries {
       .orderBy("cntrycode")
   }
 
+  /** Perceptual image hashing, ORACLE-PROVEN through a REAL codec: each
+    * doc gets the generated PNG of its 7-doc group id, the Spark side
+    * computes the 64-bit average-hash from ACTUALLY DECODED pixels
+    * (`Multimodal.aHash64` — javax.imageio, the q64 seam), and DuckDB
+    * recomputes the identical hash from the generator's closed-form
+    * channels (PNG is lossless, the hash is all-integer and
+    * division-free, so decode-then-hash ≡ formula-then-hash
+    * bit-for-bit). Groups by (hi, lo) into exact-dup clusters of 7 —
+    * the image counterpart of q27's text exact-dedup. The near-dup
+    * machinery over the same hashes (banded Hamming join,
+    * `Multimodal.imageNearDupPairs`) is spec-proven on perturbed
+    * images. */
+  def q171ImageAHash(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf((id: Long) => Multimodal.generatePng(id))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 7).as("gid"))
+      .withColumn("payload", gen(col("gid")))
+    Multimodal.withAHash(d, "payload")
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("ahash_hi", "ahash_lo")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3732,5 +3756,6 @@ object Queries {
     "q168_tpch_q4" -> (q168TpchQ4 _),
     "q169_tpch_q13" -> (q169TpchQ13 _),
     "q170_tpch_q22" -> (q170TpchQ22 _),
+    "q171_image_ahash" -> (q171ImageAHash _),
   )
 }

@@ -139,6 +139,117 @@ object Multimodal {
       element_at(feat, 5).as("sum_b"))
   }
 
+  /** 64-bit average-hash (aHash) of an image payload — the classic
+    * perceptual fingerprint behind image near-dup: partition the image
+    * into an 8×8 grid, bit(cy,cx) = 1 iff the cell's mean gray exceeds
+    * the global mean, bit index = cy·8+cx. All-integer and
+    * division-free: gray = r+g+b per pixel (no luma weights — exact),
+    * and the mean comparison is cross-multiplied
+    * (cellSum·totalPixels > totalSum·cellPixels), so the hash is
+    * bit-identical on any engine that can recover the pixels — which is
+    * what lets q171's DuckDB oracle recompute it from the generated
+    * images' closed-form channels without any codec. Returned as
+    * (hi32, lo32) unsigned halves: both fit a positive BIGINT, where a
+    * single signed 64-bit hash would overflow a portable SQL rebuild.
+    * None for undecodable payloads. */
+  def aHash64(payload: Array[Byte]): Option[(Long, Long)] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w < 8 || h < 8) None
+        else {
+          val cellSum = Array.ofDim[Long](8, 8)
+          val cellN = Array.ofDim[Long](8, 8)
+          var totalSum = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 8 / w
+              val rgb = img.getRGB(x, y)
+              val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              cellSum(cy)(cx) += gray
+              cellN(cy)(cx) += 1
+              totalSum += gray
+              x += 1
+            }
+            y += 1
+          }
+          val totalN = w.toLong * h
+          var (hi, lo) = (0L, 0L)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              if (cellSum(cy)(cx) * totalN > totalSum * cellN(cy)(cx)) {
+                val idx = cy * 8 + cx
+                if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          Some((hi, lo))
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Attach (ahash_hi, ahash_lo) columns from a binary image payload —
+    * one UDF projection, no shuffle (the q64 decode pattern). */
+  def withAHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val ah = udf((p: Array[Byte]) => aHash64(p).orNull)
+    val h = ah(col(payloadCol))
+    df.withColumn("ahash_hi", h.getField("_1"))
+      .withColumn("ahash_lo", h.getField("_2"))
+      .drop(payloadCol)
+  }
+
+  /** Image near-dup pairs by Hamming distance over aHash, WITHOUT the
+    * all-pairs join: the 64-bit hash splits into four 16-bit bands
+    * (the SimHash byte-band trick at image granularity); any pair
+    * within Hamming ≤ 16/4·3 shares at least one intact band by
+    * pigeonhole (and in practice ≤ maxHamming flips touch few bands),
+    * so candidates come from a bucketed self-join on (band_idx,
+    * band_value) and only candidates pay the exact
+    * bit_count(xor) ≤ maxHamming verify. Input must carry
+    * (idCol, ahash_hi, ahash_lo) — from [[withAHash]]. */
+  def imageNearDupPairs(hashed: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    // posexplode gives the band index in place — no window, no shuffle
+    // before the bucket join; integer div/mod only (Column./ is double
+    // division — cast-truncate of positives is exact floor here)
+    val bands = hashed.select(col(idCol).as("id"),
+      col("ahash_hi"), col("ahash_lo"),
+      posexplode(array(
+        col("ahash_lo") % 65536,
+        (col("ahash_lo") / 65536).cast("long"),
+        col("ahash_hi") % 65536,
+        (col("ahash_hi") / 65536).cast("long"))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = bands.select(col("id").as("id_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("id").as("id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Attach a binary payload + metadata struct to a text table
     * (simulating ingest of raw media alongside documents). Pure
     * expressions — the payload is `encode(text)` here only because the

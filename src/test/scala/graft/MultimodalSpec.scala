@@ -95,6 +95,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash64: decoded-pixel hash equals the closed-form recompute; " +
+    "JVM and DataFrame paths agree") {
+    for (id <- Seq(1L, 42L, 999L)) {
+      val (hi, lo) = Multimodal.aHash64(Multimodal.generatePng(id)).get
+      // closed-form: gray(x,y) from the affine channels, bit = gray*64
+      // > total (8x8 image: one pixel per grid cell), idx = y*8+x
+      val grays = for (y <- 0 until 8; x <- 0 until 8) yield
+        ((id * 31 + x * 7 + y * 13) % 256) +
+          ((id * 17 + x * 11 + y * 3) % 256) +
+          ((id * 5 + x * 19 + y * 29) % 256)
+      val total = grays.sum
+      var (ehi, elo) = (0L, 0L)
+      for (idx <- 0 until 64 if grays(idx) * 64 > total)
+        if (idx >= 32) ehi |= 1L << (idx - 32) else elo |= 1L << idx
+      assert((hi, lo) === ((ehi, elo)), s"id=$id")
+    }
+    val df = Multimodal.withAHash(
+      Multimodal.withGeneratedPng(Seq(42L).toDF("doc_id"), "doc_id")
+        .select(col("doc_id"), col("payload")), "payload").collect()
+    val (hi42, lo42) = Multimodal.aHash64(Multimodal.generatePng(42L)).get
+    assert(df.head.getLong(1) === hi42 && df.head.getLong(2) === lo42)
+  }
+
+  test("imageNearDupPairs: a few-pixel perturbation pairs with its " +
+    "original under the banded Hamming join; unrelated images don't " +
+    "pair; the pair list is duplicate-free despite multi-band matches") {
+    // perturbed = base image with one pixel forced to white: small
+    // Hamming distance from base, far from unrelated ids
+    def perturbed(id: Long): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.generatePng(id)))
+      img.setRGB(0, 0, 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      (1L, Multimodal.generatePng(7L)),
+      (2L, perturbed(7L)),
+      (3L, Multimodal.generatePng(1234L)),
+      (4L, Multimodal.generatePng(1234L))) // exact dup: hamming 0
+    val hashed = Multimodal.withAHash(
+      rows.toDF("id", "payload"), "payload")
+    val pairs = Multimodal.imageNearDupPairs(hashed, "id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)), pairs.toSeq) // near dup found
+    assert(pairSet.contains((3L, 4L)), pairs.toSeq) // exact dup, dist 0
+    assert(pairs.count(p => p._1 == 3L && p._2 == 4L) === 1,
+      "multi-band match must emit the pair once") // distinct() dedups
+    assert(!pairSet.exists(p => Set(p._1, p._2) == Set(1L, 3L)), pairs.toSeq)
+    val h0 = pairs.find(p => p._1 == 3L && p._2 == 4L).get._3
+    assert(h0 === 0L)
+  }
+
   test("frameSample caps frames and fingerprints each slice") {
     val df = Multimodal.frameSample(payloads, "payload", "doc_id",
       frameSize = 4, maxFrames = 4).orderBy("doc_id", "frame_idx")
