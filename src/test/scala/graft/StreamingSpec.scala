@@ -675,6 +675,45 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("windowedCounts ≡ batch tumbling window (q22) on the real " +
+    "fixture: chronological chunks + watermark flush emit exactly the " +
+    "batch windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = Queries.all("q22_tumbling_window")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // decimal-cast value BEFORE the stream: the streaming sum is then
+    // exact decimal like the batch side — a raw double sum would be
+    // merge-order-dependent and differ in the low bits
+    val events = graft.sources.Tables(spark, dir, "events")
+      .select(col("ts"), col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("value"))
+      .as[(Timestamp, String, java.math.BigDecimal)]
+      .collect().sortBy(_._1.getTime)
+    val mem = MemoryStream[(Timestamp, String, java.math.BigDecimal)]
+    val q = Streaming.windowedCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "0 seconds",
+      "1 hour")
+      .writeStream.format("memory").queryName("wcparity")
+      .outputMode("append").start()
+    events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    mem.addData((Timestamp.valueOf("2030-01-01 00:00:00"), "zz_flush",
+      java.math.BigDecimal.ZERO))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wcparity").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue))
+      .filter(_._2 != "zz_flush").toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
