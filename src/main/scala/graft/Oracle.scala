@@ -2567,5 +2567,26 @@ object Oracle {
         |FROM (SELECT doc_id, doc_id - doc_id % 7 AS gid FROM documents)
         |JOIN hashes USING (gid)
         |GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""".stripMargin,
+
+    // the PLAIN one-shot join: hash equality against the Spark side's
+    // four-way base/delta union proves the incremental algebra
+    "q172_incremental_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q173_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(floor(
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      / 100000.0) AS BIGINT)) AS BIGINT) AS l,
+        |  count(DISTINCT CAST(floor(
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      / 100000.0) AS BIGINT)) < 3 AS low_diversity
+        |FROM customer
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, c_nationkey""".stripMargin,
   )
 }

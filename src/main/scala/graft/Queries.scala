@@ -3582,6 +3582,58 @@ object Queries {
       .orderBy("ahash_hi", "ahash_lo")
   }
 
+  /** Incremental JOIN maintenance — the join counterpart of q100's
+    * incremental aggregate: with base/delta splits of both inputs, the
+    * maintained join is base⋈base ∪ base⋈ΔB ∪ ΔA⋈base ∪ ΔA⋈ΔB, and the
+    * oracle computes the PLAIN one-shot join of the full inputs — the
+    * hash match PROVES the delta algebra loses and duplicates nothing.
+    * At scale only the three Δ-terms run per refresh (base⋈base is the
+    * stored view), each a key-co-partitioned join with a small delta
+    * side that AQE broadcasts. Aggregated to priority grain so the
+    * equality is over the whole joined content, not a sample. */
+  def q172IncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("cents"), col("l_linenumber"))
+    val (oBase, oDelta) = (o.filter(col("o_orderkey") % 4 =!= 0),
+      o.filter(col("o_orderkey") % 4 === 0))
+    val (lBase, lDelta) = (l.filter(col("l_linenumber") <= 3),
+      l.filter(col("l_linenumber") > 3))
+    def part(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), col("cents"))
+    part(oBase, lBase).unionByName(part(oBase, lDelta))
+      .unionByName(part(oDelta, lBase)).unionByName(part(oDelta, lDelta))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** l-diversity audit — the privacy gate k-anonymity (q136) misses:
+    * a quasi-identifier group can be large (k-anonymous) yet expose its
+    * members if they all share one SENSITIVE value. Sensitive attribute
+    * = a STATIC $1000 account-balance band (exact cents integer
+    * division) — a rank-based decile would need a global window, while
+    * the static band is a map-side projection; l = distinct sensitive
+    * values per (segment, nation) group; groups with l < 3 are
+    * flagged. One two-level aggregate — the shape that holds at
+    * 100 TB. */
+  def q173LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val d = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(cents / lit(100000)).as("bal_band"))
+    d.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_band")).as("l"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n"), col("l"),
+        (col("l") < 3).as("low_diversity"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3757,5 +3809,7 @@ object Queries {
     "q169_tpch_q13" -> (q169TpchQ13 _),
     "q170_tpch_q22" -> (q170TpchQ22 _),
     "q171_image_ahash" -> (q171ImageAHash _),
+    "q172_incremental_join" -> (q172IncrementalJoin _),
+    "q173_l_diversity" -> (q173LDiversity _),
   )
 }
