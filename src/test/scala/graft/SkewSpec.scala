@@ -59,6 +59,48 @@ class SkewSpec extends SparkSpec {
     assert(p.split("Window").length >= 3, p) // two window phases
   }
 
+  test("AQE skew-join engages on a hot-key sort-merge join (the " +
+    "runtime re-plan the 100 TB story leans on): the adaptive plan " +
+    "marks the skewed side and the result matches the broadcast join") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the thresholds so the toy hot key qualifies as skew
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows, 95% on one key — one shuffle partition dwarfs the rest
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L))
+          .otherwise(col("id") % 97).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 97).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dv"))
+      val joined = fact.join(dim, Seq("k")).groupBy(col("dv"))
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      val rows = joined.collect() // materialize so AQE finalizes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+      // correctness unchanged by the split: equal to the broadcast plan
+      val expected = fact.join(broadcast(dim), Seq("k")).groupBy(col("dv"))
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+        .collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet ===
+        expected.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedTopK refuses an input `rn` column and dodges _salt/_rn " +
     "collisions instead of clobbering caller data") {
     import spark.implicits._
