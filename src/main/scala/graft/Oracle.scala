@@ -2577,6 +2577,25 @@ object Oracle {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    "q174_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) -
+        |       CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
     "q173_l_diversity" ->
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -3634,6 +3634,43 @@ object Queries {
       .orderBy("c_mktsegment", "c_nationkey")
   }
 
+  /** TPC-H Q7 adaptation (nation-pair trade volume): the classic
+    * reorderable 6-table join — lineitem⋈orders⋈customer +
+    * lineitem⋈supplier, each endpoint's nation from its own copy of the
+    * nation dim, filtered to one unordered nation pair expressed as the
+    * two ordered cases. Revenue is the exact decimal
+    * Σ price·(1−disc) cast to double once at the end (the q155
+    * pattern); the year comes from l_shipdate. All four dims broadcast;
+    * the fact table is scanned once. */
+  def q174TpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"),
+      year(col("l_shipdate")).cast("long").as("l_year"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+      col("s_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3811,5 +3848,6 @@ object Queries {
     "q171_image_ahash" -> (q171ImageAHash _),
     "q172_incremental_join" -> (q172IncrementalJoin _),
     "q173_l_diversity" -> (q173LDiversity _),
+    "q174_tpch_q7" -> (q174TpchQ7 _),
   )
 }
