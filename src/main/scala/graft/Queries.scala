@@ -1093,7 +1093,10 @@ object Queries {
   def q86LabelPropagation(s: SparkSession, dir: String): DataFrame = {
     val (e, _, _) = partGraph(s, dir)
     Graph.labelPropagation(
-      e.select(col("a").as("src"), col("b").as("dst")), iters = 3)
+      e.select(col("a").as("src"), col("b").as("dst")), iters = 3,
+      // e is distinct a<b pairs: doubling cannot duplicate — skips the
+      // dedup exchange of the 2.4M-row doubled edge list
+      assumeDistinct = true)
       .orderBy("id")
   }
 
@@ -3423,7 +3426,10 @@ object Queries {
       .select(col("o_custkey").as("id_a"),
         (col("l_partkey") + lit(3000000L)).as("id_b"))
       .distinct()
-    Graph.kCoreRounds(e, k = 2, rounds = 6).orderBy("id")
+    // e is distinct and bipartite (disjoint key spaces): the doubled
+    // union cannot contain duplicates
+    Graph.kCoreRounds(e, k = 2, rounds = 6, assumeDistinct = true)
+      .orderBy("id")
   }
 
   /** TPC-H Q18 adaptation (large-quantity orders): the canonical

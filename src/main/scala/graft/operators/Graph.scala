@@ -121,14 +121,20 @@ object Graph {
     * total order over exact integers, partially aggregatable map-side,
     * where a row_number window would force an extra per-partition sort;
     * localCheckpoint truncates lineage exactly like pageRank. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
     // pre-partitioned on src for the same reason as pageRank's edge
     // cache: the per-round neighbor-label join keys on src, and the
     // distinct's (src, dst) partitioning would re-exchange the doubled
-    // edge list every round
-    val adj = edges.select(col("src"), col("dst"))
+    // edge list every round. assumeDistinct skips the dedup exchange
+    // entirely: when the caller's edges are distinct a<b pairs (q86's
+    // co-occurrence graph), the doubled union cannot contain
+    // duplicates — the distinct() was a full wasted shuffle of the
+    // doubled edge list
+    val doubled = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+    val adj = (if (assumeDistinct) doubled else doubled.distinct())
+      .repartition(col("src")).persist()
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
@@ -204,12 +210,13 @@ object Graph {
     * degree in the surviving subgraph. Same per-round shape as kCore —
     * one degree aggregate + two semi joins, lineage truncated per
     * round — so the 100 TB story is kCore's. */
-  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var adj = edges
+  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val doubled = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"),
         col("id_a").as("dst")))
-      .distinct()
+    var adj = (if (assumeDistinct) doubled else doubled.distinct())
       .localCheckpoint(true)
     var i = 0
     while (i < rounds) {
