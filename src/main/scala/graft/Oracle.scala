@@ -2596,6 +2596,41 @@ object Oracle {
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
+    "q175_tpch_q14" -> {
+      val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      * 100) AS BIGINT)""".stripMargin
+      s"""WITH j AS (SELECT p_type, $cents AS cents
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'),
+         |a AS (SELECT
+         |  CAST(COALESCE(sum(CASE WHEN p_type = 'PROMO' THEN cents END), 0)
+         |    AS BIGINT) AS promo_cents,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents FROM j)
+         |SELECT promo_cents, total_cents,
+         |  CASE WHEN total_cents > 0 THEN
+         |    ${f6("100.0 * CAST(promo_cents AS DOUBLE) / " +
+                "CAST(total_cents AS DOUBLE)")}
+         |  END AS promo_share
+         |FROM a""".stripMargin
+    },
+
+    "q176_tpch_q19" -> {
+      val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      * 100) AS BIGINT)""".stripMargin
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum($cents), 0) AS BIGINT) AS sum_cents
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+         |    AND p_size BETWEEN 1 AND 5)
+         |  OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+         |    AND p_size BETWEEN 1 AND 10)
+         |  OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+         |    AND p_size BETWEEN 1 AND 15)""".stripMargin
+    },
+
     "q173_l_diversity" ->
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(count(*) AS BIGINT) AS n,

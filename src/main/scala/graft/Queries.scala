@@ -3677,6 +3677,59 @@ object Queries {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q14 adaptation (promo revenue share): conditional aggregate
+    * ratio over one fact⋈dim month — exact decimal cents for both the
+    * promo and total sums (emitted as longs), the share as the single
+    * f6-floored double division at the end. Part dim broadcasts. */
+  def q175TpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_partkey"),
+        floor((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))) * lit(100))
+          .cast("long").as("cents"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        coalesce(sum(when(col("p_type") === "PROMO", col("cents"))),
+          lit(0L)).as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        when(col("total_cents") > 0,
+          f6(lit(100.0) * col("promo_cents").cast("double") /
+            col("total_cents").cast("double"))).as("promo_share"))
+  }
+
+  /** TPC-H Q19 adaptation (disjunctive-predicate join): an OR of three
+    * brand×quantity×size conjunctions spanning BOTH join sides — the
+    * shape that exercises constraint propagation (each side's scan
+    * receives the union of its own ranges as a pushed filter) with the
+    * cross-side residual evaluated on the joined row. Exact cents sum +
+    * row count. */
+  def q176TpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_quantity"),
+      floor((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2)))) * lit(100))
+        .cast("long").as("cents"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 15))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L))
+        .as("sum_cents"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3855,5 +3908,7 @@ object Queries {
     "q172_incremental_join" -> (q172IncrementalJoin _),
     "q173_l_diversity" -> (q173LDiversity _),
     "q174_tpch_q7" -> (q174TpchQ7 _),
+    "q175_tpch_q14" -> (q175TpchQ14 _),
+    "q176_tpch_q19" -> (q176TpchQ19 _),
   )
 }
