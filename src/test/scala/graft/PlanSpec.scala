@@ -342,6 +342,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q176: the disjunctive cross-side predicate CNF-decomposes — " +
+    "each scan receives its own side's OR-of-ranges as a pushed " +
+    "filter, the cross-side residual rides the broadcast join") {
+    val p = plan("q176_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem scan: quantity-range union pushed to parquet
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    // part scan: brand/size union pushed to parquet
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q155/q156: TPC-H top-k is TakeOrderedAndProject (never a " +
     "global sort materialization) with broadcast dimensions") {
     val p3 = plan("q155_tpch_q3")
