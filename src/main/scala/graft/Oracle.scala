@@ -2596,6 +2596,46 @@ object Oracle {
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
+    "q177_tpch_q8" -> {
+      val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      * 100) AS BIGINT)""".stripMargin
+      s"""WITH cr AS (SELECT c_custkey FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'),
+         |j AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    n.n_name AS supp_nation, $cents AS cents
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation n ON n.n_nationkey = s_nationkey
+         |  WHERE o_custkey IN (SELECT c_custkey FROM cr)),
+         |a AS (SELECT o_year,
+         |  CAST(COALESCE(sum(CASE WHEN supp_nation = 'NATION_3'
+         |    THEN cents END), 0) AS BIGINT) AS nation_cents,
+         |  CAST(sum(cents) AS BIGINT) AS region_cents
+         |  FROM j GROUP BY 1)
+         |SELECT o_year, nation_cents, region_cents,
+         |  CASE WHEN region_cents > 0 THEN
+         |    ${f6("CAST(nation_cents AS DOUBLE) / " +
+                "CAST(region_cents AS DOUBLE)")}
+         |  END AS mkt_share
+         |FROM a ORDER BY o_year""".stripMargin
+    },
+
+    "q178_tpch_q6" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(CAST(floor(
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)), 0)
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "q175_tpch_q14" -> {
       val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

@@ -3730,6 +3730,65 @@ object Queries {
         .as("sum_cents"))
   }
 
+  /** TPC-H Q8 adaptation (national market share): for each order year,
+    * the share of one supplier nation's revenue within a customer
+    * REGION — the region table's one real job in the fixture. Exact
+    * cents for numerator and denominator (emitted), share as the one
+    * f6 double division. Five broadcast dims around one fact scan. */
+  def q177TpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"),
+      floor((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2)))) * lit(100))
+        .cast("long").as("cents"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"))
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val custRegion = c
+      .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+      col("s_nationkey"))
+    val supNation = broadcast(n.select(col("n_nationkey").as("snk"),
+      col("n_name").as("supp_nation")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(supNation, col("s_nationkey") === col("snk"))
+      .groupBy(col("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === "NATION_3",
+          col("cents"))), lit(0L)).as("nation_cents"),
+        sum(col("cents")).as("region_cents"))
+      .select(col("o_year"), col("nation_cents"), col("region_cents"),
+        when(col("region_cents") > 0,
+          f6(col("nation_cents").cast("double") /
+            col("region_cents").cast("double"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q6 (forecast revenue change) — the canonical scan-only
+    * range-filter aggregate: one year, a discount band, a quantity
+    * cap; every predicate reaches the parquet footer. Exact cents of
+    * Σ price·discount. */
+  def q178TpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(floor((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2))) * lit(100))
+          .cast("long")), lit(0L)).as("revenue_cents"))
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3910,5 +3969,7 @@ object Queries {
     "q174_tpch_q7" -> (q174TpchQ7 _),
     "q175_tpch_q14" -> (q175TpchQ14 _),
     "q176_tpch_q19" -> (q176TpchQ19 _),
+    "q177_tpch_q8" -> (q177TpchQ8 _),
+    "q178_tpch_q6" -> (q178TpchQ6 _),
   )
 }
