@@ -2636,6 +2636,33 @@ object Oracle {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
 
+    // replays Graph.bfsRounds' 4 frontier rounds as chained min-plus
+    // CTEs (the q82/q86/q165 pattern): frontier BFS and synchronous
+    // min-plus relaxation agree round for round on unweighted graphs
+    "q179_bfs_hops" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT adj.dst AS id, d.dist + 1 AS dist
+           |    FROM d${i - 1} d JOIN adj ON adj.src = d.id)
+           |  GROUP BY id)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS a, l_partkey + 3000000 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+         |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION SELECT b, a FROM e),
+         |d0 AS MATERIALIZED (
+         |  SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 3),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id, CAST(dist AS BIGINT) AS dist
+         |FROM d4 ORDER BY id""".stripMargin
+    },
+
     "q175_tpch_q14" -> {
       val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

@@ -3789,6 +3789,35 @@ object Queries {
           col("l_discount").cast(DecimalType(18, 2))) * lit(100))
           .cast("long")), lit(0L)).as("revenue_cents"))
 
+  /** Bounded-round multi-source BFS, ORACLE-PROVEN like q82/q86/q165:
+    * hop distance from nation-3 customers over the 1995Q1
+    * customer↔part purchase graph (q165's sparse bipartite graph — an
+    * even hop = a customer, an odd hop = a part), 4 fixed frontier
+    * rounds replayed as chained min-plus CTEs in DuckDB (frontier BFS
+    * ≡ synchronous min-plus relaxation on unweighted graphs, round for
+    * round). Seeds with no 1995Q1 purchases are isolated vertices —
+    * emitted at dist 0 by both engines; nodes beyond 4 hops are absent
+    * rows, not ∞. */
+  def q179BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("id_a"),
+        (col("l_partkey") + lit(3000000L)).as("id_b"))
+      .distinct()
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_nationkey") === 3)
+      .select(col("c_custkey").as("id"))
+    // e is distinct and bipartite (disjoint key spaces): the doubled
+    // union cannot contain duplicates
+    Graph.bfsRounds(e, seeds, rounds = 4, assumeDistinct = true)
+      .orderBy("id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -3971,5 +4000,6 @@ object Queries {
     "q176_tpch_q19" -> (q176TpchQ19 _),
     "q177_tpch_q8" -> (q177TpchQ8 _),
     "q178_tpch_q6" -> (q178TpchQ6 _),
+    "q179_bfs_hops" -> (q179BfsHops _),
   )
 }

@@ -231,4 +231,56 @@ object Graph {
     adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
   }
+
+  /** Bounded-round multi-source BFS hop distance over an UNDIRECTED
+    * edge list (id_a, id_b): each round expands the FRONTIER (nodes
+    * first reached last round) one hop and anti-joins against the
+    * already-settled set, so dist(v) = the exact hop distance for every
+    * v within `rounds` hops of any seed — unreached nodes are absent,
+    * not ∞ rows. Synchronous unweighted BFS is confluent (a node's
+    * settle round is its hop distance regardless of expansion/partition
+    * order), so the result is deterministic AND replayable by plain
+    * SQL: the q179 oracle runs the equivalent min-plus relaxation
+    * (dist_i(v) = min(dist_{i-1}(v), min over in-neighbors u of
+    * dist_{i-1}(u)+1)) as chained DuckDB CTEs — frontier BFS and
+    * min-plus agree round for round on unweighted graphs.
+    *
+    * Scale shape: the adjacency is doubled once, pre-partitioned on src
+    * and cached (the pageRank edge-cache rationale — every round's
+    * expansion joins on src); each round is ONE shuffle (the frontier
+    * join + dst distinct) plus an anti join against the settled set,
+    * and only the frontier — not the whole settled set — drives the
+    * join, so per-round work tracks the frontier size, not the total
+    * reach. Lineage: each frontier is localCheckpoint'd; the settled
+    * set is a union of those materialized frames (leaf scans, no
+    * recursive plan growth). `assumeDistinct` skips the dedup exchange
+    * when the caller proves the doubled edge list duplicate-free
+    * (bipartite disjoint key spaces, as in q165/q179). */
+  def bfsRounds(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val doubled = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+    val adj = (if (assumeDistinct) doubled else doubled.distinct())
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    while (i < rounds && !frontier.isEmpty) {
+      val reached = frontier
+        .join(adj, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+      val newly = reached.join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(i + 1L).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(newly)
+      frontier = newly
+      i += 1
+    }
+    adj.unpersist()
+    dist
+  }
 }

@@ -125,6 +125,45 @@ class GraphSpec extends SparkSpec {
     assert(viaRounds === viaFixpoint)
   }
 
+  /** Sequential multi-source BFS reference (hop distances, bounded). */
+  private def bfsRef(edges: Seq[(Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to rounds if frontier.nonEmpty) {
+      val reached = frontier.flatMap(v => adj.getOrElse(v, Nil))
+        .diff(dist.keySet)
+      dist ++= reached.map(_ -> r.toLong)
+      frontier = reached
+    }
+    dist
+  }
+
+  test("bfsRounds == sequential BFS on seeded random graphs under " +
+    "1/8/32-way partitioning; isolated seeds emit dist 0; frontier " +
+    "exhaustion stops early with the same result") {
+    val (_, edges0) = randomGraph(80, 200, 31)
+    val edges = edges0.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val seeds = Set(0L, 1L, 2L, 200L) // 200 is isolated (not in graph)
+    for (rounds <- Seq(1, 3, 6); parts <- Seq(1, 8, 32)) {
+      val eDf = edges.toDF("id_a", "id_b").repartition(parts)
+      val sDf = seeds.toSeq.toDF("id").repartition(parts)
+      val got = Graph.bfsRounds(eDf, sDf, rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === bfsRef(edges, seeds, rounds),
+        s"rounds=$rounds parts=$parts")
+    }
+    assert(bfsRef(edges, seeds, 1)(200L) === 0L)
+    // path graph 0-1-2-3-4: rounds beyond the diameter change nothing
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val d10 = Graph.bfsRounds(path.toDF("id_a", "id_b"),
+      Seq(0L).toDF("id"), rounds = 10).as[(Long, Long)].collect().toMap
+    assert(d10 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("ranks behave like PageRank: a sink everyone links to outranks " +
     "everything; mass is conserved up to floor loss") {
     // star: 0..9 all link to 10
