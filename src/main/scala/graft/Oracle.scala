@@ -2663,6 +2663,60 @@ object Oracle {
          |FROM d4 ORDER BY id""".stripMargin
     },
 
+    // the q109 Lloyd replay (1 round, k=8) over the q45 augmented
+    // corpus, then the greedy within-cell near-dup drop: a member is
+    // dropped iff some LOWER-id member of the SAME cell has cosine >=
+    // 0.95 (the fixture's cosine band 0.60..1.0 is empty, so the
+    // threshold compare cannot straddle engine rounding)
+    "q180_semantic_dedup" -> {
+      def round(i: Int): String =
+        s"""ac$i AS (SELECT e.vec_id, e.v, cid, list_dot_product(e.v, cv) AS s
+           |  FROM e, cent${i}n),
+           |a$i AS (SELECT vec_id, v, cid AS cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY s DESC, cid ASC) AS rn FROM ac$i) WHERE rn = 1),
+           |q$i AS (SELECT cell, j,
+           |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum,
+           |  count(*) AS n
+           |  FROM a$i, range(1, 65) t(j) GROUP BY cell, j),
+           |m$i AS (SELECT cell AS cid,
+           |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
+           |  FROM q$i GROUP BY cell),
+           |cent${i + 1} AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+           |  FROM cent$i p LEFT JOIN m$i m USING (cid)),
+           |cent${i + 1}n AS (SELECT cid,
+           |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+           |  FROM cent${i + 1})""".stripMargin
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |e AS MATERIALIZED (SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+         |  FROM base WHERE vec_id < 50),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |cent0n AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+         |  FROM cent0),
+         |${(0 until 1).map(round).mkString(",\n")},
+         |acf AS (SELECT e.vec_id, e.v, cid, list_dot_product(e.v, cv) AS s
+         |  FROM e, cent1n),
+         |af AS MATERIALIZED (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) AS rn FROM acf) WHERE rn = 1),
+         |drp AS (SELECT DISTINCT b.cell, b.vec_id FROM af a JOIN af b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product(b.v, b.v))) >= 0.95),
+         |nn AS (SELECT cell, count(*) AS n FROM af GROUP BY cell),
+         |dd AS (SELECT cell, count(*) AS nd FROM drp GROUP BY cell)
+         |SELECT CAST(nn.cell AS INTEGER) AS cell, CAST(nn.n AS BIGINT) AS n,
+         |  CAST(coalesce(dd.nd, 0) AS BIGINT) AS n_dropped,
+         |  CAST(nn.n - coalesce(dd.nd, 0) AS BIGINT) AS n_kept
+         |FROM nn LEFT JOIN dd USING (cell)
+         |ORDER BY cell""".stripMargin
+    },
+
     "q175_tpch_q14" -> {
       val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

@@ -3818,6 +3818,28 @@ object Queries {
       .orderBy("id")
   }
 
+  /** SemDeDup-style semantic deduplication, ORACLE-PROVEN end to end:
+    * k-means clustering (the q109 quantized-Lloyd recurrence, replayed
+    * by DuckDB as chained CTEs) + greedy within-cluster cosine
+    * near-dup removal over the q45 augmented corpus (50 planted ×1.5
+    * copies — cosine ~1.0 with their originals, and a scaled vector
+    * provably lands in its original's cell since argmax dot(v, ĉ) is
+    * scale-invariant). τ=0.95 sits in the fixture's empty cosine band
+    * (natural pairs top out at ~0.60, planted pairs are ~1.0) so the
+    * threshold compare is boundary-safe in both engines. Output:
+    * per-cluster keep/drop accounting. */
+  def q180SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 1.5).as("vec"))
+    Similarity.semanticDedup(base.unionByName(planted), "vec_id", "vec",
+      k = 8, rounds = 1, threshold = 0.95)
+      .orderBy("cell")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4001,5 +4023,6 @@ object Queries {
     "q177_tpch_q8" -> (q177TpchQ8 _),
     "q178_tpch_q6" -> (q178TpchQ6 _),
     "q179_bfs_hops" -> (q179BfsHops _),
+    "q180_semantic_dedup" -> (q180SemanticDedup _),
   )
 }

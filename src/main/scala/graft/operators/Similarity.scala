@@ -348,6 +348,60 @@ object Similarity {
         }: _*)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * `rounds` Lloyd iterations from deterministic seeds (the k
+    * lowest-id vectors — exactly kmeansStats' recurrence, so the q180
+    * oracle replays it as the same chained CTEs), then WITHIN each
+    * cluster drop every member whose cosine to a LOWER-id member is ≥
+    * `threshold` (the greedy keep-first rule — deterministic, no
+    * connected components needed). Returns the per-cluster report
+    * (cell, n, n_dropped, n_kept).
+    *
+    * Scale shape: clustering is the kmeansStats shape (map-only
+    * assignment per round + a (cell,dim) aggregate; the only collect is
+    * the k×dim model). The near-dup pass self-joins WITHIN cells only —
+    * never all-pairs: SemDeDup's design point is k chosen so cells stay
+    * small (n/k members ⇒ Σ C(n/k, 2) ≈ n²/2k pairs; k scales with the
+    * corpus). For 100 TB runs the intra-cell join is an equi-join on
+    * cell, so each cell's pairs form within one shuffle partition, and
+    * a skewed giant cell is exactly the q60-style salting case. The
+    * threshold compare uses the same fixed-fold cosine both engines
+    * reproduce bit-identically (see `cosine`). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, threshold: Double): DataFrame = {
+    val seeds: Seq[Seq[Double]] = corpus.filter(col(idCol) < k)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toSeq).toSeq
+    if (seeds.isEmpty)
+      return corpus.limit(0).select(lit(0).as("cell"), lit(0L).as("n"),
+        lit(0L).as("n_dropped"), lit(0L).as("n_kept"))
+    val cents = (0 until rounds)
+      .foldLeft(seeds)((c, _) => lloydStep(corpus, vecCol, c, k))
+    val centsHat = cents.map(normalized)
+    // deterministic map-only projection — recomputed per consumer
+    // rather than persisted (no cache-lifetime leak; at 100 TB the
+    // caller persists the assignment once)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellOf(centsHat)(col(vecCol)).as("cell"))
+    val dropped = assigned
+      .select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("va"), col("vb")) >= threshold)
+      .select(col("cell"), col("id_b").as("id")).distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    val out = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+    out
+  }
+
   /** ANN top-k via multi-table LSH: candidate = corpus row sharing any
     * (table, bucket) with the query; exact cosine re-rank over the
     * deduplicated candidate set. May return fewer than k rows when

@@ -208,4 +208,33 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = common.size.toDouble / bf.size
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
+
+  test("semanticDedup: planted scaled copies all drop (same cell, " +
+    "cos~1), naturals survive, partition-invariant, empty corpus ok") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val planted = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 2.0).as("vec"))
+    val corpus = base.unionByName(planted)
+    def run(parts: Int) =
+      Similarity.semanticDedup(corpus.repartition(parts), "vec_id", "vec",
+        k = 8, rounds = 1, threshold = 0.95)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val r8 = run(8)
+    // exactly the 40 planted copies drop, across all cells
+    assert(r8.values.map(_._2).sum === 40L)
+    assert(r8.values.map(_._1).sum === base.count() + 40)
+    r8.foreach { case (c, (n, nd, nk)) => assert(nk === n - nd, s"cell $c") }
+    assert(run(1) === r8) // partitioning cannot change the report
+    // threshold above every cosine: nothing drops
+    val none = Similarity.semanticDedup(base, "vec_id", "vec",
+      k = 8, rounds = 1, threshold = 1.5)
+      .collect().map(_.getLong(2)).sum
+    assert(none === 0L)
+    assert(Similarity.semanticDedup(base.limit(0), "vec_id", "vec",
+      k = 8, rounds = 1, threshold = 0.9).count() === 0L)
+  }
 }
