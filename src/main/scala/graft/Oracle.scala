@@ -2717,6 +2717,24 @@ object Oracle {
          |ORDER BY cell""".stripMargin
     },
 
+    // RA index in the same 2^30 fixed point (integer // division);
+    // the deg<=64 cap mirrors Graph.linkPredictRA's hub guard
+    "q181_link_predict" ->
+      """WITH inc AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS node, l_partkey AS nbr
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+        |w AS (SELECT nbr, 1073741824 // count(*) AS w FROM inc
+        |  GROUP BY nbr HAVING count(*) BETWEEN 2 AND 64),
+        |p AS (SELECT x.node AS id_a, y.node AS id_b, w.w
+        |  FROM inc x JOIN w USING (nbr) JOIN inc y USING (nbr)
+        |  WHERE x.node < y.node)
+        |SELECT id_a, id_b, CAST(sum(w) AS BIGINT) AS ra_fixed,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM p GROUP BY id_a, id_b
+        |ORDER BY ra_fixed DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
+
     "q175_tpch_q14" -> {
       val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

@@ -3840,6 +3840,27 @@ object Queries {
       .orderBy("cell")
   }
 
+  /** Link prediction via the resource-allocation index over the 1995Q1
+    * customer↔part incidence list: predicted customer↔customer links =
+    * pairs sharing parts, scored Σ floor(2^30/deg(part)) — exact
+    * integer fixed point (the division-free Adamic–Adar cousin; see
+    * Graph.linkPredictRA), top-100 by a strict total order. Pairs are
+    * generated per shared part (equi-join), never all-pairs; the deg≤64
+    * hub cap never fires on the fixture (max part degree 7) but bounds
+    * expansion at scale. */
+  def q181LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val inc = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("node"), col("l_partkey").as("nbr"))
+      .distinct()
+    Graph.linkPredictRA(inc, degCap = 64, topK = 100)
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4024,5 +4045,6 @@ object Queries {
     "q178_tpch_q6" -> (q178TpchQ6 _),
     "q179_bfs_hops" -> (q179BfsHops _),
     "q180_semantic_dedup" -> (q180SemanticDedup _),
+    "q181_link_predict" -> (q181LinkPredict _),
   )
 }

@@ -256,6 +256,38 @@ object Graph {
     * recursive plan growth). `assumeDistinct` skips the dedup exchange
     * when the caller proves the doubled edge list duplicate-free
     * (bipartite disjoint key spaces, as in q165/q179). */
+  /** Resource-allocation link prediction over a (node, nbr) incidence
+    * list: candidate link (a, b) scores Σ_{shared nbr s} 1/deg(s) — the
+    * RA index, the division-free cousin of Adamic–Adar (1/deg instead
+    * of 1/log deg: no libm, so the score is EXACT in fixed point:
+    * per-neighbor weight = floor(2^30/deg), summed as longs — the
+    * pageRank arithmetic). Returns the top-k candidate pairs by
+    * (ra_fixed DESC, id_a, id_b) — a strict total order, so the cut is
+    * deterministic in any engine.
+    *
+    * Scale shape: pairs are generated PER SHARED NEIGHBOR (one
+    * equi-join on nbr), never all-pairs; `degCap` drops super-nodes
+    * before expansion — principled, not just defensive: a neighbor of
+    * degree d contributes C(d,2) pairs each worth only 1/d, so hubs
+    * cost quadratically while signalling ~nothing (the standard RA/AA
+    * practice). With the cap, expansion is ≤ C(degCap, 2) rows per
+    * neighbor and the result is top-k'd via TakeOrderedAndProject —
+    * no global sort materializes. */
+  def linkPredictRA(inc: DataFrame, degCap: Int = 64,
+      topK: Int = 100): DataFrame = {
+    val deg = inc.groupBy("nbr").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= degCap)
+      .select(col("nbr"), ldiv(lit(Scale), col("d")).as("w"))
+    inc.select(col("nbr"), col("node").as("id_a"))
+      .join(deg, Seq("nbr")) // also semi-filters to capped neighbors
+      .join(inc.select(col("nbr"), col("node").as("id_b")), Seq("nbr"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("ra_fixed"), count(lit(1)).as("n_common"))
+      .orderBy(col("ra_fixed").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topK)
+  }
+
   def bfsRounds(edges: DataFrame, seeds: DataFrame, rounds: Int,
       assumeDistinct: Boolean = false): DataFrame = {
     val doubled = edges

@@ -164,6 +164,45 @@ class GraphSpec extends SparkSpec {
     assert(d10 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("linkPredictRA == sequential RA index on a seeded random " +
+    "incidence list; hub cap excludes super-neighbors; partition-" +
+    "invariant") {
+    val rnd = new scala.util.Random(41)
+    val inc0 = (1 to 400).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(60).toLong)).distinct
+    // plant a hub neighbor (id 999) shared by 20 nodes: over the cap
+    val inc = inc0 ++ (0L until 20L).map(n => (n, 999L))
+    val cap = 10
+    // sequential reference
+    val byNbr = inc.groupBy(_._2).view
+      .filterKeys(k => { val d = inc.count(_._2 == k); d >= 2 && d <= cap })
+      .mapValues(_.map(_._1).sorted).toMap
+    val ref = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    byNbr.foreach { case (nbr, nodes) =>
+      val w = Graph.Scale / nodes.size
+      for (i <- nodes.indices; j <- i + 1 until nodes.size)
+        if (nodes(i) != nodes(j)) {
+          val k = (math.min(nodes(i), nodes(j)), math.max(nodes(i), nodes(j)))
+          val (s, c) = ref.getOrElse(k, (0L, 0L))
+          ref(k) = (s + w, c + 1)
+        }
+    }
+    val topRef = ref.toSeq
+      .sortBy { case ((a, b), (s, _)) => (-s, a, b) }.take(50)
+      .map { case (k, v) => k -> v }.toMap
+    for (parts <- Seq(1, 8)) {
+      val df = inc.toDF("node", "nbr").repartition(parts)
+      val got = Graph.linkPredictRA(df, degCap = cap, topK = 50)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got === topRef, s"parts=$parts")
+      // no predicted pair may ride the hub alone: every scored pair's
+      // n_common counts only capped neighbors
+      assert(got.values.forall(_._2 <= cap), s"parts=$parts")
+    }
+  }
+
   test("ranks behave like PageRank: a sink everyone links to outranks " +
     "everything; mass is conserved up to floor loss") {
     // star: 0..9 all link to 10

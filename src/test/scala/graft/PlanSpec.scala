@@ -363,4 +363,13 @@ class PlanSpec extends SparkSpec {
     assert(p10.contains("TakeOrderedAndProject"), p10)
     assert(!p10.contains("CartesianProduct"), p10)
   }
+
+  test("q181: link-prediction pairs form per shared neighbor (equi-" +
+    "join, no cartesian/nested loop) and the top-100 cut is " +
+    "TakeOrderedAndProject") {
+    val p = plan("q181_link_predict")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
