@@ -714,6 +714,43 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("joinStreamsWithin ≡ batch interval join (q49) on the real " +
+    "fixture: chunked self-join within ±10min emits exactly the batch " +
+    "pair set — cross-batch buffering loses and duplicates nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = Queries.all("q49_range_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val events = graft.sources.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)]
+      .collect().sortBy(_._2) // event_id order: event-time DISORDER
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Long, Timestamp)]
+    // delay far above the fixture's span: nothing is ever late, so the
+    // streaming join must reproduce the batch join EXACTLY
+    val joined = Streaming.joinStreamsWithin(
+      lMem.toDF().toDF("a_user", "id_a", "ts_a"),
+      rMem.toDF().toDF("b_user", "id_b", "ts_b"),
+      "a_user", "b_user", "ts_a", "ts_b",
+      delay = "60 days", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjparity")
+      .outputMode("append").start()
+    // staggered chunks: left chunk k arrives BEFORE right chunk k, so
+    // most matches need rows buffered across micro-batches
+    events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+      lMem.addData(chunk.toSeq); q.processAllAvailable()
+      rMem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("ssjparity")
+      .where(col("id_a") < col("id_b"))
+      .select("a_user", "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionize: gap splits sessions; timeout closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
