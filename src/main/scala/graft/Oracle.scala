@@ -2735,6 +2735,30 @@ object Oracle {
         |FROM p GROUP BY id_a, id_b
         |ORDER BY ra_fixed DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
 
+    // BRUTE FORCE on purpose: every pair sharing any shingle, exact
+    // integer threshold — a hash match proves the Spark side's prefix
+    // filter is lossless, not merely that surfaced pairs score right
+    "q182_similarity_join" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |sgl AS (SELECT doc_id, ${shingles("tk", 2)} AS sh FROM t),
+         |ex AS MATERIALIZED (SELECT doc_id AS jid,
+         |  unnest(list_distinct(list_transform(sh, x -> ${md5Long("x")})))
+         |  AS sh FROM sgl),
+         |sz AS (SELECT jid, count(*) AS s FROM ex GROUP BY jid),
+         |inter AS (SELECT a.jid AS id_a, b.jid AS id_b,
+         |    count(*) AS inter_size
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.jid < b.jid
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(inter_size AS BIGINT) AS inter_size,
+         |  CAST(sa.s + sb.s - inter_size AS BIGINT) AS union_size,
+         |  ${f6("CAST(inter_size AS DOUBLE) / " +
+             "CAST(sa.s + sb.s - inter_size AS DOUBLE)")} AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.jid = id_a
+         |JOIN sz sb ON sb.jid = id_b
+         |WHERE inter_size * 5 >= (sa.s + sb.s - inter_size) * 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q175_tpch_q14" -> {
       val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

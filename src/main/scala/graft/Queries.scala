@@ -3861,6 +3861,20 @@ object Queries {
     Graph.linkPredictRA(inc, degCap = 64, topK = 100)
   }
 
+  /** EXACT set-similarity join (2-gram Jaccard ≥ 3/5) via PPJoin-style
+    * prefix filtering — the lossless scale path next to the LSH tiers
+    * (q29/q51): candidates form only on each doc's rarest-token
+    * prefix, the threshold is an integer cross-multiply, and the
+    * ORACLE BRUTE-FORCES ALL PAIRS — a hash match proves the prefix
+    * filter lost nothing, not just that the surfaced pairs score
+    * right. */
+  def q182SimilarityJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.similarityJoinPrefix(t(s, dir, "documents"), "text", "doc_id",
+      n = 2, tauNum = 3, tauDen = 5)
+      .withColumn("jaccard", f6(col("inter_size").cast("double") /
+        col("union_size").cast("double")))
+      .orderBy("id_a", "id_b")
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4046,5 +4060,6 @@ object Queries {
     "q179_bfs_hops" -> (q179BfsHops _),
     "q180_semantic_dedup" -> (q180SemanticDedup _),
     "q181_link_predict" -> (q181LinkPredict _),
+    "q182_similarity_join" -> (q182SimilarityJoin _),
   )
 }

@@ -358,6 +358,94 @@ object Dedup {
     * one explode + equi-join + group-by (set semantics via distinct
     * shingles). `pairs` has (id_a, id_b); `docs` has (idCol, textCol).
     * Intersection comes from the join; union = |A| + |B| − |A∩B|. */
+  /** EXACT set-similarity self-join: all document pairs with word
+    * n-gram Jaccard ≥ tauNum/tauDen, found via PPJoin-style PREFIX
+    * FILTERING instead of LSH — the third candidate-generation tier
+    * next to minhashCandidates (probabilistic) and simhashCandidates
+    * (Hamming): lossless, so unlike LSH there is no recall question;
+    * the q182 oracle brute-forces ALL pairs and the hash must agree.
+    *
+    * The filter: order each doc's shingle set by GLOBAL rarity
+    * (document frequency asc, token asc — rare tokens first) and keep
+    * the first |T| − ⌈τ·|T|⌉ + 1 as its prefix; two docs can reach
+    * J ≥ τ only if their PREFIXES share a token (textbook bound: with
+    * disjoint prefixes the intersection fits inside one suffix,
+    * |A∩B| ≤ ⌈τ|A|⌉−1 < ⌈τ/(1+τ)·(|A|+|B|)⌉ ≤ required overlap).
+    * ⌈τ·s⌉ is computed in integer arithmetic ((s·num + den−1) DIV den)
+    * and the final threshold by integer cross-multiply — no float
+    * boundary anywhere.
+    *
+    * Scale shape: candidates join on PREFIX tokens only — and prefixes
+    * are the RAREST tokens, so bucket sizes are small by construction
+    * (a token of document frequency d generates ≤ C(d,2) pairs, and
+    * high-df tokens are exactly the ones prefixes exclude); the
+    * verify join touches candidate pairs only. One window (per-doc
+    * rank) + two equi-join shuffles. */
+  def similarityJoinPrefix(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
+    // token space = md5-HASHED shingles (the native ShingleHashes
+    // expression), not strings: every downstream structure — the df
+    // aggregate, the window sort, the candidate equi-join, the sorted
+    // verify arrays — runs on primitive longs. Jaccard is over the
+    // hashed shingle space; a (astronomically unlikely) 60-bit
+    // collision affects both engines identically since the oracle
+    // hashes with the same md5 formula.
+    // the token table feeds FIVE consumers (df counts, set sizes, both
+    // prefix sides, the verify arrays) and the prefix feeds both sides
+    // of the candidate self-join — materialize each once
+    // (localCheckpoint, the graph-operator pattern) instead of
+    // re-running tokenize+hash per consumer in one plan (measured 3×
+    // the whole query's cost)
+    val toks = docs.select(col(idCol).as("jid"),
+      explode(array_distinct(shingleHashes(col(textCol), n, mod = false)))
+        .as("sh"))
+      .localCheckpoint(true)
+    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("jid").agg(count(lit(1)).as("set_size"))
+    val w = Window.partitionBy(col("jid"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefix = toks.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq("jid"))
+      .filter(col("rn") <= col("set_size") -
+        expr(s"(set_size * $tauNum + ${tauDen - 1}) DIV $tauDen") + 1)
+      .select(col("sh"), col("jid"))
+      .localCheckpoint(true)
+    val cand = prefix.select(col("sh"), col("jid").as("id_a"))
+      .join(prefix.select(col("sh"), col("jid").as("id_b")), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify per CANDIDATE against the per-doc SORTED token arrays —
+    // one row per pair through the native merge-walk intersect kernel,
+    // never the pair×token explosion (candidates × |A| intermediate
+    // rows — measured 25× slower) and never array_intersect's per-row
+    // boxed hash set (measured 43s → ~3s at sf0.1). The token-set
+    // table is doc-grain (tiny next to the candidate set); joining it
+    // is a plain equi-join the optimizer broadcasts when it fits and
+    // shuffles on the candidate key when it doesn't — no hint, per the
+    // q78 lesson.
+    val tokArr = toks.groupBy("jid")
+      .agg(sort_array(collect_list(col("sh"))).as("tset"),
+        count(lit(1)).as("set_size"))
+      .localCheckpoint(true)
+    def intersectCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftSql.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.GraftSql.expression(a),
+          org.apache.spark.sql.GraftSql.expression(b)))
+    cand
+      .join(tokArr.select(col("jid").as("id_a"), col("tset").as("ta"),
+        col("set_size").as("size_a")), "id_a")
+      .join(tokArr.select(col("jid").as("id_b"), col("tset").as("tb"),
+        col("set_size").as("size_b")), "id_b")
+      .withColumn("inter_size", intersectCount(col("ta"), col("tb")))
+      .withColumn("union_size",
+        col("size_a") + col("size_b") - col("inter_size"))
+      .filter(col("inter_size") * tauDen >= col("union_size") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter_size"), col("union_size"))
+  }
+
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("jid"),

@@ -209,6 +209,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("similarityJoinPrefix == brute force on random docs with planted " +
+    "near-dups: the prefix filter is LOSSLESS and the threshold exact") {
+    val rnd = new scala.util.Random(59)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val base = (0L until 60L).map { i =>
+      i -> (0 until 12 + rnd.nextInt(8)).map(_ =>
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // planted near-dups: copy with one word changed (high jaccard) and
+    // a shuffled-suffix copy (moderate)
+    val planted = base.take(10).map { case (i, txt) =>
+      val words = txt.split(" ")
+      (i + 1000L, (words.dropRight(1) :+ "zz").mkString(" "))
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.similarityJoinPrefix(docs, "text", "doc_id", 2, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // brute-force reference over ALL pairs in Scala
+    def shingleSet(txt: String): Set[String] = {
+      val w = txt.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size >= 2) w.sliding(2).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sets = (base ++ planted).map { case (i, s2) => i -> shingleSet(s2) }
+    val ref = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa intersect sb).size; u = (sa union sb).size
+      if i * 5 >= u * 3
+    } yield (a, b) -> (i.toLong, u.toLong)).toMap
+    assert(got === ref,
+      s"missing=${(ref.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- ref.keySet).take(3)}")
+    assert(ref.nonEmpty) // the planted dups must actually qualify
+  }
+
   test("semanticDedup: planted scaled copies all drop (same cell, " +
     "cos~1), naturals survive, partition-invariant, empty corpus ok") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
