@@ -2759,6 +2759,38 @@ object Oracle {
          |WHERE inter_size * 5 >= (sa.s + sb.s - inter_size) * 3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Graph.bellmanFordRounds' 4 weighted min-plus relaxations as
+    // chained CTEs (the q179 recurrence with edge weights; every
+    // reached node relaxes each round)
+    "q183_cheapest_path" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT adj.dst AS id, d.dist + adj.w AS dist
+           |    FROM d${i - 1} d JOIN adj ON adj.src = d.id)
+           |  GROUP BY id)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS a, l_partkey + 3000000 AS b,
+         |    CAST(min(l_quantity) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst, min(w) AS w FROM (
+         |    SELECT a AS src, b AS dst, w FROM e
+         |    UNION ALL SELECT b, a, w FROM e)
+         |  GROUP BY src, dst),
+         |d0 AS MATERIALIZED (
+         |  SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 3),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id, CAST(dist AS BIGINT) AS dist
+         |FROM d4 ORDER BY id""".stripMargin
+    },
+
     "q175_tpch_q14" -> {
       val cents = """CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

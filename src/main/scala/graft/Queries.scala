@@ -3875,6 +3875,31 @@ object Queries {
         col("union_size").cast("double")))
       .orderBy("id_a", "id_b")
 
+  /** Bounded-round Bellman–Ford, ORACLE-PROVEN like q179: cheapest
+    * ≤4-hop path cost from nation-3 customers over the 1995Q1 purchase
+    * graph with edge weight = the MIN quantity ever shipped on that
+    * customer↔part relation (exact integer). The weighted sibling of
+    * q179's BFS — every reached node relaxes each round (a longer path
+    * may be cheaper), and the 4-round min-plus recurrence replays as
+    * chained DuckDB CTEs. */
+  def q183CheapestPath(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("id_a"),
+        (col("l_partkey") + lit(3000000L)).as("id_b"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_nationkey") === 3)
+      .select(col("c_custkey").as("id"))
+    Graph.bellmanFordRounds(e, seeds, rounds = 4)
+      .orderBy("id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4061,5 +4086,6 @@ object Queries {
     "q180_semantic_dedup" -> (q180SemanticDedup _),
     "q181_link_predict" -> (q181LinkPredict _),
     "q182_similarity_join" -> (q182SimilarityJoin _),
+    "q183_cheapest_path" -> (q183CheapestPath _),
   )
 }

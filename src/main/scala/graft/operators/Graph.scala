@@ -315,4 +315,47 @@ object Graph {
     adj.unpersist()
     dist
   }
+
+  /** Bounded-round Bellman–Ford over an UNDIRECTED weighted edge list
+    * (id_a, id_b, w) — the WEIGHTED sibling of bfsRounds: `rounds`
+    * synchronous min-plus relaxations dist_i(v) = min(dist_{i-1}(v),
+    * min over neighbors u of dist_{i-1}(u) + w(u,v)) from the seed set
+    * at cost 0. After r rounds dist(v) is exactly the cheapest path of
+    * ≤ r hops (the textbook Bellman–Ford invariant) — a deterministic,
+    * partition-independent quantity (min and + over exact longs), so
+    * the q183 oracle replays the identical recurrence as chained CTEs.
+    * Unlike BFS, a settled node can improve in a later round (a longer
+    * path may be cheaper), so every reached node — not a frontier —
+    * relaxes each round. Unreached nodes are absent rows, not ∞.
+    *
+    * Scale shape: the doubled adjacency is min-deduped per (src, dst)
+    * once (the cheapest parallel edge dominates any path under
+    * min-plus), pre-partitioned on src and cached; each round is ONE
+    * shuffle (the relax join + min aggregate), lineage truncated per
+    * round. */
+  def bellmanFordRounds(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val doubled = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .unionByName(edges.select(col("id_b").as("src"),
+        col("id_a").as("dst"), col("w")))
+    // parallel edges: only the cheapest can ever matter under min-plus
+    val adj = doubled.groupBy(col("src"), col("dst"))
+      .agg(min(col("w")).as("w"))
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val relaxed = dist.join(adj, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    adj.unpersist()
+    dist
+  }
 }

@@ -164,6 +164,48 @@ class GraphSpec extends SparkSpec {
     assert(d10 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  /** Sequential bounded Bellman–Ford reference (min-plus, r rounds). */
+  private def bfordRef(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).min) }
+      .toSeq.groupBy(_._1)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.toSeq.flatMap { case (v, d) =>
+        adj.getOrElse(v, Nil).map { case (_, u, w) => u -> (d + w) } }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    dist
+  }
+
+  test("bellmanFordRounds == sequential min-plus reference under " +
+    "1/8/32-way partitioning; a longer-hop cheaper path wins") {
+    val rnd = new scala.util.Random(47)
+    val edges = (1 to 250).map(_ => (rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong, 1L + rnd.nextInt(20)))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Set(0L, 7L)
+    for (rounds <- Seq(1, 4); parts <- Seq(1, 8, 32)) {
+      val eDf = edges.toDF("id_a", "id_b", "w").repartition(parts)
+      val sDf = seeds.toSeq.toDF("id").repartition(parts)
+      val got = Graph.bellmanFordRounds(eDf, sDf, rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === bfordRef(edges, seeds, rounds),
+        s"rounds=$rounds parts=$parts")
+    }
+    // path 0-1-2 with cheap hops vs a direct expensive edge 0-2: the
+    // 2-hop path must win once rounds >= 2
+    val known = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 10L))
+    val d1 = Graph.bellmanFordRounds(known.toDF("id_a", "id_b", "w"),
+      Seq(0L).toDF("id"), rounds = 1).as[(Long, Long)].collect().toMap
+    assert(d1(2L) === 10L)
+    val d2 = Graph.bellmanFordRounds(known.toDF("id_a", "id_b", "w"),
+      Seq(0L).toDF("id"), rounds = 2).as[(Long, Long)].collect().toMap
+    assert(d2(2L) === 2L) // improved in round 2: settled nodes re-relax
+  }
+
   test("linkPredictRA == sequential RA index on a seeded random " +
     "incidence list; hub cap excludes super-neighbors; partition-" +
     "invariant") {
