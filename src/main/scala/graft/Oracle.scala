@@ -2663,6 +2663,62 @@ object Oracle {
          |FROM d4 ORDER BY id""".stripMargin
     },
 
+    // 4 independent q109 Lloyd replays, one per PQ subspace, each over
+    // the 16-dim list slice; the blocks only differ in the slice
+    // bounds and CTE suffix
+    "q184_product_quantize" -> {
+      def block(j: Int): String = {
+        val lo = j * 16 + 1
+        val hi = (j + 1) * 16
+        def round(i: Int): String =
+          s"""ac${i}s$j AS (SELECT e.vec_id, e.v, cid,
+             |  list_dot_product(e.v, cv) AS s FROM es$j e, cent${i}ns$j),
+             |a${i}s$j AS (SELECT vec_id, v, cid AS cell FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY s DESC, cid ASC) AS rn FROM ac${i}s$j)
+             |  WHERE rn = 1),
+             |q${i}s$j AS (SELECT cell, jj,
+             |  sum(CAST(floor(v[jj] * 1048576.0) AS BIGINT)) AS qsum,
+             |  count(*) AS n
+             |  FROM a${i}s$j, range(1, 17) t(jj) GROUP BY cell, jj),
+             |m${i}s$j AS (SELECT cell AS cid,
+             |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY jj)
+             |    AS cv FROM q${i}s$j GROUP BY cell),
+             |cent${i + 1}s$j AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+             |  FROM cent${i}s$j p LEFT JOIN m${i}s$j m USING (cid)),
+             |cent${i + 1}ns$j AS (SELECT cid,
+             |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+             |    AS cv FROM cent${i + 1}s$j)""".stripMargin
+        s"""es$j AS MATERIALIZED (SELECT vec_id,
+           |  (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS v FROM embeddings),
+           |cent0s$j AS (SELECT vec_id AS cid, v AS cv FROM es$j
+           |  WHERE vec_id < 8),
+           |cent0ns$j AS (SELECT cid,
+           |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+           |    AS cv FROM cent0s$j),
+           |${round(0)},
+           |acfs$j AS (SELECT e.vec_id, e.v, cid,
+           |  list_dot_product(e.v, cv) AS s FROM es$j e, cent1ns$j),
+           |afs$j AS (SELECT vec_id, v, cid AS cell, s AS score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY s DESC, cid ASC) AS rn FROM acfs$j) WHERE rn = 1),
+           |sts$j AS (SELECT cell, count(*) AS n,
+           |  sum(CAST(floor(score / sqrt(list_dot_product(v, v))
+           |    * 1048576.0) AS BIGINT)) AS qc
+           |  FROM afs$j GROUP BY cell)""".stripMargin
+      }
+      def select(j: Int): String =
+        s"""SELECT $j AS subspace, CAST(st.cell AS INTEGER) AS code,
+           |  CAST(st.n AS BIGINT) AS n,
+           |  ${f6("(CAST(st.qc AS DOUBLE) / st.n) / 1048576.0")} AS mean_cos,
+           |  ${f6("c.cv[1]")} AS c0, ${f6("c.cv[2]")} AS c1,
+           |  ${f6("c.cv[3]")} AS c2, ${f6("c.cv[4]")} AS c3
+           |FROM sts$j st JOIN cent1s$j c ON c.cid = st.cell""".stripMargin
+      s"""WITH ${(0 until 4).map(block).mkString(",\n")}
+         |${(0 until 4).map(select).mkString("\nUNION ALL\n")}
+         |ORDER BY subspace, code""".stripMargin
+    },
+
     // the q109 Lloyd replay (1 round, k=8) over the q45 augmented
     // corpus, then the greedy within-cell near-dup drop: a member is
     // dropped iff some LOWER-id member of the SAME cell has cosine >=

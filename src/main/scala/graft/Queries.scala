@@ -3900,6 +3900,23 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Product-quantization codebooks, ORACLE-PROVEN: 4 subspaces × 16
+    * dims over the embeddings corpus, each codebook an independent
+    * 8-codeword quantized-Lloyd run on the sliced subvectors (the PQ
+    * stage of an IVF-PQ index; see Similarity.productQuantizeStats) —
+    * DuckDB replays 4 copies of the q109 CTE chain over list slices.
+    * 32 rows: per (subspace, code) membership, cohesion, and leading
+    * codeword coordinates. */
+  def q184ProductQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val r = Similarity.productQuantizeStats(emb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, rounds = 1)
+    r.select(col("subspace") +: col("code") +: col("n") +: (
+      "mean_cos" +: (0 until 4).map(i => s"c$i"))
+        .map(c => f6(col(c)).as(c)): _*)
+      .orderBy("subspace", "code")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4087,5 +4104,6 @@ object Queries {
     "q181_link_predict" -> (q181LinkPredict _),
     "q182_similarity_join" -> (q182SimilarityJoin _),
     "q183_cheapest_path" -> (q183CheapestPath _),
+    "q184_product_quantize" -> (q184ProductQuantize _),
   )
 }

@@ -348,6 +348,38 @@ object Similarity {
         }: _*)
   }
 
+  /** Product-quantization codebook statistics — the PQ compression
+    * stage of an IVF-PQ index: the vector space splits into `m`
+    * contiguous subspaces of dim/m dimensions, each with its OWN
+    * k-codeword codebook trained independently (the whole point of PQ:
+    * m small codebooks represent k^m composite cells at m·k·(dim/m)
+    * floats of model). Each subspace's codebook is exactly a
+    * kmeansStats run on the sliced subvectors — same deterministic
+    * seeds (k lowest-id vectors' slices), same quantized-integer Lloyd
+    * recurrence, so the q184 oracle replays m copies of the q109 CTE
+    * chain over list slices. Spherical (cosine) assignment like every
+    * clustering op here. Returns per (subspace, code):
+    * member count, cohesion (mean cosine to the codeword), and leading
+    * codeword coordinates.
+    *
+    * Scale shape: m independent map-only assignment passes + (code,
+    * dim)-keyed aggregates; total model collect is m·k·(dim/m) = k·dim
+    * values — the same bound as one full-space k-means. */
+  def productQuantizeStats(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, rounds: Int,
+      coords: Int = 4): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sublen = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), j * sublen + 1, sublen).as("subv"))
+      kmeansStats(sub, idCol, "subv", k, rounds, coords)
+        .select(lit(j).as("subspace") +: col("cell").as("code") +:
+          col("n") +: col("mean_cos") +:
+          (0 until coords).map(i => col(s"c$i")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with
     * `rounds` Lloyd iterations from deterministic seeds (the k
     * lowest-id vectors — exactly kmeansStats' recurrence, so the q180

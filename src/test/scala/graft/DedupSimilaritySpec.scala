@@ -245,6 +245,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ref.nonEmpty) // the planted dups must actually qualify
   }
 
+  test("productQuantizeStats: per-subspace codebooks are independent " +
+    "kmeansStats runs on the slices; every subspace accounts for the " +
+    "whole corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val pq = Similarity.productQuantizeStats(emb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 8, rounds = 1).collect()
+    assert(pq.map(_.getInt(0)).toSet === Set(0, 1, 2, 3))
+    (0 until 4).foreach { j =>
+      assert(pq.filter(_.getInt(0) == j).map(_.getLong(2)).sum === n, s"s$j")
+    }
+    // subspace 0's block IS kmeansStats on the first 16 dims
+    val direct = Similarity.kmeansStats(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("sv")),
+      "vec_id", "sv", k = 8, rounds = 1)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    pq.filter(_.getInt(0) == 0).foreach { r =>
+      val (dn, dcos) = direct(r.getInt(1))
+      assert(r.getLong(2) === dn && r.getDouble(3) === dcos)
+    }
+  }
+
   test("semanticDedup: planted scaled copies all drop (same cell, " +
     "cos~1), naturals survive, partition-invariant, empty corpus ok") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
