@@ -2719,6 +2719,39 @@ object Oracle {
          |ORDER BY subspace, code""".stripMargin
     },
 
+    // both funnel tiers replayed whole: the q35 rolling-hash
+    // fingerprint (min-id canonical) then q182's brute-force pair set
+    // restricted to the exact-dedup survivors (greedy higher-id drop)
+    "q185_dedup_funnel" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |fp AS (SELECT doc_id, source, list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> ${md5Mod("x")})),
+         |  (h, x) -> (h * 31 + x) % $P) AS fingerprint FROM t),
+         |s1 AS MATERIALIZED (SELECT doc_id, source FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
+         |sgl AS (SELECT doc_id, ${shingles("tk", 2)} AS sh FROM t
+         |  WHERE doc_id IN (SELECT doc_id FROM s1)),
+         |ex AS MATERIALIZED (SELECT doc_id AS jid,
+         |  unnest(list_distinct(list_transform(sh, x -> ${md5Long("x")})))
+         |  AS sh FROM sgl),
+         |sz AS (SELECT jid, count(*) AS s FROM ex GROUP BY jid),
+         |inter AS (SELECT a.jid AS id_a, b.jid AS id_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.jid < b.jid
+         |  GROUP BY 1, 2),
+         |drp AS (SELECT DISTINCT id_b FROM inter
+         |  JOIN sz sa ON sa.jid = id_a JOIN sz sb ON sb.jid = id_b
+         |  WHERE i * 5 >= (sa.s + sb.s - i) * 3),
+         |s2 AS (SELECT * FROM s1
+         |  WHERE doc_id NOT IN (SELECT id_b FROM drp)),
+         |n0 AS (SELECT source, count(*) AS n_total FROM t GROUP BY source),
+         |n1 AS (SELECT source, count(*) AS n_exact FROM s1 GROUP BY source),
+         |n2 AS (SELECT source, count(*) AS n_near FROM s2 GROUP BY source)
+         |SELECT source, CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_near, 0) AS BIGINT) AS n_near
+         |FROM n0 LEFT JOIN n1 USING (source) LEFT JOIN n2 USING (source)
+         |ORDER BY source""".stripMargin,
+
     // the q109 Lloyd replay (1 round, k=8) over the q45 augmented
     // corpus, then the greedy within-cell near-dup drop: a member is
     // dropped iff some LOWER-id member of the SAME cell has cosine >=

@@ -3917,6 +3917,36 @@ object Queries {
       .orderBy("subspace", "code")
   }
 
+  /** Per-source dedup FUNNEL — the attrition report a corpus build
+    * actually publishes, chaining two individually-proven tiers over
+    * the whole documents table: content-fingerprint exact dedup
+    * (min-id canonical, the q27/q43 tier) then the LOSSLESS
+    * prefix-filtered similarity join (q182's τ=3/5 tier, greedy drop
+    * of the higher id in each qualifying pair). Counts per source at
+    * each stage; both tiers' full logic replays in the oracle, so the
+    * funnel numbers are hash-proven end to end, not spot-checked. */
+  def q185DedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep1 = TextAnalysis.withFingerprint(docs, "text")
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+    val dropped = Dedup.similarityJoinPrefix(s1, "text", "doc_id",
+        n = 2, tauNum = 3, tauDen = 5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s2 = s1.join(dropped, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    cnt(docs, "n_total")
+      .join(cnt(s1, "n_exact"), Seq("source"), "left")
+      .join(cnt(s2, "n_near"), Seq("source"), "left")
+      .select(col("source"),
+        col("n_total"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("source")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4105,5 +4135,6 @@ object Queries {
     "q182_similarity_join" -> (q182SimilarityJoin _),
     "q183_cheapest_path" -> (q183CheapestPath _),
     "q184_product_quantize" -> (q184ProductQuantize _),
+    "q185_dedup_funnel" -> (q185DedupFunnel _),
   )
 }
