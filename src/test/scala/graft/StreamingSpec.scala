@@ -714,6 +714,36 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("dedupStream ≡ batch exact dedup on the real fixture: streamed " +
+    "fingerprint dedup emits exactly one row per distinct fingerprint " +
+    "(the q27/q185 exact tier), across chunk boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val base = graft.operators.TextAnalysis.withFingerprint(docs, "text")
+      .select(col("doc_id"), col("fingerprint"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // plant exact dups (same fingerprint, higher id) — sf0.001 has none
+    val fp = base ++ base.take(50).map { case (id, f) => (id + 100000L, f) }
+    val batchKeys = fp.map(_._2).toSet
+    assert(batchKeys.size < fp.length) // dups present by construction
+    val mem = MemoryStream[(Long, Long)]
+    val st = mem.toDF().toDF("doc_id", "fingerprint")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val deduped = Streaming.dedupStream(st, Seq("fingerprint"), "ts",
+      "30 days") // delay covers the whole synthetic span: no state expiry
+    val q = deduped.writeStream.format("memory").queryName("ddparity")
+      .outputMode("append").start()
+    fp.grouped(math.max(1, fp.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("ddparity").select("fingerprint")
+      .as[Long].collect()
+    assert(streamed.length === batchKeys.size) // one survivor per key
+    assert(streamed.toSet === batchKeys)
+  }
+
   test("joinStreamsWithin ≡ batch interval join (q49) on the real " +
     "fixture: chunked self-join within ±10min emits exactly the batch " +
     "pair set — cross-batch buffering loses and duplicates nothing") {
