@@ -2719,6 +2719,37 @@ object Oracle {
          |ORDER BY subspace, code""".stripMargin
     },
 
+    // Graph.temporalReachRounds' 4 earliest-arrival relaxations as
+    // chained CTEs: an edge is traversable only at t >= the current
+    // arrival; min arrival strictly dominates (a smaller arr admits a
+    // superset of later edges), so min-per-node is lossless
+    "q186_temporal_reach" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, min(arr) AS arr FROM (
+           |    SELECT id, arr FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT adj.dst AS id, adj.t AS arr
+           |    FROM d${i - 1} d JOIN adj ON adj.src = d.id
+           |    WHERE adj.t >= d.arr)
+           |  GROUP BY id)""".stripMargin
+      s"""WITH half AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS ca, l_partkey + 3000000 AS pb,
+         |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         |adj AS MATERIALIZED (
+         |  SELECT ca AS src, pb AS dst, t FROM half
+         |  UNION ALL SELECT pb, ca, t FROM half),
+         |d0 AS MATERIALIZED (
+         |  SELECT c_custkey AS id, CAST(788918400000000 AS BIGINT) AS arr
+         |  FROM customer WHERE c_nationkey = 3),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id, CAST(arr AS BIGINT) AS arr
+         |FROM d4 ORDER BY id""".stripMargin
+    },
+
     // both funnel tiers replayed whole: the q35 rolling-hash
     // fingerprint (min-id canonical) then q182's brute-force pair set
     // restricted to the exact-dedup survivors (greedy higher-id drop)

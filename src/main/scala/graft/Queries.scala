@@ -3947,6 +3947,39 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Bounded-round TEMPORAL reachability, ORACLE-PROVEN like
+    * q179/q183: earliest time-respecting arrival from nation-3
+    * customers over the 1995 purchase graph, where an edge (a
+    * customer↔part purchase, timestamped with its order date) is
+    * traversable only at t ≥ the current arrival — the constraint
+    * that separates temporal influence/contagion reach from plain
+    * BFS reach (which overstates it). 4 min-plus rounds on exact
+    * epoch-micro longs, replayed as chained DuckDB CTEs; parallel
+    * edges at different dates all kept (an earlier edge is never
+    * dominated). */
+  def q186TemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+    val half = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ca"),
+        (col("l_partkey") + lit(3000000L)).as("pb"), col("t"))
+      .distinct()
+    val e = half.select(col("ca").as("src"), col("pb").as("dst"), col("t"))
+      .unionByName(half.select(col("pb").as("src"), col("ca").as("dst"),
+        col("t")))
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_nationkey") === 3)
+      .select(col("c_custkey").as("id"))
+    Graph.temporalReachRounds(e, seeds, startT = 788918400000000L,
+        rounds = 4)
+      .orderBy("id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4136,5 +4169,6 @@ object Queries {
     "q183_cheapest_path" -> (q183CheapestPath _),
     "q184_product_quantize" -> (q184ProductQuantize _),
     "q185_dedup_funnel" -> (q185DedupFunnel _),
+    "q186_temporal_reach" -> (q186TemporalReach _),
   )
 }

@@ -333,6 +333,45 @@ object Graph {
     * min-plus), pre-partitioned on src and cached; each round is ONE
     * shuffle (the relax join + min aggregate), lineage truncated per
     * round. */
+  /** Bounded-round TEMPORAL (time-respecting) reachability over a
+    * DIRECTED edge list (src, dst, t): earliest-arrival relaxation
+    * arr_i(v) = min(arr_{i-1}(v), min over edges (u,v) with
+    * t ≥ arr_{i-1}(u) of t) — a path may only traverse edges whose
+    * timestamps are NON-DECREASING, the defining constraint of
+    * temporal graphs (an edge that fired before you arrived at u is
+    * not usable; plain BFS over the same edges overstates reach).
+    * Seeds start at `startT`. After r rounds arr(v) is the earliest
+    * arrival over time-respecting paths of ≤ r hops — exact integer
+    * min-plus, so deterministic under any partitioning and replayed
+    * by the q186 oracle as chained CTEs. Unreached nodes are absent.
+    *
+    * Scale shape: identical to bellmanFordRounds — one relax shuffle
+    * per round against the pre-partitioned cached edge list (the time
+    * constraint is a join residual on the equi-join, not a range
+    * join), lineage truncated per round. Parallel (src, dst) edges at
+    * different times all stay: under the time constraint an earlier
+    * edge is not dominated by a cheaper-looking later one. */
+  def temporalReachRounds(edges: DataFrame, seeds: DataFrame,
+      startT: Long, rounds: Int): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"), col("t"))
+      .repartition(col("src")).persist()
+    var arr = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(startT).as("arr"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val relaxed = arr.join(adj, col("id") === col("src"))
+        .where(col("t") >= col("arr"))
+        .select(col("dst").as("id"), col("t").as("arr"))
+      arr = arr.unionByName(relaxed)
+        .groupBy("id").agg(min(col("arr")).as("arr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    adj.unpersist()
+    arr
+  }
+
   def bellmanFordRounds(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     val doubled = edges

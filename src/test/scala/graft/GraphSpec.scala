@@ -206,6 +206,49 @@ class GraphSpec extends SparkSpec {
     assert(d2(2L) === 2L) // improved in round 2: settled nodes re-relax
   }
 
+  /** Sequential earliest-arrival temporal reachability reference. */
+  private def treachRef(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      startT: Long, rounds: Int): Map[Long, Long] = {
+    val bySrc = edges.groupBy(_._1)
+    var arr = seeds.map(_ -> startT).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = arr.toSeq.flatMap { case (v, a) =>
+        bySrc.getOrElse(v, Nil).collect { case (_, u, t) if t >= a => u -> t } }
+      arr = (arr.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    arr
+  }
+
+  test("temporalReachRounds == sequential reference under 1/8/32-way " +
+    "partitioning; an edge that fired before arrival is NOT usable " +
+    "(plain BFS would overstate reach)") {
+    val rnd = new scala.util.Random(53)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong, 100L + rnd.nextInt(900)))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Set(0L, 9L)
+    for (rounds <- Seq(1, 4); parts <- Seq(1, 8, 32)) {
+      val eDf = edges.toDF("src", "dst", "t").repartition(parts)
+      val sDf = seeds.toSeq.toDF("id").repartition(parts)
+      val got = Graph.temporalReachRounds(eDf, sDf, 0L, rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === treachRef(edges, seeds, 0L, rounds),
+        s"rounds=$rounds parts=$parts")
+    }
+    // 0 -(t=5)-> 1 -(t=3)-> 2: node 2 unreachable time-respecting
+    // (the 1->2 edge fired before arrival at 1); BFS would reach it
+    val tEdges = Seq((0L, 1L, 5L), (1L, 2L, 3L))
+    val got = Graph.temporalReachRounds(tEdges.toDF("src", "dst", "t"),
+      Seq(0L).toDF("id"), 0L, rounds = 4).as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 5L))
+    // but a later re-firing makes it reachable
+    val got2 = Graph.temporalReachRounds(
+      (tEdges :+ (1L, 2L, 7L)).toDF("src", "dst", "t"),
+      Seq(0L).toDF("id"), 0L, rounds = 4).as[(Long, Long)].collect().toMap
+    assert(got2 === Map(0L -> 0L, 1L -> 5L, 2L -> 7L))
+  }
+
   test("linkPredictRA == sequential RA index on a seeded random " +
     "incidence list; hub cap excludes super-neighbors; partition-" +
     "invariant") {
