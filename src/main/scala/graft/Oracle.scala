@@ -2957,5 +2957,76 @@ object Oracle {
         |      / 100000.0) AS BIGINT)) < 3 AS low_diversity
         |FROM customer
         |GROUP BY 1, 2 ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // per-row-floored cents (q178 shape) keep the `= max` equality
+    // integer-exact, so Q15's tie semantics survive cross-engine
+    "q187_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) -
+        |       CAST(l_discount AS DECIMAL(18,2))) * 100) AS BIGINT))
+        |      AS BIGINT) AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_cents
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // pc + floor((nc−pc)·(d−pd)/(nd−pd)): every input is an exact
+    // integer and the one double expression uses only * and /, so the
+    // floor is engine-independent (derived-float convention)
+    "q188_interpolate" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |kept AS (SELECT * FROM daily WHERE cents % 3 <> 0),
+        |scaffold AS (
+        |  SELECT prio, unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS d
+        |  FROM (SELECT prio, min(d) AS d0, max(d) AS d1
+        |        FROM kept GROUP BY prio)),
+        |j AS (SELECT s.prio, s.d, k.cents FROM scaffold s
+        |  LEFT JOIN kept k ON s.prio = k.prio AND s.d = k.d),
+        |w AS (SELECT prio, d, cents,
+        |    last_value(cents IGNORE NULLS) OVER wp AS pc,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN d END
+        |      IGNORE NULLS) OVER wp AS pd,
+        |    first_value(cents IGNORE NULLS) OVER wn AS nc,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN d END
+        |      IGNORE NULLS) OVER wn AS nd
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY prio ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY prio ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT prio, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |    ELSE pc + CAST(floor(
+        |      CAST(nc - pc AS DOUBLE) * date_diff('day', pd, d)
+        |        / date_diff('day', pd, nd)) AS BIGINT)
+        |    END AS BIGINT) AS cents_filled,
+        |  cents IS NULL AS interpolated
+        |FROM w ORDER BY prio, day""".stripMargin,
+
+    // DuckDB's damerau_levenshtein IS the reference for the native
+    // expression (full DL, not OSA — pinned in HashingSpec)
+    "q189_typo_match" ->
+      """WITH n AS (SELECT s_name AS name, substring(s_name, 1, 16) AS blk
+        |  FROM supplier)
+        |SELECT a.name,
+        |  CAST(count(*) AS BIGINT) AS n_dl1,
+        |  CAST(coalesce(sum(CASE WHEN
+        |    levenshtein(a.name, b.name) = 2 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_transpose
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.name <> b.name
+        |WHERE damerau_levenshtein(a.name, b.name) <= 1
+        |GROUP BY a.name ORDER BY a.name""".stripMargin,
   )
 }

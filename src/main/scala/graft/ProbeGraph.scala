@@ -97,10 +97,33 @@ object ProbeGraph {
           .count()
       }
 
+      // q179 shape: 4 frontier BFS rounds from every replica of the
+      // lowest 100 base vertices (seed count scales with reps, like
+      // the graph — per-copy structure identical)
+      val seeds = g.select(col("a").as("id"))
+        .unionByName(g.select(col("b").as("id")))
+        .filter((col("id") / reps).cast("long") < 100).distinct()
+        .localCheckpoint(true)
+      val (tBfs, nBfs, sBfs) = timed {
+        graft.operators.Graph.bfsRounds(
+          g.select(col("a").as("id_a"), col("b").as("id_b")), seeds,
+          rounds = 4, assumeDistinct = true).count()
+      }
+
+      // q183 shape: 4 weighted min-plus relaxations (unit weights —
+      // the relax-join volume, not the weight values, is the axis)
+      val (tBf, nBf, sBf) = timed {
+        graft.operators.Graph.bellmanFordRounds(
+          g.select(col("a").as("id_a"), col("b").as("id_b"),
+            lit(1L).as("w")), seeds, rounds = 4).count()
+      }
+
       println(f"""{"probe":"graph","reps":$reps,"n_edges":$nEdges,""" +
         f""""tri_sec":$tTri%.2f,"n_triangles":$nTri,"tri_shuffle_rows":$sTri,""" +
         f""""pr_sec":$tPr%.2f,"pr_nodes":$nPr,"pr_shuffle_rows":$sPr,""" +
-        f""""lpa_sec":$tLpa%.2f,"lpa_nodes":$nLpa,"lpa_shuffle_rows":$sLpa}""")
+        f""""lpa_sec":$tLpa%.2f,"lpa_nodes":$nLpa,"lpa_shuffle_rows":$sLpa,""" +
+        f""""bfs_sec":$tBfs%.2f,"bfs_nodes":$nBfs,"bfs_shuffle_rows":$sBfs,""" +
+        f""""bf_sec":$tBf%.2f,"bf_nodes":$nBf,"bf_shuffle_rows":$sBf}""")
     }
     spark.stop()
   }

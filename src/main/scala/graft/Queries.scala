@@ -3980,6 +3980,111 @@ object Queries {
       .orderBy("id")
   }
 
+  /** TPC-H Q15 (top supplier) — the last TPC-H query faithfully
+    * expressible on this schema (Q2/Q9/Q11/Q16/Q20 need partsupp,
+    * Q12 needs shipmode/receiptdate): quarterly revenue per supplier
+    * as exact per-row-floored cents (decimal in, long out — the q178
+    * shape, so the `= max` equality compare is integer-exact and the
+    * tie semantics of the spec survive), the scalar max broadcast
+    * back, winners joined to the supplier dim. At scale: one
+    * lineitem scan + one suppkey-keyed hash aggregate (~#suppliers
+    * rows), a scalar subquery, and a broadcast join of the ~1-row
+    * winner set — no global sort of the revenue table. */
+  def q187TpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))) * lit(100))
+        .cast("long")).as("total_rev_cents"))
+    val mx = rev.agg(max(col("total_rev_cents")).as("mx"))
+    val winners = rev.join(broadcast(mx),
+      col("total_rev_cents") === col("mx"))
+    t(s, dir, "supplier")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Time-series linear interpolation of missing readings — the
+    * sensor-backfill op q104's carry-forward gap-fill does NOT cover:
+    * per-priority daily revenue (exact cents, the q121 series) with a
+    * deterministic ~1/3 of days dropped (cents%3==0 — reproducible in
+    * both engines, no RNG), then each missing day rebuilt from its
+    * surviving neighbors as pc + ⌊(nc−pc)·(d−pd)/(nd−pd)⌋. All inputs
+    * to the one double expression are exact integers (cents, day
+    * offsets; products ≪ 2^53), so the floor is engine-independent —
+    * the [[graft-oracle-conventions]] derived-float shape. Heavy work
+    * is the orders scan + (prio,day) aggregate; the scaffold/window
+    * stage runs on calendar-bounded rows (#prios × #days). Edge days
+    * exist by construction (the scaffold spans each priority's kept
+    * min..max), so interior gaps always have both neighbors. */
+  def q188Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("cents"))
+    val kept = daily.filter(col("cents") % 3 =!= 0)
+    val scaffold = kept.groupBy(col("prio"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("prio"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val wPrev = Window.partitionBy("prio").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("prio").orderBy("d")
+      .rowsBetween(0, Window.unboundedFollowing)
+    scaffold.join(kept, Seq("prio", "d"), "left")
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("d")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("d")),
+        ignoreNulls = true).over(wNext))
+      .select(col("prio"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        when(col("cents").isNotNull, col("cents")).otherwise(
+          col("pc") + floor(
+            (col("nc") - col("pc")).cast("double") *
+              datediff(col("d"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")).cast("long"))
+          .as("cents_filled"),
+        col("cents").isNull.as("interpolated"))
+      .orderBy("prio", "day")
+  }
+
+  /** Transposition-aware blocked fuzzy match — q120's
+    * entity-resolution shape upgraded with the native
+    * [[graft.functions.DamerauLevenshtein]] expression: digit SWAPS
+    * (…012 vs …021) are the canonical human typo, cost 1 under
+    * Damerau–Levenshtein but 2 under plain levenshtein, so a lev≤1
+    * verify silently drops exactly the likeliest error class. Candidate
+    * pairs still come only from equality on the 16-char blocking
+    * prefix (Σ|block|² cost, never all-pairs); per name we emit the
+    * DL≤1 neighbor count and how many of those are PURE transpositions
+    * (lev=2) — the pairs a levenshtein-only matcher misses. The DP
+    * kernel is a static-call codegen expression, so the verify stays
+    * inside whole-stage codegen. */
+  def q189TypoMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "supplier")
+      .select(col("s_name").as("name"),
+        substring(col("s_name"), 1, 16).as("blk"))
+    val dl = org.apache.spark.sql.GraftSql.column(
+      graft.functions.DamerauLevenshtein(
+        org.apache.spark.sql.GraftSql.expression(col("a.name")),
+        org.apache.spark.sql.GraftSql.expression(col("b.name"))))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.name") =!= col("b.name") && dl <= 1)
+      .select(col("a.name").as("name"),
+        (levenshtein(col("a.name"), col("b.name")) === 2).as("tr"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_dl1"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n_transpose"))
+      .orderBy("name")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4170,5 +4275,8 @@ object Queries {
     "q184_product_quantize" -> (q184ProductQuantize _),
     "q185_dedup_funnel" -> (q185DedupFunnel _),
     "q186_temporal_reach" -> (q186TemporalReach _),
+    "q187_tpch_q15" -> (q187TpchQ15 _),
+    "q188_interpolate" -> (q188Interpolate _),
+    "q189_typo_match" -> (q189TypoMatch _),
   )
 }

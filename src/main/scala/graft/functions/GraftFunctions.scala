@@ -42,6 +42,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine(vec, vec)")
         CosineSim(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_damerau"),
+      info("graft_damerau", classOf[DamerauLevenshtein]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_damerau(str, str)")
+        DamerauLevenshtein(args(0), args(1))
       }))
 
   /** Install into an already-running session (idempotent: re-register

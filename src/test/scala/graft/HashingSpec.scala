@@ -185,6 +185,34 @@ class HashingSpec extends SparkSpec {
     assert(n.forall(_ == null))
   }
 
+  test("damerau_levenshtein: full-DL semantics pinned to the oracle engine") {
+    import graft.functions.DamerauLevenshtein
+    import org.apache.spark.unsafe.types.UTF8String
+    // values produced by DuckDB damerau_levenshtein() (the q189 oracle);
+    // 'CA'→'ABC'=2 is the full-DL-vs-OSA discriminator (OSA says 3)
+    val pinned = Seq(
+      ("CA", "ABC", 2), ("ab", "ba", 1), ("aX", "Xa", 1),
+      ("abcdef", "abcfed", 2), ("kitten", "sitting", 3),
+      ("", "abc", 3), ("abc", "", 3), ("same", "same", 0),
+      ("Supplier#000000012", "Supplier#000000021", 1),
+      ("Supplier#000000012", "Supplier#000000013", 1))
+    for ((a, b, d) <- pinned) {
+      assert(DamerauLevenshtein.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b)) === d,
+        s"kernel($a, $b)")
+      // symmetry — edit distance is a metric
+      assert(DamerauLevenshtein.compute(
+        UTF8String.fromString(b), UTF8String.fromString(a)) === d)
+    }
+    // the codegen'd column path agrees with the kernel (and with SQL
+    // via the registered graft_damerau)
+    graft.functions.GraftFunctions.register(spark)
+    val df = pinned.toDF("a", "b", "want")
+    val viaCol = df.selectExpr("graft_damerau(a, b) AS got", "want")
+      .collect()
+    assert(viaCol.forall(r => r.getInt(0) === r.getInt(1)))
+  }
+
   test("md5Long values are non-negative 60-bit") {
     val hs = (1 to 1000).map(i => s"doc $i").toDF("s")
       .select(Hashing.md5Long($"s")).as[Long].collect()
