@@ -3028,5 +3028,25 @@ object Oracle {
         |FROM n a JOIN n b ON a.blk = b.blk AND a.name <> b.name
         |WHERE damerau_levenshtein(a.name, b.name) <= 1
         |GROUP BY a.name ORDER BY a.name""".stripMargin,
+
+    // per-source rank r → pooled position (r−1)(N−1)//(ng−1): pure
+    // integer floor division both engines, no float in the mapping
+    "q190_quantile_norm" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng FROM d),
+        |pool AS (SELECT n_chars AS pool_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gidx
+        |  FROM d),
+        |n AS (SELECT count(*) AS nn FROM d)
+        |SELECT r.source, r.doc_id, r.n_chars,
+        |  pool.pool_chars AS norm_chars
+        |FROM r, n
+        |JOIN pool ON pool.gidx = CASE WHEN r.ng > 1
+        |  THEN ((r.r - 1) * (n.nn - 1)) // (r.ng - 1)
+        |  ELSE (n.nn - 1) // 2 END
+        |ORDER BY r.source, r.doc_id""".stripMargin,
   )
 }

@@ -4085,6 +4085,39 @@ object Queries {
       .orderBy("name")
   }
 
+  /** Quantile normalization across sources — the batch-effect
+    * correction step of corpus mixing: each source's n_chars
+    * distribution is mapped onto the POOLED empirical distribution, so
+    * two sources with different length profiles contribute
+    * comparably-scaled values after alignment. Per-source rank r of
+    * n_g maps to pooled sort position (r−1)(N−1) div (n_g−1)
+    * (integer division on non-negative longs ≡ floor — no float
+    * anywhere, so the mapping is engine-exact; at >2^53-row scale the
+    * product needs decimal widening, noted in Ranking's contract).
+    * Ranks come from [[Ranking.groupRanks]]/[[Ranking.globalIndex]] —
+    * range-partitioned distributed sorts, NEVER a single-partition
+    * window (Window.orderBy with no partition key is the plan that
+    * does not finish at 100 TB); the position→value lookup is a plain
+    * long equi-join against the indexed pooled table. */
+  def q190QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val ranked = Ranking.groupRanks(d, "source", Seq("n_chars", "doc_id"))
+    val pooled = Ranking.globalIndex(
+      d.select(col("n_chars").as("pool_chars"), col("doc_id").as("pid")),
+      Seq("pool_chars", "pid"))
+    val n = pooled.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("p", when(col("ng") > 1,
+          expr("(r - 1) * (nn - 1) div (ng - 1)"))
+        .otherwise(expr("(nn - 1) div 2")))
+      .join(pooled.select(col("gidx"), col("pool_chars")),
+        col("p") === col("gidx"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("pool_chars").as("norm_chars"))
+      .orderBy("source", "doc_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4278,5 +4311,6 @@ object Queries {
     "q187_tpch_q15" -> (q187TpchQ15 _),
     "q188_interpolate" -> (q188Interpolate _),
     "q189_typo_match" -> (q189TypoMatch _),
+    "q190_quantile_norm" -> (q190QuantileNorm _),
   )
 }

@@ -372,4 +372,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q187: the scalar max and the winner set broadcast back (two " +
+    "BroadcastHashJoins); revenue aggregation is map-side partial") {
+    val p = plan("q187_tpch_q15")
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q188: interpolation windows run on the calendar-bounded " +
+    "scaffold — the heavy orders aggregate is map-side partial and " +
+    "the prev/next passes share one (prio,d) sort order") {
+    val p = plan("q188_interpolate")
+    assert(p.contains("partial_sum"), p)
+    // both window frames declare the same partitioning/ordering
+    assert(p.split("Window").length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q189: typo-match candidates come from the blocking equi-join " +
+    "(never a nested loop) and the DL verify is codegen'd (no " +
+    "CodegenFallback boxing in the filter)") {
+    val p = plan("q189_typo_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("damerau_levenshtein"), p)
+    val df = Queries.all("q189_typo_match")(spark, dir)
+    df.collect() // finalize AQE so WholeStageCodegen subtrees exist
+    val codegen = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("DamerauLevenshtein.compute"), codegen.take(2000))
+  }
 }
