@@ -3048,5 +3048,138 @@ object Oracle {
         |  THEN ((r.r - 1) * (n.nn - 1)) // (r.ng - 1)
         |  ELSE (n.nn - 1) // 2 END
         |ORDER BY r.source, r.doc_id""".stripMargin,
+
+    // pseudo-partsupp (no PARTSUPP in the fixture): cost = min line
+    // cents, qty = total shipped, per observed (part, supplier) pair
+    "q191_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT))
+        |      AS ps_cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |eur AS (
+        |  SELECT ps.l_partkey, ps.ps_cost_cents,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS bal_cents,
+        |    s_name, n_name, p_partkey, p_brand
+        |  FROM ps
+        |  JOIN supplier ON s_suppkey = ps.l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON p_partkey = ps.l_partkey AND p_size = 15),
+        |mc AS (SELECT l_partkey AS mk, min(ps_cost_cents) AS min_cost
+        |  FROM eur GROUP BY 1)
+        |SELECT bal_cents, s_name, n_name, p_partkey, p_brand
+        |FROM eur JOIN mc ON mk = l_partkey AND ps_cost_cents = min_cost
+        |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // exact integer cent-percent units: ec*(100-d%) - rc*100*qty
+    "q192_tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT)) -
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2))*100 AS BIGINT) *
+        |      100 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_u
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    // HAVING threshold cross-multiplied in 128-bit (HUGEINT there,
+    // DECIMAL(38,0) in Spark) — value*1000 vs national total
+    "q193_tpch_q11" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT))
+        |      AS ps_cost_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(ps_cost_cents * ps_qty) AS BIGINT) AS value_u
+        |  FROM ps
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_nationkey = 3)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(value_u) AS total_u FROM v)
+        |SELECT p_partkey, value_u FROM v, tot
+        |WHERE value_u * 1000 > total_u
+        |ORDER BY value_u DESC, p_partkey""".stripMargin,
+
+    // mode := l_returnflag, late := shipped >60d after order date
+    "q194_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) > 5184000000000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // complaint suppliers := negative balance; anti join then
+    // count-distinct per (brand, type, size)
+    "q195_tpch_q16" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // correlated avg → (sum,count) rejoin; 5*q*n < sum ⟺ q < 0.2*avg;
+    // avg_yearly = floor-div of the non-negative cents sum by 7
+    "q196_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS ec,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#23')),
+        |pp AS (SELECT l_partkey AS pk,
+        |    CAST(sum(q) AS BIGINT) AS sq, count(*) AS nq
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(sum(ec), 0) AS BIGINT) AS total_cents,
+        |  CAST(COALESCE(sum(ec), 0) AS BIGINT) // 7 AS avg_yearly_cents
+        |FROM li JOIN pp ON pk = l_partkey
+        |WHERE q * 5 * nq < sq""".stripMargin,
+
+    // dominant supplier := shipped a strict majority of a red part's
+    // 1995 volume; AMERICA suppliers only
+    "q197_tpch_q20" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_name LIKE 'red %')),
+        |bs AS (SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM li GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey AS pk, CAST(sum(sq) AS BIGINT) AS tq
+        |  FROM bs GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM bs
+        |JOIN bp ON pk = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey AND r_name = 'AMERICA'
+        |WHERE sq * 2 > tq
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
   )
 }

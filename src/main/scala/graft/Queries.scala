@@ -4118,6 +4118,231 @@ object Queries {
       .orderBy("source", "doc_id")
   }
 
+  /** The fixture has no PARTSUPP table; the supply-relationship queries
+    * (Q2/Q11/Q16/Q20 shapes) run on a pseudo-partsupp DERIVED from
+    * lineitem: one row per observed (part, supplier) pair, supply cost
+    * = the minimum line price ever charged (exact cents), available
+    * quantity = total quantity ever shipped. One hash aggregate —
+    * partial map-side combine makes it one shuffle of |PS| rows, reused
+    * by all four queries. */
+  private def pseudoPartsupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("ec"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("ec")).as("ps_cost_cents"), sum(col("q")).as("ps_qty"))
+
+  /** TPC-H Q2 adaptation (minimum-cost supplier): for every size-15
+    * part, the EUROPE supplier(s) whose pseudo-partsupp cost equals the
+    * part's regional minimum — the correlated-scalar-min shape
+    * expressed as an aggregate + equi-rejoin on (part, cost), which is
+    * what Catalyst decorrelates the subquery to anyway. The
+    * nation→region dimension chain broadcasts; the min table joins the
+    * ps table on its own grouping key, so AQE keeps everything on the
+    * one ps shuffle. Ties (two suppliers at the min) are all kept, as
+    * in the spec. Exact cents; limit 100 under a TOTAL order. */
+  def q191TpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val ps = pseudoPartsupp(s, dir)
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"),
+      (col("s_acctbal").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("bal_cents"))
+    val nEur = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val p = t(s, dir, "part").filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val eurPs = ps
+      .join(broadcast(sup.join(broadcast(nEur),
+          col("s_nationkey") === col("n_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val minCost = eurPs.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("ps_cost_cents")).as("min_cost"))
+    eurPs.join(minCost, col("p_partkey") === col("mk") &&
+        col("ps_cost_cents") === col("min_cost"))
+      .select(col("bal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"))
+      .orderBy(col("bal_cents").desc, col("n_name").asc,
+        col("s_name").asc, col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q9 adaptation (product-type profit): profit per supplier
+    * nation per order year over 'gear' parts. No ps_supplycost in the
+    * fixture — cost is p_retailprice·quantity. All arithmetic in exact
+    * integer cent-percent units: ec·(100−d%) − rc·100·qty, so the sum
+    * is order-independent and engine-exact (a double Σ here would be
+    * neither). Dimension joins (part filter, supplier→nation)
+    * broadcast; the one big join is lineitem⋈orders on the order key. */
+  def q192TpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("rc"))
+    val supN = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("ec"),
+      (col("l_discount").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("dpct"),
+      col("l_quantity").cast("long").as("q"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("ec") * (lit(100L) - col("dpct")) -
+        col("rc") * lit(100L) * col("q")).as("profit_u"))
+      .orderBy(col("n_name").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q11 adaptation (important stock): per-part inventory value
+    * (Σ cost·qty over pseudo-partsupp rows) held by NATION_3's
+    * suppliers, keeping parts worth more than 0.1% of the nation's
+    * total. The threshold compare cross-multiplies in DECIMAL(38,0) —
+    * value·1000 vs total — because at 100 TB the long product would
+    * overflow; the emitted value itself stays a BIGINT. The total is a
+    * 1-row broadcast, the HAVING a map-side filter on the grouped
+    * output — one shuffle end to end. */
+  def q193TpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val ps = pseudoPartsupp(s, dir)
+    val sup3 = t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"))
+    val value = ps.join(broadcast(sup3), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_qty")).as("value_u"))
+    val total = value.agg(sum(col("value_u")).as("total_u"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_u").cast(DecimalType(38, 0)) * lit(1000) >
+        col("total_u").cast(DecimalType(38, 0)))
+      .select(col("l_partkey").as("p_partkey"), col("value_u"))
+      .orderBy(col("value_u").desc, col("p_partkey").asc)
+  }
+
+  /** TPC-H Q12 adaptation (shipping-mode priority): the fixture has no
+    * l_shipmode/commitdate/receiptdate, so the "mode" is l_returnflag
+    * and "late" is shipped >60 days after the order date (exact epoch
+    * micros, the q167/q168 convention). The CASE-pivot aggregation —
+    * urgent orders vs the rest counted in one pass — is the shape the
+    * spec exercises; one join, one hash aggregate over 3 groups. */
+  def q194TpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) -
+        unix_micros(col("o_orderdate").cast("timestamp")) > 5184000000000L)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16 adaptation (parts/supplier relationship): distinct
+    * suppliers per (brand, type, size) over mid-size non-PROMO parts,
+    * excluding negative-balance suppliers (the fixture's stand-in for
+    * the spec's complaint-comment scan) via an anti join that Catalyst
+    * plans as a broadcast left-anti — the NOT IN shape without its
+    * NULL trap (s_suppkey is never null here; q159 covers the trap).
+    * count(DISTINCT) expands to the standard two-phase partial
+    * aggregate, no single-point distinct. */
+  def q195TpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val ps = pseudoPartsupp(s, dir).select(col("l_partkey"), col("l_suppkey"))
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps.join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").cast("long").asc)
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"), col("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 adaptation (small-quantity-order revenue): revenue lost
+    * to sub-20%-of-average-quantity orders of Brand#23 parts. The
+    * correlated scalar avg becomes a per-part (sum, count) aggregate
+    * broadcast back onto the lineitems; the fractional compare
+    * cross-multiplies (5·qty·n < Σqty ⟺ qty < 0.2·avg) so no double
+    * division exists on the filter path. avg_yearly is the one derived
+    * value: integer floor-division of exact cents by 7 — identical in
+    * both engines on the non-negative sum. */
+  def q196TpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p23 = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(p23), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("ec"),
+        col("l_quantity").cast("long").as("q"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("nq"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("q") * lit(5L) * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("ec")), lit(0L)).as("total_cents"))
+      .select(col("n_lines"), col("total_cents"),
+        expr("total_cents div 7").as("avg_yearly_cents"))
+  }
+
+  /** TPC-H Q20 adaptation (potential part promotion): AMERICA suppliers
+    * who shipped a MAJORITY of some 'red' part's 1995 volume — the
+    * spec's nested semi-join chain (supplier ⋉ partsupp ⋉ part, gated
+    * by a correlated lineitem sum) with the availability predicate
+    * recast as 2·supplier_qty > part_total. The per-(part,supp) and
+    * per-part aggregates share one shuffle (the second groups the
+    * first); part filter and the dimension chain broadcast; the final
+    * count-per-supplier is |S|-sized. */
+  def q197TpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val red = t(s, dir, "part").filter(col("p_name").like("red %"))
+      .select(col("p_partkey"))
+    val li95 = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+    val bySupp = li95.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("sq"))
+    val byPart = bySupp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("sq")).as("tq"))
+    val dominant = bySupp.join(byPart, col("l_partkey") === col("pk"))
+      .filter(col("sq") * lit(2L) > col("tq"))
+    val supAm = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    dominant.join(broadcast(supAm), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("s_name"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4312,5 +4537,12 @@ object Queries {
     "q188_interpolate" -> (q188Interpolate _),
     "q189_typo_match" -> (q189TypoMatch _),
     "q190_quantile_norm" -> (q190QuantileNorm _),
+    "q191_tpch_q2" -> (q191TpchQ2 _),
+    "q192_tpch_q9" -> (q192TpchQ9 _),
+    "q193_tpch_q11" -> (q193TpchQ11 _),
+    "q194_tpch_q12" -> (q194TpchQ12 _),
+    "q195_tpch_q16" -> (q195TpchQ16 _),
+    "q196_tpch_q17" -> (q196TpchQ17 _),
+    "q197_tpch_q20" -> (q197TpchQ20 _),
   )
 }

@@ -404,4 +404,36 @@ class PlanSpec extends SparkSpec {
       .codegenString(df.queryExecution.executedPlan)
     assert(codegen.contains("DamerauLevenshtein.compute"), codegen.take(2000))
   }
+
+  test("q191: the Q2 min-cost rejoin stays an equi-join (no nested " +
+    "loop) and the supplier/nation/region dimension chain broadcasts") {
+    val p = plan("q191_tpch_q2")
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q192: Q9 profit aggregation is map-side partial; part filter " +
+    "and both dimension joins broadcast ahead of the fact join") {
+    val p = plan("q192_tpch_q9")
+    assert(p.contains("partial_sum"), p)
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+  }
+
+  test("q195: Q16 complaint-supplier exclusion is a broadcast anti " +
+    "join; count(DISTINCT) expands to the two-phase partial aggregate") {
+    val p = plan("q195_tpch_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count(distinct"), p)
+  }
+
+  test("q197: Q20's per-supplier and per-part aggregates share one " +
+    "shuffle (the second groups the first's key prefix) and the " +
+    "dominance join is equi, never a nested loop") {
+    val p = plan("q197_tpch_q20")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
