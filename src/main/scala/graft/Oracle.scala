@@ -3181,5 +3181,83 @@ object Oracle {
         |WHERE sq * 2 > tq
         |GROUP BY s_name
         |ORDER BY s_name""".stripMargin,
+
+    // q63's portable md5 split × q65's shingle machinery turned
+    // inward: per eval split, how much 3-gram content leaks from train
+    "q198_split_leakage" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS tk,
+         |    CASE WHEN ${md5Long("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |        THEN 'train'
+         |      WHEN ${md5Long("CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |        THEN 'valid'
+         |      ELSE 'test' END AS split
+         |  FROM documents),
+         |s AS (SELECT doc_id, split, list_distinct(
+         |    list_transform(${shingles("tk", 3)}, x -> ${md5Long("x")}))
+         |    AS hs
+         |  FROM d),
+         |e AS (SELECT doc_id, split, unnest(hs) AS sh FROM s),
+         |tr AS (SELECT DISTINCT sh FROM e WHERE split = 'train'),
+         |ev AS (SELECT doc_id, split, sh FROM e WHERE split <> 'train'),
+         |per AS (SELECT doc_id, split, count(*) AS n_sh
+         |  FROM ev GROUP BY 1, 2),
+         |sha AS (SELECT ev.doc_id, count(*) AS n_sh_shared
+         |  FROM ev JOIN tr USING (sh) GROUP BY 1)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN COALESCE(n_sh_shared, 0) * 2 >= n_sh
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(sum(COALESCE(n_sh_shared, 0)) AS BIGINT) AS n_shared
+         |FROM per LEFT JOIN sha USING (doc_id)
+         |GROUP BY split ORDER BY split""".stripMargin,
+
+    // q37's exact scorer with the label inequality in the join
+    "q199_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+         |  FROM e WHERE vec_id < 8),
+         |scored AS (SELECT query_id, q_label,
+         |  e.vec_id AS neighbor_id, e.label AS n_label,
+         |  list_dot_product(qv, v) /
+         |    (sqrt(list_dot_product(qv, qv)) *
+         |     sqrt(list_dot_product(v, v))) AS cos
+         |  FROM q, e
+         |  WHERE query_id <> e.vec_id AND q_label <> e.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(q_label AS BIGINT) AS q_label,
+         |  neighbor_id, CAST(n_label AS BIGINT) AS n_label,
+         |  ${f6("cos")} AS cos, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // 10-NN majority vote per vector, ties toward the smaller label
+    "q200_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id, a.label,
+         |  b.vec_id AS nid, b.label AS nlabel,
+         |  list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         |knn AS (SELECT * FROM (SELECT vec_id, label, nlabel,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nid ASC) AS rank
+         |  FROM scored) WHERE rank <= 10),
+         |votes AS (SELECT vec_id, label, nlabel, count(*) AS votes
+         |  FROM knn GROUP BY 1, 2, 3),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY votes DESC, nlabel ASC) AS vr
+         |  FROM votes)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(nlabel AS BIGINT) AS maj_label,
+         |  CAST(votes AS BIGINT) AS n_maj,
+         |  nlabel <> label AS flagged
+         |FROM top WHERE vr = 1
+         |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -4343,6 +4343,102 @@ object Queries {
       .orderBy(col("s_name"))
   }
 
+  /** Train/eval split-leakage audit — the contamination check a
+    * training pipeline runs BEFORE the split ships: documents get
+    * splits from the q63 portable hash (md5 of doc_id, reproducible in
+    * any engine), and each valid/test document is scored by how many of
+    * its distinct 3-gram shingles also occur ANYWHERE in train (the q65
+    * decontamination machinery turned inward on the corpus's own
+    * split). A doc with ≥50% shared shingles is flagged — the compare
+    * cross-multiplies, no division. The train shingle set rides a
+    * broadcast semi-join, so the eval side never shuffles; per-split
+    * roll-up is 2 rows out. */
+  def q198SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(graft.functions.Hashing.md5Long(
+      col("doc_id").cast("string")), lit(100))
+    val sh = t(s, dir, "documents")
+      .withColumn("split", when(h < 90, lit("train"))
+        .when(h < 95, lit("valid")).otherwise(lit("test")))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(
+          Dedup.shingleHashes(col("text"), 3, mod = false))).as("sh"))
+    val trainSh = broadcast(
+      sh.filter(col("split") === "train").select("sh").distinct())
+    val ev = sh.filter(col("split") =!= "train")
+    val per = ev.groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_sh"))
+    val shared = ev.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh_shared"))
+    per.join(shared, Seq("doc_id"), "left_outer")
+      .withColumn("shr", coalesce(col("n_sh_shared"), lit(0L)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shr") * 2 >= col("n_sh"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("shr")).as("n_shared"))
+      .orderBy("split")
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor vector,
+    * the top-5 most-similar vectors with a DIFFERENT label — the
+    * near-miss examples a retrieval model trains against. The label
+    * inequality rides the broadcast-join condition, so wrong-label
+    * filtering happens before any score is computed. Brute-force over
+    * a broadcast anchor set is the exact baseline (anchors are
+    * model-sized); at corpus×corpus scale the candidate stream comes
+    * from q38's LSH buckets instead, same downstream ranking. */
+  def q199HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qvec")))
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("embedding"))
+      .join(q, col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("cos", Similarity.cosine(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+        f6(col("cos")).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Label-noise audit via k-NN majority vote: a vector whose 10
+    * nearest neighbors mostly carry a DIFFERENT label is a likely
+    * mislabel — the standard pre-training label-quality sweep. Votes
+    * tie-break toward the smaller label (the q86 max(struct) argmax, so
+    * the verdict is deterministic); brute-force scoring against the
+    * broadcast corpus is exact at fixture scale, and the 100 TB path
+    * swaps in LSH candidates (q38) without touching the vote logic. */
+  def q200LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = broadcast(emb.select(col("vec_id").as("nid"),
+      col("label").as("nlabel"), col("embedding").as("nvec")))
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .join(corpus, col("vec_id") =!= col("nid"))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("nvec")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    knn.groupBy(col("vec_id"), col("label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("votes"), (-col("nlabel")).as("neg"),
+        col("nlabel"))).as("m"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("m.nlabel").cast("long").as("maj_label"),
+        col("m.votes").as("n_maj"),
+        (col("m.nlabel") =!= col("label")).as("flagged"))
+      .orderBy("vec_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4544,5 +4640,8 @@ object Queries {
     "q195_tpch_q16" -> (q195TpchQ16 _),
     "q196_tpch_q17" -> (q196TpchQ17 _),
     "q197_tpch_q20" -> (q197TpchQ20 _),
+    "q198_split_leakage" -> (q198SplitLeakage _),
+    "q199_hard_negatives" -> (q199HardNegatives _),
+    "q200_label_noise" -> (q200LabelNoise _),
   )
 }

@@ -428,6 +428,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count(distinct"), p)
   }
 
+  test("q198: the train shingle set broadcasts onto the eval stream " +
+    "(no shuffle of the probe side before the contamination join)") {
+    val p = plan("q198_split_leakage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q199/q200: the anchor/corpus side broadcasts; ranking is a " +
+    "keyed window, never a global sort of the scored stream") {
+    val p199 = plan("q199_hard_negatives")
+    assert(p199.contains("BroadcastNestedLoopJoin") ||
+      p199.contains("BroadcastHashJoin"), p199)
+    val p200 = plan("q200_label_noise")
+    assert(!p200.contains("Exchange SinglePartition, " +
+      "ENSURE_REQUIREMENTS"), p200)
+  }
+
   test("q197: Q20's per-supplier and per-part aggregates share one " +
     "shuffle (the second groups the first's key prefix) and the " +
     "dominance join is equi, never a nested loop") {
