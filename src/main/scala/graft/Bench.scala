@@ -99,11 +99,27 @@ object Bench {
         s""","sf":${jstr(sfDir.split('/').last)},"runs":$runs,"errors":$errJson"""
       s"""{"metric":"total","value":$tv,"unit":"sec","queries":$cq,"n_ok":${timings.size}$tail}"""
     }
-    // three tiers: 2-decimal, 1-decimal, then 1-decimal with the
-    // minimal envelope — keeps the line under the window as the
-    // registry grows past ~180 queries
+    // four tiers: 2-decimal, 1-decimal, 1-decimal with the minimal
+    // envelope, and finally a slowest-first truncated map with an
+    // explicit "omitted" count — past ~185 queries no full per-query
+    // map fits 2000 chars at 0.1s resolution, so the last tier keeps
+    // the line PARSEABLE (total/n_ok always cover every query; the
+    // full map lives in BENCH_LAST.json and the full-name line above).
+    def compactTop(budget: Int): String = {
+      val entries = timings.toSeq.sortBy(-_._2).map { case (k, v) =>
+        val sv = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.stripTrailingZeros.toPlainString
+        s"${jstr(k.takeWhile(_ != '_'))}:$sv"
+      }
+      val tv = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      def line(kept: Seq[String]): String =
+        s"""{"metric":"total","value":$tv,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_ok":${timings.size},"omitted":${entries.size - kept.size}}"""
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (e <- entries if line(kept.toSeq :+ e).length <= budget) kept += e
+      line(kept.toSeq)
+    }
     val short = Seq(compact(2), compact(1), compact(1, minimal = true))
-      .find(_.length <= 1950).getOrElse(compact(1, minimal = true))
+      .find(_.length <= 1950).getOrElse(compactTop(1950))
     println(short)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
