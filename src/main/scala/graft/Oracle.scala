@@ -3259,5 +3259,35 @@ object Oracle {
          |  nlabel <> label AS flagged
          |FROM top WHERE vr = 1
          |ORDER BY vec_id""".stripMargin,
+
+    // q63's portable hash gating per-source acceptance rates derived
+    // in exact int64 floor arithmetic (// everywhere, no doubles)
+    "q201_mixture_resample" ->
+      s"""WITH cnt AS (SELECT source, count(*) AS n_before,
+         |    CAST(substr(source, 4, 10) AS BIGINT) + 1 AS tgt_num
+         |  FROM documents GROUP BY source),
+         |c2 AS (SELECT *, tgt_num * 1000000000000 // n_before AS r
+         |  FROM cnt),
+         |norm AS (SELECT max(r) AS rmax,
+         |    CAST(sum(tgt_num) AS BIGINT) AS tgt_den FROM c2),
+         |dim AS (SELECT source, n_before,
+         |    r * 1000000 // rmax AS accept_ppm,
+         |    tgt_num * 1000000 // tgt_den AS target_ppm
+         |  FROM c2, norm),
+         |kept AS (SELECT d.source, count(*) AS n_after
+         |  FROM documents d JOIN dim USING (source)
+         |  WHERE ${md5Long("'res:' || CAST(doc_id AS VARCHAR)")}
+         |      % 1000000 < accept_ppm
+         |  GROUP BY d.source),
+         |j AS (SELECT dim.source, n_before, target_ppm, accept_ppm,
+         |    COALESCE(n_after, 0) AS n_after
+         |  FROM dim LEFT JOIN kept ON dim.source = kept.source),
+         |tot AS (SELECT CAST(sum(n_after) AS BIGINT) AS total_after
+         |  FROM j)
+         |SELECT source, n_before, target_ppm, accept_ppm,
+         |  CAST(n_after AS BIGINT) AS n_after,
+         |  CAST(n_after * 1000000 // total_after AS BIGINT)
+         |    AS achieved_ppm
+         |FROM j, tot ORDER BY source""".stripMargin,
   )
 }

@@ -4439,6 +4439,48 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Mixture rebalancing by importance resampling: given a target
+    * domain mixture (weight ∝ source index + 1 — a stand-in for the
+    * tuned weights a DoReMi-style optimization produces), each source's
+    * acceptance rate is the exact-integer ratio of target share to
+    * observed share, normalized so the most-underweighted source keeps
+    * 100%; docs then pass a q63-style portable md5 hash gate, so the
+    * downsample is reproducible in any engine, any run, any partition
+    * layout. Report: per-source before/after counts, the target and
+    * achieved mixture in ppm. Two scans at scale: the first collapses
+    * to a sources-sized count aggregate (model-sized, broadcast back),
+    * the second is a map-only hash filter — no doc-side shuffle at
+    * all; every rate is int64 floor arithmetic (DIV, never /), so the
+    * report hash-matches bit-for-bit. */
+  def q201MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cnt = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"))
+      .withColumn("tgt_num",
+        substring(col("source"), 4, 10).cast("long") + 1)
+      .withColumn("r", expr("tgt_num * 1000000000000 DIV n_before"))
+    val norm = cnt.agg(max(col("r")).as("rmax"),
+      sum(col("tgt_num")).as("tgt_den"))
+    val dim = cnt.crossJoin(broadcast(norm))
+      .withColumn("accept_ppm", expr("r * 1000000 DIV rmax"))
+      .withColumn("target_ppm", expr("tgt_num * 1000000 DIV tgt_den"))
+      .select("source", "n_before", "accept_ppm", "target_ppm")
+    val kept = docs
+      .join(broadcast(dim.select("source", "accept_ppm")), Seq("source"))
+      .filter(pmod(graft.functions.Hashing.md5Long(
+          concat(lit("res:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("accept_ppm"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+    val j = dim.join(broadcast(kept), Seq("source"), "left_outer")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+    val tot = j.agg(sum(col("n_after")).as("total_after"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("achieved_ppm", expr("n_after * 1000000 DIV total_after"))
+      .select(col("source"), col("n_before"), col("target_ppm"),
+        col("accept_ppm"), col("n_after"), col("achieved_ppm"))
+      .orderBy("source")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4643,5 +4685,6 @@ object Queries {
     "q198_split_leakage" -> (q198SplitLeakage _),
     "q199_hard_negatives" -> (q199HardNegatives _),
     "q200_label_noise" -> (q200LabelNoise _),
+    "q201_mixture_resample" -> (q201MixtureResample _),
   )
 }

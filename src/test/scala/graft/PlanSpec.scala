@@ -445,6 +445,14 @@ class PlanSpec extends SparkSpec {
       "ENSURE_REQUIREMENTS"), p200)
   }
 
+  test("q201: the rate dim broadcasts onto the doc scan (map-only " +
+    "hash filter — the corpus never shuffles) and the only sort is " +
+    "the 20-row report's") {
+    val p = plan("q201_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q197: Q20's per-supplier and per-part aggregates share one " +
     "shuffle (the second groups the first's key prefix) and the " +
     "dominance join is equi, never a nested loop") {
