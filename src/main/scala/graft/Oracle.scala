@@ -3289,5 +3289,18 @@ object Oracle {
          |  CAST(n_after * 1000000 // total_after AS BIGINT)
          |    AS achieved_ppm
          |FROM j, tot ORDER BY source""".stripMargin,
+
+    // per-source P10 on an exact-int lexical-diversity score;
+    // quantile_disc on BIGINT is BIGINT (the q71 typing rule)
+    "q202_domain_quality_gate" ->
+      s"""WITH scored AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct($toks)) AS BIGINT) * 1000000
+         |      // CAST(len($toks) AS BIGINT) AS score
+         |  FROM documents),
+         |thr AS (SELECT source, quantile_disc(score, 0.10) AS p10
+         |  FROM scored GROUP BY source)
+         |SELECT doc_id, source, score, p10, score >= p10 AS kept
+         |FROM scored JOIN thr USING (source)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

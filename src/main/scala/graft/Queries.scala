@@ -4481,6 +4481,35 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Per-domain quality gate at a relative percentile — the C4/Gopher
+    * filtering shape: a quality cut tuned globally over-prunes whole
+    * domains whose score distribution sits low, so the threshold is
+    * PER SOURCE (drop each domain's own worst decile). Score = lexical
+    * diversity (distinct tokens per million tokens, exact int64 DIV —
+    * repetitive boilerplate scores low); threshold = the source's P10
+    * via percentile_disc (a set member, so both engines agree on the
+    * exact long). Scale: score is a map-only projection; the
+    * per-source discrete percentile is the one sort-heavy aggregate
+    * (at 100 TB swap in approx_percentile under q83's rank-error
+    * contract); thresholds broadcast back, the keep test is map-only.
+    * Emits every doc with its verdict so both sides of the gate are
+    * auditable. */
+  def q202DomainQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val toksC = split(trim(lower(col("text"))), "\\s+")
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(array_distinct(toksC)).cast("long").as("n_distinct"),
+        size(toksC).cast("long").as("n_tok"))
+      .withColumn("score", expr("n_distinct * 1000000 DIV n_tok"))
+    val thr = scored.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.10) WITHIN GROUP (ORDER BY score)")
+        .cast("long").as("p10"))
+    scored.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"), col("p10"),
+        (col("score") >= col("p10")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4686,5 +4715,6 @@ object Queries {
     "q199_hard_negatives" -> (q199HardNegatives _),
     "q200_label_noise" -> (q200LabelNoise _),
     "q201_mixture_resample" -> (q201MixtureResample _),
+    "q202_domain_quality_gate" -> (q202DomainQualityGate _),
   )
 }
