@@ -136,4 +136,62 @@ class PropertiesSpec extends SparkSpec {
     }.toMap
     assert(merged === expected)
   }
+
+  test("sorted_intersect_count == Set.intersect for arbitrary long " +
+    "sets (dense value range forces real collisions)") {
+    val gSet = Gen.listOf(Gen.choose(-50L, 50L))
+    val pairs = sample(Gen.zip(gSet, gSet), 300, 11L) :+
+      (Nil, Nil) :+ (List(1L), Nil) // empty-side edges
+    val rows = pairs.map { case (a, b) =>
+      (a.distinct.sorted, b.distinct.sorted,
+        a.toSet.intersect(b.toSet).size.toLong) }
+    val df = rows.toDF("a", "b", "want").select(
+      org.apache.spark.sql.GraftSql.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.GraftSql.expression(col("a")),
+          org.apache.spark.sql.GraftSql.expression(col("b"))))
+        .as("got"),
+      col("want"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+  }
+
+  test("damerau_levenshtein == independent Lowrance-Wagner DP on " +
+    "arbitrary small-alphabet strings (adjacent transpositions over " +
+    "edited prefixes included)") {
+    // true (unrestricted) DL reference — alphabet-indexed DP, written
+    // from the recurrence, sharing nothing with the expression kernel
+    def dlRef(a: String, b: String): Int = {
+      val maxd = a.length + b.length
+      val da = scala.collection.mutable.Map.empty[Char, Int]
+        .withDefaultValue(0)
+      val d = Array.ofDim[Int](a.length + 2, b.length + 2)
+      d(0)(0) = maxd
+      for (i <- 0 to a.length) { d(i + 1)(0) = maxd; d(i + 1)(1) = i }
+      for (j <- 0 to b.length) { d(0)(j + 1) = maxd; d(1)(j + 1) = j }
+      for (i <- 1 to a.length) {
+        var db = 0
+        for (j <- 1 to b.length) {
+          val k = da(b(j - 1)); val l = db
+          val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+          d(i + 1)(j + 1) = Seq(
+            d(i)(j) + cost,
+            d(i + 1)(j) + 1,
+            d(i)(j + 1) + 1,
+            d(k)(l) + (i - 1 - k) + 1 + (j - 1 - l)).min
+        }
+        da(a(i - 1)) = i
+      }
+      d(a.length + 1)(b.length + 1)
+    }
+    // 4-letter alphabet, length <= 12: transposition-rich, O(nm) cheap
+    val gStr = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val pairs = sample(Gen.zip(gStr, gStr), 400, 23L) :+
+      ("", "") :+ ("abcd", "") :+ ("ca", "abc")
+    graft.functions.GraftFunctions.register(spark)
+    val df = pairs.map { case (a, b) => (a, b, dlRef(a, b)) }
+      .toDF("a", "b", "want")
+      .selectExpr("graft_damerau(a, b) AS got", "want")
+    df.collect().foreach(r => assert(r.getInt(0) === r.getInt(1), r))
+  }
 }
