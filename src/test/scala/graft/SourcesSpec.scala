@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.config.SystemConn
-import graft.sources.{BinaryDirSource, CsvSource, JdbcPartitioning, JdbcSource, JdbcUrl}
+import graft.sources.{BinaryDirSource, CsvSource, JdbcPartitioning, JdbcSource, JdbcUrl, XmlSource}
 
 /** Source layer: dialect URL builders (S2), CSV dictionary scan (S4),
   * JDBC reader option wiring (S1/X5 — asserted on the plan, no DBMS in
@@ -62,6 +62,27 @@ class SourcesSpec extends SparkSpec {
     assert(agg(0).getSeq[String](1) === Seq("c1", "c2"))
     assert(agg(0).getString(2) === "SYSMODTIME")
     assert(agg(1).isNullAt(2))
+  }
+
+  test("XmlSource round-trips rows through the native XML datasource, " +
+    "inferred and explicit-schema (no inference pass) variants") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+      .toString + "/t"
+    val in = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, "<&>", 0.0))
+      .toDF("id", "name", "score")
+    in.write.format("xml").option("rowTag", "row").save(dir)
+    val inferred = XmlSource(dir, rowTag = "row").read(spark)
+      .select("id", "name", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(inferred === Set((1L, "a", 1.5), (2L, "b", -0.25),
+      (3L, "<&>", 0.0))) // XML-escaped chars survive the round trip
+    val explicit = XmlSource(dir, rowTag = "row",
+      schemaDdl = Some("id BIGINT, name STRING, score DOUBLE"))
+      .read(spark)
+    assert(explicit.schema.map(_.name) === Seq("id", "name", "score"))
+    assert(explicit.count() === 3L)
   }
 
   test("Tables cache freezes the file listing until invalidate") {
