@@ -3302,5 +3302,28 @@ object Oracle {
          |SELECT doc_id, source, score, p10, score >= p10 AS kept
          |FROM scored JOIN thr USING (source)
          |ORDER BY doc_id""".stripMargin,
+
+    // DATE - DATE is INTEGER days in DuckDB (Spark side: datediff)
+    "q203_growth_accounting" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |h AS (SELECT max(d) AS max_d FROM act),
+        |m AS (SELECT user_id, d,
+        |    lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+        |    lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d,
+        |    min(d) OVER (PARTITION BY user_id) AS first_d
+        |  FROM act)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN d <> first_d AND d - prev_d = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN d <> first_d AND d - prev_d > 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN d < max_d AND
+        |      (next_d IS NULL OR next_d - d > 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_out,
+        |  count(*) AS n_active
+        |FROM m, h GROUP BY d ORDER BY day""".stripMargin,
   )
 }

@@ -4510,6 +4510,50 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Growth accounting — the canonical DAU decomposition every
+    * analytics stack ships: each active user-day is classified NEW
+    * (first day ever), RETAINED (also active the previous day), or
+    * RESURRECTED (returning after a gap), and CHURNED_OUT counts users
+    * whose next activity skips tomorrow (right-censored at the
+    * observed horizon, so the last day never reports unknowable
+    * churn). One distinct-collapse of the event stream, then per-user
+    * lag/lead windows and min — every term an exact integer; the
+    * horizon is a 1-row broadcast scalar. Scale: the distinct and the
+    * windows both shuffle on user_id ONCE (same key, one exchange
+    * reused), the report aggregate is days-sized. */
+  def q203GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val horizon = act.agg(max(col("d")).as("max_d"))
+    val marked = act
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .withColumn("next_d", lead(col("d"), 1).over(w))
+      .withColumn("first_d", min(col("d")).over(wAll))
+      .crossJoin(broadcast(horizon))
+    marked.groupBy(col("d"))
+      .agg(
+        sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("d") =!= col("first_d") &&
+          datediff(col("d"), col("prev_d")) === 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("d") =!= col("first_d") &&
+          datediff(col("d"), col("prev_d")) > 1, 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("d") < col("max_d") &&
+          (col("next_d").isNull ||
+            datediff(col("next_d"), col("d")) > 1), 1L).otherwise(0L))
+          .as("n_churned_out"),
+        count(lit(1)).as("n_active"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_churned_out"), col("n_active"))
+      .orderBy("day")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4716,5 +4760,6 @@ object Queries {
     "q200_label_noise" -> (q200LabelNoise _),
     "q201_mixture_resample" -> (q201MixtureResample _),
     "q202_domain_quality_gate" -> (q202DomainQualityGate _),
+    "q203_growth_accounting" -> (q203GrowthAccounting _),
   )
 }
