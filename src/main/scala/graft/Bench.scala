@@ -75,11 +75,18 @@ object Bench {
     // Full-precision, full-name line goes to the file (whole regardless
     // of log buffering) and to stdout FIRST for human log readers.
     println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.props.get("graftBenchOut")
-        .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-        .getOrElse("/root/repo/BENCH_LAST.json")), line + "\n")
-    catch { case _: Throwable => () }
+    // Subset runs (-DgraftBenchOnly) never touch the default artifact:
+    // BENCH_LAST.json is the committed full-registry record, and a
+    // 1-query iteration run silently clobbering it has happened. An
+    // explicit graftBenchOut still writes wherever it points.
+    val out = sys.props.get("graftBenchOut")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .orElse(if (only.isEmpty) Some("/root/repo/BENCH_LAST.json") else None)
+    out.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), line + "\n")
+      catch { case _: Throwable => () }
+    }
     // The driver's bench artifact keeps only the LAST 2000 characters of
     // stdout (BENCH_r01..r05 all have tail_len<=2000, parsed:null — the
     // 5 KB full line never fit, so every round's artifact clipped
