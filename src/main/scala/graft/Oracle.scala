@@ -3325,5 +3325,70 @@ object Oracle {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_out,
         |  count(*) AS n_active
         |FROM m, h GROUP BY d ORDER BY day""".stripMargin,
+
+    // BPE merge learning replayed whole: K rounds of (pair-count →
+    // argmax → greedy-leftmost merge) as chained CTEs over a
+    // (word,pos,sym) table. Greedy-leftmost = odd rank within each
+    // island of consecutive match positions (overlap chains only form
+    // when left==right). Mirrors Queries.q204BpeMerges exactly.
+    "q204_bpe_merges" -> {
+      val K = 8
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT a.sym AS lft, b.sym AS rgt,
+           |    CAST(sum(a.cnt) AS BIGINT) AS c
+           |  FROM seq${r - 1} a JOIN seq${r - 1} b
+           |    ON a.w = b.w AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |best$r AS (SELECT lft, rgt, c FROM p$r
+           |  ORDER BY c DESC, lft, rgt LIMIT 1),
+           |m$r AS (
+           |  SELECT a.w, a.pos,
+           |    a.pos - row_number() OVER (PARTITION BY a.w ORDER BY a.pos)
+           |      AS isl
+           |  FROM seq${r - 1} a JOIN seq${r - 1} b
+           |    ON a.w = b.w AND b.pos = a.pos + 1
+           |  CROSS JOIN best$r bb
+           |  WHERE a.sym = bb.lft AND b.sym = bb.rgt),
+           |k$r AS (
+           |  SELECT w, pos FROM (
+           |    SELECT w, pos,
+           |      row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+           |    FROM m$r) WHERE rn % 2 = 1),
+           |seq$r AS MATERIALIZED (
+           |  SELECT s.w, s.cnt,
+           |    CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos)
+           |      AS BIGINT) AS pos,
+           |    CASE WHEN k.pos IS NOT NULL THEN s.sym || bb.rgt
+           |         ELSE s.sym END AS sym
+           |  FROM seq${r - 1} s
+           |  CROSS JOIN best$r bb
+           |  LEFT JOIN k$r k ON s.w = k.w AND s.pos = k.pos
+           |  LEFT JOIN k$r k2 ON s.w = k2.w AND s.pos = k2.pos + 1
+           |  WHERE k2.pos IS NULL)""".stripMargin
+      val rounds = (1 to K).map(round).mkString(",\n")
+      val finals = (1 to K).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, lft AS left_sym,
+           |  rgt AS right_sym, lft || rgt AS merged, c AS pair_weight
+           |FROM best$r""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH wordsall AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wordsall
+         |  WHERE length(w) BETWEEN 3 AND 12
+         |  GROUP BY w ORDER BY cnt DESC, w LIMIT 200),
+         |expanded AS (
+         |  SELECT w, cnt, unnest(range(1, length(w) + 1)) AS pos
+         |  FROM words),
+         |seq0 AS MATERIALIZED (
+         |  SELECT w, cnt, CAST(pos AS BIGINT) AS pos,
+         |    substr(w, CAST(pos AS INTEGER), 1) AS sym
+         |  FROM expanded),
+         |$rounds
+         |SELECT * FROM (
+         |$finals
+         |) ORDER BY round""".stripMargin
+    },
   )
 }
