@@ -3390,5 +3390,62 @@ object Oracle {
          |$finals
          |) ORDER BY round""".stripMargin
     },
+
+    // exact-integer CUSUM: deviations scaled by the day count so no
+    // mean division happens; peak = integer max comparison
+    "q205_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |tot AS (SELECT count(*) AS nd, CAST(sum(cents) AS BIGINT) AS t
+        |  FROM daily),
+        |c AS (SELECT d, cents,
+        |    CAST(sum(nd * cents - t)
+        |      OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cusum
+        |  FROM daily, tot)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, cents, cusum,
+        |  abs(cusum) = max(abs(cusum)) OVER () AS is_change_point
+        |FROM c ORDER BY day""".stripMargin,
+
+    // isotonic fit via the exact max-min characterization over B=20
+    // integer bins; each range rate is ONE double division, min/max
+    // over doubles are order-independent
+    "q206_isotonic_calibration" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+         |binned AS (
+         |  SELECT (c - lo) * 20 // (hi - lo + 1) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |  FROM ev, bounds GROUP BY 1),
+         |pre AS (
+         |  SELECT bin, n, pos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS pn,
+         |    CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS pp
+         |  FROM binned),
+         |ranges AS (
+         |  SELECT l.bin AS i, h.bin AS k,
+         |    CAST(h.pp - l.pp + l.pos AS DOUBLE)
+         |      / CAST(h.pn - l.pn + l.n AS DOUBLE) AS rate
+         |  FROM pre l JOIN pre h ON l.bin <= h.bin),
+         |mn AS (
+         |  SELECT b.bin, r.i, min(r.rate) AS mnr
+         |  FROM binned b JOIN ranges r ON r.i <= b.bin AND b.bin <= r.k
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT bin, max(mnr) AS fitted_raw FROM mn GROUP BY 1)
+         |SELECT b.bin, b.n, b.pos,
+         |  ${f6("CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)")}
+         |    AS raw_rate,
+         |  ${f6("fitted_raw")} AS fitted_rate
+         |FROM binned b JOIN fit USING (bin)
+         |ORDER BY bin""".stripMargin,
   )
 }

@@ -4616,6 +4616,91 @@ object Queries {
       .orderBy("round")
   }
 
+  /** CUSUM change-point detection over the daily revenue series —
+    * the classic mean-shift detector: the cumulative sum of deviations
+    * from the global mean drifts when the level shifts, and the
+    * |CUSUM| peak marks the most likely change point. Entirely exact
+    * integer arithmetic: deviations are scaled by the day count
+    * (D·r_d − T instead of r_d − T/D) so no mean division ever
+    * happens; the peak test is an integer comparison against the
+    * global max. Scale: one hash-agg collapses the fact table to
+    * days, the single-partition cumulative window runs on the
+    * days-sized aggregate (bounded by calendar, not data), and the
+    * two scalars ride a broadcast. Long-range bound: D·T ≤ 366·Σcents
+    * stays far under 2^63 even at 100 TB revenue volumes. */
+  def q205CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("cents"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("cents")).as("t"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum",
+        sum(col("nd") * col("cents") - col("t")).over(w))
+    cusum
+      .withColumn("peak", max(abs(col("cusum"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("cents"), col("cusum"),
+        (abs(col("cusum")) === col("peak")).as("is_change_point"))
+      .orderBy("day")
+  }
+
+  /** Isotonic calibration curve — fit a monotone success-rate curve
+    * over integer score bins with the exact max-min characterization
+    * of the L2 isotonic (PAVA) solution: fitted_j = max_{i≤j}
+    * min_{k≥j} rate(i..k). Scores are quantized to cents and binned
+    * by exact integer arithmetic (no ntile — ties would make the fit
+    * order-dependent); per-bin counts and prefix sums are exact ints;
+    * each range rate is ONE double division, and min/max over doubles
+    * are order-independent, so the fit hashes identically across
+    * engines. Scale: the fact scan collapses to B=20 bins in one
+    * hash-agg; the O(B²)=210-range expansion and the max-min join run
+    * on the bin table — model-sized work, like the Lloyd step. */
+  def q206IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bounds = ev.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr(s"(c - lo) * $B DIV (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wp = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = binned
+      .withColumn("pn", sum(col("n")).over(wp))
+      .withColumn("pp", sum(col("pos")).over(wp))
+    // ranges(i,k): rate over bins i..k from prefix-sum differences
+    val lo = pre.select(col("bin").as("i"), col("pn").as("pni"),
+      col("pp").as("ppi"), col("n").as("ni"), col("pos").as("posi"))
+    val hi = pre.select(col("bin").as("k"), col("pn").as("pnk"),
+      col("pp").as("ppk"))
+    val ranges = lo.join(hi, col("i") <= col("k"))
+      .select(col("i"), col("k"),
+        ((col("ppk") - col("ppi") + col("posi")).cast("double") /
+          (col("pnk") - col("pni") + col("ni")).cast("double")).as("rate"))
+    val fit = binned.select(col("bin")).join(ranges,
+        col("i") <= col("bin") && col("bin") <= col("k"))
+      .groupBy(col("bin"), col("i"))
+      .agg(min(col("rate")).as("mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("mn")).as("fitted_raw"))
+    binned.join(fit, Seq("bin"))
+      .select(col("bin"), col("n"), col("pos"),
+        f6(col("pos").cast("double") / col("n").cast("double"))
+          .as("raw_rate"),
+        f6(col("fitted_raw")).as("fitted_rate"))
+      .orderBy("bin")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4824,5 +4909,7 @@ object Queries {
     "q202_domain_quality_gate" -> (q202DomainQualityGate _),
     "q203_growth_accounting" -> (q203GrowthAccounting _),
     "q204_bpe_merges" -> (q204BpeMerges _),
+    "q205_cusum_changepoint" -> (q205CusumChangepoint _),
+    "q206_isotonic_calibration" -> (q206IsotonicCalibration _),
   )
 }
