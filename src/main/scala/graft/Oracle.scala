@@ -49,6 +49,63 @@ object Oracle {
   /** floor-truncation to 6 dp (mirrors Queries.f6). */
   private def f6(c: String): String = s"floor(($c) * 1000000) / 1000000.0"
 
+  /** The BPE training CTE chain shared by q204 (merge list) and q207
+    * (encoder): word-frequency top-200, char-exploded seq0, then K
+    * rounds of pair-count → argmax(best$r) → greedy-leftmost merge
+    * (odd-rank-within-island over consecutive match positions — the
+    * only overlap chains form when left==right). Mirrors
+    * Queries.bpeLearnedMerges exactly. */
+  private def bpeCtes(k: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT a.sym AS lft, b.sym AS rgt,
+         |    CAST(sum(a.cnt) AS BIGINT) AS c
+         |  FROM seq${r - 1} a JOIN seq${r - 1} b
+         |    ON a.w = b.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |best$r AS (SELECT lft, rgt, c FROM p$r
+         |  ORDER BY c DESC, lft, rgt LIMIT 1),
+         |m$r AS (
+         |  SELECT a.w, a.pos,
+         |    a.pos - row_number() OVER (PARTITION BY a.w ORDER BY a.pos)
+         |      AS isl
+         |  FROM seq${r - 1} a JOIN seq${r - 1} b
+         |    ON a.w = b.w AND b.pos = a.pos + 1
+         |  CROSS JOIN best$r bb
+         |  WHERE a.sym = bb.lft AND b.sym = bb.rgt),
+         |k$r AS (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos,
+         |      row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+         |    FROM m$r) WHERE rn % 2 = 1),
+         |seq$r AS MATERIALIZED (
+         |  SELECT s.w, s.cnt,
+         |    CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos)
+         |      AS BIGINT) AS pos,
+         |    CASE WHEN k.pos IS NOT NULL THEN s.sym || bb.rgt
+         |         ELSE s.sym END AS sym
+         |  FROM seq${r - 1} s
+         |  CROSS JOIN best$r bb
+         |  LEFT JOIN k$r k ON s.w = k.w AND s.pos = k.pos
+         |  LEFT JOIN k$r k2 ON s.w = k2.w AND s.pos = k2.pos + 1
+         |  WHERE k2.pos IS NULL)""".stripMargin
+    s"""wordsall AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wordsall
+       |  WHERE length(w) BETWEEN 3 AND 12
+       |  GROUP BY w ORDER BY cnt DESC, w LIMIT 200),
+       |expanded AS (
+       |  SELECT w, cnt, unnest(range(1, length(w) + 1)) AS pos
+       |  FROM words),
+       |seq0 AS MATERIALIZED (
+       |  SELECT w, cnt, CAST(pos AS BIGINT) AS pos,
+       |    substr(w, CAST(pos AS INTEGER), 1) AS sym
+       |  FROM expanded),
+       |${(1 to k).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** Typed JSON integer extraction mirroring Spark's schema'd
     * `from_json("k BIGINT")`: only bare JSON integers parse; a
     * string-encoded number ('k':"12"), a double, or a non-numeric
@@ -3333,63 +3390,67 @@ object Oracle {
     // when left==right). Mirrors Queries.q204BpeMerges exactly.
     "q204_bpe_merges" -> {
       val K = 8
-      def round(r: Int): String =
-        s"""p$r AS (
-           |  SELECT a.sym AS lft, b.sym AS rgt,
-           |    CAST(sum(a.cnt) AS BIGINT) AS c
-           |  FROM seq${r - 1} a JOIN seq${r - 1} b
-           |    ON a.w = b.w AND b.pos = a.pos + 1
-           |  GROUP BY 1, 2),
-           |best$r AS (SELECT lft, rgt, c FROM p$r
-           |  ORDER BY c DESC, lft, rgt LIMIT 1),
-           |m$r AS (
-           |  SELECT a.w, a.pos,
-           |    a.pos - row_number() OVER (PARTITION BY a.w ORDER BY a.pos)
-           |      AS isl
-           |  FROM seq${r - 1} a JOIN seq${r - 1} b
-           |    ON a.w = b.w AND b.pos = a.pos + 1
-           |  CROSS JOIN best$r bb
-           |  WHERE a.sym = bb.lft AND b.sym = bb.rgt),
-           |k$r AS (
-           |  SELECT w, pos FROM (
-           |    SELECT w, pos,
-           |      row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
-           |    FROM m$r) WHERE rn % 2 = 1),
-           |seq$r AS MATERIALIZED (
-           |  SELECT s.w, s.cnt,
-           |    CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos)
-           |      AS BIGINT) AS pos,
-           |    CASE WHEN k.pos IS NOT NULL THEN s.sym || bb.rgt
-           |         ELSE s.sym END AS sym
-           |  FROM seq${r - 1} s
-           |  CROSS JOIN best$r bb
-           |  LEFT JOIN k$r k ON s.w = k.w AND s.pos = k.pos
-           |  LEFT JOIN k$r k2 ON s.w = k2.w AND s.pos = k2.pos + 1
-           |  WHERE k2.pos IS NULL)""".stripMargin
-      val rounds = (1 to K).map(round).mkString(",\n")
-      val finals = (1 to K).map(r =>
+      s"""WITH ${bpeCtes(K)}
+         |SELECT * FROM (
+         |${(1 to K).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS round, lft AS left_sym,
            |  rgt AS right_sym, lft || rgt AS merged, c AS pair_weight
-           |FROM best$r""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH wordsall AS (
-         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |  FROM documents),
-         |words AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wordsall
-         |  WHERE length(w) BETWEEN 3 AND 12
-         |  GROUP BY w ORDER BY cnt DESC, w LIMIT 200),
-         |expanded AS (
-         |  SELECT w, cnt, unnest(range(1, length(w) + 1)) AS pos
-         |  FROM words),
-         |seq0 AS MATERIALIZED (
-         |  SELECT w, cnt, CAST(pos AS BIGINT) AS pos,
-         |    substr(w, CAST(pos AS INTEGER), 1) AS sym
-         |  FROM expanded),
-         |$rounds
-         |SELECT * FROM (
-         |$finals
+           |FROM best$r""".stripMargin).mkString("\nUNION ALL\n")}
          |) ORDER BY round""".stripMargin
     },
+
+    // the apply half: q204's learned merges replayed as K nested
+    // left-to-right replace() calls over a marker-prefixed symbol
+    // encoding, on the FULL (unlimited) 3..12-letter vocabulary
+    "q207_bpe_encode" -> {
+      val K = 8
+      val inner = (1 to K).foldLeft(
+        """regexp_replace(w, '(.)', '@\1', 'g')""") { (acc, r) =>
+        s"""replace($acc,
+           |  (SELECT '@' || lft || '@' || rgt FROM best$r),
+           |  (SELECT '@' || lft || rgt FROM best$r))""".stripMargin
+      }
+      s"""WITH ${bpeCtes(K)},
+         |allw AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wordsall
+         |  WHERE length(w) BETWEEN 3 AND 12 GROUP BY w),
+         |repr AS (SELECT cnt, $inner AS r FROM allw),
+         |tk AS (SELECT unnest(string_split(r, '@')) AS token, cnt
+         |  FROM repr)
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS weight FROM tk
+         |WHERE token <> ''
+         |GROUP BY token ORDER BY weight DESC, token LIMIT 30""".stripMargin
+    },
+
+    // lift = P(ab)/(P(a)P(b)) over adjacent word pairs; exact integer
+    // counts, ONE double expression at the end (the integer cross
+    // product would overflow 2^63 at corpus scale)
+    "q208_collocation_lift" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+         |  FROM documents),
+         |unic AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+         |nwt AS (SELECT CAST(sum(n) AS BIGINT) AS nw FROM unic),
+         |bic AS (
+         |  SELECT wa, wb, count(*) AS nab FROM (
+         |    SELECT ts[i] AS wa, ts[i + 1] AS wb
+         |    FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+         |          FROM toks WHERE len(ts) >= 2))
+         |  GROUP BY 1, 2),
+         |nbt AS (SELECT CAST(sum(nab) AS BIGINT) AS nb FROM bic)
+         |SELECT bic.wa, bic.wb, bic.nab, ua.n AS na, ub.n AS nb_uni,
+         |  ${f6("""CAST(bic.nab AS DOUBLE) * CAST(nwt.nw AS DOUBLE)
+           |    * CAST(nwt.nw AS DOUBLE)
+           |    / (CAST(nbt.nb AS DOUBLE) * CAST(ua.n AS DOUBLE)
+           |       * CAST(ub.n AS DOUBLE))""".stripMargin)} AS lift
+         |FROM bic
+         |JOIN unic ua ON bic.wa = ua.w
+         |JOIN unic ub ON bic.wb = ub.w
+         |CROSS JOIN nwt CROSS JOIN nbt
+         |WHERE bic.nab >= 5
+         |ORDER BY lift DESC, wa, wb LIMIT 30""".stripMargin,
 
     // exact-integer CUSUM: deviations scaled by the day count so no
     // mean division happens; peak = integer max comparison

@@ -4572,22 +4572,34 @@ object Queries {
     * match positions. Exact integer weights throughout. */
   def q204BpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val V = 200
-    val K = 8
+    bpeLearnedMerges(s, dir).toSeq
+      .toDF("round", "left_sym", "right_sym", "pair_weight")
+      .select(col("round"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_weight"))
+      .orderBy("round")
+  }
+
+  /** The q204 learning loop, shared with q207's encoder: one
+    * distributed word-frequency top-V pass, then K greedy-leftmost
+    * pair merges on the bounded (model-sized) frequency table. */
+  private def bpeLearnedMerges(s: SparkSession, dir: String,
+      topV: Int = 200, rounds: Int = 8): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
     val words = t(s, dir, "documents")
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")).between(3, 12))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
-      .limit(V)
-    // bounded model-sized collect: V=200 (word, count) rows
+      .limit(topV)
+    // bounded model-sized collect: topV (word, count) rows
     val vocab = words.as[(String, Long)].collect()
     var seqs: Array[(Array[String], Long)] =
       vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (r <- 1 to K) {
+    for (r <- 1 to rounds) {
       val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
       for { (syms, c) <- seqs; i <- 0 until syms.length - 1 }
         pairCnt.updateWith((syms(i), syms(i + 1)))(
@@ -4609,11 +4621,36 @@ object Queries {
       }
     }
     merges.toSeq
-      .toDF("round", "left_sym", "right_sym", "pair_weight")
-      .select(col("round"), col("left_sym"), col("right_sym"),
-        concat(col("left_sym"), col("right_sym")).as("merged"),
-        col("pair_weight"))
-      .orderBy("round")
+  }
+
+  /** BPE encode — the apply half of the tokenizer loop: the K merges
+    * learned by [[q204BpeMerges]] (a model-sized list) are applied to
+    * the FULL corpus vocabulary as a chain of K literal string
+    * replacements over a marker-prefixed symbol encoding ("cat" →
+    * "@c@a@t"; merge (a,b) = replace "@a@b" → "@ab"). The marker
+    * prefix means adjacent matches share no boundary characters, so
+    * non-overlapping left-to-right replace IS greedy-leftmost BPE
+    * application, identically in both engines. Map-only over the word
+    * table after one distributed frequency agg; reports the top-30
+    * resulting subword tokens by weighted frequency. Merge symbols
+    * are [a-z]-only, so inlining them as literals is injection-safe. */
+  def q207BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearnedMerges(s, dir)
+    val encoded = merges.foldLeft(
+      regexp_replace(col("w"), "(.)", "@$1")) { case (c, (_, a, b, _)) =>
+      call_function("replace", c, lit(s"@$a@$b"), lit(s"@$a$b"))
+    }
+    t(s, dir, "documents")
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")).between(3, 12))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("repr", encoded)
+      .select(explode(split(col("repr"), "@")).as("token"), col("cnt"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(sum(col("cnt")).as("weight"))
+      .orderBy(col("weight").desc, col("token").asc)
+      .limit(30)
   }
 
   /** CUSUM change-point detection over the daily revenue series —
@@ -4699,6 +4736,52 @@ object Queries {
           .as("raw_rate"),
         f6(col("fitted_raw")).as("fitted_rate"))
       .orderBy("bin")
+  }
+
+  /** Collocation mining by lift — the PMI family without the log:
+    * lift(a,b) = P(ab) / (P(a)·P(b)) over adjacent word pairs, which
+    * surfaces phrases ("neural networks") over merely-common pairs
+    * ("of the"). Bigrams come from a map-only higher-order-function
+    * expansion of each document's token array (transform over
+    * sequence — no window, no shuffle per pair); unigram and bigram
+    * counts are exact integers from two hash-aggs; the corpus scalars
+    * ride a broadcast. Lift is ONE double expression (counts promoted
+    * to double only at the end — the integer cross-product would
+    * overflow 2^63 at 100 TB token counts, the double path scales),
+    * f6-truncated, and the ordering key is that identical double in
+    * both engines. Min support 5 keeps noise bigrams out. */
+  def q208CollocationLift(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val nw = uni.agg(sum(col("n")).as("nw"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(element_at(ts, i) AS wa,
+          |              element_at(ts, i + 1) AS wb))""".stripMargin))
+        .as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+    val nb = bi.agg(sum(col("nab")).as("nb"))
+    // unigram joins stay shuffle joins: the vocabulary is corpus-sized
+    // (not broadcastable at 100 TB); only the two 1-row scalars ride a
+    // broadcast
+    bi.filter(col("nab") >= 5)
+      .join(uni.withColumnRenamed("w", "wa")
+        .withColumnRenamed("n", "na"), Seq("wa"))
+      .join(uni.withColumnRenamed("w", "wb")
+        .withColumnRenamed("n", "nbw"), Seq("wb"))
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      .select(col("wa"), col("wb"), col("nab"), col("na"),
+        col("nbw").as("nb_uni"),
+        f6(col("nab").cast("double") * col("nw").cast("double") *
+          col("nw").cast("double") /
+          (col("nb").cast("double") * col("na").cast("double") *
+            col("nbw").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("wa").asc, col("wb").asc)
+      .limit(30)
   }
 
   // =======================================================================
@@ -4911,5 +4994,7 @@ object Queries {
     "q204_bpe_merges" -> (q204BpeMerges _),
     "q205_cusum_changepoint" -> (q205CusumChangepoint _),
     "q206_isotonic_calibration" -> (q206IsotonicCalibration _),
+    "q207_bpe_encode" -> (q207BpeEncode _),
+    "q208_collocation_lift" -> (q208CollocationLift _),
   )
 }
