@@ -3508,5 +3508,76 @@ object Oracle {
          |  ${f6("fitted_raw")} AS fitted_rate
          |FROM binned b JOIN fit USING (bin)
          |ORDER BY bin""".stripMargin,
+
+    // Gini = (Σ(2·i0+1)·r − n·Σr)/(n·Σr); weighted sum in HUGEINT
+    // (DECIMAL(38,0) on the Spark side), ONE double division
+    "q209_gini_revenue" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS r
+         |  FROM orders GROUP BY 1),
+         |idx AS (SELECT r,
+         |    row_number() OVER (ORDER BY r, o_custkey) - 1 AS i0
+         |  FROM rev),
+         |agg AS (SELECT
+         |    sum(CAST(2 * i0 + 1 AS HUGEINT) * CAST(r AS HUGEINT)) AS a,
+         |    count(*) AS n, CAST(sum(r) AS BIGINT) AS sr
+         |  FROM idx)
+         |SELECT n AS n_customers, sr AS total_cents,
+         |  CASE WHEN n > 0 THEN
+         |    ${f6("""CAST(a - CAST(n AS HUGEINT) * CAST(sr AS HUGEINT)
+           |      AS DOUBLE)
+           |      / (CAST(n AS DOUBLE) * CAST(sr AS DOUBLE))""".stripMargin)}
+         |  END AS gini
+         |FROM agg""".stripMargin,
+
+    // ECE with the common denominator n_b·W pulled out: Σ|pos_b·W−S_b|
+    // is an exact BIGINT, ECE = that / (N·W) in one double division
+    "q210_calibration_ece" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+         |binned AS (
+         |  SELECT (c - lo) * 20 // (hi - lo + 1) AS bin,
+         |    hi - lo + 1 AS w, count(*) AS n,
+         |    CAST(sum(y) AS BIGINT) AS pos,
+         |    CAST(sum(c - lo) AS BIGINT) AS sb
+         |  FROM ev, bounds GROUP BY 1, 2),
+         |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_events,
+         |    max(w) AS width,
+         |    CAST(sum(abs(pos * w - sb)) AS BIGINT) AS gap_sum
+         |  FROM binned)
+         |SELECT n_events, width, gap_sum,
+         |  CASE WHEN n_events > 0 THEN
+         |    ${f6("""CAST(gap_sum AS DOUBLE)
+           |      / (CAST(n_events AS DOUBLE) * CAST(width AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS ece
+         |FROM agg""".stripMargin,
+
+    // integer-scaled MRR: rr = 1000000 // rank summed exactly, ONE
+    // double division at the end
+    "q211_purchase_mrr" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY value DESC, event_id) AS rk
+         |  FROM events),
+         |firsts AS (
+         |  SELECT user_id, min(rk) AS first_rk FROM ranked
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |agg AS (SELECT count(*) AS n_users,
+         |    CAST(sum(1000000 // first_rk) AS BIGINT) AS rr_scaled
+         |  FROM firsts)
+         |SELECT n_users, rr_scaled,
+         |  CASE WHEN n_users > 0 THEN
+         |    ${f6("""CAST(rr_scaled AS DOUBLE)
+           |      / (CAST(n_users AS DOUBLE) * 1000000.0)""".stripMargin)}
+         |  END AS mrr
+         |FROM agg""".stripMargin,
   )
 }

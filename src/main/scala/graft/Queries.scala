@@ -4784,6 +4784,86 @@ object Queries {
       .limit(30)
   }
 
+  /** Gini coefficient of revenue concentration across customers — the
+    * canonical inequality metric, computed exactly: with revenues
+    * ranked ascending (ties broken by key; the Gini sum is invariant
+    * to the tie order since equal values commute), Gini =
+    * (Σ(2i−n−1)·r_i) / (n·Σr) = (Σ(2·i0+1)·r_i − n·Σr) / (n·Σr).
+    * The rank comes from [[Ranking.globalIndex]] — a range-partitioned
+    * sort with per-partition offsets, never a single-partition window.
+    * The weighted sum runs in DECIMAL(38,0) (HUGEINT in the oracle):
+    * at 10⁹ customers × 10¹⁰ cents the int64 product overflows, the
+    * 128-bit path does not. ONE double division at the end. */
+  def q209GiniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("r"))
+    val idx = Ranking.globalIndex(rev, Seq("r", "o_custkey"), "i0")
+    val a = idx.agg(
+      sum((lit(2L) * col("i0") + lit(1L)).cast(DecimalType(38, 0)) *
+        col("r").cast(DecimalType(38, 0))).as("a"),
+      count(lit(1)).as("n"), sum(col("r")).as("sr"))
+    a.select(col("n").as("n_customers"), col("sr").as("total_cents"),
+      when(col("n") > 0, f6(
+        (col("a") - col("n").cast(DecimalType(38, 0)) *
+          col("sr").cast(DecimalType(38, 0))).cast("double") /
+          (col("n").cast("double") * col("sr").cast("double"))))
+        .as("gini"))
+  }
+
+  /** Expected calibration error, integer-exact: scores quantized to
+    * cents and normalized by the integer width W = hi−lo+1, binned as
+    * in q206; per-bin |accuracy − confidence| has the common
+    * denominator n_b·W, so the bin gap |pos_b·W − S_b| and its sum
+    * are exact BIGINTs, and ECE = Σgap / (N·W) is ONE double division
+    * at the end. One hash-agg to B=20 bins; scalars ride a broadcast.
+    * Long bound: pos·W ≤ 10¹²·5·10⁴ ≈ 5·10¹⁶ at 100 TB event counts. */
+  def q210CalibrationEce(s: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bounds = ev.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(c - lo) * $B DIV (hi - lo + 1)"))
+      .withColumn("w", col("hi") - col("lo") + lit(1L))
+      .groupBy(col("bin"), col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("c") - col("lo")).as("sb"))
+    binned
+      .agg(sum(col("n")).as("n_events"), max(col("w")).as("width"),
+        sum(abs(col("pos") * col("w") - col("sb"))).as("gap_sum"))
+      .select(col("n_events"), col("width"), col("gap_sum"),
+        when(col("n_events") > 0, f6(col("gap_sum").cast("double") /
+          (col("n_events").cast("double") * col("width").cast("double"))))
+          .as("ece"))
+  }
+
+  /** Mean reciprocal rank of the purchase event within each user's
+    * value-ranked event list — the ranking-eval staple, made portable
+    * by integer scaling: per user, rr = 1000000 DIV rank (exact int,
+    * quantization error < 10⁻⁶), summed exactly, ONE double division
+    * at the end. The rank is a per-user window (millions of small
+    * partitions — the scale-safe window shape), users without a
+    * purchase contribute nothing, and the final aggregate is one row. */
+  def q211PurchaseMrr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val ranked = t(s, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("rk")).as("first_rk"))
+    ranked
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("1000000 DIV first_rk")).as("rr_scaled"))
+      .select(col("n_users"), col("rr_scaled"),
+        when(col("n_users") > 0, f6(col("rr_scaled").cast("double") /
+          (col("n_users").cast("double") * lit(1000000.0)))).as("mrr"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -4996,5 +5076,8 @@ object Queries {
     "q206_isotonic_calibration" -> (q206IsotonicCalibration _),
     "q207_bpe_encode" -> (q207BpeEncode _),
     "q208_collocation_lift" -> (q208CollocationLift _),
+    "q209_gini_revenue" -> (q209GiniRevenue _),
+    "q210_calibration_ece" -> (q210CalibrationEce _),
+    "q211_purchase_mrr" -> (q211PurchaseMrr _),
   )
 }
