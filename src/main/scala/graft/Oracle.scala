@@ -3579,5 +3579,90 @@ object Oracle {
            |      / (CAST(n_users AS DOUBLE) * 1000000.0)""".stripMargin)}
          |  END AS mrr
          |FROM agg""".stripMargin,
+
+    // tie-corrected Mann–Whitney: 2U = Σ pos_s·(2·neg_below + neg_s)
+    // exact in HUGEINT (DECIMAL(38,0) on the Spark side), ONE double
+    // division for AUC = 2U / (2·P·N)
+    "q212_roc_auc" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |s AS (SELECT c, CAST(sum(y) AS BIGINT) AS pos,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+         |  FROM ev GROUP BY 1),
+         |cum AS (SELECT pos, neg,
+         |    CAST(coalesce(sum(neg) OVER (ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nb
+         |  FROM s),
+         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+         |    CAST(sum(neg) AS BIGINT) AS n,
+         |    sum(CAST(pos AS HUGEINT) *
+         |      (2 * CAST(nb AS HUGEINT) + CAST(neg AS HUGEINT))) AS u2
+         |  FROM cum)
+         |SELECT p AS n_pos, n AS n_neg,
+         |  CASE WHEN p > 0 AND n > 0 THEN
+         |    ${f6("""CAST(u2 AS DOUBLE)
+           |      / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS auc
+         |FROM agg""".stripMargin,
+
+    // Spearman = Pearson on tie-averaged ranks; 2·avgrank = 2·below +
+    // cnt + 1 keeps every rank integral, moments in HUGEINT, the q118
+    // one-double-expression corr shape for both coefficients
+    "q213_spearman" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS x,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS y
+         |  FROM lineitem),
+         |rx AS (SELECT x,
+         |    2 * (CAST(coalesce(sum(cnt) OVER (ORDER BY x
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT)) + cnt + 1 AS rx
+         |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM li GROUP BY 1)),
+         |ry AS (SELECT y,
+         |    2 * (CAST(coalesce(sum(cnt) OVER (ORDER BY y
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT)) + cnt + 1 AS ry
+         |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM li GROUP BY 1)),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT))
+         |      AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT))
+         |      AS DOUBLE) AS syy,
+         |    CAST(sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT))
+         |      AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS vx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS vy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+         |      AS DOUBLE) AS vxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+         |      AS DOUBLE) AS vyy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+         |      AS DOUBLE) AS vxy
+         |  FROM li JOIN rx USING (x) JOIN ry USING (y))
+         |SELECT n,
+         |  CASE WHEN n > 1 THEN
+         |    ${f6("""(CAST(n AS DOUBLE) * sxy - sx * sy)
+           |      / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+           |        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))"""
+        .stripMargin)}
+         |  END AS spearman,
+         |  CASE WHEN n > 1 THEN
+         |    ${f6("""(CAST(n AS DOUBLE) * vxy - vx * vy)
+           |      / (sqrt(CAST(n AS DOUBLE) * vxx - vx * vx)
+           |        * sqrt(CAST(n AS DOUBLE) * vyy - vy * vy))"""
+        .stripMargin)}
+         |  END AS pearson
+         |FROM m""".stripMargin,
   )
 }

@@ -4864,6 +4864,93 @@ object Queries {
           (col("n_users").cast("double") * lit(1000000.0)))).as("mrr"))
   }
 
+  /** ROC AUC of "value predicts purchase", computed exactly as the
+    * tie-corrected Mann–Whitney statistic: AUC = [#(pos>neg pairs) +
+    * ½·#(ties)] / (P·N). Aggregating to one row per distinct cent
+    * score first makes every term integral — with neg_below from
+    * [[Ranking.globalCumSum]] (the two-phase range-bucketed prefix
+    * sum; a bare `ORDER BY` window would be one task), the doubled
+    * numerator 2U = Σ_s pos_s·(2·neg_below_s + neg_s) is exact in
+    * DECIMAL(38,0) (HUGEINT in the oracle) up to ~10¹² events per
+    * class, and AUC = 2U / (2·P·N) is ONE double division. */
+  def q212RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val byScore = ev.groupBy(col("c"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val cum = Ranking.globalCumSum(byScore, "c", Seq("neg"))
+    val agg = cum
+      .select(col("pos"), col("neg"),
+        (col("cum_neg") - col("neg")).as("nb"))
+      .agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"),
+        sum(col("pos").cast(DecimalType(38, 0)) *
+          (lit(2L) * col("nb") + col("neg")).cast(DecimalType(38, 0)))
+          .as("u2"))
+    agg.select(col("p").as("n_pos"), col("n").as("n_neg"),
+      when(col("p") > 0 && col("n") > 0,
+        f6(col("u2").cast("double") /
+          (lit(2.0) * col("p").cast("double") * col("n").cast("double"))))
+        .as("auc"))
+  }
+
+  /** Spearman rank correlation between quantity and extended price —
+    * Pearson on tie-averaged ranks, every rank integral by the ×2
+    * trick: for a value with cnt occurrences and `below` rows under
+    * it, 2·avgrank = 2·below + cnt + 1. Ranks come from per-variable
+    * distinct-value tables through [[Ranking.globalCumSum]] (never a
+    * global window), joined back onto the fact rows; moments over the
+    * doubled ranks are exact in DECIMAL(38,0) (rank ≤ 2n, square ≤
+    * 4n², sum ≤ 4n³ < 10³⁸ up to n ≈ 10¹² rows), and the correlation
+    * is the q118 one-double-expression shape. Emitted next to plain
+    * Pearson on the cent values — same moments pass, so the rank-vs-
+    * linear contrast costs nothing extra. */
+  def q213Spearman(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("x"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("y"))
+    def ranks2(src: String): DataFrame = {
+      val d = li.groupBy(col(src)).agg(count(lit(1)).as("cnt"))
+      Ranking.globalCumSum(d, src, Seq("cnt"))
+        .select(col(src),
+          (lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + lit(1L))
+            .as(s"r$src"))
+    }
+    val ranked = li.join(ranks2("x"), Seq("x")).join(ranks2("y"), Seq("y"))
+    val dec = DecimalType(38, 0)
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).cast("double").as("sx"),
+      sum(col("ry").cast(dec)).cast("double").as("sy"),
+      sum((col("rx").cast(dec) * col("rx").cast(dec))).cast("double")
+        .as("sxx"),
+      sum((col("ry").cast(dec) * col("ry").cast(dec))).cast("double")
+        .as("syy"),
+      sum((col("rx").cast(dec) * col("ry").cast(dec))).cast("double")
+        .as("sxy"),
+      sum(col("x").cast(dec)).cast("double").as("vx"),
+      sum(col("y").cast(dec)).cast("double").as("vy"),
+      sum((col("x").cast(dec) * col("x").cast(dec))).cast("double")
+        .as("vxx"),
+      sum((col("y").cast(dec) * col("y").cast(dec))).cast("double")
+        .as("vyy"),
+      sum((col("x").cast(dec) * col("y").cast(dec))).cast("double")
+        .as("vxy"))
+    val nd = col("n").cast("double")
+    def corr(sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column =
+      (nd * sxy - sx * sy) /
+        (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+    m.select(col("n"),
+      when(col("n") > 1, f6(corr(col("sx"), col("sy"), col("sxx"),
+        col("syy"), col("sxy")))).as("spearman"),
+      when(col("n") > 1, f6(corr(col("vx"), col("vy"), col("vxx"),
+        col("vyy"), col("vxy")))).as("pearson"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5079,5 +5166,7 @@ object Queries {
     "q209_gini_revenue" -> (q209GiniRevenue _),
     "q210_calibration_ece" -> (q210CalibrationEce _),
     "q211_purchase_mrr" -> (q211PurchaseMrr _),
+    "q212_roc_auc" -> (q212RocAuc _),
+    "q213_spearman" -> (q213Spearman _),
   )
 }

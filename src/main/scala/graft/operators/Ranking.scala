@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -54,5 +55,55 @@ object Ranking {
     g.join(broadcast(offsets), Seq(groupCol))
       .withColumn(rankCol, col("_gr_idx") - col("_gr_off") + lit(1L))
       .drop("_gr_idx", "_gr_off")
+  }
+
+  /** Appends `cum_<w>` — the EXACT inclusive running total of each
+    * weight column in ascending `orderCol` order — without ever
+    * funneling the table through one task. `orderCol` must be a
+    * tie-free BIGINT key (i.e. the frame is already aggregated to one
+    * row per key, the CDF shape); `sum() over (order by k)` with no
+    * partitionBy would compute the same numbers in a single task.
+    *
+    * Two phases, the [[graft.operators.Sampling.budgetPrefix]] scheme
+    * generalized from hash slices to value ranges: (1) equi-width
+    * range-bucket the key span into `buckets` ORDER-PRESERVING slices
+    * (span from a broadcast min/max — one tiny extra job) and run
+    * local running sums per slice; (2) a window over the ≤`buckets`
+    * bucket TOTALS (tiny) yields exclusive bucket offsets, broadcast
+    * back and added. Output is identical to the naive window
+    * (differential-tested in RankingSpec) but the largest task holds
+    * one slice, ~keys/buckets rows.
+    *
+    * Bound: `(hi − lo) × buckets` must fit in int64 — any cents-scaled
+    * or count-valued domain qualifies; a full-range 64-bit hash key
+    * does not (bucket by its top bits instead, as budgetPrefix does).
+    */
+  def globalCumSum(df: DataFrame, orderCol: String,
+      weightCols: Seq[String], buckets: Int = 256): DataFrame = {
+    val bounds = df.agg(min(col(orderCol)).as("_lo"),
+      max(col(orderCol)).as("_hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("_bucket",
+        expr(s"($orderCol - _lo) * $buckets DIV (_hi - _lo + 1)"))
+      .drop("_lo", "_hi")
+    val wLocal = Window.partitionBy(col("_bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = weightCols.foldLeft(bucketed) { (d, w) =>
+      d.withColumn(s"_lc_$w", sum(col(w)).over(wLocal))
+    }
+    val wBucket = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totalAggs = weightCols.map(w => sum(col(w)).as(s"_bt_$w"))
+    val offsets = weightCols.foldLeft(
+      bucketed.groupBy(col("_bucket")).agg(totalAggs.head, totalAggs.tail: _*)
+    ) { (d, w) =>
+      d.withColumn(s"_off_$w",
+        coalesce(sum(col(s"_bt_$w")).over(wBucket), lit(0L)))
+    }.select(col("_bucket") +: weightCols.map(w => col(s"_off_$w")): _*)
+    val joined = local.join(broadcast(offsets), Seq("_bucket"))
+    weightCols.foldLeft(joined) { (d, w) =>
+      d.withColumn(s"cum_$w", col(s"_off_$w") + col(s"_lc_$w"))
+        .drop(s"_lc_$w", s"_off_$w")
+    }.drop("_bucket")
   }
 }

@@ -43,4 +43,24 @@ class RankingSpec extends SparkSpec {
       .map(x => (x.getInt(0), x.getInt(1))).toSeq
     assert(g0 === g0.sorted)
   }
+
+  test("globalCumSum ≡ the naive single-partition window, including " +
+    "negative keys, sparse buckets, and multiple weight columns") {
+    val df = (1 to 500).map { i =>
+      val k = ((i * 7919) % 997) - 498L // distinct, negative..positive
+      (k, (i % 13) + 1L, (i % 7) - 3L)
+    }.toDF("k", "w1", "w2").repartition(17)
+    for (buckets <- Seq(4, 64, 1024)) { // fewer keys than buckets too
+      val got = Ranking.globalCumSum(df, "k", Seq("w1", "w2"), buckets)
+        .select("k", "cum_w1", "cum_w2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val keys = df.select("k", "w1", "w2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      var c1 = 0L; var c2 = 0L
+      val want = keys.map { case (k, w1, w2) =>
+        c1 += w1; c2 += w2; (k, c1, c2)
+      }
+      assert(got.toSeq === want.toSeq, s"buckets=$buckets")
+    }
+  }
 }
