@@ -3664,5 +3664,98 @@ object Oracle {
         .stripMargin)}
          |  END AS pearson
          |FROM m""".stripMargin,
+
+    // normal equations from exact HUGEINT moments; Cramer's rule as a
+    // pinned double expression tree (identical parenthesization on the
+    // Spark side — IEEE evaluation order makes the two bit-equal)
+    "q214_ols_normal_eq" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS x1,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS x2,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS y
+         |  FROM lineitem),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT))
+         |      AS DOUBLE) AS s11,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT))
+         |      AS DOUBLE) AS s12,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT))
+         |      AS DOUBLE) AS s22,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT))
+         |      AS DOUBLE) AS s1y,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT))
+         |      AS DOUBLE) AS s2y,
+         |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+         |      AS DOUBLE) AS syy
+         |  FROM li),
+         |d AS (SELECT n, s1, s2, sy, s1y, s2y, syy,
+         |    CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+         |      - s1 * (s1 * s22 - s12 * s2)
+         |      + s2 * (s1 * s12 - s11 * s2) AS det,
+         |    sy * (s11 * s22 - s12 * s12)
+         |      - s1 * (s1y * s22 - s12 * s2y)
+         |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+         |    CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+         |      - sy * (s1 * s22 - s12 * s2)
+         |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+         |    CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+         |      - s1 * (s1 * s2y - s1y * s2)
+         |      + sy * (s1 * s12 - s11 * s2) AS d2
+         |  FROM m),
+         |b AS (SELECT n, sy, s1y, s2y, syy, det,
+         |    d0 / det AS b0, d1 / det AS b1, d2 / det AS b2,
+         |    syy - sy * sy / CAST(n AS DOUBLE) AS sst
+         |  FROM d)
+         |SELECT n,
+         |  CASE WHEN n > 2 AND det <> 0 THEN ${f6("b0")} END AS beta0,
+         |  CASE WHEN n > 2 AND det <> 0 THEN ${f6("b1")} END AS beta1,
+         |  CASE WHEN n > 2 AND det <> 0 THEN ${f6("b2")} END AS beta2,
+         |  CASE WHEN n > 2 AND det <> 0 AND sst <> 0 THEN
+         |    ${f6("1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / sst")}
+         |  END AS r2
+         |FROM b""".stripMargin,
+
+    // per-candidate exact (count, positives) from bin prefix sums;
+    // impurity 2·(pL·negL/nL + pR·negR/nR)/N with HUGEINT core and a
+    // pinned division tree
+    "q215_gini_stump" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+         |bins AS (
+         |  SELECT (c - lo) * 20 // (hi - lo + 1) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+         |    max(lo) AS lo, max(hi) AS hi
+         |  FROM ev, bounds GROUP BY 1),
+         |cum AS (SELECT bin, lo, hi,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+         |  FROM bins),
+         |tot AS (SELECT max(nl) AS nt, max(pl) AS pt FROM cum),
+         |cand AS (
+         |  SELECT lo + (bin + 1) * (hi - lo + 1) // 20 AS thr,
+         |    nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+         |  FROM cum, tot WHERE nl < nt)
+         |SELECT thr, nl AS n_left, pl AS pos_left,
+         |  nr AS n_right, pr AS pos_right,
+         |  ${f6("""2.0 * (CAST(CAST(pl AS HUGEINT)
+           |        * CAST(nl - pl AS HUGEINT) AS DOUBLE)
+           |      / CAST(nl AS DOUBLE)
+           |      + CAST(CAST(pr AS HUGEINT)
+           |          * CAST(nr - pr AS HUGEINT) AS DOUBLE)
+           |        / CAST(nr AS DOUBLE))
+           |    / CAST(nt AS DOUBLE)""".stripMargin)} AS gini_split
+         |FROM cand ORDER BY thr""".stripMargin,
   )
 }

@@ -4951,6 +4951,118 @@ object Queries {
         col("vyy"), col("vxy")))).as("pearson"))
   }
 
+  /** Two-feature OLS with intercept — extendedprice regressed on
+    * quantity and discount — solved in closed form from the normal
+    * equations: ONE distributed pass computes the ten Gram-matrix
+    * moments EXACTLY (cents-scaled ints summed in DECIMAL(38,0) /
+    * HUGEINT; x²·n ≤ 10²⁶ at 10¹² rows), then Cramer's rule on the
+    * 3×3 system runs on the driver side of the aggregate as a fixed
+    * double expression tree — bit-identical across engines because
+    * the parenthesization is pinned and both sides evaluate IEEE
+    * doubles in written order. This is the scale shape for linear
+    * model fitting: model work is O(p²) per partition (map-side
+    * combine), never an iterative pass over data. R² comes free from
+    * the same moments. */
+  def q214OlsNormalEq(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val li = t(s, dir, "lineitem").select(
+      (col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("x1"),
+      (col("l_discount").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("x2"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("y"))
+    def sd(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val m = li.agg(count(lit(1)).as("n"),
+      sd(col("x1")).as("s1"), sd(col("x2")).as("s2"), sd(col("y")).as("sy"),
+      sum((col("x1").cast(dec) * col("x1").cast(dec))).cast("double")
+        .as("s11"),
+      sum((col("x1").cast(dec) * col("x2").cast(dec))).cast("double")
+        .as("s12"),
+      sum((col("x2").cast(dec) * col("x2").cast(dec))).cast("double")
+        .as("s22"),
+      sum((col("x1").cast(dec) * col("y").cast(dec))).cast("double")
+        .as("s1y"),
+      sum((col("x2").cast(dec) * col("y").cast(dec))).cast("double")
+        .as("s2y"),
+      sum((col("y").cast(dec) * col("y").cast(dec))).cast("double")
+        .as("syy"))
+    val nd = col("n").cast("double")
+    val det = nd * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val d0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val d1 = nd * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val d2 = nd * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val b0 = d0 / det
+    val b1 = d1 / det
+    val b2 = d2 / det
+    val sse = col("syy") -
+      (b0 * col("sy") + b1 * col("s1y") + b2 * col("s2y"))
+    val sst = col("syy") - col("sy") * col("sy") / nd
+    val ok = col("n") > 2 && det =!= lit(0.0)
+    m.select(col("n"),
+      when(ok, f6(b0)).as("beta0"),
+      when(ok, f6(b1)).as("beta1"),
+      when(ok, f6(b2)).as("beta2"),
+      when(ok && sst =!= lit(0.0), f6(lit(1.0) - sse / sst)).as("r2"))
+  }
+
+  /** Decision-stump split selection by exact Gini impurity: candidate
+    * thresholds are the inner boundaries of 20 equi-width bins over
+    * the cent-quantized score (the q210 binning), each side's
+    * (count, positives) comes from bin counts run through a prefix
+    * sum over the ≤20-row bin table — bounded by B, not by data, so
+    * the bare window is scale-safe — and the weighted impurity
+    * 2·(pL·negL/nL + pR·negR/nR)/N has an exact integer core
+    * (pL·negL ≤ 10²⁴ rides DECIMAL(38,0)/HUGEINT) with the division
+    * tree pinned identically in both engines. Emitting the whole
+    * 19-candidate impurity curve (not just the argmin) keeps the
+    * result tie-proof and shows the optimization surface. */
+  def q215GiniStump(s: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val dec = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bounds = ev.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val bins = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(c - lo) * $B DIV (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+    val tot = cum.agg(max(col("nl")).as("nt"), max(col("pl")).as("pt"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt")) // inner boundaries only
+      .select(
+        expr(s"lo + (bin + 1) * (hi - lo + 1) DIV $B").as("thr"),
+        col("nl"), col("pl"),
+        (col("nt") - col("nl")).as("nr"), (col("pt") - col("pl")).as("pr"),
+        col("nt"))
+    cand.select(col("thr"), col("nl").as("n_left"),
+      col("pl").as("pos_left"), col("nr").as("n_right"),
+      col("pr").as("pos_right"),
+      f6(lit(2.0) *
+        ((col("pl").cast(dec) * (col("nl") - col("pl")).cast(dec))
+          .cast("double") / col("nl").cast("double") +
+          (col("pr").cast(dec) * (col("nr") - col("pr")).cast(dec))
+            .cast("double") / col("nr").cast("double")) /
+        col("nt").cast("double")).as("gini_split"))
+      .orderBy(col("thr"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5168,5 +5280,7 @@ object Queries {
     "q211_purchase_mrr" -> (q211PurchaseMrr _),
     "q212_roc_auc" -> (q212RocAuc _),
     "q213_spearman" -> (q213Spearman _),
+    "q214_ols_normal_eq" -> (q214OlsNormalEq _),
+    "q215_gini_stump" -> (q215GiniStump _),
   )
 }
