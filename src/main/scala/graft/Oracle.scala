@@ -3757,5 +3757,76 @@ object Oracle {
            |        / CAST(nr AS DOUBLE))
            |    / CAST(nt AS DOUBLE)""".stripMargin)} AS gini_split
          |FROM cand ORDER BY thr""".stripMargin,
+
+    // unsmoothed NB posterior ∝ c(pri,seg)·c(st,seg)/c(seg); the
+    // argmax is the exact 128-bit cross-multiplication, never a float
+    "q216_naive_bayes" ->
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         |    c_mktsegment AS seg
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+         |segs AS (SELECT seg, CAST(count(*) AS BIGINT) AS c_seg
+         |  FROM base GROUP BY 1),
+         |ps AS (SELECT pri, seg, CAST(count(*) AS BIGINT) AS c_ps
+         |  FROM base GROUP BY 1, 2),
+         |ss AS (SELECT st, seg, CAST(count(*) AS BIGINT) AS c_ss
+         |  FROM base GROUP BY 1, 2),
+         |scores AS (SELECT pri, st, seg,
+         |    CAST(c_ps AS HUGEINT) * CAST(c_ss AS HUGEINT) AS num,
+         |    c_seg AS den
+         |  FROM ps JOIN ss USING (seg) JOIN segs USING (seg)),
+         |win AS (SELECT * FROM scores a WHERE NOT EXISTS (
+         |  SELECT 1 FROM scores b
+         |  WHERE b.pri = a.pri AND b.st = a.st AND
+         |    (b.num * CAST(a.den AS HUGEINT)
+         |        > a.num * CAST(b.den AS HUGEINT)
+         |     OR (b.num * CAST(a.den AS HUGEINT)
+         |        = a.num * CAST(b.den AS HUGEINT) AND b.seg < a.seg))))
+         |SELECT pri, st, seg AS pred_segment,
+         |  ${f6("""CAST(num AS DOUBLE)
+           |    / (CAST(den AS DOUBLE) * CAST(n_total AS DOUBLE))"""
+        .stripMargin)} AS score
+         |FROM win, nt ORDER BY pri, st""".stripMargin,
+
+    // EMD over the ordered band distribution with common denominator
+    // n_g·N: cumulative integer diffs in HUGEINT, ONE double division
+    "q217_t_closeness" ->
+      s"""WITH d AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |    CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) / 100000.0) AS BIGINT) AS band
+         |  FROM customer),
+         |gb AS (SELECT band, CAST(count(*) AS BIGINT) AS cnt_g
+         |  FROM d GROUP BY 1),
+         |sc AS (SELECT CAST(sum(cnt_g) AS BIGINT) AS n_all,
+         |    CAST(count(*) AS BIGINT) AS m FROM gb),
+         |grp AS (SELECT c_mktsegment, c_nationkey,
+         |    CAST(count(*) AS BIGINT) AS ng
+         |  FROM d GROUP BY 1, 2),
+         |cells AS (SELECT c_mktsegment, c_nationkey, band,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1, 2, 3),
+         |grid AS (SELECT g.c_mktsegment, g.c_nationkey, g.ng,
+         |    b.band, b.cnt_g, coalesce(c.cnt, 0) AS cnt
+         |  FROM grp g CROSS JOIN gb b
+         |  LEFT JOIN cells c ON c.c_mktsegment = g.c_mktsegment
+         |    AND c.c_nationkey = g.c_nationkey AND c.band = b.band),
+         |cum AS (SELECT c_mktsegment, c_nationkey, ng,
+         |    sum(CAST(cnt AS HUGEINT) * CAST(n_all AS HUGEINT)
+         |        - CAST(cnt_g AS HUGEINT) * CAST(ng AS HUGEINT))
+         |      OVER (PARTITION BY c_mktsegment, c_nationkey
+         |        ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW) AS cumd,
+         |    n_all, m
+         |  FROM grid, sc)
+         |SELECT c_mktsegment, c_nationkey, max(ng) AS n,
+         |  CASE WHEN max(m) > 1 THEN
+         |    ${f6("""CAST(sum(abs(cumd)) AS DOUBLE)
+           |      / (CAST(max(m) - 1 AS DOUBLE) * CAST(max(ng) AS DOUBLE)
+           |        * CAST(max(n_all) AS DOUBLE))""".stripMargin)}
+         |  END AS emd
+         |FROM cum GROUP BY 1, 2
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
   )
 }

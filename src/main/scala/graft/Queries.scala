@@ -5063,6 +5063,99 @@ object Queries {
       .orderBy(col("thr"))
   }
 
+  /** Naive-Bayes classification of market segment from order priority
+    * and status, EXACT end to end: training is three count aggregates
+    * (class, feature×class — the NB "model" is just contingency
+    * tables, the ideal distributed shape), and the per-combo argmax
+    * avoids floating likelihoods entirely — unsmoothed posterior ∝
+    * c(pri,seg)·c(st,seg)/c(seg), so "b beats a" is the exact
+    * 128-bit cross-multiplication b.num·a.den > a.num·b.den
+    * (num ≤ 10²⁴, ×den 10¹² = 10³⁶ < 10³⁸ even at 10¹² training
+    * rows), ties broken by smallest segment label. The model tables
+    * (5·25·15 rows) ride broadcast joins; the emitted score is ONE
+    * double division for display only — selection never touches a
+    * float. */
+  def q216NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority").as("pri"),
+        col("o_orderstatus").as("st"), col("c_mktsegment").as("seg"))
+    val nTot = base.agg(count(lit(1)).as("n_total"))
+    val segs = base.groupBy(col("seg")).agg(count(lit(1)).as("c_seg"))
+    val ps = base.groupBy(col("pri"), col("seg"))
+      .agg(count(lit(1)).as("c_ps"))
+    val ss = base.groupBy(col("st"), col("seg"))
+      .agg(count(lit(1)).as("c_ss"))
+    val scores = ps.join(broadcast(ss), Seq("seg"))
+      .join(broadcast(segs), Seq("seg"))
+      .select(col("pri"), col("st"), col("seg"),
+        (col("c_ps").cast(dec) * col("c_ss").cast(dec)).as("num"),
+        col("c_seg").as("den"))
+    val b = scores.select(col("pri").as("b_pri"), col("st").as("b_st"),
+      col("seg").as("b_seg"), col("num").as("b_num"),
+      col("den").as("b_den"))
+    val beaten = col("b_num") * col("den").cast(dec) >
+      col("num") * col("b_den").cast(dec) ||
+      (col("b_num") * col("den").cast(dec) ===
+        col("num") * col("b_den").cast(dec) &&
+        col("b_seg") < col("seg"))
+    val winners = scores.join(broadcast(b),
+      col("pri") === col("b_pri") && col("st") === col("b_st") && beaten,
+      "left_anti")
+    winners.crossJoin(broadcast(nTot))
+      .select(col("pri"), col("st"), col("seg").as("pred_segment"),
+        f6(col("num").cast("double") /
+          (col("den").cast("double") * col("n_total").cast("double")))
+          .as("score"))
+      .orderBy(col("pri"), col("st"))
+  }
+
+  /** t-closeness audit over the q136/q173 quasi-identifier groups:
+    * for the ORDERED sensitive attribute (the q173 $1000 balance
+    * band), Earth Mover's Distance between a group's distribution and
+    * the global one is the mean |cumulative difference| — kept exact
+    * by the common denominator n_g·N: cum_i = Σ_{j≤i}(cnt_gj·N −
+    * cnt_j·n_g) is an integer (≤10²⁴ at 10¹² rows, DECIMAL(38,0) /
+    * HUGEINT), and EMD = Σ|cum_i| / ((m−1)·n_g·N) is ONE double
+    * division. The dense group×band grid comes from a broadcast of
+    * the ≤dozens-row band list; the running sum is a per-group window
+    * over ≤m rows — bounded by the attribute domain, not by data. */
+  def q217TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val d = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(cents / lit(100000)).as("band"))
+    val globalBand = d.groupBy(col("band")).agg(count(lit(1)).as("cnt_g"))
+    val scalars = globalBand.agg(sum(col("cnt_g")).as("n_all"),
+      count(lit(1)).as("m"))
+    val groups = d.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("ng"))
+    val cells = d.groupBy(col("c_mktsegment"), col("c_nationkey"),
+      col("band")).agg(count(lit(1)).as("cnt"))
+    val grid = groups.crossJoin(broadcast(globalBand))
+      .join(cells, Seq("c_mktsegment", "c_nationkey", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.crossJoin(broadcast(scalars))
+      .withColumn("diff", col("cnt").cast(dec) * col("n_all").cast(dec) -
+        col("cnt_g").cast(dec) * col("ng").cast(dec))
+      .withColumn("cumd", sum(col("diff")).over(w))
+    cum.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(max(col("ng")).as("n"), max(col("n_all")).as("n_all"),
+        max(col("m")).as("m"), sum(abs(col("cumd"))).as("sa"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+        when(col("m") > 1, f6(col("sa").cast("double") /
+          ((col("m") - 1).cast("double") * col("n").cast("double") *
+            col("n_all").cast("double")))).as("emd"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5282,5 +5375,7 @@ object Queries {
     "q213_spearman" -> (q213Spearman _),
     "q214_ols_normal_eq" -> (q214OlsNormalEq _),
     "q215_gini_stump" -> (q215GiniStump _),
+    "q216_naive_bayes" -> (q216NaiveBayes _),
+    "q217_t_closeness" -> (q217TCloseness _),
   )
 }
