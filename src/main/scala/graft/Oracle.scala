@@ -3828,5 +3828,60 @@ object Oracle {
          |  END AS emd
          |FROM cum GROUP BY 1, 2
          |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // distinct-so-far via token FIRST occurrence — no per-checkpoint
+    // re-scan; fully integer, no floats anywhere
+    "q218_vocab_growth" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+         |dec AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    (row_number() OVER (ORDER BY doc_id) - 1) * 10 // n_docs
+         |      AS decile
+         |  FROM docs, nd),
+         |per_dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(n_toks) AS BIGINT) AS tok
+         |  FROM dec GROUP BY 1),
+         |first_doc AS (SELECT token, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS token
+         |    FROM docs) GROUP BY 1),
+         |new_vocab AS (SELECT decile, CAST(count(*) AS BIGINT) AS nv
+         |  FROM first_doc f JOIN dec d ON f.first_doc = d.doc_id
+         |  GROUP BY 1)
+         |SELECT decile,
+         |  CAST(sum(nd) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_cum,
+         |  CAST(sum(tok) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum,
+         |  CAST(sum(coalesce(nv, 0)) OVER (ORDER BY decile ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+         |FROM per_dec LEFT JOIN new_vocab USING (decile)
+         |ORDER BY decile""".stripMargin,
+
+    // 2²⁰ fixed-point component sums (q109 idiom); n cancels in the
+    // cosine so sum-vectors stand in for centroids; HUGEINT dot/norms
+    "q219_embedding_drift" ->
+      s"""WITH e AS (
+         |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT label, j,
+         |    CAST(floor(v[j] * 1048576.0) AS BIGINT) AS qv
+         |  FROM e, range(1, 65) t(j)),
+         |lj AS (SELECT label, j, CAST(sum(qv) AS BIGINT) AS sl
+         |  FROM q GROUP BY 1, 2),
+         |g AS (SELECT j, CAST(sum(sl) AS BIGINT) AS sg FROM lj GROUP BY 1),
+         |a AS (SELECT label,
+         |    sum(CAST(sl AS HUGEINT) * CAST(sg AS HUGEINT)) AS dot,
+         |    sum(CAST(sl AS HUGEINT) * CAST(sl AS HUGEINT)) AS nl2,
+         |    sum(CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) AS ng2
+         |  FROM lj JOIN g USING (j) GROUP BY 1),
+         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM embeddings GROUP BY 1)
+         |SELECT label, n_vecs,
+         |  ${f6("""CAST(dot AS DOUBLE)
+           |    / (sqrt(CAST(nl2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE)))"""
+        .stripMargin)} AS cos_to_global
+         |FROM a JOIN n USING (label) ORDER BY label""".stripMargin,
   )
 }

@@ -5156,6 +5156,83 @@ object Queries {
       .orderBy(col("c_mktsegment"), col("c_nationkey"))
   }
 
+  /** Vocabulary growth curve (the Heaps-law saturation diagnostic a
+    * corpus build watches to decide "is more data still adding new
+    * words?"): walk the corpus in doc_id order, and at each decile of
+    * documents report cumulative docs, token instances, and DISTINCT
+    * vocabulary. Entirely integer-exact — no floats anywhere. The
+    * scale trick is that "distinct so far" needs no re-scan per
+    * checkpoint: each token's contribution is fully determined by its
+    * FIRST document (one groupBy-min over the exploded tokens), so
+    * vocabulary-new-per-decile is a count over first occurrences, and
+    * the cumulative ride a 10-row window. Deciles come from
+    * [[Ranking.globalIndex]], never a global ntile window. */
+  def q218VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dec = Ranking.globalIndex(
+      docs.select(col("doc_id"), size(col("toks")).cast("long")
+        .as("n_toks")), Seq("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_toks"),
+        expr("gidx * 10 DIV n_docs").as("decile"))
+    val perDec = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("tok"))
+    val firstDoc = docs
+      .select(explode(array_distinct(col("toks"))).as("token"),
+        col("doc_id"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val newVocab = firstDoc
+      .join(dec.select(col("doc_id").as("first_doc"), col("decile")),
+        Seq("first_doc"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDec.join(newVocab, Seq("decile"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+      .select(col("decile"),
+        sum(col("nd")).over(w).as("docs_cum"),
+        sum(col("tok")).over(w).as("tokens_cum"),
+        sum(col("nv")).over(w).as("vocab_cum"))
+      .orderBy(col("decile"))
+  }
+
+  /** Embedding-distribution drift per label: cosine between each
+    * label's centroid and the global centroid — the cheap first-order
+    * check that a source/class occupies the same region of embedding
+    * space as the corpus. Exactness comes from the q109 idiom:
+    * components quantize to 2²⁰ fixed-point BEFORE summing (float
+    * addition is order-dependent; integer addition is not), the n
+    * denominators cancel inside the cosine so SUM vectors stand in
+    * for means, and dot/norms are exact DECIMAL(38,0)/HUGEINT sums
+    * (label-sum 10¹⁸ × global-sum bound: exact to ~10¹⁷ rows) with
+    * sqrt only in the final pinned double expression. One shuffle to
+    * (label, dim) — 640 cells — then model-sized joins. */
+  def q219EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("j0", "v")))
+      .select(col("label"), (col("j0") + 1).as("j"),
+        floor(col("v").cast("double") * lit(1048576.0)).cast("long")
+          .as("qv"))
+    val lj = q.groupBy(col("label"), col("j")).agg(sum(col("qv")).as("sl"))
+    val g = lj.groupBy(col("j")).agg(sum(col("sl")).as("sg"))
+    val a = lj.join(broadcast(g), Seq("j"))
+      .groupBy(col("label"))
+      .agg(sum(col("sl").cast(dec) * col("sg").cast(dec)).as("dot"),
+        sum(col("sl").cast(dec) * col("sl").cast(dec)).as("nl2"),
+        sum(col("sg").cast(dec) * col("sg").cast(dec)).as("ng2"))
+    val n = t(s, dir, "embeddings").groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    a.join(n, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        f6(col("dot").cast("double") /
+          (sqrt(col("nl2").cast("double")) *
+            sqrt(col("ng2").cast("double")))).as("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5377,5 +5454,7 @@ object Queries {
     "q215_gini_stump" -> (q215GiniStump _),
     "q216_naive_bayes" -> (q216NaiveBayes _),
     "q217_t_closeness" -> (q217TCloseness _),
+    "q218_vocab_growth" -> (q218VocabGrowth _),
+    "q219_embedding_drift" -> (q219EmbeddingDrift _),
   )
 }
