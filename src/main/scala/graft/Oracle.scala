@@ -3883,5 +3883,66 @@ object Oracle {
            |    / (sqrt(CAST(nl2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE)))"""
         .stripMargin)} AS cos_to_global
          |FROM a JOIN n USING (label) ORDER BY label""".stripMargin,
+
+    // rightmost-min winnowing via the single-integer tie encoding
+    // c = h·2²⁰ + (2²⁰−1−i); df-capped fingerprint overlap join
+    "q220_winnowing" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toks AS tk FROM documents
+         |  WHERE len($toks) >= 3),
+         |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+         |  FROM (SELECT doc_id, tk,
+         |      unnest(generate_series(1, len(tk) - 2)) AS i
+         |    FROM docs)),
+         |hashed AS (SELECT doc_id, i, ${md5Mod("gram")} AS h FROM grams),
+         |cc AS (SELECT doc_id, i,
+         |    count(*) OVER (PARTITION BY doc_id) AS gcnt,
+         |    min(h * 1048576 + (1048575 - i)) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM hashed),
+         |fps AS (SELECT DISTINCT doc_id, wmin // 1048576 AS h
+         |  FROM cc WHERE i <= greatest(gcnt - 3, 1)),
+         |cap AS (SELECT h FROM (
+         |    SELECT h, count(*) AS df FROM fps GROUP BY 1)
+         |  WHERE df <= 100),
+         |k AS (SELECT f.doc_id, f.h FROM fps f JOIN cap USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin,
+
+    // absorbing-chain value iteration in 10¹² fixed point: 8 chained
+    // HUGEINT rounds with integer-DIV truncation, the q82 pattern
+    "q221_markov_attribution" -> {
+      def round(i: Int): String =
+        s"""a$i AS (SELECT state, p FROM p${i - 1}
+           |  UNION ALL SELECT 'purchase', CAST(1000000000000 AS HUGEINT)
+           |  UNION ALL SELECT 'drop', CAST(0 AS HUGEINT)),
+           |p$i AS (SELECT t.src AS state,
+           |    sum(CAST(t.cnt AS HUGEINT) * a.p)
+           |      // CAST(max(tt.tot) AS HUGEINT) AS p
+           |  FROM trans t JOIN a$i a ON a.state = t.dst
+           |    JOIN tot tt ON tt.src = t.src
+           |  GROUP BY t.src)""".stripMargin
+      s"""WITH steps AS (
+         |  SELECT event_type AS src,
+         |    coalesce(lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id), 'drop') AS dst
+         |  FROM events),
+         |trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM steps WHERE src <> 'purchase' GROUP BY 1, 2),
+         |tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM trans GROUP BY 1),
+         |p0 AS (SELECT src AS state, CAST(0 AS HUGEINT) AS p FROM tot),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT tt.src AS state, tt.tot AS n_out,
+         |  CAST(p.p AS BIGINT) AS p_scaled,
+         |  ${f6("CAST(p.p AS DOUBLE) / 1000000000000.0")} AS p_convert
+         |FROM p8 p JOIN tot tt ON tt.src = p.state
+         |ORDER BY state""".stripMargin
+    },
   )
 }

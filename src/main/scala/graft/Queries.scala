@@ -5233,6 +5233,107 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** Robust-winnowing fingerprints (the MOSS scheme) — the dedup
+    * family's guarantee-bearing alternative to q35's whole-doc hash
+    * and q29's MinHash: selecting the minimum trigram hash in every
+    * window of W=4 consecutive grams guarantees any shared run of
+    * ≥ W+K−1 tokens yields a shared fingerprint, at ~2/(W+1) the
+    * stored density. The rightmost-minimum tie rule rides a single
+    * integer: c = h·2²⁰ + (2²⁰−1−i) makes min(c) pick the smallest
+    * hash and, among equals, the LARGEST position — no struct
+    * comparison, portable to any engine (h < 2³⁰ from md5Mod, gram
+    * positions < 2²⁰ documented). Per-doc windows are bounded by doc
+    * length; the overlap join runs on distinct fingerprint hashes
+    * with a df ≤ 100 hot-hash cap (the LSH hot-bucket convention). */
+  def q220Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val W = 4
+    val shift = 1048576L // 2^20
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr("""transform(sequence(1, size(toks) - 2),
+        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          ' ', element_at(toks, i + 2)))""")).as(Seq("i0", "gram")))
+    val hashed = grams.select(col("doc_id"),
+      (col("i0") + 1).cast("long").as("i"),
+      graft.functions.Hashing.md5Mod(col("gram")).as("h"))
+      .withColumn("c",
+        col("h") * lit(shift) + (lit(shift - 1) - col("i")))
+    val whole = Window.partitionBy(col("doc_id"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, W - 1)
+    val fps = hashed
+      .withColumn("gcnt", count(lit(1)).over(whole))
+      .withColumn("wmin", min(col("c")).over(win))
+      .filter(col("i") <= greatest(col("gcnt") - lit(W - 1L), lit(1L)))
+      .select(col("doc_id"), expr(s"wmin DIV $shift").as("h"))
+      .distinct()
+    val dfCap = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100)
+    val kept = fps.join(dfCap.select("h"), Seq("h"))
+    kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Markov-chain conversion attribution: from per-user journeys,
+    * estimate P(reach 'purchase' before dropping | current state) —
+    * the absorbing-chain readout behind removal-effect attribution.
+    * The DATA pass is distributed (one per-user lead() window —
+    * millions of small partitions — plus a transition-count
+    * aggregate); the chain itself is a ≤|types|²-row MODEL, so the
+    * 8 value-iteration rounds run exactly on the driver in BigInt
+    * 10¹²-fixed-point (the bounded model-sized materialization the
+    * IVF/bloom operators already use), with integer-DIV truncation
+    * each round replayed bit-for-bit by the oracle's 8 chained
+    * HUGEINT CTEs (the q82 PageRank pattern). Transitions out of
+    * 'purchase' are absorbed; journey ends fall into 'drop'. */
+  def q221MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000000000L // 10^12 fixed-point
+    val rounds = 8
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = t(s, dir, "events")
+      .select(col("event_type").as("src"),
+        coalesce(lead(col("event_type"), 1).over(w), lit("drop"))
+          .as("dst"))
+      .filter(col("src") =!= "purchase")
+    val trans = steps.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded collect: |event_types|² rows — the model, not the data
+    val edges = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tots = edges.groupBy(_._1).map { case (s0, es) =>
+      (s0, es.map(_._3).sum)
+    }
+    var p: Map[String, BigInt] =
+      tots.keys.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to rounds) {
+      p = tots.map { case (s0, tot) =>
+        val num = edges.filter(_._1 == s0).map { case (_, dst, cnt) =>
+          val pd =
+            if (dst == "purchase") BigInt(scale)
+            else if (dst == "drop") BigInt(0)
+            else p.getOrElse(dst, BigInt(0))
+          BigInt(cnt) * pd
+        }.sum
+        s0 -> num / BigInt(tot)
+      }
+    }
+    import s.implicits._
+    val model = tots.toSeq.sorted
+      .map { case (s0, tot) => (s0, tot, p(s0).toLong) }
+      .toDF("state", "n_out", "p_scaled")
+    model.select(col("state"), col("n_out"), col("p_scaled"),
+      f6(col("p_scaled").cast("double") / lit(1.0e12)).as("p_convert"))
+      .orderBy(col("state"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5456,5 +5557,7 @@ object Queries {
     "q217_t_closeness" -> (q217TCloseness _),
     "q218_vocab_growth" -> (q218VocabGrowth _),
     "q219_embedding_drift" -> (q219EmbeddingDrift _),
+    "q220_winnowing" -> (q220Winnowing _),
+    "q221_markov_attribution" -> (q221MarkovAttribution _),
   )
 }
