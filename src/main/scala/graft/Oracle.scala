@@ -3944,5 +3944,50 @@ object Oracle {
          |FROM p8 p JOIN tot tt ON tt.src = p.state
          |ORDER BY state""".stripMargin
     },
+
+    // sparse tf-vector cosine: dot is a token self-join (≤ sources²
+    // rows per token), moments HUGEINT-exact, sqrt in the final double
+    "q222_source_token_cosine" ->
+      s"""WITH tf AS (
+         |  SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT source, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |norms AS (SELECT source,
+         |    sum(CAST(tf AS HUGEINT) * CAST(tf AS HUGEINT)) AS n2
+         |  FROM tf GROUP BY 1),
+         |dots AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared_tokens,
+         |    sum(CAST(a.tf AS HUGEINT) * CAST(b.tf AS HUGEINT)) AS dot
+         |  FROM tf a JOIN tf b ON a.token = b.token
+         |    AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared_tokens,
+         |  ${f6("""CAST(dot AS DOUBLE)
+           |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))"""
+        .stripMargin)} AS cosine
+         |FROM dots
+         |JOIN norms na ON na.source = source_a
+         |JOIN norms nb ON nb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // RRF with integer scaling: 10⁶ // (60 + rank) summed exactly
+    "q223_rrf_fusion" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, n_chars, CAST(len($toks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |rc AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_chars
+         |  FROM docs),
+         |rt AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY n_toks DESC, doc_id) AS BIGINT) AS r_toks
+         |  FROM docs)
+         |SELECT doc_id, r_chars, r_toks,
+         |  1000000 // (60 + r_chars) + 1000000 // (60 + r_toks)
+         |    AS rrf_scaled,
+         |  ${f6("""CAST(1000000 // (60 + r_chars)
+           |    + 1000000 // (60 + r_toks) AS DOUBLE) / 1000000.0"""
+        .stripMargin)} AS rrf
+         |FROM docs JOIN rc USING (doc_id) JOIN rt USING (doc_id)
+         |ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

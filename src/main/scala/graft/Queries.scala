@@ -5334,6 +5334,70 @@ object Queries {
       .orderBy(col("state"))
   }
 
+  /** Pairwise token-distribution cosine between sources — the corpus
+    * drift matrix ("are these two crawls the same kind of text?"),
+    * computed on SPARSE term-frequency vectors: one explode+groupBy
+    * to (source, token) counts, then the dot product is a self-join
+    * on token — expansion bounded by sources² per token, never a
+    * dense |vocab|-wide vector — and norms are one aggregate per
+    * source. All moments exact (tf ≤ 10¹² → products 10²⁴ in
+    * DECIMAL(38,0)/HUGEINT); sqrt only in the final pinned double. */
+  def q222SourceTokenCosine(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col("source"))
+      .agg(sum(col("tf").cast(dec) * col("tf").cast(dec)).as("n2"))
+    val dots = tf.select(col("token"), col("source").as("source_a"),
+      col("tf").as("tf_a"))
+      .join(tf.select(col("token"), col("source").as("source_b"),
+        col("tf").as("tf_b")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_tokens"),
+        sum(col("tf_a").cast(dec) * col("tf_b").cast(dec)).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("source_a"),
+        col("n2").as("n2_a"))), Seq("source_a"))
+      .join(broadcast(norms.select(col("source").as("source_b"),
+        col("n2").as("n2_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_tokens"),
+        f6(col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) *
+            sqrt(col("n2_b").cast("double")))).as("cosine"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Reciprocal-rank fusion of two document rankings (the standard
+    * multi-retriever merge): score(d) = Σ_r 1/(60 + rank_r(d)), made
+    * engine-exact by integer scaling — 10⁶ DIV (60 + r) per
+    * retriever, summed as exact longs, ONE display division at the
+    * end. Rankings come from [[Ranking.globalIndex]] over tie-broken
+    * sort keys (never a global row_number window); the fused top-20
+    * is a total order (score desc, doc_id). */
+  def q223RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    def rankBy(key: String, out: String): DataFrame =
+      Ranking.globalIndex(
+        docs.select(col("doc_id"), (-col(key)).as("neg")),
+        Seq("neg", "doc_id"))
+        .select(col("doc_id"), (col("gidx") + 1).as(out))
+    val fused = docs
+      .join(rankBy("n_chars", "r_chars"), Seq("doc_id"))
+      .join(rankBy("n_toks", "r_toks"), Seq("doc_id"))
+      .select(col("doc_id"), col("r_chars"), col("r_toks"),
+        (expr("1000000 DIV (60 + r_chars)") +
+          expr("1000000 DIV (60 + r_toks)")).as("rrf_scaled"))
+    fused.orderBy(col("rrf_scaled").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("r_chars"), col("r_toks"),
+        col("rrf_scaled"),
+        f6(col("rrf_scaled").cast("double") / lit(1000000.0)).as("rrf"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5559,5 +5623,7 @@ object Queries {
     "q219_embedding_drift" -> (q219EmbeddingDrift _),
     "q220_winnowing" -> (q220Winnowing _),
     "q221_markov_attribution" -> (q221MarkovAttribution _),
+    "q222_source_token_cosine" -> (q222SourceTokenCosine _),
+    "q223_rrf_fusion" -> (q223RrfFusion _),
   )
 }
