@@ -3989,5 +3989,119 @@ object Oracle {
         .stripMargin)} AS rrf
          |FROM docs JOIN rc USING (doc_id) JOIN rt USING (doc_id)
          |ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Nelson–Aalen with right-censoring; each increment is the exact
+    // scaled integer d·10¹² // n_risk, H is its running sum
+    "q224_cumulative_hazard" ->
+      s"""WITH users AS (
+         |  SELECT o_orderkey,
+         |    max(CAST(o_orderdate AS DATE)) AS first_d,
+         |    max(CAST(l_shipdate AS DATE)) AS last_d
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1),
+         |hz AS (SELECT max(last_d) AS h,
+         |    CAST(count(*) AS BIGINT) AS n_users FROM users),
+         |lives AS (SELECT
+         |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS life,
+         |    last_d <= h - 7 AS uncensored, n_users
+         |  FROM users, hz),
+         |by_day AS (SELECT life, CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN uncensored THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS deaths,
+         |    max(n_users) AS n_users
+         |  FROM lives GROUP BY 1),
+         |at_risk AS (SELECT life, deaths,
+         |    n_users - (CAST(sum(m) OVER (ORDER BY life ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - m)
+         |      AS n_risk
+         |  FROM by_day),
+         |terms AS (SELECT life, deaths, n_risk,
+         |    CAST(CAST(deaths AS HUGEINT) * 1000000000000 // n_risk
+         |      AS BIGINT) AS term
+         |  FROM at_risk)
+         |SELECT life AS day, n_risk, deaths,
+         |  h_scaled,
+         |  ${f6("CAST(h_scaled AS DOUBLE) / 1000000000000.0")}
+         |    AS cum_hazard
+         |FROM (SELECT life, n_risk, deaths,
+         |    CAST(sum(term) OVER (ORDER BY life ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS h_scaled
+         |  FROM terms)
+         |WHERE deaths > 0 ORDER BY day""".stripMargin,
+
+    // tau-b on the bounded contingency table; C/D from dominating
+    // cell pairs, doubled tie identities keep everything integral
+    "q225_kendall_tau" ->
+      s"""WITH cells AS (
+         |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS x,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS j,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM lineitem GROUP BY 1, 2),
+         |cagg AS (SELECT sum(CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT))
+         |    AS cc
+         |  FROM cells a JOIN cells b ON b.x > a.x AND b.j > a.j),
+         |dagg AS (SELECT sum(CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT))
+         |    AS dd
+         |  FROM cells a JOIN cells b ON b.x > a.x AND b.j < a.j),
+         |nagg AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM cells),
+         |tx AS (SELECT sum(CAST(r AS HUGEINT) * CAST(r - 1 AS HUGEINT))
+         |    AS tx2
+         |  FROM (SELECT CAST(sum(f) AS BIGINT) AS r FROM cells
+         |        GROUP BY x)),
+         |tj AS (SELECT sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT))
+         |    AS tj2
+         |  FROM (SELECT CAST(sum(f) AS BIGINT) AS c FROM cells
+         |        GROUP BY j)),
+         |m AS (SELECT n, CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+         |    AS a2, tx2, tj2, cc, dd
+         |  FROM nagg, cagg, dagg, tx, tj)
+         |SELECT n,
+         |  CASE WHEN n > 1 AND a2 > tx2 AND a2 > tj2 THEN
+         |    ${f6("""(CAST(cc - dd AS DOUBLE) * 2.0)
+           |      / (sqrt(CAST(a2 - tx2 AS DOUBLE))
+           |        * sqrt(CAST(a2 - tj2 AS DOUBLE)))""".stripMargin)}
+         |  END AS tau_b
+         |FROM m""".stripMargin,
+
+    // q215's bins re-read as a P/R/F1 sweep; F1 = 2·TP/(pred+P) keeps
+    // every metric a single exact division
+    "q226_pr_curve" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+         |bins AS (
+         |  SELECT (c - lo) * 20 // (hi - lo + 1) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+         |    max(lo) AS lo, max(hi) AS hi
+         |  FROM ev, bounds GROUP BY 1),
+         |cum AS (SELECT bin, lo, hi,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+         |  FROM bins),
+         |tot AS (SELECT max(nl) AS nt, max(pl) AS pt FROM cum),
+         |cand AS (
+         |  SELECT lo + (bin + 1) * (hi - lo + 1) // 20 AS thr,
+         |    pt - pl AS tp, nt - nl - (pt - pl) AS fp, pl AS fn,
+         |    nt - nl AS pred_pos, pt
+         |  FROM cum, tot WHERE nl < nt)
+         |SELECT thr, tp, fp, fn,
+         |  CASE WHEN pred_pos > 0 THEN
+         |    ${f6("CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE)")}
+         |  END AS precision,
+         |  CASE WHEN pt > 0 THEN
+         |    ${f6("CAST(tp AS DOUBLE) / CAST(pt AS DOUBLE)")}
+         |  END AS recall,
+         |  CASE WHEN pred_pos + pt > 0 THEN
+         |    ${f6("""(2.0 * CAST(tp AS DOUBLE))
+           |      / CAST(pred_pos + pt AS DOUBLE)""".stripMargin)}
+         |  END AS f1
+         |FROM cand ORDER BY thr""".stripMargin,
   )
 }

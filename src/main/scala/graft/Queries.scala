@@ -5398,6 +5398,141 @@ object Queries {
         f6(col("rrf_scaled").cast("double") / lit(1000000.0)).as("rrf"))
   }
 
+  /** Nelson–Aalen cumulative hazard of order fulfillment (time from
+    * order date to the LAST line shipment), with honest
+    * right-censoring: orders whose final receipt lands in the last 7
+    * days of the observed window are censored — they contribute
+    * at-risk time but no completion event. At-risk counts come from
+    * one [[Ranking.globalCumSum]] over the per-day exit counts
+    * (n_risk(t) = N − exits_before_t); each hazard increment
+    * d_t·10¹² DIV n_risk(t) is an exact scaled integer (the q211
+    * trick — deterministic in any engine, quantization < 10⁻⁶ per
+    * step), and H(t) is a second cumulative pass. The data passes
+    * are one orders⋈lineitem join + per-order max; everything after
+    * runs on the distinct-day table. */
+  def q224CumulativeHazard(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("l_shipdate"))).as("last_d"))
+    val horizon = users.agg(max(col("last_d")).as("h"),
+      count(lit(1)).as("n_users"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+        .as("life"),
+        (col("last_d") <= date_add(col("h"), -7)).as("uncensored"),
+        col("n_users"))
+    val byDay = lives.groupBy(col("life"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("uncensored"), 1L).otherwise(0L)).as("deaths"),
+        max(col("n_users")).as("n_users"))
+    val atRisk = Ranking.globalCumSum(byDay, "life", Seq("m"))
+      .select(col("life"), col("deaths"),
+        (col("n_users") - (col("cum_m") - col("m"))).as("n_risk"))
+      .withColumn("term",
+        expr("CAST(deaths AS DECIMAL(38,0)) * 1000000000000 DIV n_risk"))
+    Ranking.globalCumSum(atRisk, "life", Seq("term"))
+      .filter(col("deaths") > 0)
+      .select(col("life").as("day"), col("n_risk"), col("deaths"),
+        col("cum_term").as("h_scaled"),
+        f6(col("cum_term").cast("double") / lit(1.0e12))
+          .as("cum_hazard"))
+      .orderBy(col("day"))
+  }
+
+  /** Kendall tau-b between quantity and discount — the
+    * concordant/discordant rank correlation, EXACT: both variables
+    * have bounded domains, so the joint distribution is a ≤|X|·|J|
+    * contingency table (model-sized — the same boundedness argument
+    * as histogram bins), and C/D are sums of f_ab·f_cd over
+    * strictly-dominating cell pairs — a self-join of the tiny cell
+    * table, 10²⁴-safe in DECIMAL(38,0)/HUGEINT up to 10¹² rows. Tie
+    * corrections n₀,n₁,n₂ use the exact r(r−1) DIV 2 identity; the
+    * final tau is the one pinned double expression with sqrts. The
+    * DATA pass is a single groupBy to cells. */
+  def q225KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = t(s, dir, "lineitem")
+      .select((col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("x"),
+        (col("l_discount").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("j"))
+      .groupBy(col("x"), col("j")).agg(count(lit(1)).as("f"))
+    val b = cells.select(col("x").as("bx"), col("j").as("bj"),
+      col("f").as("bf"))
+    val cAgg = cells.join(b, col("bx") > col("x") && col("bj") > col("j"))
+      .agg(sum(col("f").cast(dec) * col("bf").cast(dec)).as("cc"))
+    val dAgg = cells.join(b, col("bx") > col("x") && col("bj") < col("j"))
+      .agg(sum(col("f").cast(dec) * col("bf").cast(dec)).as("dd"))
+    val nAgg = cells.agg(sum(col("f")).as("n"))
+    val tiesX = cells.groupBy(col("x")).agg(sum(col("f")).as("r"))
+      .agg((sum(col("r").cast(dec) * (col("r") - 1).cast(dec)))
+        .as("tx2"))
+    val tiesJ = cells.groupBy(col("j")).agg(sum(col("f")).as("c"))
+      .agg((sum(col("c").cast(dec) * (col("c") - 1).cast(dec)))
+        .as("tj2"))
+    // doubled identities avoid any halving: n₀−n₁ = (A−B1)/2 with
+    // A = n(n−1), so tau = 2(C−D)/(√(A−B1)·√(A−B2)) stays exact
+    val m = nAgg.crossJoin(cAgg).crossJoin(dAgg)
+      .crossJoin(tiesX).crossJoin(tiesJ)
+      .select(col("n"),
+        (col("n").cast(dec) * (col("n") - 1).cast(dec)).as("a2"),
+        col("tx2"), col("tj2"), col("cc"), col("dd"))
+    m.select(col("n"),
+      when(col("n") > 1 && col("a2") > col("tx2") &&
+        col("a2") > col("tj2"),
+        f6(((col("cc") - col("dd")).cast("double") * lit(2.0)) /
+          (sqrt((col("a2") - col("tx2")).cast("double")) *
+            sqrt((col("a2") - col("tj2")).cast("double")))))
+        .as("tau_b"))
+  }
+
+  /** Precision / recall / F1 sweep across the q215 candidate
+    * thresholds ("predict purchase when value ≥ t"): TP and predicted
+    * counts fall out of the same bin prefix sums (one aggregate to 20
+    * bins, window over ≤20 rows), every metric is ONE exact-integer
+    * division — including F1, via the identity F1 = 2·TP/(pred+P)
+    * which needs no precision/recall composition — so the curve is
+    * engine-exact. Completes the eval family: q212 ranks (AUC), q210
+    * calibrates (ECE), this picks the operating point. */
+  def q226PrCurve(s: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bounds = ev.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val bins = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(c - lo) * $B DIV (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+    val tot = cum.agg(max(col("nl")).as("nt"), max(col("pl")).as("pt"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt"))
+      .select(expr(s"lo + (bin + 1) * (hi - lo + 1) DIV $B").as("thr"),
+        (col("pt") - col("pl")).as("tp"),
+        (col("nt") - col("nl") - (col("pt") - col("pl"))).as("fp"),
+        col("pl").as("fn"),
+        (col("nt") - col("nl")).as("pred_pos"), col("pt"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"),
+        when(col("pred_pos") > 0, f6(col("tp").cast("double") /
+          col("pred_pos").cast("double"))).as("precision"),
+        when(col("pt") > 0, f6(col("tp").cast("double") /
+          col("pt").cast("double"))).as("recall"),
+        when(col("pred_pos") + col("pt") > 0,
+          f6((lit(2.0) * col("tp").cast("double")) /
+            (col("pred_pos") + col("pt")).cast("double"))).as("f1"))
+      .orderBy(col("thr"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5625,5 +5760,8 @@ object Queries {
     "q221_markov_attribution" -> (q221MarkovAttribution _),
     "q222_source_token_cosine" -> (q222SourceTokenCosine _),
     "q223_rrf_fusion" -> (q223RrfFusion _),
+    "q224_cumulative_hazard" -> (q224CumulativeHazard _),
+    "q225_kendall_tau" -> (q225KendallTau _),
+    "q226_pr_curve" -> (q226PrCurve _),
   )
 }

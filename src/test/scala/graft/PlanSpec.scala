@@ -461,4 +461,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q212/q213/q224: the CDF-family prefix sums window over " +
+    "RANGE-BUCKETED partitions (globalCumSum phase 1) — the " +
+    "data-sized window is hashpartitioned on _bucket; only the " +
+    "≤buckets-row bucket-totals window is SinglePartition") {
+    for (q <- Seq("q212_roc_auc", "q213_spearman",
+        "q224_cumulative_hazard")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(_bucket"), s"$q:\n$p")
+      // every distinct-key aggregate feeding the CDF combines map-side
+      assert(p.contains("partial_"), s"$q:\n$p")
+    }
+  }
 }
