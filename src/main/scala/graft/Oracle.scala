@@ -4103,5 +4103,89 @@ object Oracle {
            |      / CAST(pred_pos + pt AS DOUBLE)""".stripMargin)}
          |  END AS f1
          |FROM cand ORDER BY thr""".stripMargin,
+
+    // pooled-variance Cohen's d as one pinned double tree over exact
+    // HUGEINT class moments
+    "q227_cohens_d" ->
+      s"""WITH m AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |      AS y,
+         |    count(*) AS n,
+         |    CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS HUGEINT) *
+         |      CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sxx
+         |  FROM events GROUP BY 1),
+         |p AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM m WHERE y = 1),
+         |o AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM m WHERE y = 0)
+         |SELECT n1, n0,
+         |  CASE WHEN n1 > 1 AND n0 > 1 THEN
+         |    ${f6("""(sx1 / CAST(n1 AS DOUBLE) - sx0 / CAST(n0 AS DOUBLE))
+           |      / sqrt(((sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+           |        + (sxx0 - sx0 * sx0 / CAST(n0 AS DOUBLE)))
+           |        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0))"""
+        .stripMargin)}
+         |  END AS cohens_d
+         |FROM p CROSS JOIN o""".stripMargin,
+
+    // AP from the bin decomposition: Σ pos_b·tp_b·10¹² // (P·pred_b)
+    // summed exactly, one display division
+    "q228_average_precision" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+         |bins AS (
+         |  SELECT (c - lo) * 20 // (hi - lo + 1) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |  FROM ev, bounds GROUP BY 1),
+         |cum AS (SELECT bin, n, pos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+         |  FROM bins),
+         |tot AS (SELECT max(nl) AS nt, max(pl) AS pt FROM cum),
+         |terms AS (SELECT
+         |    CAST(CAST(pos AS HUGEINT) * (pt - (pl - pos))
+         |      * 1000000000000
+         |      // (CAST(pt AS HUGEINT) * (nt - (nl - n))) AS BIGINT)
+         |      AS term, pt
+         |  FROM cum, tot WHERE pos > 0)
+         |SELECT max(pt) AS n_pos, CAST(sum(term) AS BIGINT) AS ap_scaled,
+         |  CASE WHEN max(pt) > 0 THEN
+         |    ${f6("CAST(sum(term) AS DOUBLE) / 1000000000000.0")}
+         |  END AS avg_precision
+         |FROM terms""".stripMargin,
+
+    // deterministic resampling: 30 md5-gated replicate means, spread
+    // read off the 30-row order statistics
+    "q229_resample_stability" ->
+      s"""WITH means AS (
+         |  SELECT rep, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS HUGEINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS mean_c
+         |  FROM (SELECT value, event_id,
+         |      unnest(generate_series(1, 30)) AS rep
+         |    FROM events WHERE event_type = 'purchase')
+         |  WHERE ${md5Long(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")}
+         |    % 3 = 0
+         |  GROUP BY 1),
+         |ranked AS (SELECT mean_c,
+         |    row_number() OVER (ORDER BY mean_c, rep) AS rk
+         |  FROM means)
+         |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |  ${f6("min(mean_c)")} AS lo,
+         |  ${f6("max(CASE WHEN rk = 4 THEN mean_c END)")} AS p10,
+         |  ${f6("max(CASE WHEN rk = 16 THEN mean_c END)")} AS p50,
+         |  ${f6("max(CASE WHEN rk = 27 THEN mean_c END)")} AS p90,
+         |  ${f6("max(mean_c)")} AS hi
+         |FROM ranked""".stripMargin,
   )
 }

@@ -5533,6 +5533,118 @@ object Queries {
       .orderBy(col("thr"))
   }
 
+  /** Cohen's d — the standardized effect size of purchase value vs
+    * everything else, the number an A/B readout reports next to its
+    * p-value. Exact cent-scaled moments per class (one aggregate,
+    * map-side combinable); the pooled-variance expression
+    * (m₁−m₀)/√(((sxx₁−sx₁²/n₁)+(sxx₀−sx₀²/n₀))/(n₁+n₀−2)) is a
+    * single pinned double tree evaluated identically by both
+    * engines. */
+  def q227CohensD(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).cast("double").as("sx"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).cast("double")
+          .as("sxx"))
+    val p = m.filter(col("y") === 1)
+      .select(col("n").as("n1"), col("sx").as("sx1"),
+        col("sxx").as("sxx1"))
+    val o = m.filter(col("y") === 0)
+      .select(col("n").as("n0"), col("sx").as("sx0"),
+        col("sxx").as("sxx0"))
+    val j = p.crossJoin(o)
+    val n1d = col("n1").cast("double")
+    val n0d = col("n0").cast("double")
+    val d = (col("sx1") / n1d - col("sx0") / n0d) /
+      sqrt(((col("sxx1") - col("sx1") * col("sx1") / n1d) +
+        (col("sxx0") - col("sx0") * col("sx0") / n0d)) /
+        (n1d + n0d - lit(2.0)))
+    j.select(col("n1"), col("n0"),
+      when(col("n1") > 1 && col("n0") > 1, f6(d)).as("cohens_d"))
+  }
+
+  /** Average precision (area under the q226 P/R curve), kept exact by
+    * the bin decomposition: walking thresholds from high to low, the
+    * recall increment at bin b is exactly pos_b/P, so AP = Σ_b
+    * pos_b·tp_b / (P·pred_b) — each term an integer-scaled division
+    * (pos·tp·10¹² DIV (P·pred), products ≤ 10³⁶ in HUGEINT /
+    * DECIMAL(38,0)) summed exactly, ONE display division at the
+    * end. All curve math happens on the ≤20-row bin table. */
+  def q228AveragePrecision(s: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bounds = ev.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val bins = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(c - lo) * $B DIV (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+    val tot = cum.agg(max(col("nl")).as("nt"), max(col("pl")).as("pt"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .select(col("pos"),
+        (col("pt") - (col("pl") - col("pos"))).as("tp"),
+        (col("nt") - (col("nl") - col("n"))).as("pred"), col("pt"))
+      .filter(col("pos") > 0)
+      .select(expr("CAST(pos AS DECIMAL(38,0)) * tp * 1000000000000" +
+        " DIV (CAST(pt AS DECIMAL(38,0)) * pred)").as("term"), col("pt"))
+    terms.agg(max(col("pt")).as("n_pos"),
+      sum(col("term")).as("ap_scaled"))
+      .select(col("n_pos"), col("ap_scaled"),
+        when(col("n_pos") > 0, f6(col("ap_scaled").cast("double") /
+          lit(1.0e12))).as("avg_precision"))
+  }
+
+  /** Estimator-stability readout via DETERMINISTIC resampling — the
+    * reproducible stand-in for a bootstrap CI (random() is neither
+    * stable nor portable; the q63 hash-split rule is both): 30
+    * replicate subsamples keep rows where md5(event_id:rep) % 3 = 0,
+    * each replicate's mean purchase value is exact cents over exact
+    * count (one division), and the spread report picks order
+    * statistics (min / 4th / 16th / 27th / max of 30) from the
+    * 30-row replicate table. The explode is a constant ×30 map-side
+    * expansion feeding one partial-aggregated groupBy — no state
+    * grows with replicates except the 30-row model. */
+  def q229ResampleStability(s: SparkSession, dir: String): DataFrame = {
+    val reps = 30
+    val means = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"), col("event_id"))
+      .select(col("c"), col("event_id"),
+        explode(expr(s"sequence(1, $reps)")).as("rep"))
+      .filter(pmod(graft.functions.Hashing.md5Long(
+        concat(col("event_id").cast("string"), lit(":"),
+          col("rep").cast("string"))), lit(3)) === 0)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(DecimalType(38, 0))).cast("double").as("sc"))
+      .select(col("rep"), col("n"),
+        (col("sc") / col("n").cast("double")).as("mean_c"))
+    val w = Window.orderBy(col("mean_c"), col("rep"))
+    val ranked = means.withColumn("rk", row_number().over(w))
+    ranked.agg(count(lit(1)).as("n_reps"),
+      min(col("mean_c")).as("lo"),
+      max(when(col("rk") === 4, col("mean_c"))).as("p10"),
+      max(when(col("rk") === 16, col("mean_c"))).as("p50"),
+      max(when(col("rk") === 27, col("mean_c"))).as("p90"),
+      max(col("mean_c")).as("hi"))
+      .select(col("n_reps"), f6(col("lo")).as("lo"),
+        f6(col("p10")).as("p10"), f6(col("p50")).as("p50"),
+        f6(col("p90")).as("p90"), f6(col("hi")).as("hi"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5763,5 +5875,8 @@ object Queries {
     "q224_cumulative_hazard" -> (q224CumulativeHazard _),
     "q225_kendall_tau" -> (q225KendallTau _),
     "q226_pr_curve" -> (q226PrCurve _),
+    "q227_cohens_d" -> (q227CohensD _),
+    "q228_average_precision" -> (q228AveragePrecision _),
+    "q229_resample_stability" -> (q229ResampleStability _),
   )
 }
