@@ -4187,5 +4187,59 @@ object Oracle {
          |  ${f6("max(CASE WHEN rk = 27 THEN mean_c END)")} AS p90,
          |  ${f6("max(mean_c)")} AS hi
          |FROM ranked""".stripMargin,
+
+    // Lindley identity: b = S − least(0, running min S) turns the
+    // floor-at-zero recurrence into two windows
+    "q230_capped_inventory" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         |    l_orderkey, l_linenumber,
+         |    CASE WHEN l_returnflag = 'R'
+         |      THEN -CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |        AS BIGINT)
+         |      ELSE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |        AS BIGINT) END AS x
+         |  FROM lineitem),
+         |sums AS (SELECT l_partkey, d, l_orderkey, l_linenumber,
+         |    CAST(sum(x) OVER w AS BIGINT) AS s
+         |  FROM li
+         |  WINDOW w AS (PARTITION BY l_partkey
+         |    ORDER BY d, l_orderkey, l_linenumber
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |walked AS (SELECT l_partkey, d, l_orderkey, l_linenumber,
+         |    s - least(0, CAST(min(s) OVER w AS BIGINT)) AS b
+         |  FROM sums
+         |  WINDOW w AS (PARTITION BY l_partkey
+         |    ORDER BY d, l_orderkey, l_linenumber
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |agg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_moves,
+         |    max(b) AS high_water
+         |  FROM walked GROUP BY 1),
+         |closing AS (SELECT l_partkey, b AS closing FROM (
+         |    SELECT l_partkey, b, row_number() OVER (
+         |      PARTITION BY l_partkey
+         |      ORDER BY d DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+         |    FROM walked) WHERE rn = 1)
+         |SELECT l_partkey, n_moves, high_water, closing
+         |FROM agg JOIN closing USING (l_partkey)
+         |ORDER BY closing DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // user-day gaps-and-islands; island key = day_num − row_number
+    "q231_longest_streak" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+         |  FROM events),
+         |islands AS (SELECT user_id,
+         |    date_diff('day', DATE '1970-01-01', d)
+         |      - row_number() OVER (PARTITION BY user_id ORDER BY d)
+         |      AS grp,
+         |    d
+         |  FROM days)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+         |  strftime(min(d), '%Y-%m-%d') AS streak_start,
+         |  strftime(max(d), '%Y-%m-%d') AS streak_end
+         |FROM islands GROUP BY user_id, grp
+         |ORDER BY len DESC, user_id, min(d) LIMIT 20""".stripMargin,
   )
 }

@@ -5645,6 +5645,70 @@ object Queries {
         f6(col("p90")).as("p90"), f6(col("hi")).as("hi"))
   }
 
+  /** Floor-at-zero running inventory per part — the nonlinear
+    * recurrence b_n = max(0, b_{n−1} + x_n) that LOOKS like it needs
+    * a sequential scan, solved in closed form by the Lindley-equation
+    * identity b_n = S_n − least(0, min_{k≤n} S_k): one running sum
+    * and one running min over the same per-part window (millions of
+    * small partitions — the scale-safe window shape), all exact
+    * cent integers. Returned lines (returnflag 'R') draw down;
+    * everything else restocks. Reports the 20 largest closing
+    * balances with each part's movement count and high-water mark. */
+  def q230CappedInventory(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        to_date(col("l_shipdate")).as("d"), col("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_returnflag") === "R",
+          -(col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+            .cast("long"))
+          .otherwise((col("l_quantity").cast(DecimalType(18, 2)) *
+            lit(100)).cast("long")).as("x"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = li
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("mn", min(col("s")).over(w))
+      .withColumn("b", col("s") - least(lit(0L), col("mn")))
+    walked.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_moves"), max(col("b")).as("high_water"),
+        max(struct(col("d"), col("l_orderkey"), col("l_linenumber"),
+          col("b"))).getField("b").as("closing"))
+      .orderBy(col("closing").desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey"), col("n_moves"), col("high_water"),
+        col("closing"))
+  }
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands classic on the user-day grid: distinct active
+    * days collapse to islands via the day_num − row_number() key
+    * (constant within a run of consecutive days), then one count per
+    * island. Both windows partition by user (small partitions); the
+    * report is the top-20 streaks with their date spans, emitted as
+    * strings per the date convention. */
+  def q231LongestStreak(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"),
+        to_date(col("ts").cast("timestamp")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"),
+        max(col("d")).as("end_d"))
+    islands
+      .orderBy(col("len").desc, col("user_id"), col("start_d"))
+      .limit(20)
+      .select(col("user_id"), col("len"),
+        date_format(col("start_d"), "yyyy-MM-dd").as("streak_start"),
+        date_format(col("end_d"), "yyyy-MM-dd").as("streak_end"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5878,5 +5942,7 @@ object Queries {
     "q227_cohens_d" -> (q227CohensD _),
     "q228_average_precision" -> (q228AveragePrecision _),
     "q229_resample_stability" -> (q229ResampleStability _),
+    "q230_capped_inventory" -> (q230CappedInventory _),
+    "q231_longest_streak" -> (q231LongestStreak _),
   )
 }
