@@ -4241,5 +4241,57 @@ object Oracle {
          |  strftime(max(d), '%Y-%m-%d') AS streak_end
          |FROM islands GROUP BY user_id, grp
          |ORDER BY len DESC, user_id, min(d) LIMIT 20""".stripMargin,
+
+    // exact half-life: cents·2⁻ʷ as (cents·2²⁰) >> min(w,40) — pure
+    // integer shifts, bit-identical decay in any engine
+    "q232_decayed_value" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents,
+         |    CAST(o_orderdate AS DATE) AS d
+         |  FROM orders),
+         |hz AS (SELECT max(d) AS h FROM o),
+         |aged AS (SELECT o_custkey, cents,
+         |    ((cents * 1048576) >> CAST(least(
+         |      CAST(floor(date_diff('day', d, h) / 7.0) AS BIGINT), 40)
+         |      AS INTEGER)) AS decayed
+         |  FROM o, hz)
+         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents,
+         |  CAST(sum(decayed) AS BIGINT) AS decayed_scaled,
+         |  ${f6("CAST(sum(decayed) AS DOUBLE) / 1048576.0")}
+         |    AS decayed_cents
+         |FROM aged GROUP BY 1
+         |ORDER BY decayed_scaled DESC, o_custkey LIMIT 20""".stripMargin,
+
+    // variance-to-mean of per-(customer,week) order counts with the
+    // zero cells corrected algebraically — the grid never exists
+    "q233_overdispersion" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, date_trunc('week', o_orderdate) AS wk
+         |  FROM orders),
+         |cells AS (SELECT o_custkey, wk, CAST(count(*) AS BIGINT) AS x
+         |  FROM o GROUP BY 1, 2),
+         |wks AS (SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks
+         |  FROM o),
+         |cst AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+         |    AS n_cust FROM o),
+         |m AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+         |      AS DOUBLE) AS sxx
+         |  FROM cells)
+         |SELECT n_cust, n_weeks, sx AS n_orders,
+         |  CASE WHEN sx > 0 THEN
+         |    ${f6("""(sxx / (CAST(n_cust AS DOUBLE)
+           |        * CAST(n_weeks AS DOUBLE))
+           |      - (CAST(sx AS DOUBLE) / (CAST(n_cust AS DOUBLE)
+           |        * CAST(n_weeks AS DOUBLE)))
+           |      * (CAST(sx AS DOUBLE) / (CAST(n_cust AS DOUBLE)
+           |        * CAST(n_weeks AS DOUBLE))))
+           |    / (CAST(sx AS DOUBLE) / (CAST(n_cust AS DOUBLE)
+           |      * CAST(n_weeks AS DOUBLE)))""".stripMargin)}
+         |  END AS vmr
+         |FROM m, wks, cst""".stripMargin,
   )
 }

@@ -5709,6 +5709,74 @@ object Queries {
         date_format(col("end_d"), "yyyy-MM-dd").as("streak_end"))
   }
 
+  /** Time-decayed customer value with an EXACT half-life: a cents
+    * amount aged w weeks is worth cents·2⁻ʷ, computed as
+    * shiftright(cents · 2²⁰, min(w, 40)) — pure integer shifts, so
+    * the decay is bit-identical in any engine (float pow decays are
+    * not), map-side combinable, and monotone; the 2²⁰ pre-scale
+    * keeps 20 fractional bits so young-ish amounts don't truncate
+    * to zero, and the w ≤ 40 cap bounds the shift (2⁻⁴⁰ of a cent
+    * is zero anyway). The report is the top-20 customers by decayed
+    * revenue, undecayed totals alongside; age anchors to the corpus
+    * max date (broadcast scalar) so the query is reproducible on a
+    * frozen fixture. */
+  def q232DecayedValue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("d"))
+    val horizon = o.agg(max(col("d")).as("h"))
+    val aged = o.crossJoin(broadcast(horizon))
+      .withColumn("w",
+        least(floor(datediff(col("h"), col("d")) / lit(7)).cast("long"),
+          lit(40L)))
+      .withColumn("decayed",
+        expr("shiftright(cents * 1048576, CAST(w AS INT))"))
+    aged.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+        sum(col("decayed")).as("decayed_scaled"))
+      .orderBy(col("decayed_scaled").desc, col("o_custkey"))
+      .limit(20)
+      .select(col("o_custkey"), col("n_orders"), col("total_cents"),
+        col("decayed_scaled"),
+        f6(col("decayed_scaled").cast("double") / lit(1048576.0))
+          .as("decayed_cents"))
+  }
+
+  /** Index of dispersion (variance-to-mean ratio) of weekly order
+    * counts per customer — the standard "is demand Poisson or
+    * bursty?" diagnostic. Counts come from one (custkey, week)
+    * aggregate; the ratio needs the ZEROES too, so instead of
+    * materializing the customer×week grid the moments are corrected
+    * algebraically: over the full grid of n_cust·n_weeks cells,
+    * Σx and Σx² equal the nonzero-cell sums — so mean and variance
+    * come from three exact integers and the grid never exists. One
+    * pinned double expression; VMR > 1 ⇒ overdispersed. */
+  def q233Overdispersion(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("wk"))
+    val cells = o.groupBy(col("o_custkey"), col("wk"))
+      .agg(count(lit(1)).as("x"))
+    val weeks = o.select(col("wk")).distinct()
+      .agg(count(lit(1)).as("n_weeks"))
+    val custs = o.select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).as("n_cust"))
+    val m = cells.agg(
+      sum(col("x")).as("sx"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast("double")
+        .as("sxx"))
+      .crossJoin(weeks).crossJoin(custs)
+    val cellsD = (col("n_cust").cast("double") *
+      col("n_weeks").cast("double"))
+    val meanD = col("sx").cast("double") / cellsD
+    val vmr = (col("sxx") / cellsD - meanD * meanD) / meanD
+    m.select(col("n_cust"), col("n_weeks"), col("sx").as("n_orders"),
+      when(col("sx") > 0, f6(vmr)).as("vmr"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -5944,5 +6012,7 @@ object Queries {
     "q229_resample_stability" -> (q229ResampleStability _),
     "q230_capped_inventory" -> (q230CappedInventory _),
     "q231_longest_streak" -> (q231LongestStreak _),
+    "q232_decayed_value" -> (q232DecayedValue _),
+    "q233_overdispersion" -> (q233Overdispersion _),
   )
 }
