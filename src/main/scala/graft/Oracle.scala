@@ -4293,5 +4293,33 @@ object Oracle {
            |      * CAST(n_weeks AS DOUBLE)))""".stripMargin)}
          |  END AS vmr
          |FROM m, wks, cst""".stripMargin,
+
+    // Lorenz curve over population deciles: gidx·10 // n assigns the
+    // decile, cum_cents stays an exact BIGINT, ONE double division
+    "q234_lorenz_curve" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS r
+         |  FROM orders GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM rev),
+         |idx AS (SELECT r,
+         |    row_number() OVER (ORDER BY r, o_custkey) - 1 AS gidx
+         |  FROM rev),
+         |dec AS (SELECT r, gidx * 10 // nc AS decile FROM idx, n),
+         |perdec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+         |    CAST(sum(r) AS BIGINT) AS cents
+         |  FROM dec GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM perdec),
+         |cum AS (SELECT decile, n_cust,
+         |    CAST(sum(cents) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_cents
+         |  FROM perdec)
+         |SELECT decile, n_cust, cum_cents,
+         |  CASE WHEN total > 0 THEN
+         |    ${f6("CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE)")}
+         |  END AS cum_share
+         |FROM cum, tot ORDER BY decile""".stripMargin,
   )
 }

@@ -5777,6 +5777,37 @@ object Queries {
       when(col("sx") > 0, f6(vmr)).as("vmr"))
   }
 
+  /** Lorenz curve of revenue concentration — the 10-point curve whose
+    * area q209's Gini summarizes: customers ranked ascending by
+    * revenue ([[Ranking.globalIndex]], never a global window), cut
+    * into population deciles by gidx·10 DIV n, cumulative revenue
+    * per decile via a ≤10-row window, share = ONE exact-integer
+    * division per row. cum_cents stays an exact BIGINT so the curve
+    * is hash-provable; the bottom-decile share vs the top's is the
+    * headline inequality readout. */
+  def q234LorenzCurve(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("r"))
+    val n = rev.agg(count(lit(1)).as("n_cust"))
+    val dec = Ranking.globalIndex(rev, Seq("r", "o_custkey"))
+      .crossJoin(broadcast(n))
+      .select(col("r"), expr("gidx * 10 DIV n_cust").as("decile"))
+    val perDec = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("r")).as("cents"))
+    val tot = perDec.agg(sum(col("cents")).as("total"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDec.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"),
+        sum(col("cents")).over(w).as("cum_cents"), col("total"))
+      .select(col("decile"), col("n_cust"), col("cum_cents"),
+        when(col("total") > 0, f6(col("cum_cents").cast("double") /
+          col("total").cast("double"))).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6014,5 +6045,6 @@ object Queries {
     "q231_longest_streak" -> (q231LongestStreak _),
     "q232_decayed_value" -> (q232DecayedValue _),
     "q233_overdispersion" -> (q233Overdispersion _),
+    "q234_lorenz_curve" -> (q234LorenzCurve _),
   )
 }
