@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +45,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that errors writes no parquet, so a presence-based compare
+    // would silently shrink the ledger (round-6 lesson: 8 NTZ failures
+    // read as fully green). Persist every failure as an artifact and
+    // shout the count so a regressed round can never look clean.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // The full selection set, so the comparator can detect a query that
+    // vanished without a trace (neither parquet nor error entry).
+    val selected = SparkEntry.queries.keys
+      .filter(n => only.isEmpty || only(n))
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failed.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -130,8 +130,8 @@ object JdbcUrl {
   * stay bit-identical. The schema guard keeps this a no-op if the
   * fixture is ever regenerated with micros precision. */
 object Tables {
-  import org.apache.spark.sql.functions.{expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** (table, column) pairs stored as TIMESTAMP(NANOS) in the fixtures. */
   private val nanoCols = Set(("events", "ts"))
@@ -186,6 +186,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fixture timestamps are parquet timestamp[us] with isAdjustedToUTC
+    // = false; by default Spark 3.4+ infers those as TIMESTAMP_NTZ,
+    // which query code (unix_micros, bigint casts) rejects. Turning
+    // inference off makes the SCAN produce session-TZ TIMESTAMP
+    // directly — full predicate pushdown, no cast node — and the
+    // session TZ is pinned to UTC so the micros are unchanged.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // watermark predicates on the derived micros column must still reach
     // the parquet footer — see graft.plans.NanosWatermarkPushdown
     if (!spark.experimental.extraOptimizations
@@ -199,6 +206,13 @@ object Tables {
       df.schema.fields.foldLeft(df) { (d, f) =>
         if (f.dataType == LongType && nanoCols.contains((name, f.name)))
           d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        else if (f.dataType == TimestampNTZType)
+          // Fixtures written as parquet timestamp[us] without a timezone
+          // (isAdjustedToUTC=false) surface as TIMESTAMP_NTZ; query code
+          // (unix_micros, casts to bigint) expects session-TZ TIMESTAMP.
+          // The session TZ is pinned to UTC in Verify/Bench/tests, so the
+          // cast is a pure type relabel — identical micros, DuckDB-parity.
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
         else d
       }
     })

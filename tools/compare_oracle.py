@@ -80,8 +80,26 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import glob
+    import os
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*"))
     n_pass = n_fail = n_rows_only = 0
+    # Round-6 lesson: a query that throws writes no parquet, so a purely
+    # presence-based sweep reads as green while coverage shrinks. Verify
+    # now persists errors.json (per-query failure messages) and
+    # manifest.json (the selected query set); every error is a hard fail
+    # and every manifest entry must be accounted for.
+    errors = {}
+    if os.path.exists(f"{out_dir}/errors.json"):
+        errors = json.load(open(f"{out_dir}/errors.json"))
+        for name, msg in sorted(errors.items()):
+            print(f"{name}: QUERY_ERROR {msg[:200]}")
+            n_fail += 1
+    if os.path.exists(f"{out_dir}/manifest.json"):
+        manifest = json.load(open(f"{out_dir}/manifest.json"))
+        missing = sorted(set(manifest) - set(names) - set(errors))
+        for name in missing:
+            print(f"{name}: MISSING_OUTPUT (in manifest, no parquet, no error)")
+            n_fail += 1
     for name in names:
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
