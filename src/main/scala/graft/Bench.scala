@@ -125,8 +125,13 @@ object Bench {
       for (e <- entries if line(kept.toSeq :+ e).length <= budget) kept += e
       line(kept.toSeq)
     }
+    // Budget 1700, not ~2000: the driver's artifact keeps the LAST 2000
+    // chars of the sbt run's output, and sbt appends trailer lines after
+    // our print ("[error] Nonzero exit code..." + "Total time" ≈ 170
+    // chars on failure — exactly what clipped round 6's 1950-char line
+    // mid-map). 300 chars of headroom keeps the line whole either way.
     val short = Seq(compact(2), compact(1), compact(1, minimal = true))
-      .find(_.length <= 1950).getOrElse(compactTop(1950))
+      .find(_.length <= 1700).getOrElse(compactTop(1700))
     println(short)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

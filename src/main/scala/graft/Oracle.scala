@@ -4321,5 +4321,211 @@ object Oracle {
          |    ${f6("CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE)")}
          |  END AS cum_share
          |FROM cum, tot ORDER BY decile""".stripMargin,
+
+    // Two-sample KS: the sup CDF gap evaluated at every distinct
+    // pooled value, exact integer |cumA·nB − cumB·nA| over the common
+    // denominator, argmax tie-broken smallest-v, ONE double division
+    "q235_ks_test" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |s AS (SELECT v, CAST(sum(y) AS BIGINT) AS ca,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS cb
+         |  FROM li GROUP BY 1),
+         |cum AS (SELECT v,
+         |    CAST(sum(ca) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_ca,
+         |    CAST(sum(cb) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_cb
+         |  FROM s),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM s),
+         |gaps AS (SELECT v,
+         |    abs(CAST(cum_ca AS HUGEINT) * n_b -
+         |        CAST(cum_cb AS HUGEINT) * n_a) AS gap
+         |  FROM cum, tot),
+         |best AS (SELECT gap, v FROM gaps ORDER BY gap DESC, v ASC
+         |  LIMIT 1)
+         |SELECT n_a, n_b, v AS v_at_max,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(gap AS DOUBLE)
+           |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS ks_d
+         |FROM best, tot""".stripMargin,
+
+    // Tie-corrected Mann–Whitney: 2U and Σ(t³−t) exact in HUGEINT,
+    // effect size and z as terminal doubles whose operation order
+    // mirrors the Spark expression token for token (sqrt and divide
+    // are correctly rounded — bit-reproducible across engines)
+    "q236_mann_whitney" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |s AS (SELECT v, CAST(sum(y) AS BIGINT) AS ca,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS cb
+         |  FROM li GROUP BY 1),
+         |cum AS (SELECT ca, cb,
+         |    CAST(coalesce(sum(cb) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cbb
+         |  FROM s),
+         |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b,
+         |    sum(CAST(ca AS HUGEINT) *
+         |      (2 * CAST(cbb AS HUGEINT) + CAST(cb AS HUGEINT))) AS u2,
+         |    sum(CAST(ca + cb AS HUGEINT) * CAST(ca + cb AS HUGEINT) *
+         |        CAST(ca + cb AS HUGEINT) - CAST(ca + cb AS HUGEINT))
+         |      AS tie3
+         |  FROM cum)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(u2 AS DOUBLE)
+           |      / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS cles,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""(CAST(u2 AS DOUBLE) / 2.0
+           |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           |        * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) + 1.0)
+           |          - CAST(tie3 AS DOUBLE)
+           |            / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           |              * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           |                - 1.0))))""".stripMargin)}
+         |  END AS z
+         |FROM agg""".stripMargin,
+
+    // HITS, 2 bounded rounds replayed as chained CTEs: each round is
+    // an exact long sum then an L1 renormalization x·2^30 // Σx with
+    // the product in HUGEINT — the q82 fixed-point discipline on an
+    // alternating recurrence; one scalar subquery per normalization
+    "q237_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey + 1000000 AS src,
+        |    l_partkey AS dst FROM lineitem),
+        |h0 AS (SELECT DISTINCT src AS id,
+        |    CAST(1073741824 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS ar
+        |  FROM e JOIN h0 ON e.src = h0.id GROUP BY 1),
+        |a1t AS (SELECT CASE WHEN coalesce(sum(ar), 0) = 0
+        |    THEN CAST(1 AS HUGEINT)
+        |    ELSE CAST(sum(ar) AS HUGEINT) END AS t FROM a1r),
+        |a1 AS (SELECT dst,
+        |    CAST(CAST(ar AS HUGEINT) * 1073741824 // t AS BIGINT) AS a
+        |  FROM a1r, a1t),
+        |h1r AS (SELECT src, CAST(sum(a) AS BIGINT) AS hr
+        |  FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |h1t AS (SELECT CASE WHEN coalesce(sum(hr), 0) = 0
+        |    THEN CAST(1 AS HUGEINT)
+        |    ELSE CAST(sum(hr) AS HUGEINT) END AS t FROM h1r),
+        |h1 AS (SELECT src AS id,
+        |    CAST(CAST(hr AS HUGEINT) * 1073741824 // t AS BIGINT) AS h
+        |  FROM h1r, h1t),
+        |a2r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS ar
+        |  FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+        |a2t AS (SELECT CASE WHEN coalesce(sum(ar), 0) = 0
+        |    THEN CAST(1 AS HUGEINT)
+        |    ELSE CAST(sum(ar) AS HUGEINT) END AS t FROM a2r),
+        |a2 AS (SELECT dst,
+        |    CAST(CAST(ar AS HUGEINT) * 1073741824 // t AS BIGINT) AS a
+        |  FROM a2r, a2t),
+        |h2r AS (SELECT src, CAST(sum(a) AS BIGINT) AS hr
+        |  FROM e JOIN a2 USING (dst) GROUP BY 1),
+        |h2t AS (SELECT CASE WHEN coalesce(sum(hr), 0) = 0
+        |    THEN CAST(1 AS HUGEINT)
+        |    ELSE CAST(sum(hr) AS HUGEINT) END AS t FROM h2r),
+        |h2 AS (SELECT src AS id,
+        |    CAST(CAST(hr AS HUGEINT) * 1073741824 // t AS BIGINT) AS h
+        |  FROM h2r, h2t)
+        |SELECT coalesce(a2.dst, h2.id) AS id,
+        |  coalesce(a2.a, CAST(0 AS BIGINT)) AS auth_fixed,
+        |  coalesce(h2.h, CAST(0 AS BIGINT)) AS hub_fixed
+        |FROM a2 FULL OUTER JOIN h2 ON a2.dst = h2.id
+        |ORDER BY auth_fixed DESC, id ASC LIMIT 20""".stripMargin,
+
+    // ACF at lags 1–7 on N-scaled integer deviations e_t = N·x_t − S:
+    // numerators and denominator exact in HUGEINT, one double
+    // division per lag (the f6 floor applied to num/den directly)
+    "q238_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |dev AS (SELECT d, CAST(x AS HUGEINT) * n - sx AS e
+        |  FROM daily, tot),
+        |lagged AS (SELECT e,
+        |    lag(e, 1) OVER (ORDER BY d) AS e1,
+        |    lag(e, 2) OVER (ORDER BY d) AS e2,
+        |    lag(e, 3) OVER (ORDER BY d) AS e3,
+        |    lag(e, 4) OVER (ORDER BY d) AS e4,
+        |    lag(e, 5) OVER (ORDER BY d) AS e5,
+        |    lag(e, 6) OVER (ORDER BY d) AS e6,
+        |    lag(e, 7) OVER (ORDER BY d) AS e7
+        |  FROM dev),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(e * e) AS den,
+        |    sum(CASE WHEN e1 IS NOT NULL THEN e * e1 END) AS num1,
+        |    sum(CASE WHEN e2 IS NOT NULL THEN e * e2 END) AS num2,
+        |    sum(CASE WHEN e3 IS NOT NULL THEN e * e3 END) AS num3,
+        |    sum(CASE WHEN e4 IS NOT NULL THEN e * e4 END) AS num4,
+        |    sum(CASE WHEN e5 IS NOT NULL THEN e * e5 END) AS num5,
+        |    sum(CASE WHEN e6 IS NOT NULL THEN e * e6 END) AS num6,
+        |    sum(CASE WHEN e7 IS NOT NULL THEN e * e7 END) AS num7
+        |  FROM lagged)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS lag, n - 1 AS n_pairs,
+        |    CASE WHEN den > 0 THEN floor(CAST(num1 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END AS acf
+        |  FROM agg
+        |  UNION ALL SELECT CAST(2 AS BIGINT), n - 2,
+        |    CASE WHEN den > 0 THEN floor(CAST(num2 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END FROM agg
+        |  UNION ALL SELECT CAST(3 AS BIGINT), n - 3,
+        |    CASE WHEN den > 0 THEN floor(CAST(num3 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END FROM agg
+        |  UNION ALL SELECT CAST(4 AS BIGINT), n - 4,
+        |    CASE WHEN den > 0 THEN floor(CAST(num4 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END FROM agg
+        |  UNION ALL SELECT CAST(5 AS BIGINT), n - 5,
+        |    CASE WHEN den > 0 THEN floor(CAST(num5 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END FROM agg
+        |  UNION ALL SELECT CAST(6 AS BIGINT), n - 6,
+        |    CASE WHEN den > 0 THEN floor(CAST(num6 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END FROM agg
+        |  UNION ALL SELECT CAST(7 AS BIGINT), n - 7,
+        |    CASE WHEN den > 0 THEN floor(CAST(num7 AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000) / 1000000.0 END FROM agg
+        |) ORDER BY lag""".stripMargin,
+
+    // Herfindahl per region: HHI = Σr² / (Σr)² by cross-multiplication
+    // — exact HUGEINT moments, one double division per region
+    "q239_herfindahl" ->
+      s"""WITH rev AS (
+         |  SELECT r_name, s_suppkey,
+         |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS r
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY 1, 2)
+         |SELECT r_name, CAST(count(*) AS BIGINT) AS n_sup,
+         |  CASE WHEN sum(CAST(r AS HUGEINT)) > 0 THEN
+         |    ${f6("""CAST(sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT))
+           |        AS DOUBLE)
+           |      / (CAST(sum(CAST(r AS HUGEINT)) AS DOUBLE)
+           |        * CAST(sum(CAST(r AS HUGEINT)) AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS hhi
+         |FROM rev GROUP BY 1 ORDER BY r_name""".stripMargin,
   )
 }

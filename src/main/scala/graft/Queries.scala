@@ -5808,6 +5808,134 @@ object Queries {
       .orderBy(col("decile"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov: does the price distribution of
+    * RETURNED line items differ from the rest? [[Stats.ksTwoSample]]
+    * evaluates D = sup|F̂_A − F̂_B| exactly at every distinct pooled
+    * cent value — the gap as the integer |cumA·nB − cumB·nA| over the
+    * common denominator, cumulative counts from the range-bucketed
+    * two-phase prefix sum (never a single-task window), argmax value
+    * tie-broken smallest-first by one max(struct) over exact ints, D
+    * as ONE terminal double division. */
+  def q235KsTest(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("cents"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    Stats.ksTwoSample(li, col("cents"), col("y"))
+      .select(col("n_a"), col("n_b"), col("v_at_max"),
+        f6(col("ks_d")).as("ks_d"))
+  }
+
+  /** Tie-corrected Mann–Whitney U on the same returned-vs-kept price
+    * split — the rank-sum complement to q235's CDF-gap view: 2U from
+    * exact per-value class counts (the q212 AUC numerator), the tie
+    * term Σ(t³−t) in DECIMAL(38,0), and two terminal doubles with a
+    * fixed operation order — the common-language effect size
+    * A = U/(nA·nB) and the normal-approximation z (sqrt and divide
+    * are correctly rounded under IEEE-754, so both hash identically
+    * in DuckDB; ln/exp would not). */
+  def q236MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("cents"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    Stats.mannWhitneyU(li, col("cents"), col("y"))
+      .select(col("n_a"), col("n_b"), f6(col("cles")).as("cles"),
+        f6(col("z")).as("z"))
+  }
+
+  /** Bounded-round HITS over the supplier→part endorsement graph
+    * (distinct (suppkey, partkey) pairs from lineitem; supplier ids
+    * offset into a disjoint key space): 2 full hub/authority rounds of
+    * [[Graph.hits]] — int64 2^30 fixed point, L1 normalization as an
+    * exact integral division — emitting the top-20 authorities
+    * (hub-endorsed parts) under the strict (auth DESC, id) total
+    * order. The oracle replays both rounds as chained CTEs with one
+    * scalar subquery per normalization. */
+  def q237Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select((col("l_suppkey") + lit(1000000L)).as("src"),
+        col("l_partkey").as("dst"))
+    Graph.hits(edges, iters = 2)
+      .orderBy(col("auth_fixed").desc, col("id").asc)
+      .limit(20)
+  }
+
+  /** Autocorrelation of daily event revenue at lags 1–7 — the
+    * seasonality probe every time-series pipeline starts with. Exact
+    * to the final division: with S = Σx and N days, the deviation is
+    * carried N-scaled as e_t = N·x_t − S (integer, no mean rounding),
+    * r_k = Σ_{t>k} e_t·e_{t−k} / Σ e_t² with both sides in
+    * DECIMAL(38,0) and ONE double division per lag. The lag columns
+    * ride a window over the POST-AGGREGATION daily frame (≤ a few
+    * thousand rows — model-sized; the data-sized pass is the one
+    * groupBy(day)), stacked to (lag, n_pairs, acf) rows. */
+  def q238Acf(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"))
+    val w = Window.orderBy(col("d"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"),
+        (col("x").cast(dec) * col("n").cast(dec) - col("sx").cast(dec))
+          .as("e"))
+    val lagged = (1 to 7).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"e$k", lag(col("e"), k).over(w))
+    }
+    val aggCols = count(lit(1)).cast("long").as("n") +:
+      sum(col("e") * col("e")).as("den") +:
+      (1 to 7).map(k =>
+        sum(when(col(s"e$k").isNotNull, col("e") * col(s"e$k")))
+          .as(s"num$k"))
+    val agg = lagged.agg(aggCols.head, aggCols.tail: _*)
+    // typed Columns, not a SQL string: in SQL text `1000000.0` parses
+    // as a DECIMAL literal and the division silently becomes
+    // DECIMAL(30,9) instead of DOUBLE
+    val rows = (1 to 7).map { k =>
+      struct(lit(k.toLong).as("lag"),
+        (col("n") - lit(k.toLong)).as("n_pairs"),
+        when(col("den") > 0,
+          f6(col(s"num$k").cast("double") / col("den").cast("double")))
+          .as("acf"))
+    }
+    agg.select(explode(array(rows: _*)).as("x"))
+      .select(col("x.lag").as("lag"), col("x.n_pairs").as("n_pairs"),
+        col("x.acf").as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Herfindahl–Hirschman supplier-concentration index per region:
+    * HHI = Σ_i share_i² over each region's supplier revenue shares —
+    * the market-concentration staple, exact by cross-multiplication:
+    * HHI = Σr_i² / (Σr_i)² with per-supplier revenue cents summed
+    * exactly and both moments in DECIMAL(38,0), ONE double division
+    * per region. Dimension joins (supplier→nation→region) broadcast;
+    * the one data-sized shuffle is the (region, supplier) aggregate. */
+  def q239Herfindahl(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("s_suppkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("r"))
+    rev.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_sup"),
+        sum(col("r").cast(dec) * col("r").cast(dec)).as("num"),
+        sum(col("r").cast(dec)).as("tot"))
+      .select(col("r_name"), col("n_sup"),
+        when(col("tot") > 0, f6(col("num").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double"))))
+          .as("hhi"))
+      .orderBy(col("r_name"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6046,5 +6174,10 @@ object Queries {
     "q232_decayed_value" -> (q232DecayedValue _),
     "q233_overdispersion" -> (q233Overdispersion _),
     "q234_lorenz_curve" -> (q234LorenzCurve _),
+    "q235_ks_test" -> (q235KsTest _),
+    "q236_mann_whitney" -> (q236MannWhitney _),
+    "q237_hits" -> (q237Hits _),
+    "q238_acf" -> (q238Acf _),
+    "q239_herfindahl" -> (q239Herfindahl _),
   )
 }

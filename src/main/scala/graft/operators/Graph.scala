@@ -372,6 +372,83 @@ object Graph {
     arr
   }
 
+  /** Bounded-round HITS (Kleinberg hubs-and-authorities) over a
+    * DIRECTED edge list (src, dst), in the pageRank fixed-point
+    * discipline: scores are int64 scaled by 2^30, every round's
+    * authority step a(v) = Σ_{u→v} h(u) and hub step h(u) = Σ_{u→v} a(v)
+    * are exact long sums, and the L1 normalization x ← x·2^30 DIV Σx
+    * is an integral division with the product carried in DECIMAL(38,0)
+    * — so the result is bit-identical under any partitioning/merge
+    * order and replayable as chained DuckDB CTEs with one scalar
+    * subquery per normalization (the q237 oracle). Fixed `iters`
+    * rounds (the q82/q165 bounded-round treatment — a convergence test
+    * would make the oracle's shape input-dependent).
+    *
+    * Scale shape: the edge list is cached TWICE, pre-partitioned on
+    * src and on dst — the authority step joins on src and the hub step
+    * on dst, and a single partitioning would re-exchange the (large)
+    * edge side every half-round; 2× edge storage buys zero per-round
+    * edge shuffles, the pageRank edge-cache rationale applied to an
+    * alternating iteration. Each normalization total rides the
+    * half-round's checkpoint job via observe(). Bound: scores ≤ 2^30
+    * after each normalization, so raw sums stay under 2^63 for graphs
+    * with Σ-degree < 2^33 (~8B edges); the DECIMAL(38,0) product
+    * covers the ·2^30 renormalization far beyond that.
+    *
+    * Returns (id, auth_fixed, hub_fixed), absent scores as 0. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val eS = e.repartition(col("src")).persist()
+    val eD = e.repartition(col("dst")).persist()
+
+    // x·2^30 DIV total — SQL's IntegralDivide (exact truncating
+    // division; all values nonnegative, so ≡ floor), the product in
+    // DECIMAL(38,0) (x ≤ E·2^30 already uses most of int64; ·2^30
+    // again needs 38 digits). NOT decimal `/` + cast: Spark's decimal
+    // division ROUNDS to the result scale, which can cross an integer
+    // boundary and diverge from the oracle's `//`.
+    def norm(xCol: String, tot: Long): org.apache.spark.sql.Column =
+      expr(s"CAST((CAST($xCol AS DECIMAL(38,0)) * ${Scale}L)" +
+        s" DIV ${tot}L AS BIGINT)")
+
+    var hubs = eS.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(Scale).as("h"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val aObs = new org.apache.spark.sql.Observation(s"hits_a_$i")
+      val araw = eS
+        .join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .observe(aObs, sum(col("ar")).as("tot"))
+        .localCheckpoint(true)
+      // empty/all-zero guard: DIV 0 would throw under ANSI; with no
+      // mass every normalized score is 0 regardless of divisor
+      val aTot = Option(aObs.get("tot")).map(_.asInstanceOf[Long])
+        .filter(_ != 0L).getOrElse(1L)
+      auths = araw.select(col("dst"), norm("ar", aTot).as("a"))
+      val hObs = new org.apache.spark.sql.Observation(s"hits_h_$i")
+      val hraw = eD
+        .join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+        .observe(hObs, sum(col("hr")).as("tot"))
+        .localCheckpoint(true)
+      val hTot = Option(hObs.get("tot")).map(_.asInstanceOf[Long])
+        .filter(_ != 0L).getOrElse(1L)
+      hubs = hraw.select(col("src").as("id"), norm("hr", hTot).as("h"))
+      i += 1
+    }
+    val out = auths.select(col("dst").as("id"), col("a").as("auth_fixed"))
+      .join(hubs.select(col("id"), col("h").as("hub_fixed")),
+        Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("auth_fixed"), lit(0L)).as("auth_fixed"),
+        coalesce(col("hub_fixed"), lit(0L)).as("hub_fixed"))
+      .localCheckpoint(true)
+    e.unpersist(); eS.unpersist(); eD.unpersist()
+    out
+  }
+
   def bellmanFordRounds(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     val doubled = edges

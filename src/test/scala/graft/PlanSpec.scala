@@ -467,7 +467,7 @@ class PlanSpec extends SparkSpec {
     "data-sized window is hashpartitioned on _bucket; only the " +
     "≤buckets-row bucket-totals window is SinglePartition") {
     for (q <- Seq("q212_roc_auc", "q213_spearman",
-        "q224_cumulative_hazard")) {
+        "q224_cumulative_hazard", "q235_ks_test", "q236_mann_whitney")) {
       val p = plan(q)
       assert(p.contains("hashpartitioning(_bucket"), s"$q:\n$p")
       // every distinct-key aggregate feeding the CDF combines map-side
