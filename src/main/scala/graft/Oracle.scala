@@ -4527,5 +4527,217 @@ object Oracle {
         .stripMargin)}
          |  END AS hhi
          |FROM rev GROUP BY 1 ORDER BY r_name""".stripMargin,
+
+    // Kruskal–Wallis: doubled tie-averaged ranks keep 2R_g integral;
+    // the five KNOWN priority groups pivot to one row so the Σ over
+    // groups is a fixed-order scalar double expression
+    "q240_kruskal_wallis" ->
+      s"""WITH ord AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    o_orderpriority AS g
+         |  FROM orders),
+         |bygv AS (SELECT v, g, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ord GROUP BY 1, 2),
+         |byv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS t
+         |  FROM bygv GROUP BY 1),
+         |cum AS (SELECT v, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below
+         |  FROM byv),
+         |perg AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS ng,
+         |    sum(CAST(cnt AS HUGEINT) *
+         |      CAST(2 * below + t + 1 AS HUGEINT)) AS r2
+         |  FROM bygv JOIN cum USING (v) GROUP BY 1),
+         |ties AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+         |    sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+         |        CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie3
+         |  FROM cum),
+         |piv AS (SELECT
+         |    max(CASE WHEN g = '1-URGENT' THEN r2 END) AS r2_0,
+         |    max(CASE WHEN g = '2-HIGH' THEN r2 END) AS r2_1,
+         |    max(CASE WHEN g = '3-MEDIUM' THEN r2 END) AS r2_2,
+         |    max(CASE WHEN g = '4-NOT SPECIFIED' THEN r2 END) AS r2_3,
+         |    max(CASE WHEN g = '5-LOW' THEN r2 END) AS r2_4,
+         |    max(CASE WHEN g = '1-URGENT' THEN ng END) AS ng_0,
+         |    max(CASE WHEN g = '2-HIGH' THEN ng END) AS ng_1,
+         |    max(CASE WHEN g = '3-MEDIUM' THEN ng END) AS ng_2,
+         |    max(CASE WHEN g = '4-NOT SPECIFIED' THEN ng END) AS ng_3,
+         |    max(CASE WHEN g = '5-LOW' THEN ng END) AS ng_4
+         |  FROM perg)
+         |SELECT n,
+         |  ${f6("""3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           |      * (CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE)
+           |          / (4.0 * CAST(ng_0 AS DOUBLE))
+           |        + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE)
+           |          / (4.0 * CAST(ng_1 AS DOUBLE))
+           |        + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE)
+           |          / (4.0 * CAST(ng_2 AS DOUBLE))
+           |        + CAST(r2_3 AS DOUBLE) * CAST(r2_3 AS DOUBLE)
+           |          / (4.0 * CAST(ng_3 AS DOUBLE))
+           |        + CAST(r2_4 AS DOUBLE) * CAST(r2_4 AS DOUBLE)
+           |          / (4.0 * CAST(ng_4 AS DOUBLE)))
+           |      - 3.0 * (CAST(n AS DOUBLE) + 1.0)""".stripMargin)}
+         |    AS h,
+         |  ${f6("""(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           |      * (CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE)
+           |          / (4.0 * CAST(ng_0 AS DOUBLE))
+           |        + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE)
+           |          / (4.0 * CAST(ng_1 AS DOUBLE))
+           |        + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE)
+           |          / (4.0 * CAST(ng_2 AS DOUBLE))
+           |        + CAST(r2_3 AS DOUBLE) * CAST(r2_3 AS DOUBLE)
+           |          / (4.0 * CAST(ng_3 AS DOUBLE))
+           |        + CAST(r2_4 AS DOUBLE) * CAST(r2_4 AS DOUBLE)
+           |          / (4.0 * CAST(ng_4 AS DOUBLE)))
+           |      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+           |      / (1.0 - CAST(tie3 AS DOUBLE)
+           |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           |          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"""
+        .stripMargin)}
+         |    AS h_corrected
+         |FROM piv, ties""".stripMargin,
+
+    // Cramér–von Mises: Σ t·gap² with the cross-multiplied integer
+    // gap, exact in HUGEINT, one terminal double division
+    "q241_cramer_von_mises" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |s AS (SELECT v, CAST(sum(y) AS BIGINT) AS ca,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS cb
+         |  FROM li GROUP BY 1),
+         |cum AS (SELECT v, ca, cb,
+         |    CAST(sum(ca) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_ca,
+         |    CAST(sum(cb) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_cb
+         |  FROM s),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM s),
+         |agg AS (SELECT sum(CAST(ca + cb AS HUGEINT) *
+         |      (CAST(cum_ca AS HUGEINT) * n_b -
+         |       CAST(cum_cb AS HUGEINT) * n_a) *
+         |      (CAST(cum_ca AS HUGEINT) * n_b -
+         |       CAST(cum_cb AS HUGEINT) * n_a)) AS s
+         |  FROM cum, tot)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(s AS DOUBLE)
+           |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+           |        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           |        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))"""
+        .stripMargin)}
+         |  END AS cvm
+         |FROM agg, tot""".stripMargin,
+
+    // Welch's t: exact HUGEINT moments, then means/variances/standard
+    // errors as named intermediates computed with the identical
+    // operation order as the Spark expression tree
+    "q242_welch_t" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS c,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |m AS (SELECT CAST(sum(y) AS BIGINT) AS n_a,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS n_b,
+         |    sum(CASE WHEN y = 1 THEN CAST(c AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS sa,
+         |    sum(CASE WHEN y = 0 THEN CAST(c AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS sb,
+         |    sum(CASE WHEN y = 1 THEN CAST(c AS HUGEINT) *
+         |      CAST(c AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS qa,
+         |    sum(CASE WHEN y = 0 THEN CAST(c AS HUGEINT) *
+         |      CAST(c AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS qb
+         |  FROM ev),
+         |d AS (SELECT n_a, n_b,
+         |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) *
+         |      CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+         |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) *
+         |      CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+         |  FROM m),
+         |e AS (SELECT n_a, n_b, ma, mb,
+         |    va / CAST(n_a AS DOUBLE) AS sea,
+         |    vb / CAST(n_b AS DOUBLE) AS seb
+         |  FROM d)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |    ${f6("(ma - mb) / sqrt(sea + seb)")}
+         |  END AS t_stat,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |    ${f6("""((sea + seb) * (sea + seb))
+           |      / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+           |        + seb * seb / (CAST(n_b AS DOUBLE) - 1.0))"""
+        .stripMargin)}
+         |  END AS df
+         |FROM e""".stripMargin,
+
+    // Ljung–Box at h=7 on the q238 moment CTEs: Q = N(N+2)·Σ r_k²/(N−k)
+    // with r_k = num_k/den, seven terms in fixed order
+    "q243_ljung_box" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx FROM daily),
+         |dev AS (SELECT d, CAST(x AS HUGEINT) * n - sx AS e
+         |  FROM daily, tot),
+         |lagged AS (SELECT e,
+         |    lag(e, 1) OVER (ORDER BY d) AS e1,
+         |    lag(e, 2) OVER (ORDER BY d) AS e2,
+         |    lag(e, 3) OVER (ORDER BY d) AS e3,
+         |    lag(e, 4) OVER (ORDER BY d) AS e4,
+         |    lag(e, 5) OVER (ORDER BY d) AS e5,
+         |    lag(e, 6) OVER (ORDER BY d) AS e6,
+         |    lag(e, 7) OVER (ORDER BY d) AS e7
+         |  FROM dev),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(e * e) AS den,
+         |    sum(CASE WHEN e1 IS NOT NULL THEN e * e1 END) AS num1,
+         |    sum(CASE WHEN e2 IS NOT NULL THEN e * e2 END) AS num2,
+         |    sum(CASE WHEN e3 IS NOT NULL THEN e * e3 END) AS num3,
+         |    sum(CASE WHEN e4 IS NOT NULL THEN e * e4 END) AS num4,
+         |    sum(CASE WHEN e5 IS NOT NULL THEN e * e5 END) AS num5,
+         |    sum(CASE WHEN e6 IS NOT NULL THEN e * e6 END) AS num6,
+         |    sum(CASE WHEN e7 IS NOT NULL THEN e * e7 END) AS num7
+         |  FROM lagged)
+         |SELECT n AS n_days,
+         |  CASE WHEN den > 0 AND n > 7 THEN
+         |    ${f6("""CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+           |      * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 1.0)
+           |        + (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 2.0)
+           |        + (CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 3.0)
+           |        + (CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 4.0)
+           |        + (CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 5.0)
+           |        + (CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 6.0)
+           |        + (CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          * (CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE))
+           |          / (CAST(n AS DOUBLE) - 7.0))""".stripMargin)}
+         |  END AS q_lb
+         |FROM agg""".stripMargin,
   )
 }

@@ -5870,7 +5870,11 @@ object Queries {
     * ride a window over the POST-AGGREGATION daily frame (≤ a few
     * thousand rows — model-sized; the data-sized pass is the one
     * groupBy(day)), stacked to (lag, n_pairs, acf) rows. */
-  def q238Acf(s: SparkSession, dir: String): DataFrame = {
+  /** Shared moment pass for the q238/q243 autocorrelation family: one
+    * row with (n, den = Σe², num1..num7 = Σ e_t·e_{t−k}) over the
+    * N-scaled integer deviations e_t = N·x_t − S of daily event
+    * revenue, all in DECIMAL(38,0). */
+  private def acfMoments(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
@@ -5891,7 +5895,11 @@ object Queries {
       (1 to 7).map(k =>
         sum(when(col(s"e$k").isNotNull, col("e") * col(s"e$k")))
           .as(s"num$k"))
-    val agg = lagged.agg(aggCols.head, aggCols.tail: _*)
+    lagged.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  def q238Acf(s: SparkSession, dir: String): DataFrame = {
+    val agg = acfMoments(s, dir)
     // typed Columns, not a SQL string: in SQL text `1000000.0` parses
     // as a DECIMAL literal and the division silently becomes
     // DECIMAL(30,9) instead of DOUBLE
@@ -5934,6 +5942,151 @@ object Queries {
           (col("tot").cast("double") * col("tot").cast("double"))))
           .as("hhi"))
       .orderBy(col("r_name"))
+  }
+
+  /** Kruskal–Wallis H across the five order priorities on order value
+    * — the k-group generalization of q236's rank test. Doubled
+    * tie-averaged ranks keep every per-group rank sum 2R_g integral
+    * (2·avgrank(v) = 2·below(v) + t(v) + 1, counts from the
+    * range-bucketed prefix sum); the five groups are KNOWN values, so
+    * Σ_g (2R_g)²/n_g pivots to one row and sums in a FIXED expression
+    * order (a distributed double sum would be merge-order-dependent);
+    * H = 3/(N(N+1))·Σ − 3(N+1) and the tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) are terminal doubles. */
+  def q240KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ord = t(s, dir, "orders").select(
+      (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("v"),
+      col("o_orderpriority").as("g"))
+    val byGV = ord.groupBy(col("v"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val byV = byGV.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+    val cum = Ranking.globalCumSum(byV, "v", Seq("t"))
+      .select(col("v"), col("t"), (col("cum_t") - col("t")).as("below"))
+    val perG = byGV.join(cum, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("ng"),
+        sum(col("cnt").cast(dec) *
+          (lit(2L) * col("below") + col("t") + lit(1L)).cast(dec))
+          .as("r2"))
+    val ties = cum.agg(sum(col("t")).as("n"),
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tie3"))
+    val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    // pivot the ≤5 group rows onto one row so the Σ over groups is a
+    // fixed-order scalar expression, not a distributed double sum
+    val pivotCols = groups.zipWithIndex.map { case (gv, i) =>
+      max(when(col("g") === gv, col("r2"))).as(s"r2_$i")
+    } ++ groups.zipWithIndex.map { case (gv, i) =>
+      max(when(col("g") === gv, col("ng"))).as(s"ng_$i")
+    }
+    val pivoted = perG.agg(pivotCols.head, pivotCols.tail: _*)
+    val nd = col("n").cast("double")
+    val sumTerms = (0 until 5).map { i =>
+      (col(s"r2_$i").cast("double") * col(s"r2_$i").cast("double")) /
+        (lit(4.0) * col(s"ng_$i").cast("double"))
+    }.reduceLeft(_ + _)
+    pivoted.crossJoin(broadcast(ties))
+      .select(col("n"),
+        f6((lit(3.0) / (nd * (nd + lit(1.0))) * sumTerms -
+          lit(3.0) * (nd + lit(1.0)))).as("h"),
+        f6((lit(3.0) / (nd * (nd + lit(1.0))) * sumTerms -
+          lit(3.0) * (nd + lit(1.0))) /
+          (lit(1.0) - col("tie3").cast("double") /
+            (nd * nd * nd - nd))).as("h_corrected"))
+  }
+
+  /** Two-sample Cramér–von Mises on the q235 returned-vs-kept price
+    * split — the INTEGRATED CDF gap next to KS's supremum: T =
+    * Σ_v t(v)·(cumA·nB − cumB·nA)² / (nA·nB·N²), the squared gaps
+    * exact in DECIMAL(38,0) and weighted by pooled multiplicity, ONE
+    * terminal double division. Catches distributional differences
+    * spread across the whole range that a single max gap understates. */
+  def q241CramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val li = t(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("v"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val byV = li.groupBy(col("v"))
+      .agg(sum(col("y")).as("ca"),
+        (count(lit(1)) - sum(col("y"))).as("cb"))
+    val cum = Ranking.globalCumSum(byV, "v", Seq("ca", "cb"))
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val gap2 = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), (col("ca") + col("cb")).as("t"),
+        (col("cum_ca").cast(dec) * col("n_b").cast(dec) -
+          col("cum_cb").cast(dec) * col("n_a").cast(dec)).as("gap"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("t").cast(dec) * col("gap") * col("gap")).as("s"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val nd = nad + nbd
+    gap2.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        f6(col("s").cast("double") / (nad * nbd * nd * nd))).as("cvm"))
+  }
+
+  /** Welch's unequal-variance t-test: does mean purchase value differ
+    * from mean click value? Exact moments (Σx, Σx² in DECIMAL(38,0)
+    * over cent values) feed the textbook t and Welch–Satterthwaite df
+    * as terminal double expressions with a fixed operation order —
+    * means, variances, and standard errors are named intermediates
+    * mirrored token for token in the oracle. */
+  def q242WelchT(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val m = ev.agg(
+      sum(col("y")).as("n_a"),
+      (count(lit(1)) - sum(col("y"))).as("n_b"),
+      sum(when(col("y") === 1, col("c")).otherwise(0L).cast(dec)).as("sa"),
+      sum(when(col("y") === 0, col("c")).otherwise(0L).cast(dec)).as("sb"),
+      sum(when(col("y") === 1, col("c").cast(dec) * col("c").cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("qa"),
+      sum(when(col("y") === 0, col("c").cast(dec) * col("c").cast(dec))
+        .otherwise(lit(0L).cast(dec))).as("qb"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val ma = col("sa").cast("double") / nad
+    val mb = col("sb").cast("double") / nbd
+    val va = (col("qa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double") / nad) /
+      (nad - lit(1.0))
+    val vb = (col("qb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double") / nbd) /
+      (nbd - lit(1.0))
+    val sea = va / nad
+    val seb = vb / nbd
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        f6((ma - mb) / sqrt(sea + seb))).as("t_stat"),
+      when(col("n_a") > 1 && col("n_b") > 1,
+        f6(((sea + seb) * (sea + seb)) /
+          (sea * sea / (nad - lit(1.0)) +
+            seb * seb / (nbd - lit(1.0))))).as("df"))
+  }
+
+  /** Ljung–Box portmanteau test at h=7 lags on daily event revenue —
+    * "is there ANY autocorrelation?", the companion to q238's per-lag
+    * view and built on the same exact moment pass: Q = N(N+2)·Σ_k
+    * r_k²/(N−k) with r_k = num_k/den, the seven terms summed in a
+    * FIXED expression order on the one-row moment frame. */
+  def q243LjungBox(s: SparkSession, dir: String): DataFrame = {
+    val agg = acfMoments(s, dir)
+    val nd = col("n").cast("double")
+    val terms = (1 to 7).map { k =>
+      val rk = col(s"num$k").cast("double") / col("den").cast("double")
+      rk * rk / (nd - lit(k.toDouble))
+    }.reduceLeft(_ + _)
+    agg.select(col("n").as("n_days"),
+      when(col("den") > 0 && col("n") > lit(7L),
+        f6(nd * (nd + lit(2.0)) * terms)).as("q_lb"))
   }
 
   // =======================================================================
@@ -6179,5 +6332,9 @@ object Queries {
     "q237_hits" -> (q237Hits _),
     "q238_acf" -> (q238Acf _),
     "q239_herfindahl" -> (q239Herfindahl _),
+    "q240_kruskal_wallis" -> (q240KruskalWallis _),
+    "q241_cramer_von_mises" -> (q241CramerVonMises _),
+    "q242_welch_t" -> (q242WelchT _),
+    "q243_ljung_box" -> (q243LjungBox _),
   )
 }
