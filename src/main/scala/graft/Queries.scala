@@ -5970,7 +5970,9 @@ object Queries {
         sum(col("cnt").cast(dec) *
           (lit(2L) * col("below") + col("t") + lit(1L)).cast(dec))
           .as("r2"))
-    val ties = cum.agg(sum(col("t")).as("n"),
+    // totals over byV, not cum: a scalar branch over cum re-executes
+    // the window subplan (see Stats.classCdf)
+    val ties = byV.agg(sum(col("t")).as("n"),
       sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
         col("t").cast(dec)).as("tie3"))
     val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",

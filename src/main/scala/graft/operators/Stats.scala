@@ -26,16 +26,22 @@ object Stats {
 
   /** Per-distinct-value class counts + exact cumulative counts: input
     * rows (value `v`: long, indicator `y` ∈ {0,1} marking class A),
-    * output one row per distinct v with (ca, cb, cum_ca, cum_cb) —
-    * inclusive cumulative counts in ascending v order. The only
-    * data-sized shuffle is the groupBy(v); the prefix sums are the
-    * range-bucketed two-phase pass. */
-  private def classCdf(df: DataFrame, v: Column, y: Column): DataFrame = {
+    * output (cum, byV): one row per distinct v with (ca, cb, cum_ca,
+    * cum_cb) — inclusive cumulative counts in ascending v order — plus
+    * the pre-window per-value frame. The only data-sized shuffle is
+    * the groupBy(v); the prefix sums are the range-bucketed two-phase
+    * pass. Callers needing totals MUST aggregate byV, never cum: a
+    * scalar branch over cum re-executes the whole window subplan
+    * (Spark reuses exchanges, not window operators), while a branch
+    * over byV shares the groupBy(v) exchange — observed 2-3× on the
+    * KS wall at 25× replication before this split. */
+  private def classCdf(df: DataFrame, v: Column,
+      y: Column): (DataFrame, DataFrame) = {
     val byV = df.select(v.as("v"), y.cast("long").as("y"))
       .groupBy(col("v"))
       .agg(sum(col("y")).as("ca"),
         (count(lit(1)) - sum(col("y"))).as("cb"))
-    Ranking.globalCumSum(byV, "v", Seq("ca", "cb"))
+    (Ranking.globalCumSum(byV, "v", Seq("ca", "cb")), byV)
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic D = sup_v |F̂_A(v) −
@@ -49,8 +55,8 @@ object Stats {
     *
     * Returns a single row (n_a, n_b, v_at_max, ks_d). */
   def ksTwoSample(df: DataFrame, v: Column, y: Column): DataFrame = {
-    val cum = classCdf(df, v, y)
-    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val (cum, byV) = classCdf(df, v, y)
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     cum.crossJoin(broadcast(tot))
       .select(col("v"), col("n_a"), col("n_b"),
         abs(col("cum_ca").cast(dec) * col("n_b").cast(dec) -
@@ -76,12 +82,19 @@ object Stats {
     *
     * Returns a single row (n_a, n_b, cles, z). */
   def mannWhitneyU(df: DataFrame, v: Column, y: Column): DataFrame = {
-    val cum = classCdf(df, v, y)
+    val (cum, _) = classCdf(df, v, y)
+    // n_a/n_b as max(cum_*) — the totals ARE the last cumulative
+    // values, and consuming BOTH cum columns keeps column pruning
+    // identical across globalCumSum's two branches so their exchanges
+    // stay reusable (pruning cum_ca out reordered the offsets
+    // branch's partial aggregate and cost a full duplicate input
+    // shuffle — observed +50% shuffle rows vs ksTwoSample)
     val agg = cum
       .select(col("ca"), col("cb"),
         (col("cum_cb") - col("cb")).as("cbb"),
-        (col("ca") + col("cb")).as("t"))
-      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        (col("ca") + col("cb")).as("t"),
+        col("cum_ca"), col("cum_cb"))
+      .agg(max(col("cum_ca")).as("n_a"), max(col("cum_cb")).as("n_b"),
         sum(col("ca").cast(dec) *
           (lit(2L) * col("cbb") + col("cb")).cast(dec)).as("u2"),
         sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -

@@ -74,6 +74,73 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming distribution-drift monitor: per tumbling event-time
+    * window, the BINNED two-sample Kolmogorov–Smirnov statistic of the
+    * window's value distribution against a STATIC reference histogram
+    * — the drift gate a continuously-ingesting training-data pipeline
+    * puts in front of its mixture (is today's crawl shaped like the
+    * corpus we trained the filters on?).
+    *
+    * The whole statistic is one watermarked windowed aggregate plus a
+    * stateless projection: per window, `nBins` conditional counts (one
+    * grouped agg — bins are a bounded model constant, ≤ ~128); above
+    * the agg, cumulative bin counts, the exact integer cross-
+    * multiplied gaps |cumWin·nRef − cumRef·nWin|, and their max are
+    * plain column expressions (no second stateful operator, which
+    * streaming would reject; expression size is O(nBins²), fine at
+    * model scale). State is the windowed agg's only — garbage-
+    * collected by the watermark, so the monitor runs forever at
+    * unbounded input. Values are binned by exact integer division
+    * ((v − lo) DIV width, clamped), the q235 arithmetic discipline:
+    * every emitted number except the final ks_d division is an exact
+    * integer, deterministic under any partitioning/merge order — which
+    * is what makes the streaming output differentially provable equal
+    * to the same computation run as one batch (StreamingSpec).
+    * Bound: nWin·nRef must stay under 2^63.
+    *
+    * `refCounts` is the reference histogram over the same binning
+    * (model-sized, rides the plan as literals). */
+  def ksDrift(events: DataFrame, tsCol: String, valueCol: String,
+      delay: String, windowDuration: String,
+      lo: Long, binWidth: Long, nBins: Int,
+      refCounts: Seq[Long]): DataFrame = {
+    require(nBins >= 2 && binWidth > 0 && refCounts.length == nBins)
+    val refCum: Seq[Long] = refCounts.scanLeft(0L)(_ + _).tail
+    val nRef: Long = math.max(refCum.last, 1L)
+    val binned = events
+      .withWatermark(tsCol, delay)
+      .withColumn("_bin",
+        least(greatest(expr(s"(`$valueCol` - ${lo}L) DIV ${binWidth}L"),
+          lit(0L)), lit(nBins - 1L)))
+    val counts = (0 until nBins).map(b =>
+      sum(when(col("_bin") === b, 1L).otherwise(0L)).as(s"_c$b"))
+    val agg = binned
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+    // cum/gap/max as ARRAY higher-order functions, NOT per-bin column
+    // trees: nBins scalar columns chained quadratically survive until
+    // codegen, where CollapseProject's inlining blows the generated
+    // source past 2 GB (observed at nBins=50); the HOF form keeps the
+    // expression tree O(1) regardless of nBins
+    val refArr = array(refCum.map(lit): _*)
+    agg
+      .withColumn("_cnts",
+        array((0 until nBins).map(b => col(s"_c$b")): _*))
+      .withColumn("_cum", expr(
+        "aggregate(_cnts, " +
+          "struct(CAST(0 AS BIGINT) AS s, " +
+          "CAST(array() AS ARRAY<BIGINT>) AS a), " +
+          "(acc, x) -> struct(acc.s + x, array_append(acc.a, acc.s + x)), " +
+          "acc -> acc.a)"))
+      .withColumn("_nwin", element_at(col("_cum"), nBins))
+      .withColumn("_ksnum", array_max(zip_with(col("_cum"), refArr,
+        (c, r) => abs(c * lit(nRef) - r * element_at(col("_cum"), nBins)))))
+      .select(col("window.start").as("window_start"),
+        col("_nwin").as("n_win"), col("_ksnum").as("ks_num"),
+        when(col("_nwin") > 0, col("_ksnum").cast("double") /
+          (col("_nwin").cast("double") * lit(nRef.toDouble))).as("ks_d"))
+  }
+
   /** Streaming exact dedup — the continuous form of the batch pipeline's
     * exact-dedup stage: drop any row whose key was already seen within
     * the watermark horizon. State per key is garbage-collected once the

@@ -714,6 +714,74 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("ksDrift ≡ the same binned-KS computation as one batch on the " +
+    "real fixture: chronological chunks + watermark flush emit exactly " +
+    "the batch windows, bit-identical integers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.sources.Tables(spark, dir, "events")
+      .select(col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * lit(100)).cast("long").as("c"))
+    val (lo, w, nb) = (0L, 2000L, 50)
+    // reference histogram = the whole fixture's own distribution
+    val refCounts: Seq[Long] = {
+      val m = cents
+        .groupBy(least(greatest(expr(s"(c - ${lo}L) DIV ${w}L"), lit(0L)),
+          lit(nb - 1L)).as("b"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until nb).map(b => m.getOrElse(b.toLong, 0L))
+    }
+    val batch = Streaming.ksDrift(cents, "ts", "c", "0 seconds",
+      "6 hours", lo, w, nb, refCounts).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val rows = cents.as[(Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = Streaming.ksDrift(mem.toDF().toDF("ts", "c"), "ts", "c",
+      "0 seconds", "6 hours", lo, w, nb, refCounts)
+      .writeStream.format("memory").queryName("ksparity")
+      .outputMode("append").start()
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    mem.addData((Timestamp.valueOf("2030-01-01 00:00:00"), 0L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ksparity").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .filter(_._1 < Timestamp.valueOf("2029-01-01 00:00:00").getTime)
+      .toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
+  test("ksDrift flags a shifted window: a window drawn from the " +
+    "reference distribution scores near 0; the same values doubled " +
+    "score high") {
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (0 until 1000).map(i => (i * 7919L) % 100000L)
+    val refCounts: Seq[Long] = {
+      val m = vals.map(v => math.min(v / 2000L, 49L))
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      (0 until 50).map(b => m.getOrElse(b.toLong, 0L))
+    }
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val sameWin = vals.map(v => (new Timestamp(t0 + 1000L), v))
+    val shiftWin = vals.map(v =>
+      (new Timestamp(t0 + 3600L * 1000L + 1000L), math.min(v * 2, 99999L)))
+    val df = (sameWin ++ shiftWin).toDF("ts", "c")
+    val out = Streaming.ksDrift(df, "ts", "c", "0 seconds", "1 hour",
+      0L, 2000L, 50, refCounts)
+      .orderBy("window_start").collect()
+    assert(out.length === 2)
+    val (ksSame, ksShift) = (out(0).getDouble(3), out(1).getDouble(3))
+    assert(ksSame < 0.01, s"identical distribution scored $ksSame")
+    assert(ksShift > 0.3, s"doubled values scored only $ksShift")
+  }
+
   test("dedupStream ≡ batch exact dedup on the real fixture: streamed " +
     "fingerprint dedup emits exactly one row per distinct fingerprint " +
     "(the q27/q185 exact tier), across chunk boundaries") {
