@@ -97,6 +97,14 @@ object ProbeGraph {
           .count()
       }
 
+      // q237 shape: 2 HITS rounds — alternating-side joins against the
+      // two pre-partitioned edge caches, one normalization per half-round
+      val (tHits, nHits, sHits) = timed {
+        graft.operators.Graph.hits(
+          g.select(col("a").as("src"), col("b").as("dst")), iters = 2)
+          .count()
+      }
+
       // q179 shape: 4 frontier BFS rounds from every replica of the
       // lowest 100 base vertices (seed count scales with reps, like
       // the graph — per-copy structure identical)
@@ -122,6 +130,7 @@ object ProbeGraph {
         f""""tri_sec":$tTri%.2f,"n_triangles":$nTri,"tri_shuffle_rows":$sTri,""" +
         f""""pr_sec":$tPr%.2f,"pr_nodes":$nPr,"pr_shuffle_rows":$sPr,""" +
         f""""lpa_sec":$tLpa%.2f,"lpa_nodes":$nLpa,"lpa_shuffle_rows":$sLpa,""" +
+        f""""hits_sec":$tHits%.2f,"hits_nodes":$nHits,"hits_shuffle_rows":$sHits,""" +
         f""""bfs_sec":$tBfs%.2f,"bfs_nodes":$nBfs,"bfs_shuffle_rows":$sBfs,""" +
         f""""bf_sec":$tBf%.2f,"bf_nodes":$nBf,"bf_shuffle_rows":$sBf}""")
     }
