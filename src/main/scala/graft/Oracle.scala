@@ -4739,5 +4739,129 @@ object Oracle {
            |          / (CAST(n AS DOUBLE) - 7.0))""".stripMargin)}
          |  END AS q_lb
          |FROM agg""".stripMargin,
+
+    // Cross-correlation at lags −3..+3 on N-scaled integer deviations
+    // of two daily series; per-lag terminal double with mirrored
+    // operation order (num / (sqrt(sxx)·sqrt(syy)))
+    "q244_cross_corr" -> {
+      def ccf(num: String): String =
+        s"""CASE WHEN sxx > 0 AND syy > 0 THEN
+           |    ${f6(s"""CAST($num AS DOUBLE)
+             |      / (sqrt(CAST(sxx AS DOUBLE))
+             |        * sqrt(CAST(syy AS DOUBLE)))""".stripMargin)}
+           |  END""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy FROM daily),
+         |dev AS (SELECT d, CAST(x AS HUGEINT) * n - sx AS ex,
+         |    CAST(y AS HUGEINT) * n - sy AS ey
+         |  FROM daily, tot),
+         |lagged AS (SELECT ex, ey,
+         |    lag(ex, 1) OVER (ORDER BY d) AS ex1,
+         |    lag(ex, 2) OVER (ORDER BY d) AS ex2,
+         |    lag(ex, 3) OVER (ORDER BY d) AS ex3,
+         |    lag(ey, 1) OVER (ORDER BY d) AS ey1,
+         |    lag(ey, 2) OVER (ORDER BY d) AS ey2,
+         |    lag(ey, 3) OVER (ORDER BY d) AS ey3
+         |  FROM dev),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(ex * ex) AS sxx, sum(ey * ey) AS syy,
+         |    sum(ex * ey) AS num0,
+         |    sum(CASE WHEN ey1 IS NOT NULL THEN ex * ey1 END) AS nump1,
+         |    sum(CASE WHEN ey2 IS NOT NULL THEN ex * ey2 END) AS nump2,
+         |    sum(CASE WHEN ey3 IS NOT NULL THEN ex * ey3 END) AS nump3,
+         |    sum(CASE WHEN ex1 IS NOT NULL THEN ex1 * ey END) AS numm1,
+         |    sum(CASE WHEN ex2 IS NOT NULL THEN ex2 * ey END) AS numm2,
+         |    sum(CASE WHEN ex3 IS NOT NULL THEN ex3 * ey END) AS numm3
+         |  FROM lagged)
+         |SELECT * FROM (
+         |  SELECT CAST(-3 AS BIGINT) AS lag, n - 3 AS n_pairs,
+         |    ${ccf("numm3")} AS ccf FROM agg
+         |  UNION ALL SELECT CAST(-2 AS BIGINT), n - 2,
+         |    ${ccf("numm2")} FROM agg
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), n - 1,
+         |    ${ccf("numm1")} FROM agg
+         |  UNION ALL SELECT CAST(0 AS BIGINT), n - 0,
+         |    ${ccf("num0")} FROM agg
+         |  UNION ALL SELECT CAST(1 AS BIGINT), n - 1,
+         |    ${ccf("nump1")} FROM agg
+         |  UNION ALL SELECT CAST(2 AS BIGINT), n - 2,
+         |    ${ccf("nump2")} FROM agg
+         |  UNION ALL SELECT CAST(3 AS BIGINT), n - 3,
+         |    ${ccf("nump3")} FROM agg
+         |) ORDER BY lag""".stripMargin
+    },
+
+    // Cramér's V: per-cell χ² terms summed in a DETERMINISTIC
+    // sequential order (running-sum window over (lang, source)) so the
+    // double fold is bit-identical to Spark's; V from the raw χ²
+    "q245_cramers_v" ->
+      s"""WITH cell AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rm
+         |  FROM cell GROUP BY 1),
+         |cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS cm
+         |  FROM cell GROUP BY 1),
+         |n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS c_levels
+         |  FROM cell),
+         |terms AS (SELECT cell.lang, cell.source, n.n, n.r_levels,
+         |    n.c_levels,
+         |    (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+         |        / CAST(n.n AS DOUBLE))
+         |      * (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE)
+         |          * CAST(cm AS DOUBLE) / CAST(n.n AS DOUBLE))
+         |      / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+         |        / CAST(n.n AS DOUBLE)) AS term
+         |  FROM cell JOIN rm USING (lang) JOIN cm USING (source), n),
+         |folded AS (SELECT n, r_levels, c_levels,
+         |    sum(term) OVER (ORDER BY lang, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS chi2,
+         |    row_number() OVER (ORDER BY lang, source) AS rn,
+         |    count(*) OVER () AS m
+         |  FROM terms)
+         |SELECT n, r_levels, c_levels,
+         |  ${f6("chi2")} AS chi2,
+         |  ${f6("""sqrt(chi2 / (CAST(n AS DOUBLE)
+           |      * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)))"""
+        .stripMargin)}
+         |    AS cramers_v
+         |FROM folded WHERE rn = m""".stripMargin,
+
+    // MASE: both absolute-difference sums exact integers; one ratio of
+    // means at the end
+    "q246_mase" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |lagged AS (SELECT x,
+         |    lag(x, 1) OVER (ORDER BY d) AS x1,
+         |    lag(x, 7) OVER (ORDER BY d) AS x7
+         |  FROM daily),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)
+         |      AS BIGINT) AS s7,
+         |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN abs(x - x1) END)
+         |      AS BIGINT) AS s1
+         |  FROM lagged)
+         |SELECT n AS n_days, s7 AS sum_abs_seasonal,
+         |  s1 AS sum_abs_naive,
+         |  CASE WHEN n > 8 AND s1 > 0 THEN
+         |    ${f6("""(CAST(s7 AS DOUBLE) / (CAST(n AS DOUBLE) - 7.0))
+           |      / (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))"""
+        .stripMargin)}
+         |  END AS mase
+         |FROM agg""".stripMargin,
   )
 }

@@ -6091,6 +6091,128 @@ object Queries {
         f6(nd * (nd + lit(2.0)) * terms)).as("q_lb"))
   }
 
+  /** Cross-correlation between daily revenue and daily event count at
+    * lags −3..+3 — "does volume lead value?", the bivariate sibling of
+    * q238: both series carried as N-scaled integer deviations
+    * (ex = N·x − Sx, ey = N·y − Sy), every lagged cross-moment exact
+    * in DECIMAL(38,0), and ccf(k) = num_k / (√Σex²·√Σey²) as an
+    * order-mirrored terminal double per lag. Positive k correlates
+    * x_t with y_{t−k} (count leading revenue); negative k the
+    * reverse. Window over the post-aggregation daily frame only. */
+  def q244CrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"), count(lit(1)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"))
+    val w = Window.orderBy(col("d"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"),
+        (col("x").cast(dec) * col("n").cast(dec) - col("sx").cast(dec))
+          .as("ex"),
+        (col("y").cast(dec) * col("n").cast(dec) - col("sy").cast(dec))
+          .as("ey"))
+    val lagged = (1 to 3).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"ex$k", lag(col("ex"), k).over(w))
+        .withColumn(s"ey$k", lag(col("ey"), k).over(w))
+    }
+    val aggCols = count(lit(1)).cast("long").as("n") +:
+      sum(col("ex") * col("ex")).as("sxx") +:
+      sum(col("ey") * col("ey")).as("syy") +:
+      sum(col("ex") * col("ey")).as("num0") +:
+      ((1 to 3).map(k =>
+        sum(when(col(s"ey$k").isNotNull, col("ex") * col(s"ey$k")))
+          .as(s"nump$k")) ++
+        (1 to 3).map(k =>
+          sum(when(col(s"ex$k").isNotNull, col(s"ex$k") * col("ey")))
+            .as(s"numm$k")))
+    val agg = lagged.agg(aggCols.head, aggCols.tail: _*)
+    val den = sqrt(col("sxx").cast("double")) *
+      sqrt(col("syy").cast("double"))
+    def row(k: Int, num: Column) =
+      struct(lit(k.toLong).as("lag"),
+        (col("n") - lit(math.abs(k).toLong)).as("n_pairs"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          f6(num.cast("double") / den)).as("ccf"))
+    val rows = (-3 to 3).map {
+      case 0          => row(0, col("num0"))
+      case k if k > 0 => row(k, col(s"nump$k"))
+      case k          => row(k, col(s"numm${-k}"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
+        col("r.ccf").as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Cramér's V effect size for the q130 lang×source association —
+    * the number the χ² table omits. The contingency table is
+    * model-sized, so the per-cell double terms (O − E)²/E are summed
+    * in a DETERMINISTIC SEQUENTIAL ORDER via a running-sum window
+    * over (lang, source) — a distributed double sum would be
+    * merge-order-dependent and unhashable; the ordered fold is
+    * bit-identical in both engines. V = √(χ²/(N·(min(r,c)−1))). */
+  def q245CramersV(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowM = cell.groupBy("lang").agg(sum(col("o")).as("rm"))
+    val colM = cell.groupBy("source").agg(sum(col("o")).as("cm"))
+    val n = cell.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r_levels"),
+      countDistinct(col("source")).as("c_levels"))
+    val e = col("rm").cast("double") * col("cm").cast("double") /
+      col("n").cast("double")
+    val terms = cell.join(rowM, Seq("lang")).join(colM, Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("n"), col("r_levels"),
+        col("c_levels"),
+        ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("term"))
+    val w = Window.orderBy(col("lang"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.orderBy(col("lang"), col("source"))
+    terms
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        sum(col("term")).over(w).as("chi2"),
+        row_number().over(wn).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("m"))
+      .filter(col("rn") === col("m"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        f6(col("chi2")).as("chi2"),
+        f6(sqrt(col("chi2") / (col("n").cast("double") *
+          (least(col("r_levels"), col("c_levels")) - lit(1L))
+            .cast("double")))).as("cramers_v"))
+  }
+
+  /** MASE of the seasonal-naive weekly forecast on daily revenue —
+    * "is there a weekly cycle worth modeling?": mean |x_t − x_{t−7}|
+    * over mean |x_t − x_{t−1}|, both numerators EXACT integer sums of
+    * cent differences (no float until the two means' ratio), so the
+    * scale-free forecast-quality number every demand pipeline reports
+    * is engine-exact. MASE < 1 ⇒ the weekly pattern beats the naive
+    * random walk. */
+  def q246Mase(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    val w = Window.orderBy(col("d"))
+    val lagged = daily
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x7", lag(col("x"), 7).over(w))
+    val agg = lagged.agg(count(lit(1)).as("n"),
+      sum(when(col("x7").isNotNull, abs(col("x") - col("x7")))).as("s7"),
+      sum(when(col("x1").isNotNull, abs(col("x") - col("x1")))).as("s1"))
+    val nd = col("n").cast("double")
+    agg.select(col("n").as("n_days"), col("s7").as("sum_abs_seasonal"),
+      col("s1").as("sum_abs_naive"),
+      when(col("n") > 8 && col("s1") > 0,
+        f6((col("s7").cast("double") / (nd - lit(7.0))) /
+          (col("s1").cast("double") / (nd - lit(1.0))))).as("mase"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6338,5 +6460,8 @@ object Queries {
     "q241_cramer_von_mises" -> (q241CramerVonMises _),
     "q242_welch_t" -> (q242WelchT _),
     "q243_ljung_box" -> (q243LjungBox _),
+    "q244_cross_corr" -> (q244CrossCorr _),
+    "q245_cramers_v" -> (q245CramersV _),
+    "q246_mase" -> (q246Mase _),
   )
 }
