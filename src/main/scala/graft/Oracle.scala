@@ -4863,5 +4863,47 @@ object Oracle {
         .stripMargin)}
          |  END AS mase
          |FROM agg""".stripMargin,
+
+    // PACF lags 1–3: Durbin–Levinson closed forms through CTE-named
+    // intermediates, operation order mirroring the Spark expressions
+    "q247_pacf" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx FROM daily),
+         |dev AS (SELECT d, CAST(x AS HUGEINT) * n - sx AS e
+         |  FROM daily, tot),
+         |lagged AS (SELECT e,
+         |    lag(e, 1) OVER (ORDER BY d) AS e1,
+         |    lag(e, 2) OVER (ORDER BY d) AS e2,
+         |    lag(e, 3) OVER (ORDER BY d) AS e3
+         |  FROM dev),
+         |agg AS (SELECT sum(e * e) AS den,
+         |    sum(CASE WHEN e1 IS NOT NULL THEN e * e1 END) AS num1,
+         |    sum(CASE WHEN e2 IS NOT NULL THEN e * e2 END) AS num2,
+         |    sum(CASE WHEN e3 IS NOT NULL THEN e * e3 END) AS num3
+         |  FROM lagged),
+         |r AS (SELECT den,
+         |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+         |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+         |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+         |  FROM agg),
+         |p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+         |  FROM r),
+         |p3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS lag,
+         |    CASE WHEN den > 0 THEN ${f6("r1")} END AS pacf FROM p3
+         |  UNION ALL SELECT CAST(2 AS BIGINT),
+         |    CASE WHEN den > 0 THEN ${f6("phi22")} END FROM p3
+         |  UNION ALL SELECT CAST(3 AS BIGINT),
+         |    CASE WHEN den > 0 THEN
+         |      ${f6("""(r3 - phi21 * r2 - phi22 * r1)
+           |      / (1.0 - phi21 * r1 - phi22 * r2)""".stripMargin)}
+         |    END FROM p3
+         |) ORDER BY lag""".stripMargin,
   )
 }

@@ -6213,6 +6213,35 @@ object Queries {
           (col("s1").cast("double") / (nd - lit(1.0))))).as("mase"))
   }
 
+  /** Partial autocorrelation at lags 1–3 by the Durbin–Levinson
+    * closed forms on q238's exact ACF moments — the AR-order
+    * diagnostic next to the raw ACF: φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    * φ33 from the level-2 coefficients, every r_k a double from exact
+    * DECIMAL(38,0) moments and every φ an order-mirrored double
+    * expression (the q242 named-intermediate treatment — the oracle
+    * computes the same recursion through CTE-named columns). */
+  def q247Pacf(s: SparkSession, dir: String): DataFrame = {
+    val agg = acfMoments(s, dir)
+    val dend = col("den").cast("double")
+    val r1 = col("num1").cast("double") / dend
+    val r2 = col("num2").cast("double") / dend
+    val r3 = col("num3").cast("double") / dend
+    val phi22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val phi21 = r1 - phi22 * r1
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (lit(1.0) - phi21 * r1 - phi22 * r2)
+    val rows = Seq(
+      struct(lit(1L).as("lag"),
+        when(col("den") > 0, f6(r1)).as("pacf")),
+      struct(lit(2L).as("lag"),
+        when(col("den") > 0, f6(phi22)).as("pacf")),
+      struct(lit(3L).as("lag"),
+        when(col("den") > 0, f6(phi33)).as("pacf")))
+    agg.select(explode(array(rows: _*)).as("x"))
+      .select(col("x.lag").as("lag"), col("x.pacf").as("pacf"))
+      .orderBy(col("lag"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6463,5 +6492,6 @@ object Queries {
     "q244_cross_corr" -> (q244CrossCorr _),
     "q245_cramers_v" -> (q245CramersV _),
     "q246_mase" -> (q246Mase _),
+    "q247_pacf" -> (q247Pacf _),
   )
 }

@@ -352,6 +352,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningTotals ≡ batch per-key totals on the real fixture: the " +
+    "last update-mode emission per key equals the batch groupBy " +
+    "count/sum, across chunk boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // cents as the Double payload: integer-valued doubles sum exactly
+    // (< 2^53), so the streamed arrival-order fold and the batch
+    // shuffle-order fold agree bit-for-bit — a fractional double
+    // payload would make the differential flaky by construction
+    val rows = graft.sources.Tables(spark, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * lit(100)).cast("long").as("c"))
+      .as[(String, Long)].collect()
+    val batch = rows.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    // transformWithState needs the RocksDB store (multiple column
+    // families), like the other runningTotals scenarios
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val ds = mem.toDS().map(t =>
+        Streaming.KeyedValue(t._1, t._2.toDouble))
+      val q = Streaming.runningTotals(ds).toDF()
+        .writeStream.format("memory").queryName("rtparity")
+        .outputMode("update").start()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      // update mode emits one row per key per batch; the final state is
+      // the emission with the highest count per key
+      val streamed = spark.table("rtparity").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, xs) =>
+          val (n, tot) = xs.map(_._2).maxBy(_._1)
+          k -> ((n, tot.toLong))
+        }
+      assert(streamed === batch,
+        s"missing=${(batch.toSet -- streamed.toSet).take(3)} " +
+          s"extra=${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("topEventTypes (MapState): per-user top-k tracks accumulated " +
     "counts across batches with deterministic tie-break") {
     withRocksDb {
