@@ -4905,5 +4905,36 @@ object Oracle {
            |      / (1.0 - phi21 * r1 - phi22 * r2)""".stripMargin)}
          |    END FROM p3
          |) ORDER BY lag""".stripMargin,
+
+    // Leave-one-out target encoding: (Σ−y)·10⁶ // (n−1) exact per row,
+    // audited per category (count/min/max/Σ of the integer codes)
+    "q248_loo_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders),
+        |st AS (SELECT g, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |enc AS (SELECT o.g,
+        |    CAST(CAST(sy - y AS HUGEINT) * 1000000
+        |      // CAST(n - 1 AS HUGEINT) AS BIGINT) AS enc
+        |  FROM o JOIN st USING (g) WHERE n > 1)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(enc) AS min_enc, max(enc) AS max_enc,
+        |  CAST(sum(enc) AS BIGINT) AS sum_enc
+        |FROM enc GROUP BY 1 ORDER BY g""".stripMargin,
+
+    // Feature hashing: bucket = md5_60 % 64, sign = next hash bit;
+    // signed sums exact, the 64-dim corpus vector engine-portable
+    "q249_feature_hash" ->
+      s"""WITH t AS (SELECT $toks AS tk FROM documents),
+         |e AS (SELECT unnest(tk) AS tok FROM t),
+         |f AS (SELECT tok FROM e WHERE len(tok) > 0),
+         |h AS (SELECT ${md5Long("tok")} AS h FROM f)
+         |SELECT h % 64 AS idx, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+         |    AS BIGINT) AS sum_w
+         |FROM h GROUP BY 1 ORDER BY idx""".stripMargin,
   )
 }

@@ -6242,6 +6242,52 @@ object Queries {
       .orderBy(col("lag"))
   }
 
+  /** Leave-one-out target encoding of order priority by order value —
+    * the categorical-feature prep that avoids self-leakage: each row's
+    * code is the mean of the OTHER rows in its category,
+    * (Σy_g − y_i)/(n_g − 1), kept exact by the 10⁶-scaled integral
+    * division (enc = (Σ−y)·10⁶ DIV (n−1), product in DECIMAL(38,0)).
+    * The category stats table is model-sized (broadcast); the one
+    * data-sized pass is the groupBy + the joined projection. Emitted
+    * as per-category audit aggregates (count/min/max/Σ of the codes —
+    * all exact integers) so the full per-row encoding is verified
+    * without a million-row result. */
+  def q248LooEncoding(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("g"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("y"))
+    val st = o.groupBy(col("g"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+    o.join(broadcast(st), Seq("g"))
+      .filter(col("n") > 1)
+      .select(col("g"), expr(
+        "CAST((CAST(sy - y AS DECIMAL(38,0)) * 1000000)" +
+          " DIV CAST(n - 1 AS DECIMAL(38,0)) AS BIGINT)").as("enc"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), min(col("enc")).as("min_enc"),
+        max(col("enc")).as("max_enc"), sum(col("enc")).as("sum_enc"))
+      .orderBy(col("g"))
+  }
+
+  /** Feature hashing (the hashing trick) over document tokens: every
+    * token occurrence lands in bucket md5₆₀ % 64 with a ±1 sign from
+    * the next hash bit — the fixed-dimension, vocabulary-free text
+    * featurizer. One explode + one 64-group aggregate; the signed
+    * sums are exact integers, and the md5-based bucket/sign are
+    * engine-portable (the q63 discipline), so the whole 64-dim
+    * corpus-level feature vector hash-matches DuckDB. */
+  def q249FeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    tk.withColumn("h", graft.functions.Hashing.md5Long(col("tok")))
+      .select((col("h") % 64).as("idx"),
+        when(expr("(h DIV 64) % 2") === 0, 1L).otherwise(-1L).as("w"))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+      .orderBy(col("idx"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6493,5 +6539,7 @@ object Queries {
     "q245_cramers_v" -> (q245CramersV _),
     "q246_mase" -> (q246Mase _),
     "q247_pacf" -> (q247Pacf _),
+    "q248_loo_encoding" -> (q248LooEncoding _),
+    "q249_feature_hash" -> (q249FeatureHash _),
   )
 }
