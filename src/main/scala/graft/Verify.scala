@@ -19,17 +19,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,22 +31,41 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // manifest + oracle SQL land BEFORE the query loop: the selection
+    // is known upfront, and if the JVM dies mid-run the comparator can
+    // still see which queries never produced output (a trailing-write
+    // manifest would vanish with the crash and the sweep would fall
+    // back to presence-based — the round-6 failure mode).
+    val selected = SparkEntry.queries.keys
+      .filter(n => only.isEmpty || only(n)).toSeq
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.map(q).mkString("[", ",", "]"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // A query that errors writes no parquet, so a presence-based compare
     // would silently shrink the ledger (round-6 lesson: 8 NTZ failures
-    // read as fully green). Persist every failure as an artifact and
-    // shout the count so a regressed round can never look clean.
-    val errJson = failed
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    // The full selection set, so the comparator can detect a query that
-    // vanished without a trace (neither parquet nor error entry).
-    val selected = SparkEntry.queries.keys
-      .filter(n => only.isEmpty || only(n))
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      selected.map(q).mkString("[", ",", "]"))
+    // read as fully green). Persist every failure as an artifact — and
+    // re-write it after EVERY failure, so a later crash can't lose the
+    // earlier errors — and shout the count so a regressed round can
+    // never look clean.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeErrors(): Unit = Files.writeString(
+      Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    writeErrors()
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        writeErrors()
+      }
+    }
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +

@@ -100,6 +100,20 @@ object Streaming {
     *
     * `refCounts` is the reference histogram over the same binning
     * (model-sized, rides the plan as literals). */
+  /** Reference-histogram builder for [[ksDrift]]: bin counts of
+    * `valueCol` under the same (lo, width, nBins) binning, collected
+    * as the model-sized Seq the monitor carries as literals — the one
+    * legitimate driver materialization here (nBins values, not data). */
+  def histogram(df: DataFrame, valueCol: String, lo: Long,
+      binWidth: Long, nBins: Int): Seq[Long] = {
+    val m = df.withColumn("_bin",
+        least(greatest(expr(s"(`$valueCol` - ${lo}L) DIV ${binWidth}L"),
+          lit(0L)), lit(nBins - 1L)))
+      .groupBy(col("_bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until nBins).map(b => m.getOrElse(b.toLong, 0L))
+  }
+
   def ksDrift(events: DataFrame, tsCol: String, valueCol: String,
       delay: String, windowDuration: String,
       lo: Long, binWidth: Long, nBins: Int,

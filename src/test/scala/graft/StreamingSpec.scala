@@ -779,14 +779,8 @@ class StreamingSpec extends SparkSpec {
           * lit(100)).cast("long").as("c"))
     val (lo, w, nb) = (0L, 2000L, 50)
     // reference histogram = the whole fixture's own distribution
-    val refCounts: Seq[Long] = {
-      val m = cents
-        .groupBy(least(greatest(expr(s"(c - ${lo}L) DIV ${w}L"), lit(0L)),
-          lit(nb - 1L)).as("b"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      (0 until nb).map(b => m.getOrElse(b.toLong, 0L))
-    }
+    val refCounts: Seq[Long] =
+      Streaming.histogram(cents, "c", lo, w, nb)
     val batch = Streaming.ksDrift(cents, "ts", "c", "0 seconds",
       "6 hours", lo, w, nb, refCounts).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
