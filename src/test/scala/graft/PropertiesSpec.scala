@@ -194,4 +194,43 @@ class PropertiesSpec extends SparkSpec {
       .selectExpr("graft_damerau(a, b) AS got", "want")
     df.collect().foreach(r => assert(r.getInt(0) === r.getInt(1), r))
   }
+
+  test("ksTwoSample / mannWhitneyU == sequential references on " +
+    "arbitrary tied class-labeled multisets; U_A + U_B == nA*nB") {
+    import graft.operators.Stats
+    // heavy ties on purpose: values from a tiny domain, skewed labels
+    val g = Gen.zip(Gen.choose(-20L, 20L), Gen.frequency(
+      (1, Gen.const(1L)), (2, Gen.const(0L))))
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val rows = sample(g, 250, seed)
+      val a = rows.filter(_._2 == 1L).map(_._1)
+      val b = rows.filter(_._2 == 0L).map(_._1)
+      if (a.nonEmpty && b.nonEmpty) {
+        val df = rows.toDF("v", "y").repartition(7)
+        val ks = Stats.ksTwoSample(df, col("v"), col("y")).collect().head
+        val gaps = rows.map(_._1).distinct.sorted.map { t =>
+          (math.abs(a.count(_ <= t).toLong * b.size -
+            b.count(_ <= t).toLong * a.size), t)
+        }
+        val dNum = gaps.map(_._1).max
+        assert(ks.getAs[Long]("v_at_max") ===
+          gaps.filter(_._1 == dNum).map(_._2).min)
+        assert(math.abs(ks.getAs[Double]("ks_d") -
+          dNum.toDouble / (a.size.toDouble * b.size.toDouble)) < 1e-12)
+
+        val mw = Stats.mannWhitneyU(df, col("v"), col("y"))
+          .collect().head
+        val u2a = a.map(x => 2L * b.count(x > _) + b.count(x == _)).sum
+        assert(math.abs(mw.getAs[Double]("cles") -
+          u2a.toDouble / (2.0 * a.size * b.size)) < 1e-12)
+        // complement identity via the swapped labels
+        val sw = rows.map { case (v, y) => (v, 1L - y) }
+          .toDF("v", "y").repartition(5)
+        val mwB = Stats.mannWhitneyU(sw, col("v"), col("y"))
+          .collect().head
+        assert(math.abs(mw.getAs[Double]("cles") +
+          mwB.getAs[Double]("cles") - 1.0) < 1e-12)
+      }
+    }
+  }
 }
