@@ -4936,5 +4936,67 @@ object Oracle {
          |  CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
          |    AS BIGINT) AS sum_w
          |FROM h GROUP BY 1 ORDER BY idx""".stripMargin,
+
+    // Two-proportion z on the md5 A/B split: four exact integers, the
+    // pooled-variance z through named double intermediates
+    "q250_two_proportion_z" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT conv,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} % 2 AS arm FROM u),
+         |m AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS x_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS x_b
+         |  FROM a),
+         |d AS (SELECT n_a, n_b, x_a, x_b,
+         |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM m)
+         |SELECT n_a, n_b, x_a, x_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN ${f6("pa - pb")} END
+         |    AS lift,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+         |      AND x_a + x_b < n_a + n_b THEN
+         |    ${f6("""(pa - pb) / sqrt(pp * (1.0 - pp)
+           |      * (1.0 / CAST(n_a AS DOUBLE)
+           |        + 1.0 / CAST(n_b AS DOUBLE)))""".stripMargin)}
+         |  END AS z
+         |FROM d""".stripMargin,
+
+    // Max drawdown: cumulative + running-max windows keep every
+    // drawdown an exact cent integer; the relative max is a max over
+    // per-row doubles (order-independent, unlike a double sum)
+    "q251_max_drawdown" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |cum AS (SELECT d,
+         |    CAST(sum(x) OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM daily),
+         |rm AS (SELECT d, cum,
+         |    CAST(max(cum) OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS runmax
+         |  FROM cum)
+         |SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(max(runmax - cum) AS BIGINT) AS max_dd_cents,
+         |  ${f6("""max(CASE WHEN runmax > 0 THEN
+           |      CAST(runmax - cum AS DOUBLE) / CAST(runmax AS DOUBLE)
+           |    END)""".stripMargin)} AS max_dd_frac
+         |FROM rm""".stripMargin,
   )
 }

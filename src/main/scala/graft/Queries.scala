@@ -6288,6 +6288,66 @@ object Queries {
       .orderBy(col("idx"))
   }
 
+  /** Two-proportion z-test on a deterministic A/B split — the
+    * experiment-readout staple: users hash into arms by md5 (the q63
+    * portable-split discipline, so the assignment is reproducible in
+    * any engine), conversion = any purchase event, and the pooled
+    * z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B)) is a terminal double
+    * over four exact integers with named intermediates mirrored in
+    * the oracle. */
+  def q250TwoProportionZ(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+      .select(col("conv"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)).as("arm"))
+    val m = u.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_a"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_b"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val pa = col("x_a").cast("double") / nad
+    val pb = col("x_b").cast("double") / nbd
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    m.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, f6(pa - pb)).as("lift"),
+      // z is undefined when the pooled rate is degenerate (all or no
+      // users converted — the variance is 0 and ANSI rejects the /0)
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("x_a") + col("x_b") > 0 &&
+        col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+        f6((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / nad + lit(1.0) / nbd)))).as("z"))
+  }
+
+  /** Maximum drawdown of cumulative daily revenue — the worst
+    * peak-to-trough decline, the risk number every monitoring
+    * dashboard carries: cumulative and running-max windows over the
+    * POST-AGGREGATION daily frame keep every drawdown an exact cent
+    * integer; the relative drawdown is a per-row double whose MAX is
+    * order-independent (max, unlike sum, is safe to take over
+    * distributed doubles). */
+  def q251MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("d"), sum(col("x")).over(w).as("cum"))
+      .select(col("d"), col("cum"), max(col("cum")).over(w).as("runmax"))
+    cum.agg(count(lit(1)).as("n_days"),
+      max(col("runmax") - col("cum")).as("max_dd_cents"),
+      f6(max(when(col("runmax") > 0,
+        (col("runmax") - col("cum")).cast("double") /
+          col("runmax").cast("double")))).as("max_dd_frac"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6541,5 +6601,7 @@ object Queries {
     "q247_pacf" -> (q247Pacf _),
     "q248_loo_encoding" -> (q248LooEncoding _),
     "q249_feature_hash" -> (q249FeatureHash _),
+    "q250_two_proportion_z" -> (q250TwoProportionZ _),
+    "q251_max_drawdown" -> (q251MaxDrawdown _),
   )
 }

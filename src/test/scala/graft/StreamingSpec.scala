@@ -432,6 +432,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("topEventTypes ≡ batch per-user top-k on the real fixture: the " +
+    "latest update-mode emission per user equals the batch " +
+    "count-desc/type-asc top-3, across chunk boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect()
+    val batch: Map[Long, Seq[String]] = rows.groupBy(_._1).map {
+      case (u, xs) =>
+        u -> xs.groupBy(_._2).map { case (t, g) => (t, g.size) }.toSeq
+          .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    }
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val ds = mem.toDS().map(t => Streaming.UserEvent(t._1, t._2))
+      val q = Streaming.topEventTypes(ds, k = 3).toDF()
+        .writeStream.format("memory").queryName("tkparity")
+        .outputMode("update").start()
+      // the memory sink appends one row per user per batch; rows added
+      // since the previous drain are THIS batch's emissions, so the
+      // per-user latest across drains is the final accumulated top-k
+      var latest = Map.empty[Long, Seq[String]]
+      var seen = 0
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+        val all = spark.table("tkparity").collect()
+        all.drop(seen).foreach(r =>
+          latest += r.getLong(0) -> r.getSeq[String](1))
+        seen = all.length
+      }
+      q.stop()
+      assert(latest === batch,
+        s"missing=${(batch.toSet -- latest.toSet).take(3)} " +
+          s"extra=${(latest.toSet -- batch.toSet).take(3)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowedCounts: aggregation state survives a restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val out = tmp("wcr-out"); val cp = tmp("wcr-cp")
