@@ -4998,5 +4998,69 @@ object Oracle {
            |      CAST(runmax - cum AS DOUBLE) / CAST(runmax AS DOUBLE)
            |    END)""".stripMargin)} AS max_dd_frac
          |FROM rm""".stripMargin,
+
+    // Fused two-sample readout: the q235/q236/q241 pipelines merged
+    // over one shared per-value CDF — identical arithmetic per test
+    "q252_two_sample_summary" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |s AS (SELECT v, CAST(sum(y) AS BIGINT) AS ca,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS cb
+         |  FROM li GROUP BY 1),
+         |cum AS (SELECT v, ca, cb,
+         |    CAST(sum(ca) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_ca,
+         |    CAST(sum(cb) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_cb
+         |  FROM s),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM s),
+         |g AS (SELECT v, ca, cb, ca + cb AS t, cum_cb - cb AS cbb,
+         |    CAST(cum_ca AS HUGEINT) * n_b -
+         |      CAST(cum_cb AS HUGEINT) * n_a AS gap
+         |  FROM cum, tot),
+         |best AS (SELECT abs(gap) AS gap, v FROM g
+         |  ORDER BY abs(gap) DESC, v ASC LIMIT 1),
+         |agg AS (SELECT
+         |    sum(CAST(ca AS HUGEINT) *
+         |      (2 * CAST(cbb AS HUGEINT) + CAST(cb AS HUGEINT))) AS u2,
+         |    sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+         |        CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie3,
+         |    sum(CAST(t AS HUGEINT) * gap * gap) AS cvm_s
+         |  FROM g)
+         |SELECT n_a, n_b, best.v AS v_at_max,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(best.gap AS DOUBLE)
+           |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS ks_d,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(u2 AS DOUBLE)
+           |      / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS cles,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""(CAST(u2 AS DOUBLE) / 2.0
+           |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           |        * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) + 1.0)
+           |          - CAST(tie3 AS DOUBLE)
+           |            / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           |              * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           |                - 1.0))))""".stripMargin)}
+         |  END AS z,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(cvm_s AS DOUBLE)
+           |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+           |        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+           |        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))"""
+        .stripMargin)}
+         |  END AS cvm
+         |FROM best, agg, tot""".stripMargin,
   )
 }

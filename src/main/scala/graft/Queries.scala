@@ -6348,6 +6348,24 @@ object Queries {
           col("runmax").cast("double")))).as("max_dd_frac"))
   }
 
+  /** The fused two-sample readout — q235 + q236 + q241 from ONE scan:
+    * [[Stats.twoSampleSummary]] computes KS (with argmax), the
+    * Mann–Whitney pair, and Cramér–von Mises off a single shared
+    * per-value CDF, the monitoring-job shape where three
+    * distribution tests cost one shuffle instead of three. Values
+    * must equal the standalone queries' by construction (identical
+    * arithmetic; the oracle is the three CTE pipelines merged). */
+  def q252TwoSampleSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("cents"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    Stats.twoSampleSummary(li, col("cents"), col("y"))
+      .select(col("n_a"), col("n_b"), col("v_at_max"),
+        f6(col("ks_d")).as("ks_d"), f6(col("cles")).as("cles"),
+        f6(col("z")).as("z"), f6(col("cvm")).as("cvm"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6603,5 +6621,6 @@ object Queries {
     "q249_feature_hash" -> (q249FeatureHash _),
     "q250_two_proportion_z" -> (q250TwoProportionZ _),
     "q251_max_drawdown" -> (q251MaxDrawdown _),
+    "q252_two_sample_summary" -> (q252TwoSampleSummary _),
   )
 }

@@ -71,6 +71,52 @@ object Stats {
           .as("ks_d"))
   }
 
+  /** All three two-sample tests — KS, tie-corrected Mann–Whitney, and
+    * Cramér–von Mises — from ONE pass over ONE shared per-value CDF:
+    * the same groupBy(v) + range-bucketed prefix sum that each test
+    * needs individually feeds a single aggregate computing the sup
+    * gap (with argmax), 2U + the tie term, and the integrated squared
+    * gap together. At 100 TB this is the shape a monitoring job runs:
+    * three distribution readouts for the price of one scan+shuffle.
+    * Returns one row (n_a, n_b, v_at_max, ks_d, cles, z, cvm) with
+    * every terminal double the same order-mirrored expression as the
+    * standalone operators. */
+  def twoSampleSummary(df: DataFrame, v: Column, y: Column): DataFrame = {
+    val (cum, byV) = classCdf(df, v, y)
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val agg = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("ca"), col("cb"), col("n_a"), col("n_b"),
+        (col("cum_cb") - col("cb")).as("cbb"),
+        (col("ca") + col("cb")).as("t"),
+        (col("cum_ca").cast(dec) * col("n_b").cast(dec) -
+          col("cum_cb").cast(dec) * col("n_a").cast(dec)).as("gap"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(struct(abs(col("gap")).as("gap"), (-col("v")).as("nv")))
+          .as("m"),
+        sum(col("ca").cast(dec) *
+          (lit(2L) * col("cbb") + col("cb")).cast(dec)).as("u2"),
+        sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+          col("t").cast(dec)).as("tie3"),
+        sum(col("t").cast(dec) * col("gap") * col("gap")).as("cvm_s"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val nd = nad + nbd
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    agg.select(col("n_a"), col("n_b"),
+      (-col("m.nv")).as("v_at_max"),
+      when(ok, col("m.gap").cast("double") / (nad * nbd)).as("ks_d"),
+      when(ok, col("u2").cast("double") / (lit(2.0) * nad * nbd))
+        .as("cles"),
+      when(ok,
+        (col("u2").cast("double") / lit(2.0) - nad * nbd / lit(2.0)) /
+          sqrt(nad * nbd / lit(12.0) *
+            ((nd + lit(1.0)) -
+              col("tie3").cast("double") / (nd * (nd - lit(1.0))))))
+        .as("z"),
+      when(ok, col("cvm_s").cast("double") / (nad * nbd * nd * nd))
+        .as("cvm"))
+  }
+
   /** Tie-corrected Mann–Whitney U: 2U_A = Σ_v ca(v)·(2·cbBelow(v) +
     * cb(v)) — exact in DECIMAL(38,0), the q212 AUC numerator with the
     * roles named — plus the tie term Σ_v (t³ − t) over pooled counts

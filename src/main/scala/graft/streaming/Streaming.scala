@@ -155,6 +155,54 @@ object Streaming {
           (col("_nwin").cast("double") * lit(nRef.toDouble))).as("ks_d"))
   }
 
+  /** Categorical drift monitor — the [[ksDrift]] sibling for discrete
+    * mixes (event types, languages, sources): per tumbling window, the
+    * total-variation distance ½·Σ_cat |p̂_win − p̂_ref| against a static
+    * reference composition, computed exactly as Σ|cnt·nRef − ref·nWin|
+    * over the common denominator with ONE terminal division. The
+    * category vocabulary is the reference's keys (a bounded model
+    * constant); window-only categories fall into an implicit OTHER
+    * bucket with reference mass 0, so novel categories register as
+    * drift instead of vanishing. Same shape as ksDrift: one
+    * watermarked windowed aggregate + an O(1)-size array-HOF
+    * projection, state bounded by the watermark. Bound: nWin·nRef
+    * under 2^63. */
+  def tvDrift(events: DataFrame, tsCol: String, catCol: String,
+      delay: String, windowDuration: String,
+      refCounts: Map[String, Long]): DataFrame = {
+    require(refCounts.nonEmpty)
+    val cats: Seq[String] = refCounts.keys.toSeq.sorted
+    val refArr: Seq[Long] = cats.map(refCounts) :+ 0L // + OTHER
+    val nRef: Long = math.max(refCounts.values.sum, 1L)
+    val idx = cats.zipWithIndex.foldRight(
+      lit(cats.length.toLong): org.apache.spark.sql.Column) {
+      case ((c, i), acc) => when(col(catCol) === c, lit(i.toLong))
+        .otherwise(acc)
+    }
+    val binned = events.withWatermark(tsCol, delay)
+      .withColumn("_bin", idx)
+    val nb = cats.length + 1
+    val counts = (0 until nb).map(b =>
+      sum(when(col("_bin") === b, 1L).otherwise(0L)).as(s"_c$b"))
+    binned
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("_cnts",
+        array((0 until nb).map(b => col(s"_c$b")): _*))
+      .withColumn("_nwin", expr(
+        "aggregate(_cnts, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("_tvnum", expr(
+        "aggregate(zip_with(_cnts, " +
+          refArr.mkString("array(", "L, ", "L)") +
+          s", (c, r) -> abs(c * ${nRef}L - r * _nwin)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("window.start").as("window_start"),
+        col("_nwin").as("n_win"), col("_tvnum").as("tv_num"),
+        when(col("_nwin") > 0, col("_tvnum").cast("double") /
+          (lit(2.0) * col("_nwin").cast("double") * lit(nRef.toDouble)))
+          .as("tv_dist"))
+  }
+
   /** Streaming exact dedup — the continuous form of the batch pipeline's
     * exact-dedup stage: drop any row whose key was already seen within
     * the watermark horizon. State per key is garbage-collected once the

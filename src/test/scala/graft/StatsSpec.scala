@@ -81,6 +81,31 @@ class StatsSpec extends SparkSpec {
     assert(m1 === m32)
   }
 
+  test("twoSampleSummary equals the three standalone operators " +
+    "field-for-field (bit-identical doubles — same expression trees)") {
+    val df = sample.toDF("v", "y").repartition(9)
+    val s = Stats.twoSampleSummary(df, col("v"), col("y")).collect().head
+    val ks = Stats.ksTwoSample(df, col("v"), col("y")).collect().head
+    val mw = Stats.mannWhitneyU(df, col("v"), col("y")).collect().head
+    assert(s.getAs[Long]("n_a") === ks.getAs[Long]("n_a"))
+    assert(s.getAs[Long]("n_b") === ks.getAs[Long]("n_b"))
+    assert(s.getAs[Long]("v_at_max") === ks.getAs[Long]("v_at_max"))
+    assert(s.getAs[Double]("ks_d") === ks.getAs[Double]("ks_d"))
+    assert(s.getAs[Double]("cles") === mw.getAs[Double]("cles"))
+    assert(s.getAs[Double]("z") === mw.getAs[Double]("z"))
+    // cvm against a direct sequential reference
+    val a = sample.filter(_._2 == 1L).map(_._1)
+    val b = sample.filter(_._2 == 0L).map(_._1)
+    val byV = sample.groupBy(_._1).view.mapValues(_.size).toMap
+    val cvmRef = sample.map(_._1).distinct.sorted.map { t =>
+      val gap = a.count(_ <= t).toLong * b.size -
+        b.count(_ <= t).toLong * a.size
+      byV(t).toLong * gap * gap
+    }.sum.toDouble / (a.size.toDouble * b.size.toDouble *
+      (a.size + b.size).toDouble * (a.size + b.size).toDouble)
+    assert(math.abs(s.getAs[Double]("cvm") - cvmRef) < 1e-12)
+  }
+
   test("hits replays the exact fixed-point recurrence on a small graph") {
     // two hubs endorsing overlapping authority sets; hub 1 endorses
     // the popular authorities only

@@ -855,6 +855,59 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("tvDrift ≡ the same total-variation computation as one batch " +
+    "on the real fixture, and a skewed mix scores high while the " +
+    "reference mix scores 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables(spark, dir, "events")
+      .select(col("ts"), col("event_type"))
+    val ref: Map[String, Long] = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Streaming.tvDrift(ev, "ts", "event_type", "0 seconds",
+      "6 hours", ref).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val rows = ev.as[(Timestamp, String)].collect().sortBy(_._1.getTime)
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streaming.tvDrift(mem.toDF().toDF("ts", "event_type"), "ts",
+      "event_type", "0 seconds", "6 hours", ref)
+      .writeStream.format("memory").queryName("tvparity")
+      .outputMode("append").start()
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    mem.addData((Timestamp.valueOf("2030-01-01 00:00:00"), "zz_flush"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tvparity").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .filter(_._1 < Timestamp.valueOf("2029-01-01 00:00:00").getTime)
+      .toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+
+    // positive control: the whole fixture IS the reference, so one
+    // window holding the full mix scores ~0; a single-category window
+    // scores high; an unseen category lands in OTHER and drifts
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val sameWin = ev.as[(Timestamp, String)].collect()
+      .map(t => (new Timestamp(t0 + 1000L), t._2)).toSeq
+    val skewWin = (1 to 500).map(_ =>
+      (new Timestamp(t0 + 3600L * 1000L + 1L), "click"))
+    val novelWin = (1 to 500).map(_ =>
+      (new Timestamp(t0 + 7200L * 1000L + 1L), "brand_new_type"))
+    val out = Streaming.tvDrift(
+      (sameWin ++ skewWin ++ novelWin).toDF("ts", "event_type"),
+      "ts", "event_type", "0 seconds", "1 hour", ref)
+      .orderBy("window_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getDouble(3) < 1e-9, s"same mix: ${out(0)}")
+    assert(out(1).getDouble(3) > 0.3, s"skewed mix: ${out(1)}")
+    assert(out(2).getDouble(3) > 0.99, s"novel category: ${out(2)}")
+  }
+
   test("ksDrift flags a shifted window: a window drawn from the " +
     "reference distribution scores near 0; the same values doubled " +
     "score high") {
