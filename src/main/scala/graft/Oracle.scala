@@ -5062,5 +5062,84 @@ object Oracle {
         .stripMargin)}
          |  END AS cvm
          |FROM best, agg, tot""".stripMargin,
+
+    // Pettitt: U_t = Σ(2r_i) − t(N+1) exact with doubled midranks;
+    // K = max|U_t|, split day tie-broken earliest
+    "q253_pettitt" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |byv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM daily GROUP BY 1),
+         |rk AS (SELECT x,
+         |    2 * CAST(coalesce(sum(cnt) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + cnt + 1 AS r2
+         |  FROM byv),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         |ut AS (SELECT d, n,
+         |    CAST(sum(r2) OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS HUGEINT)
+         |      - CAST(row_number() OVER (ORDER BY d) AS HUGEINT)
+         |        * (n + 1) AS u
+         |  FROM daily JOIN rk USING (x), n1),
+         |best AS (SELECT n, abs(u) AS k, d FROM ut
+         |  ORDER BY abs(u) DESC, d ASC LIMIT 1)
+         |SELECT n AS n_days, CAST(k AS BIGINT) AS k_stat,
+         |  strftime(d, '%Y-%m-%d') AS split_day,
+         |  ${f6("""6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+           |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           |          * CAST(n AS DOUBLE)
+           |        + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"""
+        .stripMargin)}
+         |    AS k_exponent
+         |FROM best""".stripMargin,
+
+    // Day-of-week eta²: between-group over total SS from exact
+    // integer moments; the 7 fixed groups pivot to one row so the
+    // between-group sum has a fixed operation order. DuckDB's
+    // dayofweek is 0-based Sunday; +1 aligns with Spark's 1-based
+    "q254_dow_seasonality" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |dw AS (SELECT x, CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+         |  FROM daily),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+         |  FROM dw),
+         |perg AS (SELECT dow, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(x) AS BIGINT) AS sg FROM dw GROUP BY 1),
+         |piv AS (SELECT
+         |    ${(1 to 7).map(g =>
+               s"max(CASE WHEN dow = $g THEN sg END) AS sg_$g, " +
+                 s"max(CASE WHEN dow = $g THEN ng END) AS ng_$g")
+               .mkString(",\n         |    ")}
+         |  FROM perg)
+         |SELECT n AS n_days,
+         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      / CAST(n AS DOUBLE) > 0 THEN
+         |    ${f6("(" + (1 to 7).map(g =>
+               s"""CASE WHEN ng_$g IS NOT NULL AND ng_$g > 0 THEN
+                  |      (CAST(n AS DOUBLE) * CAST(sg_$g AS DOUBLE)
+                  |        - CAST(ng_$g AS DOUBLE) * CAST(sx AS DOUBLE))
+                  |      * (CAST(n AS DOUBLE) * CAST(sg_$g AS DOUBLE)
+                  |        - CAST(ng_$g AS DOUBLE) * CAST(sx AS DOUBLE))
+                  |      / (CAST(ng_$g AS DOUBLE)
+                  |        * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  |    ELSE 0.0 END""".stripMargin)
+               .mkString("\n         |    + ") + """)
+           |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |      / CAST(n AS DOUBLE))""".stripMargin)}
+         |  END AS eta2
+         |FROM piv, tot""".stripMargin,
   )
 }

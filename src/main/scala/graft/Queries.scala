@@ -6366,6 +6366,96 @@ object Queries {
         f6(col("z")).as("z"), f6(col("cvm")).as("cvm"))
   }
 
+  /** Pettitt change-point test on daily revenue — the rank-based
+    * companion to q205's CUSUM (no variance assumption): with doubled
+    * midranks 2r from the per-value counts (integral under ties, the
+    * q236 trick), U_t = Σ_{i≤t}(2r_i) − t(N+1) is EXACTLY the Pettitt
+    * statistic and stays integral in DECIMAL(38,0); K = max_t |U_t|
+    * with the split day tie-broken earliest. The rank table is the
+    * scale-true globalCumSum pass; the U_t window rides the
+    * POST-AGGREGATION daily frame. Emits K, the split day, and the
+    * significance exponent term 6K²/(N³+N²) as one terminal double. */
+  def q253Pettitt(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    // doubled midrank of each day's value within the daily frame:
+    // 2r = 2·below + cnt + 1 from per-value counts (exact under ties)
+    val byV = daily.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val cum = Ranking.globalCumSum(byV, "x", Seq("cnt"))
+      .select(col("x"),
+        (lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + lit(1L))
+          .as("r2"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.orderBy(col("d"))
+    val n1 = daily.agg(count(lit(1)).as("n"))
+    val ut = daily.join(cum, Seq("x"))
+      .crossJoin(broadcast(n1))
+      .select(col("d"), col("n"),
+        sum(col("r2").cast(dec)).over(w).as("sr2"),
+        row_number().over(wn).cast("long").as("t"))
+      .select(col("d"), col("n"),
+        (col("sr2") - (col("t") * (col("n") + lit(1L))).cast(dec))
+          .as("u"))
+    ut.select(col("n"), abs(col("u")).as("k"),
+        (-unix_date(col("d")).cast("long")).as("nd"))
+      .agg(max(col("n")).as("n_days"),
+        max(struct(col("k"), col("nd"))).as("m"))
+      .select(col("n_days"),
+        col("m.k").cast("long").as("k_stat"),
+        expr("CAST(date_from_unix_date(CAST(-m.nd AS INT)) AS STRING)")
+          .as("split_day"),
+        f6(lit(6.0) * col("m.k").cast("double") *
+          col("m.k").cast("double") /
+          (col("n_days").cast("double") * col("n_days").cast("double") *
+            col("n_days").cast("double") +
+            col("n_days").cast("double") * col("n_days").cast("double")))
+          .as("k_exponent"))
+  }
+
+  /** Day-of-week seasonality strength of revenue as the exact eta² —
+    * between-group over total variance across the SEVEN fixed
+    * day-of-week groups: both sums of squares from exact integer
+    * moments (N²-scaled, the q238 deviation trick applied per group
+    * via the q240 known-group pivot), one terminal division. eta² → 1
+    * means the weekly profile explains the variance; → 0 means none. */
+  def q254DowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+      .select(col("x"), dayofweek(col("d")).cast("long").as("dow"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
+    val perG = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+    // pivot the 7 fixed groups; Σ_g (N·sg − ng·Sx)²/(ng·N²) and the
+    // total SS (N·Σx² − Sx²)/N — cross-multiplied so each term is a
+    // double of exact integers, summed in a FIXED expression order
+    val pivotCols = (1 to 7).flatMap { g =>
+      Seq(max(when(col("dow") === g, col("sg"))).as(s"sg_$g"),
+        max(when(col("dow") === g, col("ng"))).as(s"ng_$g"))
+    }
+    val piv = perG.agg(pivotCols.head, pivotCols.tail: _*)
+      .crossJoin(broadcast(tot))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val between = (1 to 7).map { g =>
+      val sgd = col(s"sg_$g").cast("double")
+      val ngd = col(s"ng_$g").cast("double")
+      when(col(s"ng_$g").isNotNull && col(s"ng_$g") > 0,
+        (nd * sgd - ngd * sxd) * (nd * sgd - ngd * sxd) /
+          (ngd * (nd * nd))).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val totalSs = (nd * col("sxx").cast("double") - sxd * sxd) / nd
+    piv.select(col("n").as("n_days"),
+      when(totalSs > 0, f6(between / totalSs)).as("eta2"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6622,5 +6712,7 @@ object Queries {
     "q250_two_proportion_z" -> (q250TwoProportionZ _),
     "q251_max_drawdown" -> (q251MaxDrawdown _),
     "q252_two_sample_summary" -> (q252TwoSampleSummary _),
+    "q253_pettitt" -> (q253Pettitt _),
+    "q254_dow_seasonality" -> (q254DowSeasonality _),
   )
 }
