@@ -5141,5 +5141,33 @@ object Oracle {
            |      / CAST(n AS DOUBLE))""".stripMargin)}
          |  END AS eta2
          |FROM piv, tot""".stripMargin,
+
+    // dHash from the generator's closed-form channels: bit (y, x) set
+    // iff gray(x,y) > gray(x+1,y) on the 8×8 grid (7 comparisons per
+    // row, idx = y*7+x) — lossless PNG makes this ≡ decode-then-hash
+    "q255_image_dhash" ->
+      """WITH g AS (SELECT DISTINCT doc_id - doc_id % 7 AS gid
+        |    FROM documents),
+        |cells AS (SELECT g.gid, x.i AS x, y.i AS y,
+        |    ((g.gid*31 + x.i*7 + y.i*13) % 256)
+        |      + ((g.gid*17 + x.i*11 + y.i*3) % 256)
+        |      + ((g.gid*5 + x.i*19 + y.i*29) % 256) AS gray
+        |  FROM g, generate_series(0, 7) AS x(i),
+        |    generate_series(0, 7) AS y(i)),
+        |bits AS (SELECT a.gid, a.y * 7 + a.x AS idx
+        |  FROM cells a JOIN cells b
+        |    ON a.gid = b.gid AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 7 AND a.gray > b.gray),
+        |h AS (SELECT gid,
+        |    CAST(COALESCE(sum(CAST(1 AS BIGINT) << idx), 0) AS BIGINT)
+        |      AS dhash
+        |  FROM bits GROUP BY gid),
+        |hashes AS (SELECT g.gid, COALESCE(h.dhash, 0) AS dhash
+        |  FROM g LEFT JOIN h USING (gid))
+        |SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, doc_id - doc_id % 7 AS gid FROM documents)
+        |JOIN hashes USING (gid)
+        |GROUP BY 1 ORDER BY dhash""".stripMargin,
   )
 }

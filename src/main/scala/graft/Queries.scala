@@ -6456,6 +6456,25 @@ object Queries {
       when(totalSs > 0, f6(between / totalSs)).as("eta2"))
   }
 
+  /** Perceptual dHash through the REAL PNG codec — q171's gradient
+    * sibling: each doc's 7-group image decodes via javax.imageio and
+    * hashes by brighter-than-right-neighbor comparisons (8×7 = 56
+    * exact cross-multiplied bits, [[Multimodal.dHash56]]); the oracle
+    * recomputes the identical hash from the generator's closed-form
+    * channels (PNG lossless ⇒ decode-then-hash ≡ formula-then-hash
+    * bit-for-bit). Groups collapse to exact-dup clusters of 7. */
+  def q255ImageDHash(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf((id: Long) => Multimodal.generatePng(id))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 7).as("gid"))
+      .withColumn("payload", gen(col("gid")))
+    Multimodal.withDHash(d, "payload")
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("dhash")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6714,5 +6733,6 @@ object Queries {
     "q252_two_sample_summary" -> (q252TwoSampleSummary _),
     "q253_pettitt" -> (q253Pettitt _),
     "q254_dow_seasonality" -> (q254DowSeasonality _),
+    "q255_image_dhash" -> (q255ImageDHash _),
   )
 }

@@ -203,6 +203,64 @@ object Multimodal {
 
   /** Attach (ahash_hi, ahash_lo) columns from a binary image payload —
     * one UDF projection, no shuffle (the q64 decode pattern). */
+  /** Difference hash (dHash) — the gradient sibling of [[aHash64]]:
+    * bit (cy, cx) set iff cell (cy, cx) is brighter than its RIGHT
+    * neighbor, 8 rows × 7 comparisons = 56 bits in one long.
+    * Brightness compare is cross-multiplied exact integers
+    * (sum·n' > sum'·n — no float means), so decode-then-hash equals
+    * formula-then-hash bit-for-bit on lossless codecs (the q255
+    * oracle). dHash survives global brightness shifts that flip
+    * aHash bits — the standard pairing in image-dedup pipelines.
+    * None for null/undecodable/too-small payloads. */
+  def dHash56(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w < 8 || h < 8) None
+        else {
+          val cellSum = Array.ofDim[Long](8, 8)
+          val cellN = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 8 / w
+              val rgb = img.getRGB(x, y)
+              cellSum(cy)(cx) += ((rgb >> 16) & 0xff) +
+                ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              cellN(cy)(cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var bits = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 7) {
+              if (cellSum(cy)(cx) * cellN(cy)(cx + 1) >
+                cellSum(cy)(cx + 1) * cellN(cy)(cx))
+                bits |= 1L << (cy * 7 + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          Some(bits)
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  def withDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val dh = udf((p: Array[Byte]) => dHash56(p))
+    df.withColumn("dhash", dh(col(payloadCol))).drop(payloadCol)
+  }
+
   def withAHash(df: DataFrame, payloadCol: String): DataFrame = {
     val ah = udf((p: Array[Byte]) => aHash64(p).orNull)
     val h = ah(col(payloadCol))

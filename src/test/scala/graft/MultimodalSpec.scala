@@ -118,6 +118,40 @@ class MultimodalSpec extends SparkSpec {
     assert(df.head.getLong(1) === hi42 && df.head.getLong(2) === lo42)
   }
 
+  test("dHash56: tone-curve (gamma) invariant where aHash flips — the " +
+    "property that earns the gradient hash its place next to aHash") {
+    // monotone NONLINEAR tone curve: pixel ORDER is preserved (every
+    // dHash neighbor comparison survives) but cell-vs-global-mean
+    // relations are not (a convex curve drags the mean toward the
+    // dark mass, flipping mid-range aHash bits). A LINEAR shift would
+    // leave both invariant — the mean shifts with the cells.
+    // distinct values, mixed left/right gradients, with a mid-range
+    // cluster (135/140/145) sitting just above the linear mean that a
+    // convex curve drags below its mean — the engineered aHash flip
+    val base = Seq(120, 10, 135, 125, 250, 130, 145, 140)
+    def png(gamma: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val b = base(x)
+        val c = math.min(255, if (gamma) (b * b) / 255 else b)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val (d0, d1) = (Multimodal.dHash56(png(gamma = false)).get,
+      Multimodal.dHash56(png(gamma = true)).get)
+    assert(d0 === d1) // gradient structure identical under the curve
+    val (a0, a1) = (Multimodal.aHash64(png(gamma = false)).get,
+      Multimodal.aHash64(png(gamma = true)).get)
+    assert(a0 !== a1) // mean-threshold bits move with the curve
+    // degenerate payloads refuse cleanly
+    assert(Multimodal.dHash56(null) === None)
+    assert(Multimodal.dHash56(Array[Byte](1, 2, 3)) === None)
+  }
+
   test("imageNearDupPairs: a few-pixel perturbation pairs with its " +
     "original under the banded Hamming join; unrelated images don't " +
     "pair; the pair list is duplicate-free despite multi-band matches") {
