@@ -5169,5 +5169,43 @@ object Oracle {
         |FROM (SELECT doc_id, doc_id - doc_id % 7 AS gid FROM documents)
         |JOIN hashes USING (gid)
         |GROUP BY 1 ORDER BY dhash""".stripMargin,
+
+    // Q–Q deciles: per class, decile k = min v with cum·10 ≥ k·n
+    // (exact discrete percentile by cross-multiplication), 18
+    // conditional mins in one pass, unpivoted to 9 rows
+    "q256_qq_deciles" -> {
+      val mins = (1 to 9).map(k =>
+        s"""min(CASE WHEN cum_ca * 10 >= $k * n_a THEN v END) AS qa_$k,
+           |    min(CASE WHEN cum_cb * 10 >= $k * n_b THEN v END)
+           |      AS qb_$k""".stripMargin).mkString(",\n    ")
+      val rows = (1 to 9).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS decile, qa_$k AS v_returned,
+           |    qb_$k AS v_kept, qa_$k - qb_$k AS gap_cents FROM one"""
+          .stripMargin).mkString("\n  UNION ALL ")
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |s AS (SELECT v, CAST(sum(y) AS BIGINT) AS ca,
+         |    CAST(count(*) - sum(y) AS BIGINT) AS cb
+         |  FROM li GROUP BY 1),
+         |cum AS (SELECT v,
+         |    CAST(sum(ca) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_ca,
+         |    CAST(sum(cb) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_cb
+         |  FROM s),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM s),
+         |one AS (SELECT
+         |    $mins
+         |  FROM cum, tot)
+         |SELECT * FROM (
+         |  $rows
+         |) ORDER BY decile""".stripMargin
+    },
   )
 }

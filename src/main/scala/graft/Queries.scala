@@ -6475,6 +6475,43 @@ object Queries {
       .orderBy("dhash")
   }
 
+  /** Q–Q decile table for the returned-vs-kept price split — the
+    * diagnostic that says WHERE the two distributions differ after
+    * q235's KS says THAT they do: per class, decile k's value is the
+    * smallest v with cum·10 ≥ k·n (exact discrete percentile — integer
+    * cross-multiplication, no interpolation), all 18 deciles as
+    * conditional MINs in ONE aggregate pass over the shared CDF, then
+    * unpivoted to (decile, v_returned, v_kept, gap_cents) rows. */
+  def q256QqDeciles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("v"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val byV = li.groupBy(col("v"))
+      .agg(sum(col("y")).as("ca"),
+        (count(lit(1)) - sum(col("y"))).as("cb"))
+    val cum = Ranking.globalCumSum(byV, "v", Seq("ca", "cb"))
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val aggs = (1 to 9).flatMap { k =>
+      Seq(min(when(col("cum_ca") * 10 >= lit(k.toLong) * col("n_a"),
+        col("v"))).as(s"qa_$k"),
+        min(when(col("cum_cb") * 10 >= lit(k.toLong) * col("n_b"),
+          col("v"))).as(s"qb_$k"))
+    }
+    val one = cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to 9).map { k =>
+      struct(lit(k.toLong).as("decile"),
+        col(s"qa_$k").as("v_returned"), col(s"qb_$k").as("v_kept"),
+        (col(s"qa_$k") - col(s"qb_$k")).as("gap_cents"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.decile").as("decile"),
+        col("r.v_returned").as("v_returned"),
+        col("r.v_kept").as("v_kept"),
+        col("r.gap_cents").as("gap_cents"))
+      .orderBy(col("decile"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6734,5 +6771,6 @@ object Queries {
     "q253_pettitt" -> (q253Pettitt _),
     "q254_dow_seasonality" -> (q254DowSeasonality _),
     "q255_image_dhash" -> (q255ImageDHash _),
+    "q256_qq_deciles" -> (q256QqDeciles _),
   )
 }
