@@ -5207,5 +5207,50 @@ object Oracle {
          |  $rows
          |) ORDER BY decile""".stripMargin
     },
+
+    // Vocabulary Jaccard per source pair: distinct (source, token),
+    // one token equi-join, |A∪B| = |A|+|B|−|A∩B|, one division/pair
+    "q257_vocab_jaccard" ->
+      s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+         |e AS (SELECT DISTINCT source, unnest(tk) AS tok FROM t),
+         |f AS (SELECT source, tok FROM e WHERE len(tok) > 0),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+         |  FROM f GROUP BY 1),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM f a JOIN f b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, n_common,
+         |  ${f6("""CAST(n_common AS DOUBLE)
+           |      / CAST(sa.nv + sb.nv - n_common AS DOUBLE)"""
+        .stripMargin)}
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.source = src_a
+         |JOIN sizes sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ESS = (Σw)²/Σw² exact HUGEINT moments, one terminal division;
+    // design effect = n/ESS from the same row
+    "q258_effective_sample_size" ->
+      s"""WITH w AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS w
+         |  FROM orders),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(w AS HUGEINT)) AS sw,
+         |    sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS sww
+         |  FROM w)
+         |SELECT n,
+         |  CASE WHEN sww > 0 THEN
+         |    ${f6("""(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+           |      / CAST(sww AS DOUBLE)""".stripMargin)}
+         |  END AS ess,
+         |  CASE WHEN sww > 0 THEN
+         |    ${f6("""CAST(n AS DOUBLE)
+           |      / ((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+           |        / CAST(sww AS DOUBLE))""".stripMargin)}
+         |  END AS design_effect
+         |FROM m""".stripMargin,
   )
 }

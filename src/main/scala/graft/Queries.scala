@@ -6512,6 +6512,62 @@ object Queries {
       .orderBy(col("decile"))
   }
 
+  /** Cross-source vocabulary Jaccard matrix — "how much do the
+    * corpora share words?", the set-level companion to q222's
+    * frequency-weighted cosine: distinct (source, token) pairs, one
+    * equi-join ON TOKEN for the pairwise intersections (never
+    * all-pairs over docs), |A∪B| = |A|+|B|−|A∩B| from the per-source
+    * vocabulary sizes, one division per source pair (≤ C(5,2) rows —
+    * model-sized output). */
+  def q257VocabJaccard(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = st.as("a")
+      .join(st.as("b"), col("a.tok") === col("b.tok"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("nv").as("nv_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("nv_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        col("n_common"),
+        f6(col("n_common").cast("double") /
+          (col("nv_a") + col("nv_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Effective sample size of the priority-weighted sample — the
+    * number that says how much a weighted sample is really worth:
+    * ESS = (Σw)²/Σw² with integer cent weights, both moments exact in
+    * DECIMAL(38,0) and ONE terminal division; emitted next to the raw
+    * count so the design effect n/ESS is read off directly. Weights =
+    * order value (the q81/q110 sampling family's size measure). */
+  def q258EffectiveSampleSize(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = t(s, dir, "orders")
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("w"))
+    w.agg(count(lit(1)).as("n"),
+      sum(col("w").cast(dec)).as("sw"),
+      sum(col("w").cast(dec) * col("w").cast(dec)).as("sww"))
+      .select(col("n"),
+        when(col("sww") > 0,
+          f6((col("sw").cast("double") * col("sw").cast("double")) /
+            col("sww").cast("double"))).as("ess"),
+        when(col("sww") > 0,
+          f6(col("n").cast("double") /
+            ((col("sw").cast("double") * col("sw").cast("double")) /
+              col("sww").cast("double")))).as("design_effect"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6772,5 +6828,7 @@ object Queries {
     "q254_dow_seasonality" -> (q254DowSeasonality _),
     "q255_image_dhash" -> (q255ImageDHash _),
     "q256_qq_deciles" -> (q256QqDeciles _),
+    "q257_vocab_jaccard" -> (q257VocabJaccard _),
+    "q258_effective_sample_size" -> (q258EffectiveSampleSize _),
   )
 }
