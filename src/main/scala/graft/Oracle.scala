@@ -5252,5 +5252,51 @@ object Oracle {
            |        / CAST(sww AS DOUBLE))""".stripMargin)}
          |  END AS design_effect
          |FROM m""".stripMargin,
+
+    // Kaplan–Meier on the q224 frame: ordered prefix product over the
+    // model-sized event table via list_reduce in ascending-life order
+    // (IEEE 1.0·x = x ⇒ the init-vs-first-element fold shapes agree
+    // with Spark's aggregate)
+    "q259_kaplan_meier" ->
+      s"""WITH users AS (
+         |  SELECT o_orderkey,
+         |    max(CAST(o_orderdate AS DATE)) AS first_d,
+         |    max(CAST(l_shipdate AS DATE)) AS last_d
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1),
+         |hz AS (SELECT max(last_d) AS h,
+         |    CAST(count(*) AS BIGINT) AS n_users FROM users),
+         |lives AS (SELECT
+         |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS life,
+         |    last_d <= h - 7 AS uncensored, n_users
+         |  FROM users, hz),
+         |by_day AS (SELECT life, CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN uncensored THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS deaths,
+         |    max(n_users) AS n_users
+         |  FROM lives GROUP BY 1),
+         |ev AS (SELECT life,
+         |    n_users - (CAST(sum(m) OVER (ORDER BY life ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - m)
+         |      AS n_risk,
+         |    deaths
+         |  FROM by_day),
+         |fac AS (SELECT life, n_risk, deaths,
+         |    CAST(n_risk - deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         |      AS factor
+         |  FROM ev WHERE deaths > 0),
+         |one AS (SELECT list(life ORDER BY life) AS ls,
+         |    list(n_risk ORDER BY life) AS ns,
+         |    list(deaths ORDER BY life) AS ds,
+         |    list(factor ORDER BY life) AS fs
+         |  FROM fac),
+         |rows AS (SELECT unnest([{'day': ls[i], 'n_risk': ns[i],
+         |      'deaths': ds[i],
+         |      's': list_reduce(fs[1:i], (a, b) -> a * b)}
+         |    for i in range(1, len(fs) + 1)],
+         |    recursive := true)
+         |  FROM one)
+         |SELECT day, n_risk, deaths, ${f6("s")} AS survival
+         |FROM rows ORDER BY day""".stripMargin,
   )
 }

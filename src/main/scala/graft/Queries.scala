@@ -6568,6 +6568,61 @@ object Queries {
               col("sww").cast("double")))).as("design_effect"))
   }
 
+  /** Kaplan–Meier product-limit survival of order fulfillment — the
+    * estimator that pairs with q224's Nelson–Aalen on the SAME
+    * right-censored frame: S(t) = Π_{i≤t}(1 − d_i/n_i). The ordered
+    * product over event days is the one genuinely sequential step, and
+    * the event table is MODEL-SIZED (distinct lifetimes), so it rides
+    * a sorted array + HOF prefix fold — collect_list's order doesn't
+    * matter because sort_array imposes the total order before the
+    * fold, making the double product a deterministic sequential
+    * sequence both engines replay identically (each factor is one
+    * correctly-rounded division; the oracle's list_reduce folds the
+    * same factors in the same order, and IEEE 1.0·x = x makes the
+    * init-vs-first-element fold shapes equal). Data passes: the q224
+    * join/groupBy only. */
+  def q259KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("l_shipdate"))).as("last_d"))
+    val horizon = users.agg(max(col("last_d")).as("h"),
+      count(lit(1)).as("n_users"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+        .as("life"),
+        (col("last_d") <= date_add(col("h"), -7)).as("uncensored"),
+        col("n_users"))
+    val byDay = lives.groupBy(col("life"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("uncensored"), 1L).otherwise(0L)).as("deaths"),
+        max(col("n_users")).as("n_users"))
+    val ev = Ranking.globalCumSum(byDay, "life", Seq("m"))
+      .select(col("life"),
+        (col("n_users") - (col("cum_m") - col("m"))).as("n_risk"),
+        col("deaths"))
+      .filter(col("deaths") > 0)
+      .select(col("life"), col("n_risk"), col("deaths"),
+        ((col("n_risk") - col("deaths")).cast("double") /
+          col("n_risk").cast("double")).as("factor"))
+    ev.agg(sort_array(collect_list(struct(col("life"), col("n_risk"),
+        col("deaths"), col("factor")))).as("arr"))
+      // empty input → zero rows, not sequence(1,0)'s DESCENDING [1,0]
+      // indexing into an empty array
+      .filter(size(col("arr")) > 0)
+      .select(explode(expr(
+        "transform(sequence(1, size(arr)), i -> struct(" +
+          "arr[i-1].life AS day, arr[i-1].n_risk AS n_risk, " +
+          "arr[i-1].deaths AS deaths, " +
+          "aggregate(slice(arr, 1, i), CAST(1.0 AS DOUBLE), " +
+          "(a, x) -> a * x.factor) AS s))")).as("r"))
+      .select(col("r.day").as("day"), col("r.n_risk").as("n_risk"),
+        col("r.deaths").as("deaths"), f6(col("r.s")).as("survival"))
+      .orderBy(col("day"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6830,5 +6885,6 @@ object Queries {
     "q256_qq_deciles" -> (q256QqDeciles _),
     "q257_vocab_jaccard" -> (q257VocabJaccard _),
     "q258_effective_sample_size" -> (q258EffectiveSampleSize _),
+    "q259_kaplan_meier" -> (q259KaplanMeier _),
   )
 }
