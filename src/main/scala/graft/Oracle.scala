@@ -5298,5 +5298,66 @@ object Oracle {
          |  FROM one)
          |SELECT day, n_risk, deaths, ${f6("s")} AS survival
          |FROM rows ORDER BY day""".stripMargin,
+
+    // Log-rank: per event day, observed vs expected group-A deaths
+    // and the hypergeometric variance as 10¹²-scaled exact integral
+    // divisions, summed in HUGEINT; z is the one terminal double
+    "q260_log_rank" ->
+      s"""WITH users AS (
+         |  SELECT o_orderkey,
+         |    max(CAST(o_orderdate AS DATE)) AS first_d,
+         |    max(CAST(l_shipdate AS DATE)) AS last_d,
+         |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS grp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1),
+         |hz AS (SELECT max(last_d) AS h FROM users),
+         |lives AS (SELECT
+         |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS life,
+         |    last_d <= h - 7 AS uncensored, grp
+         |  FROM users, hz),
+         |by_day AS (SELECT life, CAST(sum(grp) AS BIGINT) AS ma,
+         |    CAST(count(*) - sum(grp) AS BIGINT) AS mb,
+         |    CAST(sum(CASE WHEN uncensored THEN grp ELSE 0 END)
+         |      AS BIGINT) AS da,
+         |    CAST(sum(CASE WHEN uncensored THEN 1 - grp ELSE 0 END)
+         |      AS BIGINT) AS db
+         |  FROM lives GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ma) AS BIGINT) AS na_tot,
+         |    CAST(sum(mb) AS BIGINT) AS nb_tot FROM by_day),
+         |cum AS (SELECT life, ma, mb, da, db,
+         |    CAST(sum(ma) OVER (ORDER BY life ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ma,
+         |    CAST(sum(mb) OVER (ORDER BY life ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mb
+         |  FROM by_day),
+         |pre AS (SELECT da, db, da + db AS d,
+         |    na_tot - (cum_ma - ma) AS na,
+         |    nb_tot - (cum_mb - mb) AS nb
+         |  FROM cum, tot WHERE da + db > 0),
+         |terms AS (SELECT da, d,
+         |    CAST(CAST(d AS HUGEINT) * na * 1000000000000
+         |      // (na + nb) AS BIGINT) AS e_s,
+         |    CASE WHEN na + nb > 1 THEN
+         |      CAST(CAST(d AS HUGEINT) * (na + nb - d) * na * nb
+         |        * 1000000000000
+         |        // ((na + nb - 1) * CAST(na + nb AS HUGEINT)
+         |          * (na + nb)) AS BIGINT)
+         |    ELSE 0 END AS v_s
+         |  FROM pre),
+         |agg AS (SELECT CAST(sum(da) AS BIGINT) AS o_a,
+         |    CAST(count(*) AS BIGINT) AS n_event_days,
+         |    sum(CAST(e_s AS HUGEINT)) AS es,
+         |    sum(CAST(v_s AS HUGEINT)) AS vs
+         |  FROM terms)
+         |SELECT o_a, n_event_days,
+         |  ${f6("CAST(es AS DOUBLE) / 1000000000000.0")} AS e_a,
+         |  CASE WHEN vs > 0 THEN
+         |    ${f6("""(CAST(o_a AS DOUBLE)
+           |      - CAST(es AS DOUBLE) / 1000000000000.0)
+           |      / sqrt(CAST(vs AS DOUBLE) / 1000000000000.0)"""
+        .stripMargin)}
+         |  END AS z
+         |FROM agg""".stripMargin,
   )
 }

@@ -6623,6 +6623,65 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Log-rank test — do urgent orders fulfill on a different survival
+    * curve? The hypothesis test completing the q224/q259 survival
+    * family: at each pooled event day, observed group-A deaths vs the
+    * expectation d·n_a/n under the null, variance
+    * d(n−d)/(n−1)·n_a·n_b/n², both carried as 10¹²-scaled exact
+    * integral divisions (the q224 hazard-term discipline — the ≤1-ulp
+    * floor loss per term is identical in both engines) and summed
+    * exactly in DECIMAL(38,0); z = (O−E)/√V is the one terminal
+    * double expression. Per-group at-risk counts ride the SAME
+    * range-bucketed prefix-sum pass (4 weight columns, one shuffle). */
+  def q260LogRank(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("l_shipdate"))).as("last_d"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L)).as("grp"))
+    val horizon = users.agg(max(col("last_d")).as("h"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+        .as("life"),
+        (col("last_d") <= date_add(col("h"), -7)).as("uncensored"),
+        col("grp"))
+    val byDay = lives.groupBy(col("life"))
+      .agg(sum(col("grp")).as("ma"),
+        (count(lit(1)) - sum(col("grp"))).as("mb"),
+        sum(when(col("uncensored"), col("grp")).otherwise(0L)).as("da"),
+        sum(when(col("uncensored"), lit(1L) - col("grp")).otherwise(0L))
+          .as("db"))
+    val tot = byDay.agg(sum(col("ma")).as("na_tot"),
+      sum(col("mb")).as("nb_tot"))
+    val terms = Ranking.globalCumSum(byDay, "life", Seq("ma", "mb"))
+      .crossJoin(broadcast(tot))
+      .select(col("da"), col("db"), (col("da") + col("db")).as("d"),
+        (col("na_tot") - (col("cum_ma") - col("ma"))).as("na"),
+        (col("nb_tot") - (col("cum_mb") - col("mb"))).as("nb"))
+      .filter(col("da") + col("db") > 0)
+      .select(col("da"), col("d"),
+        expr("CAST(d AS DECIMAL(38,0)) * na * 1000000000000" +
+          " DIV (na + nb)").as("e_s"),
+        when(col("na") + col("nb") > 1,
+          expr("CAST(d AS DECIMAL(38,0)) * (na + nb - d) * na * nb" +
+            " * 1000000000000" +
+            " DIV ((na + nb - 1) * CAST(na + nb AS DECIMAL(38,0))" +
+            " * (na + nb))")).otherwise(lit(0L)).as("v_s"))
+    val agg = terms.agg(sum(col("da")).as("o_a"),
+      count(lit(1)).as("n_event_days"),
+      sum(col("e_s").cast(DecimalType(38, 0))).as("es"),
+      sum(col("v_s").cast(DecimalType(38, 0))).as("vs"))
+    agg.select(col("o_a"), col("n_event_days"),
+      f6(col("es").cast("double") / lit(1.0e12)).as("e_a"),
+      when(col("vs") > 0,
+        f6((col("o_a").cast("double") -
+          col("es").cast("double") / lit(1.0e12)) /
+          sqrt(col("vs").cast("double") / lit(1.0e12)))).as("z"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6886,5 +6945,6 @@ object Queries {
     "q257_vocab_jaccard" -> (q257VocabJaccard _),
     "q258_effective_sample_size" -> (q258EffectiveSampleSize _),
     "q259_kaplan_meier" -> (q259KaplanMeier _),
+    "q260_log_rank" -> (q260LogRank _),
   )
 }
