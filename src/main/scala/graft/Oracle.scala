@@ -5359,5 +5359,32 @@ object Oracle {
         .stripMargin)}
          |  END AS z
          |FROM agg""".stripMargin,
+
+    // Mann–Kendall: S from the ordered self-join of the daily frame,
+    // ×18 tie-corrected variance exact, continuity-corrected z
+    "q261_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |pairs AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+         |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON a.d < b.d),
+         |ties AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+         |    sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie18
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+         |    FROM daily GROUP BY x))
+         |SELECT n AS n_days, s_stat,
+         |  CASE WHEN CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+         |      - tie18 AS DOUBLE) > 0 THEN
+         |    ${f6("""(CASE WHEN s_stat > 0
+           |        THEN CAST(s_stat AS DOUBLE) - 1.0
+           |      WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+           |      ELSE 0.0 END)
+           |      / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+           |        - tie18 AS DOUBLE) / 18.0)""".stripMargin)}
+         |  END AS z
+         |FROM pairs, ties""".stripMargin,
   )
 }

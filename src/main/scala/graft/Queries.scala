@@ -6682,6 +6682,37 @@ object Queries {
           sqrt(col("vs").cast("double") / lit(1.0e12)))).as("z"))
   }
 
+  /** Mann–Kendall trend test on daily revenue — the nonparametric
+    * significance test that q139's OLS slope lacks: S = Σ_{i<j}
+    * sgn(x_j − x_i) from ONE ordered self-join of the
+    * POST-AGGREGATION daily frame (n² pairs of a model-sized series —
+    * never the raw events), the tie-corrected variance
+    * [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 carried ×18 as exact integers,
+    * and the continuity-corrected z as the one terminal double. */
+  def q261MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t").cast(dec) * (col("t") - lit(1L)) *
+          (lit(2L) * col("t") + lit(5L))).as("tie18"))
+    val m = pairs.crossJoin(broadcast(ties))
+    val nd = col("n").cast("double")
+    val var18 = (col("n").cast(dec) * (col("n") - lit(1L)) *
+      (lit(2L) * col("n") + lit(5L)) - col("tie18")).cast("double")
+    val sd = col("s_stat").cast("double")
+    val corrected = when(col("s_stat") > 0, sd - lit(1.0))
+      .when(col("s_stat") < 0, sd + lit(1.0)).otherwise(lit(0.0))
+    m.select(col("n").as("n_days"), col("s_stat"),
+      when(var18 > 0, f6(corrected / sqrt(var18 / lit(18.0)))).as("z"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6946,5 +6977,6 @@ object Queries {
     "q258_effective_sample_size" -> (q258EffectiveSampleSize _),
     "q259_kaplan_meier" -> (q259KaplanMeier _),
     "q260_log_rank" -> (q260LogRank _),
+    "q261_mann_kendall" -> (q261MannKendall _),
   )
 }
