@@ -195,6 +195,31 @@ class PropertiesSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getInt(0) === r.getInt(1), r))
   }
 
+  test("tvDrift boundary identities for arbitrary category multisets: " +
+    "self-reference scores exactly 0, a disjoint reference exactly 1") {
+    import java.sql.Timestamp
+    val g = Gen.listOfN(120, Gen.oneOf("a", "b", "c", "d", "e"))
+    for (seed <- Seq(11L, 22L)) {
+      val cats = sample(g, 1, seed).head
+      val ref: Map[String, Long] = cats.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+      val df = cats.map(c => (t0, c)).toDF("ts", "cat")
+      // window of the data scored against its OWN histogram: every
+      // cross-multiplied gap is cnt·nRef − ref·nWin = 0 exactly
+      val self = graft.streaming.Streaming.tvDrift(df, "ts", "cat",
+        "0 seconds", "1 hour", ref).collect().head
+      assert(self.getAs[Long]("tv_num") === 0L)
+      assert(self.getAs[Double]("tv_dist") === 0.0)
+      // disjoint reference: all window mass in OTHER, all reference
+      // mass unmatched — TV distance is exactly 1
+      val disjoint: Map[String, Long] = Map("zz1" -> 7L, "zz2" -> 3L)
+      val far = graft.streaming.Streaming.tvDrift(df, "ts", "cat",
+        "0 seconds", "1 hour", disjoint).collect().head
+      assert(far.getAs[Double]("tv_dist") === 1.0)
+    }
+  }
+
   test("ksTwoSample / mannWhitneyU == sequential references on " +
     "arbitrary tied class-labeled multisets; U_A + U_B == nA*nB") {
     import graft.operators.Stats

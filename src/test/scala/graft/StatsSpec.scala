@@ -140,4 +140,21 @@ class StatsSpec extends SparkSpec {
     assert(auth(10L) > auth(12L))
     assert(auth(12L) > auth(13L))
   }
+
+  test("hits conserves L1 mass up to integer-floor loss: normalized " +
+    "scores sum to 2^30 within one unit per scored node") {
+    val edges = (1 to 200).map(i =>
+      ((i * 7919L) % 37, 100L + (i * 31L) % 23)).distinct
+    val df = edges.toDF("src", "dst").repartition(7)
+    val out = Graph.hits(df, iters = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val (authSum, hubSum) = (out.map(_._1).sum, out.map(_._2).sum)
+    val nAuth = out.count(_._1 > 0)
+    val nHub = out.count(_._2 > 0)
+    // x·S DIV tot floors each node's share: total loss < #nodes units
+    assert(authSum <= Graph.Scale && authSum > Graph.Scale - nAuth,
+      s"authSum=$authSum nAuth=$nAuth")
+    assert(hubSum <= Graph.Scale && hubSum > Graph.Scale - nHub,
+      s"hubSum=$hubSum nHub=$nHub")
+  }
 }
