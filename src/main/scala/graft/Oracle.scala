@@ -5386,5 +5386,209 @@ object Oracle {
            |        - tie18 AS DOUBLE) / 18.0)""".stripMargin)}
          |  END AS z
          |FROM pairs, ties""".stripMargin,
+
+    // Theil–Sen: pairwise slopes = ONE IEEE division of exact ints
+    // each; DISCRETE median via collapsed-value cumulative counts —
+    // min(slope where cum ≥ (n+1)//2) picks an actual element
+    "q262_theil_sen" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |slopes AS (SELECT CAST(b.x - a.x AS DOUBLE)
+         |    / CAST(b.d - a.d AS DOUBLE) AS slope
+         |  FROM daily a JOIN daily b ON a.d < b.d),
+         |byv AS (SELECT slope, count(*) AS cnt FROM slopes GROUP BY 1),
+         |cum AS (SELECT slope, sum(cnt) OVER (ORDER BY slope) AS cum
+         |  FROM byv),
+         |n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)
+         |    AS n_days,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs),
+         |med AS (SELECT min(slope) AS m FROM cum, n
+         |  WHERE cum >= (n_pairs + 1) // 2)
+         |SELECT n_days, n_pairs, ${f6("m")} AS ts_slope
+         |FROM n, med""".stripMargin,
+
+    // Hodges–Lehmann shift between md5 arms of the daily series:
+    // median of all pairwise b−a differences, integer cents end to end
+    "q263_hodges_lehmann" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    CAST(ts AS DATE) AS d,
+         |    ${md5Long("CAST(event_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events),
+         |daily AS (SELECT d, arm, CAST(sum(c) AS BIGINT) AS x
+         |  FROM ev GROUP BY 1, 2),
+         |a AS (SELECT x AS xa FROM daily WHERE arm = 0),
+         |b AS (SELECT x AS xb FROM daily WHERE arm = 1),
+         |diffs AS (SELECT xb - xa AS diff FROM b, a),
+         |byv AS (SELECT diff, count(*) AS cnt FROM diffs GROUP BY 1),
+         |cum AS (SELECT diff, sum(cnt) OVER (ORDER BY diff) AS cum
+         |  FROM byv),
+         |n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b),
+         |med AS (SELECT CAST(min(diff) AS BIGINT) AS m FROM cum, n
+         |  WHERE cum >= (n_a * n_b + 1) // 2)
+         |SELECT n_a, n_b, n_a * n_b AS n_pairs, m AS hl_shift_cents
+         |FROM n, med""".stripMargin,
+
+    // neighborhood Jaccard over the q181 bipartite graph: same capped
+    // incidence, exact-integer cross-multiplied ppm ranking
+    "q264_neighborhood_jaccard" ->
+      """WITH inc AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS node, l_partkey AS nbr
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+        |capped AS (SELECT nbr FROM inc GROUP BY nbr
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |incc AS MATERIALIZED (
+        |  SELECT node, nbr FROM inc WHERE nbr IN (SELECT nbr FROM capped)),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM incc GROUP BY node),
+        |pairs AS (SELECT x.node AS id_a, y.node AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM incc x JOIN incc y
+        |    ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |  da.deg + db.deg - n_common AS union_size,
+        |  n_common * 1000000 // (da.deg + db.deg - n_common) AS jac_ppm
+        |FROM pairs
+        |JOIN deg da ON da.node = id_a
+        |JOIN deg db ON db.node = id_b
+        |ORDER BY jac_ppm DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
+
+    // strict-order funnel: each step's min-ts must precede the next
+    // step's qualifying events; conversion as exact ppm floor division
+    "q265_conversion_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_step1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_step2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_step3,
+        |  CASE WHEN (SELECT count(*) FROM t1) > 0 THEN
+        |    (SELECT count(*) FROM t2) * 1000000
+        |      // (SELECT count(*) FROM t1) END AS conv12_ppm,
+        |  CASE WHEN (SELECT count(*) FROM t2) > 0 THEN
+        |    (SELECT count(*) FROM t3) * 1000000
+        |      // (SELECT count(*) FROM t2) END AS conv23_ppm,
+        |  CASE WHEN (SELECT count(*) FROM t1) > 0 THEN
+        |    (SELECT count(*) FROM t3) * 1000000
+        |      // (SELECT count(*) FROM t1) END AS conv13_ppm""".stripMargin,
+
+    // classical additive decomposition: ×7-scaled exact integers;
+    // doubles only in the final /7.0 and the per-dow mean, pinned
+    "q266_ts_decomposition" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |tr AS (SELECT d, t7, 7 * x - t7 AS d7, dayofweek(d) AS dw
+         |  FROM (SELECT d, x,
+         |      CAST(sum(x) OVER w AS BIGINT) AS t7,
+         |      count(*) OVER w AS c7
+         |    FROM daily
+         |    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+         |      AND 3 FOLLOWING))
+         |  WHERE c7 = 7),
+         |seas AS (SELECT dw,
+         |    CAST(CAST(sum(d7) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS s7
+         |  FROM tr GROUP BY 1)
+         |SELECT strftime(d, '%Y-%m-%d') AS d,
+         |  ${f6("CAST(t7 AS DOUBLE) / 7.0")} AS trend,
+         |  ${f6("s7 / 7.0")} AS seasonal,
+         |  ${f6("(CAST(d7 AS DOUBLE) - s7) / 7.0")} AS remainder
+         |FROM tr JOIN seas USING (dw)
+         |ORDER BY d""".stripMargin,
+
+    // Brier under the portable split: train bins fit exact ppm rates,
+    // eval squared error exact in HUGEINT, ONE terminal division
+    "q267_brier_score" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      // 1000 AS bin,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         |    ${md5Long("CAST(event_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events),
+         |bins AS (SELECT bin,
+         |    CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS p_ppm
+         |  FROM ev WHERE arm = 0 GROUP BY 1),
+         |gl AS (SELECT
+         |    CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS g_ppm
+         |  FROM ev WHERE arm = 0),
+         |scored AS (SELECT e.y,
+         |    coalesce(b.p_ppm, (SELECT g_ppm FROM gl)) AS p
+         |  FROM ev e LEFT JOIN bins b USING (bin) WHERE e.arm = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |  ${f6("""CAST(sum(CAST(p - y * 1000000 AS HUGEINT)
+           |      * (p - y * 1000000)) AS DOUBLE)
+           |    / (CAST(count(*) AS DOUBLE) * 1.0e12)""".stripMargin)}
+         |    AS brier
+         |FROM scored""".stripMargin,
+
+    // Chao1 per source: S + f1(f1−1)/(2(f2+1)), one division on exact
+    // integers (bias-corrected form — denominator never 0)
+    "q268_chao1_richness" ->
+      s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+         |e AS (SELECT source, unnest(tk) AS tok FROM t),
+         |f AS (SELECT source, tok FROM e WHERE len(tok) > 0),
+         |cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM f GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS s_types,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         |  ${f6("""CAST(count(*) AS DOUBLE)
+           |    + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+           |        * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+           |        AS DOUBLE)
+           |      / CAST(2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)
+           |        AS DOUBLE)""".stripMargin)} AS chao1
+         |FROM cnts GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    // TV distance over token distributions: common-denominator exact
+    // integer mass (shared tokens via ONE equi-join, disjoint mass via
+    // the totals identity), ONE terminal division per pair
+    "q269_tv_distance" ->
+      s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+         |e AS (SELECT source, unnest(tk) AS tok FROM t),
+         |f AS (SELECT source, tok FROM e WHERE len(tok) > 0),
+         |cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM f GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cnts GROUP BY 1),
+         |cn AS MATERIALIZED (SELECT c.source, c.tok, c.c, t.n
+         |  FROM cnts c JOIN tot t ON c.source = t.source),
+         |common AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    max(a.n) AS n_a, max(b.n) AS n_b,
+         |    sum(a.c) AS ca_common, sum(b.c) AS cb_common,
+         |    sum(abs(CAST(a.c AS HUGEINT) * b.n
+         |      - CAST(b.c AS HUGEINT) * a.n)) AS s_in
+         |  FROM cn a JOIN cn b
+         |    ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  ${f6("""CAST(s_in
+           |      + CAST(n_a - ca_common AS HUGEINT) * n_b
+           |      + CAST(n_b - cb_common AS HUGEINT) * n_a AS DOUBLE)
+           |    / CAST(CAST(2 AS HUGEINT) * n_a * n_b AS DOUBLE)"""
+        .stripMargin)} AS tv
+         |FROM common
+         |ORDER BY src_a, src_b""".stripMargin,
   )
 }

@@ -6713,6 +6713,279 @@ object Queries {
       when(var18 > 0, f6(corrected / sqrt(var18 / lit(18.0)))).as("z"))
   }
 
+  /** Shared daily-revenue frame: exact cent sums per event day. The
+    * day grain makes every downstream self-join day²-bounded — a
+    * model-sized frame regardless of row count (q261's contract). */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+
+  /** Theil–Sen robust trend slope of daily revenue — the median of all
+    * pairwise slopes, the estimator OLS outliers can't drag. Slopes are
+    * ONE IEEE division of exact integers each (correctly rounded, so
+    * bit-stable cross-engine); the median is DISCRETE — collapsed
+    * per-value counts, a cumulative count over the day²-bounded slope
+    * frame, and min(slope where cum ≥ ⌈n/2⌉) picks an actual element,
+    * so no interpolation arithmetic can diverge between engines. */
+  def q262TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(s, dir)
+    val slopes = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .select(((col("b.x") - col("a.x")).cast("double") /
+        datediff(col("b.d"), col("a.d")).cast("double")).as("slope"))
+    val byV = slopes.groupBy(col("slope")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("slope"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("slope"), sum(col("cnt")).over(w).as("cum"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(slopes.agg(count(lit(1)).as("n_pairs")))
+    val med = cum.crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n_pairs + 1L) div 2"))
+      .agg(min(col("slope")).as("m"))
+    n.crossJoin(broadcast(med))
+      .select(col("n_days"), col("n_pairs"), f6(col("m")).as("ts_slope"))
+  }
+
+  /** Hodges–Lehmann location-shift estimate between the two md5 arms
+    * of the daily-revenue series (the q250 split applied per event):
+    * the median of ALL b−a pairwise differences — integer cents end to
+    * end, zero floats. The pair frame is |A|·|B| ≤ days², model-sized;
+    * the discrete median reuses q262's collapsed-CDF element pick. */
+  def q263HodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        to_date(col("ts")).as("d"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("event_id").cast("string")), lit(2)).as("arm"))
+    val daily = ev.groupBy(col("d"), col("arm"))
+      .agg(sum(col("c")).as("x"))
+    val a = daily.filter(col("arm") === 0).select(col("x").as("xa"))
+    val b = daily.filter(col("arm") === 1).select(col("x").as("xb"))
+    val diffs = b.crossJoin(a).select((col("xb") - col("xa")).as("diff"))
+    val byV = diffs.groupBy(col("diff")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("diff"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("diff"), sum(col("cnt")).over(w).as("cum"))
+    val n = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    val med = cum.crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n_a * n_b + 1L) div 2"))
+      .agg(min(col("diff")).as("m"))
+    n.crossJoin(broadcast(med))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_pairs"),
+        col("m").as("hl_shift_cents"))
+  }
+
+  /** Structural (neighborhood-Jaccard) similarity top-100 over the
+    * 1995Q1 customer↔part bipartite graph — q181's wedge machinery
+    * with the symmetric score: jac = |N∩| / |N(a)∪N(b)|, ranked by the
+    * exact integer cross-multiply cn·10⁶ div (da+db−cn) so the
+    * ordering never touches a float. Same deg∈[2,64] hub cap as q181
+    * (principled: a degree-d hub emits C(d,2) pairs each worth little
+    * evidence), degrees counted over the SAME capped incidence so the
+    * score is internally consistent; TakeOrderedAndProject top-k. */
+  def q264NeighborhoodJaccard(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val inc = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("node"), col("l_partkey").as("nbr"))
+      .distinct()
+    val capped = inc.groupBy(col("nbr")).agg(count(lit(1)).as("dn"))
+      .filter(col("dn") >= 2 && col("dn") <= 64)
+      .select(col("nbr"))
+    val incC = inc.join(capped, Seq("nbr"), "left_semi")
+    val deg = incC.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = incC.select(col("nbr"), col("node").as("id_a"))
+      .join(incC.select(col("nbr"), col("node").as("id_b")), Seq("nbr"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(deg.select(col("node").as("id_a"), col("deg").as("deg_a")),
+        Seq("id_a"))
+      .join(deg.select(col("node").as("id_b"), col("deg").as("deg_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("deg_a") + col("deg_b") - col("n_common")).as("union_size"),
+        expr("n_common * 1000000L div (deg_a + deg_b - n_common)")
+          .as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("id_a").asc, col("id_b").asc)
+      .limit(100)
+  }
+
+  /** Ordered conversion funnel view→click→purchase with STRICT
+    * time-sequencing per user — each step's timestamp must exceed the
+    * previous step's FIRST occurrence (min-ts), the semantics funnel
+    * dashboards mean but naive type-count funnels (q97's gate shape)
+    * don't enforce. Three conditional-min aggregate passes chained by
+    * equi-joins on user — no window over the raw event stream, no
+    * per-user collect; conversion rates as exact ppm integer division. */
+  def q265ConversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("n_step1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_step2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_step3")))
+      .select(col("n_step1"), col("n_step2"), col("n_step3"),
+        // rates are undefined (null) when the upstream step is empty —
+        // ANSI div would otherwise throw on a zero-event dataset
+        when(col("n_step1") > 0,
+          expr("n_step2 * 1000000L div n_step1")).as("conv12_ppm"),
+        when(col("n_step2") > 0,
+          expr("n_step3 * 1000000L div n_step2")).as("conv23_ppm"),
+        when(col("n_step1") > 0,
+          expr("n_step3 * 1000000L div n_step1")).as("conv13_ppm"))
+  }
+
+  /** Classical additive time-series decomposition of daily revenue:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal = per-day-of-week mean of the detrended series,
+    * remainder = the rest. Everything rides ×7-scaled exact integers
+    * (7x − Σ₇x needs no division); the only doubles are the final
+    * /7.0 displays and the per-dow mean — each ONE correctly-rounded
+    * IEEE op on exact operands, pinned to the same tree both engines. */
+  def q266TsDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(s, dir)
+    val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val tr = daily
+      .select(col("d"), col("x"),
+        sum(col("x")).over(w7).as("t7"),
+        count(lit(1)).over(w7).as("c7"))
+      .filter(col("c7") === 7)
+      .select(col("d"), col("t7"),
+        (lit(7L) * col("x") - col("t7")).as("d7"),
+        dayofweek(col("d")).as("dw"))
+    val seas = tr.groupBy(col("dw"))
+      .agg(sum(col("d7")).as("sd7"), count(lit(1)).as("cn"))
+      .select(col("dw"),
+        (col("sd7").cast("double") / col("cn").cast("double")).as("s7"))
+    tr.join(broadcast(seas), Seq("dw"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+        f6(col("t7").cast("double") / lit(7.0)).as("trend"),
+        f6(col("s7") / lit(7.0)).as("seasonal"),
+        f6((col("d7").cast("double") - col("s7")) / lit(7.0))
+          .as("remainder"))
+      .orderBy(col("d"))
+  }
+
+  /** Brier score of a binned purchase-probability model under the q63
+    * portable train/eval split: train-arm events fit p(purchase) per
+    * $10 value bin (exact ppm integer division), eval-arm events score
+    * (p − y)² against it — the squared-error cousin of q210's ECE,
+    * measuring calibration AND refinement at once. The bin model is
+    * model-sized and broadcast; unseen bins fall back to the global
+    * train rate; the score sum is exact in DECIMAL(38,0) with ONE
+    * terminal division. */
+  def q267BrierScore(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("event_id").cast("string")), lit(2)).as("arm"))
+      .select(expr("c div 1000").as("bin"), col("y"), col("arm"))
+    val train = ev.filter(col("arm") === 0)
+    val bins = train.groupBy(col("bin"))
+      .agg(expr("sum(y) * 1000000L div count(1)").as("p_ppm"))
+    val glob = train
+      .agg(expr("sum(y) * 1000000L div count(1)").as("g_ppm"))
+    val scored = ev.filter(col("arm") === 1)
+      .join(broadcast(bins), Seq("bin"), "left_outer")
+      .crossJoin(broadcast(glob))
+      .select(col("y"),
+        coalesce(col("p_ppm"), col("g_ppm")).as("p"))
+    scored.agg(count(lit(1)).as("n_eval"),
+        sum(((col("p") - col("y") * lit(1000000L)) *
+          (col("p") - col("y") * lit(1000000L))).cast(dec)).as("se"))
+      .select(col("n_eval"),
+        f6(col("se").cast("double") /
+          (col("n_eval").cast("double") * lit(1.0e12))).as("brier"))
+  }
+
+  /** Chao1 vocabulary-richness estimate per source — how many distinct
+    * tokens each corpus slice WOULD show with more data, from the
+    * observed types plus the singleton/doubleton tail:
+    * chao1 = S + f1(f1−1)/(2(f2+1)) (bias-corrected form, never /0).
+    * One token-count aggregate per source feeds S, f1, f2; the
+    * estimate is ONE division on exact integers. The growth-curve
+    * companion to q218's Heaps saturation. */
+  def q268Chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cnts = tk.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    cnts.groupBy(col("source"))
+      .agg(count(lit(1)).as("s_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("s_types"), col("n_tokens"),
+        col("f1"), col("f2"),
+        f6(col("s_types").cast("double") +
+          (col("f1") * (col("f1") - lit(1L))).cast("double") /
+          (lit(2L) * (col("f2") + lit(1L))).cast("double")).as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  /** Total-variation distance matrix between per-source token
+    * DISTRIBUTIONS — the weighted sibling of q257's set Jaccard (two
+    * sources can share every token yet use them at wildly different
+    * rates). TV(A,B) = ½·Σ|pA−pB| over the token UNION, computed with
+    * the common denominator nA·nB so the sum is exact integers: the
+    * shared-token part from ONE token equi-join (bounded by sources²
+    * per token, never all-pairs-of-rows), the disjoint-token mass from
+    * the totals identity Σ_{A−B} cA = nA − Σ_common cA — no outer join
+    * needed. ONE terminal division per pair. */
+  def q269TvDistance(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tk = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cnts = tk.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val cn = cnts.join(broadcast(tot), Seq("source"))
+    val common = cn.as("a")
+      .join(cn.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+        sum(col("a.c")).as("ca_common"),
+        sum(col("b.c")).as("cb_common"),
+        sum(abs(col("a.c").cast(dec) * col("b.n") -
+          col("b.c").cast(dec) * col("a.n"))).as("s_in"))
+    common.select(col("src_a"), col("src_b"),
+        col("n_a"), col("n_b"),
+        f6((col("s_in") +
+          (col("n_a") - col("ca_common")).cast(dec) * col("n_b") +
+          (col("n_b") - col("cb_common")).cast(dec) * col("n_a"))
+          .cast("double") /
+          (lit(2L).cast(dec) * col("n_a") * col("n_b")).cast("double"))
+          .as("tv"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -6978,5 +7251,13 @@ object Queries {
     "q259_kaplan_meier" -> (q259KaplanMeier _),
     "q260_log_rank" -> (q260LogRank _),
     "q261_mann_kendall" -> (q261MannKendall _),
+    "q262_theil_sen" -> (q262TheilSen _),
+    "q263_hodges_lehmann" -> (q263HodgesLehmann _),
+    "q264_neighborhood_jaccard" -> (q264NeighborhoodJaccard _),
+    "q265_conversion_funnel" -> (q265ConversionFunnel _),
+    "q266_ts_decomposition" -> (q266TsDecomposition _),
+    "q267_brier_score" -> (q267BrierScore _),
+    "q268_chao1_richness" -> (q268Chao1Richness _),
+    "q269_tv_distance" -> (q269TvDistance _),
   )
 }
