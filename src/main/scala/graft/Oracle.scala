@@ -33,6 +33,16 @@ object Oracle {
   /** DuckDB rendering of TextAnalysis.tokens. */
   private val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
 
+  /** The PINNED quantized DCT-II basis as a VALUES list (u, i, w) —
+    * rendered from the SAME constants the Spark-side transform uses
+    * (Multimodal.DctBasis), so the two engines cannot drift. */
+  private val dctBasisValues: String =
+    graft.operators.Multimodal.DctBasis.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map {
+        case (w, i) => s"($u, $i, $w)"
+      }
+    }.mkString(", ")
+
   /** DuckDB rendering of Dedup.shingles(text, n) given a `toks` list
     * column: sliding word windows joined by spaces (list comprehension
     * over 1-based inclusive slices). */
@@ -5590,5 +5600,97 @@ object Oracle {
         .stripMargin)} AS tv
          |FROM common
          |ORDER BY src_a, src_b""".stripMargin,
+
+    // DCT-sign hash recomputed from the closed-form channels with the
+    // SAME pinned integer basis (Multimodal.DctBasis) — exact integer
+    // transform both engines, the q171/q255 lossless-codec treatment
+    "q270_image_phash" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id - doc_id % 7 AS gid
+         |    FROM documents),
+         |cells AS (SELECT g.gid, x.i AS x, y.i AS y,
+         |    ((g.gid*31 + x.i*7 + y.i*13) % 256)
+         |      + ((g.gid*17 + x.i*11 + y.i*3) % 256)
+         |      + ((g.gid*5 + x.i*19 + y.i*29) % 256) AS gray
+         |  FROM g, generate_series(0, 7) AS x(i),
+         |    generate_series(0, 7) AS y(i)),
+         |basis(u, i, w) AS (VALUES $dctBasisValues),
+         |coef AS (SELECT c.gid, bu.u AS u, bv.u AS v,
+         |    sum(bu.w * bv.w * c.gray) AS d
+         |  FROM cells c
+         |  JOIN basis bu ON bu.i = c.y
+         |  JOIN basis bv ON bv.i = c.x
+         |  GROUP BY 1, 2, 3),
+         |bits AS (SELECT gid, u * 8 + v AS idx FROM coef WHERE d > 0),
+         |h AS (SELECT gid,
+         |    CAST(COALESCE(sum(CASE WHEN idx >= 32
+         |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
+         |      AS phash_hi,
+         |    CAST(COALESCE(sum(CASE WHEN idx < 32
+         |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT)
+         |      AS phash_lo
+         |  FROM bits GROUP BY gid),
+         |hashes AS (SELECT g.gid, COALESCE(h.phash_hi, 0) AS phash_hi,
+         |    COALESCE(h.phash_lo, 0) AS phash_lo
+         |  FROM g LEFT JOIN h USING (gid))
+         |SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM (SELECT doc_id, doc_id - doc_id % 7 AS gid FROM documents)
+         |JOIN hashes USING (gid)
+         |GROUP BY 1, 2 ORDER BY phash_hi, phash_lo""".stripMargin,
+
+    // Holt level+trend recurrence replayed as a recursive CTE —
+    // '//' and Scala Long '/' both truncate toward zero, so the
+    // integer halving matches even when the trend goes negative
+    "q271_holt_smoothing" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x,
+        |    row_number() OVER (ORDER BY strftime(ts, '%Y-%m-%d')) AS rn
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day, rn, x AS l, CAST(0 AS BIGINT) AS b
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.day, d.rn,
+        |    (d.x + r.l + r.b) // 2,
+        |    (r.b + ((d.x + r.l + r.b) // 2 - r.l)) // 2
+        |  FROM daily d JOIN r ON d.rn = r.rn + 1)
+        |SELECT day, CAST(l AS BIGINT) AS level_cents,
+        |  CAST(b AS BIGINT) AS trend_cents,
+        |  CAST(l + b AS BIGINT) AS forecast_cents
+        |FROM r ORDER BY day""".stripMargin,
+
+    // grid-density clustering: dense-cell threshold by integer
+    // cross-multiply, 4 min-label rounds as chained CTEs over the
+    // 8-neighborhood cell graph
+    "q272_grid_density" ->
+      """WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |cells AS (SELECT cx, cents // 2500000 AS cy,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n) AS BIGINT) AS n_rows FROM cells),
+        |dense AS MATERIALIZED (SELECT cx, cy, n,
+        |    cx * 100000 + cy AS label
+        |  FROM cells, tot WHERE n * n_cells > 2 * n_rows),
+        |e AS MATERIALIZED (SELECT a.cx, a.cy, b.cx AS nx, b.cy AS ny
+        |  FROM dense a JOIN dense b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+        |l0 AS (SELECT cx, cy, label FROM dense),
+        |l1 AS (SELECT e.cx, e.cy, min(l.label) AS label FROM e
+        |  JOIN l0 l ON l.cx = e.nx AND l.cy = e.ny GROUP BY 1, 2),
+        |l2 AS (SELECT e.cx, e.cy, min(l.label) AS label FROM e
+        |  JOIN l1 l ON l.cx = e.nx AND l.cy = e.ny GROUP BY 1, 2),
+        |l3 AS (SELECT e.cx, e.cy, min(l.label) AS label FROM e
+        |  JOIN l2 l ON l.cx = e.nx AND l.cy = e.ny GROUP BY 1, 2),
+        |l4 AS (SELECT e.cx, e.cy, min(l.label) AS label FROM e
+        |  JOIN l3 l ON l.cx = e.nx AND l.cy = e.ny GROUP BY 1, 2)
+        |SELECT d.cx, d.cy, d.n, l4.label
+        |FROM dense d JOIN l4 USING (cx, cy)
+        |ORDER BY cx, cy""".stripMargin,
   )
 }

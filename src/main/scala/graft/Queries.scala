@@ -6986,6 +6986,111 @@ object Queries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** DCT-sign perceptual hash through the REAL PNG codec — the
+    * frequency-domain member of the image-hash family (q171 aHash
+    * spatial threshold, q255 dHash gradient, this one structure):
+    * decode → 8×8 gray → exact integer DCT-II with the PINNED
+    * quantized basis → 64 sign bits. The DuckDB oracle recomputes the
+    * transform from the PNG generator's closed-form channels with the
+    * SAME basis constants — lossless PNG makes decode-then-transform
+    * ≡ formula-then-transform bit-for-bit. */
+  def q270ImagePHash(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf((id: Long) => Multimodal.generatePng(id))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 7).as("gid"))
+      .withColumn("payload", gen(col("gid")))
+    Multimodal.withPHash(d, "payload")
+      .groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("phash_hi", "phash_lo")
+  }
+
+  /** Holt double-exponential (level+trend) smoothing of daily revenue
+    * — the trend-aware sibling of q121's EWMA, same machinery: an
+    * inherently order-dependent recurrence as a typed flatMapGroups
+    * fold with α=β=1/2 integer halving (l_t = (x_t + l + b)/2,
+    * b_t = (b + l_t − l_{t-1})/2 — truncating Long '/' ≡ DuckDB '//'
+    * on negatives too, both toward zero), replayed by the oracle as a
+    * recursive CTE. Forecast = level + trend, all exact cents. */
+  def q271HoltSmoothing(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long")).as("x"))
+    import s.implicits._
+    daily.select(col("day"), col("x")).as[(String, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        var l = 0L
+        var b = 0L
+        var first = true
+        rows.iterator.map { case (day, x) =>
+          if (first) { first = false; l = x; b = 0L }
+          else {
+            val lPrev = l
+            l = (x + l + b) / 2
+            b = (b + (l - lPrev)) / 2
+          }
+          (day, l, b, l + b)
+        }
+      }
+      .toDF("day", "level_cents", "trend_cents", "forecast_cents")
+      .orderBy("day")
+  }
+
+  /** Grid-density clustering (the DBSCAN/CLIQUE shape that scales):
+    * one aggregate pass bins orders into (lineitem-count, $25k-revenue)
+    * cells, a cell is DENSE iff its count exceeds 2× the mean cell
+    * count (integer cross-multiply against broadcast totals), and
+    * cluster labels are 4 bounded rounds of min-label propagation
+    * over the 8-neighborhood CELL graph — which is model-sized
+    * (bounded by grid resolution, NOT by row count), so at 100 TB the
+    * only data-scale work is the first aggregate. Neighbor edges come
+    * from a 9-offset explode + equi-join, not an inequality join; the
+    * oracle replays the rounds as chained CTEs. */
+  def q272GridDensity(s: SparkSession, dir: String): DataFrame = {
+    // order-level feature space (lineitem count × $25k revenue bins):
+    // bell-shaped over revenue, so the dense region is a REAL cluster
+    // with thin-tail noise cells around it — not a uniform wash
+    val orders = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cx"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long")).as("cents"))
+    val cells = orders
+      .groupBy(col("cx"), expr("cents div 2500000").as("cy"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("n")).as("n_rows"))
+    val dense = cells.crossJoin(broadcast(tot))
+      .filter(col("n") * col("n_cells") > lit(2L) * col("n_rows"))
+      .select(col("cx"), col("cy"), col("n"),
+        (col("cx") * lit(100000L) + col("cy")).as("label"))
+    // 9-offset explode + equi-join: the neighbor relation without an
+    // inequality join (self-pair included keeps a cell's own label)
+    val offs = Seq(-1L, 0L, 1L)
+    val nbrs = dense.select(col("cx"), col("cy"),
+        explode(array(offs.flatMap(dx => offs.map(dy =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)).as("o"))
+      .select((col("cx") + col("o.dx")).as("nx"),
+        (col("cy") + col("o.dy")).as("ny"), col("cx"), col("cy"))
+    var lab = dense.select(col("cx"), col("cy"), col("label"))
+    var r = 0
+    while (r < 4) {
+      lab = nbrs
+        .join(lab.select(col("label"), col("cx").as("nx"),
+          col("cy").as("ny")), Seq("nx", "ny"))
+        .groupBy(col("cx"), col("cy"))
+        .agg(min(col("label")).as("label"))
+      r += 1
+    }
+    dense.select(col("cx"), col("cy"), col("n"))
+      .join(lab, Seq("cx", "cy"))
+      .orderBy("cx", "cy")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7259,5 +7364,8 @@ object Queries {
     "q267_brier_score" -> (q267BrierScore _),
     "q268_chao1_richness" -> (q268Chao1Richness _),
     "q269_tv_distance" -> (q269TvDistance _),
+    "q270_image_phash" -> (q270ImagePHash _),
+    "q271_holt_smoothing" -> (q271HoltSmoothing _),
+    "q272_grid_density" -> (q272GridDensity _),
   )
 }

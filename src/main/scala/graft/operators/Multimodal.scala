@@ -269,6 +269,96 @@ object Multimodal {
       .drop(payloadCol)
   }
 
+  /** Quantized 8-point DCT-II basis: B(u)(x) = round(cos(π(2x+1)u/16)
+    * · 2¹⁴). PINNED integer constants — the q270 oracle replays these
+    * verbatim, so the transform is exact integer arithmetic in both
+    * engines (a float cos() is not correctly rounded and would not be
+    * cross-engine stable). Every u>0 row sums to 0, which makes all
+    * AC signs invariant under global brightness shifts (spec-proven). */
+  val DctBasis: Array[Array[Long]] = Array(
+    Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+    Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+    Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+    Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+    Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L,
+      11585L),
+    Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+    Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+    Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+
+  /** 64-bit DCT-SIGN perceptual hash — the pHash family member that
+    * stays exact: bit (u,v) = 1 iff the 2-D DCT-II coefficient
+    * D(u,v) = Σ B(u)(cy)·B(v)(cx)·gray(cy,cx) of the 8×8 cell-sum
+    * image is positive, idx = u·8+v, returned as the aHash64
+    * (hi32, lo32) unsigned split. Division-free: cells are SUMS, and
+    * for w,h divisible by 8 all cells are equal-sized, so by DCT
+    * linearity the sign pattern equals the mean image's (other
+    * dimensions → None rather than a silently inexact hash). Signs
+    * survive uniform brightness scaling (coefficients scale by k) and
+    * — for the 63 AC bits — global brightness shifts (every u>0 basis
+    * row sums to 0). Captures the frequency structure aHash's spatial
+    * thresholding misses. */
+  def pHash64(payload: Array[Byte]): Option[(Long, Long)] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w < 8 || h < 8 || w % 8 != 0 || h % 8 != 0) None
+        else {
+          val cell = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 8 / w
+              val rgb = img.getRGB(x, y)
+              cell(cy)(cx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          var (hi, lo) = (0L, 0L)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var d = 0L
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  d += DctBasis(u)(cy) * DctBasis(v)(cx) * cell(cy)(cx)
+                  cx += 1
+                }
+                cy += 1
+              }
+              if (d > 0) {
+                val idx = u * 8 + v
+                if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+              }
+              v += 1
+            }
+            u += 1
+          }
+          Some((hi, lo))
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  def withPHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val ph = udf((p: Array[Byte]) => pHash64(p).orNull)
+    val h = ph(col(payloadCol))
+    df.withColumn("phash_hi", h.getField("_1"))
+      .withColumn("phash_lo", h.getField("_2"))
+      .drop(payloadCol)
+  }
+
   /** Image near-dup pairs by Hamming distance over aHash, WITHOUT the
     * all-pairs join: the 64-bit hash splits into four 16-bit bands
     * (the SimHash byte-band trick at image granularity); any pair

@@ -152,6 +152,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash56(Array[Byte](1, 2, 3)) === None)
   }
 
+  test("pHash64: AC bits invariant under a global brightness SHIFT " +
+    "(every u>0 basis row sums to 0) and the whole hash under uniform " +
+    "SCALING (signs scale through) — the frequency-domain guarantees") {
+    def png(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        // clamped-free by construction: values stay in [0, 255]
+        val c = f((x * 23 + y * 41 + (x * y) % 13) % 120)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val (h0, l0) = Multimodal.pHash64(png(identity)).get
+    // +100 brightness shift: only the DC bit (idx 0, in lo) may differ
+    val (hS, lS) = Multimodal.pHash64(png(_ + 100)).get
+    assert(hS === h0)
+    assert((lS & ~1L) === (l0 & ~1L))
+    // ×2 uniform scaling: every coefficient doubles — identical hash
+    val (hM, lM) = Multimodal.pHash64(png(_ * 2)).get
+    assert((hM, lM) === ((h0, l0)))
+    // a structural change (transpose the gradient) must move AC bits
+    val (hT, lT) = Multimodal.pHash64(png(v => 119 - v)).get
+    assert((hT, lT) !== ((h0, l0)))
+    // degenerate / non-divisible-by-8 payloads refuse cleanly
+    assert(Multimodal.pHash64(null) === None)
+    val img12 = new java.awt.image.BufferedImage(12, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos12 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img12, "png", baos12)
+    assert(Multimodal.pHash64(baos12.toByteArray) === None)
+  }
+
   test("imageNearDupPairs: a few-pixel perturbation pairs with its " +
     "original under the banded Hamming join; unrelated images don't " +
     "pair; the pair list is duplicate-free despite multi-band matches") {
