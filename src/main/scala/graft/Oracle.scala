@@ -5692,5 +5692,57 @@ object Oracle {
         |SELECT d.cx, d.cy, d.n, l4.label
         |FROM dense d JOIN l4 USING (cx, cy)
         |ORDER BY cx, cy""".stripMargin,
+
+    // ordered-pair sequence support from per-(user,type) first
+    // occurrences; the self-join is ≤5×5 per user
+    "q273_sequence_patterns" ->
+      """WITH firsts AS (SELECT user_id, event_type,
+        |    min(epoch_us(ts)) AS t0
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN a.t0 < b.t0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ordered,
+        |  CAST(sum(CASE WHEN a.t0 < b.t0 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS ordered_ppm
+        |FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    // Goodman–Kruskal lambda from the exact contingency table: counts
+    // and maxes only, one terminal division
+    "q274_gk_lambda" ->
+      s"""WITH j AS (SELECT c_mktsegment, o_orderpriority,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |segmax AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_seg_max
+         |  FROM (SELECT max(n) AS mx FROM j GROUP BY c_mktsegment)),
+         |priomax AS (SELECT CAST(max(n) AS BIGINT) AS max_prio,
+         |    CAST(sum(n) AS BIGINT) AS n_total
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS n FROM j
+         |    GROUP BY o_orderpriority))
+         |SELECT n_total, max_prio, sum_seg_max,
+         |  CASE WHEN n_total > max_prio THEN
+         |    ${f6("""CAST(sum_seg_max - max_prio AS DOUBLE)
+           |      / CAST(n_total - max_prio AS DOUBLE)""".stripMargin)}
+         |  END AS lambda
+         |FROM segmax, priomax""".stripMargin,
+
+    // exact join size from per-key count products; the CM estimate is
+    // result-invisible — its two-sided bound is pinned TRUE (the q85
+    // sketch treatment: a broken sketch would hash-mismatch)
+    "q275_cm_join_size" ->
+      """WITH a AS (SELECT l_partkey AS k FROM lineitem),
+        |b AS (SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |ca AS (SELECT k, count(*) AS ca FROM a GROUP BY 1),
+        |cb AS (SELECT k, count(*) AS cb FROM b GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_right,
+        |  CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT)
+        |    AS exact_join_size,
+        |  TRUE AS cm_bound_ok
+        |FROM ca JOIN cb USING (k)""".stripMargin,
   )
 }

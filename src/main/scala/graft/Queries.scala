@@ -7091,6 +7091,101 @@ object Queries {
       .orderBy("cx", "cy")
   }
 
+  /** Sequential-pattern support: for every ORDERED pair of event
+    * types (a→b), how many users did a before b — first-occurrence
+    * semantics, the "A leads to B" question funnels (q265) ask for
+    * two fixed steps generalized to all type pairs. One conditional
+    * min-ts aggregate per (user, type), then a user-keyed self-join
+    * that is ≤5×5 rows PER USER (bounded fan-out — never an event
+    * self-join), grouped to the 20-row pair table with exact ppm
+    * ordering shares. */
+  def q273SequencePatterns(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("t0"))
+    firsts.select(col("user_id"), col("event_type").as("type_a"),
+        col("t0").as("ta"))
+      .join(firsts.select(col("user_id"), col("event_type").as("type_b"),
+        col("t0").as("tb")), Seq("user_id"))
+      .where(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("ta") < col("tb"), 1L).otherwise(0L)).as("n_ordered"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_ordered"),
+        expr("n_ordered * 1000000L div n_both").as("ordered_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Goodman–Kruskal lambda: how much does knowing the customer's
+    * market segment improve a modal guess of the order's priority?
+    * λ = (Σ_seg max_prio n(seg,prio) − max_prio n(prio)) /
+    * (N − max_prio n(prio)) — association strength for NOMINAL pairs
+    * where q245's Cramér's V measures deviation and q225's tau needs
+    * order. Pure counts and maxes of exact integers off one
+    * contingency aggregate; ONE terminal division. */
+  def q274GkLambda(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders")
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val segMax = j.groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("mx"))
+      .agg(sum(col("mx")).as("sum_seg_max"))
+    val prioMax = j.groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"))
+      .agg(max(col("n")).as("max_prio"), sum(col("n")).as("n_total"))
+    segMax.crossJoin(broadcast(prioMax))
+      .select(col("n_total"), col("max_prio"), col("sum_seg_max"),
+        when(col("n_total") > col("max_prio"),
+          f6((col("sum_seg_max") - col("max_prio")).cast("double") /
+            (col("n_total") - col("max_prio")).cast("double")))
+          .as("lambda"))
+  }
+
+  /** Count-min JOIN-SIZE estimation — the pre-join cardinality the
+    * optimizer wants before committing a strategy: est = min over
+    * sketch rows of Σ_w cmA[w]·cmB[w], provably ≥ the true size
+    * |A⋈B| = Σ_k cA(k)·cB(k) (bucket merging only ADDS cross terms)
+    * and ≤ true + 3·|A|·|B|/width on this fixture. The q85 treatment:
+    * the sketch result is INVISIBLE — the exact join size is emitted
+    * with the two-sided bound as a boolean the oracle pins TRUE, so a
+    * broken sketch hash-mismatches. Sketch state is 2 model-sized
+    * arrays; row totals give |A|,|B| for free (every CM row counts
+    * all items). */
+  def q275CmJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (depth, width) = (4, 4096)
+    val a = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("k"))
+    val b = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").cast("string").as("k"))
+    val skA = Sketches.countMinSketch(a, "k", depth, width)
+    val skB = Sketches.countMinSketch(b, "k", depth, width)
+    val est = (0 until depth).map { j =>
+      var sum = 0L
+      var w = 0
+      while (w < width) { sum += skA(j * width + w) * skB(j * width + w)
+        w += 1 }
+      sum
+    }.min
+    val nA = skA.slice(0, width).sum
+    val nB = skB.slice(0, width).sum
+    val slack = 3L * nA * nB / width
+    val ca = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq("k"))
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec))
+        .cast("long").as("exact_join_size"))
+      .select(lit(nA).as("n_left"), lit(nB).as("n_right"),
+        col("exact_join_size"),
+        (lit(est) >= col("exact_join_size") &&
+          lit(est) <= col("exact_join_size") + lit(slack))
+          .as("cm_bound_ok"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7367,5 +7462,8 @@ object Queries {
     "q270_image_phash" -> (q270ImagePHash _),
     "q271_holt_smoothing" -> (q271HoltSmoothing _),
     "q272_grid_density" -> (q272GridDensity _),
+    "q273_sequence_patterns" -> (q273SequencePatterns _),
+    "q274_gk_lambda" -> (q274GkLambda _),
+    "q275_cm_join_size" -> (q275CmJoinSize _),
   )
 }
