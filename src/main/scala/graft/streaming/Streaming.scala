@@ -497,6 +497,58 @@ object Streaming {
         OutputMode.Update)
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  final case class FunnelStep(user_id: Long, step: Int, us: Long)
+
+  /** Streaming STRICT-ORDER conversion funnel — the continuous form of
+    * batch q265: per user, step 1 fires on the first s1 event, step k+1
+    * on the first s_{k+1} event strictly AFTER step k fired. State is
+    * one (t1, t2, t3) micros triple per user (O(1), TTL-able); each
+    * step emits exactly once, so downstream counts are the funnel
+    * report. Rows within a micro-batch are folded in (us, type) order
+    * (the shuffle does not preserve arrival order); under chronological
+    * ingestion the emitted steps equal the batch computation exactly
+    * (spec-proven on the fixture). An out-of-order s1 arriving after a
+    * batch boundary cannot retroactively qualify an already-seen s2 —
+    * the same one-open-state residual the sessionizers document. */
+  class FunnelProcessor(s1: String, s2: String, s3: String)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelStep] {
+    private val U = Long.MinValue
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelStep] = {
+      var (t1, t2, t3) = if (st.exists()) st.get() else (U, U, U)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStep]
+      rows.toArray.sortBy(e => (e.us, e.event_type)).foreach { e =>
+        if (e.event_type == s1 && t1 == U) {
+          t1 = e.us; out += FunnelStep(key, 1, e.us)
+        } else if (e.event_type == s2 && t2 == U && t1 != U &&
+            e.us > t1) {
+          t2 = e.us; out += FunnelStep(key, 2, e.us)
+        } else if (e.event_type == s3 && t3 == U && t2 != U &&
+            e.us > t2) {
+          t3 = e.us; out += FunnelStep(key, 3, e.us)
+        }
+      }
+      st.update((t1, t2, t3))
+      out.iterator
+    }
+  }
+
+  def conversionFunnel(events: Dataset[FunnelEvent], s1: String,
+      s2: String, s3: String): Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(s1, s2, s3),
+        TimeMode.None(), OutputMode.Update)
+  }
+
   /** Sessionization on the transformWithState API with EVENT-TIME
     * TIMERS — the v2 form of `sessionize` below, covering the one
     * transformWithState surface the other processors don't: a

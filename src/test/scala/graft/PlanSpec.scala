@@ -474,4 +474,45 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial_"), s"$q:\n$p")
     }
   }
+
+  test("q264: neighborhood-Jaccard top-100 is TakeOrderedAndProject " +
+    "(never a global sort) and pairs form per shared neighbor — no " +
+    "cartesian anywhere") {
+    val p = plan("q264_neighborhood_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q269: the TV-distance pair mass comes from ONE token equi-join " +
+    "with broadcast totals — no nested loop, counts combine map-side") {
+    val p = plan("q269_tv_distance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q272: grid-density labels propagate on the model-sized CELL " +
+    "frame — the only data-scale work is the first per-order " +
+    "aggregate (map-side combined)") {
+    val p = plan("q272_grid_density")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q273: sequence-pattern self-join is user-keyed equi (bounded " +
+    "5×5 fan-out per user) — never a nested loop; first-occurrence " +
+    "mins combine map-side") {
+    val p = plan("q273_sequence_patterns")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q267: the bin model and global-rate fallback BROADCAST onto " +
+    "the eval scan — the event stream never shuffles for the join") {
+    val p = plan("q267_brier_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

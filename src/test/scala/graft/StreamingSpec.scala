@@ -406,6 +406,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("conversionFunnel ≡ batch q265 on the real fixture: chronological " +
+    "chunks through transformWithState emit exactly the batch funnel's " +
+    "per-user step times, and the step counts equal the q265 report") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect().sortBy(e => (e._3, e._2))
+    // batch reference: the q265 chain unrolled to per-user step times
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val t2 = ev.filter(e => e._2 == "click" && t1.contains(e._1) &&
+        e._3 > t1(e._1)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val t3 = ev.filter(e => e._2 == "purchase" && t2.contains(e._1) &&
+        e._3 > t2(e._1)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val expected =
+      t1.map { case (u, t) => (u, 1, t) }.toSet ++
+      t2.map { case (u, t) => (u, 2, t) } ++
+      t3.map { case (u, t) => (u, 3, t) }
+    // the batch query's own counts must agree with the unrolled chain
+    val q265 = Queries.all("q265_conversion_funnel")(spark, dir).head()
+    assert((q265.getLong(0), q265.getLong(1), q265.getLong(2)) ===
+      ((t1.size.toLong, t2.size.toLong, t3.size.toLong)))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val ds = mem.toDS().map(t =>
+        Streaming.FunnelEvent(t._1, t._2, t._3))
+      val q = Streaming.conversionFunnel(ds, "view", "click", "purchase")
+        .toDF()
+        .writeStream.format("memory").queryName("funnelparity")
+        .outputMode("update").start()
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table("funnelparity").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed === expected,
+        s"missing=${(expected -- streamed).take(3)} " +
+          s"extra=${(streamed -- expected).take(3)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("topEventTypes (MapState): per-user top-k tracks accumulated " +
     "counts across batches with deterministic tie-break") {
     withRocksDb {
