@@ -5744,5 +5744,112 @@ object Oracle {
         |    AS exact_join_size,
         |  TRUE AS cm_bound_ok
         |FROM ca JOIN cb USING (k)""".stripMargin,
+
+    // Somers' D both directions from the q225 contingency machinery —
+    // asymmetric denominators, doubled identities, one division each
+    "q276_somers_d" ->
+      s"""WITH cells AS (
+         |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS x,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS j,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM lineitem GROUP BY 1, 2),
+         |cagg AS (SELECT sum(CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT))
+         |    AS cc
+         |  FROM cells a JOIN cells b ON b.x > a.x AND b.j > a.j),
+         |dagg AS (SELECT sum(CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT))
+         |    AS dd
+         |  FROM cells a JOIN cells b ON b.x > a.x AND b.j < a.j),
+         |nagg AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM cells),
+         |tx AS (SELECT sum(CAST(r AS HUGEINT) * CAST(r - 1 AS HUGEINT))
+         |    AS tx2
+         |  FROM (SELECT CAST(sum(f) AS BIGINT) AS r FROM cells
+         |        GROUP BY x)),
+         |tj AS (SELECT sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT))
+         |    AS tj2
+         |  FROM (SELECT CAST(sum(f) AS BIGINT) AS c FROM cells
+         |        GROUP BY j)),
+         |m AS (SELECT n, CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+         |    AS a2, tx2, tj2, cc, dd
+         |  FROM nagg, cagg, dagg, tx, tj)
+         |SELECT n,
+         |  CASE WHEN a2 > tx2 THEN
+         |    ${f6("""(CAST(cc - dd AS DOUBLE) * 2.0)
+           |      / CAST(a2 - tx2 AS DOUBLE)""".stripMargin)}
+         |  END AS d_j_given_x,
+         |  CASE WHEN a2 > tj2 THEN
+         |    ${f6("""(CAST(cc - dd AS DOUBLE) * 2.0)
+           |      / CAST(a2 - tj2 AS DOUBLE)""".stripMargin)}
+         |  END AS d_x_given_j
+         |FROM m""".stripMargin,
+
+    // DiD: exact cell sums/counts, four IEEE divisions in the pinned
+    // (T_post − T_pre) − (C_post − C_pre) tree
+    "q277_diff_in_diff" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+         |      THEN 0 ELSE 1 END AS post
+         |  FROM events),
+         |m AS (SELECT
+         |  CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_t_pre,
+         |  CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_t_post,
+         |  CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_pre,
+         |  CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_post,
+         |  CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN c ELSE 0 END)
+         |    AS BIGINT) AS s_t_pre,
+         |  CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN c ELSE 0 END)
+         |    AS BIGINT) AS s_t_post,
+         |  CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN c ELSE 0 END)
+         |    AS BIGINT) AS s_c_pre,
+         |  CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN c ELSE 0 END)
+         |    AS BIGINT) AS s_c_post
+         |  FROM ev)
+         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |  CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0
+         |      AND n_c_post > 0 THEN
+         |    ${f6("""(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+           |      - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+           |      - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+           |      - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS did_cents
+         |FROM m""".stripMargin,
+
+    // seasonal MK: within-dow pairs only; Var = Σ_dow per-dow
+    // tie-corrected variance, carried ×18 exact
+    "q278_seasonal_mk" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x,
+         |    dayofweek(CAST(ts AS DATE)) AS dw
+         |  FROM events GROUP BY 1, 3),
+         |pairs AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+         |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON a.dw = b.dw AND a.d < b.d),
+         |perdow AS (SELECT dw, CAST(sum(t) AS BIGINT) AS n,
+         |    sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie18
+         |  FROM (SELECT dw, CAST(count(*) AS BIGINT) AS t
+         |    FROM daily GROUP BY dw, x) GROUP BY dw),
+         |v AS (SELECT CAST(sum(n) AS BIGINT) AS n_days,
+         |    sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie18)
+         |      AS var18
+         |  FROM perdow)
+         |SELECT n_days, s_stat,
+         |  CASE WHEN CAST(var18 AS DOUBLE) > 0 THEN
+         |    ${f6("""(CASE WHEN s_stat > 0
+           |        THEN CAST(s_stat AS DOUBLE) - 1.0
+           |      WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+           |      ELSE 0.0 END)
+           |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)""".stripMargin)}
+         |  END AS z
+         |FROM pairs, v""".stripMargin,
   )
 }

@@ -7186,6 +7186,125 @@ object Queries {
           .as("cm_bound_ok"))
   }
 
+  /** Somers' D in BOTH directions from q225's contingency machinery —
+    * the ASYMMETRIC ordinal association (does quantity predict
+    * discount better than discount predicts quantity?) tau-b
+    * symmetrizes away: D_{J|X} = 2(C−D)/(n(n−1) − Σ r_x(r_x−1)),
+    * doubled identities throughout, concordant/discordant mass from
+    * dominating cell pairs of the bounded contingency table, ONE
+    * division per direction. */
+  def q276SomersD(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = t(s, dir, "lineitem")
+      .select((col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("x"),
+        (col("l_discount").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("j"))
+      .groupBy(col("x"), col("j")).agg(count(lit(1)).as("f"))
+    val b = cells.select(col("x").as("bx"), col("j").as("bj"),
+      col("f").as("bf"))
+    val cAgg = cells.join(b, col("bx") > col("x") && col("bj") > col("j"))
+      .agg(sum(col("f").cast(dec) * col("bf").cast(dec)).as("cc"))
+    val dAgg = cells.join(b, col("bx") > col("x") && col("bj") < col("j"))
+      .agg(sum(col("f").cast(dec) * col("bf").cast(dec)).as("dd"))
+    val nAgg = cells.agg(sum(col("f")).as("n"))
+    val tiesX = cells.groupBy(col("x")).agg(sum(col("f")).as("r"))
+      .agg(sum(col("r").cast(dec) * (col("r") - 1).cast(dec)).as("tx2"))
+    val tiesJ = cells.groupBy(col("j")).agg(sum(col("f")).as("c"))
+      .agg(sum(col("c").cast(dec) * (col("c") - 1).cast(dec)).as("tj2"))
+    val m = nAgg.crossJoin(cAgg).crossJoin(dAgg)
+      .crossJoin(tiesX).crossJoin(tiesJ)
+      .select(col("n"),
+        (col("n").cast(dec) * (col("n") - 1).cast(dec)).as("a2"),
+        col("tx2"), col("tj2"), col("cc"), col("dd"))
+    m.select(col("n"),
+      when(col("a2") > col("tx2"),
+        f6(((col("cc") - col("dd")).cast("double") * lit(2.0)) /
+          (col("a2") - col("tx2")).cast("double"))).as("d_j_given_x"),
+      when(col("a2") > col("tj2"),
+        f6(((col("cc") - col("dd")).cast("double") * lit(2.0)) /
+          (col("a2") - col("tj2")).cast("double"))).as("d_x_given_j"))
+  }
+
+  /** Difference-in-differences readout on the md5 A/B split: arm ×
+    * (Jan 1–15 pre | Jan 16–30 post) cell means of event value, DiD =
+    * (T_post − T_pre) − (C_post − C_pre). Cell sums are exact cents
+    * and counts; the four means are one IEEE division each and the
+    * estimate a pinned double tree — the experimentation readout that
+    * controls for arm-level baseline differences where q250's z-test
+    * can't. */
+  def q277DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)).as("arm"),
+        when(to_date(col("ts")) < lit("2024-01-16"), 0L).otherwise(1L)
+          .as("post"))
+    val m = ev.agg(
+      sum(when(col("arm") === 1 && col("post") === 0, 1L)
+        .otherwise(0L)).as("n_t_pre"),
+      sum(when(col("arm") === 1 && col("post") === 1, 1L)
+        .otherwise(0L)).as("n_t_post"),
+      sum(when(col("arm") === 0 && col("post") === 0, 1L)
+        .otherwise(0L)).as("n_c_pre"),
+      sum(when(col("arm") === 0 && col("post") === 1, 1L)
+        .otherwise(0L)).as("n_c_post"),
+      sum(when(col("arm") === 1 && col("post") === 0, col("c"))
+        .otherwise(0L)).as("s_t_pre"),
+      sum(when(col("arm") === 1 && col("post") === 1, col("c"))
+        .otherwise(0L)).as("s_t_post"),
+      sum(when(col("arm") === 0 && col("post") === 0, col("c"))
+        .otherwise(0L)).as("s_c_pre"),
+      sum(when(col("arm") === 0 && col("post") === 1, col("c"))
+        .otherwise(0L)).as("s_c_post"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc).cast("double")
+    m.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+      col("n_c_post"),
+      when(col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+        col("n_c_pre") > 0 && col("n_c_post") > 0,
+        f6((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+          (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))))
+        .as("did_cents"))
+  }
+
+  /** SEASONAL Mann–Kendall on daily revenue — q261 restricted to
+    * within-day-of-week pairs so the weekly cycle can't masquerade as
+    * trend: S = Σ_dow S_dow (pairs join adds a dw equality — 7×
+    * smaller than q261's), Var = Σ_dow [n(n−1)(2n+5) − ties]/18
+    * carried ×18 exact, one terminal z. The dow key never reaches the
+    * output, so each engine's own weekday numbering groups
+    * identically. */
+  def q278SeasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = dailyCents(s, dir)
+      .select(col("d"), col("x"), dayofweek(col("d")).as("dw"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.dw") === col("b.dw") && col("a.d") < col("b.d"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val perDow = daily.groupBy(col("dw"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("dw"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t").cast(dec) * (col("t") - lit(1L)) *
+          (lit(2L) * col("t") + lit(5L))).as("tie18"))
+    val vAgg = perDow
+      .agg(sum(col("n")).as("n_days"),
+        sum(col("n").cast(dec) * (col("n") - lit(1L)) *
+          (lit(2L) * col("n") + lit(5L)) - col("tie18")).as("var18"))
+    val m = pairs.crossJoin(broadcast(vAgg))
+    val sd = col("s_stat").cast("double")
+    val corrected = when(col("s_stat") > 0, sd - lit(1.0))
+      .when(col("s_stat") < 0, sd + lit(1.0)).otherwise(lit(0.0))
+    m.select(col("n_days"), col("s_stat"),
+      when(col("var18").cast("double") > 0,
+        f6(corrected / sqrt(col("var18").cast("double") / lit(18.0))))
+        .as("z"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7465,5 +7584,8 @@ object Queries {
     "q273_sequence_patterns" -> (q273SequencePatterns _),
     "q274_gk_lambda" -> (q274GkLambda _),
     "q275_cm_join_size" -> (q275CmJoinSize _),
+    "q276_somers_d" -> (q276SomersD _),
+    "q277_diff_in_diff" -> (q277DiffInDiff _),
+    "q278_seasonal_mk" -> (q278SeasonalMk _),
   )
 }
