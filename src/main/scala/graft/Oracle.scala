@@ -5851,5 +5851,106 @@ object Oracle {
            |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)""".stripMargin)}
          |  END AS z
          |FROM pairs, v""".stripMargin,
+
+    // Bhattacharyya/Hellinger: exact bin products, the √ sum as ONE
+    // deterministic bin-ordered left fold (the q259 treatment)
+    "q279_hellinger" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      // 1000 AS bin,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events),
+         |bins AS (SELECT bin,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ca,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cb
+         |  FROM ev GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM bins),
+         |folded AS (SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(sqrt(CAST(ca * cb AS DOUBLE)) ORDER BY bin)),
+         |    (a, b) -> a + b) AS s FROM bins)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""s / sqrt(CAST(n_a AS DOUBLE)
+           |      * CAST(n_b AS DOUBLE))""".stripMargin)}
+         |  END AS bc,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""sqrt(greatest(0.0, 1.0 - s
+           |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))"""
+        .stripMargin)}
+         |  END AS hellinger
+         |FROM folded, tot""".stripMargin,
+
+    // McNemar: discordant-pair counts only, exact single divisions
+    "q280_mcnemar" ->
+      s"""WITH u AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS DATE) < DATE '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS pre,
+         |    max(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS DATE) >= DATE '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS post
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT
+         |    CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM u)
+         |SELECT b, c,
+         |  CASE WHEN b + c > 0 THEN
+         |    ${f6("""(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+           |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+           |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS chi2,
+         |  CASE WHEN b + c > 0 THEN
+         |    ${f6("""(abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+           |      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+           |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS chi2_corrected
+         |FROM m""".stripMargin,
+
+    // partial correlation: 9 exact HUGEINT moments + n, three q118
+    // pinned Pearson trees, pinned composition
+    "q281_partial_corr" ->
+      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(z) AS DOUBLE) AS sz,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         |    CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS szz,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT) * z) AS DOUBLE) AS sxz,
+         |    CAST(sum(CAST(y AS HUGEINT) * z) AS DOUBLE) AS syz
+         |  FROM (SELECT
+         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS x,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS y,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS z
+         |  FROM lineitem)),
+         |r AS (SELECT n,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+         |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rxy,
+         |  (CAST(n AS DOUBLE) * sxz - sx * sz)
+         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+         |      * sqrt(CAST(n AS DOUBLE) * szz - sz * sz)) AS rxz,
+         |  (CAST(n AS DOUBLE) * syz - sz * sy)
+         |    / (sqrt(CAST(n AS DOUBLE) * szz - sz * sz)
+         |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rzy
+         |  FROM m)
+         |SELECT n, ${f6("rxy")} AS r_xy, ${f6("rxz")} AS r_xz,
+         |  ${f6("rzy")} AS r_zy,
+         |  ${f6("""(rxy - rxz * rzy)
+           |    / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))"""
+        .stripMargin)} AS r_xy_given_z
+         |FROM r""".stripMargin,
   )
 }

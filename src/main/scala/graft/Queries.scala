@@ -7305,6 +7305,112 @@ object Queries {
         .as("z"))
   }
 
+  /** Bhattacharyya coefficient / Hellinger distance between the md5
+    * arms' value distributions over $10 bins — the
+    * distribution-distance that sees SHAPE where q250 compares one
+    * rate and q269's TV sees mass. BC = Σ√(cA·cB)/√(nA·nB): the bin
+    * products are exact longs; the √ sum — 63 correctly-rounded ops
+    * whose ORDER matters — runs as ONE deterministic left fold over
+    * the bin-sorted array (the q259 model-sized-fold treatment), so
+    * both engines add in the same sequence. */
+  def q279Hellinger(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)" +
+        " div 1000").as("bin"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)).as("arm"))
+    val bins = ev.groupBy(col("bin"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = bins.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val folded = bins
+      .agg(sort_array(collect_list(struct(col("bin"),
+        (col("ca") * col("cb")).as("p")))).as("arr"))
+      .select(expr("aggregate(arr, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + sqrt(CAST(x.p AS DOUBLE)))").as("s"))
+    folded.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          f6(col("s") / sqrt(col("n_a").cast("double") *
+            col("n_b").cast("double")))).as("bc"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          f6(sqrt(greatest(lit(0.0),
+            lit(1.0) - col("s") / sqrt(col("n_a").cast("double") *
+              col("n_b").cast("double")))))).as("hellinger"))
+  }
+
+  /** McNemar paired test: did per-user purchase behavior CHANGE
+    * between Jan 1–15 and Jan 16–30? Only the discordant users
+    * matter: b = converted-then-stopped, c = started-converting;
+    * χ² = (b−c)²/(b+c) plus the continuity-corrected form — exact
+    * integers, one division each. The PAIRED design q250's
+    * two-sample z can't express (each user is their own control). */
+  def q280McNemar(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          to_date(col("ts")) < lit("2024-01-16"), 1L).otherwise(0L))
+          .as("pre"),
+        max(when(col("event_type") === "purchase" &&
+          to_date(col("ts")) >= lit("2024-01-16"), 1L).otherwise(0L))
+          .as("post"))
+    val m = u.agg(
+      sum(when(col("pre") === 1 && col("post") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("pre") === 0 && col("post") === 1, 1L).otherwise(0L))
+        .as("c"))
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    m.select(col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        f6((bd - cd) * (bd - cd) / (bd + cd))).as("chi2"),
+      when(col("b") + col("c") > 0,
+        f6((abs(bd - cd) - lit(1.0)) * (abs(bd - cd) - lit(1.0)) /
+          (bd + cd))).as("chi2_corrected"))
+  }
+
+  /** Partial correlation of quantity and price CONTROLLING for
+    * discount: r_xy·z = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)) with
+    * all three Pearsons from ONE exact-moment pass (the q118
+    * machinery widened to 3 variables, 9 decimal moments + n) —
+    * the "is the association real or driven by z?" screen. Every r
+    * is the q118 pinned double tree; the composition is a pinned
+    * tree too. */
+  def q281PartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ix = (col("l_quantity").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val iy = (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val iz = (col("l_discount").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val m = t(s, dir, "lineitem")
+      .select(ix.as("x"), iy.as("y"), iz.as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum(col("z").cast(dec)).cast("double").as("sz"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+        sum((col("z") * col("z")).cast(dec)).cast("double").as("szz"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("z")).cast(dec)).cast("double").as("sxz"),
+        sum((col("y") * col("z")).cast(dec)).cast("double").as("syz"))
+    val nd = col("n").cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column): Column =
+      (nd * sab - sa * sb) /
+        (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val rzy = r(col("syz"), col("sz"), col("sy"), col("szz"), col("syy"))
+    m.select(col("n"), f6(rxy).as("r_xy"), f6(rxz).as("r_xz"),
+      f6(rzy).as("r_zy"),
+      f6((rxy - rxz * rzy) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - rzy * rzy)))
+        .as("r_xy_given_z"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7587,5 +7693,8 @@ object Queries {
     "q276_somers_d" -> (q276SomersD _),
     "q277_diff_in_diff" -> (q277DiffInDiff _),
     "q278_seasonal_mk" -> (q278SeasonalMk _),
+    "q279_hellinger" -> (q279Hellinger _),
+    "q280_mcnemar" -> (q280McNemar _),
+    "q281_partial_corr" -> (q281PartialCorr _),
   )
 }
