@@ -406,6 +406,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("conversionFunnel: funnel state survives a restart from " +
+    "checkpoint, a step fires at most once, and within-batch rows " +
+    "fold in time order (an earlier purchase cannot ride a later " +
+    "click in the same batch)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val out = tmp("cf-out"); val cp = tmp("cf-cp")
+      val mem = MemoryStream[(Long, String, Long)]
+      val ds = mem.toDS().map(t => Streaming.FunnelEvent(t._1, t._2, t._3))
+      def start() = Streaming
+        .conversionFunnel(ds, "view", "click", "purchase").toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").start()
+      val q1 = start()
+      // click@5 precedes view@10 in time: after the in-batch sort the
+      // click sees no t1 and must NOT fire
+      mem.addData((1L, "click", 5L), (1L, "view", 10L))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start() // recover (t1=10, _, _) from checkpoint
+      // purchase@15 sorts before click@20: t2 is unset when it folds,
+      // so only step 2 fires here — strict order survives the restart
+      mem.addData((1L, "purchase", 15L), (1L, "click", 20L))
+      q2.processAllAvailable()
+      // second view/click must not re-fire completed steps
+      mem.addData((1L, "view", 25L), (1L, "click", 26L),
+        (1L, "purchase", 30L))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)), rows)
+    }
+  }
+
   test("conversionFunnel ≡ batch q265 on the real fixture: chronological " +
     "chunks through transformWithState emit exactly the batch funnel's " +
     "per-user step times, and the step counts equal the q265 report") {
