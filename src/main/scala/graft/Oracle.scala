@@ -5952,5 +5952,97 @@ object Oracle {
            |    / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))"""
         .stripMargin)} AS r_xy_given_z
          |FROM r""".stripMargin,
+
+    // RMST: area under the q259 KM steps to τ=60, every product and
+    // every addition in the SAME ordered-fold sequence as Spark
+    // (list_prepend starts ≡ Spark's fold-start values: 1.0·f₁ = f₁)
+    "q282_rmst" ->
+      s"""WITH users AS (
+         |  SELECT o_orderkey,
+         |    max(CAST(o_orderdate AS DATE)) AS first_d,
+         |    max(CAST(l_shipdate AS DATE)) AS last_d
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1),
+         |hz AS (SELECT max(last_d) AS h,
+         |    CAST(count(*) AS BIGINT) AS n_users FROM users),
+         |lives AS (SELECT
+         |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS life,
+         |    last_d <= h - 7 AS uncensored, n_users
+         |  FROM users, hz),
+         |by_day AS (SELECT life, CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN uncensored THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS deaths,
+         |    max(n_users) AS n_users
+         |  FROM lives GROUP BY 1),
+         |ev AS (SELECT life,
+         |    n_users - (CAST(sum(m) OVER (ORDER BY life ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - m)
+         |      AS n_risk,
+         |    deaths
+         |  FROM by_day),
+         |fac AS (SELECT life,
+         |    CAST(n_risk - deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         |      AS factor
+         |  FROM ev WHERE deaths > 0 AND life <= 60),
+         |one AS (SELECT list(life ORDER BY life) AS ls,
+         |    list(factor ORDER BY life) AS fs,
+         |    (SELECT n_users FROM hz) AS n_users
+         |  FROM fac)
+         |SELECT n_users, CAST(len(ls) AS BIGINT) AS n_event_days,
+         |  ${f6("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      [list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           |          fs[1:i-1]), (a, b) -> a * b)
+           |        * CAST(ls[i] - (CASE WHEN i = 1 THEN 0
+           |          ELSE ls[i-1] END) AS DOUBLE)
+           |        for i in range(1, len(ls) + 1)]),
+           |      (a, b) -> a + b)
+           |    + list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs),
+           |      (a, b) -> a * b)
+           |      * CAST(60 - coalesce(ls[len(ls)], 0) AS DOUBLE)"""
+        .stripMargin)} AS rmst_days,
+         |  ${f6("""list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs),
+           |    (a, b) -> a * b)""".stripMargin)} AS s_tau
+         |FROM one""".stripMargin,
+
+    // MH common odds ratio: the five strata pivot to one row, both
+    // 5-term sums left-associated pinned trees, one division per term
+    "q283_mantel_haenszel" -> {
+      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+        "MIDDLE EAST")
+      val cells = regions.zipWithIndex.flatMap { case (rn, i) =>
+        Seq(
+          s"""CAST(sum(CASE WHEN r_name = '$rn' AND e AND o
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS a$i""".stripMargin,
+          s"""CAST(sum(CASE WHEN r_name = '$rn' AND e AND NOT o
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS b$i""".stripMargin,
+          s"""CAST(sum(CASE WHEN r_name = '$rn' AND NOT e AND o
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS c$i""".stripMargin,
+          s"""CAST(sum(CASE WHEN r_name = '$rn' AND NOT e AND NOT o
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS d$i""".stripMargin)
+      }.mkString(",\n")
+      def term(x: String, y: String, i: Int) =
+        s"CAST($x$i * $y$i AS DOUBLE) / " +
+          s"CAST(a$i + b$i + c$i + d$i AS DOUBLE)"
+      val num = regions.indices.map(term("a", "d", _)).mkString(" + ")
+      val den = regions.indices.map(term("b", "c", _)).mkString(" + ")
+      val ns = regions.indices
+        .map(i => s"a$i + b$i + c$i + d$i AS n_s$i").mkString(", ")
+      s"""WITH base AS (SELECT r_name,
+         |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+         |    l_returnflag = 'R' AS o
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey),
+         |m AS (SELECT
+         |$cells
+         |  FROM base)
+         |SELECT $ns,
+         |  ${f6(num)} AS mh_num, ${f6(den)} AS mh_den,
+         |  CASE WHEN ($den) > 0 THEN ${f6(s"($num) / ($den)")} END
+         |    AS or_mh
+         |FROM m""".stripMargin
+    },
   )
 }

@@ -7411,6 +7411,109 @@ object Queries {
         .as("r_xy_given_z"))
   }
 
+  /** Restricted mean survival time to τ=60 days — the single number
+    * ("average days alive within the first 60") that summarizes
+    * q259's whole curve and stays valid under censoring where a plain
+    * mean doesn't. Area under the KM step function: both the per-step
+    * survival products AND the area sum run as deterministic ordered
+    * folds over the model-sized event-day array (every multiply/add
+    * in the same sequence both engines — the q259/q279 treatment);
+    * s_{i−1} for the first step is the empty-slice fold = 1. */
+  def q282Rmst(s: SparkSession, dir: String): DataFrame = {
+    val tau = 60L
+    val users = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("l_shipdate"))).as("last_d"))
+    val horizon = users.agg(max(col("last_d")).as("h"),
+      count(lit(1)).as("n_users"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+        .as("life"),
+        (col("last_d") <= date_add(col("h"), -7)).as("uncensored"),
+        col("n_users"))
+    val byDay = lives.groupBy(col("life"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("uncensored"), 1L).otherwise(0L)).as("deaths"),
+        max(col("n_users")).as("n_users"))
+    val ev = Ranking.globalCumSum(byDay, "life", Seq("m"))
+      .select(col("life"),
+        (col("n_users") - (col("cum_m") - col("m"))).as("n_risk"),
+        col("deaths"), col("n_users"))
+      .filter(col("deaths") > 0 && col("life") <= tau)
+      .select(col("life"), col("n_users"),
+        ((col("n_risk") - col("deaths")).cast("double") /
+          col("n_risk").cast("double")).as("factor"))
+    ev.agg(sort_array(collect_list(struct(col("life"), col("factor"))))
+        .as("arr"),
+        max(col("n_users")).as("n_users"))
+      .select(col("n_users"), size(col("arr")).cast("long")
+        .as("n_event_days"),
+        expr(s"""aggregate(transform(sequence(1, size(arr)), i ->
+          aggregate(slice(arr, 1, i - 1), CAST(1.0 AS DOUBLE),
+            (a, x) -> a * x.factor)
+          * CAST(arr[i-1].life
+            - (CASE WHEN i = 1 THEN 0L ELSE arr[i-2].life END)
+            AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (a, t) -> a + t)
+          + aggregate(arr, CAST(1.0 AS DOUBLE), (a, x) -> a * x.factor)
+          * CAST($tau - coalesce(arr[size(arr)-1].life, 0L) AS DOUBLE)
+          """).as("rmst_raw"),
+        expr("aggregate(arr, CAST(1.0 AS DOUBLE), " +
+          "(a, x) -> a * x.factor)").as("s_tau"))
+      .select(col("n_users"), col("n_event_days"),
+        f6(col("rmst_raw")).as("rmst_days"), f6(col("s_tau")).as("s_tau"))
+  }
+
+  /** Mantel–Haenszel common odds ratio across region strata: does
+    * urgent/high priority associate with returns AFTER controlling
+    * for region? OR_MH = Σ_s(a·d/n) / Σ_s(b·c/n). The five region
+    * strata PIVOT to one row (the q240 fixed-operation-order trick),
+    * so the two 5-term double sums are pinned trees, each term one
+    * IEEE division of exact counts — no distributed double
+    * accumulation anywhere. */
+  def q283MantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+      "MIDDLE EAST")
+    val base = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        (col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH").as("e"),
+        (col("l_returnflag") === "R").as("o"))
+    def cell(rn: String, e: Boolean, o: Boolean, nm: String) =
+      sum(when(col("r_name") === rn && col("e") === e &&
+        col("o") === o, 1L).otherwise(0L)).as(nm)
+    val aggs = regions.zipWithIndex.flatMap { case (rn, i) =>
+      Seq(cell(rn, e = true, o = true, s"a$i"),
+        cell(rn, e = true, o = false, s"b$i"),
+        cell(rn, e = false, o = true, s"c$i"),
+        cell(rn, e = false, o = false, s"d$i"))
+    }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def term(x: String, y: String, i: Int): Column =
+      (col(s"$x$i") * col(s"$y$i")).cast("double") /
+        (col(s"a$i") + col(s"b$i") + col(s"c$i") + col(s"d$i"))
+          .cast("double")
+    val num = regions.indices.map(term("a", "d", _)).reduce(_ + _)
+    val den = regions.indices.map(term("b", "c", _)).reduce(_ + _)
+    m.select(
+      regions.indices.map(i =>
+        (col(s"a$i") + col(s"b$i") + col(s"c$i") + col(s"d$i"))
+          .as(s"n_s$i")) :+
+      f6(num).as("mh_num") :+ f6(den).as("mh_den") :+
+      when(den > 0, f6(num / den)).as("or_mh"): _*)
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7696,5 +7799,7 @@ object Queries {
     "q279_hellinger" -> (q279Hellinger _),
     "q280_mcnemar" -> (q280McNemar _),
     "q281_partial_corr" -> (q281PartialCorr _),
+    "q282_rmst" -> (q282Rmst _),
+    "q283_mantel_haenszel" -> (q283MantelHaenszel _),
   )
 }
