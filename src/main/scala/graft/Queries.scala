@@ -7451,15 +7451,19 @@ object Queries {
         max(col("n_users")).as("n_users"))
       .select(col("n_users"), size(col("arr")).cast("long")
         .as("n_event_days"),
-        expr(s"""aggregate(transform(sequence(1, size(arr)), i ->
-          aggregate(slice(arr, 1, i - 1), CAST(1.0 AS DOUBLE),
-            (a, x) -> a * x.factor)
-          * CAST(arr[i-1].life
-            - (CASE WHEN i = 1 THEN 0L ELSE arr[i-2].life END)
-            AS DOUBLE)),
-          CAST(0.0 AS DOUBLE), (a, t) -> a + t)
+        // sequence(1, 0) is DESCENDING [1, 0] — the empty-array case
+        // must short-circuit before the transform (the q259 lesson)
+        expr(s"""(CASE WHEN size(arr) = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE aggregate(transform(sequence(1, size(arr)), i ->
+            aggregate(slice(arr, 1, i - 1), CAST(1.0 AS DOUBLE),
+              (a, x) -> a * x.factor)
+            * CAST(arr[i-1].life
+              - (CASE WHEN i = 1 THEN 0L ELSE arr[i-2].life END)
+              AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (a, t) -> a + t) END)
           + aggregate(arr, CAST(1.0 AS DOUBLE), (a, x) -> a * x.factor)
-          * CAST($tau - coalesce(arr[size(arr)-1].life, 0L) AS DOUBLE)
+          * CAST($tau - coalesce(get(arr, size(arr)-1).life, 0L)
+            AS DOUBLE)
           """).as("rmst_raw"),
         expr("aggregate(arr, CAST(1.0 AS DOUBLE), " +
           "(a, x) -> a * x.factor)").as("s_tau"))
