@@ -6044,5 +6044,65 @@ object Oracle {
          |    AS or_mh
          |FROM m""".stripMargin
     },
+
+    // Cochran–Armitage: T·N and Var·N³ as plain exact aggregates
+    // (integer sums commute), one terminal double expression
+    "q284_cochran_armitage" ->
+      s"""WITH g AS (SELECT
+         |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS r
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1),
+         |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(r) AS BIGINT) AS rr,
+         |    sum(CAST(sc AS HUGEINT) * n) AS sns,
+         |    sum(CAST(sc AS HUGEINT) * sc * n) AS sns2,
+         |    sum(CAST(sc AS HUGEINT) * r) AS srs
+         |  FROM g)
+         |SELECT nn AS n_total, rr AS r_total,
+         |  CAST(srs * nn - sns * rr AS BIGINT) AS t_scaled,
+         |  CASE WHEN CAST(CAST(rr AS HUGEINT) * (nn - rr)
+         |      * (CAST(nn AS HUGEINT) * sns2 - sns * sns) AS DOUBLE)
+         |      > 0 THEN
+         |    ${f6("""CAST(srs * nn - sns * rr AS DOUBLE)
+           |      * sqrt(CAST(nn AS DOUBLE))
+           |      / sqrt(CAST(CAST(rr AS HUGEINT) * (nn - rr)
+           |        * (CAST(nn AS HUGEINT) * sns2 - sns * sns)
+           |        AS DOUBLE))""".stripMargin)}
+         |  END AS z
+         |FROM m""".stripMargin,
+
+    // Wasserstein-1: exact CDF-gap mass over the common denominator,
+    // gaps from lead() on the domain-bounded value frame
+    "q285_wasserstein" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events),
+         |byv AS (SELECT v,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ca,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cb
+         |  FROM ev GROUP BY 1),
+         |cum AS (SELECT v,
+         |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb,
+         |    lead(v) OVER (ORDER BY v) AS nv
+         |  FROM byv),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM byv),
+         |mass AS (SELECT sum(abs(CAST(cum_ca AS HUGEINT) * n_b
+         |      - CAST(cum_cb AS HUGEINT) * n_a) * (nv - v)) AS mass
+         |  FROM cum, tot WHERE nv IS NOT NULL)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    ${f6("""CAST(mass AS DOUBLE)
+           |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"""
+        .stripMargin)}
+         |  END AS w1_cents
+         |FROM mass, tot""".stripMargin,
   )
 }

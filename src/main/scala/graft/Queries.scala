@@ -7518,6 +7518,71 @@ object Queries {
       when(den > 0, f6(num / den)).as("or_mh"): _*)
   }
 
+  /** Cochran–Armitage trend test: does return probability TREND with
+    * order priority (scores 1..5 from the priority digit)? The
+    * dose-response question q130's chi-square can't rank. T·N =
+    * Σ s_i(r_i·N − n_i·R) and Var·N³ = R(N−R)·(N·Σns² − (Σns)²) are
+    * plain exact-integer aggregates (no ordering sensitivity —
+    * integer sums commute), z = T·√N/√(Var·N³) the one terminal
+    * double expression. */
+  def q284CochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+        .as("sc"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("sc"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+    val m = g.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+      sum(col("sc").cast(dec) * col("n")).as("sns"),
+      sum(col("sc").cast(dec) * col("sc") * col("n")).as("sns2"),
+      sum(col("sc").cast(dec) * col("r")).as("srs"))
+    val tn = (col("srs") * col("nn") - col("sns") * col("rr"))
+    val varN3 = (col("rr").cast(dec) * (col("nn") - col("rr")) *
+      (col("nn").cast(dec) * col("sns2") - col("sns") * col("sns")))
+    m.select(col("nn").as("n_total"), col("rr").as("r_total"),
+      tn.cast("long").as("t_scaled"),
+      when(varN3.cast("double") > 0,
+        f6(tn.cast("double") * sqrt(col("nn").cast("double")) /
+          sqrt(varN3.cast("double")))).as("z"))
+  }
+
+  /** Two-sample Wasserstein-1 (earth mover's) distance between the md5
+    * arms' value distributions — the metric that says HOW FAR apart
+    * (in cents) where q235's KS says how separable and q279's
+    * Hellinger how overlapping: W₁ = Σ_k |F_A(v_k)−F_B(v_k)|·gap_k as
+    * exact integers over the common denominator nA·nB, CDFs from
+    * [[Ranking.globalCumSum]] on the collapsed per-value frame, gaps
+    * from ONE lead() window on the same frame (bounded by the CENTS
+    * DOMAIN, not row count), ONE terminal division. */
+  def q285Wasserstein(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("v"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)).as("arm"))
+    val byV = ev.groupBy(col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val cum = Ranking.globalCumSum(byV, "v", Seq("ca", "cb"))
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("v"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (abs(col("cum_ca").cast(dec) * col("n_b") -
+          col("cum_cb").cast(dec) * col("n_a")) *
+          (lead(col("v"), 1).over(w) - col("v")).cast(dec)).as("t"))
+    terms.groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("t")).as("mass")) // last row's null term drops
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          f6(col("mass").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .as("w1_cents"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7805,5 +7870,7 @@ object Queries {
     "q281_partial_corr" -> (q281PartialCorr _),
     "q282_rmst" -> (q282Rmst _),
     "q283_mantel_haenszel" -> (q283MantelHaenszel _),
+    "q284_cochran_armitage" -> (q284CochranArmitage _),
+    "q285_wasserstein" -> (q285Wasserstein _),
   )
 }
