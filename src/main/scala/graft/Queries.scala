@@ -6734,16 +6734,10 @@ object Queries {
     val slopes = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
       .select(((col("b.x") - col("a.x")).cast("double") /
         datediff(col("b.d"), col("a.d")).cast("double")).as("slope"))
-    val byV = slopes.groupBy(col("slope")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("slope"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byV.select(col("slope"), sum(col("cnt")).over(w).as("cum"))
-    val n = daily.agg(count(lit(1)).as("n_days"))
-      .crossJoin(slopes.agg(count(lit(1)).as("n_pairs")))
-    val med = cum.crossJoin(broadcast(n))
-      .filter(col("cum") >= expr("(n_pairs + 1L) div 2"))
-      .agg(min(col("slope")).as("m"))
-    n.crossJoin(broadcast(med))
+    val med = Stats.discreteMedian(slopes, "slope")
+      .select(col("n").as("n_pairs"), col("median").as("m"))
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(med))
       .select(col("n_days"), col("n_pairs"), f6(col("m")).as("ts_slope"))
   }
 
@@ -6764,16 +6758,11 @@ object Queries {
     val a = daily.filter(col("arm") === 0).select(col("x").as("xa"))
     val b = daily.filter(col("arm") === 1).select(col("x").as("xb"))
     val diffs = b.crossJoin(a).select((col("xb") - col("xa")).as("diff"))
-    val byV = diffs.groupBy(col("diff")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("diff"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byV.select(col("diff"), sum(col("cnt")).over(w).as("cum"))
-    val n = a.agg(count(lit(1)).as("n_a"))
+    val med = Stats.discreteMedian(diffs, "diff")
+      .select(col("median").as("m"))
+    a.agg(count(lit(1)).as("n_a"))
       .crossJoin(b.agg(count(lit(1)).as("n_b")))
-    val med = cum.crossJoin(broadcast(n))
-      .filter(col("cum") >= expr("(n_a * n_b + 1L) div 2"))
-      .agg(min(col("diff")).as("m"))
-    n.crossJoin(broadcast(med))
+      .crossJoin(broadcast(med))
       .select(col("n_a"), col("n_b"),
         (col("n_a") * col("n_b")).as("n_pairs"),
         col("m").as("hl_shift_cents"))

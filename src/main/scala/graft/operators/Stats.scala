@@ -158,4 +158,30 @@ object Stats {
               col("tie3").cast("double") / (nd * (nd - lit(1.0))))))
         .as("z"))
   }
+
+  /** DISCRETE median — the lower-middle order statistic, i.e. the
+    * element at 1-based rank ⌈n/2⌉ of the sorted multiset: collapsed
+    * per-value counts, a cumulative count over the collapsed frame,
+    * then min(v where cum ≥ (n+1) div 2). Picks an ACTUAL element, so
+    * no interpolation arithmetic can diverge across engines — the
+    * q262/q263 construction extracted. Works for any orderable value
+    * type (long slopes-as-doubles included). The cumulative window is
+    * single-partition over the COLLAPSED frame: use only where the
+    * distinct-value count is model- or domain-bounded (pairwise-slope
+    * and daily-difference frames are day²-bounded). Output: one row
+    * (n, median) — n counts INPUT rows, median is null on empty
+    * input. */
+  def discreteMedian(df: DataFrame, valueCol: String): DataFrame = {
+    val byV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = byV.select(col(valueCol), col("cnt"),
+      sum(col("cnt")).over(w).as("cum"))
+    val n = byV.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    cum.crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n + 1L) div 2"))
+      .agg(max(col("n")).as("nx"), min(col(valueCol)).as("median"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("median"))
+  }
 }

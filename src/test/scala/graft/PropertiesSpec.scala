@@ -220,6 +220,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("discreteMedian == sorted lower-middle element on arbitrary " +
+    "tied long multisets (incl. negatives) and on doubles") {
+    import graft.operators.Stats
+    val g = Gen.choose(-15L, 15L) // heavy ties by construction
+    for (seed <- Seq(11L, 22L, 33L); n <- Seq(1, 2, 7, 101)) {
+      val xs = sample(g, n, seed + n)
+      val got = Stats.discreteMedian(xs.toDF("v"), "v").collect().head
+      val expected = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      assert(got.getLong(0) === xs.length.toLong)
+      assert(got.getLong(1) === expected, s"n=$n seed=$seed")
+    }
+    // doubles (the q262 slope shape): same element-pick contract
+    val ds = Seq(2.5, -1.0, 2.5, 0.0, 7.25)
+    val gd = Stats.discreteMedian(ds.toDF("v"), "v").collect().head
+    assert(gd.getDouble(1) === 2.5)
+    // empty input: n=0, null median — never a crash
+    val ge = Stats.discreteMedian(
+      spark.emptyDataset[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("v"), "v").collect().head
+    assert(ge.getLong(0) === 0L && ge.isNullAt(1))
+  }
+
   test("ksTwoSample / mannWhitneyU == sequential references on " +
     "arbitrary tied class-labeled multisets; U_A + U_B == nA*nB") {
     import graft.operators.Stats
