@@ -6104,5 +6104,64 @@ object Oracle {
         .stripMargin)}
          |  END AS w1_cents
          |FROM mass, tot""".stripMargin,
+
+    // blocklist gate: pushed-down IN filter on the token stream,
+    // zero-hit sources survive the outer join
+    "q286_blocklist_report" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+         |e AS (SELECT doc_id, source, unnest(tk) AS tok FROM t),
+         |hits AS (SELECT doc_id, source,
+         |    CAST(count(*) AS BIGINT) AS h
+         |  FROM e WHERE tok IN ('slow', 'broken', 'error', 'crash',
+         |    'fail')
+         |  GROUP BY 1, 2),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(h) AS BIGINT) AS nh
+         |  FROM hits GROUP BY 1),
+         |docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT d.source, d.n_docs,
+         |  COALESCE(p.nf, 0) AS n_flagged, COALESCE(p.nh, 0) AS n_hits,
+         |  COALESCE(p.nf, 0) * 1000000 // d.n_docs AS flagged_ppm
+         |FROM docs d LEFT JOIN per p ON d.source = p.source
+         |ORDER BY d.source""".stripMargin,
+
+    // permutation test: md5 pseudo-relabelings, exact-sum means, the
+    // extreme count compares identically-computed doubles
+    "q287_permutation_test" ->
+      s"""WITH ev AS (SELECT
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    event_id,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events),
+         |obs AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+         |        AS DOUBLE)
+         |    - CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+         |        AS DOUBLE) AS obs_diff
+         |  FROM ev),
+         |perms AS (SELECT rep,
+         |    CAST(sum(CASE WHEN parm = 0 THEN c ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END)
+         |        AS DOUBLE)
+         |    - CAST(sum(CASE WHEN parm = 1 THEN c ELSE 0 END)
+         |        AS DOUBLE)
+         |      / CAST(sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END)
+         |        AS DOUBLE) AS d
+         |  FROM (SELECT c, r.rep,
+         |      ${md5Long("CAST(event_id AS VARCHAR) || ':' || " +
+           "CAST(r.rep AS VARCHAR)")} % 2 AS parm
+         |    FROM ev, generate_series(1, 30) AS r(rep))
+         |  GROUP BY rep)
+         |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |  ${f6("max(obs_diff)")} AS obs_diff,
+         |  CAST(sum(CASE WHEN abs(d) >= abs(obs_diff) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_extreme,
+         |  CAST((1 + sum(CASE WHEN abs(d) >= abs(obs_diff)
+         |      THEN 1 ELSE 0 END)) * 1000000
+         |    // (count(*) + 1) AS BIGINT) AS p_hat_ppm
+         |FROM perms, obs""".stripMargin,
   )
 }

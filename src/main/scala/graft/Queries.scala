@@ -7572,6 +7572,78 @@ object Queries {
           .as("w1_cents"))
   }
 
+  /** Blocklist-filter report — the word-list content gate every
+    * corpus pipeline runs before training (the C4/RefinedWeb rule
+    * family's simplest member): per source, documents containing any
+    * blocklisted token, total hits, and the flagged share in exact
+    * ppm. The list is a pushed-down literal IN filter on the token
+    * stream (no join at all); zero-hit sources survive via the outer
+    * join from the per-source totals. */
+  def q286BlocklistReport(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("slow", "broken", "error", "crash", "fail")
+    val docs = t(s, dir, "documents")
+    val hits = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("h"))
+    val perSrc = hits.groupBy(col("source"))
+      .agg(count(lit(1)).as("nf"), sum(col("h")).as("nh"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(perSrc, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("nf"), lit(0L)).as("n_flagged"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        expr("coalesce(nf, 0L) * 1000000L div n_docs")
+          .as("flagged_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic PERMUTATION test for the arm difference in mean
+    * event value — the nonparametric significance q250's normal
+    * approximation assumes away, made reproducible the q229 way:
+    * 30 md5-derived pseudo-relabelings (md5(event_id:rep) % 2) stand
+    * in for random permutations, p̂ = (1 + #{|Δ_rep| ≥ |Δ_obs|}) /
+    * (reps+1). Every mean is exact-sum/count with ONE IEEE division;
+    * the extreme-count compares doubles both engines compute
+    * identically. */
+  def q287PermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val reps = 30
+    val dec = DecimalType(38, 0)
+    val ev = t(s, dir, "events")
+      .select((col("value").cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"), col("event_id"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)).as("arm"))
+    def diffOf(armCol: String): Column =
+      (sum(when(col(armCol) === 0, col("c")).otherwise(0L)).cast(dec)
+        .cast("double") /
+        sum(when(col(armCol) === 0, 1L).otherwise(0L)).cast("double")) -
+      (sum(when(col(armCol) === 1, col("c")).otherwise(0L)).cast(dec)
+        .cast("double") /
+        sum(when(col(armCol) === 1, 1L).otherwise(0L)).cast("double"))
+    val obs = ev.agg(diffOf("arm").as("obs_diff"))
+    val perms = ev
+      .select(col("c"), col("event_id"),
+        explode(expr(s"sequence(1, $reps)")).as("rep"))
+      .select(col("c"), col("rep"),
+        pmod(graft.functions.Hashing.md5Long(
+          concat(col("event_id").cast("string"), lit(":"),
+            col("rep").cast("string"))), lit(2)).as("parm"))
+      .groupBy(col("rep"))
+      .agg(diffOf("parm").as("d"))
+    perms.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_reps"),
+        max(col("obs_diff")).as("od"),
+        sum(when(abs(col("d")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_reps"), f6(col("od")).as("obs_diff"),
+        col("n_extreme"),
+        expr("(1L + n_extreme) * 1000000L div (n_reps + 1L)")
+          .as("p_hat_ppm"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7861,5 +7933,7 @@ object Queries {
     "q283_mantel_haenszel" -> (q283MantelHaenszel _),
     "q284_cochran_armitage" -> (q284CochranArmitage _),
     "q285_wasserstein" -> (q285Wasserstein _),
+    "q286_blocklist_report" -> (q286BlocklistReport _),
+    "q287_permutation_test" -> (q287PermutationTest _),
   )
 }
