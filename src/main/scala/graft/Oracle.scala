@@ -6163,5 +6163,41 @@ object Oracle {
          |      THEN 1 ELSE 0 END)) * 1000000
          |    // (count(*) + 1) AS BIGINT) AS p_hat_ppm
          |FROM perms, obs""".stripMargin,
+
+    // three q179 min-plus chains, one per probe; reciprocals as exact
+    // integer division so the harmonic sum is a BIGINT
+    "q288_harmonic_centrality" -> {
+      def chain(k: Int): String = {
+        def round(i: Int): String =
+          s"""p${k}d$i AS MATERIALIZED (
+             |  SELECT id, min(dist) AS dist FROM (
+             |    SELECT id, dist FROM p${k}d${i - 1}
+             |    UNION ALL
+             |    SELECT adj.dst AS id, d.dist + 1 AS dist
+             |    FROM p${k}d${i - 1} d JOIN adj ON adj.src = d.id)
+             |  GROUP BY id)""".stripMargin
+        s"""p${k}d0 AS MATERIALIZED (
+           |  SELECT id, CAST(0 AS BIGINT) AS dist FROM
+           |    (SELECT c_custkey AS id FROM customer
+           |     WHERE c_nationkey = 3 ORDER BY c_custkey
+           |     LIMIT 1 OFFSET $k)),
+           |${(1 to 4).map(round).mkString(",\n")},
+           |p${k}h AS (SELECT
+           |    (SELECT id FROM p${k}d0) AS probe,
+           |    CAST(count(*) AS BIGINT) AS n_reached,
+           |    CAST(sum(1000000 // dist) AS BIGINT) AS h_ppm
+           |  FROM p${k}d4 WHERE dist > 0)""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS a, l_partkey + 3000000 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+         |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+         |  UNION SELECT b, a FROM e),
+         |${(0 to 2).map(chain).mkString(",\n")}
+         |SELECT * FROM p0h UNION ALL SELECT * FROM p1h
+         |UNION ALL SELECT * FROM p2h ORDER BY probe""".stripMargin
+    },
   )
 }

@@ -7644,6 +7644,45 @@ object Queries {
           .as("p_hat_ppm"))
   }
 
+  /** Bounded-radius HARMONIC centrality of three fixed probe
+    * customers over the 1995Q1 purchase graph — the centrality the
+    * PageRank/HITS family can't give (those score global influence;
+    * harmonic says how CLOSE a node sits to everything): h(s) =
+    * Σ_{v≠s} 1/d(s,v) over ≤4 hops, one q179 BFS per probe (per-probe
+    * frontier work, the bounded-round contract), reciprocals as exact
+    * 10⁶ div d integers so the sum is a long. Probes = the three
+    * smallest nation-3 customer keys (deterministic; the 3-row
+    * collect is model-sized). Oracle replays three q179 CTE chains. */
+  def q288HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("id_a"),
+        (col("l_partkey") + lit(3000000L)).as("id_b"))
+      .distinct()
+    val seedIds = t(s, dir, "customer")
+      .filter(col("c_nationkey") === 3)
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(3)
+      .collect().map(_.getLong(0))
+    import s.implicits._
+    if (seedIds.isEmpty) // empty dataset → no probes, empty report
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("probe", "n_reached", "h_ppm")
+    val per = seedIds.map { sid =>
+      Graph.bfsRounds(e, Seq(sid).toDF("id"), rounds = 4,
+          assumeDistinct = true)
+        .filter(col("dist") > 0)
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000L div dist")).as("h_ppm"))
+        .select(lit(sid).as("probe"), col("n_reached"), col("h_ppm"))
+    }
+    per.reduce(_ unionByName _).orderBy("probe")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7935,5 +7974,6 @@ object Queries {
     "q285_wasserstein" -> (q285Wasserstein _),
     "q286_blocklist_report" -> (q286BlocklistReport _),
     "q287_permutation_test" -> (q287PermutationTest _),
+    "q288_harmonic_centrality" -> (q288HarmonicCentrality _),
   )
 }
