@@ -6199,5 +6199,124 @@ object Oracle {
          |SELECT * FROM p0h UNION ALL SELECT * FROM p1h
          |UNION ALL SELECT * FROM p2h ORDER BY probe""".stripMargin
     },
+
+    // Page's L over the four complete Mon–Sun weeks: doubled within-
+    // week midranks, L2 exact, no-ties closed-form z
+    "q289_page_trend" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |f AS (SELECT x,
+         |    CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT)
+         |      AS dn
+         |  FROM daily WHERE d >= DATE '2024-01-01'
+         |    AND d < DATE '2024-01-29'),
+         |cells AS (SELECT x, dn // 7 AS wk, dn % 7 + 1 AS j FROM f),
+         |ranked AS (SELECT a.wk, a.j, a.x,
+         |    CAST(2 * sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+         |      + sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1
+         |      AS BIGINT) AS r2
+         |  FROM cells a JOIN cells b ON a.wk = b.wk
+         |  GROUP BY 1, 2, 3),
+         |l AS (SELECT CAST(sum(j * rj2) AS BIGINT) AS l2
+         |  FROM (SELECT j, CAST(sum(r2) AS BIGINT) AS rj2
+         |    FROM ranked GROUP BY j))
+         |SELECT l2,
+         |  ${f6("""(CAST(l2 AS DOUBLE) / 2.0
+           |    - 4.0 * 7.0 * 8.0 * 8.0 / 4.0)
+           |    / sqrt(4.0 * 49.0 * 8.0 * 48.0 / 144.0)""".stripMargin)}
+         |  AS z
+         |FROM l""".stripMargin,
+
+    // Jonckheere–Terpstra: dominating-cell pair counts across ordered
+    // groups (the q225 shape), doubled J, terminal z
+    "q290_jonckheere" ->
+      s"""WITH cells AS (SELECT
+         |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |j2 AS (SELECT 2 * sum(CASE WHEN b.v > a.v
+         |      THEN CAST(a.f AS HUGEINT) * b.f ELSE CAST(0 AS HUGEINT)
+         |      END)
+         |    + sum(CASE WHEN b.v = a.v
+         |      THEN CAST(a.f AS HUGEINT) * b.f ELSE CAST(0 AS HUGEINT)
+         |      END) AS j2
+         |  FROM cells a JOIN cells b ON b.g > a.g),
+         |sizes AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    sum(CAST(n AS HUGEINT) * n) AS sn2,
+         |    sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS sn23
+         |  FROM (SELECT CAST(sum(f) AS BIGINT) AS n FROM cells
+         |    GROUP BY g))
+         |SELECT nn AS n_total, CAST(j2 AS BIGINT) AS j2,
+         |  ${f6("""(CAST(j2 AS DOUBLE) / 2.0
+           |    - CAST(CAST(nn AS HUGEINT) * nn - sn2 AS DOUBLE)
+           |      / 2.0 / 2.0)
+           |    / sqrt((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+           |      * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+           |      - CAST(sn23 AS DOUBLE)) / 72.0)""".stripMargin)}
+         |  AS z
+         |FROM j2, sizes""".stripMargin,
+
+    // Lin's CCC over the paired daily arm series: one exact-moment
+    // pass, one pinned tree
+    "q291_concordance" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CASE WHEN ${md5Long("CAST(user_id AS VARCHAR)")}
+         |      % 2 = 0 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS xa,
+         |    CAST(sum(CASE WHEN ${md5Long("CAST(user_id AS VARCHAR)")}
+         |      % 2 = 1 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS xb
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xa) AS DOUBLE) AS sa,
+         |    CAST(sum(xb) AS DOUBLE) AS sb,
+         |    CAST(sum(CAST(xa AS HUGEINT) * xa) AS DOUBLE) AS saa,
+         |    CAST(sum(CAST(xb AS HUGEINT) * xb) AS DOUBLE) AS sbb,
+         |    CAST(sum(CAST(xa AS HUGEINT) * xb) AS DOUBLE) AS sab
+         |  FROM daily)
+         |SELECT n AS n_days,
+         |  ${f6("""2.0 * (CAST(n AS DOUBLE) * sab - sa * sb)
+           |    / ((CAST(n AS DOUBLE) * saa - sa * sa)
+           |      + (CAST(n AS DOUBLE) * sbb - sb * sb)
+           |      + (sa - sb) * (sa - sb))""".stripMargin)} AS ccc
+         |FROM m""".stripMargin,
+
+    // Durbin–Watson with the D² cancellation: scaled residuals are
+    // exact integers, DW is ONE division of two exact sums
+    "q292_durbin_watson" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT x,
+         |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+         |      AS tt
+         |  FROM daily),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(tt AS HUGEINT)) AS st,
+         |    sum(CAST(x AS HUGEINT)) AS sy,
+         |    sum(CAST(tt AS HUGEINT) * tt) AS stt,
+         |    sum(CAST(tt AS HUGEINT) * x) AS sty
+         |  FROM t),
+         |scaled AS (SELECT tt,
+         |    (CAST(n AS HUGEINT) * stt - st * st) * x
+         |      - ((sy * stt - st * sty)
+         |        + (CAST(n AS HUGEINT) * sty - st * sy) * tt) AS e
+         |  FROM t, mo),
+         |terms AS (SELECT e, e - lag(e) OVER (ORDER BY tt) AS de
+         |  FROM scaled),
+         |agg AS (SELECT sum(e * e) AS sse, sum(de * de) AS ssd
+         |  FROM terms)
+         |SELECT CASE WHEN CAST(sse AS DOUBLE) > 0 THEN
+         |    ${f6("CAST(ssd AS DOUBLE) / CAST(sse AS DOUBLE)")}
+         |  END AS dw
+         |FROM agg""".stripMargin,
   )
 }

@@ -7683,6 +7683,151 @@ object Queries {
     per.reduce(_ unionByName _).orderBy("probe")
   }
 
+  /** Page's L test for an ORDERED weekly profile: within each of the
+    * four complete Mon–Sun weeks of the fixture month, rank the seven
+    * daily revenues (doubled midranks — exact under ties), then
+    * L2 = Σ_j j · R2_j with R2_j the doubled rank sum of weekday j
+    * across weeks. Tests "revenue rises through the week" — the
+    * ordered alternative q240's Kruskal–Wallis ignores. Exact
+    * integers end to end; z uses the no-ties closed forms (cents
+    * sums never tie on this fixture; the L2 statistic itself is
+    * tie-exact regardless). */
+  def q289PageTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(s, dir)
+      .filter(col("d") >= lit("2024-01-01") && col("d") < lit("2024-01-29"))
+      .select(col("d"), col("x"),
+        ((unix_date(col("d")) - unix_date(lit("2024-01-01").cast("date")))
+          .cast("long")).as("dn"))
+      .select(col("x"), expr("dn div 7").as("wk"),
+        (col("dn") % 7 + 1).as("j"))
+    // doubled midrank of x within its week: 2r = 2·below + cnt + 1
+    val ranked = daily.as("a")
+      .join(daily.as("b"), col("a.wk") === col("b.wk"))
+      .groupBy(col("a.wk").as("wk"), col("a.j").as("j"),
+        col("a.x").as("x"))
+      .agg((lit(2L) * sum(when(col("b.x") < col("a.x"), 1L)
+        .otherwise(0L)) +
+        sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)) +
+        lit(1L)).as("r2"))
+    val l = ranked.groupBy(col("j")).agg(sum(col("r2")).as("rj2"))
+      .agg(sum(col("j") * col("rj2")).as("l2"),
+        count(lit(1)).as("k"))
+    val b = lit(4.0) // complete weeks
+    l.select(col("l2"),
+      f6((col("l2").cast("double") / lit(2.0) -
+        b * lit(7.0) * lit(8.0) * lit(8.0) / lit(4.0)) /
+        sqrt(b * lit(49.0) * lit(8.0) * lit(48.0) / lit(144.0)))
+        .as("z"))
+  }
+
+  /** Jonckheere–Terpstra test: J = Σ_{i<j ordered priority groups}
+    * #{a ∈ i, b ∈ j : a < b} (+ ties/2, doubled) — the ordered-group
+    * dose-response test on VALUES where q284's Cochran–Armitage needs
+    * a binary outcome. Pairwise dominance counts come from per-
+    * (group, value) cells crossed on dominating pairs (the q225
+    * contingency shape — never row×row), all exact in DECIMAL(38,0);
+    * the normal approximation z is the one terminal double. */
+  def q290Jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+        .as("g"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("f"))
+    val b = cells.select(col("g").as("bg"), col("v").as("bv"),
+      col("f").as("bf"))
+    // doubled J: 2·(pairs below) + (tied pairs) across ordered groups
+    val j2 = cells.join(b, col("bg") > col("g"))
+      .agg((lit(2L) * sum(when(col("bv") > col("v"),
+          col("f").cast(dec) * col("bf")).otherwise(lit(0L).cast(dec))) +
+        sum(when(col("bv") === col("v"),
+          col("f").cast(dec) * col("bf")).otherwise(lit(0L).cast(dec))))
+        .as("j2"))
+    val sizes = cells.groupBy(col("g")).agg(sum(col("f")).as("n"))
+      .agg(sum(col("n")).as("nn"),
+        sum(col("n").cast(dec) * col("n")).as("sn2"),
+        sum(col("n").cast(dec) * col("n") * (lit(2L) * col("n") +
+          lit(3L))).as("sn23"))
+    val m = j2.crossJoin(broadcast(sizes))
+    val nd = col("nn").cast("double")
+    val mean2 = (col("nn").cast(dec) * col("nn") - col("sn2"))
+      .cast("double") / lit(2.0)
+    val variance = (nd * nd * (lit(2.0) * nd + lit(3.0)) -
+      col("sn23").cast("double")) / lit(72.0)
+    m.select(col("nn").as("n_total"), col("j2").cast("long").as("j2"),
+      f6((col("j2").cast("double") / lit(2.0) - mean2 / lit(2.0)) /
+        sqrt(variance)).as("z"))
+  }
+
+  /** Lin's concordance correlation between the two md5 arms' DAILY
+    * revenue series (paired by day): CCC = 2·cov/(varA + varB +
+    * (meanA−meanB)²) — penalizes level/scale disagreement plain
+    * Pearson forgives, i.e. "do the arms TRACK each other", the
+    * paired complement to q277's DiD. One exact-moment pass over the
+    * paired day frame, one pinned double tree. */
+  def q291Concordance(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("c"),
+        pmod(graft.functions.Hashing.md5Long(
+          col("user_id").cast("string")), lit(2)).as("arm"))
+      .groupBy(col("d"))
+      .agg(sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("xb"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("xa").cast(dec)).cast("double").as("sa"),
+      sum(col("xb").cast(dec)).cast("double").as("sb"),
+      sum((col("xa").cast(dec) * col("xa"))).cast("double").as("saa"),
+      sum((col("xb").cast(dec) * col("xb"))).cast("double").as("sbb"),
+      sum((col("xa").cast(dec) * col("xb"))).cast("double").as("sab"))
+    val nd = col("n").cast("double")
+    val cov2 = nd * col("sab") - col("sa") * col("sb")
+    val varA2 = nd * col("saa") - col("sa") * col("sa")
+    val varB2 = nd * col("sbb") - col("sb") * col("sb")
+    val dmean2 = (col("sa") - col("sb")) * (col("sa") - col("sb"))
+    m.select(col("n").as("n_days"),
+      f6(lit(2.0) * cov2 / (varA2 + varB2 + dmean2)).as("ccc"))
+  }
+
+  /** Durbin–Watson autocorrelation statistic of the daily-revenue OLS
+    * residuals — EXACT: with D = n·Σt²−(Σt)², the scaled residual
+    * ê_t·D = D·y_t − (aN + bN·t) is an exact integer (aN, bN the
+    * cross-multiplied normal-equation numerators), and D² cancels in
+    * DW = Σ(Δê)²/Σê², so the statistic is ONE division of two exact
+    * DECIMAL sums. The serial-correlation diagnostic for q139's
+    * per-group trend fits, with zero float accumulation. */
+  def q292DurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = dailyCents(s, dir)
+      .select(col("x"), unix_date(col("d")).cast("long").as("tt"))
+    val mo = daily.agg(count(lit(1)).as("n"),
+      sum(col("tt").cast(dec)).as("st"),
+      sum(col("x").cast(dec)).as("sy"),
+      sum((col("tt").cast(dec) * col("tt"))).as("stt"),
+      sum((col("tt").cast(dec) * col("x"))).as("sty"))
+    val scaled = daily.crossJoin(broadcast(mo))
+      .select(col("tt"),
+        ((col("n").cast(dec) * col("stt") - col("st") * col("st")) *
+          col("x") -
+          ((col("sy") * col("stt") - col("st") * col("sty")) +
+            (col("n").cast(dec) * col("sty") - col("st") * col("sy")) *
+            col("tt"))).as("e"))
+    val w = Window.orderBy(col("tt"))
+    val terms = scaled
+      .select(col("e"), (col("e") - lag(col("e"), 1).over(w)).as("de"))
+    terms.agg(
+        sum(col("e") * col("e")).as("sse"),
+        sum(col("de") * col("de")).as("ssd"))
+      .select(
+        when(col("sse").cast("double") > 0,
+          f6(col("ssd").cast("double") / col("sse").cast("double")))
+          .as("dw"))
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -7975,5 +8120,9 @@ object Queries {
     "q286_blocklist_report" -> (q286BlocklistReport _),
     "q287_permutation_test" -> (q287PermutationTest _),
     "q288_harmonic_centrality" -> (q288HarmonicCentrality _),
+    "q289_page_trend" -> (q289PageTrend _),
+    "q290_jonckheere" -> (q290Jonckheere _),
+    "q291_concordance" -> (q291Concordance _),
+    "q292_durbin_watson" -> (q292DurbinWatson _),
   )
 }
