@@ -17,7 +17,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: round 7's driver artifact was a 2000-char tail of
+    // `WindowExec: No Partition Defined` WARN lines — the JSON line never
+    // had a chance. Anything WARN-worthy in a bench run is either known
+    // (bounded-domain windows, see PlanSpec) or shows up as an error.
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warm-up: session/codegen/file-index initialization is
     // JVM startup cost, not query cost — without it the first timed
     // query absorbs ~5s of one-time work. Warm EVERY table's file
@@ -39,6 +43,20 @@ object Bench {
     // for local iteration (never set by the driver).
     val runs = sys.props.get("graftBenchRuns")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS")).map(_.toInt).getOrElse(3)
+    // Wall-clock budget for RERUNS (seconds). Run 1 always completes —
+    // every query gets at least one timing — but runs 2..N only start a
+    // query while elapsed wall < budget. Round 7's driver bench hit the
+    // external timeout (rc=124, ~750s of 3 full runs at 292 queries);
+    // the min-of-k estimator is a luxury the artifact can't die for.
+    // 420s: run 1 is ~240s at the current registry, leaving ~180s of
+    // rerun coverage for the slowest-to-rerun prefix, and total wall
+    // stays ≤ ~700s — under the >1109s window r06 proved the driver
+    // allows (r06 ran 1109s to completion).
+    val rerunBudgetSec = sys.props.get("graftBenchBudget")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_BUDGET")).map(_.toInt)
+      .getOrElse(420)
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val only = sys.props.get("graftBenchOnly")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).toSet)
@@ -47,8 +65,8 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val errored = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to runs) selected.foreach { case (name, fn) =>
-      if (!errored(name)) {
+    for (run <- 1 to runs) selected.foreach { case (name, fn) =>
+      if (!errored(name) && (run == 1 || elapsedSec < rerunBudgetSec)) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -71,7 +89,8 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(jstr).mkString("[", ",", "]")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"errors":$errJson}"""
+    val wall = BigDecimal(elapsedSec).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"wall":$wall,"errors":$errJson}"""
     // Full-precision, full-name line goes to the file (whole regardless
     // of log buffering) and to stdout FIRST for human log readers.
     println(line)

@@ -6230,8 +6230,10 @@ object Oracle {
          |  AS z
          |FROM l""".stripMargin,
 
-    // Jonckheere–Terpstra: dominating-cell pair counts across ordered
-    // groups (the q225 shape), doubled J, terminal z
+    // Jonckheere–Terpstra via the CDF identity (near-unique value key
+    // makes cell-pair joins row×row in disguise — see the Spark-side
+    // scaladoc): per-value pivoted group counts, running totals over
+    // v, 2J = Σ t_j·Σ_{i<j}(2·cum_i − t_i). Exact integers.
     "q290_jonckheere" ->
       s"""WITH cells AS (SELECT
          |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
@@ -6240,13 +6242,23 @@ object Oracle {
          |    CAST(count(*) AS BIGINT) AS f
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  GROUP BY 1, 2),
-         |j2 AS (SELECT 2 * sum(CASE WHEN b.v > a.v
-         |      THEN CAST(a.f AS HUGEINT) * b.f ELSE CAST(0 AS HUGEINT)
-         |      END)
-         |    + sum(CASE WHEN b.v = a.v
-         |      THEN CAST(a.f AS HUGEINT) * b.f ELSE CAST(0 AS HUGEINT)
-         |      END) AS j2
-         |  FROM cells a JOIN cells b ON b.g > a.g),
+         |pv AS (SELECT v,
+         |    ${(1 to 5).map(k =>
+              s"CAST(sum(CASE WHEN g = $k THEN f ELSE 0 END) AS BIGINT) AS t$k")
+              .mkString(",\n         |    ")}
+         |  FROM cells GROUP BY v),
+         |cum AS (SELECT v, ${(1 to 5).map(k => s"t$k").mkString(", ")},
+         |    ${(1 to 5).map(k =>
+              s"CAST(sum(t$k) OVER (ORDER BY v) AS BIGINT) AS c$k")
+              .mkString(",\n         |    ")}
+         |  FROM pv),
+         |j2 AS (SELECT sum(
+         |    ${(2 to 5).map { j =>
+              val inner = (1 until j).map(i => s"(2 * c$i - t$i)")
+                .mkString(" + ")
+              s"CAST(t$j AS HUGEINT) * ($inner)"
+            }.mkString("\n         |    + ")}) AS j2
+         |  FROM cum),
          |sizes AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
          |    sum(CAST(n AS HUGEINT) * n) AS sn2,
          |    sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS sn23

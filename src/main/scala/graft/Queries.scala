@@ -7723,10 +7723,19 @@ object Queries {
   /** Jonckheere–Terpstra test: J = Σ_{i<j ordered priority groups}
     * #{a ∈ i, b ∈ j : a < b} (+ ties/2, doubled) — the ordered-group
     * dose-response test on VALUES where q284's Cochran–Armitage needs
-    * a binary outcome. Pairwise dominance counts come from per-
-    * (group, value) cells crossed on dominating pairs (the q225
-    * contingency shape — never row×row), all exact in DECIMAL(38,0);
-    * the normal approximation z is the one terminal double. */
+    * a binary outcome. The value key (extendedprice cents) is
+    * near-UNIQUE per row, so the q225 dominating-cell-pair shape is a
+    * trap here: |cells| ≈ |rows| and a group-only inequality join is
+    * row×row in disguise (~10¹¹ pair evaluations at sf0.1 — this
+    * query is what timed out the round-7 bench). Instead J comes from
+    * the CDF identity: pivot to ONE row per distinct value with the
+    * five bounded priority-group frequencies t₁..t₅, take inclusive
+    * running totals cum_tᵢ over v with the scale-safe
+    * [[Ranking.globalCumSum]] (range-bucketed, never one task), and
+    * 2J = Σ_v Σ_j t_j(v)·Σ_{i<j}(2·cum_tᵢ(v) − tᵢ(v)) — exactly the
+    * doubled below-pairs + tied-pairs count, O(cells) total work.
+    * All exact integers into DECIMAL(38,0); z is the one terminal
+    * double. */
   def q290Jonckheere(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val cells = t(s, dir, "lineitem")
@@ -7736,15 +7745,19 @@ object Queries {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
           .cast("long").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("f"))
-    val b = cells.select(col("g").as("bg"), col("v").as("bv"),
-      col("f").as("bf"))
-    // doubled J: 2·(pairs below) + (tied pairs) across ordered groups
-    val j2 = cells.join(b, col("bg") > col("g"))
-      .agg((lit(2L) * sum(when(col("bv") > col("v"),
-          col("f").cast(dec) * col("bf")).otherwise(lit(0L).cast(dec))) +
-        sum(when(col("bv") === col("v"),
-          col("f").cast(dec) * col("bf")).otherwise(lit(0L).cast(dec))))
-        .as("j2"))
+    val groups = 1 to 5 // TPC-H o_orderpriority '1-URGENT'..'5-LOW'
+    val slots = groups.map(k =>
+      sum(when(col("g") === k, col("f")).otherwise(0L)).as(s"t$k"))
+    val pv = cells.groupBy(col("v")).agg(slots.head, slots.tail: _*)
+    val cum = Ranking.globalCumSum(pv, "v", groups.map(k => s"t$k"))
+    // per-value doubled dominance: t_j · Σ_{i<j} (2·F_i(v⁻) + t_i(v))
+    // with F_i(v⁻) = cum_t_i − t_i, so the inner term is 2·cum − t.
+    val term = groups.drop(1).map { j =>
+      val inner = (1 until j).map(i =>
+        lit(2L) * col(s"cum_t$i") - col(s"t$i")).reduce(_ + _)
+      col(s"t$j").cast(dec) * inner
+    }.reduce(_ + _)
+    val j2 = cum.agg(sum(term).as("j2"))
     val sizes = cells.groupBy(col("g")).agg(sum(col("f")).as("n"))
       .agg(sum(col("n")).as("nn"),
         sum(col("n").cast(dec) * col("n")).as("sn2"),
