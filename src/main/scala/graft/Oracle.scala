@@ -147,6 +147,53 @@ object Oracle {
     "CAST('0x' || substr(md5('plane_' || i || '_' || j), 1, 14) AS BIGINT)" +
       " / 72057594037927936.0 - 0.5"
 
+  /** One PQ subspace's codebook-training CTE chain (the q109 Lloyd
+    * replay over a 16-dim list slice) — shared by q184 (codebook
+    * stats) and q293 (the ADC query path against the same codebooks).
+    * Exposes, per subspace j: `es$j` (sliced corpus), `cent1s$j` /
+    * `cent1ns$j` (raw / normalized trained codewords), `afs$j` (each
+    * vector's assigned code — the PQ ENCODING), `sts$j` (stats). */
+  private def pqBlock(j: Int): String = {
+    val lo = j * 16 + 1
+    val hi = (j + 1) * 16
+    def round(i: Int): String =
+      s"""ac${i}s$j AS (SELECT e.vec_id, e.v, cid,
+         |  list_dot_product(e.v, cv) AS s FROM es$j e, cent${i}ns$j),
+         |a${i}s$j AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) AS rn FROM ac${i}s$j)
+         |  WHERE rn = 1),
+         |q${i}s$j AS (SELECT cell, jj,
+         |  sum(CAST(floor(v[jj] * 1048576.0) AS BIGINT)) AS qsum,
+         |  count(*) AS n
+         |  FROM a${i}s$j, range(1, 17) t(jj) GROUP BY cell, jj),
+         |m${i}s$j AS (SELECT cell AS cid,
+         |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY jj)
+         |    AS cv FROM q${i}s$j GROUP BY cell),
+         |cent${i + 1}s$j AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+         |  FROM cent${i}s$j p LEFT JOIN m${i}s$j m USING (cid)),
+         |cent${i + 1}ns$j AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+         |    AS cv FROM cent${i + 1}s$j)""".stripMargin
+    s"""es$j AS MATERIALIZED (SELECT vec_id,
+       |  (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS v FROM embeddings),
+       |cent0s$j AS (SELECT vec_id AS cid, v AS cv FROM es$j
+       |  WHERE vec_id < 8),
+       |cent0ns$j AS (SELECT cid,
+       |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+       |    AS cv FROM cent0s$j),
+       |${round(0)},
+       |acfs$j AS (SELECT e.vec_id, e.v, cid,
+       |  list_dot_product(e.v, cv) AS s FROM es$j e, cent1ns$j),
+       |afs$j AS (SELECT vec_id, v, cid AS cell, s AS score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY s DESC, cid ASC) AS rn FROM acfs$j) WHERE rn = 1),
+       |sts$j AS (SELECT cell, count(*) AS n,
+       |  sum(CAST(floor(score / sqrt(list_dot_product(v, v))
+       |    * 1048576.0) AS BIGINT)) AS qc
+       |  FROM afs$j GROUP BY cell)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q01_incremental_watermark" ->
       """SELECT event_id, ts, user_id, event_type, value,
@@ -2734,46 +2781,6 @@ object Oracle {
     // the 16-dim list slice; the blocks only differ in the slice
     // bounds and CTE suffix
     "q184_product_quantize" -> {
-      def block(j: Int): String = {
-        val lo = j * 16 + 1
-        val hi = (j + 1) * 16
-        def round(i: Int): String =
-          s"""ac${i}s$j AS (SELECT e.vec_id, e.v, cid,
-             |  list_dot_product(e.v, cv) AS s FROM es$j e, cent${i}ns$j),
-             |a${i}s$j AS (SELECT vec_id, v, cid AS cell FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY vec_id
-             |    ORDER BY s DESC, cid ASC) AS rn FROM ac${i}s$j)
-             |  WHERE rn = 1),
-             |q${i}s$j AS (SELECT cell, jj,
-             |  sum(CAST(floor(v[jj] * 1048576.0) AS BIGINT)) AS qsum,
-             |  count(*) AS n
-             |  FROM a${i}s$j, range(1, 17) t(jj) GROUP BY cell, jj),
-             |m${i}s$j AS (SELECT cell AS cid,
-             |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY jj)
-             |    AS cv FROM q${i}s$j GROUP BY cell),
-             |cent${i + 1}s$j AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
-             |  FROM cent${i}s$j p LEFT JOIN m${i}s$j m USING (cid)),
-             |cent${i + 1}ns$j AS (SELECT cid,
-             |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
-             |    AS cv FROM cent${i + 1}s$j)""".stripMargin
-        s"""es$j AS MATERIALIZED (SELECT vec_id,
-           |  (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS v FROM embeddings),
-           |cent0s$j AS (SELECT vec_id AS cid, v AS cv FROM es$j
-           |  WHERE vec_id < 8),
-           |cent0ns$j AS (SELECT cid,
-           |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
-           |    AS cv FROM cent0s$j),
-           |${round(0)},
-           |acfs$j AS (SELECT e.vec_id, e.v, cid,
-           |  list_dot_product(e.v, cv) AS s FROM es$j e, cent1ns$j),
-           |afs$j AS (SELECT vec_id, v, cid AS cell, s AS score FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY s DESC, cid ASC) AS rn FROM acfs$j) WHERE rn = 1),
-           |sts$j AS (SELECT cell, count(*) AS n,
-           |  sum(CAST(floor(score / sqrt(list_dot_product(v, v))
-           |    * 1048576.0) AS BIGINT)) AS qc
-           |  FROM afs$j GROUP BY cell)""".stripMargin
-      }
       def select(j: Int): String =
         s"""SELECT $j AS subspace, CAST(st.cell AS INTEGER) AS code,
            |  CAST(st.n AS BIGINT) AS n,
@@ -2781,9 +2788,58 @@ object Oracle {
            |  ${f6("c.cv[1]")} AS c0, ${f6("c.cv[2]")} AS c1,
            |  ${f6("c.cv[3]")} AS c2, ${f6("c.cv[4]")} AS c3
            |FROM sts$j st JOIN cent1s$j c ON c.cid = st.cell""".stripMargin
-      s"""WITH ${(0 until 4).map(block).mkString(",\n")}
+      s"""WITH ${(0 until 4).map(pqBlock).mkString(",\n")}
          |${(0 until 4).map(select).mkString("\nUNION ALL\n")}
          |ORDER BY subspace, code""".stripMargin
+    },
+
+    // the ADC query path over the SAME codebooks: afs$j IS the PQ
+    // encoding, lut$j the per-query score table; adc sums the four
+    // lookups in the Spark side's fixed left-assoc order, shortlist
+    // ties break to the smaller id, exact q37 cosine re-ranks
+    "q293_pq_adc_search" -> {
+      def lut(j: Int): String =
+        s"""lut$j AS (SELECT q.vec_id AS query_id, c.cid,
+           |  list_dot_product(q.v, c.cv) AS s
+           |  FROM es$j q, cent1ns$j c WHERE q.vec_id < 5)""".stripMargin
+      s"""WITH ${(0 until 4).map(pqBlock).mkString(",\n")},
+         |e64 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |codes AS (SELECT a0.vec_id, a0.cell AS code0, a1.cell AS code1,
+         |    a2.cell AS code2, a3.cell AS code3
+         |  FROM afs0 a0 JOIN afs1 a1 USING (vec_id)
+         |    JOIN afs2 a2 USING (vec_id) JOIN afs3 a3 USING (vec_id)),
+         |${(0 until 4).map(lut).mkString(",\n")},
+         |adc AS (SELECT l0.query_id, c.vec_id AS neighbor_id,
+         |    ((l0.s + l1.s) + l2.s) + l3.s AS adc
+         |  FROM codes c
+         |  JOIN lut0 l0 ON l0.cid = c.code0
+         |  JOIN lut1 l1 ON l1.query_id = l0.query_id
+         |    AND l1.cid = c.code1
+         |  JOIN lut2 l2 ON l2.query_id = l0.query_id
+         |    AND l2.cid = c.code2
+         |  JOIN lut3 l3 ON l3.query_id = l0.query_id
+         |    AND l3.cid = c.code3
+         |  WHERE l0.query_id <> c.vec_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc DESC, neighbor_id ASC) AS srank
+         |    FROM adc) WHERE srank <= 50),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    list_dot_product(qe.v, ce.v) /
+         |      (sqrt(list_dot_product(qe.v, qe.v))
+         |        * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+         |  FROM short
+         |  JOIN e64 qe ON qe.vec_id = query_id
+         |  JOIN e64 ce ON ce.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
     // Graph.temporalReachRounds' 4 earliest-arrival relaxations as
@@ -5572,7 +5628,8 @@ object Oracle {
 
     // TV distance over token distributions: common-denominator exact
     // integer mass (shared tokens via ONE equi-join, disjoint mass via
-    // the totals identity), ONE terminal division per pair
+    // the totals identity), ONE terminal division per pair; the pair
+    // frame is the full source cross so zero-overlap pairs emit TV=1
     "q269_tv_distance" ->
       s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
          |e AS (SELECT source, unnest(tk) AS tok FROM t),
@@ -5583,8 +5640,10 @@ object Oracle {
          |  FROM cnts GROUP BY 1),
          |cn AS MATERIALIZED (SELECT c.source, c.tok, c.c, t.n
          |  FROM cnts c JOIN tot t ON c.source = t.source),
+         |pairs AS (SELECT ta.source AS src_a, tb.source AS src_b,
+         |    ta.n AS n_a, tb.n AS n_b
+         |  FROM tot ta JOIN tot tb ON ta.source < tb.source),
          |common AS (SELECT a.source AS src_a, b.source AS src_b,
-         |    max(a.n) AS n_a, max(b.n) AS n_b,
          |    sum(a.c) AS ca_common, sum(b.c) AS cb_common,
          |    sum(abs(CAST(a.c AS HUGEINT) * b.n
          |      - CAST(b.c AS HUGEINT) * a.n)) AS s_in
@@ -5593,12 +5652,13 @@ object Oracle {
          |  GROUP BY 1, 2)
          |SELECT src_a, src_b,
          |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-         |  ${f6("""CAST(s_in
-           |      + CAST(n_a - ca_common AS HUGEINT) * n_b
-           |      + CAST(n_b - cb_common AS HUGEINT) * n_a AS DOUBLE)
+         |  ${f6("""CAST(COALESCE(s_in, 0)
+           |      + CAST(n_a - COALESCE(ca_common, 0) AS HUGEINT) * n_b
+           |      + CAST(n_b - COALESCE(cb_common, 0) AS HUGEINT) * n_a
+           |      AS DOUBLE)
            |    / CAST(CAST(2 AS HUGEINT) * n_a * n_b AS DOUBLE)"""
         .stripMargin)} AS tv
-         |FROM common
+         |FROM pairs LEFT JOIN common USING (src_a, src_b)
          |ORDER BY src_a, src_b""".stripMargin,
 
     // DCT-sign hash recomputed from the closed-form channels with the
@@ -6200,8 +6260,9 @@ object Oracle {
          |UNION ALL SELECT * FROM p2h ORDER BY probe""".stripMargin
     },
 
-    // Page's L over the four complete Mon–Sun weeks: doubled within-
-    // week midranks, L2 exact, no-ties closed-form z
+    // Page's L over the COMPLETE Mon–Sun weeks (b derived, not
+    // hardcoded): doubled within-week midranks, L2 exact, no-ties
+    // closed-form z
     "q289_page_trend" ->
       s"""WITH daily AS (
          |  SELECT CAST(ts AS DATE) AS d,
@@ -6213,21 +6274,27 @@ object Oracle {
          |      AS dn
          |  FROM daily WHERE d >= DATE '2024-01-01'
          |    AND d < DATE '2024-01-29'),
-         |cells AS (SELECT x, dn // 7 AS wk, dn % 7 + 1 AS j FROM f),
+         |cells0 AS (SELECT x, dn // 7 AS wk, dn % 7 + 1 AS j FROM f),
+         |complete AS (SELECT wk FROM cells0 GROUP BY wk
+         |  HAVING count(*) = 7),
+         |cells AS (SELECT c.* FROM cells0 c
+         |  JOIN complete USING (wk)),
          |ranked AS (SELECT a.wk, a.j, a.x,
-         |    CAST(2 * sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
-         |      + sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1
+         |    CAST(2 * sum(CASE WHEN bb.x < a.x THEN 1 ELSE 0 END)
+         |      + sum(CASE WHEN bb.x = a.x THEN 1 ELSE 0 END) + 1
          |      AS BIGINT) AS r2
-         |  FROM cells a JOIN cells b ON a.wk = b.wk
+         |  FROM cells a JOIN cells bb ON a.wk = bb.wk
          |  GROUP BY 1, 2, 3),
-         |l AS (SELECT CAST(sum(j * rj2) AS BIGINT) AS l2
-         |  FROM (SELECT j, CAST(sum(r2) AS BIGINT) AS rj2
-         |    FROM ranked GROUP BY j))
+         |l AS (SELECT CAST(sum(j * r2) AS BIGINT) AS l2,
+         |    CAST(count(DISTINCT wk) AS BIGINT) AS nb
+         |  FROM ranked)
          |SELECT l2,
+         |  CASE WHEN nb > 0 THEN
          |  ${f6("""(CAST(l2 AS DOUBLE) / 2.0
-           |    - 4.0 * 7.0 * 8.0 * 8.0 / 4.0)
-           |    / sqrt(4.0 * 49.0 * 8.0 * 48.0 / 144.0)""".stripMargin)}
-         |  AS z
+           |    - CAST(nb AS DOUBLE) * 7.0 * 8.0 * 8.0 / 4.0)
+           |    / sqrt(CAST(nb AS DOUBLE) * 49.0 * 8.0 * 48.0
+           |      / 144.0)""".stripMargin)}
+         |  END AS z
          |FROM l""".stripMargin,
 
     // Jonckheere–Terpstra via the CDF identity (near-unique value key

@@ -846,12 +846,17 @@ object Queries {
       .withColumn("contrib", contrib)
     val slots = terms.map(tm =>
       coalesce(max(when(col("term") === tm, col("contrib"))), lit(0.0)))
-    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-    perTerm.groupBy("doc_id")
+    // top-20 via orderBy().limit() — TakeOrderedAndProject, a per-
+    // partition heap + one 20-row merge, never a global row_number
+    // window funneling every scored doc through one task. The rank
+    // window then runs over the 20 surviving rows only.
+    val top = perTerm.groupBy("doc_id")
       .agg(f6(slots.reduce(_ + _)).as("bm25"),
         count(lit(1)).cast("int").as("n_terms_hit"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("bm25"), col("n_terms_hit"), col("rank"))
       .orderBy("rank")
   }
@@ -1672,9 +1677,12 @@ object Queries {
         struct(col("us"), col("event_id"), col("event_type")))),
         1, 5), x => x.getField("event_type")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    // top-20 as TakeOrderedAndProject (q68's shape), rank derived over
+    // the 20-row survivor set — not a global window over every path.
+    val top = paths.orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
     val w = Window.orderBy(col("n_sessions").desc, col("path").asc)
-    paths.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+    top.withColumn("rank", row_number().over(w))
       .select(col("path"), col("n_sessions"), col("rank"))
       .orderBy("rank")
   }
@@ -2822,10 +2830,12 @@ object Queries {
   }
 
   /** RFM segmentation: per-customer Recency/Frequency/Monetary scores
-    * as quintiles (ntile(5) with total tie orders), composed into a
-    * 3-digit segment code, then segment population counts. The
-    * per-customer aggregate is the only full-data shuffle; the three
-    * quintile windows run over |customers| rows. The classic
+    * as quintiles (exact ntile(5) semantics with total tie orders),
+    * composed into a 3-digit segment code, then segment population
+    * counts. The quintiles come from [[Ranking.globalNtile]] — three
+    * distributed range-partition sorts over |customers| — never an
+    * unpartitioned ntile window (one task holding every customer is
+    * the plan that does not finish at 100×). The classic
     * behavioral-segmentation op, fully deterministic.
     */
   def q142RfmSegments(s: SparkSession, dir: String): DataFrame = {
@@ -2835,12 +2845,10 @@ object Queries {
         count(lit(1)).as("freq"),
         sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
           .cast("long")).as("cents"))
-    def q(c: Column, asc: Boolean) = ntile(5).over(
-      Window.orderBy(if (asc) c.asc else c.desc, col("o_custkey").asc))
-    val scored = per
-      .withColumn("r", q(col("last_od"), asc = false)) // recent = 1
-      .withColumn("f", q(col("freq"), asc = false))    // frequent = 1
-      .withColumn("m", q(col("cents"), asc = false))   // high-spend = 1
+    def q(d: DataFrame, c: Column, tile: String) = Ranking.globalNtile(
+      d, Seq(c.desc, col("o_custkey").asc), 5, tile)
+    val scored = // recent/frequent/high-spend = 1
+      q(q(q(per, col("last_od"), "r"), col("freq"), "f"), col("cents"), "m")
     scored
       .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long")
         .as("segment"))
@@ -2935,19 +2943,21 @@ object Queries {
     * source by a difficulty proxy (length asc, id tiebreak), then
     * round-robin the sources — global position (within_rank, source)
     * — so every training prefix sees all sources in fixed proportion.
-    * Two window ranks, both over bounded partitions; the emitted
-    * curriculum position is a dense global row_number (single ordered
-    * pass at emit, the presentation sort any ordered export pays).
+    * Both ranks are scale-safe: within_rank from [[Ranking.groupRanks]]
+    * (sources are FEW, so a per-source window is one task per source
+    * holding millions of rows — the same funnel as a global window),
+    * position from [[Ranking.globalIndex]] over the tie-free
+    * (within_rank, source, doc_id) key.
     */
   def q146Curriculum(s: SparkSession, dir: String): DataFrame = {
-    val wSrc = Window.partitionBy("source")
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    val wGlobal = Window.orderBy(col("within_rank").asc, col("source").asc,
-      col("doc_id").asc)
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("within_rank", row_number().over(wSrc).cast("long"))
-      .withColumn("position", row_number().over(wGlobal).cast("long"))
+    val ranked = Ranking.groupRanks(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", Seq("n_chars", "doc_id"), "within_rank", "_ng")
+      .drop("_ng")
+    Ranking.globalIndex(ranked,
+        Seq("within_rank", "source", "doc_id"), "_pidx")
+      .withColumn("position", col("_pidx") + lit(1L))
       .select("position", "doc_id", "source", "within_rank")
       .orderBy("position")
   }
@@ -2979,14 +2989,19 @@ object Queries {
     * cross-engine where a float rank correlation wouldn't be.
     */
   def q148EpochDecorrelation(s: SparkSession, dir: String): DataFrame = {
-    def rankFor(seed: Int) = {
-      val h = graft.functions.Hashing.md5Long(
-        concat(lit(s"$seed:"), col("doc_id").cast("string")))
-      row_number().over(Window.orderBy(h, col("doc_id"))).cast("long")
-    }
-    val ranked = t(s, dir, "documents").select(col("doc_id"))
-      .withColumn("r1", rankFor(42))
-      .withColumn("r2", rankFor(43))
+    // epoch ranks via two Ranking.globalIndex range-partition sorts
+    // over the tie-broken (hash, doc_id) keys — never an unpartitioned
+    // row_number window over the whole corpus.
+    def hashFor(seed: Int) = graft.functions.Hashing.md5Long(
+      concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    val hashed = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("_h1", hashFor(42))
+      .withColumn("_h2", hashFor(43))
+    val ranked = Ranking.globalIndex(
+        Ranking.globalIndex(hashed, Seq("_h1", "doc_id"), "_i1"),
+        Seq("_h2", "doc_id"), "_i2")
+      .select(col("doc_id"), (col("_i1") + lit(1L)).as("r1"),
+        (col("_i2") + lit(1L)).as("r2"))
     val m = ranked.agg(count(lit(1)).as("n"),
       sum(col("r1").cast(DecimalType(38, 0))).cast("double").as("sx"),
       sum(col("r2").cast(DecimalType(38, 0))).cast("double").as("sy"),
@@ -3332,17 +3347,18 @@ object Queries {
 
   /** Id-sequence gap detection: ranges missing from the event_id
     * space (the completeness check a CDC/ingest pipeline runs to
-    * prove nothing was dropped). lead() over ONE ordered pass finds
-    * every adjacent pair with a hole; emitted as (gap_start, gap_end)
-    * ranges so a million-id hole is one row, not a million.
+    * prove nothing was dropped). The adjacent-id lead comes from
+    * [[Ranking.leadKey]] — range-bucketed per-bucket lead with
+    * boundary stitching, never an unpartitioned window holding every
+    * id in one task; emitted as (gap_start, gap_end) ranges so a
+    * million-id hole is one row, not a million.
     */
   def q162IdGaps(s: SparkSession, dir: String): DataFrame = {
     // synthesize holes deterministically: drop ids ≡ 0 (mod 97)
     val ids = t(s, dir, "events")
       .filter(col("event_id") % 97 =!= 0)
       .select(col("event_id").as("id"))
-    val w = Window.orderBy("id")
-    ids.withColumn("nxt", lead(col("id"), 1).over(w))
+    Ranking.leadKey(ids, "id", "nxt")
       .filter(col("nxt").isNotNull && col("nxt") - col("id") > 1)
       .select((col("id") + 1).as("gap_start"),
         (col("nxt") - 1).as("gap_end"),
@@ -3364,9 +3380,9 @@ object Queries {
         .groupBy(col("o_custkey"))
         .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
           .cast("long")).as("cents"))
-      per.withColumn("d", ntile(10).over(
-        Window.orderBy(col("cents").desc, col("o_custkey").asc))
-        .cast("long"))
+      // exact ntile(10) semantics without the one-task window (q142)
+      Ranking.globalNtile(per,
+          Seq(col("cents").desc, col("o_custkey").asc), 10, "d")
         .select(col("o_custkey"), col("d"))
     }
     decilesOf(1995).withColumnRenamed("d", "d95")
@@ -6944,7 +6960,11 @@ object Queries {
     * shared-token part from ONE token equi-join (bounded by sources²
     * per token, never all-pairs-of-rows), the disjoint-token mass from
     * the totals identity Σ_{A−B} cA = nA − Σ_common cA — no outer join
-    * needed. ONE terminal division per pair. */
+    * needed. ONE terminal division per pair. The pair FRAME is the
+    * full cross of the (bounded, broadcast) source totals, so a pair
+    * sharing zero tokens still emits its row — at TV exactly 1 — and
+    * the output is a complete distance matrix, not just the
+    * overlapping corner of it. */
   def q269TvDistance(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val tk = t(s, dir, "documents")
@@ -6955,20 +6975,25 @@ object Queries {
       .agg(count(lit(1)).as("c"))
     val tot = cnts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val cn = cnts.join(broadcast(tot), Seq("source"))
+    val pairs = tot.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(tot.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
     val common = cn.as("a")
       .join(cn.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
-        sum(col("a.c")).as("ca_common"),
+      .agg(sum(col("a.c")).as("ca_common"),
         sum(col("b.c")).as("cb_common"),
         sum(abs(col("a.c").cast(dec) * col("b.n") -
           col("b.c").cast(dec) * col("a.n"))).as("s_in"))
-    common.select(col("src_a"), col("src_b"),
+    pairs.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
         col("n_a"), col("n_b"),
-        f6((col("s_in") +
-          (col("n_a") - col("ca_common")).cast(dec) * col("n_b") +
-          (col("n_b") - col("cb_common")).cast(dec) * col("n_a"))
+        f6((coalesce(col("s_in"), lit(0L).cast(dec)) +
+          (col("n_a") - coalesce(col("ca_common"), lit(0L))).cast(dec) *
+            col("n_b") +
+          (col("n_b") - coalesce(col("cb_common"), lit(0L))).cast(dec) *
+            col("n_a"))
           .cast("double") /
           (lit(2L).cast(dec) * col("n_a") * col("n_b")).cast("double"))
           .as("tv"))
@@ -7162,16 +7187,22 @@ object Queries {
     }.min
     val nA = skA.slice(0, width).sum
     val nB = skB.slice(0, width).sum
-    val slack = 3L * nA * nB / width
+    // driver-side BigInt: 3·nA·nB overflows Long once each side passes
+    // ~1.7e9 rows — exactly the 100 TB regime this bound targets. The
+    // comparison itself rides DECIMAL(38,0) so exact+slack can't wrap.
+    val slack = BigInt(3) * BigInt(nA) * BigInt(nB) / width
     val ca = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
     val cb = b.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val upperOk =
+      if (slack >= BigInt(Long.MaxValue)) lit(true)
+      else lit(est).cast(dec) <=
+        col("exact_join_size").cast(dec) + lit(slack.toLong).cast(dec)
     ca.join(cb, Seq("k"))
       .agg(sum(col("ca").cast(dec) * col("cb").cast(dec))
         .cast("long").as("exact_join_size"))
       .select(lit(nA).as("n_left"), lit(nB).as("n_right"),
         col("exact_join_size"),
-        (lit(est) >= col("exact_join_size") &&
-          lit(est) <= col("exact_join_size") + lit(slack))
+        (lit(est) >= col("exact_join_size") && upperOk)
           .as("cm_bound_ok"))
   }
 
@@ -7691,15 +7722,22 @@ object Queries {
     * ordered alternative q240's Kruskal–Wallis ignores. Exact
     * integers end to end; z uses the no-ties closed forms (cents
     * sums never tie on this fixture; the L2 statistic itself is
-    * tie-exact regardless). */
+    * tie-exact regardless). Only COMPLETE 7-day weeks enter, and the
+    * week count b is DERIVED from the surviving frame — a missing
+    * fixture day shrinks b instead of silently misstating z (the
+    * closed forms' k=7 constants are then exact by construction). */
   def q289PageTrend(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyCents(s, dir)
+    val daily0 = dailyCents(s, dir)
       .filter(col("d") >= lit("2024-01-01") && col("d") < lit("2024-01-29"))
       .select(col("d"), col("x"),
         ((unix_date(col("d")) - unix_date(lit("2024-01-01").cast("date")))
           .cast("long")).as("dn"))
       .select(col("x"), expr("dn div 7").as("wk"),
         (col("dn") % 7 + 1).as("j"))
+    val complete = daily0.groupBy(col("wk"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") === 7)
+      .select(col("wk"))
+    val daily = daily0.join(broadcast(complete), Seq("wk"))
     // doubled midrank of x within its week: 2r = 2·below + cnt + 1
     val ranked = daily.as("a")
       .join(daily.as("b"), col("a.wk") === col("b.wk"))
@@ -7709,14 +7747,14 @@ object Queries {
         .otherwise(0L)) +
         sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)) +
         lit(1L)).as("r2"))
-    val l = ranked.groupBy(col("j")).agg(sum(col("r2")).as("rj2"))
-      .agg(sum(col("j") * col("rj2")).as("l2"),
-        count(lit(1)).as("k"))
-    val b = lit(4.0) // complete weeks
+    val l = ranked.agg(sum(col("j") * col("r2")).as("l2"),
+      countDistinct(col("wk")).as("nb"))
+    val b = col("nb").cast("double")
     l.select(col("l2"),
-      f6((col("l2").cast("double") / lit(2.0) -
-        b * lit(7.0) * lit(8.0) * lit(8.0) / lit(4.0)) /
-        sqrt(b * lit(49.0) * lit(8.0) * lit(48.0) / lit(144.0)))
+      when(col("nb") > 0,
+        f6((col("l2").cast("double") / lit(2.0) -
+          b * lit(7.0) * lit(8.0) * lit(8.0) / lit(4.0)) /
+          sqrt(b * lit(49.0) * lit(8.0) * lit(48.0) / lit(144.0))))
         .as("z"))
   }
 
@@ -7839,6 +7877,26 @@ object Queries {
         when(col("sse").cast("double") > 0,
           f6(col("ssd").cast("double") / col("sse").cast("double")))
           .as("dw"))
+  }
+
+  /** IVF-PQ ADC search, ORACLE-PROVEN end to end: the QUERY path the
+    * q184 codebooks exist for. Corpus vectors ENCODE to 4 codes
+    * (nearest codeword per 16-dim subspace — map-only, the index
+    * build); each query computes its 4×8 lookup table once; the ADC
+    * scan scores every candidate with 4 array lookups + 3 adds (the
+    * per-pair float loop is GONE — that collapse is why a PQ scan
+    * survives corpus sizes brute force cannot); the 50-candidate
+    * shortlist re-ranks with exact q37 cosines. DuckDB replays
+    * codebooks (q184's CTE chain), codes, LUTs, ADC sums, and both
+    * top-k cuts bit-for-bit — fixed fold order everywhere. */
+  def q293PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, m = 4, kCodes = 8, rounds = 1, shortlist = 50, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        f6(col("cos")).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   // =======================================================================
@@ -8137,5 +8195,6 @@ object Queries {
     "q290_jonckheere" -> (q290Jonckheere _),
     "q291_concordance" -> (q291Concordance _),
     "q292_durbin_watson" -> (q292DurbinWatson _),
+    "q293_pq_adc_search" -> (q293PqAdcSearch _),
   )
 }

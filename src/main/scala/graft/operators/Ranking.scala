@@ -32,14 +32,71 @@ object Ranking {
     * order of `orderCols` (which must be tie-free). One range-partition
     * sort + the zipWithIndex count job. */
   def globalIndex(df: DataFrame, orderCols: Seq[String],
+      idxCol: String = "gidx"): DataFrame =
+    globalIndexCols(df, orderCols.map(col), idxCol)
+
+  /** [[globalIndex]] with explicit sort expressions (e.g. `.desc`
+    * orders) — the shape the exact-ntile replications need. */
+  def globalIndexCols(df: DataFrame, orderCols: Seq[Column],
       idxCol: String = "gidx"): DataFrame = {
-    val sorted = df.orderBy(orderCols.map(col): _*)
+    val sorted = df.orderBy(orderCols: _*)
     val out = StructType(sorted.schema.fields :+
       StructField(idxCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Appends `tileCol`: exactly the value `ntile(k)` over the global
+    * order of `orderCols` (tie-free) would assign — the first
+    * `n mod k` tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ — WITHOUT the
+    * single-task window an unpartitioned ntile plans. One
+    * [[globalIndexCols]] sort plus a broadcast row count; the tile is
+    * closed-form from the 0-based index (piecewise — `ntile` is NOT
+    * `idx·k div n`, whose tile boundaries drift one row on remainder
+    * tiles; differential-tested against the window in RankingSpec). */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], k: Int,
+      tileCol: String): DataFrame = {
+    val idx = globalIndexCols(df, orderCols, "_nt_idx")
+    val n = idx.agg(count(lit(1)).as("_nt_n"))
+    idx.crossJoin(broadcast(n))
+      .withColumn(tileCol, expr(
+        s"""CASE WHEN _nt_idx < (_nt_n % $k) * (_nt_n DIV $k + 1)
+           | THEN _nt_idx DIV (_nt_n DIV $k + 1) + 1
+           | ELSE (_nt_n % $k) + (_nt_idx - (_nt_n % $k) * (_nt_n DIV $k + 1))
+           |   DIV greatest(_nt_n DIV $k, 1L) + 1
+           | END""".stripMargin.replace('\n', ' ')))
+      .drop("_nt_idx", "_nt_n")
+  }
+
+  /** Appends `nxtCol`: the next-larger `keyCol` (a tie-free BIGINT) in
+    * the global key order — `lead(key) over (order by key)` without
+    * the one-task window. The [[globalCumSum]] scheme: equi-width
+    * range-bucket the key span (broadcast min/max — deterministic, no
+    * sampled boundaries), lead WITHIN each bucket, then stitch each
+    * bucket's last row with the min key of the next non-empty bucket
+    * (a window over the ≤`buckets` per-bucket mins, broadcast back).
+    * The globally-last row keeps a null lead. Same int64 bound as
+    * [[globalCumSum]]: `(hi−lo)·buckets` must fit a long. */
+  def leadKey(df: DataFrame, keyCol: String, nxtCol: String,
+      buckets: Int = 256): DataFrame = {
+    val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    val b = df.crossJoin(broadcast(bounds))
+      .withColumn("_lk_b",
+        expr(s"($keyCol - _lo) * $buckets DIV (_hi - _lo + 1)"))
+      .drop("_lo", "_hi")
+    val w = Window.partitionBy(col("_lk_b")).orderBy(col(keyCol))
+    val led = b.withColumn("_lk_nxt0", lead(col(keyCol), 1).over(w))
+    val mins = b.groupBy(col("_lk_b")).agg(min(col(keyCol)).as("_lk_min"))
+    val wNext = Window.orderBy(col("_lk_b"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val nexts = mins
+      .withColumn("_lk_next", min(col("_lk_min")).over(wNext))
+      .select(col("_lk_b"), col("_lk_next"))
+    led.join(broadcast(nexts), Seq("_lk_b"), "left")
+      .withColumn(nxtCol, coalesce(col("_lk_nxt0"), col("_lk_next")))
+      .drop("_lk_b", "_lk_nxt0", "_lk_next")
   }
 
   /** Appends `rankCol` (contiguous, 1-based, per `groupCol`, ordered by

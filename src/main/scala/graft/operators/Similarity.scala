@@ -380,6 +380,83 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The trained (raw, UN-normalized) centroids of a quantized-Lloyd
+    * run — the model [[kmeansStats]]/[[productQuantizeStats]] report
+    * statistics OF; exposed so an index build can encode against it. */
+  private def trainCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rounds: Int): Seq[Seq[Double]] = {
+    val seeds: Seq[Seq[Double]] = corpus.filter(col(idCol) < k)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (0 until rounds).foldLeft(seeds)((c, _) =>
+      lloydStep(corpus, vecCol, c, k))
+  }
+
+  /** PQ ADC (asymmetric-distance) top-k — the QUERY path of the
+    * IVF-PQ index whose codebooks [[productQuantizeStats]] trains
+    * (same subspace split, same quantized-Lloyd recurrence, same
+    * normalized codewords). Three stages:
+    *
+    *  1. ENCODE (map-only, once per corpus): each vector's m subspace
+    *     slices are assigned their nearest codeword by the same
+    *     argmax-dot rule as the trainer — the vector compresses to m
+    *     small ints (the inverted-file payload; 8 codes × 4 subspaces
+    *     here = 12 bits/vector vs 2048 for the raw floats).
+    *  2. ADC SCAN: each query computes its m×k lookup table ONCE —
+    *     lut_j[c] = dot(q_subspace_j, ĉ_{j,c}) (the per-subspace
+    *     score array the trainer already uses, so the same native
+    *     DotScores expression) — then scoring a corpus vector is m
+    *     array lookups + m−1 adds, NO per-pair float loop: that
+    *     per-pair cost collapse is the entire point of ADC, and why a
+    *     PQ scan survives corpus sizes a brute-force dot cannot.
+    *  3. RE-RANK: the `shortlist` best ADC candidates per query
+    *     (ties → smaller id) get EXACT fixed-fold cosines (the q37
+    *     path) and the top `k` emit.
+    *
+    * Scale shape: encoding is map-only against an m·k·(dim/m)-double
+    * literal; the scan shuffles nothing (queries broadcast); only the
+    * per-query top-`shortlist`/top-`k` windows partition by query_id.
+    * Every double is fold-order-pinned, so an oracle can replay the
+    * codebooks (q184's CTE chain), the codes, the LUTs, and the ADC
+    * sums bit-for-bit. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, kCodes: Int, rounds: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sublen = dim / m
+    def sub(j: Int, c: Column): Column = slice(c, j * sublen + 1, sublen)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val subDf = corpus.select(col(idCol), sub(j, col(vecCol)).as("subv"))
+      trainCentroids(subDf, idCol, "subv", kCodes, rounds).map(normalized)
+    }
+    if (codebooks.exists(_.isEmpty)) // empty corpus → empty top-k
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos"),
+        lit(0).as("rank"))
+    val codeCols = (0 until m).map(j =>
+      cellOf(codebooks(j))(sub(j, col(vecCol))).as(s"code$j"))
+    val encoded = corpus.select(
+      col(idCol).as("neighbor_id") +: col(vecCol).as("nvec") +: codeCols: _*)
+    val lutCols = (0 until m).map(j =>
+      scoreArrCent(codebooks(j))(sub(j, col(vecCol))).as(s"lut$j"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id") +: col(vecCol).as("qvec") +: lutCols: _*))
+    val scored = q.crossJoin(encoded)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", (0 until m).map(j =>
+        element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short.withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with
     * `rounds` Lloyd iterations from deterministic seeds (the k
     * lowest-id vectors — exactly kmeansStats' recurrence, so the q180

@@ -515,4 +515,62 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("registry-wide: no partition-less Window over an unbounded " +
+    "input (the one-task plan that does not finish at 100×)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    // A partition-less Window is tolerable ONLY when its input is
+    // bounded by construction:
+    //  (a) a Limit beneath it (top-k survivor sets, ≤k rows);
+    //  (b) an Aggregate beneath it whose grouping keys span a bounded
+    //      DOMAIN, not a data-scale key space. (b) can't be decided
+    //      structurally, so those queries are allowlisted BY NAME with
+    //      the bounding argument in their scaladoc; adding a query
+    //      here requires that audit. The scale-safe primitives'
+    //      internal windows (Ranking.globalCumSum / leadKey bucket
+    //      offsets — ≤`buckets` rows by construction) are recognized
+    //      structurally via their `_bucket`/`_lk_b` grouping keys.
+    // Audited 2026-08 (round 8): every entry's window input is a
+    // VALUE-DOMAIN aggregate whose cardinality is fixed by the domain,
+    // not the data volume — calendar days (q107 q158 q205 q238 q243
+    // q244 q246 q247 q251 q266 q292; day-PAIR Walsh/slope sets q262
+    // q263 are calendar²), fixed equi-width bin grids (q206 q215 q226
+    // q228), constant replicate/decile/digit/cell domains (q229 q234
+    // q218 q151 q245), and the fixed TPC-H retail-price domain (q115).
+    val boundedDomainAllowlist: Set[String] = Set(
+      "q107_anomaly_days", "q115_skyline", "q151_benford",
+      "q158_wow_report", "q205_cusum_changepoint",
+      "q206_isotonic_calibration", "q215_gini_stump",
+      "q218_vocab_growth", "q226_pr_curve", "q228_average_precision",
+      "q229_resample_stability", "q234_lorenz_curve", "q238_acf",
+      "q243_ljung_box", "q244_cross_corr", "q245_cramers_v",
+      "q246_mase", "q247_pacf", "q251_max_drawdown", "q262_theil_sen",
+      "q263_hodges_lehmann", "q266_ts_decomposition",
+      "q292_durbin_watson")
+    def boundedByConstruction(w: LWindow): Boolean = {
+      val limited =
+        w.child.collectFirst { case _: GlobalLimit => () }.nonEmpty
+      val primitiveInternal = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists(
+          _.references.exists(r =>
+            r.name == "_bucket" || r.name == "_lk_b")) => ()
+      }.nonEmpty
+      limited || primitiveInternal
+    }
+    val offending = Queries.all.toSeq.flatMap { case (name, fn) =>
+      if (boundedDomainAllowlist(name)) None
+      else {
+        val plan: LogicalPlan =
+          fn(spark, dir).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            !boundedByConstruction(w) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }
+    }
+    assert(offending.isEmpty,
+      s"partition-less Window over unbounded input: ${offending.mkString(", ")}")
+  }
 }

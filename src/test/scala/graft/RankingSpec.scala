@@ -63,4 +63,37 @@ class RankingSpec extends SparkSpec {
       assert(got.toSeq === want.toSeq, s"buckets=$buckets")
     }
   }
+
+  test("globalNtile ≡ the ntile window for every k and n, including " +
+    "n < k, n = k, and remainder tiles") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 5, 7, 100, 101, 104); k <- Seq(5, 10)) {
+      val df = (1 to n).map(i => ((i * 7919) % 10007, i))
+        .toDF("key", "id").repartition(7)
+      val got = Ranking.globalNtile(df,
+          Seq(col("key").desc, col("id").asc), k, "tile")
+        .select("id", "tile").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val want = df.withColumn("tile",
+          ntile(k).over(Window.orderBy(col("key").desc, col("id").asc))
+            .cast("long"))
+        .select("id", "tile").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"n=$n k=$k")
+    }
+  }
+
+  test("leadKey ≡ the unpartitioned lead window: bucket boundaries " +
+    "stitch, the last row stays null, sparse buckets skip") {
+    val keys = (1 to 400).map(i => (i * 7919L) % 100003L).distinct
+    val df = keys.map(Tuple1(_)).toDF("k").repartition(13)
+    for (buckets <- Seq(3, 64, 1024)) {
+      val got = Ranking.leadKey(df, "k", "nxt", buckets)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+      val sorted = keys.sorted
+      val want = sorted.zip(sorted.drop(1).map(Some(_)) :+ None)
+      assert(got.toSeq === want, s"buckets=$buckets")
+    }
+  }
 }
