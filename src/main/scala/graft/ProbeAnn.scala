@@ -69,12 +69,20 @@ object ProbeAnn {
       Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 10,
         nlist = 16, nprobe = 4)
     }
+    // the q293 path: PQ-encode, ADC scan, exact re-rank on a shortlist
+    // sized 5·k — recall measures how much the 12-bit code + 50-deep
+    // shortlist loses vs the exact scan
+    val adc = timed("pq-adc") {
+      Similarity.pqAdcTopK(corpus, queries, "vec_id", "embedding",
+        dim = 64, m = 4, kCodes = 8, rounds = 1, shortlist = 50, k = 10)
+    }
 
     def recall(ann: DataFrame): Double =
       brute.select("query_id", "neighbor_id")
         .join(ann.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id")).count().toDouble / (nQ * 10)
-    println(f"[probe] recall@10 lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f")
+    println(f"[probe] recall@10 lsh=${recall(lsh)}%.3f " +
+      f"ivf=${recall(ivf)}%.3f pq-adc=${recall(adc)}%.3f")
 
     // candidate-set sizes: k=MaxValue keeps every scored candidate
     val lshCands = Similarity.lshTopK(corpus, queries, "vec_id",

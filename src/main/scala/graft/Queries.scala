@@ -5433,6 +5433,12 @@ object Queries {
       .groupBy(col("o_orderkey"))
       .agg(max(to_date(col("o_orderdate"))).as("first_d"),
         max(to_date(col("l_shipdate"))).as("last_d"))
+      // lazy local checkpoint: `users` feeds the horizon aggregate AND
+      // the lives projection (and byDay feeds globalCumSum's three
+      // consumers) — without it the orders⋈lineitem shuffle join
+      // re-executes once per consumer and dominates the query. An
+      // |orders|-sized aggregate: exactly what a 100 TB run caches.
+      .localCheckpoint(false)
     val horizon = users.agg(max(col("last_d")).as("h"),
       count(lit(1)).as("n_users"))
     val lives = users.crossJoin(broadcast(horizon))
@@ -6604,6 +6610,12 @@ object Queries {
       .groupBy(col("o_orderkey"))
       .agg(max(to_date(col("o_orderdate"))).as("first_d"),
         max(to_date(col("l_shipdate"))).as("last_d"))
+      // lazy local checkpoint: `users` feeds the horizon aggregate AND
+      // the lives projection (and byDay feeds globalCumSum's three
+      // consumers) — without it the orders⋈lineitem shuffle join
+      // re-executes once per consumer and dominates the query. An
+      // |orders|-sized aggregate: exactly what a 100 TB run caches.
+      .localCheckpoint(false)
     val horizon = users.agg(max(col("last_d")).as("h"),
       count(lit(1)).as("n_users"))
     val lives = users.crossJoin(broadcast(horizon))
@@ -6658,6 +6670,7 @@ object Queries {
         max(to_date(col("l_shipdate"))).as("last_d"),
         max(when(col("o_orderpriority") === "1-URGENT", 1L)
           .otherwise(0L)).as("grp"))
+      .localCheckpoint(false) // the q224/q282 multi-consumer reuse
     val horizon = users.agg(max(col("last_d")).as("h"))
     val lives = users.crossJoin(broadcast(horizon))
       .select(datediff(col("last_d"), col("first_d")).cast("long")
@@ -7447,6 +7460,12 @@ object Queries {
       .groupBy(col("o_orderkey"))
       .agg(max(to_date(col("o_orderdate"))).as("first_d"),
         max(to_date(col("l_shipdate"))).as("last_d"))
+      // lazy local checkpoint: `users` feeds the horizon aggregate AND
+      // the lives projection (and byDay feeds globalCumSum's three
+      // consumers) — without it the orders⋈lineitem shuffle join
+      // re-executes once per consumer and dominates the query. An
+      // |orders|-sized aggregate: exactly what a 100 TB run caches.
+      .localCheckpoint(false)
     val horizon = users.agg(max(col("last_d")).as("h"),
       count(lit(1)).as("n_users"))
     val lives = users.crossJoin(broadcast(horizon))

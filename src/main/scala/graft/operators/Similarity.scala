@@ -388,7 +388,8 @@ object Similarity {
     val seeds: Seq[Seq[Double]] = corpus.filter(col(idCol) < k)
       .orderBy(col(idCol)).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    (0 until rounds).foldLeft(seeds)((c, _) =>
+    if (seeds.isEmpty) Seq.empty // empty corpus → no model to train
+    else (0 until rounds).foldLeft(seeds)((c, _) =>
       lloydStep(corpus, vecCol, c, k))
   }
 

