@@ -65,7 +65,14 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val errored = scala.collection.mutable.Set.empty[String]
-    for (run <- 1 to runs) selected.foreach { case (name, fn) =>
+    // Rerun passes alternate direction: with the wall budget cutting
+    // reruns short, a fixed order would leave the registry's TAIL
+    // permanently single-sampled (the round-7 artifact had q282+ with
+    // no rerun coverage at all). Reverse on even passes so budget
+    // starvation spreads over both ends.
+    for (run <- 1 to runs) {
+      val order = if (run % 2 == 0) selected.toSeq.reverse else selected.toSeq
+      order.foreach { case (name, fn) =>
       if (!errored(name) && (run == 1 || elapsedSec < rerunBudgetSec)) {
         val t0 = System.nanoTime()
         try {
@@ -77,6 +84,7 @@ object Bench {
           errored += name
           timings.remove(name)
         }
+      }
       }
     }
     def jstr(s: String): String =

@@ -4434,11 +4434,17 @@ object Queries {
     * swaps in LSH candidates (q38) without touching the vote logic. */
   def q200LabelNoise(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // norms hoisted per ROW so the n² pair loop pays 1 multiply-add per
+    // element instead of 3 — bit-identical to cosine() (same folds,
+    // same divide; see Similarity.dotNative)
     val corpus = broadcast(emb.select(col("vec_id").as("nid"),
-      col("label").as("nlabel"), col("embedding").as("nvec")))
-    val scored = emb.select(col("vec_id"), col("label"), col("embedding"))
+      col("label").as("nlabel"), col("embedding").as("nvec"),
+      Similarity.norm(col("embedding")).as("nnorm")))
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("qnorm"))
       .join(corpus, col("vec_id") =!= col("nid"))
-      .withColumn("cos", Similarity.cosine(col("embedding"), col("nvec")))
+      .withColumn("cos", Similarity.dotNative(col("embedding"),
+        col("nvec")) / (col("qnorm") * col("nnorm")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nid").asc)
     val knn = scored.withColumn("rank", row_number().over(w))
@@ -6744,12 +6750,18 @@ object Queries {
 
   /** Shared daily-revenue frame: exact cent sums per event day. The
     * day grain makes every downstream self-join day²-bounded — a
-    * model-sized frame regardless of row count (q261's contract). */
+    * model-sized frame regardless of row count (q261's contract).
+    * Lazily checkpointed: the family's self-joins and multi-consumer
+    * shapes (q278 per-weekday pairs, q262/q263 day-pair sets, q289
+    * ranked weeks) otherwise re-aggregate the full events table once
+    * per branch — the calendar-bounded frame is the thing to
+    * materialize, the event scan is the thing to do once. */
   private def dailyCents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum((col("value").cast(DecimalType(18, 2)) * lit(100))
         .cast("long")).as("x"))
+      .localCheckpoint(false)
 
   /** Theil–Sen robust trend slope of daily revenue — the median of all
     * pairwise slopes, the estimator OLS outliers can't drag. Slopes are

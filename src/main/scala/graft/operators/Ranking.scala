@@ -81,8 +81,11 @@ object Ranking {
     * [[globalCumSum]]: `(hi−lo)·buckets` must fit a long. */
   def leadKey(df: DataFrame, keyCol: String, nxtCol: String,
       buckets: Int = 256): DataFrame = {
-    val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
-    val b = df.crossJoin(broadcast(bounds))
+    // lazy checkpoint for the same three-consumer reason as
+    // globalCumSum (bounds, per-bucket lead, per-bucket mins)
+    val d = df.localCheckpoint(false)
+    val bounds = d.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    val b = d.crossJoin(broadcast(bounds))
       .withColumn("_lk_b",
         expr(s"($keyCol - _lo) * $buckets DIV (_hi - _lo + 1)"))
       .drop("_lo", "_hi")
@@ -137,9 +140,16 @@ object Ranking {
     */
   def globalCumSum(df: DataFrame, orderCol: String,
       weightCols: Seq[String], buckets: Int = 256): DataFrame = {
-    val bounds = df.agg(min(col(orderCol)).as("_lo"),
+    // lazy checkpoint: the input feeds the bounds aggregate, the local
+    // running sums, AND the bucket-totals pass — un-checkpointed, a
+    // caller's whole upstream pipeline (often a join + aggregate)
+    // re-executes three times (q290's orders⋈lineitem ran 3× before
+    // this). The input is the collapsed one-row-per-key CDF frame —
+    // the thing to materialize.
+    val d = df.localCheckpoint(false)
+    val bounds = d.agg(min(col(orderCol)).as("_lo"),
       max(col(orderCol)).as("_hi"))
-    val bucketed = df.crossJoin(broadcast(bounds))
+    val bucketed = d.crossJoin(broadcast(bounds))
       .withColumn("_bucket",
         expr(s"($orderCol - _lo) * $buckets DIV (_hi - _lo + 1)"))
       .drop("_lo", "_hi")

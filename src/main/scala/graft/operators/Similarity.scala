@@ -35,6 +35,16 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Native one-accumulator dot product (see [[graft.functions.DotProd]]).
+    * For all-pairs scans: hoist each side's norm to a per-ROW column and
+    * pay only the dot per PAIR — `dotNative(a,b) / (norm(a)·norm(b))` is
+    * bit-identical to [[cosine]] (every fold unchanged). */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.DotProd(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
   /** Cosine similarity — raw double. With a fixed fold order the value is
     * bit-identical in any engine, so it is safe as a ranking key; callers
     * truncate for display/hash stability. Evaluated by the native

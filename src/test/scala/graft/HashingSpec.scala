@@ -76,6 +76,33 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("DotProd with hoisted norms == CosineSim, bit-exact (the q200 " +
+    "all-pairs decomposition: dot/(norm_a·norm_b) reuses every fold)") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val pairs = emb.select($"embedding".as("a"),
+      transform($"embedding", x => x.cast("double") * 1.5).as("b"))
+    val cmp = pairs.select(
+      Similarity.cosine($"a", $"b").as("whole"),
+      (Similarity.dotNative($"a", $"b") /
+        (Similarity.norm($"a") * Similarity.norm($"b"))).as("split"))
+    cmp.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null element / length mismatch null out, matching CosineSim
+    val edge = Seq(1).toDF("x").select(
+      array(lit(1.0f), lit(null).cast("float")).as("withNull"),
+      array(lit(1.0f), lit(2.0f)).as("clean"),
+      array(lit(1.0f)).as("shorter"))
+    val e = edge.select(
+      Similarity.dotNative($"withNull", $"clean").as("n1"),
+      Similarity.dotNative($"clean", $"shorter").as("n2"),
+      Similarity.dotNative($"clean", $"clean").as("ok")).collect().head
+    assert(e.isNullAt(0) && e.isNullAt(1) && e.getDouble(2) === 5.0)
+  }
+
   test("MinHashSignature == higher-order formulation on fixture + edges") {
     import graft.operators.Dedup
     val docs = spark.read
