@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scale probe for q294's incremental near-dup ingestion
+  * (`Dedup.incrementalCandidates`): hold the BATCH fixed (the base
+  * corpus's doc_id ≡ 7 mod 20 slice) while the CORPUS replicates
+  * 1×/5×/25× with ProbeSim's salted token space (replica tokens are
+  * prefixed, so a bigger crawl has proportionally more vocabulary and
+  * replicas share no shingles with the batch).
+  *
+  * The 100 TB claim under test: per-batch cost is the corpus-linear
+  * map-only banding scan plus work ∝ |batch| × collision rate — the
+  * shuffled index rows (corpus rows surviving the touched-bucket
+  * prune) and the candidate pairs should stay ~FLAT as the corpus
+  * grows, because untouched buckets never shuffle. A growing
+  * pruned-row count would mean the probe join degenerates toward the
+  * full self-join and the incremental design is not buying anything.
+  *
+  * Usage: runMain graft.ProbeIncremental [sfDir] [replicasCsv]
+  */
+object ProbeIncremental {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val repsList = args.lift(1).getOrElse("1,5,25")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+      .localCheckpoint(true)
+    val base = docs.filter(col("doc_id") % 20 =!= 7)
+    val nBatch = batch.count()
+
+    for (reps <- repsList) {
+      // replica 0 keeps the ORIGINAL text (so base-corpus near-dups of
+      // the batch survive at every scale); replicas 1.. get salted
+      // vocabularies that cannot collide with the batch's shingles
+      val corpus = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(reps - 1))).as("r"))
+        .select((col("doc_id") * reps + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("r"), col("r").cast("string"), lit("_$1"))))
+            .as("text"))
+        .localCheckpoint(true)
+      val nDocs = corpus.count()
+
+      // index rows surviving the touched-bucket prune — the probe
+      // join's actual shuffle volume (reconstructed from the same
+      // public pieces incrementalCandidates composes)
+      val bNew = Dedup.withMinhashBands(batch, "text", "doc_id")
+      val touched = bNew.select(col("band"), col("bucket")).distinct()
+      val pruned = Dedup.withMinhashBands(corpus, "text", "doc_id")
+        .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+        .count()
+
+      val t0 = System.nanoTime()
+      val pairs = Dedup.incrementalCandidates(corpus, batch,
+        "text", "doc_id").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+
+      println(f"""{"probe":"incremental","reps":$reps,""" +
+        f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
+        f""""pruned_index_rows":$pruned,"pairs":$pairs}""")
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -7930,6 +7930,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental near-dup ingestion, ORACLE-PROVEN: the reference's
+    * watermark-incremental core loop composed with the LSH dedup
+    * family — a 5% batch (doc_id ≡ 7 mod 20) probes the remaining 95%
+    * corpus for near-dup candidates with ZERO corpus×corpus work (see
+    * Dedup.incrementalCandidates: banded batch broadcast-prunes the
+    * corpus index to touched buckets, pairs require a batch member).
+    * DuckDB replays the q29 banding and restricts the full pair set to
+    * batch-touching pairs — the lossless-vs-full-rerun contract,
+    * hash-checked (and differential-tested corpus-wide in
+    * DedupSimilaritySpec). */
+  def q294IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    Dedup.incrementalCandidates(corpus, batch, "text", "doc_id")
+      .orderBy("id_a", "id_b")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8227,5 +8245,6 @@ object Queries {
     "q291_concordance" -> (q291Concordance _),
     "q292_durbin_watson" -> (q292DurbinWatson _),
     "q293_pq_adc_search" -> (q293PqAdcSearch _),
+    "q294_incremental_dedup" -> (q294IncrementalDedup _),
   )
 }

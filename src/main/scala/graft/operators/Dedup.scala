@@ -142,6 +142,59 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Incremental near-dup candidates: pairs between a NEW batch and the
+    * full corpus (old ∪ new) with ZERO old×old work — the per-batch
+    * dedup probe of a watermark-incremental pipeline (the reference's
+    * core ingest loop, ref `pyspark_ingestion` incremental step) at
+    * corpus scale. Both sides band identically ([[withMinhashBands]]);
+    * old banded rows are pruned to the buckets the batch actually
+    * touches (a broadcast semi-join on the batch's bucket keys — the
+    * "index probe": corpus rows in untouched buckets never shuffle),
+    * then the batch joins the surviving rows on (band, bucket). Pairs
+    * canonicalize to (min id, max id) so new×new pairs emit once.
+    *
+    * Exactness contract (DedupSimilaritySpec): equals
+    * [[minhashCandidates]] over old ∪ new restricted to pairs touching
+    * the batch — incremental ingestion loses nothing vs a full rerun.
+    *
+    * Scale shape: per-batch cost ∝ |batch| × collision rate, NOT
+    * |corpus| — the banding map over the old side is the only
+    * corpus-linear work, and in a real deployment that banded table is
+    * the stored index (compute it once at build, here from `oldDocs`
+    * for self-containment). `maxBucketSize` caps combined bucket size
+    * exactly as in [[minhashCandidates]] (hot boilerplate buckets are
+    * near-certain dups — route to exact dedup, don't enumerate). */
+  def incrementalCandidates(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
+      numHashes, bands).localCheckpoint(false) // probe + touched keys
+    val touched = bNew.select(col("band"), col("bucket")).distinct()
+    val bOld = withMinhashBands(oldDocs, textCol, idCol, shingleSize,
+        numHashes, bands)
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val bAll = bOld.unionByName(bNew)
+    val capped =
+      if (maxBucketSize <= 0) bAll
+      else {
+        val sizes = bAll.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bsize"))
+          .where(col("bsize") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        bAll.join(sizes, Seq("band", "bucket"), "left_semi")
+      }
+    val probe = bNew.select(col("band"), col("bucket"),
+      col(idCol).as("id_new"))
+    val build = capped.select(col("band"), col("bucket"),
+      col(idCol).as("id_other"))
+    probe.join(build, Seq("band", "bucket"))
+      .where(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+  }
+
   /** Connected components over near-dup candidate pairs: clusters, not
     * pairs — the form a dedup pass actually consumes (keep one doc per
     * component). Min-label propagation: every node starts labeled with

@@ -295,4 +295,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.semanticDedup(base.limit(0), "vec_id", "vec",
       k = 8, rounds = 1, threshold = 0.9).count() === 0L)
   }
+
+  test("incrementalCandidates == full-corpus candidates restricted to " +
+    "batch-touching pairs (incremental ingestion loses nothing), " +
+    "zero old×old pairs, empty-batch/empty-corpus safe") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 5 === 2)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2)
+    val inc = Dedup.incrementalCandidates(corpus, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc === full)
+    assert(inc.forall(p => batchIds(p._1) || batchIds(p._2)))
+    // the bucket-size cap counts COMBINED (old+new) bucket population,
+    // matching the full-rerun cap exactly
+    val incCap = Dedup.incrementalCandidates(corpus, batch, "text",
+        "doc_id", maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullCap = Dedup.minhashCandidates(docs, "text", "doc_id",
+        maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(incCap === fullCap)
+    assert(Dedup.incrementalCandidates(corpus, batch.limit(0), "text",
+      "doc_id").count() === 0L)
+    assert(Dedup.incrementalCandidates(corpus.limit(0), batch, "text",
+      "doc_id").count() ===
+      Dedup.minhashCandidates(batch, "text", "doc_id").count())
+  }
 }
