@@ -76,13 +76,21 @@ object ProbeAnn {
       Similarity.pqAdcTopK(corpus, queries, "vec_id", "embedding",
         dim = 64, m = 4, kCodes = 8, rounds = 1, shortlist = 50, k = 10)
     }
+    // the q295 composition: cell pruning × code scoring — recall can
+    // only drop vs pq-adc (the probed cells bound the candidate set)
+    val ivfpq = timed("ivf-pq") {
+      Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16, nprobe = 4,
+        shortlist = 50, k = 10)
+    }
 
     def recall(ann: DataFrame): Double =
       brute.select("query_id", "neighbor_id")
         .join(ann.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id")).count().toDouble / (nQ * 10)
     println(f"[probe] recall@10 lsh=${recall(lsh)}%.3f " +
-      f"ivf=${recall(ivf)}%.3f pq-adc=${recall(adc)}%.3f")
+      f"ivf=${recall(ivf)}%.3f pq-adc=${recall(adc)}%.3f " +
+      f"ivf-pq=${recall(ivfpq)}%.3f")
 
     // candidate-set sizes: k=MaxValue keeps every scored candidate
     val lshCands = Similarity.lshTopK(corpus, queries, "vec_id",

@@ -7972,6 +7972,25 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Full IVF-PQ search, ORACLE-PROVEN: the q42 coarse quantizer
+    * restricts WHICH candidates score (4 probed cells of 16 → ~1/4 of
+    * the corpus per query) and the q184/q293 product quantizer
+    * restricts HOW MUCH each costs (4 LUT lookups + 3 adds) — the
+    * composed index a 100 TB ANN serving tier actually builds, with
+    * exact q37 cosines re-ranking the 50-deep shortlist. DuckDB
+    * replays the whole index: coarse Lloyd, cell assignment, probe
+    * sets, PQ codebooks, codes, LUTs, ADC sums, both cuts. */
+  def q295IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16, nprobe = 4,
+        shortlist = 50, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        f6(col("cos")).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8270,5 +8289,6 @@ object Queries {
     "q292_durbin_watson" -> (q292DurbinWatson _),
     "q293_pq_adc_search" -> (q293PqAdcSearch _),
     "q294_incremental_dedup" -> (q294IncrementalDedup _),
+    "q295_ivf_pq_search" -> (q295IvfPqSearch _),
   )
 }

@@ -468,6 +468,72 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Full IVF-PQ search — the composition the two halves exist for:
+    * [[ivfTopK]]'s coarse quantizer restricts WHICH candidates are
+    * scored (each query probes its `nprobe` nearest of `nlist` cells;
+    * the cell equi-join touches ~nprobe/nlist of the corpus) and
+    * [[pqAdcTopK]]'s product quantizer restricts HOW MUCH each
+    * candidate costs (m LUT lookups + m−1 adds — no per-pair float
+    * loop). Same deterministic training recurrences as q42/q184, same
+    * fold-order-pinned doubles, so the whole index — coarse cells, PQ
+    * codes, LUTs, ADC sums, both top-k cuts — replays in an oracle.
+    * Exact cosine re-ranks the `shortlist` ADC survivors.
+    *
+    * Scale shape: everything before the cell join is map-only against
+    * driver-trained literals (nlist·dim + k·dim doubles of model);
+    * the join shuffles candidates only; the per-query windows are the
+    * standard top-k tail. This is the 100 TB ANN serving plan: prune
+    * by cell, scan by code, verify exactly on a constant-size set. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, kCodes: Int, rounds: Int,
+      nlist: Int, nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sublen = dim / m
+    def sub(j: Int, c: Column): Column = slice(c, j * sublen + 1, sublen)
+    val coarse = trainCentroids(corpus, idCol, vecCol, nlist, rounds)
+      .map(normalized)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val subDf = corpus.select(col(idCol), sub(j, col(vecCol)).as("subv"))
+      trainCentroids(subDf, idCol, "subv", kCodes, rounds).map(normalized)
+    }
+    if (coarse.isEmpty || codebooks.exists(_.isEmpty))
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos"),
+        lit(0).as("rank"))
+    val codeCols = (0 until m).map(j =>
+      cellOf(codebooks(j))(sub(j, col(vecCol))).as(s"code$j"))
+    val encoded = corpus.select(
+      Seq(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        cellOf(coarse)(col(vecCol)).as("cell")) ++ codeCols: _*)
+    def probeCellsArr(vec: Column): Column =
+      Expr.let(scoreArrCent(coarse)(vec)) { a =>
+        transform(
+          slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
+            (c, i) => struct((-c).as("negcos"), i.as("idx")))),
+            1, nprobe),
+          s => s.getField("idx"))
+      }
+    val lutCols = (0 until m).map(j =>
+      scoreArrCent(codebooks(j))(sub(j, col(vecCol))).as(s"lut$j"))
+    val q = broadcast(queries.select(
+      Seq(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(probeCellsArr(col(vecCol))).as("cell")) ++ lutCols: _*))
+    val scored = q.join(encoded, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", (0 until m).map(j =>
+        element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short.withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with
     * `rounds` Lloyd iterations from deterministic seeds (the k
     * lowest-id vectors — exactly kmeansStats' recurrence, so the q180

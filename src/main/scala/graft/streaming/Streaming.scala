@@ -457,6 +457,72 @@ object Streaming {
         OutputMode.Update)
   }
 
+  final case class BandedDoc(band: Int, bucket: Long, doc_id: Long)
+  final case class CandidatePair(id_a: Long, id_b: Long)
+
+  /** The LSH bucket INDEX as streaming state — q294's
+    * `Dedup.incrementalCandidates` upgraded from per-batch job to
+    * continuous ingestion: each (band, bucket) key holds the doc ids
+    * ever seen in that bucket (a ListState — RocksDB-backed, the
+    * stored index), and an arriving doc emits one canonical candidate
+    * pair per id already in the bucket (including earlier arrivals of
+    * the same micro-batch) before joining it. Streaming ≡ batch: over
+    * ANY split of a corpus into micro-batches, the distinct emitted
+    * pair set equals `minhashCandidates` over the whole corpus — each
+    * pair surfaces exactly when its later member arrives
+    * (differential in StreamingSpec). State is the banded corpus (one
+    * long per (doc, band)) — identical to what the batch operator's
+    * stored bucket table materializes, aging out with a TTL in a real
+    * deployment. */
+  class BucketIndexProcessor
+      extends StatefulProcessor[(Int, Long), BandedDoc, CandidatePair] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long),
+        rows: Iterator[BandedDoc],
+        timerValues: TimerValues): Iterator[CandidatePair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[Long]
+      seen.get().foreach(existing += _)
+      val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+      val added = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.foreach { r =>
+        (existing.iterator ++ added.iterator).foreach { o =>
+          if (o != r.doc_id)
+            out += CandidatePair(math.min(o, r.doc_id),
+              math.max(o, r.doc_id))
+        }
+        added += r.doc_id
+      }
+      if (added.nonEmpty) seen.appendList(added.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup candidate pairs over a doc stream (see
+    * [[BucketIndexProcessor]]): band with the SAME MinHash/LSH
+    * parameters as the batch family, key by (band, bucket), maintain
+    * the bucket index in state. Downstream consumers dedupe the pair
+    * stream (a pair sharing several buckets emits once per bucket,
+    * exactly like the batch operator before its `distinct`). */
+  def incrementalCandidatesStream(docs: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Dedup
+      .withMinhashBands(docs, textCol, idCol, shingleSize, numHashes,
+        bands)
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.bucket))
+      .transformWithState(new BucketIndexProcessor, TimeMode.None(),
+        OutputMode.Append)
+  }
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTopK(user_id: Long, top: Seq[String])
 

@@ -1122,4 +1122,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L))) // gap split
     assert(got.contains((1L, "2024-01-01 10:35:00.0", 1L))) // timeout close
   }
+
+  test("incrementalCandidatesStream ≡ batch minhashCandidates on the " +
+    "real fixture: the distinct pair set is identical over any " +
+    "micro-batch split, and every pair surfaces when its later " +
+    "member arrives") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id", $"text")
+      val batchPairs = graft.operators.Dedup
+        .minhashCandidates(docs, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rows = docs.as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)]
+      val ds = mem.toDF().toDF("doc_id", "text")
+      val q = Streaming
+        .incrementalCandidatesStream(ds, "text", "doc_id").toDF()
+        .writeStream.format("memory").queryName("incdedup")
+        .outputMode("append").start()
+      // 3 uneven chunks — pairs must form across chunk boundaries
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table("incdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batchPairs,
+        s"missing=${(batchPairs -- streamed).take(3)} " +
+          s"extra=${(streamed -- batchPairs).take(3)}")
+      assert(batchPairs.nonEmpty) // the fixture has near-dups
+    }
+  }
 }
