@@ -145,8 +145,8 @@ object Dedup {
   /** Incremental near-dup candidates: pairs between a NEW batch and the
     * full corpus (old ∪ new) with ZERO old×old work — the per-batch
     * dedup probe of a watermark-incremental pipeline (the reference's
-    * core ingest loop, ref `pyspark_ingestion` incremental step) at
-    * corpus scale. Both sides band identically ([[withMinhashBands]]);
+    * core ingest loop, ref `ingestion/ingestion.py:16-103` — this is
+    * the dedup join that loop would run per batch) at corpus scale. Both sides band identically ([[withMinhashBands]]);
     * old banded rows are pruned to the buckets the batch actually
     * touches (a broadcast semi-join on the batch's bucket keys — the
     * "index probe": corpus rows in untouched buckets never shuffle),
