@@ -7641,14 +7641,14 @@ object Queries {
     val byV = ev.groupBy(col("v"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
-    val cum = Ranking.globalCumSum(byV, "v", Seq("ca", "cb"))
+    val cum = Ranking.leadKey(
+      Ranking.globalCumSum(byV, "v", Seq("ca", "cb")), "v", "nxt")
     val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.orderBy(col("v"))
     val terms = cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         (abs(col("cum_ca").cast(dec) * col("n_b") -
           col("cum_cb").cast(dec) * col("n_a")) *
-          (lead(col("v"), 1).over(w) - col("v")).cast(dec)).as("t"))
+          (col("nxt") - col("v")).cast(dec)).as("t"))
     terms.groupBy(col("n_a"), col("n_b"))
       .agg(sum(col("t")).as("mass")) // last row's null term drops
       .select(col("n_a"), col("n_b"),

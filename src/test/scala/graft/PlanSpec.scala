@@ -544,7 +544,11 @@ class PlanSpec extends SparkSpec {
     // q263 are calendar²), fixed equi-width bin grids (q206 q215 q226
     // q228), constant replicate/decile/digit/cell domains (q229 q234
     // q218 q151 q245), and the fixed TPC-H retail-price domain (q115).
+    // q253's running rank-sum / day index windows run over the joined
+    // one-row-per-DAY frame — calendar domain (surfaced when the
+    // primitive-internal exemption was tightened in round 8).
     val boundedDomainAllowlist: Set[String] = Set(
+      "q253_pettitt",
       "q107_anomaly_days", "q115_skyline", "q151_benford",
       "q158_wow_report", "q205_cusum_changepoint",
       "q206_isotonic_calibration", "q215_gini_stump",
@@ -557,11 +561,26 @@ class PlanSpec extends SparkSpec {
     def boundedByConstruction(w: LWindow): Boolean = {
       val limited =
         w.child.collectFirst { case _: GlobalLimit => () }.nonEmpty
-      val primitiveInternal = w.child.collectFirst {
-        case a: Aggregate if a.groupingExpressions.exists(
+      // the primitive-internal exemption must look only THROUGH
+      // stacked unary nodes at the window's DIRECT input: a bucket
+      // aggregate anywhere deeper in the tree (i.e. a query merely
+      // BUILT ON globalCumSum output) must not exempt a data-scale
+      // window above the join — that hole hid q285's global lead
+      // until round 8
+      @scala.annotation.tailrec
+      def direct(p: LogicalPlan): LogicalPlan = p match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          direct(u.child)
+        case u: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          direct(u.child)
+        case other => other
+      }
+      val primitiveInternal = direct(w.child) match {
+        case a: Aggregate => a.groupingExpressions.exists(
           _.references.exists(r =>
-            r.name == "_bucket" || r.name == "_lk_b")) => ()
-      }.nonEmpty
+            r.name == "_bucket" || r.name == "_lk_b"))
+        case _ => false
+      }
       limited || primitiveInternal
     }
     val offending = Queries.all.toSeq.flatMap { case (name, fn) =>
