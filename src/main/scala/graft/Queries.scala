@@ -7851,11 +7851,16 @@ object Queries {
       col(s"t$j").cast(dec) * inner
     }.reduce(_ + _)
     val j2 = cum.agg(sum(term).as("j2"))
-    val sizes = cells.groupBy(col("g")).agg(sum(col("f")).as("n"))
-      .agg(sum(col("n")).as("nn"),
-        sum(col("n").cast(dec) * col("n")).as("sn2"),
-        sum(col("n").cast(dec) * col("n") * (lit(2L) * col("n") +
-          lit(3L))).as("sn23"))
+    // per-group totals = the MAX cumulative count per group, already
+    // sitting in the checkpoint-backed cum frame — re-aggregating the
+    // cells branch here would re-run the orders⋈lineitem join
+    val nk = (1 to 5).map(k => max(col(s"cum_t$k")).as(s"n$k"))
+    val nkc = (1 to 5).map(k => col(s"n$k"))
+    val sizes = cum.agg(nk.head, nk.tail: _*)
+      .select(nkc.reduce(_ + _).as("nn"),
+        nkc.map(n => n.cast(dec) * n).reduce(_ + _).as("sn2"),
+        nkc.map(n => n.cast(dec) * n * (lit(2L) * n + lit(3L)))
+          .reduce(_ + _).as("sn23"))
     val m = j2.crossJoin(broadcast(sizes))
     val nd = col("nn").cast("double")
     val mean2 = (col("nn").cast(dec) * col("nn") - col("sn2"))
