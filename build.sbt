@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run JVM's stdout/stderr RAW to the console instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which is exactly why the driver's BENCH_r08 tail held a complete JSON
+// line that still failed json.loads ("[info] {\"metric\":...}"). With
+// StdoutOutput the bench line reaches stdout verbatim.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop the "[success] Total time: ..." trailer sbt prints after a task,
+// so the bench's compact JSON line is the literal LAST line of stdout
+// (the driver keeps only the last 2000 chars and parses the last line).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, which the unused-
+// settings lint can't see (its own warning says as much) — exclude it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,6 +8,25 @@ import org.apache.spark.sql.SparkSession
   * nonzero so the driver sees the failure.
   */
 object Bench {
+  /** Single source for the bench timing contract. BenchBudgetSpec derives
+    * its single-pass bound from these instead of keeping a drifting copy
+    * (r8 verdict stretch item): registry growth changes run-1 cost, and
+    * the allowable run-1 cost is what's left of the driver window after
+    * sbt startup, the rerun budget, and straggler slack.
+    */
+  val DefaultRerunBudgetSec = 420
+  /** Observed sbt + JVM + SparkSession spin-up before run 1 starts. */
+  val SbtStartupSec = 120
+  /** Round 6's driver bench ran 1109 s to completion — the window the
+    * driver demonstrably allows. */
+  val DriverWindowSec = 1109
+  /** A heavy query admitted just under the rerun budget runs past it by
+    * its own cost (budget gates starts, not completions). */
+  val StragglerSlackSec = 100
+  /** Max recorded single-pass suite cost that still fits the window. */
+  def SinglePassBudgetSec: Double =
+    (DriverWindowSec - SbtStartupSec - DefaultRerunBudgetSec - StragglerSlackSec).toDouble
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,12 +68,13 @@ object Bench {
     // external timeout (rc=124, ~750s of 3 full runs at 292 queries);
     // the min-of-k estimator is a luxury the artifact can't die for.
     // 420s: run 1 is ~240s at the current registry, leaving ~180s of
-    // rerun coverage for the slowest-to-rerun prefix, and total wall
-    // stays ≤ ~700s — under the >1109s window r06 proved the driver
-    // allows (r06 ran 1109s to completion).
+    // rerun coverage. The budget gates query STARTS, not completions, so
+    // a straggler admitted at 419s can push total wall past 420s by its
+    // own cost (r08 driver wall was 846s with a contended run 1) — still
+    // under the >1109s window r06 proved the driver allows.
     val rerunBudgetSec = sys.props.get("graftBenchBudget")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_BUDGET")).map(_.toInt)
-      .getOrElse(420)
+      .getOrElse(DefaultRerunBudgetSec)
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val only = sys.props.get("graftBenchOnly")
@@ -63,28 +83,38 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(sel => sel.exists(n.startsWith)) }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val runCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val errored = scala.collection.mutable.Set.empty[String]
-    // Rerun passes alternate direction: with the wall budget cutting
-    // reruns short, a fixed order would leave the registry's TAIL
-    // permanently single-sampled (the round-7 artifact had q282+ with
-    // no rerun coverage at all). Reverse on even passes so budget
-    // starvation spreads over both ends.
-    for (run <- 1 to runs) {
-      val order = if (run % 2 == 0) selected.toSeq.reverse else selected.toSeq
-      order.foreach { case (name, fn) =>
-      if (!errored(name) && (run == 1 || elapsedSec < rerunBudgetSec)) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          timings(name) = timings.get(name).fold(sec)(math.min(_, sec))
-        } catch { case e: Throwable =>
-          errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-          errored += name
-          timings.remove(name)
-        }
+    var budgetHit = false
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        timings(name) = timings.get(name).fold(sec)(math.min(_, sec))
+        runCounts(name) = runCounts.getOrElse(name, 0) + 1
+      } catch { case e: Throwable =>
+        errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        errored += name
+        timings.remove(name)
+        runCounts.remove(name)
       }
+    }
+    // Run 1: registry order, always complete — every query gets a timing.
+    selected.foreach { case (name, fn) => timeOne(name, fn) }
+    // Reruns spend the remaining budget SLOWEST-FIRST (r8 verdict item 3):
+    // contention noise is proportional to a query's cost, so the heavies
+    // (q78/q182/q183/... ~105s of run-1 wall) are exactly the queries a
+    // single contended sample misrepresents worst — the driver's r8 run
+    // had q78 at 25.0s vs a 3.5s quiet min. Re-sorting by current min
+    // each pass keeps the budget pointed at whatever still looks slow.
+    for (_ <- 2 to runs) {
+      val order = selected.toSeq.filterNot(e => errored(e._1))
+        .sortBy(e => -timings.getOrElse(e._1, 0.0))
+      order.foreach { case (name, fn) =>
+        if (elapsedSec < rerunBudgetSec) timeOne(name, fn)
+        else budgetHit = true
       }
     }
     def jstr(s: String): String =
@@ -98,17 +128,29 @@ object Bench {
     val errJson = errors.map(jstr).mkString("[", ",", "]")
     val total = timings.values.sum
     val wall = BigDecimal(elapsedSec).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"wall":$wall,"errors":$errJson}"""
+    // Measurement-honesty metadata (r8 verdict item 2): "runs":3 alone
+    // can't distinguish a quiet min-of-3 from a contended single-sample
+    // record where the rerun budget ran out after run 1. run_counts says
+    // how many samples each min actually took; budget_hit says reruns
+    // were cut short.
+    val rcJson = runCounts.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"budget_hit":$budgetHit,"run_counts":$rcJson,"wall":$wall,"errors":$errJson}"""
     // Full-precision, full-name line goes to the file (whole regardless
     // of log buffering) and to stdout FIRST for human log readers.
     println(line)
     // Subset runs (-DgraftBenchOnly) never touch the default artifact:
     // BENCH_LAST.json is the committed full-registry record, and a
     // 1-query iteration run silently clobbering it has happened. An
-    // explicit graftBenchOut still writes wherever it points.
+    // explicit graftBenchOut still writes wherever it points. When the
+    // rerun budget was hit (driver runs under contention routinely are),
+    // the record is partly single-sampled — route it to BENCH_DRIVER.json
+    // so it can't overwrite the committed quiet min-of-3 (the driver's r8
+    // run clobbered BENCH_LAST.json with exactly such numbers).
     val out = sys.props.get("graftBenchOut")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .orElse(if (only.isEmpty) Some("/root/repo/BENCH_LAST.json") else None)
+      .orElse(if (only.nonEmpty) None
+        else if (budgetHit) Some("/root/repo/BENCH_DRIVER.json")
+        else Some("/root/repo/BENCH_LAST.json"))
     out.foreach { p =>
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), line + "\n")
@@ -130,7 +172,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val tv = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       val tail = if (minimal) "" else
-        s""","sf":${jstr(sfDir.split('/').last)},"runs":$runs,"errors":$errJson"""
+        s""","sf":${jstr(sfDir.split('/').last)},"runs":$runs,"budget_hit":$budgetHit,"errors":$errJson"""
       s"""{"metric":"total","value":$tv,"unit":"sec","queries":$cq,"n_ok":${timings.size}$tail}"""
     }
     // four tiers: 2-decimal, 1-decimal, 1-decimal with the minimal

@@ -92,6 +92,24 @@ object ProbeAnn {
       f"ivf=${recall(ivf)}%.3f pq-adc=${recall(adc)}%.3f " +
       f"ivf-pq=${recall(ivfpq)}%.3f")
 
+    // recall-vs-shortlist-depth curve (r8 verdict item 5): a FIXED
+    // depth decays as the corpus grows; the scale-aware depth
+    // (ivfPqShortlist — constant fraction of the candidate volume)
+    // should hold recall at the 0.95 operating point while only the
+    // exact re-rank gets deeper. Wall per depth shows that re-rank
+    // cost directly.
+    val derived = Similarity.ivfPqShortlist(nC, nlist = 16, nprobe = 4,
+      k = 10)
+    for (s <- Seq(50, derived, 2 * derived).distinct.sorted) {
+      val d = timed(f"ivf-pq@$s") {
+        Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+          dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16, nprobe = 4,
+          shortlist = s, k = 10)
+      }
+      val tag = if (s == derived) " (derived)" else ""
+      println(f"[probe] recall@10 ivf-pq shortlist=$s$tag: ${recall(d)}%.3f")
+    }
+
     // candidate-set sizes: k=MaxValue keeps every scored candidate
     val lshCands = Similarity.lshTopK(corpus, queries, "vec_id",
       "embedding", 64, Int.MaxValue, bits = 6, tables = 16).count()

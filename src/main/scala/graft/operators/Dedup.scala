@@ -167,14 +167,79 @@ object Dedup {
   def incrementalCandidates(oldDocs: DataFrame, newDocs: DataFrame,
       textCol: String, idCol: String, shingleSize: Int = 3,
       numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 0): DataFrame =
+    incrementalCandidatesIndexed(
+      withMinhashBands(oldDocs, textCol, idCol, shingleSize, numHashes,
+        bands),
+      newDocs, textCol, idCol, shingleSize, numHashes, bands,
+      maxBucketSize)
+
+  /** [[incrementalCandidates]] against a PRE-BANDED corpus index —
+    * the form a real deployment runs per batch (r8 verdict item 6):
+    * the corpus-linear banding scan happens ONCE at index build
+    * ([[bucketIndex]] → write), not once per batch, so per-batch work
+    * is the batch's own banding plus the collision-bound probe join.
+    * `index` must carry (idCol, band, bucket) rows exactly as
+    * [[withMinhashBands]] emits them (extra columns ignored).
+    * Stored-index ≡ recomputed-index candidates is asserted in
+    * DedupSimilaritySpec. */
+  def incrementalCandidatesIndexed(index: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
       maxBucketSize: Int = 0): DataFrame = {
     val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
       numHashes, bands).localCheckpoint(false) // probe + touched keys
+    incrementalFromBanded(
+      index.select(col(idCol), col("band"), col("bucket")),
+      bNew, idCol, maxBucketSize)
+  }
+
+  /** The banded corpus index as a writable frame: (idCol, band, bucket)
+    * plus `bpart` = bucket mod `parts` — the PARTITION key to store by
+    * (`bucketIndex(docs, ...).write.partitionBy("bpart").parquet(p)`),
+    * so a batch probe reads only the ≤`parts` directory partitions its
+    * buckets land in ([[incrementalCandidatesStored]]) instead of
+    * scanning the whole index. `parts` bounds both the partition count
+    * (a 100 TB corpus index stays at `parts` directories, each
+    * internally splittable) and the probe's driver-side partition list. */
+  def bucketIndex(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      parts: Int = 64): DataFrame =
+    withMinhashBands(docs, textCol, idCol, shingleSize, numHashes, bands)
+      .withColumn("bpart", pmod(col("bucket"), lit(parts)).cast("int"))
+
+  /** Per-batch probe against a STORED [[bucketIndex]]: bands the batch,
+    * collects its touched `bpart` set (bounded by `parts` — a
+    * model-size driver list, not data), and reads the index with that
+    * partition FILTER — untouched directory partitions are pruned at
+    * the file level, so probe I/O tracks the batch's bucket spread,
+    * not the corpus. Same candidate contract as
+    * [[incrementalCandidates]] (asserted in DedupSimilaritySpec). */
+  def incrementalCandidatesStored(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, parts: Int = 64, maxBucketSize: Int = 0): DataFrame = {
+    val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
+      numHashes, bands).localCheckpoint(false)
+    val touchedParts = bNew
+      .select(pmod(col("bucket"), lit(parts)).cast("int").as("bpart"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ parts values
+    val idx = spark.read.parquet(indexPath)
+      .where(col("bpart").isin(touchedParts.map(Int.box): _*))
+      .select(col(idCol), col("band"), col("bucket"))
+    incrementalFromBanded(idx, bNew, idCol, maxBucketSize)
+  }
+
+  /** Shared tail of the incremental paths: prune the (already banded)
+    * corpus side to the batch's touched buckets, cap, and emit
+    * canonicalized candidate pairs. */
+  private def incrementalFromBanded(bOld0: DataFrame, bNew: DataFrame,
+      idCol: String, maxBucketSize: Int): DataFrame = {
     val touched = bNew.select(col("band"), col("bucket")).distinct()
-    val bOld = withMinhashBands(oldDocs, textCol, idCol, shingleSize,
-        numHashes, bands)
+    val bOld = bOld0
       .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
-    val bAll = bOld.unionByName(bNew)
+    val bAll = bOld.unionByName(bNew.select(col(idCol), col("band"),
+      col("bucket")))
     val capped =
       if (maxBucketSize <= 0) bAll
       else {

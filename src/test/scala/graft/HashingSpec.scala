@@ -246,4 +246,55 @@ class HashingSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < (1L << 60)))
     assert(hs.distinct.length === 1000) // no collisions on this sample
   }
+
+  test("PqAdc == element_at chain, bit-exact (the r8 ADC-scan fusion: " +
+    "every q293/q295 ADC sum must be unchanged)") {
+    import graft.operators.Similarity
+    // LUTs from the same DotScores path the real query uses; codes as
+    // deterministic in-range ints derived from the id.
+    val cents0 = (0 until 8).map(i =>
+      (0 until 32).map(j => Similarity.planeComponent(i, j)))
+    val cents1 = (0 until 8).map(i =>
+      (0 until 32).map(j => Similarity.planeComponent(i + 8, j)))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+      .select($"vec_id",
+        slice($"embedding", 1, 32).as("s0"),
+        slice($"embedding", 33, 32).as("s1"))
+    def scores(cents: Seq[Seq[Double]], c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSql.column(graft.functions.DotScores(
+        org.apache.spark.sql.GraftSql.expression(c), cents))
+    val withLuts = emb.select(
+      scores(cents0, $"s0").as("lut0"), scores(cents1, $"s1").as("lut1"),
+      pmod($"vec_id", lit(8)).cast("int").as("code0"),
+      pmod($"vec_id" * 3 + 1, lit(8)).cast("int").as("code1"))
+    val luts = Seq($"lut0", $"lut1"); val codes = Seq($"code0", $"code1")
+    val cmp = withLuts.select(
+      Similarity.adcNative(luts, codes).as("n"),
+      Similarity.adcChain(luts, codes).as("c")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null contract: null lut and null code null the sum like the
+    // chain; an out-of-range code yields NULL (try_element_at
+    // semantics — ANSI element_at would THROW there, but codes are
+    // in-range by construction via cellOf, so the defensive null only
+    // makes PqAdc strictly safer than the chain it replaces)
+    val edge = Seq(1).toDF("x").select(
+      array(lit(1.5), lit(2.5)).as("lut"),
+      lit(null).cast("array<double>").as("nullLut"),
+      lit(0).as("okCode"), lit(null).cast("int").as("nullCode"),
+      lit(7).as("bigCode"))
+    val e = edge.select(
+      Similarity.adcNative(Seq($"nullLut"), Seq($"okCode")).as("a"),
+      Similarity.adcNative(Seq($"lut"), Seq($"nullCode")).as("b"),
+      Similarity.adcNative(Seq($"lut"), Seq($"bigCode")).as("c"),
+      try_element_at($"lut", $"bigCode" + 1).as("cSpec"),
+      Similarity.adcNative(Seq($"lut", $"lut"),
+        Seq($"okCode", lit(1).as("one"))).as("ok")).collect().head
+    assert(e.isNullAt(0) && e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3))
+    assert(e.getDouble(4) === 4.0)
+  }
 }

@@ -490,12 +490,28 @@ class PlanSpec extends SparkSpec {
     val p = plan("q269_tv_distance")
     assert(p.contains("BroadcastHashJoin"), p)
     // the full pair matrix is a cross of the per-source TOTALS — a
-    // frame with one row per source. Assert the nested loop's build
-    // side is that aggregate, not anything row-scale: exactly one
-    // BNLJ, and it sits directly above two per-source HashAggregates.
+    // frame with one row per source. Exactly one BNLJ, and BOTH its
+    // inputs must be aggregates (inspected on the actual plan tree, not
+    // the string — a row-scale cross elsewhere would otherwise pass as
+    // long as it were the only BNLJ). AQE off for the check:
+    // AdaptiveSparkPlanExec is a leaf to collect().
     assert(p.split("BroadcastNestedLoopJoin").length == 2, p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Queries.all("q269_tv_distance")(spark, dir)
+        .queryExecution.executedPlan
+      val bnljs = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnljs.size === 1, exec.toString)
+      def hasAgg(s: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        s.find(_.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.BaseAggregateExec]).nonEmpty
+      assert(bnljs.forall(j => hasAgg(j.left) && hasAgg(j.right)),
+        exec.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q272: grid-density labels propagate on the model-sized CELL " +
