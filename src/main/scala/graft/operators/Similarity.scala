@@ -447,23 +447,64 @@ object Similarity {
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, kCodes: Int, rounds: Int,
       shortlist: Int, k: Int): DataFrame = {
-    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sublen = dim / m
-    def sub(j: Int, c: Column): Column = slice(c, j * sublen + 1, sublen)
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val subDf = corpus.select(col(idCol), sub(j, col(vecCol)).as("subv"))
-      trainCentroids(subDf, idCol, "subv", kCodes, rounds).map(normalized)
-    }
+    val codebooks = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, rounds)
     if (codebooks.exists(_.isEmpty)) // empty corpus → empty top-k
       return queries.limit(0).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0.0).as("cos"),
         lit(0).as("rank"))
+    pqAdcScan(pqEncode(corpus, idCol, vecCol, codebooks), queries,
+      idCol, vecCol, codebooks, shortlist, k)
+  }
+
+  /** PQ codebook training alone — the INDEX-BUILD half of
+    * [[pqAdcTopK]] (identical recurrence: per-subspace quantized-Lloyd
+    * from the k lowest-id seeds, normalized). Split out so a
+    * deployment can train + [[pqEncode]] once and serve many query
+    * batches via [[pqAdcScan]] — the stored-index treatment the dedup
+    * bucket index got; a per-query-batch retrain is pure waste and
+    * made the ADC scan look slower than brute force (its wall was
+    * ~2/3 index build). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, rounds: Int): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sublen = dim / m
+    (0 until m).map { j =>
+      val subDf = corpus.select(col(idCol),
+        slice(col(vecCol), j * sublen + 1, sublen).as("subv"))
+      trainCentroids(subDf, idCol, "subv", kCodes, rounds).map(normalized)
+    }
+  }
+
+  /** Map-only PQ encoding of the corpus against trained codebooks:
+    * (neighbor_id, nvec, code0..code{m-1}) — the frame a deployment
+    * stores as its PQ index (plus nvec for the exact re-rank; a
+    * footprint-minimal variant would store codes only and join vectors
+    * back for the shortlist). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val sublen = codebooks.head.head.size
     val codeCols = (0 until m).map(j =>
-      cellOf(codebooks(j))(sub(j, col(vecCol))).as(s"code$j"))
-    val encoded = corpus.select(
+      cellOf(codebooks(j))(slice(col(vecCol), j * sublen + 1, sublen))
+        .as(s"code$j"))
+    corpus.select(
       col(idCol).as("neighbor_id") +: col(vecCol).as("nvec") +: codeCols: _*)
+  }
+
+  /** The per-query-batch SCAN half of [[pqAdcTopK]]: LUT build
+    * (query-side, m·kCodes dots per query), fused-ADC score of every
+    * encoded row ([[adcNative]]), per-query shortlist cut, exact
+    * cosine re-rank. Bit-identical composition with
+    * [[pqTrain]]/[[pqEncode]] to the monolithic [[pqAdcTopK]]
+    * (same expressions in the same order). */
+  def pqAdcScan(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+      shortlist: Int, k: Int): DataFrame = {
+    val m = codebooks.size
+    val sublen = codebooks.head.head.size
     val lutCols = (0 until m).map(j =>
-      scoreArrCent(codebooks(j))(sub(j, col(vecCol))).as(s"lut$j"))
+      scoreArrCent(codebooks(j))(
+        slice(col(vecCol), j * sublen + 1, sublen)).as(s"lut$j"))
     val q = broadcast(queries.select(
       col(idCol).as("query_id") +: col(vecCol).as("qvec") +: lutCols: _*))
     val scored = q.crossJoin(encoded)
@@ -522,23 +563,53 @@ object Similarity {
       vecCol: String, dim: Int, m: Int, kCodes: Int, rounds: Int,
       nlist: Int, nprobe: Int, shortlist: Int, k: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sublen = dim / m
-    def sub(j: Int, c: Column): Column = slice(c, j * sublen + 1, sublen)
-    val coarse = trainCentroids(corpus, idCol, vecCol, nlist, rounds)
-      .map(normalized)
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val subDf = corpus.select(col(idCol), sub(j, col(vecCol)).as("subv"))
-      trainCentroids(subDf, idCol, "subv", kCodes, rounds).map(normalized)
-    }
+    val coarse = trainCoarse(corpus, idCol, vecCol, nlist, rounds)
+    val codebooks = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, rounds)
     if (coarse.isEmpty || codebooks.exists(_.isEmpty))
       return queries.limit(0).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0.0).as("cos"),
         lit(0).as("rank"))
+    ivfPqScan(ivfPqEncode(corpus, idCol, vecCol, coarse, codebooks),
+      queries, idCol, vecCol, coarse, codebooks, nprobe, shortlist, k)
+  }
+
+  /** The coarse quantizer's trained, NORMALIZED centroids — the
+    * index-build half of [[ivfTopK]]/[[ivfPqTopK]]'s cell structure,
+    * public so a deployment trains once and serves many batches via
+    * [[ivfPqEncode]]/[[ivfPqScan]]. */
+  def trainCoarse(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, rounds: Int): Seq[Seq[Double]] =
+    trainCentroids(corpus, idCol, vecCol, nlist, rounds).map(normalized)
+
+  /** Map-only IVF-PQ encoding: [[pqEncode]]'s frame plus the coarse
+    * `cell` assignment — the stored serving index of [[ivfPqTopK]]
+    * (write partitioned/bucketed by `cell` and the per-query cell join
+    * prunes at the file level, the [[graft.operators.Dedup.bucketIndex]]
+    * treatment). */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val sublen = codebooks.head.head.size
     val codeCols = (0 until m).map(j =>
-      cellOf(codebooks(j))(sub(j, col(vecCol))).as(s"code$j"))
-    val encoded = corpus.select(
+      cellOf(codebooks(j))(slice(col(vecCol), j * sublen + 1, sublen))
+        .as(s"code$j"))
+    corpus.select(
       Seq(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
         cellOf(coarse)(col(vecCol)).as("cell")) ++ codeCols: _*)
+  }
+
+  /** The per-query-batch half of [[ivfPqTopK]] against a pre-built
+    * [[ivfPqEncode]] index: probe-cell expansion, cell equi-join,
+    * fused-ADC score, shortlist cut, exact re-rank — bit-identical
+    * composition to the monolith (asserted in DedupSimilaritySpec). */
+  def ivfPqScan(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], nprobe: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val m = codebooks.size
+    val sublen = codebooks.head.head.size
+    val nlist = coarse.size
     def probeCellsArr(vec: Column): Column =
       Expr.let(scoreArrCent(coarse)(vec)) { a =>
         transform(
@@ -548,7 +619,8 @@ object Similarity {
           s => s.getField("idx"))
       }
     val lutCols = (0 until m).map(j =>
-      scoreArrCent(codebooks(j))(sub(j, col(vecCol))).as(s"lut$j"))
+      scoreArrCent(codebooks(j))(
+        slice(col(vecCol), j * sublen + 1, sublen)).as(s"lut$j"))
     val q = broadcast(queries.select(
       Seq(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         explode(probeCellsArr(col(vecCol))).as("cell")) ++ lutCols: _*))

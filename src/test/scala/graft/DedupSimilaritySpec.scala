@@ -329,6 +329,44 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.minhashCandidates(batch, "text", "doc_id").count())
   }
 
+  test("pqTrain + pqEncode + pqAdcScan == monolithic pqAdcTopK " +
+    "(the stored-PQ-index split changes nothing, row for row)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val mono = Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1)
+    val split = Similarity.pqAdcScan(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books),
+      queries, "vec_id", "embedding", books, shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(mono === split)
+    assert(mono.nonEmpty)
+    // same contract for the composed serving index: coarse + PQ halves
+    // trained once, ivfPqEncode stored, ivfPqScan per batch
+    val ivfMono = Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8,
+      nprobe = 3, shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val coarse = Similarity.trainCoarse(emb, "vec_id", "embedding",
+      nlist = 8, rounds = 1)
+    val ivfSplit = Similarity.ivfPqScan(
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", coarse, books),
+      queries, "vec_id", "embedding", coarse, books, nprobe = 3,
+      shortlist = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(ivfMono === ivfSplit)
+    assert(ivfMono.nonEmpty)
+  }
+
   test("stored bucket index ≡ recomputed index: incrementalCandidates" +
     "Stored (partition-pruned parquet probe) and ...Indexed emit " +
     "EXACTLY the recompute path's candidates, incl. under the cap") {
