@@ -189,7 +189,7 @@ object Bench {
       }
       val tv = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       def line(kept: Seq[String]): String =
-        s"""{"metric":"total","value":$tv,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_ok":${timings.size},"omitted":${entries.size - kept.size}}"""
+        s"""{"metric":"total","value":$tv,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_ok":${timings.size},"budget_hit":$budgetHit,"omitted":${entries.size - kept.size}}"""
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
       for (e <- entries if line(kept.toSeq :+ e).length <= budget) kept += e
       line(kept.toSeq)
