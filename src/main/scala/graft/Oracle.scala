@@ -6499,5 +6499,190 @@ object Oracle {
          |    ${f6("CAST(ssd AS DOUBLE) / CAST(sse AS DOUBLE)")}
          |  END AS dw
          |FROM agg""".stripMargin,
+
+    "q296_minhash_calibration" -> {
+      val eq16 = (1 to 16).map(i =>
+        s"CASE WHEN sa.sg[$i] = sb.sg[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s3 AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |ex AS (SELECT doc_id AS jid, unnest(list_distinct(sh)) AS sh FROM s3),
+         |sizes AS (SELECT jid, count(*) AS set_size FROM ex GROUP BY jid),
+         |h3 AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s3),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h3),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter_size
+         |  FROM pairs
+         |  JOIN ex sa ON sa.jid = pairs.id_a
+         |  JOIN ex sb ON sb.jid = pairs.id_b AND sb.sh = sa.sh
+         |  GROUP BY id_a, id_b),
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(inter_size AS DOUBLE) /
+         |    CAST(size_a + size_b - inter_size AS DOUBLE) AS jaccard
+         |  FROM inter
+         |  JOIN (SELECT jid AS id_a, set_size AS size_a FROM sizes) USING (id_a)
+         |  JOIN (SELECT jid AS id_b, set_size AS size_b FROM sizes) USING (id_b)),
+         |est AS (SELECT j.id_a, j.id_b, j.jaccard,
+         |  CAST($eq16 AS DOUBLE) / 16.0 AS est
+         |  FROM jac j JOIN sig sa ON sa.doc_id = j.id_a
+         |  JOIN sig sb ON sb.doc_id = j.id_b)
+         |SELECT id_a, id_b, ${f6("est")} AS est_jaccard,
+         |  ${f6("jaccard")} AS jaccard,
+         |  ${f6("abs(est - jaccard)")} AS abs_err
+         |FROM est ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q297_packing_efficiency" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT lang, doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS tok_off FROM d),
+         |s AS (SELECT lang, n_tokens,
+         |  CASE WHEN n_tokens > 0 AND tok_off // 2048 <>
+         |    (tok_off + n_tokens - 1) // 2048 THEN 1 ELSE 0 END AS straddle
+         |  FROM o),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(straddle) AS BIGINT) AS n_straddlers
+         |  FROM s GROUP BY lang)
+         |SELECT lang, n_docs, total_tokens,
+         |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_seqs,
+         |  CAST(((total_tokens + 2047) // 2048) * 2048 - total_tokens
+         |    AS BIGINT) AS waste_tokens,
+         |  ${f6("CAST(total_tokens AS DOUBLE) / CAST(((total_tokens + 2047) // 2048) * 2048 AS DOUBLE)")} AS fill_rate,
+         |  n_straddlers
+         |FROM g ORDER BY lang""".stripMargin,
+
+    "q298_ndcg_quality" -> {
+      // the SAME discount doubles the Spark query embeds (shortest-repr
+      // round-trip preserves the bits), so the irrational 1/log2(i+1)
+      // cannot drift between engines — the DctBasis pattern
+      val discVals = Queries.ndcgDiscounts.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+      val fx = "1099511627776.0" // 2^40
+      s"""WITH base AS (SELECT source, doc_id, n_chars,
+         |  CAST(length(text) AS DOUBLE) AS nchars,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nwords
+         |  FROM documents),
+         |q AS (SELECT source, doc_id,
+         |  floor((least(1.0, nwords / 20.0) * (nalpha / nchars)) * 1000000)
+         |    / 1000000.0 AS quality_score,
+         |  CASE WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 200 THEN 2
+         |    WHEN n_chars >= 100 THEN 1 ELSE 0 END AS rel
+         |  FROM base),
+         |g AS (SELECT source, doc_id, quality_score, rel,
+         |  CASE WHEN rel = 3 THEN 7 WHEN rel = 2 THEN 3
+         |    WHEN rel = 1 THEN 1 ELSE 0 END AS gain FROM q),
+         |r AS (SELECT source, gain,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY quality_score DESC, doc_id ASC) AS r_sys,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY rel DESC, doc_id ASC) AS r_ideal
+         |  FROM g),
+         |disc(i, d) AS (VALUES $discVals),
+         |terms AS (SELECT r.source,
+         |  CASE WHEN r_sys <= 10 THEN CAST(floor(
+         |    CAST(gain AS DOUBLE) * dsys.d * $fx) AS BIGINT)
+         |    ELSE 0 END AS dterm,
+         |  CASE WHEN r_ideal <= 10 THEN CAST(floor(
+         |    CAST(gain AS DOUBLE) * dideal.d * $fx) AS BIGINT)
+         |    ELSE 0 END AS iterm
+         |  FROM r
+         |  LEFT JOIN disc dsys ON dsys.i = r.r_sys
+         |  LEFT JOIN disc dideal ON dideal.i = r.r_ideal),
+         |a AS (SELECT source, CAST(sum(dterm) AS BIGINT) AS dcg_fixed,
+         |  CAST(sum(iterm) AS BIGINT) AS idcg_fixed
+         |  FROM terms GROUP BY source)
+         |SELECT source,
+         |  ${f6(s"CAST(dcg_fixed AS DOUBLE) / $fx")} AS dcg10,
+         |  ${f6(s"CAST(idcg_fixed AS DOUBLE) / $fx")} AS idcg10,
+         |  CASE WHEN idcg_fixed > 0
+         |    THEN ${f6("CAST(dcg_fixed AS DOUBLE) / CAST(idcg_fixed AS DOUBLE)")}
+         |  END AS ndcg10
+         |FROM a ORDER BY source""".stripMargin
+    },
+
+    "q299_krippendorff_alpha" ->
+      s"""WITH ratings AS (SELECT event_id // 5 AS item,
+         |  event_type AS label FROM events),
+         |oic AS (SELECT item, label, CAST(count(*) AS BIGINT) AS o
+         |  FROM ratings GROUP BY item, label),
+         |m AS (SELECT item, CAST(sum(o) AS BIGINT) AS m FROM oic
+         |  GROUP BY item),
+         |wm AS (SELECT oic.item, oic.label, oic.o, m.m
+         |  FROM oic JOIN m USING (item) WHERE m.m >= 2),
+         |s12 AS (SELECT CAST(sum(o * (m - o) * (12 // (m - 1)))
+         |    AS BIGINT) AS s12,
+         |  CAST(sum(o) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM wm),
+         |nc AS (SELECT label, CAST(sum(o) AS BIGINT) AS n_c FROM wm
+         |  GROUP BY label),
+         |de AS (SELECT CAST(sum(n_c * (s12.n - n_c)) AS BIGINT)
+         |  AS de_num FROM nc, s12)
+         |SELECT n_items, n AS n_ratings,
+         |  ${f6("1.0 - CAST(s12 * (n - 1) AS DOUBLE) / CAST(12 * de_num AS DOUBLE)")} AS alpha
+         |FROM s12, de""".stripMargin,
+
+    "q300_lsh_tuning_curve" -> {
+      // one banding/bucket/pair chain per band count over the SAME
+      // 16-slot signatures; the exact side reuses the q31 shingle join
+      // restricted to each config's candidates
+      def cfg(b: Int): String = {
+        val rows = 16 / b
+        val slots = (1 to rows).map(k => s"sg[band*$rows+$k]")
+          .mkString(", ")
+        s"""banded$b AS (SELECT doc_id,
+           |  unnest([${(0 until b).mkString(", ")}]) AS band, sg FROM sig),
+           |buckets$b AS (SELECT doc_id, band,
+           |  ${md5Long(s"array_to_string([$slots], '_')")} AS bucket
+           |  FROM banded$b),
+           |pairs$b AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM buckets$b x JOIN buckets$b y
+           |  ON x.band = y.band AND x.bucket = y.bucket
+           |    AND x.doc_id < y.doc_id),
+           |inter$b AS (SELECT id_a, id_b, count(*) AS inter_size
+           |  FROM pairs$b
+           |  JOIN ex sa ON sa.jid = pairs$b.id_a
+           |  JOIN ex sb ON sb.jid = pairs$b.id_b AND sb.sh = sa.sh
+           |  GROUP BY id_a, id_b),
+           |jac$b AS (SELECT id_a, id_b,
+           |  CAST(inter_size AS DOUBLE) /
+           |    CAST(size_a + size_b - inter_size AS DOUBLE) AS jaccard
+           |  FROM inter$b
+           |  JOIN (SELECT jid AS id_a, set_size AS size_a FROM sizes)
+           |    USING (id_a)
+           |  JOIN (SELECT jid AS id_b, set_size AS size_b FROM sizes)
+           |    USING (id_b)),
+           |rep$b AS (SELECT $b AS bands, $rows AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs$b)
+           |    AS n_candidates,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN jaccard >= 0.4
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM jac$b)
+           |    AS n_high_sim)""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s3 AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |ex AS (SELECT doc_id AS jid, unnest(list_distinct(sh)) AS sh FROM s3),
+         |sizes AS (SELECT jid, count(*) AS set_size FROM ex GROUP BY jid),
+         |h3 AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s3),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h3),
+         |${Seq(2, 4, 8).map(cfg).mkString(",\n")},
+         |rep AS (SELECT * FROM rep2 UNION ALL SELECT * FROM rep4
+         |  UNION ALL SELECT * FROM rep8)
+         |SELECT bands, rows_per_band, n_candidates, n_high_sim,
+         |  CASE WHEN n_candidates > 0 THEN
+         |    ${f6("CAST(n_high_sim AS DOUBLE) / CAST(n_candidates AS DOUBLE)")}
+         |  END AS precision
+         |FROM rep ORDER BY bands""".stripMargin
+    },
   )
 }

@@ -7996,6 +7996,208 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** MinHash-estimator calibration: for every LSH candidate pair, the
+    * signature-agreement estimate of 3-shingle Jaccard (share of equal
+    * slots across the 16-slot signatures — the unbiased MinHash
+    * estimator) NEXT TO the exact set Jaccard, with absolute error.
+    * The report a pipeline runs before trusting an LSH dedup threshold
+    * at 100 TB: it shows directly how much estimator variance 16
+    * hashes leave at the operating threshold (more hashes → tighter,
+    * at linear signature cost). Candidates and signatures reuse the
+    * q28/q29 machinery; the exact side is the q31 distinct-shingle
+    * equi-join at the SAME n=3 the signatures hash, so estimate and
+    * truth live on the same set space.
+    *
+    * Scale shape: candidates are collision-bound (never all-pairs);
+    * the exact-Jaccard join is per-shingle equi (shuffles candidate
+    * shingles only); the estimate is a per-pair map over two 16-slot
+    * arrays. */
+  def q296MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val exact = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+    exact
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / lit(16.0))
+      .select(col("id_a"), col("id_b"), f6(col("est")).as("est_jaccard"),
+        f6(col("jaccard")).as("jaccard"),
+        f6(abs(col("est") - col("jaccard"))).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Sequence-packing efficiency report per language for the q92
+    * contiguous-concat packing at B=2048: sequences allocated
+    * (⌈total/B⌉), tokens wasted (only the LAST sequence is non-full
+    * under contiguous packing), fill rate, and how many documents
+    * straddle a sequence boundary (and so pay an attention-mask
+    * split) — the numbers that decide between contiguous packing and
+    * best-fit at training time. Integer DIV arithmetic throughout
+    * (q92's floor(double) drifts past 2^53 token offsets; DIV never
+    * does); one f6 division at emit.
+    *
+    * Scale shape: the per-language offset window is the q92 shape
+    * (partitioned by lang), then one map-side-combinable aggregate. */
+  def q297PackingEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val b = 2048L
+    val docs = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tok_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("straddle",
+        when(col("n_tokens") > 0 &&
+          expr(s"tok_off DIV $b") =!=
+          expr(s"(tok_off + n_tokens - 1) DIV $b"), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("straddle")).as("n_straddlers"))
+      .withColumn("n_seqs", expr(s"(total_tokens + ${b - 1}) DIV $b"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"),
+        (col("n_seqs") * b - col("total_tokens")).as("waste_tokens"),
+        f6(col("total_tokens").cast("double") /
+          (col("n_seqs") * b).cast("double")).as("fill_rate"),
+        col("n_straddlers"))
+      .orderBy("lang")
+  }
+
+  /** Shared nDCG@10 discount table 1/log2(i+1), i = 1..10 — computed
+    * ONCE here and embedded verbatim into the oracle SQL (the DctBasis
+    * pattern), so the irrational discounts cannot drift between
+    * engines. */
+  private[graft] val ndcgDiscounts: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** nDCG@10 of the quality-score ranking per source, with graded
+    * relevance from length bands — the standard retrieval/eval metric
+    * missing from the q211/q212/q223/q226/q228 eval family. DCG terms
+    * are made ORDER-INDEPENDENT exactly: each (2^rel − 1)·disc(rank)
+    * term is quantized to 2^-40 fixed point (gain·disc is a
+    * bit-identical double product in both engines; ·2^40 is exact;
+    * floor is exact) and summed as exact longs — the q93 fixed-point
+    * trick, so no double fold order exists to pin. One division at
+    * the end; sources whose top-10 ideal gain is zero emit NULL.
+    *
+    * Scale shape: two per-source top-10 windows (partitioned by
+    * source) + one aggregate; the discount table is a 10-double
+    * literal. */
+  def q298NdcgQuality(s: SparkSession, dir: String): DataFrame = {
+    val discLit = typedLit(ndcgDiscounts)
+    val docs = TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+      .select(col("source"), col("doc_id"), col("quality_score"),
+        when(col("n_chars") >= 300, 3L)
+          .when(col("n_chars") >= 200, 2L)
+          .when(col("n_chars") >= 100, 1L).otherwise(0L).as("rel"))
+      .withColumn("gain", when(col("rel") === 3, 7L)
+        .when(col("rel") === 2, 3L).when(col("rel") === 1, 1L)
+        .otherwise(0L))
+    val wSys = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val wIdeal = Window.partitionBy(col("source"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val ranked = docs
+      .withColumn("r_sys", row_number().over(wSys))
+      .withColumn("r_ideal", row_number().over(wIdeal))
+    def fixedTerm(rankCol: Column): Column =
+      floor(col("gain").cast("double") *
+        element_at(discLit, rankCol.cast("int")) * lit(1L << 40))
+        .cast("long")
+    ranked.groupBy(col("source"))
+      .agg(
+        sum(when(col("r_sys") <= 10, fixedTerm(col("r_sys")))
+          .otherwise(0L)).as("dcg_fixed"),
+        sum(when(col("r_ideal") <= 10, fixedTerm(col("r_ideal")))
+          .otherwise(0L)).as("idcg_fixed"))
+      .select(col("source"),
+        f6(col("dcg_fixed").cast("double") / lit((1L << 40).toDouble))
+          .as("dcg10"),
+        f6(col("idcg_fixed").cast("double") / lit((1L << 40).toDouble))
+          .as("idcg10"),
+        when(col("idcg_fixed") > 0,
+          f6(col("dcg_fixed").cast("double") /
+            col("idcg_fixed").cast("double"))).as("ndcg10"))
+      .orderBy("source")
+  }
+
+  /** Krippendorff's alpha (nominal) over a deterministic rater×item
+    * frame from events (item = event_id DIV 5, rater = event_id mod 5,
+    * label = event_type) — the missing-data-tolerant sibling of q141's
+    * Cohen's kappa (kappa needs exactly two raters rating everything;
+    * alpha handles any rater count per item, which is what real
+    * labeling pipelines produce). EXACT arithmetic: the per-item
+    * disagreement Σ_c o_ic(m_i−o_ic)/(m_i−1) is made integral by
+    * scaling with 12 = lcm(1,2,3,4) (m_i ≤ 5 ⇒ m_i−1 divides 12), so
+    * both the observed and expected sums are exact longs and
+    * α = 1 − S12·(n−1)/(12·Σ_c n_c(n−n_c)) is ONE division at emit.
+    *
+    * Scale shape: two map-side-combinable aggregates ((item,label) →
+    * item → scalars) plus a label-marginal aggregate — no windows, no
+    * joins beyond a 1-row broadcast. */
+  def q299KrippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    val ratings = t(s, dir, "events")
+      .select(expr("event_id DIV 5").as("item"),
+        (col("event_id") % 5).as("rater"), col("event_type").as("label"))
+    val oic = ratings.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("o"))
+    val withM = oic.join(
+      oic.groupBy(col("item")).agg(sum(col("o")).as("m")), Seq("item"))
+      .filter(col("m") >= 2)
+    val s12 = withM
+      .agg(sum(col("o") * (col("m") - col("o")) * (lit(12L) / (col("m") - 1))
+        .cast("long")).as("s12"),
+        sum(col("o")).as("n"),
+        countDistinct(col("item")).as("n_items"))
+    val nc = withM.groupBy(col("label")).agg(sum(col("o")).as("n_c"))
+    val de = nc.crossJoin(broadcast(s12.select(col("n"))))
+      .agg(sum(col("n_c") * (col("n") - col("n_c"))).as("de_num"))
+    s12.crossJoin(broadcast(de))
+      .select(col("n_items"), col("n").as("n_ratings"),
+        f6(lit(1.0) - (col("s12") * (col("n") - 1)).cast("double") /
+          (lit(12L) * col("de_num")).cast("double")).as("alpha"))
+  }
+
+  /** LSH band-tuning curve: the SAME 16-slot MinHash signatures banded
+    * as 2×8 / 4×4 / 8×2 (bands × rows-per-band), reporting per config
+    * the candidate-pair volume, how many candidates are high-similarity
+    * (exact 3-shingle Jaccard ≥ 0.4), and the implied precision — the
+    * S-curve knob that decides an LSH dedup's shuffle volume at 100 TB
+    * (more bands → higher recall, quadratically more candidate pairs;
+    * this report prices that trade on the actual corpus). Candidates
+    * reuse q29's machinery at each band count; the exact side is the
+    * q31 distinct-shingle join restricted to each config's candidates.
+    *
+    * Scale shape: per config, one banding map + collision-bound bucket
+    * join + per-shingle equi-join; three configs union into a 3-row
+    * report. */
+  def q300LshTuningCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Seq(2, 4, 8).map { b =>
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = b)
+      val jac = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
+      pairs.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(jac.agg(
+          sum(when(col("jaccard") >= 0.4, 1L).otherwise(0L))
+            .as("n_high_sim")))
+        .select(lit(b).as("bands"), lit(16 / b).as("rows_per_band"),
+          col("n_candidates"),
+          coalesce(col("n_high_sim"), lit(0L)).as("n_high_sim"),
+          when(col("n_candidates") > 0,
+            f6(coalesce(col("n_high_sim"), lit(0L)).cast("double") /
+              col("n_candidates").cast("double"))).as("precision"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8295,5 +8497,10 @@ object Queries {
     "q293_pq_adc_search" -> (q293PqAdcSearch _),
     "q294_incremental_dedup" -> (q294IncrementalDedup _),
     "q295_ivf_pq_search" -> (q295IvfPqSearch _),
+    "q296_minhash_calibration" -> (q296MinhashCalibration _),
+    "q297_packing_efficiency" -> (q297PackingEfficiency _),
+    "q298_ndcg_quality" -> (q298NdcgQuality _),
+    "q299_krippendorff_alpha" -> (q299KrippendorffAlpha _),
+    "q300_lsh_tuning_curve" -> (q300LshTuningCurve _),
   )
 }
