@@ -514,6 +514,44 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q296/q300: calibration + tuning-curve candidate joins are " +
+    "equi (bucket/shingle keys) — no row-scale cartesian; the only " +
+    "nested loops are 1-row scalar combines") {
+    val p296 = plan("q296_minhash_calibration")
+    assert(!p296.contains("CartesianProduct"), p296)
+    assert(!p296.contains("BroadcastNestedLoopJoin"), p296)
+    val p300 = plan("q300_lsh_tuning_curve")
+    assert(!p300.contains("CartesianProduct"), p300)
+    // per config, ONE count×high-sim scalar combine (1-row × 1-row)
+    assert(p300.split("BroadcastNestedLoopJoin").length - 1 === 3, p300)
+  }
+
+  test("q297: packing report keeps partial aggregation above the " +
+    "per-language offset window; no nested loop anywhere") {
+    val p = plan("q297_packing_efficiency")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q298: nDCG windows partition by source (never one task) and " +
+    "the fixed-point sums combine map-side") {
+    val p = plan("q298_ndcg_quality")
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q299: alpha is aggregates + 1-row broadcast combines — " +
+    "map-side partials, no data-scale join") {
+    val p = plan("q299_krippendorff_alpha")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the two scalar combines (s12×de, ×n) are 1-row nested loops
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
+  }
+
   test("q272: grid-density labels propagate on the model-sized CELL " +
     "frame — the only data-scale work is the first per-order " +
     "aggregate (map-side combined)") {
