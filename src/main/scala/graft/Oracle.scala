@@ -6684,5 +6684,42 @@ object Oracle {
          |  END AS precision
          |FROM rep ORDER BY bands""".stripMargin
     },
+
+    "q301_fuzzy_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s3 AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |ex AS (SELECT doc_id AS jid, unnest(list_distinct(sh)) AS sh FROM s3),
+         |sizes AS (SELECT jid, count(*) AS set_size FROM ex GROUP BY jid),
+         |h3 AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s3),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h3),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter_size
+         |  FROM pairs
+         |  JOIN ex sa ON sa.jid = pairs.id_a
+         |  JOIN ex sb ON sb.jid = pairs.id_b AND sb.sh = sa.sh
+         |  GROUP BY id_a, id_b),
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(inter_size AS DOUBLE) /
+         |    CAST(size_a + size_b - inter_size AS DOUBLE) AS jaccard
+         |  FROM inter
+         |  JOIN (SELECT jid AS id_a, set_size AS size_a FROM sizes) USING (id_a)
+         |  JOIN (SELECT jid AS id_b, set_size AS size_b FROM sizes) USING (id_b)),
+         |oriented AS (SELECT
+         |  CASE WHEN id_a % 20 = 3 THEN id_b ELSE id_a END AS corpus_id,
+         |  CASE WHEN id_a % 20 = 3 THEN id_a ELSE id_b END AS bench_id,
+         |  jaccard FROM jac
+         |  WHERE (id_a % 20 = 3) <> (id_b % 20 = 3)),
+         |best AS (SELECT corpus_id, bench_id, jaccard,
+         |  row_number() OVER (PARTITION BY corpus_id
+         |    ORDER BY jaccard DESC, bench_id ASC) AS rn FROM oriented)
+         |SELECT corpus_id, bench_id, ${f6("jaccard")} AS max_jaccard,
+         |  jaccard >= 0.5 AS contaminated
+         |FROM best WHERE rn = 1 ORDER BY corpus_id""".stripMargin,
   )
 }

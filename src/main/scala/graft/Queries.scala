@@ -8198,6 +8198,47 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("bands")
   }
 
+  /** FUZZY benchmark decontamination — the LSH sibling of q65's exact
+    * n-gram overlap: a held-out benchmark slice (doc_id ≡ 3 mod 20)
+    * probes the training corpus through the SAME banded index
+    * machinery as incremental ingestion (`Dedup.incrementalCandidates`
+    * with the benchmark as the "batch" — its second role), candidate
+    * pairs get exact 3-shingle Jaccard, and each corpus doc reports
+    * its worst benchmark match (ties → smaller benchmark id) with a
+    * contaminated flag at Jaccard ≥ 0.5. Catches the paraphrased /
+    * lightly-edited leakage the exact 8-gram join misses.
+    *
+    * Scale shape: the probe is collision-bound (banded index, touched
+    * buckets only — never corpus×benchmark); the exact Jaccard runs on
+    * candidates only; the per-corpus-doc argmax window partitions by
+    * doc. */
+  def q301FuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 20 === 3)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 3)
+    val pairs = Dedup.incrementalCandidates(corpus, bench, "text", "doc_id")
+    val jac = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
+    // orient each pair as (corpus_id, bench_id); drop bench×bench pairs
+    val oriented = jac
+      .withColumn("a_is_bench", col("id_a") % 20 === 3)
+      .withColumn("b_is_bench", col("id_b") % 20 === 3)
+      .filter(col("a_is_bench") =!= col("b_is_bench"))
+      .select(
+        when(col("a_is_bench"), col("id_b")).otherwise(col("id_a"))
+          .as("corpus_id"),
+        when(col("a_is_bench"), col("id_a")).otherwise(col("id_b"))
+          .as("bench_id"),
+        col("jaccard"))
+    val w = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("jaccard").desc, col("bench_id").asc)
+    oriented.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("corpus_id"), col("bench_id"),
+        f6(col("jaccard")).as("max_jaccard"),
+        (col("jaccard") >= 0.5).as("contaminated"))
+      .orderBy("corpus_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8502,5 +8543,6 @@ object Queries {
     "q298_ndcg_quality" -> (q298NdcgQuality _),
     "q299_krippendorff_alpha" -> (q299KrippendorffAlpha _),
     "q300_lsh_tuning_curve" -> (q300LshTuningCurve _),
+    "q301_fuzzy_decontamination" -> (q301FuzzyDecontamination _),
   )
 }

@@ -552,6 +552,15 @@ class PlanSpec extends SparkSpec {
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
   }
 
+  test("q301: fuzzy decontamination probes the banded index — equi " +
+    "joins only, no corpus×benchmark cross, argmax window partitioned " +
+    "by corpus doc") {
+    val p = plan("q301_fuzzy_decontamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(corpus_id"), p)
+  }
+
   test("q272: grid-density labels propagate on the model-sized CELL " +
     "frame — the only data-scale work is the first per-order " +
     "aggregate (map-side combined)") {
