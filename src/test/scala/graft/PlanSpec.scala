@@ -552,6 +552,21 @@ class PlanSpec extends SparkSpec {
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
   }
 
+  test("q293: the fused pq_adc scorer runs INSIDE whole-stage codegen " +
+    "(the '*(n)' marker on its Project) — a CodegenFallback regression " +
+    "would silently lose the ADC fusion win. AQE off for the check: " +
+    "the adaptive pre-execution printout carries no codegen markers") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q293_pq_adc_search")
+      val adcLines = p.linesIterator.filter(_.contains("pq_adc")).toSeq
+      assert(adcLines.nonEmpty, p)
+      val opLines = adcLines.filter(_.contains("Project"))
+      assert(opLines.nonEmpty, adcLines.mkString("\n"))
+      assert(opLines.forall(_.contains("*(")), adcLines.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q301: fuzzy decontamination probes the banded index — equi " +
     "joins only, no corpus×benchmark cross, argmax window partitioned " +
     "by corpus doc") {
