@@ -142,14 +142,16 @@ object Bench {
     // BENCH_LAST.json is the committed full-registry record, and a
     // 1-query iteration run silently clobbering it has happened. An
     // explicit graftBenchOut still writes wherever it points. When the
-    // rerun budget was hit (driver runs under contention routinely are),
-    // the record is partly single-sampled — route it to BENCH_DRIVER.json
-    // so it can't overwrite the committed quiet min-of-3 (the driver's r8
-    // run clobbered BENCH_LAST.json with exactly such numbers).
+    // record is not a quiet multi-sample — the rerun budget was hit
+    // (driver runs under contention routinely are), or runs was forced
+    // to 1 so every number is a single sample — route it to
+    // BENCH_DRIVER.json so it can't overwrite the committed quiet
+    // min-of-3 (the driver's r8 run clobbered BENCH_LAST.json with
+    // exactly such numbers).
     val out = sys.props.get("graftBenchOut")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .orElse(if (only.nonEmpty) None
-        else if (budgetHit) Some("/root/repo/BENCH_DRIVER.json")
+        else if (budgetHit || runs < 2) Some("/root/repo/BENCH_DRIVER.json")
         else Some("/root/repo/BENCH_LAST.json"))
     out.foreach { p =>
       try java.nio.file.Files.writeString(

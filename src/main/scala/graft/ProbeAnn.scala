@@ -85,8 +85,7 @@ object ProbeAnn {
     val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
       dim = 64, m = 4, kCodes = 8, rounds = 1)
     val encodedIdx = Similarity.pqEncode(corpus, "vec_id", "embedding",
-      books).localCheckpoint(true)
-    encodedIdx.count() // materialize the index before timing
+      books).localCheckpoint(true) // eager: materialized before timing
     val adcScan = timed("adc-scan") {
       Similarity.pqAdcScan(encodedIdx, queries, "vec_id", "embedding",
         books, shortlist = 50, k = 10)

@@ -84,8 +84,7 @@ object ProbeIncremental {
       // batch) and each batch probes only its touched bpart partitions.
       // Per-batch wall should stay ~flat as the corpus replicates.
       val idxDir = s"/tmp/graft_probe_bucket_index_r$reps"
-      Dedup.bucketIndex(corpus, "text", "doc_id")
-        .write.mode("overwrite").partitionBy("bpart").parquet(idxDir)
+      Dedup.writeBucketIndex(corpus, idxDir, "text", "doc_id")
       val t1 = System.nanoTime()
       val pairsStored = Dedup.incrementalCandidatesStored(spark, idxDir,
         batch, "text", "doc_id").count()
@@ -97,6 +96,10 @@ object ProbeIncremental {
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
         f""""pruned_index_rows":$pruned,"pairs":$pairs}""")
+      // the probe's scratch index is corpus-scale — don't leave it in /tmp
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idxDir), true)
       corpus.unpersist()
     }
     spark.stop()

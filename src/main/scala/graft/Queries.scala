@@ -8144,9 +8144,11 @@ object Queries {
     * item → scalars) plus a label-marginal aggregate — no windows, no
     * joins beyond a 1-row broadcast. */
   def q299KrippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    // rater identity (event_id mod 5) never enters nominal alpha — only
+    // the per-item label counts do — so it is not materialized
     val ratings = t(s, dir, "events")
       .select(expr("event_id DIV 5").as("item"),
-        (col("event_id") % 5).as("rater"), col("event_type").as("label"))
+        col("event_type").as("label"))
     val oic = ratings.groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("o"))
     val withM = oic.join(
@@ -8181,10 +8183,24 @@ object Queries {
     * report. */
   def q300LshTuningCurve(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // the corpus-linear work is SHARED across the three configs: one
+    // signature pass and one distinct-shingle explode (lazy
+    // localCheckpoint — three consumers each), with only the cheap
+    // banding/join tails per config. Identical buckets/Jaccards to the
+    // per-config recompute by construction (bandsFromSignatures /
+    // jaccardFromShingles are the same chains over the same values).
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .localCheckpoint(false)
+    val sh = docs.select(col("doc_id").as("jid"),
+      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+      .localCheckpoint(false)
+    val sizes = sh.groupBy("jid").agg(count(lit(1)).as("set_size"))
     Seq(2, 4, 8).map { b =>
-      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
-        shingleSize = 3, numHashes = 16, bands = b)
-      val jac = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
+      val pairs = Dedup.candidatesFromBanded(
+        Dedup.bandsFromSignatures(sigs, "doc_id", "sig", 16, b),
+        "doc_id")
+      val jac = Dedup.jaccardFromShingles(sh, sizes, pairs)
       pairs.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(jac.agg(
           sum(when(col("jaccard") >= 0.4, 1L).otherwise(0L))

@@ -95,13 +95,30 @@ object Dedup {
     * `transform` over the band index so the signature subtree appears
     * once (same plan-size rationale as minhashSignature). */
   def withMinhashBands(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandsFrom(df, idCol,
+      minhashSignature(col(textCol), shingleSize, numHashes),
+      numHashes, bands)
+
+  /** [[withMinhashBands]] over an ALREADY-COMPUTED signature column —
+    * the share-the-signatures path for multi-config banding (q300
+    * bands the same 16-slot signatures three ways; recomputing the
+    * corpus-linear tokenize→shingle→hash chain per config would
+    * triple the scan). Bucket values are identical to
+    * [[withMinhashBands]]' by construction: both delegate to the same
+    * slice→join→md5 chain, one fed the inline signature expression,
+    * the other the materialized column. */
+  def bandsFromSignatures(sigs: DataFrame, idCol: String, sigCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    bandsFrom(sigs, idCol, col(sigCol), numHashes, bands)
+
+  private def bandsFrom(df: DataFrame, idCol: String, sig: Column,
+      numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val buckets = Expr.let(
-      minhashSignature(col(textCol), shingleSize, numHashes)) { sig =>
+    val buckets = Expr.let(sig) { s =>
       transform(sequence(lit(0), lit(bands - 1)),
         b => Hashing.md5Long(array_join(
-          transform(slice(sig, b * lit(rows) + lit(1), lit(rows)),
+          transform(slice(s, b * lit(rows) + lit(1), lit(rows)),
             x => x.cast("string")),
           "_")))
     }
@@ -123,9 +140,17 @@ object Dedup {
     * rows (map-side combined). */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 0): DataFrame =
+    candidatesFromBanded(
+      withMinhashBands(df, textCol, idCol, shingleSize, numHashes, bands),
+      idCol, maxBucketSize)
+
+  /** The pair-forming tail of [[minhashCandidates]], split out so
+    * multi-config callers (q300's band sweep) can band shared
+    * signatures several ways without re-hashing the corpus per
+    * config. */
+  def candidatesFromBanded(banded: DataFrame, idCol: String,
       maxBucketSize: Int = 0): DataFrame = {
-    val banded = withMinhashBands(df, textCol, idCol, shingleSize,
-      numHashes, bands)
     val b =
       if (maxBucketSize <= 0) banded
       else {
@@ -208,17 +233,64 @@ object Dedup {
     withMinhashBands(docs, textCol, idCol, shingleSize, numHashes, bands)
       .withColumn("bpart", pmod(col("bucket"), lit(parts)).cast("int"))
 
-  /** Per-batch probe against a STORED [[bucketIndex]]: bands the batch,
-    * collects its touched `bpart` set (bounded by `parts` — a
-    * model-size driver list, not data), and reads the index with that
-    * partition FILTER — untouched directory partitions are pruned at
-    * the file level, so probe I/O tracks the batch's bucket spread,
-    * not the corpus. Same candidate contract as
+  /** Writes [[bucketIndex]] as a bpart-partitioned parquet table PLUS
+    * a `_graft_index.json` sidecar pinning the banding parameters.
+    * The sidecar exists because a probe run with parameters that
+    * differ from the build's (a different `parts` makes the bpart
+    * partition filter prune the wrong directories; a different
+    * bands/numHashes/shingleSize changes every bucket value) would
+    * MISS near-duplicates silently — no error, just dropped pairs.
+    * [[incrementalCandidatesStored]] therefore reads its parameters
+    * from the sidecar instead of trusting the caller. */
+  def writeBucketIndex(docs: DataFrame, path: String, textCol: String,
+      idCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, parts: Int = 64): Unit = {
+    bucketIndex(docs, textCol, idCol, shingleSize, numHashes, bands,
+      parts).write.mode("overwrite").partitionBy("bpart").parquet(path)
+    val meta =
+      s"""{"idCol":"$idCol","shingleSize":$shingleSize,""" +
+        s""""numHashes":$numHashes,"bands":$bands,"parts":$parts}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_index.json")
+    val fs = p.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Per-batch probe against a STORED [[writeBucketIndex]] table:
+    * bands the batch with the parameters the SIDECAR pins (never
+    * caller-supplied — see [[writeBucketIndex]] for why a mismatch is
+    * a silent-miss hazard), collects the touched `bpart` set (bounded
+    * by `parts` — a model-size driver list, not data), and reads the
+    * index with that partition FILTER — untouched directory partitions
+    * are pruned at the file level, so probe I/O tracks the batch's
+    * bucket spread, not the corpus. Same candidate contract as
     * [[incrementalCandidates]] (asserted in DedupSimilaritySpec). */
   def incrementalCandidatesStored(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame, textCol: String,
-      idCol: String, shingleSize: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, parts: Int = 64, maxBucketSize: Int = 0): DataFrame = {
+      idCol: String, maxBucketSize: Int = 0): DataFrame = {
+    val metaPath = new org.apache.hadoop.fs.Path(indexPath,
+      "_graft_index.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"$indexPath has no _graft_index.json sidecar — build the index " +
+        "with Dedup.writeBucketIndex (a probe with guessed parameters " +
+        "silently drops candidates on any mismatch)")
+    val metaJson = {
+      val in = fs.open(metaPath)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def intField(name: String): Int =
+      s""""$name":\\s*(\\d+)""".r.findFirstMatchIn(metaJson)
+        .getOrElse(throw new IllegalArgumentException(
+          s"_graft_index.json lacks numeric field '$name': $metaJson"))
+        .group(1).toInt
+    val (shingleSize, numHashes, bands, parts) =
+      (intField("shingleSize"), intField("numHashes"), intField("bands"),
+        intField("parts"))
     val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
       numHashes, bands).localCheckpoint(false)
     val touchedParts = bNew
@@ -585,6 +657,16 @@ object Dedup {
     val sh = docs.select(col(idCol).as("jid"),
       explode(array_distinct(shingles(col(textCol), n))).as("sh"))
     val sizes = sh.groupBy("jid").agg(count(lit(1)).as("set_size"))
+    jaccardFromShingles(sh, sizes, pairs)
+  }
+
+  /** The pair-Jaccard tail of [[ngramJaccard]] over PRECOMPUTED
+    * distinct-shingle (`jid`, `sh`) and set-size (`jid`, `set_size`)
+    * frames — so multi-config callers (q300) explode the corpus's
+    * shingles once and score each config's candidate pairs against
+    * the shared frames. */
+  def jaccardFromShingles(sh: DataFrame, sizes: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val inter = pairs
       .join(sh.select(col("jid").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("sh")), Seq("id_b", "sh"))

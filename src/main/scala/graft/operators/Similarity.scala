@@ -548,8 +548,10 @@ object Similarity {
     * measured 0.950 at 50k vectors but 0.835 at 200k with shortlist
     * pinned at 50 (ProbeAnn, r8). Holding the shortlist at a constant
     * FRACTION of the candidate volume holds recall: 1/256 reproduces
-    * the proven 50k operating point (12.5k candidates/query → 49) and
-    * the floor keeps small corpora at the exact-re-rank-everything end.
+    * the proven 50k operating point (12.5k candidates/query → fraction
+    * 49, so the 5k=50 floor binds — the floor is what's returned at
+    * ≤51.2k candidates; above that the fraction takes over) and the
+    * floor keeps small corpora at the exact-re-rank-everything end.
     * The shortlist only multiplies the exact re-rank (k·dim flops per
     * row on a per-query top-`shortlist` set) — the ADC scan, which
     * dominates, is untouched — so the depth is cheap to scale. */

@@ -66,6 +66,17 @@ class BenchBudgetSpec extends AnyFunSuite {
       "BENCH_LAST.json was written by a budget-starved (partly " +
         "single-sampled) run — regenerate it on a quiet host; " +
         "budget-hit runs belong in BENCH_DRIVER.json")
+    // ... and every per-query min is a true multi-sample: a runs=1
+    // record would carry budget_hit:false while still being the
+    // single-sample artifact the no-clobber design exists to keep out
+    val rcBlock = """"run_counts":\{([^}]*)\}""".r
+      .findFirstMatchIn(benchLast)
+    assert(rcBlock.nonEmpty, "BENCH_LAST.json has no run_counts map")
+    val counts = """:(\d+)""".r.findAllMatchIn(rcBlock.get.group(1))
+      .map(_.group(1).toInt).toSeq
+    assert(counts.nonEmpty && counts.min >= 2,
+      s"BENCH_LAST.json has single-sampled queries (min run count " +
+        s"${counts.minOption.getOrElse(0)}) — regenerate quiet")
   }
 
   /** The driver parses the LAST line of the sbt run's stdout tail with

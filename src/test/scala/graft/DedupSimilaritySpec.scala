@@ -377,8 +377,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val corpus = docs.filter($"doc_id" % 5 =!= 2)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bucket_index").toString
-    Dedup.bucketIndex(corpus, "text", "doc_id", parts = 16)
-      .write.mode("overwrite").partitionBy("bpart").parquet(dir)
+    Dedup.writeBucketIndex(corpus, dir, "text", "doc_id", parts = 16)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recomputed = pairs(
@@ -386,8 +385,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val viaIndexFrame = pairs(Dedup.incrementalCandidatesIndexed(
       Dedup.bucketIndex(corpus, "text", "doc_id", parts = 16),
       batch, "text", "doc_id"))
+    // the stored probe takes its banding parameters from the sidecar —
+    // no parts/bands argument exists to mismatch
     val viaStored = pairs(Dedup.incrementalCandidatesStored(
-      spark, dir, batch, "text", "doc_id", parts = 16))
+      spark, dir, batch, "text", "doc_id"))
     assert(viaIndexFrame === recomputed)
     assert(viaStored === recomputed)
     assert(recomputed.nonEmpty) // the fixture has batch-touching dups
@@ -395,8 +396,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val recomputedCap = pairs(Dedup.incrementalCandidates(
       corpus, batch, "text", "doc_id", maxBucketSize = 3))
     val storedCap = pairs(Dedup.incrementalCandidatesStored(
-      spark, dir, batch, "text", "doc_id", parts = 16, maxBucketSize = 3))
+      spark, dir, batch, "text", "doc_id", maxBucketSize = 3))
     assert(storedCap === recomputedCap)
+    // a bare parquet dir without the sidecar is REFUSED, not probed
+    // with guessed parameters (the silent-miss hazard)
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_bucket_index_bare").toString
+    Dedup.bucketIndex(corpus, "text", "doc_id", parts = 16)
+      .write.mode("overwrite").partitionBy("bpart").parquet(bare)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalCandidatesStored(spark, bare, batch, "text",
+        "doc_id").count()
+    }
+    assert(err.getMessage.contains("_graft_index.json"))
     // the probe actually prunes at the file level: the pruned read's
     // partition filter keeps only the batch's touched bparts
     val touched = Dedup.bucketIndex(batch, "text", "doc_id", parts = 16)
