@@ -6721,5 +6721,36 @@ object Oracle {
          |SELECT corpus_id, bench_id, ${f6("jaccard")} AS max_jaccard,
          |  jaccard >= 0.5 AS contaminated
          |FROM best WHERE rn = 1 ORDER BY corpus_id""".stripMargin,
+
+    "q302_token_burstiness" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tk WHERE length(tok) > 0 GROUP BY tok)
+         |SELECT tok, cf, df,
+         |  ${f6("CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)")} AS burstiness
+         |FROM f ORDER BY cf DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "q303_cross_source_dups" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s3 AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h3 AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s3),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h3),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |lab AS (SELECT least(da.source, db.source) AS src_lo,
+         |  greatest(da.source, db.source) AS src_hi
+         |  FROM pairs
+         |  JOIN documents da ON da.doc_id = pairs.id_a
+         |  JOIN documents db ON db.doc_id = pairs.id_b)
+         |SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  src_lo <> src_hi AS cross_source
+         |FROM lab GROUP BY src_lo, src_hi
+         |ORDER BY src_lo, src_hi""".stripMargin,
   )
 }

@@ -8255,6 +8255,62 @@ object Queries {
       .orderBy("corpus_id")
   }
 
+  /** Token burstiness report — the boilerplate/template detector: for
+    * the 20 highest-collection-frequency tokens, cf (total
+    * occurrences), df (documents containing), and cf/df. A token
+    * spread uniformly has cf/df near cf/N; one concentrated in few
+    * docs (navigation chrome, license headers, templated spans) has
+    * cf/df ≫ 1 and is a candidate for span-level dedup (q94) or
+    * blocklisting (q286). Exact integer counts, ONE division at emit.
+    *
+    * Scale shape: one token explode + one (token) hash-aggregate with
+    * map-side partials (df via countDistinct = one extra dedup level
+    * on (token, doc)); top-20 is TakeOrderedAndProject, never a global
+    * sort. */
+  def q302TokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    tk.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .select(col("tok"), col("cf"), col("df"),
+        f6(col("cf").cast("double") / col("df").cast("double"))
+          .as("burstiness"))
+      .orderBy(col("cf").desc, col("tok").asc)
+      .limit(20)
+  }
+
+  /** Cross-source near-duplicate leakage matrix: the q29 LSH candidate
+    * pairs grouped by UNORDERED source pair — how much syndicated /
+    * mirrored content couples each pair of sources, the report that
+    * decides whether dedup must run across source boundaries or can
+    * shard by source (a zero off-diagonal means per-source sharding is
+    * lossless; a hot off-diagonal cell means those two crawls overlap
+    * and must dedup together). Distinct from q99 (token-level overlap
+    * of source vocabularies): this counts near-duplicate DOCUMENT
+    * pairs.
+    *
+    * Scale shape: collision-bound candidates + a broadcast join to the
+    * (doc → source) map + one aggregate; the matrix is ≤ sources²
+    * rows. */
+  def q303CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("id_a"),
+        col("source").as("src_a"))), Seq("id_a"))
+      .join(broadcast(src.select(col("doc_id").as("id_b"),
+        col("source").as("src_b"))), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_lo") =!= col("src_hi"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8560,5 +8616,7 @@ object Queries {
     "q299_krippendorff_alpha" -> (q299KrippendorffAlpha _),
     "q300_lsh_tuning_curve" -> (q300LshTuningCurve _),
     "q301_fuzzy_decontamination" -> (q301FuzzyDecontamination _),
+    "q302_token_burstiness" -> (q302TokenBurstiness _),
+    "q303_cross_source_dups" -> (q303CrossSourceDups _),
   )
 }

@@ -576,6 +576,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(corpus_id"), p)
   }
 
+  test("q302/q303: burstiness top-20 is TakeOrderedAndProject over a " +
+    "partial aggregate; the leakage matrix joins sources via " +
+    "broadcast — no cartesian, no nested loop") {
+    val p302 = plan("q302_token_burstiness")
+    assert(p302.contains("TakeOrderedAndProject"), p302)
+    assert(p302.contains("partial_count"), p302)
+    assert(!p302.contains("CartesianProduct"), p302)
+    val p303 = plan("q303_cross_source_dups")
+    assert(p303.contains("BroadcastHashJoin"), p303)
+    assert(!p303.contains("CartesianProduct"), p303)
+    assert(!p303.contains("BroadcastNestedLoopJoin"), p303)
+  }
+
   test("q272: grid-density labels propagate on the model-sized CELL " +
     "frame — the only data-scale work is the first per-order " +
     "aggregate (map-side combined)") {
