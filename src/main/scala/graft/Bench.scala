@@ -109,14 +109,17 @@ object Bench {
     // single contended sample misrepresents worst — the driver's r8 run
     // had q78 at 25.0s vs a 3.5s quiet min. Re-sorting by current min
     // each pass keeps the budget pointed at whatever still looks slow.
-    for (_ <- 2 to runs) {
+    var pass = 2
+    while (pass <= runs && !budgetHit) {
       val order = selected.toSeq.filterNot(e => errored(e._1))
         .sortBy(e => -timings.getOrElse(e._1, 0.0))
       order.foreach { case (name, fn) =>
         if (elapsedSec < rerunBudgetSec) timeOne(name, fn)
         else budgetHit = true
       }
-    }
+      pass += 1
+    } // once the budget is hit, remaining passes can't run anything —
+      // stop instead of re-walking the sorted list per pass
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

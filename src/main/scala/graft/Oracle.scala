@@ -194,6 +194,91 @@ object Oracle {
        |  FROM afs$j GROUP BY cell)""".stripMargin
   }
 
+  /** Shared DuckDB replay of the full IVF-PQ index — coarse Lloyd,
+    * cell assignment, probe sets, PQ codebooks, codes, LUTs, ADC
+    * sums, both top-k cuts — used by BOTH q295 (in-memory monolith)
+    * and q304 (stored serving-index scan): the two Spark paths are
+    * row-identical by construction. */
+  private def ivfPqSearchSql: String = {
+    def lut(j: Int): String =
+      s"""lut$j AS (SELECT q.vec_id AS query_id, c.cid,
+         |  list_dot_product(q.v, c.cv) AS s
+         |  FROM es$j q, cent1ns$j c WHERE q.vec_id < 5)""".stripMargin
+    s"""WITH ${(0 until 4).map(pqBlock).mkString(",\n")},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cent0r AS (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id < 16),
+         |cent0 AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+         |    AS cv FROM cent0r),
+         |ac0 AS (SELECT e.vec_id, e.v, cid,
+         |  list_dot_product(e.v, cv) AS ccos FROM e, cent0),
+         |a0 AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac0) WHERE rn = 1),
+         |qsums AS (SELECT cell, j,
+         |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum,
+         |  count(*) AS n
+         |  FROM a0, range(1, 65) t(j) GROUP BY cell, j),
+         |cent1 AS (SELECT cell AS cid,
+         |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
+         |  FROM qsums GROUP BY cell),
+         |centr AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+         |  FROM cent0r c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid),
+         |cent AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+         |    AS cv FROM centr),
+         |ac AS (SELECT e.vec_id, e.v, cid,
+         |  list_dot_product(e.v, cv) AS ccos FROM e, cent),
+         |assign AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac
+         |  WHERE vec_id < 5) WHERE rn <= 4),
+         |codes AS (SELECT a0c.vec_id, a0c.cell AS code0,
+         |    a1c.cell AS code1, a2c.cell AS code2, a3c.cell AS code3
+         |  FROM afs0 a0c JOIN afs1 a1c USING (vec_id)
+         |    JOIN afs2 a2c USING (vec_id) JOIN afs3 a3c USING (vec_id)),
+         |${(0 until 4).map(lut).mkString(",\n")},
+         |cand AS (SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE p.query_id <> a.neighbor_id),
+         |adc AS (SELECT c.query_id, c.neighbor_id,
+         |    ((l0.s + l1.s) + l2.s) + l3.s AS adc
+         |  FROM cand c
+         |  JOIN codes cd ON cd.vec_id = c.neighbor_id
+         |  JOIN lut0 l0 ON l0.query_id = c.query_id
+         |    AND l0.cid = cd.code0
+         |  JOIN lut1 l1 ON l1.query_id = c.query_id
+         |    AND l1.cid = cd.code1
+         |  JOIN lut2 l2 ON l2.query_id = c.query_id
+         |    AND l2.cid = cd.code2
+         |  JOIN lut3 l3 ON l3.query_id = c.query_id
+         |    AND l3.cid = cd.code3),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc DESC, neighbor_id ASC) AS srank
+         |    FROM adc) WHERE srank <= 50),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    list_dot_product(qe.v, ce.v) /
+         |      (sqrt(list_dot_product(qe.v, qe.v))
+         |        * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+         |  FROM short
+         |  JOIN e qe ON qe.vec_id = query_id
+         |  JOIN e ce ON ce.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q01_incremental_watermark" ->
       """SELECT event_id, ts, user_id, event_type, value,
@@ -2815,85 +2900,15 @@ object Oracle {
     // set (probed cells), q293's PQ machinery scores it (LUT lookups
     // in the Spark side's fixed left-assoc order), exact q37 cosine
     // re-ranks the 50-deep shortlist
-    "q295_ivf_pq_search" -> {
-      def lut(j: Int): String =
-        s"""lut$j AS (SELECT q.vec_id AS query_id, c.cid,
-           |  list_dot_product(q.v, c.cv) AS s
-           |  FROM es$j q, cent1ns$j c WHERE q.vec_id < 5)""".stripMargin
-      s"""WITH ${(0 until 4).map(pqBlock).mkString(",\n")},
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |cent0r AS (SELECT vec_id AS cid, v AS cv FROM e
-         |  WHERE vec_id < 16),
-         |cent0 AS (SELECT cid,
-         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
-         |    AS cv FROM cent0r),
-         |ac0 AS (SELECT e.vec_id, e.v, cid,
-         |  list_dot_product(e.v, cv) AS ccos FROM e, cent0),
-         |a0 AS (SELECT vec_id, v, cid AS cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac0) WHERE rn = 1),
-         |qsums AS (SELECT cell, j,
-         |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum,
-         |  count(*) AS n
-         |  FROM a0, range(1, 65) t(j) GROUP BY cell, j),
-         |cent1 AS (SELECT cell AS cid,
-         |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
-         |  FROM qsums GROUP BY cell),
-         |centr AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
-         |  FROM cent0r c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid),
-         |cent AS (SELECT cid,
-         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
-         |    AS cv FROM centr),
-         |ac AS (SELECT e.vec_id, e.v, cid,
-         |  list_dot_product(e.v, cv) AS ccos FROM e, cent),
-         |assign AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac
-         |  WHERE vec_id < 5) WHERE rn <= 4),
-         |codes AS (SELECT a0c.vec_id, a0c.cell AS code0,
-         |    a1c.cell AS code1, a2c.cell AS code2, a3c.cell AS code3
-         |  FROM afs0 a0c JOIN afs1 a1c USING (vec_id)
-         |    JOIN afs2 a2c USING (vec_id) JOIN afs3 a3c USING (vec_id)),
-         |${(0 until 4).map(lut).mkString(",\n")},
-         |cand AS (SELECT p.query_id, a.neighbor_id
-         |  FROM probes p JOIN assign a USING (cell)
-         |  WHERE p.query_id <> a.neighbor_id),
-         |adc AS (SELECT c.query_id, c.neighbor_id,
-         |    ((l0.s + l1.s) + l2.s) + l3.s AS adc
-         |  FROM cand c
-         |  JOIN codes cd ON cd.vec_id = c.neighbor_id
-         |  JOIN lut0 l0 ON l0.query_id = c.query_id
-         |    AND l0.cid = cd.code0
-         |  JOIN lut1 l1 ON l1.query_id = c.query_id
-         |    AND l1.cid = cd.code1
-         |  JOIN lut2 l2 ON l2.query_id = c.query_id
-         |    AND l2.cid = cd.code2
-         |  JOIN lut3 l3 ON l3.query_id = c.query_id
-         |    AND l3.cid = cd.code3),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY adc DESC, neighbor_id ASC) AS srank
-         |    FROM adc) WHERE srank <= 50),
-         |scored AS (SELECT query_id, neighbor_id,
-         |    list_dot_product(qe.v, ce.v) /
-         |      (sqrt(list_dot_product(qe.v, qe.v))
-         |        * sqrt(list_dot_product(ce.v, ce.v))) AS cos
-         |  FROM short
-         |  JOIN e qe ON qe.vec_id = query_id
-         |  JOIN e ce ON ce.vec_id = neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, ${f6("cos")} AS cos,
-         |  CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    "q295_ivf_pq_search" -> ivfPqSearchSql,
+
+    // q304 runs the STORED serving-index scan (ivfPqScanStored over a
+    // writeIvfPqIndex table) with q295's exact parameters; the two
+    // Spark paths are row-identical by construction (and asserted in
+    // DedupSimilaritySpec), so the same DuckDB replay of the index
+    // oracles both — pinning stored ≡ in-memory against an EXTERNAL
+    // engine, not just against ourselves.
+    "q304_ivf_pq_stored" -> ivfPqSearchSql,
 
     // the ADC query path over the SAME codebooks: afs$j IS the PQ
     // encoding, lut$j the per-query score table; adc sums the four

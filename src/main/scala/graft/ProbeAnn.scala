@@ -133,6 +133,71 @@ object ProbeAnn {
     println(s"[probe] candidates lsh=$lshCands " +
       s"(${lshCands / nQ}/query of $nC) ivf=$ivfCands " +
       s"(${ivfCands / nQ}/query, nprobe/nlist bound=${nC * 4 / 16})")
+
+    // STORED serving index (r9 verdict item 1): the deployment shape —
+    // writeIvfPqIndex once per corpus version (timed separately as the
+    // build), ivfPqScanStored per query batch. Run this probe at
+    // several `reps` to see the per-batch scan wall and the
+    // scanned-file fraction track nprobe/nlist while the corpus grows.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_probe_ivfpq").toString
+    val tB = System.nanoTime()
+    Similarity.writeIvfPqIndex(corpus, idxDir, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16)
+    println(f"[probe] stored-build ${(System.nanoTime() - tB) / 1e9}%.2fs")
+    val stored = timed("stored-scan") {
+      Similarity.ivfPqScanStored(spark, idxDir, queries, "vec_id",
+        "embedding", nprobe = 4, k = 10)
+    }
+    println(f"[probe] recall@10 stored-scan=${recall(stored)}%.3f " +
+      "(derived shortlist)")
+    // file-level pruning: data files under the probed cell dirs vs the
+    // whole index — the scan I/O a partition filter actually admits
+    val cells = Similarity.storedProbedCells(spark, idxDir, queries,
+      "embedding", nprobe = 4).toSet
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idxDir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet")) b += p
+      }
+      b.result()
+    }
+    val touchedFiles =
+      files.count(p => cells.exists(c => p.contains(s"/cell=$c/")))
+    println(s"[probe] stored-index files=${files.size} " +
+      s"scanned=$touchedFiles probedCells=${cells.size}/16")
+    // a 20-query batch probes most cells by sheer union; a single
+    // query shows the pruning bound itself: nprobe(=4)/nlist(=16) of
+    // the files, whatever the corpus size
+    val one = queries.limit(1)
+    val oneCells = Similarity.storedProbedCells(spark, idxDir, one,
+      "embedding", nprobe = 4).toSet
+    val oneFiles =
+      files.count(p => oneCells.exists(c => p.contains(s"/cell=$c/")))
+    val oneScan = timed("stored-scan1") {
+      Similarity.ivfPqScanStored(spark, idxDir, one, "vec_id",
+        "embedding", nprobe = 4, k = 10)
+    }
+    println(s"[probe] single-query scan: files=${oneFiles}/" +
+      s"${files.size} cells=${oneCells.size}/16 " +
+      s"rows=${oneScan.count()}")
+
+    // hot-cell skew (r9 verdict item 4): the per-cell row histogram of
+    // the stored index — the cell equi-join sends each cell to one
+    // shuffle partition, so the max/mean ratio here IS the straggler
+    // ratio a skewed corpus inflicts on the scan.
+    val hist = spark.read.parquet(idxDir).groupBy("cell")
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val mean = hist.map(_._2).sum.toDouble / hist.length
+    println(s"[probe] cell histogram (top 5): " +
+      hist.take(5).map { case (c, n) => s"$c=$n" }.mkString(" ") +
+      f" | mean=$mean%.0f max/mean=${hist.head._2 / mean}%.2f " +
+      s"cells=${hist.length}")
     spark.stop()
   }
 }

@@ -8158,11 +8158,23 @@ object Queries {
       .agg(sum(col("o") * (col("m") - col("o")) * (lit(12L) / (col("m") - 1))
         .cast("long")).as("s12"),
         sum(col("o")).as("n"),
-        countDistinct(col("item")).as("n_items"))
+        countDistinct(col("item")).as("n_items"),
+        max(col("m")).as("max_m"))
     val nc = withM.groupBy(col("label")).agg(sum(col("o")).as("n_c"))
     val de = nc.crossJoin(broadcast(s12.select(col("n"))))
       .agg(sum(col("n_c") * (col("n") - col("n_c"))).as("de_num"))
     s12.crossJoin(broadcast(de))
+      // the lcm-12 exactness claim above silently depends on m ≤ 5
+      // (the event_id DIV 5 / mod 5 construction guarantees it on
+      // unique dense ids, but a fixture change wouldn't error — both
+      // engines would floor 12/(m−1) identically and the differential
+      // gate would hash-match a mathematically wrong alpha). Fail loud
+      // instead: assert_true throws on violation, returns null (→ the
+      // coalesce keeps every row) when the assumption holds.
+      .where(coalesce(expr("assert_true(max_m <= 5, " +
+        "'q299: an item has >5 ratings; 12/(m-1) is no longer " +
+        "integral and the exact-long disagreement sum would floor')"),
+        lit(true)))
       .select(col("n_items"), col("n").as("n_ratings"),
         f6(lit(1.0) - (col("s12") * (col("n") - 1)).cast("double") /
           (lit(12L) * col("de_num")).cast("double")).as("alpha"))
@@ -8291,24 +8303,63 @@ object Queries {
     * of source vocabularies): this counts near-duplicate DOCUMENT
     * pairs.
     *
-    * Scale shape: collision-bound candidates + a broadcast join to the
-    * (doc → source) map + one aggregate; the matrix is ≤ sources²
-    * rows. */
+    * Scale shape: the source label RIDES the banded rows (`carry`)
+    * through the one collision-bound (band, bucket) self-join, so
+    * candidate pairs are born carrying both labels — no second join
+    * attaches them. The r9 formulation broadcast the (doc → source)
+    * map onto the pairs, which at corpus scale is a billions-of-rows
+    * broadcast (ADVICE r9 medium); carrying one short string on rows
+    * that shuffle anyway costs ~nothing. The distinct dedups on
+    * (id_a, id_b, src_a, src_b) — identical cardinality to (id_a,
+    * id_b) since source is functionally dependent on id. */
   def q303CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
-    val src = docs.select(col("doc_id"), col("source"))
-    pairs
-      .join(broadcast(src.select(col("doc_id").as("id_a"),
-        col("source").as("src_a"))), Seq("id_a"))
-      .join(broadcast(src.select(col("doc_id").as("id_b"),
-        col("source").as("src_b"))), Seq("id_b"))
+    val banded = Dedup.withMinhashBands(docs, "text", "doc_id",
+      carry = Seq("source"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("source").as("src_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("source").as("src_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("src_a"), col("src_b"))
+      .distinct()
       .select(least(col("src_a"), col("src_b")).as("src_lo"),
         greatest(col("src_a"), col("src_b")).as("src_hi"))
       .groupBy(col("src_lo"), col("src_hi"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("cross_source", col("src_lo") =!= col("src_hi"))
       .orderBy("src_lo", "src_hi")
+  }
+
+  /** The q295 IVF-PQ search run the way a DEPLOYMENT runs it: the
+    * index is built and STORED once (`Similarity.writeIvfPqIndex` —
+    * cell-partitioned parquet + `_graft_index.json` sidecar pinning
+    * the trained coarse centroids and PQ codebooks) and the query
+    * batch scans the stored table (`ivfPqScanStored`: model read from
+    * the sidecar, never the caller; probed-cell partition filter →
+    * file-level pruning). Same parameters as q295, so the SAME DuckDB
+    * index replay oracles both — stored ≡ in-memory pinned against an
+    * external engine, on top of the DedupSimilaritySpec row-identity
+    * differential.
+    *
+    * Scale shape: the build half is one training pass + a map-only
+    * encode + one partitioned write (runs once per corpus version, not
+    * per batch — it's timed inside this query only because the gate
+    * needs self-containment); the scan half reads ~nprobe/nlist of the
+    * index files and shuffles nothing but per-query top-k windows. */
+  def q304IvfPqStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Similarity.writeIvfPqIndex(emb, path, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16)
+    Similarity.ivfPqScanStored(s, path, queries, "vec_id", "embedding",
+        nprobe = 4, k = 10, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id"),
+        f6(col("cos")).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   // =======================================================================
@@ -8618,5 +8669,6 @@ object Queries {
     "q301_fuzzy_decontamination" -> (q301FuzzyDecontamination _),
     "q302_token_burstiness" -> (q302TokenBurstiness _),
     "q303_cross_source_dups" -> (q303CrossSourceDups _),
+    "q304_ivf_pq_stored" -> (q304IvfPqStored _),
   )
 }

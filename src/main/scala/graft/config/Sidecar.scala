@@ -1,0 +1,119 @@
+package graft.config
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** The `_graft_index.json` sidecar shared by the stored-index families
+  * (the LSH bucket index, `Dedup.writeBucketIndex`, and the IVF-PQ
+  * serving index, `Similarity.writeIvfPqIndex`).
+  *
+  * A stored index is only as good as the parameters it was built with:
+  * probing with parameters that differ from the build's MISSES results
+  * silently — no error, just dropped candidates (a different `parts`
+  * prunes the wrong directories; different banding changes every bucket
+  * value; a different PQ model scores against the wrong codewords). The
+  * sidecar therefore pins the build's parameters (and, for the ANN
+  * index, the trained model itself) next to the data, probes READ them
+  * from here instead of trusting the caller, and a bare directory
+  * without a sidecar is REFUSED.
+  *
+  * Jackson (shipped with Spark) does the parsing — a real JSON parse,
+  * not field-regexes, so the two sidecar families can grow fields
+  * safely (r9 ADVICE: the regex reader was fine for five integers, not
+  * for nested model arrays). Doubles round-trip exactly: jackson emits
+  * shortest-repr doubles and parses them back bit-identically, which
+  * the fold-order-pinned PQ/coarse centroids rely on.
+  */
+object Sidecar {
+  val FileName = "_graft_index.json"
+
+  private val mapper = new ObjectMapper()
+
+  /** A fresh object node to populate with build parameters. */
+  def newNode(): ObjectNode = mapper.createObjectNode()
+
+  /** Attach a nested double matrix (e.g. coarse centroids). */
+  def putDoubles2(node: ObjectNode, field: String,
+      m: Seq[Seq[Double]]): Unit = {
+    val outer = node.putArray(field)
+    m.foreach { row =>
+      val inner = outer.addArray()
+      row.foreach(inner.add)
+    }
+  }
+
+  /** Attach a nested double tensor (e.g. per-subspace PQ codebooks). */
+  def putDoubles3(node: ObjectNode, field: String,
+      t: Seq[Seq[Seq[Double]]]): Unit = {
+    val outer = node.putArray(field)
+    t.foreach { m =>
+      val mid = outer.addArray()
+      m.foreach { row =>
+        val inner = mid.addArray()
+        row.foreach(inner.add)
+      }
+    }
+  }
+
+  /** Write the sidecar into `dir` (same filesystem as the index data —
+    * works for local paths in tests and object stores in deployment). */
+  def write(spark: SparkSession, dir: String, node: ObjectNode): Unit = {
+    val p = new Path(dir, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(node))
+    finally out.close()
+  }
+
+  /** Read and parse `dir`'s sidecar; REFUSE a bare directory. `builder`
+    * names the write API the error should point the caller at. */
+  def read(spark: SparkSession, dir: String, builder: String): JsonNode = {
+    val p = new Path(dir, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$dir has no $FileName sidecar — build the index with $builder " +
+        "(a probe with guessed parameters silently drops results on " +
+        "any mismatch)")
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    mapper.readTree(bytes)
+  }
+
+  def int(node: JsonNode, field: String): Int = {
+    val f = node.get(field)
+    require(f != null && f.canConvertToInt,
+      s"$FileName lacks numeric field '$field': $node")
+    f.asInt()
+  }
+
+  def long(node: JsonNode, field: String): Long = {
+    val f = node.get(field)
+    require(f != null && f.canConvertToLong,
+      s"$FileName lacks numeric field '$field': $node")
+    f.asLong()
+  }
+
+  def doubles2(node: JsonNode, field: String): Seq[Seq[Double]] = {
+    val f = node.get(field)
+    require(f != null && f.isArray,
+      s"$FileName lacks array field '$field'")
+    arr(f).map(row => arr(row).map(_.asDouble()))
+  }
+
+  def doubles3(node: JsonNode, field: String): Seq[Seq[Seq[Double]]] = {
+    val f = node.get(field)
+    require(f != null && f.isArray,
+      s"$FileName lacks array field '$field'")
+    arr(f).map(m => arr(m).map(row => arr(row).map(_.asDouble())))
+  }
+
+  private def arr(n: JsonNode): Seq[JsonNode] = {
+    val it = n.asInstanceOf[ArrayNode].elements()
+    val b = Seq.newBuilder[JsonNode]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+}

@@ -34,6 +34,15 @@ case class PqAdc(luts: Seq[Expression], codes: Seq[Expression])
     extends Expression {
   require(luts.nonEmpty && luts.size == codes.size,
     s"pq_adc needs matching lut/code arity, got ${luts.size}/${codes.size}")
+  // doGenCode unrolls all m lut/code steps inline (straight-line adds
+  // inside the caller's whole-stage-codegen method). A large m would
+  // blow the JVM's 64KB method-bytecode limit AT RUNTIME, inside
+  // generated code — bound it here where the message can say why.
+  // PQ configurations with m > 16 are unusual (m=4..8 typical); lift
+  // this only together with a ctx.splitExpressions fallback.
+  require(luts.size <= 16,
+    s"pq_adc unrolls m=${luts.size} subspace steps inline in codegen; " +
+      "m > 16 risks the JVM 64KB generated-method limit")
 
   override def children: Seq[Expression] = luts ++ codes
   override def dataType: DataType = DoubleType

@@ -95,10 +95,11 @@ object Dedup {
     * `transform` over the band index so the signature subtree appears
     * once (same plan-size rationale as minhashSignature). */
   def withMinhashBands(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      carry: Seq[String] = Nil): DataFrame =
     bandsFrom(df, idCol,
       minhashSignature(col(textCol), shingleSize, numHashes),
-      numHashes, bands)
+      numHashes, bands, carry)
 
   /** [[withMinhashBands]] over an ALREADY-COMPUTED signature column —
     * the share-the-signatures path for multi-config banding (q300
@@ -112,8 +113,13 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame =
     bandsFrom(sigs, idCol, col(sigCol), numHashes, bands)
 
+  /** `carry`: extra columns to ride the banded rows (e.g. a source
+    * label a downstream report groups candidate pairs by) — carrying a
+    * small attribute through the ONE collision-bound self-join is free
+    * next to the alternative, a second corpus-scale join attaching it
+    * to pairs afterwards (q303 learned this the hard way). */
   private def bandsFrom(df: DataFrame, idCol: String, sig: Column,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int, carry: Seq[String] = Nil): DataFrame = {
     val rows = numHashes / bands
     val buckets = Expr.let(sig) { s =>
       transform(sequence(lit(0), lit(bands - 1)),
@@ -122,7 +128,7 @@ object Dedup {
             x => x.cast("string")),
           "_")))
     }
-    df.select(col(idCol), posexplode(buckets))
+    df.select((col(idCol) +: carry.map(col)) :+ posexplode(buckets): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
@@ -247,15 +253,13 @@ object Dedup {
       bands: Int = 4, parts: Int = 64): Unit = {
     bucketIndex(docs, textCol, idCol, shingleSize, numHashes, bands,
       parts).write.mode("overwrite").partitionBy("bpart").parquet(path)
-    val meta =
-      s"""{"idCol":"$idCol","shingleSize":$shingleSize,""" +
-        s""""numHashes":$numHashes,"bands":$bands,"parts":$parts}"""
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_index.json")
-    val fs = p.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", idCol)
+    meta.put("shingleSize", shingleSize)
+    meta.put("numHashes", numHashes)
+    meta.put("bands", bands)
+    meta.put("parts", parts)
+    graft.config.Sidecar.write(docs.sparkSession, path, meta)
   }
 
   /** Per-batch probe against a STORED [[writeBucketIndex]] table:
@@ -270,27 +274,12 @@ object Dedup {
   def incrementalCandidatesStored(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame, textCol: String,
       idCol: String, maxBucketSize: Int = 0): DataFrame = {
-    val metaPath = new org.apache.hadoop.fs.Path(indexPath,
-      "_graft_index.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(metaPath),
-      s"$indexPath has no _graft_index.json sidecar — build the index " +
-        "with Dedup.writeBucketIndex (a probe with guessed parameters " +
-        "silently drops candidates on any mismatch)")
-    val metaJson = {
-      val in = fs.open(metaPath)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    def intField(name: String): Int =
-      s""""$name":\\s*(\\d+)""".r.findFirstMatchIn(metaJson)
-        .getOrElse(throw new IllegalArgumentException(
-          s"_graft_index.json lacks numeric field '$name': $metaJson"))
-        .group(1).toInt
+    val meta = graft.config.Sidecar.read(spark, indexPath,
+      "Dedup.writeBucketIndex")
+    import graft.config.Sidecar.{int => intField}
     val (shingleSize, numHashes, bands, parts) =
-      (intField("shingleSize"), intField("numHashes"), intField("bands"),
-        intField("parts"))
+      (intField(meta, "shingleSize"), intField(meta, "numHashes"),
+        intField(meta, "bands"), intField(meta, "parts"))
     val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
       numHashes, bands).localCheckpoint(false)
     val touchedParts = bNew

@@ -475,6 +475,20 @@ object Similarity {
     }
   }
 
+  /** Empty-codebook guard shared by the split-out encode/scan halves:
+    * the monoliths ([[pqAdcTopK]]/[[ivfPqTopK]]) return an empty top-k
+    * frame for an empty corpus, but the public halves receive the
+    * TRAINED model as an argument — an empty one means the caller
+    * trained on an empty corpus and skipped the monolith's guard, and
+    * `codebooks.head.head.size` would otherwise surface as a bare
+    * NoSuchElementException deep in plan construction. */
+  private def requireTrained(codebooks: Seq[Seq[Seq[Double]]],
+      op: String): Unit =
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      s"$op needs non-empty trained codebooks (pqTrain on an empty " +
+        "corpus yields empty ones — guard the empty corpus at the " +
+        "caller as pqAdcTopK does)")
+
   /** Map-only PQ encoding of the corpus against trained codebooks:
     * (neighbor_id, nvec, code0..code{m-1}) — the frame a deployment
     * stores as its PQ index (plus nvec for the exact re-rank; a
@@ -482,6 +496,7 @@ object Similarity {
     * back for the shortlist). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    requireTrained(codebooks, "pqEncode")
     val m = codebooks.size
     val sublen = codebooks.head.head.size
     val codeCols = (0 until m).map(j =>
@@ -500,6 +515,7 @@ object Similarity {
   def pqAdcScan(encoded: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
       shortlist: Int, k: Int): DataFrame = {
+    requireTrained(codebooks, "pqAdcScan")
     val m = codebooks.size
     val sublen = codebooks.head.head.size
     val lutCols = (0 until m).map(j =>
@@ -591,6 +607,10 @@ object Similarity {
   def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    requireTrained(codebooks, "ivfPqEncode")
+    require(coarse.nonEmpty, "ivfPqEncode needs a non-empty coarse " +
+      "quantizer (training on an empty corpus yields none — guard the " +
+      "empty corpus at the caller as ivfPqTopK does)")
     val m = codebooks.size
     val sublen = codebooks.head.head.size
     val codeCols = (0 until m).map(j =>
@@ -601,6 +621,22 @@ object Similarity {
         cellOf(coarse)(col(vecCol)).as("cell")) ++ codeCols: _*)
   }
 
+  /** The `nprobe` nearest coarse cells per vector (cos desc, lower
+    * cell id on ties) — the query-side cell expansion shared by
+    * [[ivfPqScan]] and the touched-cell collection of
+    * [[ivfPqScanStored]]'s partition pruning. */
+  private def probeCells(coarse: Seq[Seq[Double]], nprobe: Int)(
+      vec: Column): Column = {
+    val nlist = coarse.size
+    Expr.let(scoreArrCent(coarse)(vec)) { a =>
+      transform(
+        slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
+          (c, i) => struct((-c).as("negcos"), i.as("idx")))),
+          1, nprobe),
+        s => s.getField("idx"))
+    }
+  }
+
   /** The per-query-batch half of [[ivfPqTopK]] against a pre-built
     * [[ivfPqEncode]] index: probe-cell expansion, cell equi-join,
     * fused-ADC score, shortlist cut, exact re-rank — bit-identical
@@ -609,17 +645,13 @@ object Similarity {
       vecCol: String, coarse: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]], nprobe: Int,
       shortlist: Int, k: Int): DataFrame = {
+    requireTrained(codebooks, "ivfPqScan")
+    require(coarse.nonEmpty, "ivfPqScan needs a non-empty coarse " +
+      "quantizer (training on an empty corpus yields none — guard the " +
+      "empty corpus at the caller as ivfPqTopK does)")
     val m = codebooks.size
     val sublen = codebooks.head.head.size
-    val nlist = coarse.size
-    def probeCellsArr(vec: Column): Column =
-      Expr.let(scoreArrCent(coarse)(vec)) { a =>
-        transform(
-          slice(array_sort(zip_with(a, sequence(lit(0), lit(nlist - 1)),
-            (c, i) => struct((-c).as("negcos"), i.as("idx")))),
-            1, nprobe),
-          s => s.getField("idx"))
-      }
+    def probeCellsArr(vec: Column): Column = probeCells(coarse, nprobe)(vec)
     val lutCols = (0 until m).map(j =>
       scoreArrCent(codebooks(j))(
         slice(col(vecCol), j * sublen + 1, sublen)).as(s"lut$j"))
@@ -641,6 +673,104 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Builds and STORES the IVF-PQ serving index — the deployment form
+    * [[ivfPqEncode]]'s scaladoc promised (r9 verdict item 1): the
+    * encoded corpus written `partitionBy("cell")` (each coarse cell is
+    * a directory; a query batch's probed cells prune at the FILE
+    * level, so scan I/O tracks nprobe/nlist, not corpus size — the
+    * [[graft.operators.Dedup.writeBucketIndex]] treatment) plus a
+    * `_graft_index.json` sidecar pinning the trained model (coarse
+    * centroids + PQ codebooks, exact shortest-repr doubles) and its
+    * parameters. [[ivfPqScanStored]] reads the model from the sidecar
+    * — never from the caller — because a scan against a different
+    * model than the codes were encoded with returns silently wrong
+    * neighbors, not an error.
+    *
+    * Scale shape: one training pass (bounded-model collects only), one
+    * map-only encode, one partitioned write. At 100 TB the index is
+    * built once and probed per batch forever; a per-process re-encode
+    * (the in-memory split's implicit cost) re-scans the corpus every
+    * restart. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, idCol: String,
+      vecCol: String, dim: Int, m: Int, kCodes: Int, rounds: Int,
+      nlist: Int): Unit = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val coarse = trainCoarse(corpus, idCol, vecCol, nlist, rounds)
+    val codebooks = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, rounds)
+    require(coarse.nonEmpty && codebooks.forall(_.nonEmpty),
+      "writeIvfPqIndex trained an empty model — the corpus is empty; " +
+        "an empty serving index is a deployment error, not a frame")
+    ivfPqEncode(corpus, idCol, vecCol, coarse, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // corpus size feeds ivfPqShortlist at scan time; counting the
+    // WRITTEN table is parquet-footer metadata, not a second data scan
+    val n = corpus.sparkSession.read.parquet(path).count()
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("dim", dim)
+    meta.put("m", m)
+    meta.put("kCodes", kCodes)
+    meta.put("rounds", rounds)
+    meta.put("nlist", nlist)
+    meta.put("count", n)
+    graft.config.Sidecar.putDoubles2(meta, "coarse", coarse)
+    graft.config.Sidecar.putDoubles3(meta, "codebooks", codebooks)
+    graft.config.Sidecar.write(corpus.sparkSession, path, meta)
+  }
+
+  /** Per-query-batch scan against a STORED [[writeIvfPqIndex]] table:
+    * reads the trained model from the sidecar (a bare parquet dir is
+    * REFUSED — same silent-wrong-results rationale as
+    * [[graft.operators.Dedup.incrementalCandidatesStored]]), collects
+    * the batch's touched cell set (≤ nlist ints — model-size, not
+    * data), prunes the index read to those cells (partition filter →
+    * file-level pruning), and runs the standard [[ivfPqScan]] tail.
+    * Row-identical to the in-memory monolith by construction: the
+    * per-(query, cell) join pairs are unchanged by pruning to the
+    * batch's cell UNION, and floats/codes round-trip parquet exactly.
+    *
+    * `shortlist` ≤ 0 derives the scale-aware depth from the sidecar's
+    * corpus count via [[ivfPqShortlist]] — the stored index knows its
+    * own size, so the caller doesn't have to. */
+  def ivfPqScanStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int, shortlist: Int = 0): DataFrame = {
+    val meta = graft.config.Sidecar.read(spark, path,
+      "Similarity.writeIvfPqIndex")
+    val nlist = graft.config.Sidecar.int(meta, "nlist")
+    val count = graft.config.Sidecar.long(meta, "count")
+    val coarse = graft.config.Sidecar.doubles2(meta, "coarse")
+    val codebooks = graft.config.Sidecar.doubles3(meta, "codebooks")
+    require(coarse.size == nlist,
+      s"sidecar coarse model has ${coarse.size} centroids, nlist=$nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe $nprobe out of range for nlist=$nlist")
+    val sl = if (shortlist > 0) shortlist
+      else ivfPqShortlist(count, nlist, nprobe, k)
+    val touched = queries
+      .select(explode(probeCells(coarse, nprobe)(col(vecCol))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ nlist values
+    val encoded = spark.read.parquet(path)
+      .where(col("cell").isin(touched.map(Int.box): _*))
+    ivfPqScan(encoded, queries, idCol, vecCol, coarse, codebooks,
+      nprobe, sl, k)
+  }
+
+  /** The touched cell set a query batch probes against a stored index
+    * — the same computation [[ivfPqScanStored]] prunes with, exposed
+    * package-private so ProbeAnn can measure file-level pruning
+    * (files under probed cell dirs vs total) without duplicating the
+    * probe-cell expression. */
+  private[graft] def storedProbedCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, nprobe: Int): Seq[Int] = {
+    val meta = graft.config.Sidecar.read(spark, path,
+      "Similarity.writeIvfPqIndex")
+    val coarse = graft.config.Sidecar.doubles2(meta, "coarse")
+    queries
+      .select(explode(probeCells(coarse, nprobe)(col(vecCol))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with

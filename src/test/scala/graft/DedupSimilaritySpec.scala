@@ -415,4 +415,58 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("bpart").distinct().count()
     assert(touched <= 16)
   }
+
+  test("stored IVF-PQ index ≡ in-memory monolith: ivfPqScanStored " +
+    "(cell-partitioned parquet + model sidecar) returns ivfPqTopK's " +
+    "rows EXACTLY; a bare dir is refused; the scan reads only probed " +
+    "cells") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_index").toString
+    Similarity.writeIvfPqIndex(emb, dir, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val mono = rows(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8,
+      nprobe = 3, shortlist = 20, k = 5))
+    // the stored scan takes the MODEL from the sidecar — the only
+    // caller inputs are the query batch and the probe/cut depths
+    val stored = rows(Similarity.ivfPqScanStored(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 20))
+    assert(stored === mono)
+    assert(mono.nonEmpty)
+    // shortlist ≤ 0 derives the scale-aware depth from the sidecar's
+    // corpus count (ivfPqShortlist floor = 5·k = 25 here ≥ 20, so the
+    // result can only re-rank a superset — same contract, not equality)
+    val derived = Similarity.ivfPqScanStored(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 3, k = 5)
+    assert(derived.count() > 0)
+    // a bare cell-partitioned parquet dir without the model sidecar is
+    // REFUSED (scanning against a guessed/retrained model returns
+    // silently wrong neighbors, not an error)
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_bare").toString
+    val coarse = Similarity.trainCoarse(emb, "vec_id", "embedding",
+      nlist = 8, rounds = 1)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1)
+    Similarity.ivfPqEncode(emb, "vec_id", "embedding", coarse, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(bare)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqScanStored(spark, bare, queries, "vec_id",
+        "embedding", nprobe = 3, k = 5).count()
+    }
+    assert(err.getMessage.contains("_graft_index.json"))
+    // file-level pruning: the stored scan's parquet read carries a
+    // partition filter on the probed cells — strictly fewer files than
+    // the full index when nprobe < nlist
+    val scan = Similarity.ivfPqScanStored(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 20)
+    val scanStr = scan.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters: [cell"), scanStr)
+  }
 }

@@ -577,14 +577,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q302/q303: burstiness top-20 is TakeOrderedAndProject over a " +
-    "partial aggregate; the leakage matrix joins sources via " +
-    "broadcast — no cartesian, no nested loop") {
+    "partial aggregate; the leakage matrix carries source labels on " +
+    "the banded rows — ONE equi self-join on (band,bucket), no " +
+    "broadcast of a corpus-sized map, no cartesian, no nested loop") {
     val p302 = plan("q302_token_burstiness")
     assert(p302.contains("TakeOrderedAndProject"), p302)
     assert(p302.contains("partial_count"), p302)
     assert(!p302.contains("CartesianProduct"), p302)
-    val p303 = plan("q303_cross_source_dups")
-    assert(p303.contains("BroadcastHashJoin"), p303)
+    // the r9 shape HINT-forced a broadcast of the (doc → source) map
+    // onto the pairs — corpus-sized at scale (ADVICE r9 medium). The
+    // fixed shape has zero hints (a BroadcastHashJoin may still appear
+    // at toy scale from size STATS — that's Catalyst's call and flips
+    // to SMJ when stats grow; the hint would have forced it at any
+    // size) and its only join is the collision-bound (band, bucket)
+    // self-join, labels riding the banded rows.
+    val q303 = Queries.all("q303_cross_source_dups")(spark, dir)
+    assert(!q303.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      q303.queryExecution.analyzed.toString)
+    val p303 = q303.queryExecution.executedPlan.toString
+    assert(p303.contains("Join [band"), p303)
     assert(!p303.contains("CartesianProduct"), p303)
     assert(!p303.contains("BroadcastNestedLoopJoin"), p303)
   }
