@@ -643,6 +643,46 @@ object Oracle {
          |SELECT v AS doc_id, min(u) AS component FROM reach
          |GROUP BY v ORDER BY doc_id""".stripMargin,
 
+    // q305: the incremental survivor-maintenance DELTA — the FULL
+    // component computation over old ∪ new (q52's reach chain) diffed
+    // against the corpus-only components. The Spark side produces the
+    // same delta via the incremental merge of touched components only
+    // (Dedup.incrementalComponents), so the hash match IS the
+    // incremental ≡ full-recompute contract, pinned externally.
+    "q305_incremental_survivors" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |full_assign AS (SELECT v AS doc_id, min(u) AS component
+         |  FROM reach GROUP BY v),
+         |old_edges AS (SELECT a, b FROM edges
+         |  WHERE a % 20 <> 7 AND b % 20 <> 7),
+         |reach_old(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 20 <> 7
+         |  UNION
+         |  SELECT r.v, e.b FROM reach_old r JOIN old_edges e ON r.u = e.a),
+         |old_assign AS (SELECT v AS doc_id, min(u) AS component
+         |  FROM reach_old GROUP BY v)
+         |SELECT f.doc_id, f.component,
+         |  CASE WHEN o.doc_id IS NULL THEN 'new' ELSE 'merged' END AS status
+         |FROM full_assign f LEFT JOIN old_assign o USING (doc_id)
+         |WHERE o.doc_id IS NULL OR f.component <> o.component
+         |ORDER BY f.doc_id""".stripMargin,
+
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)

@@ -92,10 +92,37 @@ object ProbeIncremental {
       require(pairsStored == pairs,
         s"stored-index pairs $pairsStored != recomputed $pairs")
 
+      // survivor maintenance (r9 verdict item 2): the stored component
+      // assignments are the pipeline's persisted state — building them
+      // is the corpus-scale job a deployment ran once (timed here as
+      // the RECOMPUTE BASELINE the merge must beat); the per-batch
+      // merge is two map-only passes over that state plus a CC
+      // fixpoint on the touched-label graph (∝ batch collisions).
+      val tCc = System.nanoTime()
+      val oldAssign = Dedup.connectedComponents(corpus, "doc_id",
+          Dedup.minhashCandidates(corpus, "text", "doc_id"))
+        .withColumnRenamed("id", "doc_id").localCheckpoint(true)
+      val secCcFull = (System.nanoTime() - tCc) / 1e9
+      val pairsDf = Dedup.incrementalCandidatesStored(spark, idxDir,
+        batch, "text", "doc_id").localCheckpoint(true)
+      val touchedNodes = pairsDf
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().count() // upper bound on touched component labels
+      val t2 = System.nanoTime()
+      val deltaRows = Dedup.incrementalComponents(oldAssign,
+          batch.select("doc_id"), "doc_id", pairsDf)
+        .join(oldAssign.select(col("doc_id"),
+          col("component").as("oc")), Seq("doc_id"), "left")
+        .where(col("oc").isNull || col("component") =!= col("oc"))
+        .count()
+      val secMerge = (System.nanoTime() - t2) / 1e9
+
       println(f"""{"probe":"incremental","reps":$reps,""" +
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
-        f""""pruned_index_rows":$pruned,"pairs":$pairs}""")
+        f""""pruned_index_rows":$pruned,"pairs":$pairs,""" +
+        f""""sec_merge":$secMerge%.2f,"sec_cc_recompute":$secCcFull%.2f,""" +
+        f""""touched_nodes":$touchedNodes,"delta_rows":$deltaRows}""")
       // the probe's scratch index is corpus-scale — don't leave it in /tmp
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)

@@ -8362,6 +8362,44 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental SURVIVOR maintenance, ORACLE-PROVEN — the step after
+    * q294's per-batch candidate pairs: merge the batch into the STORED
+    * component assignments (`Dedup.incrementalComponents`: union-find
+    * over touched component labels only — never a corpus-scale CC
+    * recompute) and emit the DELTA an ingest pipeline persists — new
+    * docs plus old docs whose canonical component changed. DuckDB
+    * replays the FULL component computation over old ∪ new and diffs
+    * it against the corpus-only components, so the hash match IS the
+    * incremental ≡ full-recompute contract, pinned externally.
+    *
+    * Scale shape: the old assignments here are recomputed from the
+    * corpus for gate self-containment (a deployment reads its stored
+    * table); the OPERATOR's per-batch cost is two map-only passes over
+    * the assignments plus a CC fixpoint on the batch-bound touched-
+    * label graph (see incrementalComponents' scaladoc; per-batch wall
+    * measured flat under corpus growth in ProbeIncremental). */
+  def q305IncrementalSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val oldAssign = Dedup.connectedComponents(corpus, "doc_id",
+        Dedup.minhashCandidates(corpus, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+    val pairs = Dedup.incrementalCandidates(corpus, batch, "text",
+      "doc_id")
+    val updated = Dedup.incrementalComponents(oldAssign,
+      batch.select("doc_id"), "doc_id", pairs)
+    updated
+      .join(oldAssign.select(col("doc_id"),
+        col("component").as("old_component")), Seq("doc_id"), "left")
+      .where(col("old_component").isNull ||
+        col("component") =!= col("old_component"))
+      .select(col("doc_id"), col("component"),
+        when(col("old_component").isNull, lit("new"))
+          .otherwise(lit("merged")).as("status"))
+      .orderBy("doc_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8670,5 +8708,6 @@ object Queries {
     "q302_token_burstiness" -> (q302TokenBurstiness _),
     "q303_cross_source_dups" -> (q303CrossSourceDups _),
     "q304_ivf_pq_stored" -> (q304IvfPqStored _),
+    "q305_incremental_survivors" -> (q305IncrementalSurvivors _),
   )
 }

@@ -423,6 +423,65 @@ object Dedup {
     (result, iter)
   }
 
+  /** Incremental component maintenance — the step that finishes the
+    * per-batch dedup story (r9 verdict item 2): given the STORED
+    * component assignments of the old corpus (`assignments`: one
+    * (id, component) row per old doc, component = min member id — the
+    * labeling [[connectedComponents]] produces and an ingest pipeline
+    * persists) and a batch's candidate pairs from
+    * [[incrementalCandidatesStored]], emit the updated assignments for
+    * old ∪ new WITHOUT recomputing components over the corpus.
+    *
+    * Union-find merge of TOUCHED components only: pair endpoints map
+    * to their current labels (new ids label themselves), the distinct
+    * (label_a, label_b) edges form a component-level graph whose size
+    * is bounded by the batch's collision volume — NOT the corpus — and
+    * [[connectedComponents]] on that graph yields the label merges.
+    * Labels stay canonical min-ids: an old label is the min id of its
+    * old component, a new node's label is its own id, so the min over
+    * a merged group of labels is the min over all member ids — exactly
+    * the label a full recompute over old ∪ new assigns (differential
+    * asserted in DedupSimilaritySpec; q305 pins it against DuckDB).
+    *
+    * Scale shape: the corpus-scale `assignments` table is never
+    * shuffled — the endpoint lookup and the final label rewrite are
+    * joins against batch-bound frames (AQE broadcasts the small side;
+    * no hint, per the q303 lesson), so per-batch cost is two map-only
+    * passes over the stored assignments plus a CC fixpoint on the
+    * touched-component graph. Survivor extraction stays the existing
+    * operators' job: min-id keep IS the component label; keep-latest
+    * is [[keepLatest]] partitioned by the updated component. */
+  def incrementalComponents(assignments: DataFrame, newNodes: DataFrame,
+      idCol: String, batchPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val asg = assignments.select(col(idCol).as("id"), col("component"))
+    // endpoints → current labels; a missing row means a NEW id (its
+    // label is itself). Pairs are batch-bound, so these joins stream
+    // the corpus side map-only.
+    val labeled = batchPairs.select(col("id_a"), col("id_b"))
+      .join(asg.select(col("id").as("id_a"), col("component").as("la")),
+        Seq("id_a"), "left")
+      .join(asg.select(col("id").as("id_b"), col("component").as("lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("la"),
+        coalesce(col("lb"), col("id_b")).as("lb"))
+      .where(col("la") =!= col("lb"))
+    val edges = labeled
+      .select(col("la").as("id_a"), col("lb").as("id_b")).distinct()
+      .localCheckpoint(false) // batch-bound; cuts the lookup joins out
+                              // of every CC round's lineage
+    val nodes = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    // CC on the touched-LABEL graph — size ∝ batch collisions
+    val mapping = connectedComponents(nodes, "id", edges, maxIter)
+      .select(col("id").as("oldlab"), col("component").as("newlab"))
+      .where(col("oldlab") =!= col("newlab"))
+    val full = asg.unionByName(
+      newNodes.select(col(idCol).as("id"), col(idCol).as("component")))
+    full.join(mapping, full("component") === mapping("oldlab"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("newlab"), col("component")).as("component"))
+  }
+
   // ------------------------------------------------------------------
   // Test-set decontamination
   // ------------------------------------------------------------------

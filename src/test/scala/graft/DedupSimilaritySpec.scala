@@ -416,6 +416,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(touched <= 16)
   }
 
+  test("incrementalComponents ≡ full connectedComponents recompute " +
+    "over old ∪ new: merging a batch's candidate pairs into stored " +
+    "assignments loses nothing vs re-clustering the whole corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 5 === 2)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2)
+    val oldAssign = Dedup.connectedComponents(corpus, "doc_id",
+        Dedup.minhashCandidates(corpus, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+    val pairs = Dedup.incrementalCandidates(corpus, batch, "text",
+      "doc_id")
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = asg(Dedup.incrementalComponents(oldAssign,
+      batch.select("doc_id"), "doc_id", pairs))
+    val fullRe = asg(Dedup.connectedComponents(docs, "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id"))
+    assert(incr === fullRe)
+    // the fixture actually exercises merging: some old doc's component
+    // must change (otherwise this test would pass on a no-op merge)
+    val changedOld = incr.diff(asg(oldAssign))
+      .filterNot { case (id, _) => id % 5 == 2 }
+    assert(changedOld.nonEmpty,
+      "no old component was merged by the batch — fixture too weak")
+  }
+
   test("stored IVF-PQ index ≡ in-memory monolith: ivfPqScanStored " +
     "(cell-partitioned parquet + model sidecar) returns ivfPqTopK's " +
     "rows EXACTLY; a bare dir is refused; the scan reads only probed " +
