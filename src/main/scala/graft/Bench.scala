@@ -28,6 +28,17 @@ object Bench {
     (DriverWindowSec - SbtStartupSec - DefaultRerunBudgetSec - StragglerSlackSec).toDouble
 
   def main(args: Array[String]): Unit = {
+    // Self-describing environment (r9 verdict item 3): r9's driver
+    // record measured 501.7 s where same-code quiet runs measured
+    // 238.0 s, and attributing that to a noisy neighbor took an
+    // afternoon of forensics. Stamp the 1-minute system load BEFORE
+    // any of our own work starts (pre-existing contention) and at the
+    // end (dominated by our own 32-thread run — context, not a
+    // cleanliness signal), so a contended record says so itself.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val cores = Runtime.getRuntime.availableProcessors
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -137,7 +148,12 @@ object Bench {
     // how many samples each min actually took; budget_hit says reruns
     // were cut short.
     val rcJson = runCounts.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"budget_hit":$budgetHit,"run_counts":$rcJson,"wall":$wall,"errors":$errJson}"""
+    val loadEnd = osBean.getSystemLoadAverage
+    def l2(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val envJson = s""""load_start":${l2(loadStart)},""" +
+      s""""load_end":${l2(loadEnd)},"cores":$cores"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"budget_hit":$budgetHit,"run_counts":$rcJson,"wall":$wall,$envJson,"errors":$errJson}"""
     // Full-precision, full-name line goes to the file (whole regardless
     // of log buffering) and to stdout FIRST for human log readers.
     println(line)
@@ -177,7 +193,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val tv = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       val tail = if (minimal) "" else
-        s""","sf":${jstr(sfDir.split('/').last)},"runs":$runs,"budget_hit":$budgetHit,"errors":$errJson"""
+        s""","sf":${jstr(sfDir.split('/').last)},"runs":$runs,"budget_hit":$budgetHit,$envJson,"errors":$errJson"""
       s"""{"metric":"total","value":$tv,"unit":"sec","queries":$cq,"n_ok":${timings.size}$tail}"""
     }
     // four tiers: 2-decimal, 1-decimal, 1-decimal with the minimal

@@ -683,6 +683,57 @@ object Oracle {
          |WHERE o.doc_id IS NULL OR f.component <> o.component
          |ORDER BY f.doc_id""".stripMargin,
 
+    // q306: the end-to-end per-batch pipeline — full components over
+    // old ∪ new (the incremental merge's proven equal), batch
+    // survivors = canonical min-id representatives, q33's quality
+    // arithmetic, q92's packing window — one hash over the whole
+    // composition.
+    "q306_incremental_pipeline" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |full_assign AS (SELECT v AS doc_id, min(u) AS component
+         |  FROM reach GROUP BY v),
+         |surv AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN full_assign f USING (doc_id)
+         |  WHERE d.doc_id % 20 = 7 AND f.component = d.doc_id),
+         |st AS (SELECT doc_id, lang,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nwords
+         |  FROM surv),
+         |q AS (SELECT doc_id, lang, n_tokens,
+         |    ${f6("least(1.0, nwords / 20.0) * (nalpha / nchars)")} AS quality_score
+         |  FROM st),
+         |g AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         |o AS (SELECT doc_id, lang, n_tokens, quality_score,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_off
+         |  FROM g)
+         |SELECT doc_id, lang, n_tokens, quality_score, tok_off,
+         |  CAST(floor(CAST(tok_off AS DOUBLE) / 2048) AS BIGINT)
+         |    AS seq_first,
+         |  CAST(floor(CAST(tok_off + n_tokens - 1 AS DOUBLE) / 2048)
+         |    AS BIGINT) AS seq_last
+         |FROM o ORDER BY lang, doc_id""".stripMargin,
+
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)

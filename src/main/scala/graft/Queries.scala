@@ -8171,7 +8171,9 @@ object Queries {
       // gate would hash-match a mathematically wrong alpha). Fail loud
       // instead: assert_true throws on violation, returns null (→ the
       // coalesce keeps every row) when the assumption holds.
-      .where(coalesce(expr("assert_true(max_m <= 5, " +
+      // (max_m IS NULL = empty input — nothing to guard, and
+      // assert_true raises on NULL conditions)
+      .where(coalesce(expr("assert_true(max_m IS NULL OR max_m <= 5, " +
         "'q299: an item has >5 ratings; 12/(m-1) is no longer " +
         "integral and the exact-long disagreement sum would floor')"),
         lit(true)))
@@ -8398,6 +8400,56 @@ object Queries {
         when(col("old_component").isNull, lit("new"))
           .otherwise(lit("merged")).as("status"))
       .orderBy("doc_id")
+  }
+
+  /** End-to-end incremental-pipeline CAPSTONE, ORACLE-PROVEN — the
+    * full per-batch path a 100 TB ingest runs, composed from the
+    * operators that each carry their own green row: ingest increment
+    * (the reference's watermark split — q294's batch) → near-dup probe
+    * against the corpus (collision-bound candidates, q294) → survivor
+    * maintenance (incremental component merge, q305; a batch doc
+    * survives iff it IS its component's canonical min-id
+    * representative) → quality gate (q33's score ≥ 0.5) → sequence
+    * packing of the surviving gated batch (q92's exclusive prefix sum
+    * per language). DuckDB replays every stage — reach-CTE components,
+    * quality arithmetic, packing window — so the one hash pins the
+    * whole composition.
+    *
+    * Scale shape: each stage is the proven shape of its parent query —
+    * nothing here shuffles the corpus beyond the banding scan the
+    * probe needs (stored-index form in DedupSimilaritySpec); the
+    * packing window partitions by lang over BATCH rows only. */
+  def q306IncrementalPipeline(s: SparkSession, dir: String): DataFrame = {
+    val b = 2048
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val oldAssign = Dedup.connectedComponents(corpus, "doc_id",
+        Dedup.minhashCandidates(corpus, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+    val pairs = Dedup.incrementalCandidates(corpus, batch, "text",
+      "doc_id")
+    val updated = Dedup.incrementalComponents(oldAssign,
+      batch.select("doc_id"), "doc_id", pairs)
+    val survivors = batch.join(
+      updated.where(col("component") === col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val gated = TextAnalysis.withQuality(survivors, "text")
+      .where(col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("quality_score"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gated
+      .withColumn("tok_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("tok_off"),
+        floor(col("tok_off").cast("double") / b).as("seq_first"),
+        floor((col("tok_off") + col("n_tokens") - 1).cast("double") / b)
+          .as("seq_last"))
+      .orderBy("lang", "doc_id")
   }
 
   // =======================================================================
@@ -8709,5 +8761,6 @@ object Queries {
     "q303_cross_source_dups" -> (q303CrossSourceDups _),
     "q304_ivf_pq_stored" -> (q304IvfPqStored _),
     "q305_incremental_survivors" -> (q305IncrementalSurvivors _),
+    "q306_incremental_pipeline" -> (q306IncrementalPipeline _),
   )
 }

@@ -640,7 +640,25 @@ object Similarity {
   /** The per-query-batch half of [[ivfPqTopK]] against a pre-built
     * [[ivfPqEncode]] index: probe-cell expansion, cell equi-join,
     * fused-ADC score, shortlist cut, exact re-rank — bit-identical
-    * composition to the monolith (asserted in DedupSimilaritySpec). */
+    * composition to the monolith (asserted in DedupSimilaritySpec).
+    *
+    * Hot-cell skew (r9 verdict item 4), measured rather than assumed:
+    * the cell join BROADCASTS the query batch (deliberate — a serving
+    * batch is model-sized by contract; split oversized batches into
+    * sub-batches rather than lifting the hint), so the encoded corpus
+    * is never hash-partitioned by cell — each scan task streams its
+    * parquet split map-side whatever cell it holds, and a hot cell
+    * parallelizes by FILE SPLIT (`maxPartitionBytes`), not by shuffle
+    * key. Downstream, Spark inserts a partial WindowGroupLimit before
+    * the per-query shortlist window, capping shuffle rows at
+    * `shortlist` per (query, input partition). Both facts are pinned
+    * in PlanSpec; ProbeAnn prints the per-cell histogram so a corpus
+    * whose skew outgrows this analysis is visible. The residual skew
+    * surface is cell-IMBALANCED candidate COUNTS inflating one
+    * query's window — bounded by that query's probed-cell volume, not
+    * by any single cell. Intra-cell SELF-joins ([[semanticDedup]])
+    * are the family where a hot cell concentrates in one partition —
+    * see that scaladoc's salting note. */
   def ivfPqScan(encoded: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, coarse: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]], nprobe: Int,

@@ -79,6 +79,24 @@ class BenchBudgetSpec extends AnyFunSuite {
         s"${counts.minOption.getOrElse(0)}) — regenerate quiet")
   }
 
+  test("committed bench is self-describing about host contention and " +
+    "was started on a quiet host") {
+    // r9's driver record (501.7 s vs 238.0 s quiet, same code) took an
+    // afternoon to attribute to a noisy neighbor; these fields make a
+    // contended record self-evident. load_start is sampled before any
+    // of our own work — a quiet record must start on a mostly-idle
+    // host. load_end is our own 32-thread run's load (context only).
+    val loadStart = field("load_start").toDouble
+    val cores = field("cores").toInt
+    field("load_end") // presence
+    assert(loadStart >= 0, "load average unavailable on this platform?")
+    assert(loadStart < cores / 4.0,
+      f"BENCH_LAST.json was started at system load $loadStart%.2f on " +
+        s"$cores cores — that is a contended window; regenerate the " +
+        "quiet record when the host is idle (budget-starved/contended " +
+        "runs belong in BENCH_DRIVER.json)")
+  }
+
   /** The driver parses the LAST line of the sbt run's stdout tail with
     * json.loads. Eight rounds of BENCH_r0N had parsed:null; r08's root
     * cause was sbt's logger prefixing the forked JVM's stdout with

@@ -600,6 +600,32 @@ class PlanSpec extends SparkSpec {
     assert(!p303.contains("BroadcastNestedLoopJoin"), p303)
   }
 
+  test("q295: the ADC cell join broadcasts the QUERY batch — the " +
+    "encoded corpus never hash-partitions by cell (a hot cell splits " +
+    "by file, not into one shuffle partition), and the shortlist " +
+    "window pre-limits map-side (partial WindowGroupLimit)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q295_ivf_pq_search")
+      assert(!p.contains("hashpartitioning(cell"), p)
+      assert(p.contains("BroadcastHashJoin [cell"), p)
+      assert(p.contains("WindowGroupLimit") &&
+        p.contains("row_number(), 50, Partial"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q305/q306: survivor maintenance and the pipeline capstone " +
+    "stay equi-join-only (no cartesian, no nested loop); the capstone's " +
+    "packing window partitions by lang") {
+    val p305 = plan("q305_incremental_survivors")
+    assert(!p305.contains("CartesianProduct"), p305)
+    assert(!p305.contains("BroadcastNestedLoopJoin"), p305)
+    val p306 = plan("q306_incremental_pipeline")
+    assert(!p306.contains("CartesianProduct"), p306)
+    assert(!p306.contains("BroadcastNestedLoopJoin"), p306)
+    assert(p306.contains("hashpartitioning(lang"), p306)
+  }
+
   test("q272: grid-density labels propagate on the model-sized CELL " +
     "frame — the only data-scale work is the first per-order " +
     "aggregate (map-side combined)") {

@@ -280,4 +280,63 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("PqAdc == try_element_at chain for arbitrary luts/codes " +
+    "(null/empty arrays, null slots, null/out-of-range codes, m=1..8)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.Similarity
+    // the kernel under q293/q295/ProbeAnn gets the same arbitrary-input
+    // hardening as the other native expressions: its specification is
+    // the try_element_at chain (null on any null lut/code/slot and on
+    // any index past the array — ANSI element_at would throw there)
+    val gD = Gen.frequency(
+      8 -> Gen.choose(-1e6, 1e6),
+      2 -> Gen.oneOf(0.0, -0.0, 1e300, -1e-300, math.Pi))
+    val gLut: Gen[Seq[java.lang.Double]] = for {
+      n <- Gen.choose(0, 6) // 0 = empty array
+      vals <- Gen.listOfN(n, Gen.frequency(
+        9 -> gD.map(java.lang.Double.valueOf),
+        1 -> Gen.const(null: java.lang.Double)))
+    } yield vals
+    for (m <- 1 to 8) {
+      val gRow: Gen[Row] = for {
+        luts <- Gen.listOfN(m, Gen.frequency(
+          8 -> gLut.map(l => l: Any), 1 -> Gen.const(null: Any)))
+        // 0..8 spans in-range AND past-the-end for every lut length ≤ 6
+        codes <- Gen.listOfN(m, Gen.frequency(
+          8 -> Gen.choose(0, 8).map(Int.box(_): Any),
+          1 -> Gen.const(null: Any)))
+      } yield Row.fromSeq(luts ++ codes)
+      val rows = sample(gRow, 60, 100L + m)
+      val schema = StructType(
+        (0 until m).map(j => StructField(s"lut$j",
+          ArrayType(DoubleType, containsNull = true))) ++
+        (0 until m).map(j => StructField(s"code$j", IntegerType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val luts = (0 until m).map(j => col(s"lut$j"))
+      val codes = (0 until m).map(j => col(s"code$j"))
+      val chain = luts.zip(codes)
+        .map { case (l, c) => try_element_at(l, c + lit(1)) }
+        .reduce(_ + _)
+      val cmp = df.select(Similarity.adcNative(luts, codes).as("n"),
+        chain.as("c")).collect()
+      assert(cmp.nonEmpty)
+      cmp.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1))
+          assert(r.isNullAt(0) && r.isNullAt(1), s"m=$m: $r")
+        else assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"m=$m: $r")
+      }
+    }
+    // negative codes: the native kernel nulls them — STRICTER than
+    // element_at's from-the-end indexing (codes are non-negative by
+    // construction via cellOf; nulling, never wrapping, is the safe
+    // divergence and is pinned here so it stays deliberate)
+    val neg = Seq((Seq(1.0, 2.0), -1)).toDF("lut", "code")
+      .select(Similarity.adcNative(Seq($"lut"), Seq($"code")))
+      .collect().head
+    assert(neg.isNullAt(0))
+  }
 }
