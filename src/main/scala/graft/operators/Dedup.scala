@@ -262,6 +262,34 @@ object Dedup {
     graft.config.Sidecar.write(docs.sparkSession, path, meta)
   }
 
+  /** Appends a landed batch to a STORED [[writeBucketIndex]] table —
+    * the index-MAINTENANCE half of the per-batch loop (probe with
+    * [[incrementalCandidatesStored]], decide, then append the batch so
+    * the NEXT batch's probe sees it). Banding parameters come from the
+    * sidecar, never the caller — an append banded with different
+    * parameters would poison the index silently (same hazard class as
+    * the probe; see [[writeBucketIndex]]). Cost ∝ |batch|: one banding
+    * map + an append into the ≤`parts` bpart directories the batch's
+    * buckets land in; the existing corpus-scale data is never
+    * rewritten. Append-then-probe ≡ rebuild-from-scratch is asserted
+    * in DedupSimilaritySpec (two-batch sequence). */
+  def appendToBucketIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, textCol: String): Unit = {
+    val meta = graft.config.Sidecar.read(spark, indexPath,
+      "Dedup.writeBucketIndex")
+    import graft.config.Sidecar.{int => intField}
+    val idCol = {
+      val f = meta.get("idCol")
+      require(f != null && f.isTextual,
+        s"_graft_index.json lacks string field 'idCol': $meta")
+      f.asText()
+    }
+    bucketIndex(newDocs, textCol, idCol, intField(meta, "shingleSize"),
+      intField(meta, "numHashes"), intField(meta, "bands"),
+      intField(meta, "parts"))
+      .write.mode("append").partitionBy("bpart").parquet(indexPath)
+  }
+
   /** Per-batch probe against a STORED [[writeBucketIndex]] table:
     * bands the batch with the parameters the SIDECAR pins (never
     * caller-supplied — see [[writeBucketIndex]] for why a mismatch is

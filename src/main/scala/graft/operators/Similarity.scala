@@ -413,8 +413,19 @@ object Similarity {
       .orderBy(col(idCol)).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     if (seeds.isEmpty) Seq.empty // empty corpus → no model to train
-    else (0 until rounds).foldLeft(seeds)((c, _) =>
-      lloydStep(corpus, vecCol, c, k))
+    else {
+      // the deterministic seeding contract is ids 0..k-1 PRESENT (the
+      // oracle replays `WHERE id < k`, so the rule cannot change); a
+      // corpus with sparse low ids under-seeds and lloydStep would die
+      // with a bare ArrayIndexOutOfBounds deep in the fold — fail with
+      // the actual contract instead
+      require(seeds.size == k,
+        s"quantized-Lloyd seeding needs ids 0..${k - 1} present " +
+          s"(found ${seeds.size} of $k) — train on the original " +
+          "densely-indexed corpus, or remap ids before training")
+      (0 until rounds).foldLeft(seeds)((c, _) =>
+        lloydStep(corpus, vecCol, c, k))
+    }
   }
 
   /** PQ ADC (asymmetric-distance) top-k — the QUERY path of the
@@ -735,6 +746,38 @@ object Similarity {
     graft.config.Sidecar.putDoubles2(meta, "coarse", coarse)
     graft.config.Sidecar.putDoubles3(meta, "codebooks", codebooks)
     graft.config.Sidecar.write(corpus.sparkSession, path, meta)
+  }
+
+  /** Appends new vectors to a STORED [[writeIvfPqIndex]] table — the
+    * index-maintenance half of the ANN serving loop. The batch is
+    * encoded with the FROZEN model the sidecar pins (coarse centroids
+    * + PQ codebooks trained at build time — encoding a batch with a
+    * retrained model while old codes stay would corrupt every ADC
+    * comparison, the same hazard class the sidecar exists for), so
+    * append-then-scan ≡ scanning an index encoded over old ∪ new with
+    * the ORIGINAL model (asserted in DedupSimilaritySpec). Model
+    * staleness is inherent to IVF-PQ appends: cell boundaries and
+    * codewords reflect the build-time distribution; retrain cadence
+    * (rebuild when the appended fraction grows large) is a deployment
+    * decision, not this operator's. Cost ∝ |batch|: map-only encode +
+    * append into the probed cell dirs; the sidecar's `count` is
+    * updated so the derived shortlist keeps tracking the true corpus
+    * size. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newCorpus: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val meta = graft.config.Sidecar.read(spark, path,
+      "Similarity.writeIvfPqIndex")
+    val coarse = graft.config.Sidecar.doubles2(meta, "coarse")
+    val codebooks = graft.config.Sidecar.doubles3(meta, "codebooks")
+    ivfPqEncode(newCorpus, idCol, vecCol, coarse, codebooks)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    // refresh the pinned corpus count (drives ivfPqShortlist at scan
+    // time); parquet-footer metadata count, not a data scan
+    val n = spark.read.parquet(path).count()
+    val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    updated.put("count", n)
+    graft.config.Sidecar.write(spark, path, updated)
   }
 
   /** Per-query-batch scan against a STORED [[writeIvfPqIndex]] table:

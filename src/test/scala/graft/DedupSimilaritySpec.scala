@@ -416,6 +416,76 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(touched <= 16)
   }
 
+  test("appendToBucketIndex: probing after an append ≡ probing an " +
+    "index REBUILT from scratch over corpus ∪ batch1 — the two-batch " +
+    "maintenance loop loses nothing, and the append bands with the " +
+    "sidecar's parameters") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch1 = docs.filter($"doc_id" % 5 === 2)
+    val batch2 = docs.filter($"doc_id" % 5 === 4)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2 && $"doc_id" % 5 =!= 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_append").toString
+    Dedup.writeBucketIndex(corpus, dir, "text", "doc_id", parts = 16)
+    Dedup.appendToBucketIndex(spark, dir, batch1, "text")
+    val viaAppend = pairs(Dedup.incrementalCandidatesStored(
+      spark, dir, batch2, "text", "doc_id"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_bucket_rebuild").toString
+    Dedup.writeBucketIndex(corpus.unionByName(batch1), rebuilt, "text",
+      "doc_id", parts = 16)
+    val viaRebuild = pairs(Dedup.incrementalCandidatesStored(
+      spark, rebuilt, batch2, "text", "doc_id"))
+    assert(viaAppend === viaRebuild)
+    assert(viaAppend.nonEmpty)
+  }
+
+  test("appendToIvfPqIndex: scanning after an append ≡ scanning " +
+    "old ∪ new encoded with the ORIGINAL (frozen) model; the sidecar " +
+    "count refreshes so the derived shortlist tracks the true corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // realistic ingest shape: the appended batch carries NEW (higher)
+    // ids — also what the deterministic id-0..k-1 seeding contract
+    // requires of the BUILD corpus (trainCentroids fails loud on
+    // sparse low ids; this spec originally used a mod-4 split and hit
+    // exactly that guard)
+    val cut = 375L
+    val oldV = emb.filter($"vec_id" < cut)
+    val newV = emb.filter($"vec_id" >= cut)
+    val queries = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append").toString
+    Similarity.writeIvfPqIndex(oldV, dir, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    Similarity.appendToIvfPqIndex(spark, dir, newV, "vec_id",
+      "embedding")
+    val afterAppend = rows(Similarity.ivfPqScanStored(spark, dir,
+      queries, "vec_id", "embedding", nprobe = 3, k = 5,
+      shortlist = 20))
+    // reference: the full corpus encoded with the model trained on
+    // the ORIGINAL build corpus only — exactly what append must equal
+    val coarse = Similarity.trainCoarse(oldV, "vec_id", "embedding",
+      nlist = 8, rounds = 1)
+    val books = Similarity.pqTrain(oldV, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1)
+    val ref = rows(Similarity.ivfPqScan(
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", coarse, books),
+      queries, "vec_id", "embedding", coarse, books, nprobe = 3,
+      shortlist = 20, k = 5))
+    assert(afterAppend === ref)
+    assert(afterAppend.nonEmpty)
+    val meta = graft.config.Sidecar.read(spark, dir, "test")
+    assert(graft.config.Sidecar.long(meta, "count") === emb.count())
+  }
+
   test("incrementalComponents ≡ full connectedComponents recompute " +
     "over old ∪ new: merging a batch's candidate pairs into stored " +
     "assignments loses nothing vs re-clustering the whole corpus") {
