@@ -117,12 +117,20 @@ object ProbeIncremental {
         .count()
       val secMerge = (System.nanoTime() - t2) / 1e9
 
+      // index maintenance: appending the landed batch must cost
+      // ∝ |batch| (one banding map + an append into touched bparts),
+      // NOT corpus — flat across reps is the claim
+      val t3 = System.nanoTime()
+      Dedup.appendToBucketIndex(spark, idxDir, batch, "text")
+      val secAppend = (System.nanoTime() - t3) / 1e9
+
       println(f"""{"probe":"incremental","reps":$reps,""" +
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
         f""""pruned_index_rows":$pruned,"pairs":$pairs,""" +
         f""""sec_merge":$secMerge%.2f,"sec_cc_recompute":$secCcFull%.2f,""" +
-        f""""touched_nodes":$touchedNodes,"delta_rows":$deltaRows}""")
+        f""""touched_nodes":$touchedNodes,"delta_rows":$deltaRows,""" +
+        f""""sec_append":$secAppend%.2f}""")
       // the probe's scratch index is corpus-scale — don't leave it in /tmp
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
