@@ -39,6 +39,19 @@ object Bench {
       .getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     val cores = Runtime.getRuntime.availableProcessors
+    // (steal, total) jiffies from /proc/stat's aggregate cpu line —
+    // the r10c regen measured a UNIFORM ~15% suite inflation at
+    // load_start 0.0: hypervisor-level contention is invisible to the
+    // load average but shows up as steal time. -1 = not a Linux VM.
+    def cpuJiffies(): (Long, Long) = try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = f.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        (parts.lift(7).getOrElse(-1L), parts.sum)
+      } finally f.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+    val (stealStart, totalStart) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -151,8 +164,14 @@ object Bench {
     val loadEnd = osBean.getSystemLoadAverage
     def l2(d: Double): String =
       BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val (stealEnd, totalEnd) = cpuJiffies()
+    // share of this run's cpu jiffies stolen by the hypervisor
+    val stealPct =
+      if (stealStart < 0 || stealEnd < 0 || totalEnd <= totalStart) -1.0
+      else 100.0 * (stealEnd - stealStart) / (totalEnd - totalStart)
     val envJson = s""""load_start":${l2(loadStart)},""" +
-      s""""load_end":${l2(loadEnd)},"cores":$cores"""
+      s""""load_end":${l2(loadEnd)},"cores":$cores,""" +
+      s""""steal_pct":${l2(stealPct)}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"n_ok":${timings.size},"runs":$runs,"budget_hit":$budgetHit,"run_counts":$rcJson,"wall":$wall,$envJson,"errors":$errJson}"""
     // Full-precision, full-name line goes to the file (whole regardless
     // of log buffering) and to stdout FIRST for human log readers.

@@ -734,6 +734,81 @@ object Oracle {
          |    AS BIGINT) AS seq_last
          |FROM o ORDER BY lang, doc_id""".stripMargin,
 
+    // q307: coarse-model drift — q109's Lloyd chain trained on the
+    // BUILD slice only (one round, nlist=8), frozen assignment of the
+    // full corpus, per-cell fixed-point mean fit split old/new
+    "q307_model_drift" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eb AS (SELECT * FROM e WHERE vec_id < 400),
+         |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eb WHERE vec_id < 8),
+         |cent0n AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+         |  FROM cent0),
+         |ac0 AS (SELECT eb.vec_id, eb.v, cid, list_dot_product(eb.v, cv) AS s
+         |  FROM eb, cent0n),
+         |a0 AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) AS rn FROM ac0) WHERE rn = 1),
+         |q0 AS (SELECT cell, j,
+         |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum,
+         |  count(*) AS n
+         |  FROM a0, range(1, 65) t(j) GROUP BY cell, j),
+         |m0 AS (SELECT cell AS cid,
+         |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
+         |  FROM q0 GROUP BY cell),
+         |cent1 AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+         |  FROM cent0 p LEFT JOIN m0 m USING (cid)),
+         |cent1n AS (SELECT cid,
+         |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+         |  FROM cent1),
+         |acf AS (SELECT e.vec_id, e.v, cid, list_dot_product(e.v, cv) AS s
+         |  FROM e, cent1n),
+         |af AS (SELECT vec_id, v, cid AS cell, s AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) AS rn FROM acf) WHERE rn = 1),
+         |fl AS (SELECT cell,
+         |  CAST(floor(score / sqrt(list_dot_product(v, v)) * 1048576.0)
+         |    AS BIGINT) AS qcos,
+         |  vec_id >= 400 AS is_new FROM af),
+         |ag AS (SELECT cell,
+         |  CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_old,
+         |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  sum(CASE WHEN NOT is_new THEN qcos ELSE 0 END) AS q_old,
+         |  sum(CASE WHEN is_new THEN qcos ELSE 0 END) AS q_new
+         |  FROM fl GROUP BY cell)
+         |SELECT CAST(cell AS INTEGER) AS cell, n_old, n_new,
+         |  CASE WHEN n_old > 0 THEN
+         |    ${f6("(CAST(q_old AS DOUBLE) / n_old) / 1048576.0")} END
+         |    AS mean_cos_old,
+         |  CASE WHEN n_new > 0 THEN
+         |    ${f6("(CAST(q_new AS DOUBLE) / n_new) / 1048576.0")} END
+         |    AS mean_cos_new,
+         |  CASE WHEN n_old > 0 AND n_new > 0 THEN
+         |    ${f6("(CAST(q_old AS DOUBLE) / n_old - CAST(q_new AS DOUBLE) / n_new) / 1048576.0")} END
+         |    AS drift
+         |FROM ag ORDER BY cell""".stripMargin,
+
+    // q308: stored-bucket-index balance — q52's banding chain, bpart =
+    // bucket mod parts, per-part row/bucket/hot-bucket stats
+    "q308_index_balance" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |bs AS (SELECT CAST(bucket % 16 AS INTEGER) AS bpart, band, bucket,
+         |  count(*) AS bsize FROM buckets GROUP BY 1, 2, 3)
+         |SELECT bpart, CAST(sum(bsize) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(bsize) AS BIGINT) AS max_bucket
+         |FROM bs GROUP BY bpart ORDER BY bpart""".stripMargin,
+
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)

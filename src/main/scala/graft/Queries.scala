@@ -8452,6 +8452,57 @@ object Queries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Coarse-model DRIFT report, ORACLE-PROVEN — the retrain trigger
+    * for an append-maintained ANN index (q304's sidecar freezes the
+    * build-time model; `appendToIvfPqIndex` encodes new vectors under
+    * it): the quantizer trains on the build slice (vec_id < 400),
+    * both slices assign under the frozen model, and each cell reports
+    * old/new member counts, fixed-point-exact mean cosine fit for
+    * each slice, and the drift gap. DuckDB replays the coarse Lloyd
+    * chain over the build slice and the frozen assignment of the full
+    * corpus.
+    *
+    * Scale shape: bounded-model training collect + two map-only
+    * assignments against an nlist×dim literal + one map-side-
+    * combinable aggregate (≤ nlist rows out). */
+  def q307ModelDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val build = emb.filter(col("vec_id") < 400)
+    val appended = emb.filter(col("vec_id") >= 400)
+    Similarity.coarseDriftStats(build, appended, "vec_id", "embedding",
+        nlist = 8, rounds = 1)
+      .select(col("cell"), col("n_old"), col("n_new"),
+        f6(col("mean_cos_old")).as("mean_cos_old"),
+        f6(col("mean_cos_new")).as("mean_cos_new"),
+        f6(col("drift")).as("drift"))
+      .orderBy("cell")
+  }
+
+  /** Bucket-index BALANCE report, ORACLE-PROVEN — the operational
+    * monitor for a stored LSH index (`Dedup.writeBucketIndex` lays the
+    * banded corpus out in `bpart = bucket mod parts` directories; this
+    * reports whether that layout is actually balanced): per bpart, the
+    * banded-row count (directory size — probe I/O per touched part),
+    * distinct buckets, and the largest single bucket (the hot-bucket
+    * candidate the `maxBucketSize` cap exists for). A skewed bpart
+    * histogram means probe I/O varies by batch; a giant max bucket
+    * means boilerplate that belongs in exact dedup.
+    *
+    * Scale shape: one banding map + two map-side-combinable
+    * aggregates ((bpart, bucket) → bpart); `parts` rows out. */
+  def q308IndexBalance(s: SparkSession, dir: String): DataFrame = {
+    val parts = 16
+    val idx = Dedup.bucketIndex(t(s, dir, "documents"), "text",
+      "doc_id", parts = parts)
+    idx.groupBy(col("bpart"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsize")) // (band, bucket) is the probe unit
+      .groupBy(col("bpart"))
+      .agg(sum(col("bsize")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("bsize")).as("max_bucket"))
+      .orderBy("bpart")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8762,5 +8813,7 @@ object Queries {
     "q304_ivf_pq_stored" -> (q304IvfPqStored _),
     "q305_incremental_survivors" -> (q305IncrementalSurvivors _),
     "q306_incremental_pipeline" -> (q306IncrementalPipeline _),
+    "q307_model_drift" -> (q307ModelDrift _),
+    "q308_index_balance" -> (q308IndexBalance _),
   )
 }

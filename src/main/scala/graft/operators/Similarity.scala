@@ -834,6 +834,60 @@ object Similarity {
       .distinct().collect().map(_.getInt(0)).toSeq
   }
 
+  /** Model-drift report — the RETRAIN TRIGGER for an append-maintained
+    * ANN index ([[appendToIvfPqIndex]] freezes the build-time model;
+    * this measures what that freeze costs): train the coarse quantizer
+    * on the BUILD slice, assign BOTH slices under the frozen model,
+    * and report per cell how much worse the appended vectors fit
+    * (mean cosine to their assigned centroid, old vs new, fixed-point
+    * exact like [[kmeansStats]]). A drift near zero means the frozen
+    * cells still describe the incoming distribution; a persistently
+    * positive drift (new vectors sit farther from every centroid) is
+    * the signal to rebuild with [[writeIvfPqIndex]].
+    *
+    * Scale shape: training is the usual bounded-model collect; both
+    * assignments are map-only against the nlist×dim literal; ONE
+    * map-side-combinable aggregate (≤ nlist rows out). */
+  def coarseDriftStats(buildCorpus: DataFrame, appended: DataFrame,
+      idCol: String, vecCol: String, nlist: Int,
+      rounds: Int): DataFrame = {
+    val coarse = trainCoarse(buildCorpus, idCol, vecCol, nlist, rounds)
+    require(coarse.nonEmpty,
+      "coarseDriftStats needs a non-empty build corpus to train on")
+    def assigned(df: DataFrame, isNew: Boolean): DataFrame = df.select(
+      Expr.let(scoreArrCent(coarse)(col(vecCol))) { a =>
+        struct((array_position(a, array_max(a)) - 1).cast("int")
+          .as("cell"), array_max(a).as("score"))
+      }.as("s"), col(vecCol).as("v"))
+      .select(col("s.cell").as("cell"),
+        (col("s.score") / norm(col("v"))).as("cos"),
+        lit(isNew).as("is_new"))
+    val q20 = 1048576.0 // 2^20 fixed point — order-independent sums
+    assigned(buildCorpus, isNew = false)
+      .unionByName(assigned(appended, isNew = true))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"),
+          floor(col("cos") * lit(q20)).cast("long")).otherwise(0L))
+          .as("q_old"),
+        sum(when(col("is_new"),
+          floor(col("cos") * lit(q20)).cast("long")).otherwise(0L))
+          .as("q_new"))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        when(col("n_old") > 0,
+          (col("q_old").cast("double") / col("n_old")) / lit(q20))
+          .as("mean_cos_old"),
+        when(col("n_new") > 0,
+          (col("q_new").cast("double") / col("n_new")) / lit(q20))
+          .as("mean_cos_new"),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          ((col("q_old").cast("double") / col("n_old")) -
+            (col("q_new").cast("double") / col("n_new"))) / lit(q20))
+          .as("drift"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with
     * `rounds` Lloyd iterations from deterministic seeds (the k
     * lowest-id vectors — exactly kmeansStats' recurrence, so the q180

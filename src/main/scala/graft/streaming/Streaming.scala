@@ -523,6 +523,47 @@ object Streaming {
         OutputMode.Append)
   }
 
+  /** Streaming form of the COMPLETE per-batch dedup maintenance loop
+    * against a STORED parquet bucket index — the foreachBatch
+    * deployment of this round's probe/merge/append triple
+    * ([[graft.operators.Dedup.incrementalCandidatesStored]] /
+    * [[graft.operators.Dedup.appendToBucketIndex]]): each micro-batch
+    * (1) probes the stored index for candidate pairs touching the
+    * batch (banding parameters from the index SIDECAR — never the
+    * stream's), (2) hands the materialized pairs to `sink` (drop,
+    * cluster-merge via `incrementalComponents`, quarantine — the
+    * caller's policy), and (3) APPENDS the batch's banded rows so
+    * every later micro-batch probes the grown corpus. foreachBatch is
+    * the right seam for the same reason as [[applyCdcScd2]]: the probe
+    * must read what earlier batches appended — a cyclic dependency on
+    * the query's own output that no declarative streaming join
+    * expresses. The [[BucketIndexProcessor]] form keeps the index in
+    * RocksDB state instead; this one shares ONE parquet index with
+    * batch ingest and survives checkpoint loss.
+    *
+    * Ordering: pairs are eagerly materialized (localCheckpoint)
+    * BEFORE the append so the probe never sees its own batch.
+    * At-least-once caveat: a replayed micro-batch re-appends its
+    * banded rows — duplicate (id, band, bucket) rows cost probe I/O
+    * but not correctness (the candidate set is a distinct pair set,
+    * unchanged under row duplication). */
+  def dedupMaintenanceStream(docs: DataFrame, textCol: String,
+      idCol: String, indexPath: String, checkpointPath: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val pairs = graft.operators.Dedup.incrementalCandidatesStored(
+          b.sparkSession, indexPath, b, textCol, idCol)
+          .localCheckpoint(true) // probe BEFORE the append lands
+        sink(pairs, batchId)
+        graft.operators.Dedup.appendToBucketIndex(b.sparkSession,
+          indexPath, b, textCol)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTopK(user_id: Long, top: Seq[String])
 

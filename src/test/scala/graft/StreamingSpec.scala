@@ -1155,4 +1155,66 @@ class StreamingSpec extends SparkSpec {
       assert(batchPairs.nonEmpty) // the fixture has near-dups
     }
   }
+
+  test("dedupMaintenanceStream ≡ batch two-batch sequence: each " +
+    "micro-batch's pairs match the stored-index probe at that point, " +
+    "and the append makes batch 2 see batch 1 (shared parquet index)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch1 = docs.filter($"doc_id" % 5 === 2)
+    val batch2 = docs.filter($"doc_id" % 5 === 4)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2 && $"doc_id" % 5 =!= 4)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stream_maint_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_stream_maint_cp").toString
+    graft.operators.Dedup.writeBucketIndex(corpus, idx, "text",
+      "doc_id", parts = 16)
+
+    val mem = MemoryStream[(Long, String)]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = Streaming.dedupMaintenanceStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", idx,
+      cp) { (pairs, id) =>
+      perBatch(id) = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)))
+    mem.addData(rows(batch1).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows(batch2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch-mode references: probe vs the corpus index, then vs an
+    // index REBUILT over corpus ∪ batch1 (the append-equivalence the
+    // DedupSimilaritySpec differential proves)
+    def pairsOf(idxPath: String, b: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.incrementalCandidatesStored(spark, idxPath,
+        b, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refIdx1 = java.nio.file.Files
+      .createTempDirectory("graft_stream_maint_ref1").toString
+    graft.operators.Dedup.writeBucketIndex(corpus, refIdx1, "text",
+      "doc_id", parts = 16)
+    val ref1 = pairsOf(refIdx1, batch1)
+    val refIdx2 = java.nio.file.Files
+      .createTempDirectory("graft_stream_maint_ref2").toString
+    graft.operators.Dedup.writeBucketIndex(
+      corpus.unionByName(batch1), refIdx2, "text", "doc_id", parts = 16)
+    val ref2 = pairsOf(refIdx2, batch2)
+
+    assert(perBatch(0L) === ref1)
+    assert(perBatch(1L) === ref2)
+    assert(ref1.nonEmpty && ref2.nonEmpty)
+    // batch 2's probe actually saw batch 1 through the append: its
+    // pairs differ from a probe against the UNMAINTAINED corpus index
+    val unmaintained = pairsOf(refIdx1, batch2)
+    assert(ref2 !== unmaintained)
+  }
 }
