@@ -198,6 +198,18 @@ object ProbeAnn {
       hist.take(5).map { case (c, n) => s"$c=$n" }.mkString(" ") +
       f" | mean=$mean%.0f max/mean=${hist.head._2 / mean}%.2f " +
       s"cells=${hist.length}")
+
+    // index maintenance: appending a batch must cost ∝ |batch| (encode
+    // under the frozen sidecar model + append into probed cell dirs) —
+    // the ANN sibling of ProbeIncremental's bucket-index append curve.
+    // The batch reuses the query vectors under fresh high ids.
+    val annBatch = queries.select((col("vec_id") + lit(1L << 41))
+      .as("vec_id"), col("embedding"))
+    val tA = System.nanoTime()
+    Similarity.appendToIvfPqIndex(spark, idxDir, annBatch, "vec_id",
+      "embedding")
+    println(f"[probe] stored-append ${(System.nanoTime() - tA) / 1e9}%.2fs " +
+      s"(batch=$nQ)")
     spark.stop()
   }
 }

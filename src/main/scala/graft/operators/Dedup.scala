@@ -452,7 +452,10 @@ object Dedup {
   }
 
   /** Incremental component maintenance — the step that finishes the
-    * per-batch dedup story (r9 verdict item 2): given the STORED
+    * per-batch dedup story (r9 verdict item 2), and the reference's
+    * watermark-incremental contract (ref `ingestion/ingestion.py:32-96`
+    * — read persisted state, apply only the increment, persist updated
+    * state) applied to the dedup state itself: given the STORED
     * component assignments of the old corpus (`assignments`: one
     * (id, component) row per old doc, component = min member id — the
     * labeling [[connectedComponents]] produces and an ingest pipeline

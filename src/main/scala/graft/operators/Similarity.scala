@@ -705,7 +705,10 @@ object Similarity {
   }
 
   /** Builds and STORES the IVF-PQ serving index — the deployment form
-    * [[ivfPqEncode]]'s scaladoc promised (r9 verdict item 1): the
+    * [[ivfPqEncode]]'s scaladoc promised (r9 verdict item 1), the
+    * build-state-once/consume-increments design the reference's whole
+    * ingest loop is shaped around (ref `ingestion/ingestion.py:32-96`):
+    * the
     * encoded corpus written `partitionBy("cell")` (each coarse cell is
     * a directory; a query batch's probed cells prune at the FILE
     * level, so scan I/O tracks nprobe/nlist, not corpus size — the
