@@ -809,6 +809,169 @@ object Oracle {
          |  CAST(max(bsize) AS BIGINT) AS max_bucket
          |FROM bs GROUP BY bpart ORDER BY bpart""".stripMargin,
 
+    // q309: per-source boilerplate 2-grams (doc-frequency >= 20% of the
+    // source's docs AND >= 3 docs) over text + the per-source injected
+    // footer sentence (q67-style deterministic synthetic furniture),
+    // then the per-doc covered fraction
+    "q309_boilerplate_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  string_split_regex(trim(lower(text || ' ' || source ||
+         |    '_hdr cookie notice all rights reserved ' || source ||
+         |    '_end')), '\\s+') AS tk FROM documents),
+         |sgl AS (SELECT doc_id, source, ${shingles("tk", 2)} AS sh FROM t),
+         |pos AS (SELECT doc_id, source, unnest(sh) AS g FROM sgl),
+         |df AS (SELECT source, g, CAST(count(DISTINCT doc_id) AS BIGINT)
+         |    AS df FROM pos GROUP BY source, g),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM t GROUP BY source),
+         |boiler AS (SELECT df.source, df.g FROM df JOIN sz USING (source)
+         |  WHERE df.df * 5 >= sz.n_docs AND df.df >= 3),
+         |per AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler
+         |  FROM pos LEFT JOIN boiler b
+         |    ON b.source = pos.source AND b.g = pos.g
+         |  GROUP BY pos.doc_id)
+         |SELECT doc_id, n_pos, n_boiler,
+         |  ${f6("CAST(n_boiler AS DOUBLE) / n_pos")} AS boiler_frac
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // q310: Laplace bigram LM trained on src0 only (q90's arithmetic
+    // restricted to the reference slice), per-doc fixed-point score,
+    // per-lang terciles on the integer mean (// = Spark's div)
+    "q310_perplexity_gate" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $toks AS ts
+         |  FROM documents),
+         |dd AS (SELECT doc_id, lang, source, ts FROM d WHERE len(ts) >= 2),
+         |bi AS (SELECT doc_id, lang, source, ts[g] AS u, ts[g + 1] AS v
+         |  FROM (SELECT doc_id, lang, source, ts,
+         |    unnest(generate_series(1, len(ts) - 1)) AS g FROM dd)),
+         |rb AS (SELECT u, v FROM bi WHERE source = 'src0'),
+         |cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c_uv
+         |  FROM rb GROUP BY u, v),
+         |cu AS (SELECT u, CAST(count(*) AS BIGINT) AS c_u
+         |  FROM rb GROUP BY u),
+         |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+         |  FROM (SELECT unnest(ts) AS tok FROM dd WHERE source = 'src0')),
+         |sc AS (SELECT doc_id, lang,
+         |    CAST(floor(CAST(coalesce(c_uv, 0) + 1 AS DOUBLE) /
+         |      (coalesce(c_u, 0) + vsz) * 1099511627776.0) AS BIGINT) AS pf
+         |  FROM bi LEFT JOIN cuv USING (u, v) LEFT JOIN cu USING (u)
+         |  CROSS JOIN vs),
+         |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT)
+         |      AS n_bigrams,
+         |    CAST(sum(pf) AS BIGINT) AS sum_pf FROM sc GROUP BY doc_id,
+         |    lang),
+         |avgd AS (SELECT doc_id, lang, n_bigrams,
+         |  sum_pf // n_bigrams AS avg_pf FROM agg)
+         |SELECT doc_id, lang, n_bigrams, avg_pf,
+         |  CAST(ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY avg_pf DESC, doc_id) AS BIGINT) AS bucket
+         |FROM avgd ORDER BY doc_id""".stripMargin,
+
+    // q311: per-lang BPE fertility/compression — q207's trained
+    // encoder replayed per distinct (lang, word), weighted by counts
+    "q311_tokenizer_fertility" -> {
+      val K = 8
+      val inner = (1 to K).foldLeft(
+        """regexp_replace(w, '(.)', '@\1', 'g')""") { (acc, r) =>
+        s"""replace($acc,
+           |  (SELECT '@' || lft || '@' || rgt FROM best$r),
+           |  (SELECT '@' || lft || rgt FROM best$r))""".stripMargin
+      }
+      s"""WITH ${bpeCtes(K)},
+         |lwords AS (
+         |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |    AS w FROM documents),
+         |lw AS (
+         |  SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM lwords
+         |  WHERE length(w) BETWEEN 3 AND 12 GROUP BY lang, w),
+         |repr AS (SELECT lang, cnt, w, $inner AS r FROM lw),
+         |pw AS (SELECT lang, cnt,
+         |    CAST(len(string_split(r, '@')) - 1 AS BIGINT) AS n_bpe,
+         |    CAST(length(w) AS BIGINT) AS n_chars FROM repr),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+         |    CAST(sum(cnt) AS BIGINT) AS n_words,
+         |    CAST(sum(cnt * n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(sum(cnt * n_chars) AS BIGINT) AS n_chars_tot
+         |  FROM pw GROUP BY lang)
+         |SELECT lang, n_vocab, n_words, n_bpe_tokens,
+         |  ${f6("CAST(n_bpe_tokens AS DOUBLE) / n_words")} AS fertility,
+         |  ${f6("CAST(n_chars_tot AS DOUBLE) / n_bpe_tokens")}
+         |    AS chars_per_token
+         |FROM agg ORDER BY lang""".stripMargin
+    },
+
+    // q312: gate-overlap ablation matrix — the q66/q309/q310 flag
+    // definitions verbatim, list-concat of fired gate names, self-join
+    // on doc_id, unordered-pair counts (diagonal = solo drop counts)
+    "q312_filter_ablation" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $toks AS tk
+         |  FROM documents),
+         |shf AS (SELECT doc_id, len(tk) < 25 AS f_short FROM t),
+         |s2 AS (SELECT doc_id, source, ${shingles("tk", 2)} AS sh FROM t),
+         |rep AS (SELECT doc_id,
+         |  (len(sh) - len(list_distinct(sh))) * 5 >= len(sh) AS f_rep
+         |  FROM s2),
+         |tf AS (SELECT doc_id, source,
+         |  string_split_regex(trim(lower(text || ' ' || source ||
+         |    '_hdr cookie notice all rights reserved ' || source ||
+         |    '_end')), '\\s+') AS ftk FROM documents),
+         |sf2 AS (SELECT doc_id, source, ${shingles("ftk", 2)} AS sh
+         |  FROM tf),
+         |pos AS (SELECT doc_id, source, unnest(sh) AS g FROM sf2),
+         |dfq AS (SELECT source, g, count(DISTINCT doc_id) AS df
+         |  FROM pos GROUP BY source, g),
+         |sz AS (SELECT source, count(*) AS n_docs FROM t GROUP BY source),
+         |boiler AS (SELECT dfq.source, dfq.g FROM dfq JOIN sz
+         |  USING (source) WHERE dfq.df * 5 >= sz.n_docs AND dfq.df >= 3),
+         |per AS (SELECT pos.doc_id, count(*) AS n_pos,
+         |    sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+         |  FROM pos LEFT JOIN boiler b
+         |    ON b.source = pos.source AND b.g = pos.g
+         |  GROUP BY pos.doc_id),
+         |bo AS (SELECT doc_id, n_boiler * 5 >= n_pos AS f_boiler FROM per),
+         |dd AS (SELECT doc_id, lang, source, tk AS ts FROM t
+         |  WHERE len(tk) >= 2),
+         |bi AS (SELECT doc_id, lang, source, ts[g] AS u, ts[g + 1] AS v
+         |  FROM (SELECT doc_id, lang, source, ts,
+         |    unnest(generate_series(1, len(ts) - 1)) AS g FROM dd)),
+         |rb AS (SELECT u, v FROM bi WHERE source = 'src0'),
+         |cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c_uv
+         |  FROM rb GROUP BY u, v),
+         |cu AS (SELECT u, CAST(count(*) AS BIGINT) AS c_u
+         |  FROM rb GROUP BY u),
+         |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+         |  FROM (SELECT unnest(ts) AS tok FROM dd WHERE source = 'src0')),
+         |sc AS (SELECT doc_id, lang,
+         |    CAST(floor(CAST(coalesce(c_uv, 0) + 1 AS DOUBLE) /
+         |      (coalesce(c_u, 0) + vsz) * 1099511627776.0) AS BIGINT) AS pf
+         |  FROM bi LEFT JOIN cuv USING (u, v) LEFT JOIN cu USING (u)
+         |  CROSS JOIN vs),
+         |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT)
+         |      AS n_bigrams,
+         |    CAST(sum(pf) AS BIGINT) AS sum_pf FROM sc GROUP BY doc_id,
+         |    lang),
+         |tl AS (SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY sum_pf // n_bigrams DESC, doc_id) = 3 AS f_tail
+         |  FROM agg),
+         |flags AS (SELECT shf.doc_id, shf.f_short,
+         |    coalesce(rep.f_rep, false) AS f_rep,
+         |    coalesce(bo.f_boiler, false) AS f_boiler,
+         |    coalesce(tl.f_tail, false) AS f_tail
+         |  FROM shf LEFT JOIN rep USING (doc_id)
+         |  LEFT JOIN bo USING (doc_id) LEFT JOIN tl USING (doc_id)),
+         |failed AS (SELECT doc_id, unnest(
+         |    (CASE WHEN f_boiler THEN ['boiler'] ELSE [] END) ||
+         |    (CASE WHEN f_rep THEN ['rep'] ELSE [] END) ||
+         |    (CASE WHEN f_short THEN ['short'] ELSE [] END) ||
+         |    (CASE WHEN f_tail THEN ['tail'] ELSE [] END)) AS f
+         |  FROM flags)
+         |SELECT a.f AS f_a, b.f AS f_b, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM failed a JOIN failed b
+         |  ON a.doc_id = b.doc_id AND a.f <= b.f
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)

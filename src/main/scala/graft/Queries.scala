@@ -8503,6 +8503,209 @@ object Queries {
       .orderBy("bpart")
   }
 
+  /** Cross-document boilerplate detection — the CCNet/RefinedWeb
+    * hygiene pass that finds site furniture (headers, footers, cookie
+    * banners) repeated VERBATIM across many pages of one site: a word
+    * 2-gram is boilerplate for a source when it appears in ≥ 20 % of
+    * that source's documents AND in ≥ 3 of them (the absolute floor
+    * keeps two-doc sources from declaring everything furniture).
+    * Emits the per-document report a removal pass keys on: total
+    * 2-gram positions, positions covered by boilerplate grams, and
+    * the covered fraction — docs near 1.0 are pure furniture. The
+    * threshold compares in exact integers (df·5 ≥ n_docs).
+    *
+    * Like q67's synthetic PII, the fixture corpus carries no real site
+    * furniture (and the word-salad bigram doc-frequency ratios
+    * CONCENTRATE below 20 % as sites grow — at sf0.1 nothing natural
+    * fires), so every doc gains its source's deterministic footer
+    * sentence ("<src>_hdr cookie notice all rights reserved
+    * <src>_end") that the oracle regenerates exactly: its interior
+    * 2-grams hit df = 100 % of the site and must all be flagged, the
+    * doc-varying seam gram (last word, <src>_hdr) must not, and the
+    * natural grams exercise the threshold both ways (some fire at
+    * sf0.01, none at sf0.1).
+    *
+    * Scale shape: ONE shingle explode feeds both the doc-frequency
+    * aggregate (distinct (source, gram, doc), then a map-side-
+    * combinable hash-agg) and the per-doc position count; the
+    * boilerplate set is the collision-bound survivor of the ≥ 20 %
+    * filter (only high-DF grams) and joins back to positions on
+    * (source, gram) with NO hint — AQE broadcasts it when small (the
+    * common case) and shuffles when a pathological corpus makes it
+    * big (the q303 lesson). Per-source doc counts are a |sources|-row
+    * aggregate. Nothing is all-pairs; nothing corpus-scale is
+    * broadcast. */
+  def q309BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      Dedup.shingles(concat(col("text"), lit(" "), col("source"),
+        lit("_hdr cookie notice all rights reserved "), col("source"),
+        lit("_end")), 2).as("sh"))
+    val pos = docs.select(col("doc_id"), col("source"),
+      explode(col("sh")).as("g"))
+    val df = pos.select(col("source"), col("g"), col("doc_id")).distinct()
+      .groupBy("source", "g").agg(count(lit(1)).as("df"))
+    val sz = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = df.join(sz, Seq("source"))
+      .filter(col("df") * 5 >= col("n_docs") && col("df") >= 3)
+      .select(col("source"), col("g"), lit(1L).as("is_b"))
+    pos.join(boiler, Seq("source", "g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_pos"), col("n_boiler"),
+        f6(col("n_boiler").cast("double") / col("n_pos")).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Reference-corpus perplexity gate — the CCNet quality filter: a
+    * Laplace bigram LM trained on ONE trusted source (src0, the wiki
+    * stand-in) scores every document, and each language's docs split
+    * into head/middle/tail terciles by score (tercile 1 = most
+    * reference-like; CCNet keeps head+middle and drops tail). Unseen
+    * bigrams smooth to (0+1)/(c_u+V), unseen contexts to 1/V — the
+    * q90 arithmetic with counts restricted to the reference slice.
+    * Per-bigram probabilities round to 2^40 fixed point (floor) and
+    * sum as exact longs; the tercile orders by the integer mean
+    * (sum_pf div n_bigrams — integer DIV, no 2^53 drift) with doc_id
+    * tie-break, so bucket assignment is bit-deterministic in both
+    * engines.
+    *
+    * Scale shape: the LM is MODEL-sized (vocab²-bounded bigram counts,
+    * vocab-bounded context counts), not corpus-sized — the two LEFT
+    * joins hit tables AQE broadcasts, and the vocab size is a 1-row
+    * broadcast. The tercile window partitions by lang; if one language
+    * outgrows a task, Ranking.globalNtile / the q68 two-phase shape
+    * swaps in unchanged. */
+  def q310PerplexityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), col("lang"),
+        explode(transform(slice(col("ts"), lit(1), size(col("ts")) - 1),
+          (u, i) => struct(u.as("u"),
+            element_at(col("ts"), i + lit(2)).as("v")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.u").as("u"),
+        col("b.v").as("v"))
+    val refBi = bigrams(docs.filter(col("source") === "src0"))
+    val cuv = refBi.groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+    val cu = refBi.groupBy("u").agg(count(lit(1)).as("c_u"))
+    val vocab = docs.filter(col("source") === "src0")
+      .select(explode(col("ts")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    bigrams(docs)
+      .join(cuv, Seq("u", "v"), "left")
+      .join(cu, Seq("u"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        floor((coalesce(col("c_uv"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("c_u"), lit(0L)) + col("vsz")) * lit(1L << 40))
+          .as("pf"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pf")).as("sum_pf"))
+      .withColumn("avg_pf", expr("sum_pf div n_bigrams"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("avg_pf").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_pf"),
+        col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility report — the per-language health check run
+    * after every tokenizer retrain: fertility = BPE tokens emitted
+    * per word (1.0 is perfect; ≫ 1 means the merge table under-serves
+    * that language, whose documents then burn more context budget per
+    * unit content) and compression = chars per BPE token. Words are
+    * the q204/q207 population ([a-z]+, 3–12 chars); the encoder
+    * replays the learned merge list greedily per distinct word.
+    *
+    * Scale shape: the encoder's replace-chain runs once per DISTINCT
+    * (lang, word) — a vocab-bounded frame, not per token occurrence —
+    * and per-(lang, word) counts weight the result back to corpus
+    * mass in one |langs|-row hash-agg. The merge table is the same
+    * bounded-model collect as q204/q207 (topV=200 × 8 rounds). */
+  def q311TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearnedMerges(s, dir)
+    val encoded = merges.foldLeft(
+      regexp_replace(col("w"), "(.)", "@$1")) { case (c, (_, a, b, _)) =>
+      call_function("replace", c, lit(s"@$a@$b"), lit(s"@$a$b"))
+    }
+    t(s, dir, "documents")
+      .select(col("lang"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")).between(3, 12))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        (size(split(encoded, "@")) - 1).cast("long").as("n_bpe"),
+        length(col("w")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("cnt") * col("n_chars")).as("n_chars_tot"))
+      .select(col("lang"), col("n_vocab"), col("n_words"),
+        col("n_bpe_tokens"),
+        f6(col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"),
+        f6(col("n_chars_tot").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** Quality-gate ablation matrix — the report that tunes a filter
+    * STACK rather than one filter: for every unordered pair of gates
+    * (short-doc, repetition ≥ 20 %, boilerplate coverage ≥ 20 %,
+    * perplexity tail tercile) the number of docs BOTH would drop;
+    * diagonal = each gate's solo drop count. A pair whose overlap ≈ a
+    * gate's diagonal means that gate is subsumed and can be retired
+    * (it only re-drops what its partner already drops); a near-zero
+    * off-diagonal means the gates are orthogonal and both earn their
+    * compute. Distinct from q123 (a SEQUENTIAL funnel attributing
+    * docs to the first gate that fires): this is the symmetric
+    * marginal-overlap view. All thresholds compare in exact integers;
+    * every output cell is a count.
+    *
+    * Scale shape: each flag rides the machinery of its parent query
+    * (q66 repetition is per-row map work; q309's boilerplate join and
+    * q310's model-sized LM joins keep their shapes), the four per-doc
+    * flag frames combine on doc_id equi-joins, and the pair explosion
+    * is ≤ 4 names per doc self-joined on doc_id (≤ 16 pairs/doc,
+    * collision-bound by construction) into a ≤ 10-row aggregate. */
+  def q312FilterAblation(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      (size(TextAnalysis.tokens(col("text"))) < 25).as("f_short"))
+    val rep = q66Repetition(s, dir).select(col("doc_id"),
+      ((col("n_bigrams") - col("n_distinct_bigrams")) * 5 >=
+        col("n_bigrams")).as("f_rep"))
+    val boil = q309BoilerplateNgrams(s, dir).select(col("doc_id"),
+      (col("n_boiler") * 5 >= col("n_pos")).as("f_boiler"))
+    val tail = q310PerplexityGate(s, dir).select(col("doc_id"),
+      (col("bucket") === 3).as("f_tail"))
+    val flags = base
+      .join(rep, Seq("doc_id"), "left")
+      .join(boil, Seq("doc_id"), "left")
+      .join(tail, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("f_short"),
+        coalesce(col("f_rep"), lit(false)).as("f_rep"),
+        coalesce(col("f_boiler"), lit(false)).as("f_boiler"),
+        coalesce(col("f_tail"), lit(false)).as("f_tail"))
+    val failed = flags.select(col("doc_id"),
+      explode(filter(array(
+        struct(lit("boiler").as("n"), col("f_boiler").as("v")),
+        struct(lit("rep").as("n"), col("f_rep").as("v")),
+        struct(lit("short").as("n"), col("f_short").as("v")),
+        struct(lit("tail").as("n"), col("f_tail").as("v"))),
+        x => x.getField("v"))).as("fs"))
+      .select(col("doc_id"), col("fs.n").as("f"))
+    val fa = failed.select(col("doc_id"), col("f").as("f_a"))
+    val fb = failed.select(col("doc_id"), col("f").as("f_b"))
+    fa.join(fb, Seq("doc_id")).where(col("f_a") <= col("f_b"))
+      .groupBy("f_a", "f_b").agg(count(lit(1)).as("n_docs"))
+      .orderBy("f_a", "f_b")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -8815,5 +9018,9 @@ object Queries {
     "q306_incremental_pipeline" -> (q306IncrementalPipeline _),
     "q307_model_drift" -> (q307ModelDrift _),
     "q308_index_balance" -> (q308IndexBalance _),
+    "q309_boilerplate_ngrams" -> (q309BoilerplateNgrams _),
+    "q310_perplexity_gate" -> (q310PerplexityGate _),
+    "q311_tokenizer_fertility" -> (q311TokenizerFertility _),
+    "q312_filter_ablation" -> (q312FilterAblation _),
   )
 }

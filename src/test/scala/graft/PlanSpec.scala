@@ -726,4 +726,27 @@ class PlanSpec extends SparkSpec {
     assert(offending.isEmpty,
       s"partition-less Window over unbounded input: ${offending.mkString(", ")}")
   }
+
+  test("q309/q310/q311: corpus-hygiene reports keep corpus-scale " +
+    "sides hint-free and equi-joined — the boilerplate set joins " +
+    "back on (source, gram) with no forced broadcast (AQE's call by " +
+    "size stats), the LM joins are model-sized LEFT equi-joins with " +
+    "the single 1-row vocab combine as the only nested loop, and the " +
+    "fertility encoder runs per distinct word with map-side partials") {
+    val q309 = Queries.all("q309_boilerplate_ngrams")(spark, dir)
+    assert(!q309.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      q309.queryExecution.analyzed.toString)
+    val p309 = q309.queryExecution.executedPlan.toString
+    assert(!p309.contains("CartesianProduct"), p309)
+    assert(!p309.contains("BroadcastNestedLoopJoin"), p309)
+    val p310 = plan("q310_perplexity_gate")
+    assert(!p310.contains("CartesianProduct"), p310)
+    assert(p310.split("BroadcastNestedLoopJoin").length - 1 <= 1, p310)
+    assert(p310.contains("hashpartitioning(lang"), p310) // tercile window
+    val p311 = plan("q311_tokenizer_fertility")
+    assert(!p311.contains("CartesianProduct"), p311)
+    assert(!p311.contains("BroadcastNestedLoopJoin"), p311)
+    assert(p311.contains("partial_sum") || p311.contains("partial_count"),
+      p311)
+  }
 }
