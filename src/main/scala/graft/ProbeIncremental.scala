@@ -124,13 +124,36 @@ object ProbeIncremental {
       Dedup.appendToBucketIndex(spark, idxDir, batch, "text")
       val secAppend = (System.nanoTime() - t3) / 1e9
 
+      // fragmentation → compaction: each append leaves its OWN files
+      // in every touched bpart dir, and the stored probe's I/O unit is
+      // files under the pruned dirs — so probe wall grows with
+      // appended-batch COUNT (not corpus). 7 extra micro-appends model
+      // a day of small batches; compaction must fold the fragments to
+      // one file per bpart and take the probe back to its flat wall.
+      for (i <- 0 until 7)
+        Dedup.appendToBucketIndex(spark, idxDir,
+          batch.filter(col("doc_id") % 7 === i), "text")
+      def probeWall(): Double = {
+        val t = System.nanoTime()
+        Dedup.incrementalCandidatesStored(spark, idxDir, batch, "text",
+          "doc_id").count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val secProbeFrag = probeWall()
+      val (filesFrag, filesCompact) =
+        Dedup.compactBucketIndex(spark, idxDir)
+      val secProbeCompact = probeWall()
+
       println(f"""{"probe":"incremental","reps":$reps,""" +
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
         f""""pruned_index_rows":$pruned,"pairs":$pairs,""" +
         f""""sec_merge":$secMerge%.2f,"sec_cc_recompute":$secCcFull%.2f,""" +
         f""""touched_nodes":$touchedNodes,"delta_rows":$deltaRows,""" +
-        f""""sec_append":$secAppend%.2f}""")
+        f""""sec_append":$secAppend%.2f,""" +
+        f""""files_frag":$filesFrag,"files_compact":$filesCompact,""" +
+        f""""sec_probe_frag":$secProbeFrag%.2f,""" +
+        f""""sec_probe_compact":$secProbeCompact%.2f}""")
       // the probe's scratch index is corpus-scale — don't leave it in /tmp
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)

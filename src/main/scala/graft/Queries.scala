@@ -8706,6 +8706,42 @@ object Queries {
       .orderBy("f_a", "f_b")
   }
 
+  /** Quality-aware survivor selection — the keep rule production dedup
+    * pipelines actually apply: within each near-duplicate cluster
+    * (q52's connected components over banded-LSH candidate pairs) keep
+    * the HIGHEST-QUALITY member (q33's score, doc_id ascending
+    * tie-break), not the arbitrary min-id. Emits the per-cluster
+    * decision table an ingest pipeline persists: survivor, member
+    * count, and the survivor's quality. Complements q305 (which
+    * maintains the min-id labeling incrementally): the labels stay
+    * canonical min-ids, the KEEP decision upgrades to quality.
+    *
+    * Scale shape: clustering rides q52's machinery (collision-bound
+    * banded pairs + pointer-doubling CC, never all-pairs); quality is
+    * per-row map work joined on doc_id; the keep decision is one
+    * row_number window + one aggregate over the SAME component
+    * partitioning (no second exchange). Clusters are collision-bound
+    * small; a pathological mega-cluster is q52's documented skew
+    * story, not this operator's. */
+  def q313QualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val comp = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+    val q = TextAnalysis.withQuality(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    comp.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor"),
+        max(when(col("rn") === 1, col("quality_score")))
+          .as("best_quality"))
+      .orderBy("component")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9022,5 +9058,6 @@ object Queries {
     "q310_perplexity_gate" -> (q310PerplexityGate _),
     "q311_tokenizer_fertility" -> (q311TokenizerFertility _),
     "q312_filter_ablation" -> (q312FilterAblation _),
+    "q313_quality_survivors" -> (q313QualitySurvivors _),
   )
 }

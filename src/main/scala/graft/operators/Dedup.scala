@@ -290,6 +290,14 @@ object Dedup {
       .write.mode("append").partitionBy("bpart").parquet(indexPath)
   }
 
+  /** Folds the per-append file fragments back to one file per bpart
+    * directory (see [[IndexCompact]]) — layout only, content and
+    * sidecar untouched; probe-identity asserted in
+    * DedupSimilaritySpec. Returns (filesBefore, filesAfter). */
+  def compactBucketIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long) =
+    IndexCompact.compact(spark, indexPath, "Dedup.writeBucketIndex")
+
   /** Per-batch probe against a STORED [[writeBucketIndex]] table:
     * bands the batch with the parameters the SIDECAR pins (never
     * caller-supplied — see [[writeBucketIndex]] for why a mismatch is

@@ -783,6 +783,15 @@ object Similarity {
     graft.config.Sidecar.write(spark, path, updated)
   }
 
+  /** Folds the per-append file fragments back to one file per cell
+    * directory (see [[IndexCompact]]) — layout only; the pinned model
+    * sidecar (incl. the append-maintained corpus count) is untouched.
+    * Scan-identity asserted in DedupSimilaritySpec. Returns
+    * (filesBefore, filesAfter). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) =
+    IndexCompact.compact(spark, path, "Similarity.writeIvfPqIndex")
+
   /** Per-query-batch scan against a STORED [[writeIvfPqIndex]] table:
     * reads the trained model from the sidecar (a bare parquet dir is
     * REFUSED — same silent-wrong-results rationale as

@@ -567,4 +567,64 @@ class DedupSimilaritySpec extends SparkSpec {
     val scanStr = scan.queryExecution.executedPlan.toString
     assert(scanStr.contains("PartitionFilters: [cell"), scanStr)
   }
+
+  test("compactBucketIndex: probe-identity before/after, fragments " +
+    "fold to one file per bpart dir, sidecar byte-identical") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val b1 = docs.filter($"doc_id" % 5 === 2)
+    val b2 = docs.filter($"doc_id" % 5 === 3)
+    val probe = docs.filter($"doc_id" % 5 === 4)
+    val corpus = docs.filter($"doc_id" % 5 < 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_compact").toString
+    Dedup.writeBucketIndex(corpus, dir, "text", "doc_id", parts = 16)
+    Dedup.appendToBucketIndex(spark, dir, b1, "text")
+    Dedup.appendToBucketIndex(spark, dir, b2, "text")
+    def pairs() = Dedup.incrementalCandidatesStored(
+        spark, dir, probe, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_index.json")
+    val sidecarBytes = java.nio.file.Files.readAllBytes(sidecar).toSeq
+    val (nb, na) = Dedup.compactBucketIndex(spark, dir)
+    assert(na < nb, s"files $nb -> $na — compaction folded nothing")
+    val bdirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bpart="))
+    assert(bdirs.nonEmpty)
+    assert(bdirs.forall(_.listFiles().count { f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")
+    } == 1), "a bpart dir still holds more than one data file")
+    assert(pairs() === before)
+    assert(before.nonEmpty)
+    assert(java.nio.file.Files.readAllBytes(sidecar).toSeq === sidecarBytes)
+  }
+
+  test("compactIvfPqIndex: stored scan identical before/after, " +
+    "fragments fold, the count-bearing model sidecar is untouched") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cut = 375L
+    val oldV = emb.filter($"vec_id" < cut)
+    val newV = emb.filter($"vec_id" >= cut)
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_compact").toString
+    Similarity.writeIvfPqIndex(oldV, dir, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    Similarity.appendToIvfPqIndex(spark, dir, newV, "vec_id",
+      "embedding")
+    def scan() = Similarity.ivfPqScanStored(spark, dir, queries,
+        "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val before = scan()
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_index.json")
+    val sidecarBytes = java.nio.file.Files.readAllBytes(sidecar).toSeq
+    val (nb, na) = Similarity.compactIvfPqIndex(spark, dir)
+    assert(na < nb, s"files $nb -> $na — compaction folded nothing")
+    assert(scan() === before)
+    assert(before.nonEmpty)
+    assert(java.nio.file.Files.readAllBytes(sidecar).toSeq === sidecarBytes)
+  }
 }
