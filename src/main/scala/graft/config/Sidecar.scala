@@ -89,6 +89,13 @@ object Sidecar {
     f.asInt()
   }
 
+  def str(node: JsonNode, field: String): String = {
+    val f = node.get(field)
+    require(f != null && f.isTextual,
+      s"$FileName lacks string field '$field': $node")
+    f.asText()
+  }
+
   def long(node: JsonNode, field: String): Long = {
     val f = node.get(field)
     require(f != null && f.canConvertToLong,

@@ -278,12 +278,7 @@ object Dedup {
     val meta = graft.config.Sidecar.read(spark, indexPath,
       "Dedup.writeBucketIndex")
     import graft.config.Sidecar.{int => intField}
-    val idCol = {
-      val f = meta.get("idCol")
-      require(f != null && f.isTextual,
-        s"_graft_index.json lacks string field 'idCol': $meta")
-      f.asText()
-    }
+    val idCol = graft.config.Sidecar.str(meta, "idCol")
     bucketIndex(newDocs, textCol, idCol, intField(meta, "shingleSize"),
       intField(meta, "numHashes"), intField(meta, "bands"),
       intField(meta, "parts"))
@@ -297,6 +292,26 @@ object Dedup {
   def compactBucketIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) =
     IndexCompact.compact(spark, indexPath, "Dedup.writeBucketIndex")
+
+  /** Deletes takedown/opt-out docs from a STORED [[writeBucketIndex]]
+    * table — the removal step the index lifecycle was missing (build →
+    * append → compact → DELETE; a 100 TB corpus gets takedown requests
+    * whether its index supports them or not). A deleted doc's ≤`bands`
+    * band rows are found by a column-pruned (bpart, id) scan and only
+    * the bpart directories holding one are rewritten
+    * ([[IndexCompact.deleteMatching]]) — cost tracks the delete
+    * batch's bucket spread, not the corpus. Banding parameters are
+    * corpus-independent, so the sidecar is untouched.
+    * Delete-then-probe ≡ rebuild-on-remaining row-identity is
+    * asserted in DedupSimilaritySpec. Returns
+    * (rowsDeleted, dirsRewritten). */
+  def deleteFromBucketIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, deleteIds: DataFrame): (Long, Long) =
+    IndexCompact.deleteMatching(spark, indexPath,
+      "Dedup.writeBucketIndex",
+      graft.config.Sidecar.str(graft.config.Sidecar.read(spark,
+        indexPath, "Dedup.writeBucketIndex"), "idCol"),
+      deleteIds)
 
   /** Per-batch probe against a STORED [[writeBucketIndex]] table:
     * bands the batch with the parameters the SIDECAR pins (never
@@ -519,6 +534,65 @@ object Dedup {
     full.join(mapping, full("component") === mapping("oldlab"), "left")
       .select(col("id").as(idCol),
         coalesce(col("newlab"), col("component")).as("component"))
+  }
+
+  /** Assignment REPAIR under deletion — the takedown counterpart of
+    * [[incrementalComponents]], finishing the stored dedup state's
+    * lifecycle (merge on append, repair on delete). Deleting a doc can
+    * SPLIT its near-dup component (the deleted doc may have been the
+    * only bridge between two sub-clusters), so no label algebra over
+    * whole components is sound the way the append path's min-merge is.
+    * But edges never cross components, so recomputing connected
+    * components over ONLY the touched components' remaining members
+    * (with their remaining edges) is EXACT — identical to a full
+    * recompute over the remaining corpus. The differential (including
+    * an explicit bridge-split fixture) is asserted in
+    * DedupSimilaritySpec; q315 pins it against DuckDB's full-recompute
+    * reach CTE.
+    *
+    * Inputs are the persisted dedup state an ingest pipeline already
+    * maintains: the (id, component) `assignments` and the candidate
+    * `pairs` (id_a, id_b) that produced them — both corpus-scale
+    * stored tables. Scale shape: the touched-component list is bounded
+    * by |deleteIds| (AQE broadcasts it); pruning assignments and pairs
+    * to it is one semi-join each over the stored tables with no
+    * corpus-scale shuffle; the CC fixpoint then runs on the touched
+    * neighborhoods only — per-batch repair cost tracks the deleted
+    * docs' cluster sizes, never the corpus (measured in
+    * ProbeIncremental). */
+  def deleteRepairAssignments(assignments: DataFrame, pairs: DataFrame,
+      deleteIds: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
+    val asg = assignments.select(col(idCol).as("id"), col("component"))
+    require(deleteIds.columns.length == 1,
+      s"deleteIds must be a single id column, got: " +
+        deleteIds.columns.mkString(", "))
+    // read several times below (touched lookup, member/edge pruning);
+    // checkpoint so a recomputed delete-set expression can't diverge
+    val del = deleteIds.toDF("id").distinct().localCheckpoint(false)
+    // components that lost a member — bounded by the delete batch
+    val touchedComps = asg.join(del, Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint(false)
+    // untouched components pass through verbatim: nothing in them
+    // changed, because edges never cross component boundaries (and
+    // every deleted id's own component is by definition touched, so
+    // no deleted row can survive this anti-join)
+    val untouched = asg.join(touchedComps, Seq("component"), "left_anti")
+    // remaining members and remaining edges of the touched components;
+    // both endpoints of a pair share a component, so ONE endpoint's
+    // assignment decides the touched filter
+    val members = asg.join(touchedComps, Seq("component"), "left_semi")
+      .join(del, Seq("id"), "left_anti")
+    val touchedEdges = pairs.select(col("id_a"), col("id_b"))
+      .join(asg.select(col("id").as("id_a"), col("component")),
+        Seq("id_a"))
+      .join(touchedComps, Seq("component"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+      .join(del.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(del.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+    val repaired = connectedComponents(members.select(col("id")), "id",
+      touchedEdges, maxIter)
+    untouched.select(col("id").as(idCol), col("component"))
+      .unionByName(repaired.select(col("id").as(idCol), col("component")))
   }
 
   // ------------------------------------------------------------------

@@ -1,12 +1,12 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
-/** Compaction for the stored, `partitionBy`-laid-out index families
-  * ([[Dedup.writeBucketIndex]]'s bpart layout and
-  * [[Similarity.writeIvfPqIndex]]'s cell layout) — the lifecycle step
+/** Compaction and deletion for the stored, `partitionBy`-laid-out index
+  * families ([[Dedup.writeBucketIndex]]'s bpart layout and
+  * [[Similarity.writeIvfPqIndex]]'s cell layout) — the lifecycle steps
   * after many appends.
   *
   * Every `appendTo*Index` batch adds its OWN parquet files to each
@@ -73,5 +73,74 @@ private[graft] object IndexCompact {
     }
     fs.delete(tmp, true)
     (before, dataFiles())
+  }
+
+  /** Deletes every index row whose `idColName` matches a value in
+    * `deleteIds` (a single-column frame of ids) — the takedown/opt-out
+    * step of the stored-index lifecycle (build → append → compact →
+    * DELETE). Parquet files are immutable, so deletion is a rewrite —
+    * but ONLY of the partition directories that actually hold a
+    * matching row: one column-pruned scan of (partitionCol, idColName)
+    * finds the touched directories (their count is bounded by the
+    * layout's partition count — parts/nlist — a model-size driver
+    * list), then the touched slice alone is re-read, anti-joined
+    * against the delete set, and swapped back one directory at a time
+    * via the same sibling-temp-dir rename dance as [[compact]].
+    * Untouched directories — at 100 TB, almost all of them — are never
+    * read for data, never rewritten. The rewrite also folds each
+    * touched directory to one file (a free local compaction). A
+    * directory whose rows are ALL deleted is removed outright.
+    *
+    * The sidecar is refused-checked but NOT modified here: banding
+    * parameters are corpus-independent; model/count maintenance that
+    * IS corpus-dependent (the ANN index's `count`) belongs to the
+    * family wrapper ([[Similarity.deleteFromIvfPqIndex]]). Same
+    * single-writer window as the other maintenance steps. Returns
+    * (rowsDeleted, dirsRewritten). */
+  def deleteMatching(spark: SparkSession, indexPath: String,
+      builder: String, idColName: String,
+      deleteIds: DataFrame): (Long, Long) = {
+    graft.config.Sidecar.read(spark, indexPath, builder)
+    require(deleteIds.columns.length == 1,
+      s"deleteIds must be a single id column, got: " +
+        deleteIds.columns.mkString(", "))
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs(p: Path) = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    val dirs = partDirs(root)
+    if (dirs.isEmpty) return (0L, 0L)
+    val partCol = dirs.head.getPath.getName.split("=")(0)
+    // read twice below (touched scan + anti-join); checkpoint so a
+    // recomputed delete-set expression can't diverge between the two
+    val del = deleteIds.toDF("__graft_del_id").distinct()
+      .localCheckpoint(false)
+    // column-pruned scan: which directories hold a doomed row, and how
+    // many — the ONLY corpus-scale read, two columns wide
+    val touchedAgg = spark.read.parquet(indexPath)
+      .select(col(partCol), col(idColName).as("__graft_id"))
+      .join(del, col("__graft_id") === col("__graft_del_id"), "left_semi")
+      .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+      .collect() // ≤ partition-dir count rows (parts/nlist-bounded)
+    if (touchedAgg.isEmpty) return (0L, 0L)
+    val rowsDeleted = touchedAgg.map(_.getLong(1)).sum
+    val touchedVals = touchedAgg.map(_.get(0)).toSeq
+    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(indexPath)
+      .where(col(partCol).isin(touchedVals: _*))
+      .join(del, col(idColName) === col("__graft_del_id"), "left_anti")
+      .repartition(touchedVals.size, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    for (v <- touchedVals) {
+      val name = s"$partCol=$v"
+      val dst = new Path(root, name)
+      fs.delete(dst, true) // fully-deleted partitions have no tmp dir
+      val src = new Path(tmp, name)
+      if (fs.exists(src))
+        require(fs.rename(src, dst), s"delete swap failed: $src -> $dst")
+    }
+    fs.delete(tmp, true)
+    (rowsDeleted, touchedVals.size.toLong)
   }
 }

@@ -792,6 +792,40 @@ object Similarity {
       path: String): (Long, Long) =
     IndexCompact.compact(spark, path, "Similarity.writeIvfPqIndex")
 
+  /** Deletes vectors from a STORED [[writeIvfPqIndex]] table — the
+    * takedown/opt-out step of the ANN serving lifecycle. Each vector
+    * lives in exactly ONE cell directory, so only the deleted ids'
+    * cells are rewritten ([[IndexCompact.deleteMatching]] over the
+    * encoded frame's `neighbor_id`); the trained model stays FROZEN —
+    * deleting rows can't invalidate codes the way retraining would,
+    * only leave the cell boundaries reflecting a stale distribution
+    * (the same staleness contract as [[appendToIvfPqIndex]]; the
+    * [[coarseDriftStats]] report is the rebuild trigger either way). The
+    * sidecar's `count` IS refreshed so the derived shortlist keeps
+    * tracking the true corpus size. Delete-then-scan ≡
+    * frozen-model-scan-over-remaining row-identity is asserted in
+    * DedupSimilaritySpec. Returns (rowsDeleted, dirsRewritten). */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteIds: DataFrame): (Long, Long) = {
+    val meta = graft.config.Sidecar.read(spark, path,
+      "Similarity.writeIvfPqIndex")
+    val res = IndexCompact.deleteMatching(spark, path,
+      "Similarity.writeIvfPqIndex", "neighbor_id", deleteIds)
+    if (res._1 > 0) {
+      // parquet-footer metadata count, not a data scan; a fully-emptied
+      // index has no cell dirs left to read — its count is simply 0
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasParts = fs.listStatus(root)
+        .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+      val n = if (hasParts) spark.read.parquet(path).count() else 0L
+      val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      updated.put("count", n)
+      graft.config.Sidecar.write(spark, path, updated)
+    }
+    res
+  }
+
   /** Per-query-batch scan against a STORED [[writeIvfPqIndex]] table:
     * reads the trained model from the sidecar (a bare parquet dir is
     * REFUSED — same silent-wrong-results rationale as

@@ -627,4 +627,142 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(before.nonEmpty)
     assert(java.nio.file.Files.readAllBytes(sidecar).toSeq === sidecarBytes)
   }
+
+  test("deleteFromBucketIndex: probe after a takedown ≡ probe against " +
+    "an index REBUILT from the remaining docs; only the deleted ids' " +
+    "bpart dirs are rewritten; sidecar untouched; absent/empty delete " +
+    "sets are no-ops") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val doomed = docs.filter($"doc_id" % 5 === 2)
+    val remaining = docs.filter($"doc_id" % 5 =!= 2)
+    val batch = docs.filter($"doc_id" % 5 === 4)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_delete").toString
+    Dedup.writeBucketIndex(docs, dir, "text", "doc_id", parts = 16)
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_index.json")
+    val sidecarBytes = java.nio.file.Files.readAllBytes(sidecar).toSeq
+    val (nDel, nDirs) = Dedup.deleteFromBucketIndex(spark, dir,
+      doomed.select("doc_id"))
+    // every doomed doc has bands=4 index rows, all removed
+    assert(nDel === doomed.count() * 4)
+    assert(nDirs >= 1 && nDirs <= 16)
+    val afterDelete = pairsOf(Dedup.incrementalCandidatesStored(
+      spark, dir, batch, "text", "doc_id"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_bucket_delete_rebuild").toString
+    Dedup.writeBucketIndex(remaining, rebuilt, "text", "doc_id",
+      parts = 16)
+    assert(afterDelete === pairsOf(Dedup.incrementalCandidatesStored(
+      spark, rebuilt, batch, "text", "doc_id")))
+    assert(afterDelete.nonEmpty)
+    // banding params are corpus-independent: sidecar byte-identical
+    assert(java.nio.file.Files.readAllBytes(sidecar).toSeq === sidecarBytes)
+    // a single-doc takedown touches at most its bands' dirs, and the
+    // untouched dirs keep their exact files (no hidden full rewrite)
+    val one = remaining.orderBy($"doc_id").limit(1)
+    def fileMap() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bpart="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet.filter(
+        n => !n.startsWith(".") && !n.startsWith("_"))).toMap
+    val before1 = fileMap()
+    val (nDel1, nDirs1) = Dedup.deleteFromBucketIndex(spark, dir,
+      one.select("doc_id"))
+    assert(nDel1 === 4L && nDirs1 <= 4L)
+    val after1 = fileMap()
+    val untouched = before1.keySet.filter(k =>
+      after1.get(k) == Some(before1(k)))
+    assert(untouched.size >= before1.size - nDirs1.toInt,
+      "an untouched bpart dir was rewritten")
+    // absent ids and empty sets: no-ops, nothing rewritten
+    assert(Dedup.deleteFromBucketIndex(spark, dir,
+      spark.range(1).select((col("id") + 999999999L).as("doc_id")))
+      === ((0L, 0L)))
+    assert(Dedup.deleteFromBucketIndex(spark, dir,
+      docs.limit(0).select("doc_id")) === ((0L, 0L)))
+    assert(fileMap() === after1)
+  }
+
+  test("deleteFromIvfPqIndex: scan after a takedown ≡ frozen-model " +
+    "scan over the remaining vectors; only the deleted cells rewrite; " +
+    "the sidecar count refreshes so the derived shortlist tracks") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val doomed = emb.filter($"vec_id" % 7 === 3)
+    val remaining = emb.filter($"vec_id" % 7 =!= 3)
+    val queries = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_delete").toString
+    Similarity.writeIvfPqIndex(emb, dir, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    val (nDel, nDirs) = Similarity.deleteFromIvfPqIndex(spark, dir,
+      doomed.select("vec_id"))
+    assert(nDel === doomed.count()) // one encoded row per vector
+    assert(nDirs >= 1 && nDirs <= 8)
+    val afterDelete = rows(Similarity.ivfPqScanStored(spark, dir,
+      queries, "vec_id", "embedding", nprobe = 3, k = 5,
+      shortlist = 20))
+    // reference: remaining vectors encoded with the FROZEN full-build
+    // model — deletion never retrains (the append staleness contract)
+    val coarse = Similarity.trainCoarse(emb, "vec_id", "embedding",
+      nlist = 8, rounds = 1)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1)
+    assert(afterDelete === rows(Similarity.ivfPqScan(
+      Similarity.ivfPqEncode(remaining, "vec_id", "embedding", coarse,
+        books),
+      queries, "vec_id", "embedding", coarse, books, nprobe = 3,
+      shortlist = 20, k = 5)))
+    assert(afterDelete.nonEmpty)
+    val meta = graft.config.Sidecar.read(spark, dir, "test")
+    assert(graft.config.Sidecar.long(meta, "count") === remaining.count())
+  }
+
+  test("deleteRepairAssignments ≡ full CC recompute over the " +
+    "remaining corpus — incl. the bridge case where deletion SPLITS " +
+    "a component; empty delete set is the identity") {
+    // explicit bridge: the path 1-2-3-4-5 is one component labeled 1;
+    // deleting the bridge 3 must SPLIT it into {1,2} and {4,5}
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (9L, 9L)).toDF("doc_id", "component")
+    val prs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val del = Seq(3L).toDF("doc_id")
+    val repaired = Dedup.deleteRepairAssignments(asg, prs, del, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repaired === Set((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L),
+      (9L, 9L)))
+    // random fixture, q315's shape: delete every multi-member
+    // component's canonical min-id, repair, compare to a full CC
+    // recompute over the remaining docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .localCheckpoint(false)
+    val assignments = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id").localCheckpoint(false)
+    val doomed = assignments.groupBy("component")
+      .agg(count(lit(1)).as("n"))
+      .where($"n" >= 2).select($"component".as("doc_id"))
+    def asgSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = asgSet(Dedup.deleteRepairAssignments(assignments, pairs,
+      doomed, "doc_id"))
+    val remaining = docs.join(doomed, Seq("doc_id"), "left_anti")
+    val fullRe = asgSet(Dedup.connectedComponents(remaining, "doc_id",
+        Dedup.minhashCandidates(remaining, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id"))
+    assert(incr === fullRe)
+    // the fixture actually re-elects: some remaining doc's label changed
+    assert(incr.diff(asgSet(assignments)).nonEmpty,
+      "no component was repaired — fixture too weak")
+    // empty delete set: identity on the assignments
+    assert(asgSet(Dedup.deleteRepairAssignments(assignments, pairs,
+      docs.limit(0).select("doc_id"), "doc_id")) === asgSet(assignments))
+  }
 }
