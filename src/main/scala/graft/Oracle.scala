@@ -1014,6 +1014,80 @@ object Oracle {
          |  max(CASE WHEN rn = 1 THEN quality_score END) AS best_quality
          |FROM j GROUP BY component ORDER BY component""".stripMargin,
 
+    // q314: q52's component CTEs; the expansion is two semi-joins
+    // (seed docs -> their components -> all members)
+    "q314_takedown_expansion" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |comp AS (SELECT v AS doc_id, min(u) AS component FROM reach
+         |  GROUP BY v),
+         |seed_comps AS (SELECT DISTINCT component FROM comp
+         |  WHERE doc_id % 50 = 3)
+         |SELECT c.doc_id, c.component,
+         |  CAST(CASE WHEN c.doc_id % 50 = 3 THEN 1 ELSE 0 END AS INT)
+         |    AS is_seed
+         |FROM comp c JOIN seed_comps sc USING (component)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // q315: the FULL component recompute over the remaining corpus
+    // (q52's reach chain with the doomed canonical ids excluded),
+    // diffed against the original labels. The Spark side produces the
+    // same delta via the component-LOCALIZED repair
+    // (Dedup.deleteRepairAssignments), so the hash match IS the
+    // localized ≡ full-recompute contract — incl. component SPLITS —
+    // pinned externally.
+    "q315_delete_repair" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |old_assign AS (SELECT v AS doc_id, min(u) AS component
+         |  FROM reach GROUP BY v),
+         |doomed AS (SELECT component AS doc_id FROM old_assign
+         |  GROUP BY component HAVING count(*) >= 2),
+         |rem_edges AS (SELECT a, b FROM edges
+         |  WHERE a NOT IN (SELECT doc_id FROM doomed)
+         |    AND b NOT IN (SELECT doc_id FROM doomed)),
+         |reach_new(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
+         |  UNION
+         |  SELECT r.v, e.b FROM reach_new r JOIN rem_edges e ON r.u = e.a),
+         |new_assign AS (SELECT v AS doc_id, min(u) AS component
+         |  FROM reach_new GROUP BY v)
+         |SELECT n.doc_id, o.component AS old_component, n.component
+         |FROM new_assign n JOIN old_assign o USING (doc_id)
+         |WHERE n.component <> o.component
+         |ORDER BY n.doc_id""".stripMargin,
+
     "q30_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t)

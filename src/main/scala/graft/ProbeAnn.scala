@@ -210,6 +210,25 @@ object ProbeAnn {
       "embedding")
     println(f"[probe] stored-append ${(System.nanoTime() - tA) / 1e9}%.2fs " +
       s"(batch=$nQ)")
+
+    // takedown: deleting a fixed batch rewrites only the cell dirs
+    // that hold one of its vectors (each vector lives in exactly one
+    // cell) — the removal sibling of the append curve. The only
+    // corpus-scale work is the column-pruned (cell, id) scan; the
+    // post-delete batch scan keeps its pruned wall.
+    val doomedAnn = corpus.filter(col("vec_id") % 97 === 5)
+      .select("vec_id")
+    val tD = System.nanoTime()
+    val (delRows, delDirs) =
+      Similarity.deleteFromIvfPqIndex(spark, idxDir, doomedAnn)
+    println(f"[probe] stored-delete ${(System.nanoTime() - tD) / 1e9}%.2fs " +
+      s"(rows=$delRows dirs=$delDirs/16)")
+    val postDel = timed("scan-post-del") {
+      Similarity.ivfPqScanStored(spark, idxDir, queries, "vec_id",
+        "embedding", nprobe = 4, k = 10)
+    }
+    println(s"[probe] post-delete scan rows=${postDel.count()} " +
+      s"(deleted ids can no longer be neighbors)")
     spark.stop()
   }
 }

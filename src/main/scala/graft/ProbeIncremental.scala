@@ -144,6 +144,38 @@ object ProbeIncremental {
         Dedup.compactBucketIndex(spark, idxDir)
       val secProbeCompact = probeWall()
 
+      // takedown (delete) maintenance: a FIXED-size takedown batch
+      // (the base corpus's ≡1 mod 20 slice, replica 0) is removed from
+      // the stored index. The claim: the only corpus-scale work is one
+      // column-pruned (bpart, id) scan — rewrite cost tracks the
+      // touched dirs (≤ parts), and the post-delete probe keeps its
+      // flat wall.
+      val doomed = base.filter(col("doc_id") % 20 === 1)
+        .select((col("doc_id") * reps + lit(1L << 40)).as("doc_id"))
+        .localCheckpoint(true)
+      val nDoomed = doomed.count()
+      val t5 = System.nanoTime()
+      val (delRows, delDirs) =
+        Dedup.deleteFromBucketIndex(spark, idxDir, doomed)
+      val secDelete = (System.nanoTime() - t5) / 1e9
+      val secProbeDeleted = probeWall()
+
+      // survivor REPAIR after the takedown: localized CC over the
+      // touched components' remaining members only — compare against
+      // sec_cc_recompute above (the full-recompute wall a pipeline
+      // without the operator pays; |remaining| ≈ |corpus|, so it is
+      // the right yardstick at every rep). The candidate-pairs table
+      // is the pipeline's stored state, built untimed.
+      val corpusPairs = Dedup.minhashCandidates(corpus, "text",
+        "doc_id").localCheckpoint(true)
+      val t6 = System.nanoTime()
+      val repairChanged = Dedup.deleteRepairAssignments(oldAssign,
+          corpusPairs, doomed, "doc_id")
+        .join(oldAssign.select(col("doc_id"),
+          col("component").as("oc")), Seq("doc_id"))
+        .where(col("component") =!= col("oc")).count()
+      val secRepair = (System.nanoTime() - t6) / 1e9
+
       println(f"""{"probe":"incremental","reps":$reps,""" +
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
@@ -153,7 +185,11 @@ object ProbeIncremental {
         f""""sec_append":$secAppend%.2f,""" +
         f""""files_frag":$filesFrag,"files_compact":$filesCompact,""" +
         f""""sec_probe_frag":$secProbeFrag%.2f,""" +
-        f""""sec_probe_compact":$secProbeCompact%.2f}""")
+        f""""sec_probe_compact":$secProbeCompact%.2f,""" +
+        f""""n_doomed":$nDoomed,"sec_delete":$secDelete%.2f,""" +
+        f""""del_rows":$delRows,"del_dirs":$delDirs,""" +
+        f""""sec_probe_deleted":$secProbeDeleted%.2f,""" +
+        f""""sec_repair":$secRepair%.2f,"repair_changed":$repairChanged}""")
       // the probe's scratch index is corpus-scale — don't leave it in /tmp
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)

@@ -8742,6 +8742,76 @@ object Queries {
       .orderBy("component")
   }
 
+  /** Takedown EXPANSION — the compliance pass that precedes any
+    * deletion: a takedown request names specific docs, but a trained
+    * model has seen their near-duplicates too, so the removal set is
+    * the full near-dup closure — every doc sharing a component (q52's
+    * banded-LSH connected components) with a requested doc. Emits the
+    * expanded removal set with its component and a seed flag — the
+    * table [[graft.operators.Dedup.deleteFromBucketIndex]] and
+    * [[graft.operators.Dedup.deleteRepairAssignments]] then consume.
+    *
+    * Scale shape: clustering rides q52's machinery (collision-bound
+    * pairs, pointer-doubling CC); the expansion itself is two
+    * semi-joins — seeds → touched components (bounded by the request
+    * size, AQE broadcasts it) → members. No new corpus-scale shuffle
+    * beyond q52's. */
+  def q314TakedownExpansion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val comp = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+    val seedComps = comp.where(col("doc_id") % 50 === 3)
+      .select(col("component")).distinct()
+    comp.join(seedComps, Seq("component"), "left_semi")
+      .select(col("doc_id"), col("component"),
+        when(col("doc_id") % 50 === 3, lit(1)).otherwise(lit(0))
+          .cast("int").as("is_seed"))
+      .orderBy("doc_id")
+  }
+
+  /** Takedown REPAIR delta, ORACLE-PROVEN — the survivor-maintenance
+    * step after a deletion (the removal-side complement of q305's
+    * append-side merge): the previously-kept canonical docs of every
+    * multi-member cluster are recalled (found contaminated — the
+    * worst-case takedown, since every deleted id is a component
+    * label), and [[graft.operators.Dedup.deleteRepairAssignments]]
+    * repairs the stored assignments by recomputing components over
+    * ONLY the touched clusters' remaining members. Deletion can SPLIT
+    * a cluster (the deleted doc may have been the bridge), so unlike
+    * the append path no label algebra is sound — the localized
+    * recompute is exact because edges never cross components. DuckDB
+    * replays the FULL component computation over the remaining corpus
+    * and diffs it against the original labels, so the hash match IS
+    * the localized ≡ full-recompute contract, pinned externally.
+    * Emits the delta an ingest pipeline persists: remaining docs whose
+    * component label changed.
+    *
+    * Scale shape: the corpus-scale assignments and pairs tables are
+    * pruned to the touched components by semi-joins against a
+    * request-bounded list; the CC fixpoint runs on the touched
+    * neighborhoods only (see deleteRepairAssignments' scaladoc; wall
+    * measured ∝ touched size in ProbeIncremental). The old assignments
+    * are recomputed here for gate self-containment — a deployment
+    * reads its stored table. */
+  def q315DeleteRepair(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .localCheckpoint(false)
+    val assignments = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id").localCheckpoint(false)
+    val doomed = assignments.groupBy(col("component"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select(col("component").as("doc_id"))
+    val repaired = Dedup.deleteRepairAssignments(assignments, pairs,
+      doomed, "doc_id")
+    repaired.join(assignments.select(col("doc_id"),
+        col("component").as("old_component")), Seq("doc_id"))
+      .where(col("component") =!= col("old_component"))
+      .select(col("doc_id"), col("old_component"), col("component"))
+      .orderBy("doc_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9059,5 +9129,7 @@ object Queries {
     "q311_tokenizer_fertility" -> (q311TokenizerFertility _),
     "q312_filter_ablation" -> (q312FilterAblation _),
     "q313_quality_survivors" -> (q313QualitySurvivors _),
+    "q314_takedown_expansion" -> (q314TakedownExpansion _),
+    "q315_delete_repair" -> (q315DeleteRepair _),
   )
 }

@@ -564,6 +564,40 @@ object Streaming {
       .option("checkpointLocation", checkpointPath)
       .start()
 
+  /** Streaming form of the TAKEDOWN maintenance loop against a STORED
+    * parquet bucket index — the removal sibling of
+    * [[dedupMaintenanceStream]]: each micro-batch of takedown/opt-out
+    * requests (a single id column) is DELETED from the stored index
+    * ([[graft.operators.Dedup.deleteFromBucketIndex]] — only the bpart
+    * directories holding a doomed row rewrite, cost ∝ the request
+    * batch), then reported to `onBatch` as
+    * (rowsDeleted, dirsRewritten, batchId) — the evidence line a
+    * compliance log records per request. foreachBatch is the right
+    * seam for the same reason as the append loop: the delete must see
+    * what earlier batches left in the index.
+    *
+    * Deletion is idempotent (a replayed micro-batch finds nothing
+    * left to remove — the at-least-once replay costs one no-op
+    * column-pruned scan, never correctness) and commutative across
+    * disjoint batches, so ANY micro-batch split of a request set
+    * lands the index in the same state as one batch delete of the
+    * union — streaming ≡ batch asserted in StreamingSpec. The IVF-PQ
+    * family composes the same way via
+    * [[graft.operators.Similarity.deleteFromIvfPqIndex]]. */
+  def takedownMaintenanceStream(requests: DataFrame, indexPath: String,
+      checkpointPath: String)(
+      onBatch: (Long, Long, Long) => Unit): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val (nRows, nDirs) = graft.operators.Dedup.deleteFromBucketIndex(
+          b.sparkSession, indexPath, b)
+        onBatch(nRows, nDirs, batchId)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTopK(user_id: Long, top: Seq[String])
 

@@ -132,6 +132,46 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("deleteRepairAssignments == union-find over the remaining graph " +
+    "on seeded random graphs with random delete sets (splits, " +
+    "re-elections, whole-component removals all covered by volume)") {
+    val rnd = new scala.util.Random(11)
+    for (nEdges <- Seq(80, 400); trial <- 0 until 3) {
+      val n = 300
+      val edgePairs = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = edgePairs.toDF("id_a", "id_b")
+      val assignments = Dedup.connectedComponents(nodes, "id", edges)
+        .localCheckpoint(false)
+      // ~15% random takedown — hits bridges, canonicals, singletons
+      val delIds = (0 until n).filter(_ => rnd.nextInt(100) < 15)
+        .map(_.toLong)
+      val del = delIds.toDF("id")
+      val got = Dedup.deleteRepairAssignments(assignments, edges, del,
+        "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference: plain union-find over the REMAINING graph
+      val dead = delIds.toSet
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edgePairs.foreach { case (a, b) =>
+        if (!dead.contains(a) && !dead.contains(b)) {
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val canon = (0 until n).filterNot(i => dead.contains(i.toLong))
+        .groupBy(find).flatMap { case (_, members) =>
+          val label = members.min.toLong
+          members.map(m => m.toLong -> label)
+        }
+      assert(got === canon, s"nEdges=$nEdges trial=$trial")
+    }
+  }
+
   test("minhash bucket cap drops degenerate hot buckets") {
     val boiler = "identical boilerplate text repeated across the corpus"
     val df = ((1L to 6L).map(i => (i, boiler)) :+ (7L, "something else"))

@@ -626,6 +626,20 @@ class PlanSpec extends SparkSpec {
     assert(p306.contains("hashpartitioning(lang"), p306)
   }
 
+  test("q314/q315: takedown expansion and delete repair stay " +
+    "equi-join-only with zero hints — the expansion semi-joins and " +
+    "the repair's touched-component pruning let size stats/AQE pick " +
+    "the strategy (the q303 lesson: never hint a corpus-scale side)") {
+    for (name <- Seq("q314_takedown_expansion", "q315_delete_repair")) {
+      val q = Queries.all(name)(spark, dir)
+      assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        q.queryExecution.analyzed.toString)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("q272: grid-density labels propagate on the model-sized CELL " +
     "frame — the only data-scale work is the first per-order " +
     "aggregate (map-side combined)") {

@@ -1217,4 +1217,59 @@ class StreamingSpec extends SparkSpec {
     val unmaintained = pairsOf(refIdx1, batch2)
     assert(ref2 !== unmaintained)
   }
+
+  test("takedownMaintenanceStream ≡ one batch delete of the union: " +
+    "a micro-batched stream of takedown requests lands the stored " +
+    "index in the rebuild-on-remaining state, with per-batch " +
+    "compliance evidence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val doomed1 = docs.filter($"doc_id" % 10 === 2)
+    val doomed2 = docs.filter($"doc_id" % 10 === 7)
+    val remaining = docs.filter($"doc_id" % 10 =!= 2 &&
+      $"doc_id" % 10 =!= 7)
+    val probeBatch = docs.filter($"doc_id" % 10 === 4)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stream_takedown_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_stream_takedown_cp").toString
+    graft.operators.Dedup.writeBucketIndex(docs, idx, "text",
+      "doc_id", parts = 16)
+
+    val mem = MemoryStream[Long]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = Streaming.takedownMaintenanceStream(
+      mem.toDF().toDF("doc_id"), idx, cp) { (nRows, nDirs, id) =>
+      perBatch(id) = (nRows, nDirs)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    mem.addData(ids(doomed1): _*)
+    q.processAllAvailable()
+    mem.addData(ids(doomed2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // per-batch compliance evidence: every request doc sheds its 4
+    // band rows in its own micro-batch
+    assert(perBatch(0L)._1 === doomed1.count() * 4)
+    assert(perBatch(1L)._1 === doomed2.count() * 4)
+    assert(perBatch.values.forall(_._2 <= 16))
+    // streaming micro-batches ≡ one batch delete of the union:
+    // probing the maintained index matches a rebuild on the remaining
+    def pairsOf(idxPath: String) =
+      graft.operators.Dedup.incrementalCandidatesStored(spark, idxPath,
+        probeBatch, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_stream_takedown_ref").toString
+    graft.operators.Dedup.writeBucketIndex(remaining, refIdx, "text",
+      "doc_id", parts = 16)
+    assert(pairsOf(idx) === pairsOf(refIdx))
+    assert(pairsOf(idx).nonEmpty)
+  }
 }
