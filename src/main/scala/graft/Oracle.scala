@@ -1044,6 +1044,49 @@ object Oracle {
          |FROM comp c JOIN seed_comps sc USING (component)
          |ORDER BY c.doc_id""".stripMargin,
 
+    // q316: q313's component + quality CTEs with a capped rank filter
+    // and a per-component size window — bounded-duplication sampling
+    "q316_cluster_cap_sample" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |comp AS (SELECT v AS doc_id, min(u) AS component FROM reach
+         |  GROUP BY v),
+         |qual AS (SELECT doc_id,
+         |  ${f6("least(1.0, nwords / 20.0) * (nalpha / nchars)")}
+         |    AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) AS DOUBLE) AS nchars,
+         |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         |        AS DOUBLE) AS nalpha,
+         |      CAST(len(string_split_regex(trim(text), '\\s+'))
+         |        AS DOUBLE) AS nwords
+         |    FROM documents)),
+         |j AS (SELECT comp.component, comp.doc_id,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY quality_score DESC, comp.doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |      AS cluster_size
+         |  FROM comp JOIN qual USING (doc_id))
+         |SELECT doc_id, component, CAST(rn AS INT) AS rank_in_cluster,
+         |  cluster_size
+         |FROM j WHERE rn <= 2 ORDER BY doc_id""".stripMargin,
+
     // q315: the FULL component recompute over the remaining corpus
     // (q52's reach chain with the doomed canonical ids excluded),
     // diffed against the original labels. The Spark side produces the

@@ -8812,6 +8812,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Bounded-duplication sampling ("soft dedup") — the middle ground
+    * production corpora actually ship between keep-1 (q313) and
+    * keep-all: within each near-dup cluster keep the top-`cap`(=2)
+    * members by quality (q33's score, doc_id tie-break) and record
+    * each survivor's in-cluster rank and the cluster size, so the
+    * trainer can down-weight duplicates instead of losing them
+    * entirely (bounded duplication is often a better loss trade than
+    * hard dedup for high-quality clusters). Emits kept docs only.
+    *
+    * Scale shape: identical to q313's — q52's collision-bound
+    * clustering, per-row quality map work, ONE component-partitioned
+    * window computing rank and size together (no second exchange);
+    * the cap filter is a post-window predicate. */
+  def q316ClusterCapSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val comp = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id"))
+      .withColumnRenamed("id", "doc_id")
+    val q = TextAnalysis.withQuality(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("component"))
+    comp.join(q, Seq("doc_id"))
+      .withColumn("rank_in_cluster", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(wAll))
+      .where(col("rank_in_cluster") <= 2)
+      .select(col("doc_id"), col("component"),
+        col("rank_in_cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9131,5 +9163,6 @@ object Queries {
     "q313_quality_survivors" -> (q313QualitySurvivors _),
     "q314_takedown_expansion" -> (q314TakedownExpansion _),
     "q315_delete_repair" -> (q315DeleteRepair _),
+    "q316_cluster_cap_sample" -> (q316ClusterCapSample _),
   )
 }

@@ -306,12 +306,13 @@ object Dedup {
     * asserted in DedupSimilaritySpec. Returns
     * (rowsDeleted, dirsRewritten). */
   def deleteFromBucketIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, deleteIds: DataFrame): (Long, Long) =
-    IndexCompact.deleteMatching(spark, indexPath,
-      "Dedup.writeBucketIndex",
-      graft.config.Sidecar.str(graft.config.Sidecar.read(spark,
-        indexPath, "Dedup.writeBucketIndex"), "idCol"),
-      deleteIds)
+      indexPath: String, deleteIds: DataFrame): (Long, Long) = {
+    // one sidecar read serves both the refusal check and idCol
+    val meta = graft.config.Sidecar.read(spark, indexPath,
+      "Dedup.writeBucketIndex")
+    IndexCompact.deleteMatchingChecked(spark, indexPath,
+      graft.config.Sidecar.str(meta, "idCol"), deleteIds)
+  }
 
   /** Per-batch probe against a STORED [[writeBucketIndex]] table:
     * bands the batch with the parameters the SIDECAR pins (never
@@ -331,6 +332,11 @@ object Dedup {
     val (shingleSize, numHashes, bands, parts) =
       (intField(meta, "shingleSize"), intField(meta, "numHashes"),
         intField(meta, "bands"), intField(meta, "parts"))
+    // a fully-taken-down index (every bpart dir deleted) is a valid
+    // state with zero candidates — not a readable parquet dir
+    if (!IndexCompact.hasPartDirs(spark, indexPath))
+      return newDocs.limit(0)
+        .select(col(idCol).as("id_a"), col(idCol).as("id_b"))
     val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
       numHashes, bands).localCheckpoint(false)
     val touchedParts = bNew

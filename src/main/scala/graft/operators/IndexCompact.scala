@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions.{col, count, lit}
   * directory into place with a per-directory FileSystem.rename. The
   * sidecar — the pinned banding/PQ model — is NOT touched: compaction
   * changes layout, never content or parameters. Not safe under
-  * concurrent writers; run it in the same single-writer maintenance
-  * window as the appends themselves (probe-identity before/after is
-  * asserted in DedupSimilaritySpec).
+  * concurrent writers — and the per-directory swap is not atomic for
+  * concurrent READERS either (a probe listing files mid-swap can see
+  * a mix of old and new directories): run compaction AND deletion in
+  * the same single-writer, no-reader maintenance window as the
+  * appends themselves (probe-identity before/after is asserted in
+  * DedupSimilaritySpec). A deployment that needs online maintenance
+  * puts the index under a transactional table format (snapshot
+  * isolation via manifests) — out of scope here by design; the
+  * operators' read/rewrite shapes carry over unchanged.
   *
   * At 100 TB the one full read+write is the amortized cost ceiling —
   * run it when fragment count, not data size, dominates probe latency;
@@ -101,6 +107,28 @@ private[graft] object IndexCompact {
       builder: String, idColName: String,
       deleteIds: DataFrame): (Long, Long) = {
     graft.config.Sidecar.read(spark, indexPath, builder)
+    deleteMatchingChecked(spark, indexPath, idColName, deleteIds)
+  }
+
+  /** Whether the index still has any partition directory — a
+    * whole-corpus takedown ([[deleteMatching]] removing every dir) is
+    * a VALID state the stored read paths must answer with empty
+    * results, not hand to `spark.read.parquet` (which cannot infer a
+    * schema from a sidecar-only directory). */
+  private[operators] def hasPartDirs(spark: SparkSession,
+      path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+  }
+
+  /** As [[deleteMatching]] for a caller that has ALREADY read (and
+    * thereby refusal-checked) the sidecar — the family wrappers need
+    * sidecar fields anyway, and one parse per delete beats two. */
+  private[operators] def deleteMatchingChecked(spark: SparkSession,
+      indexPath: String, idColName: String,
+      deleteIds: DataFrame): (Long, Long) = {
     require(deleteIds.columns.length == 1,
       s"deleteIds must be a single id column, got: " +
         deleteIds.columns.mkString(", "))
@@ -125,6 +153,13 @@ private[graft] object IndexCompact {
     if (touchedAgg.isEmpty) return (0L, 0L)
     val rowsDeleted = touchedAgg.map(_.getLong(1)).sum
     val touchedVals = touchedAgg.map(_.get(0)).toSeq
+    // the swap below names directories as "$partCol=$v" — exact for
+    // the numeric partition values both index families use (bpart,
+    // cell); a string partition value can need Hive path escaping,
+    // which this maintenance path deliberately does not implement
+    require(touchedVals.forall(_.isInstanceOf[Number]),
+      s"deleteMatching supports numeric partition values only; " +
+        s"'$partCol' has ${touchedVals.head.getClass.getSimpleName}")
     val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
     fs.delete(tmp, true)
     spark.read.parquet(indexPath)

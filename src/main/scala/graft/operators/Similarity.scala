@@ -809,16 +809,16 @@ object Similarity {
       path: String, deleteIds: DataFrame): (Long, Long) = {
     val meta = graft.config.Sidecar.read(spark, path,
       "Similarity.writeIvfPqIndex")
-    val res = IndexCompact.deleteMatching(spark, path,
-      "Similarity.writeIvfPqIndex", "neighbor_id", deleteIds)
+    val res = IndexCompact.deleteMatchingChecked(spark, path,
+      "neighbor_id", deleteIds)
     if (res._1 > 0) {
-      // parquet-footer metadata count, not a data scan; a fully-emptied
-      // index has no cell dirs left to read — its count is simply 0
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasParts = fs.listStatus(root)
-        .exists(st => st.isDirectory && st.getPath.getName.contains("="))
-      val n = if (hasParts) spark.read.parquet(path).count() else 0L
+      // each vector is exactly one encoded row, so the delta IS the
+      // new count — no recount job (a footer recount would re-list
+      // every cell dir, corpus-scale metadata I/O on a path whose
+      // contract is cost ∝ the delete batch). Build/append maintain
+      // `count` through the same sidecar, so the arithmetic is exact.
+      val n = math.max(0L,
+        graft.config.Sidecar.long(meta, "count") - res._1)
       val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
       updated.put("count", n)
       graft.config.Sidecar.write(spark, path, updated)
@@ -853,6 +853,12 @@ object Similarity {
       s"sidecar coarse model has ${coarse.size} centroids, nlist=$nlist")
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe $nprobe out of range for nlist=$nlist")
+    // a fully-taken-down index (every cell dir deleted) is a valid
+    // state with zero neighbors — not a readable parquet dir
+    if (!IndexCompact.hasPartDirs(spark, path))
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos"),
+        lit(0).as("rank"))
     val sl = if (shortlist > 0) shortlist
       else ivfPqShortlist(count, nlist, nprobe, k)
     val touched = queries

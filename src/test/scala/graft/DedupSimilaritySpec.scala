@@ -723,6 +723,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.deleteFromBucketIndex(spark, dir,
       docs.limit(0).select("doc_id")) === ((0L, 0L)))
     assert(fileMap() === after1)
+    // whole-corpus takedown: every bpart dir goes away, and the
+    // stored probe answers EMPTY instead of crashing on a
+    // sidecar-only directory
+    Dedup.deleteFromBucketIndex(spark, dir, docs.select("doc_id"))
+    assert(fileMap().isEmpty)
+    assert(Dedup.incrementalCandidatesStored(spark, dir, batch,
+      "text", "doc_id").count() === 0L)
   }
 
   test("deleteFromIvfPqIndex: scan after a takedown ≡ frozen-model " +
@@ -761,6 +768,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(afterDelete.nonEmpty)
     val meta = graft.config.Sidecar.read(spark, dir, "test")
     assert(graft.config.Sidecar.long(meta, "count") === remaining.count())
+    // whole-corpus takedown: every cell dir goes away, the stored
+    // scan answers EMPTY instead of crashing, and the sidecar count
+    // (maintained arithmetically — build/append/delete all go through
+    // it) lands on zero
+    Similarity.deleteFromIvfPqIndex(spark, dir,
+      remaining.select("vec_id"))
+    assert(Similarity.ivfPqScanStored(spark, dir, queries, "vec_id",
+      "embedding", nprobe = 3, k = 5, shortlist = 20).count() === 0L)
+    val meta2 = graft.config.Sidecar.read(spark, dir, "test")
+    assert(graft.config.Sidecar.long(meta2, "count") === 0L)
   }
 
   test("deleteRepairAssignments ≡ full CC recompute over the " +

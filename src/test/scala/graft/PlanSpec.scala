@@ -626,11 +626,14 @@ class PlanSpec extends SparkSpec {
     assert(p306.contains("hashpartitioning(lang"), p306)
   }
 
-  test("q314/q315: takedown expansion and delete repair stay " +
-    "equi-join-only with zero hints — the expansion semi-joins and " +
-    "the repair's touched-component pruning let size stats/AQE pick " +
-    "the strategy (the q303 lesson: never hint a corpus-scale side)") {
-    for (name <- Seq("q314_takedown_expansion", "q315_delete_repair")) {
+  test("q314/q315/q316: the cluster-consuming queries (takedown " +
+    "expansion, delete repair, cluster-cap sampling) stay " +
+    "equi-join-only with zero hints — semi-joins against " +
+    "request-bounded lists and component-partitioned windows let " +
+    "size stats/AQE pick the strategy (the q303 lesson: never hint " +
+    "a corpus-scale side)") {
+    for (name <- Seq("q314_takedown_expansion", "q315_delete_repair",
+        "q316_cluster_cap_sample")) {
       val q = Queries.all(name)(spark, dir)
       assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
         q.queryExecution.analyzed.toString)
