@@ -8748,8 +8748,10 @@ object Queries {
     * the full near-dup closure — every doc sharing a component (q52's
     * banded-LSH connected components) with a requested doc. Emits the
     * expanded removal set with its component and a seed flag — the
-    * table [[graft.operators.Dedup.deleteFromBucketIndex]] and
-    * [[graft.operators.Dedup.deleteRepairAssignments]] then consume.
+    * table [[graft.operators.Dedup.deleteFromBucketIndex]] (index),
+    * [[graft.operators.Dedup.deleteRepairAssignments]] (survivor
+    * state) and [[graft.sinks.PartitionedSink.deleteRowsByKey]] (the
+    * corpus table itself) then consume.
     *
     * Scale shape: clustering rides q52's machinery (collision-bound
     * pairs, pointer-doubling CC); the expansion itself is two

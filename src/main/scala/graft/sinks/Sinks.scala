@@ -109,6 +109,60 @@ object PartitionedSink {
     write(df, targetPath, partitionColumns, mode = "errorifexists",
       fileFormat = fileFormat, filesPerPartition = filesPerPartition)
   }
+
+  /** Deletes rows by key from a stored parquet table — the CORPUS half
+    * of a takedown (q314's expansion names the docs; the index and
+    * survivor state are maintained by
+    * [[graft.operators.Dedup.deleteFromBucketIndex]] /
+    * [[graft.operators.Dedup.deleteRepairAssignments]]; this removes
+    * the documents themselves). Parquet is immutable and an id-keyed
+    * delete correlates with NO partition column (doc ids spread over
+    * every lang/source dir), so the honest cost is a FULL REWRITE of
+    * the table: read, anti-join the delete set, write to a sibling
+    * temp dir preserving the partition layout, then swap the table
+    * root (rename old away, rename temp in, drop old). That is the
+    * amortized shape a compliance batch job runs on a raw-parquet
+    * corpus; a deployment that needs cheap online row deletes puts the
+    * corpus under a transactional table format and this operator's
+    * anti-join shape carries over as the MERGE predicate. Same
+    * single-writer/no-reader window as the index maintenance steps.
+    * `partitionColumns` must name the table's partition columns (empty
+    * for an unpartitioned table) — the rewrite reproduces that layout.
+    * Returns rowsDeleted; an empty or non-matching delete set returns
+    * 0 WITHOUT rewriting anything (one count aggregate decides). */
+  def deleteRowsByKey(spark: SparkSession, tablePath: String,
+      idCol: String, deleteIds: DataFrame,
+      partitionColumns: Seq[String] = Nil): Long = {
+    require(deleteIds.columns.length == 1,
+      s"deleteIds must be a single id column, got: " +
+        deleteIds.columns.mkString(", "))
+    import org.apache.hadoop.fs.Path
+    val del = deleteIds.toDF("__graft_del_id").distinct()
+      .localCheckpoint(false)
+    val table = spark.read.parquet(tablePath)
+    // column-pruned membership count — the cheap gate that makes a
+    // no-op takedown cost one scan of one column, not a rewrite
+    val nDel = table.select(col(idCol))
+      .join(del, col(idCol) === col("__graft_del_id"), "left_semi")
+      .count()
+    if (nDel == 0L) return 0L
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val old = new Path(root.getParent, root.getName + ".delete_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val kept = table
+      .join(del, col(idCol) === col("__graft_del_id"), "left_anti")
+    val writer = (if (partitionColumns.nonEmpty)
+      kept.repartition(partitionColumns.map(col): _*)
+        .write.partitionBy(partitionColumns: _*)
+    else kept.write).mode("errorifexists")
+    writer.parquet(tmp.toString)
+    require(fs.rename(root, old), s"takedown swap failed: $root -> $old")
+    require(fs.rename(tmp, root), s"takedown swap failed: $tmp -> $root")
+    fs.delete(old, true)
+    nDel
+  }
 }
 
 /** Object-store shipping & lifecycle — the Hadoop-`FileSystem`

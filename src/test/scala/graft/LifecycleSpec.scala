@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.config.Security
 import graft.operators.Prep
-import graft.sinks.ObjectStore
+import graft.sinks.{ObjectStore, PartitionedSink}
 
 /** Driver-side lifecycle surface: object-store shipping (K4), archive +
   * reset (K5), bulk delete (K10), settings crypto (F9), column drop
@@ -99,5 +99,43 @@ class LifecycleSpec extends SparkSpec {
     val df = Seq((1L, "x", "2024")).toDF("id", "v", "YEAR")
     val out = Prep.dropColumns(df, Seq("YEAR", "not_there"))
     assert(out.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("deleteRowsByKey: corpus-side takedown rewrites the table " +
+    "minus the delete set, preserves the partition layout, and a " +
+    "no-op delete set never rewrites") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_corpus_delete").toString
+    val table = s"$dir/docs"
+    val df = (0L until 200L).map(i => (i, s"doc $i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    df.write.partitionBy("lang").parquet(table)
+    val doomed = df.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val n = PartitionedSink.deleteRowsByKey(spark, table, "doc_id",
+      doomed, Seq("lang"))
+    assert(n === doomed.count())
+    val after = spark.read.parquet(table)
+    // remaining rows ≡ anti-join, nothing else touched
+    assert(after.count() === 200L - n)
+    assert(after.join(doomed, Seq("doc_id"), "left_semi").count() === 0L)
+    assert(after.select("doc_id", "text", "lang").distinct().count()
+      === 200L - n)
+    // hive layout preserved: lang=* dirs, no temp/old leftovers
+    val entries = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(entries === Set("docs"))
+    val langDirs = new java.io.File(table).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langDirs === Set("lang=l0", "lang=l1", "lang=l2"))
+    // no-op delete set: returns 0, zero files change
+    def fileSet() = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(table)).sorted
+    }
+    val before = fileSet()
+    assert(PartitionedSink.deleteRowsByKey(spark, table, "doc_id",
+      Seq(999999L).toDF("doc_id"), Seq("lang")) === 0L)
+    assert(fileSet() === before)
   }
 }
