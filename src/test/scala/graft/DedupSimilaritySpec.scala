@@ -780,6 +780,75 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.config.Sidecar.long(meta2, "count") === 0L)
   }
 
+  test("END-TO-END takedown: expansion → corpus-table delete → index " +
+    "delete → survivor repair leaves a globally consistent state — " +
+    "no removed doc survives in the corpus table, the stored index, " +
+    "or the repaired survivor labels") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    // deployment state: corpus table + stored index + survivor state
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_takedown_e2e").toString
+    val corpusTable = s"$dir/corpus"
+    docs.write.partitionBy("lang").parquet(corpusTable)
+    val idx = s"$dir/index"
+    Dedup.writeBucketIndex(docs, idx, "text", "doc_id", parts = 16)
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .localCheckpoint(false)
+    val assignments = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id").localCheckpoint(false)
+    // q314's expansion: the removal set is the near-dup closure of
+    // the requested seeds. Seeds = the max-id member of every
+    // multi-member component, so the closure MUST pull in the other
+    // members (the fixture can't degenerate to seeds-only)
+    val seeds = assignments.groupBy($"component")
+      .agg(count(lit(1)).as("n"), max($"doc_id").as("doc_id"))
+      .where($"n" >= 2).select("doc_id").localCheckpoint(true)
+    val seedComps = assignments.join(seeds, Seq("doc_id"), "left_semi")
+      .select($"component").distinct()
+    val removal = assignments
+      .join(seedComps, Seq("component"), "left_semi")
+      .select("doc_id").localCheckpoint(true)
+    val nRemoval = removal.count()
+    assert(nRemoval > seeds.count(),
+      "expansion fixture too weak — no near-dup closure beyond seeds")
+    // the three legs
+    val nCorpus = graft.sinks.PartitionedSink.deleteRowsByKey(spark,
+      corpusTable, "doc_id", removal, Seq("lang"))
+    val (nIdx, _) = Dedup.deleteFromBucketIndex(spark, idx, removal)
+    val repaired = Dedup.deleteRepairAssignments(assignments, pairs,
+      removal, "doc_id")
+    // global consistency
+    assert(nCorpus === nRemoval)
+    assert(nIdx === nRemoval * 4) // bands=4 rows per doc
+    val after = spark.read.parquet(corpusTable)
+    assert(after.count() === docs.count() - nRemoval)
+    assert(after.join(removal, Seq("doc_id"), "left_semi").count() === 0L)
+    def asgSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val remaining = docs.join(removal, Seq("doc_id"), "left_anti")
+    assert(asgSet(repaired) === asgSet(
+      Dedup.connectedComponents(remaining, "doc_id",
+          Dedup.minhashCandidates(remaining, "text", "doc_id"))
+        .withColumnRenamed("id", "doc_id")))
+    // a removed doc re-submitted as a new batch probes the maintained
+    // index and pairs ONLY with remaining docs — and because the
+    // expansion removed whole components, a pure re-submission has no
+    // remaining near-dup left to collide with
+    val resubmitted = docs.join(removal, Seq("doc_id"), "left_semi")
+    val probePairs = Dedup.incrementalCandidatesStored(spark, idx,
+      resubmitted, "text", "doc_id")
+    val partnerIds = probePairs
+      .select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+      .join(removal, Seq("doc_id"), "left_semi")
+    // partners may include the resubmitted ids themselves (they ARE
+    // the batch); no partner may be a removed id sourced from the
+    // INDEX side — equivalently, index rows for removed ids are gone:
+    assert(spark.read.parquet(idx)
+      .join(removal, Seq("doc_id"), "left_semi").count() === 0L)
+    assert(partnerIds.count() <= nRemoval) // only batch-side ids
+  }
+
   test("deleteRepairAssignments ≡ full CC recompute over the " +
     "remaining corpus — incl. the bridge case where deletion SPLITS " +
     "a component; empty delete set is the identity") {
