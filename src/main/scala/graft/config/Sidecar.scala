@@ -30,6 +30,15 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 object Sidecar {
   val FileName = "_graft_index.json"
 
+  /** Sidecar schema version this reader understands. Stamped by
+    * [[write]]; [[read]] REFUSES a sidecar from a newer writer (the
+    * field set grew twice in round 10 alone — count refresh, model
+    * arrays — and an old reader silently misreading a renamed or
+    * re-shaped field is the same silent-wrong-results hazard class the
+    * sidecar exists to prevent). A sidecar WITHOUT the field is
+    * version 1 (the pre-versioning format this code still reads). */
+  val CurrentVersion = 1
+
   private val mapper = new ObjectMapper()
 
   /** A fresh object node to populate with build parameters. */
@@ -59,27 +68,61 @@ object Sidecar {
   }
 
   /** Write the sidecar into `dir` (same filesystem as the index data —
-    * works for local paths in tests and object stores in deployment). */
+    * works for local paths in tests and object stores in deployment).
+    * Always stamps [[CurrentVersion]] so every written sidecar is
+    * self-describing to future readers. */
   def write(spark: SparkSession, dir: String, node: ObjectNode): Unit = {
+    node.put("version", CurrentVersion)
+    writeNode(spark, new Path(dir, FileName), node)
+  }
+
+  /** Read and parse `dir`'s sidecar; REFUSE a bare directory and a
+    * sidecar written by a NEWER version (see [[CurrentVersion]]).
+    * `builder` names the write API the error should point the caller
+    * at. */
+  def read(spark: SparkSession, dir: String, builder: String): JsonNode = {
     val p = new Path(dir, FileName)
+    val node = readNode(spark, p).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no $FileName sidecar — build the index with $builder " +
+        "(a probe with guessed parameters silently drops results on " +
+        "any mismatch)"))
+    val v = Option(node.get("version")).filter(_.canConvertToInt)
+      .map(_.asInt()).getOrElse(1)
+    require(v <= CurrentVersion,
+      s"$dir/$FileName is sidecar version $v but this reader " +
+        s"understands up to $CurrentVersion — probing with a " +
+        "misread model silently drops results; upgrade the reader " +
+        "or rebuild the index with this version's " + builder)
+    node
+  }
+
+  /** Generic JSON node write to an explicit path — the shared
+    * serialization the swap manifest ([[graft.operators.IndexCompact]])
+    * reuses so there is exactly one JSON writer in the repo. */
+  def writeNode(spark: SparkSession, p: Path, node: ObjectNode): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(mapper.writeValueAsBytes(node))
     finally out.close()
   }
 
-  /** Read and parse `dir`'s sidecar; REFUSE a bare directory. `builder`
-    * names the write API the error should point the caller at. */
-  def read(spark: SparkSession, dir: String, builder: String): JsonNode = {
-    val p = new Path(dir, FileName)
+  /** Generic JSON node read from an explicit path; None if absent. */
+  def readNode(spark: SparkSession, p: Path): Option[JsonNode] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"$dir has no $FileName sidecar — build the index with $builder " +
-        "(a probe with guessed parameters silently drops results on " +
-        "any mismatch)")
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    mapper.readTree(bytes)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(mapper.readTree(bytes))
+    }
+  }
+
+  /** The string elements of an array field (e.g. the swap manifest's
+    * directory-name lists). */
+  def strings(node: JsonNode, field: String): Seq[String] = {
+    val f = node.get(field)
+    require(f != null && f.isArray, s"JSON node lacks array field '$field'")
+    arr(f).map(_.asText())
   }
 
   def int(node: JsonNode, field: String): Int = {

@@ -314,6 +314,16 @@ object Dedup {
       graft.config.Sidecar.str(meta, "idCol"), deleteIds)
   }
 
+  /** Crash-recovery fsck for a stored [[writeBucketIndex]] table — see
+    * [[IndexCompact.recover]]: rolls a crashed compaction/deletion swap
+    * forward (committed temp present) or back (uncommitted), restores
+    * anything stranded aside, and is idempotent. Run it at the start
+    * of a maintenance window (compact/delete already self-heal) or
+    * after a known crash. Returns the action log (empty = healthy). */
+  def recoverBucketIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[String] =
+    IndexCompact.recover(spark, indexPath)
+
   /** Per-batch probe against a STORED [[writeBucketIndex]] table:
     * bands the batch with the parameters the SIDECAR pins (never
     * caller-supplied — see [[writeBucketIndex]] for why a mismatch is

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Compaction and deletion for the stored, `partitionBy`-laid-out index
@@ -19,65 +20,232 @@ import org.apache.spark.sql.functions.{col, count, lit}
   * loop (ref `ingestion/ingestion.py:32-96`: persist state each
   * increment, keep it consumable for the next).
   *
-  * Mechanics: read the whole index once, re-cluster so each partition
-  * value's rows land in exactly ONE task (→ one output file per
-  * directory), write to a sibling temp dir, then swap each partition
-  * directory into place with a per-directory FileSystem.rename. The
-  * sidecar — the pinned banding/PQ model — is NOT touched: compaction
-  * changes layout, never content or parameters. Not safe under
-  * concurrent writers — and the per-directory swap is not atomic for
-  * concurrent READERS either (a probe listing files mid-swap can see
-  * a mix of old and new directories): run compaction AND deletion in
-  * the same single-writer, no-reader maintenance window as the
-  * appends themselves (probe-identity before/after is asserted in
-  * DedupSimilaritySpec). A deployment that needs online maintenance
-  * puts the index under a transactional table format (snapshot
-  * isolation via manifests) — out of scope here by design; the
-  * operators' read/rewrite shapes carry over unchanged.
+  * == The recoverable swap protocol ==
+  *
+  * Both maintenance rewrites follow one protocol, chosen so a crash at
+  * ANY instant leaves every row reachable on disk and a deterministic
+  * [[recover]] decision:
+  *
+  *  1. Spark writes the rewritten slice to a SIBLING temp dir
+  *     (`<index>.compact_tmp` / `<index>.delete_tmp`) — never read and
+  *     write under the same root.
+  *  1. A `_graft_swap.json` MANIFEST is written into the temp dir:
+  *     which partition-directory names get replaced (present in temp)
+  *     and which get removed outright (fully-deleted partitions). The
+  *     manifest is the COMMIT POINT — its presence means the temp data
+  *     is complete and the swap must roll FORWARD; its absence means
+  *     the write never finished and the swap must roll BACK (the live
+  *     index is untouched either way until step 3).
+  *  1. Per touched directory: the LIVE directory is renamed ASIDE into
+  *     a sibling `<index>.swap_old` dir (never deleted in place — a
+  *     crash between steps leaves the old data reachable there), then
+  *     the temp directory is renamed in. Each step is a single
+  *     metadata rename and the loop is idempotent: re-running it after
+  *     a crash completes exactly the remaining renames.
+  *  1. The `.swap_old` and temp dirs are deleted — the only point data
+  *     becomes unreachable, and by then the live tree is complete.
+  *
+  * [[recover]] is the fsck: given leftover `.compact_tmp` /
+  * `.delete_tmp` / `.swap_old` siblings it rolls the swap forward
+  * (manifest present — re-run the idempotent rename loop) or back
+  * (manifest absent — drop the partial temp, restore anything from
+  * `.swap_old`), and is itself idempotent. [[compact]] and
+  * [[deleteMatching]] run it first, so a maintenance window self-heals
+  * the previous window's crash before doing new work — the reference's
+  * own durability posture (ref `ingestion/ingestion.py:96`: state
+  * advances only after the write lands) applied to the index.
+  *
+  * Not safe under CONCURRENT writers — and the per-directory swap is
+  * not atomic for concurrent READERS either (a probe listing files
+  * mid-swap can see a mix of old and new directories): run compaction
+  * AND deletion in the same single-writer, no-reader maintenance
+  * window as the appends themselves (probe-identity before/after is
+  * asserted in DedupSimilaritySpec; probe-identity after a crash at
+  * each intermediate state + recover is asserted in RecoverySpec). A
+  * deployment that needs online maintenance puts the index under a
+  * transactional table format (snapshot isolation via manifests) — out
+  * of scope here by design; the operators' read/rewrite shapes carry
+  * over unchanged.
   *
   * At 100 TB the one full read+write is the amortized cost ceiling —
   * run it when fragment count, not data size, dominates probe latency;
   * the swap itself is metadata-only renames.
   */
 private[graft] object IndexCompact {
+  /** Swap manifest file name (inside the temp dir). Underscore-prefixed
+    * so a parquet read of a temp dir would ignore it, like _SUCCESS. */
+  val SwapManifest = "_graft_swap.json"
+  private val TmpSuffixes = Seq(".compact_tmp", ".delete_tmp")
+  private val OldSuffix = ".swap_old"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def partDirs(fs: FileSystem, p: Path) = fs.listStatus(p).toSeq
+    .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+
+  private def sibling(root: Path, suffix: String) =
+    new Path(root.getParent, root.getName + suffix)
+
+  /** The directory name Spark's `partitionBy` writer produces for a
+    * partition value — the escaping contract the swap renames must
+    * match exactly. Integral values render as-is (`cell=3`); string
+    * values get Hive path escaping via the SAME routine the writer
+    * uses (`ExternalCatalogUtils.escapePathName` — `=`/`:`/`%`/... →
+    * `%XX`), so string-partitioned corpus tables (lang, source) are
+    * first-class delete targets. Other types (timestamp/date/decimal
+    * have writer-specific renderings) and nulls (written to
+    * `__HIVE_DEFAULT_PARTITION__`, which a takedown by id should never
+    * target blindly) are refused loudly rather than guessed. */
+  private[operators] def partDirName(partCol: String, v: Any): String =
+    v match {
+      case null => throw new IllegalArgumentException(
+        s"deleteMatching: a matched row has a NULL '$partCol' " +
+          "partition value — null partitions are not supported by the " +
+          "directory-swap path; delete them via a full rewrite " +
+          "(PartitionedSink.deleteRowsByKey)")
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer | _: java.lang.Long) => s"$partCol=$n"
+      case s: String =>
+        s"$partCol=${ExternalCatalogUtils.escapePathName(s)}"
+      case other => throw new IllegalArgumentException(
+        s"deleteMatching supports integral and string partition " +
+          s"values; '$partCol' has ${other.getClass.getSimpleName}")
+    }
+
+  private def writeManifest(spark: SparkSession, tmp: Path,
+      replace: Seq[String], remove: Seq[String]): Unit = {
+    val node = graft.config.Sidecar.newNode()
+    val r = node.putArray("replace"); replace.foreach(r.add)
+    val d = node.putArray("remove"); remove.foreach(d.add)
+    graft.config.Sidecar.writeNode(spark, new Path(tmp, SwapManifest), node)
+  }
+
+  /** The idempotent swap loop (protocol step 3+4). Every rename is
+    * re-runnable: a directory already swapped has no temp source left
+    * (skip), one renamed aside but not yet replaced is completed by
+    * the replace rename, and a removal already renamed aside is
+    * detected by its presence under `.swap_old`. Data is reachable at
+    * every instant: live rows sit in exactly one of root / tmp / old
+    * until the final deletes, which run only once the live tree is
+    * complete. */
+  private def applySwap(fs: FileSystem, root: Path, tmp: Path,
+      replace: Seq[String], remove: Seq[String]): Unit = {
+    val old = sibling(root, OldSuffix)
+    fs.mkdirs(old)
+    for (name <- replace) {
+      val src = new Path(tmp, name)
+      if (fs.exists(src)) {
+        val dst = new Path(root, name)
+        if (fs.exists(dst))
+          require(fs.rename(dst, new Path(old, name)),
+            s"swap aside failed: $dst -> $old/$name")
+        require(fs.rename(src, dst), s"swap failed: $src -> $dst")
+      }
+    }
+    for (name <- remove) {
+      val dst = new Path(root, name)
+      if (fs.exists(dst) && !fs.exists(new Path(old, name)))
+        require(fs.rename(dst, new Path(old, name)),
+          s"removal aside failed: $dst -> $old/$name")
+    }
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+  }
+
+  /** Crash-recovery fsck for a stored index (or any table maintained
+    * through this object's swap protocol): detects leftover
+    * `.compact_tmp` / `.delete_tmp` / `.swap_old` siblings from a
+    * maintenance run that died mid-swap and either COMPLETES the swap
+    * (manifest present — the temp data was fully written, so re-run
+    * the idempotent rename loop) or REVERTS it (manifest absent — the
+    * rewrite never committed; drop the partial temp and restore
+    * anything already renamed aside). Idempotent: running it on a
+    * healthy index, twice, or after a crash *during recovery* all
+    * converge to the same state. Deliberately does NOT require a
+    * sidecar — a half-swapped index is exactly where refusals must not
+    * get in the way of repair. Returns a human-readable action log
+    * (empty = nothing to do). Same single-writer window as the
+    * maintenance steps themselves; [[compact]] and [[deleteMatching]]
+    * call it first so each window self-heals the last. */
+  def recover(spark: SparkSession, indexPath: String): Seq[String] = {
+    val root = new Path(indexPath)
+    val fs = fsOf(spark, root)
+    val actions = scala.collection.mutable.ListBuffer.empty[String]
+    for (suffix <- TmpSuffixes) {
+      val tmp = sibling(root, suffix)
+      if (fs.exists(tmp)) {
+        graft.config.Sidecar.readNode(spark, new Path(tmp, SwapManifest)) match {
+          case Some(m) =>
+            val replace = graft.config.Sidecar.strings(m, "replace")
+            val remove = graft.config.Sidecar.strings(m, "remove")
+            applySwap(fs, root, tmp, replace, remove)
+            actions += s"rolled forward crashed $suffix swap " +
+              s"(${replace.size} replaced, ${remove.size} removed)"
+          case None =>
+            // the rewrite never committed: the live tree is untouched
+            // (renames only start after the manifest lands), so the
+            // partial temp is the only thing to clean up
+            fs.delete(tmp, true)
+            actions += s"reverted uncommitted $suffix write"
+        }
+      }
+    }
+    val old = sibling(root, OldSuffix)
+    if (fs.exists(old)) {
+      // no temp left ⇒ the swap loop finished every rename (old is
+      // deleted before tmp); anything still here is pre-swap data whose
+      // replacement is already live — restore only names the live tree
+      // LOST (a state no crash of this protocol produces, but recovery
+      // is the wrong place to assume that) and drop the rest
+      for (d <- fs.listStatus(old) if !fs.exists(new Path(root, d.getPath.getName))) {
+        require(fs.rename(d.getPath, new Path(root, d.getPath.getName)),
+          s"restore failed: ${d.getPath} -> $root")
+        actions += s"restored ${d.getPath.getName} from $OldSuffix"
+      }
+      fs.delete(old, true)
+      actions += s"removed leftover $OldSuffix"
+    }
+    actions.toList
+  }
 
   /** Compact `indexPath` in place; `builder` names the write API for
-    * the sidecar refusal message. Returns (filesBefore, filesAfter). */
+    * the sidecar refusal message. Recoverable swap per the protocol
+    * above. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, indexPath: String,
       builder: String): (Long, Long) = {
     // sidecar refusal first: compacting a bare directory would happily
     // rewrite data nobody can probe correctly
     graft.config.Sidecar.read(spark, indexPath, builder)
+    recover(spark, indexPath) // self-heal a crashed prior maintenance run
     val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, root)
 
-    def partDirs(p: Path) = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    def dataFiles(): Long = partDirs(root).map { d =>
+    def dataFiles(): Long = partDirs(fs, root).map { d =>
       fs.listStatus(d.getPath).count { f =>
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.toLong
     }.sum
 
-    val dirs = partDirs(root)
+    val dirs = partDirs(fs, root)
     if (dirs.isEmpty) return (0L, 0L)
     val partCol = dirs.head.getPath.getName.split("=")(0)
     val before = dataFiles()
 
-    val tmp = new Path(root.getParent, root.getName + ".compact_tmp")
+    val tmp = sibling(root, ".compact_tmp")
     fs.delete(tmp, true)
     // sibling temp dir: never read and write under the same root
     spark.read.parquet(indexPath)
       .repartition(dirs.size, col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    for (d <- partDirs(tmp)) {
-      val dst = new Path(root, d.getPath.getName)
-      fs.delete(dst, true)
-      require(fs.rename(d.getPath, dst),
-        s"compaction swap failed: ${d.getPath} -> $dst")
-    }
-    fs.delete(tmp, true)
+    val tmpNames = partDirs(fs, tmp).map(_.getPath.getName)
+    // compaction preserves every partition value, so `remove` is empty
+    // in practice — computed anyway so the manifest states the whole
+    // intended end state, not an assumption about the rewrite
+    val remove = dirs.map(_.getPath.getName).diff(tmpNames)
+    writeManifest(spark, tmp, tmpNames, remove) // COMMIT POINT
+    applySwap(fs, root, tmp, tmpNames, remove)
     (before, dataFiles())
   }
 
@@ -90,12 +258,12 @@ private[graft] object IndexCompact {
     * finds the touched directories (their count is bounded by the
     * layout's partition count — parts/nlist — a model-size driver
     * list), then the touched slice alone is re-read, anti-joined
-    * against the delete set, and swapped back one directory at a time
-    * via the same sibling-temp-dir rename dance as [[compact]].
-    * Untouched directories — at 100 TB, almost all of them — are never
-    * read for data, never rewritten. The rewrite also folds each
-    * touched directory to one file (a free local compaction). A
-    * directory whose rows are ALL deleted is removed outright.
+    * against the delete set, and swapped back via the recoverable
+    * manifest protocol above. Untouched directories — at 100 TB,
+    * almost all of them — are never read for data, never rewritten.
+    * The rewrite also folds each touched directory to one file (a free
+    * local compaction). A directory whose rows are ALL deleted is
+    * removed outright (a `remove` entry in the manifest).
     *
     * The sidecar is refused-checked but NOT modified here: banding
     * parameters are corpus-independent; model/count maintenance that
@@ -125,18 +293,19 @@ private[graft] object IndexCompact {
 
   /** As [[deleteMatching]] for a caller that has ALREADY read (and
     * thereby refusal-checked) the sidecar — the family wrappers need
-    * sidecar fields anyway, and one parse per delete beats two. */
-  private[operators] def deleteMatchingChecked(spark: SparkSession,
+    * sidecar fields anyway, and one parse per delete beats two. Also
+    * the swap engine for sidecar-LESS partitioned corpus tables
+    * ([[graft.sinks.PartitionedSink.deletePartitionRowsByKey]]). */
+  private[graft] def deleteMatchingChecked(spark: SparkSession,
       indexPath: String, idColName: String,
       deleteIds: DataFrame): (Long, Long) = {
     require(deleteIds.columns.length == 1,
       s"deleteIds must be a single id column, got: " +
         deleteIds.columns.mkString(", "))
+    recover(spark, indexPath) // self-heal a crashed prior maintenance run
     val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partDirs(p: Path) = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    val dirs = partDirs(root)
+    val fs = fsOf(spark, root)
+    val dirs = partDirs(fs, root)
     if (dirs.isEmpty) return (0L, 0L)
     val partCol = dirs.head.getPath.getName.split("=")(0)
     // read twice below (touched scan + anti-join); checkpoint so a
@@ -153,29 +322,21 @@ private[graft] object IndexCompact {
     if (touchedAgg.isEmpty) return (0L, 0L)
     val rowsDeleted = touchedAgg.map(_.getLong(1)).sum
     val touchedVals = touchedAgg.map(_.get(0)).toSeq
-    // the swap below names directories as "$partCol=$v" — exact for
-    // the numeric partition values both index families use (bpart,
-    // cell); a string partition value can need Hive path escaping,
-    // which this maintenance path deliberately does not implement
-    require(touchedVals.forall(_.isInstanceOf[Number]),
-      s"deleteMatching supports numeric partition values only; " +
-        s"'$partCol' has ${touchedVals.head.getClass.getSimpleName}")
-    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    // validate every touched value's directory name up front (refusals
+    // must fire before any rewrite starts, not between renames)
+    val touchedNames = touchedVals.map(partDirName(partCol, _))
+    val tmp = sibling(root, ".delete_tmp")
     fs.delete(tmp, true)
     spark.read.parquet(indexPath)
       .where(col(partCol).isin(touchedVals: _*))
       .join(del, col(idColName) === col("__graft_del_id"), "left_anti")
       .repartition(touchedVals.size, col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    for (v <- touchedVals) {
-      val name = s"$partCol=$v"
-      val dst = new Path(root, name)
-      fs.delete(dst, true) // fully-deleted partitions have no tmp dir
-      val src = new Path(tmp, name)
-      if (fs.exists(src))
-        require(fs.rename(src, dst), s"delete swap failed: $src -> $dst")
-    }
-    fs.delete(tmp, true)
+    // fully-deleted partitions wrote no tmp dir: they are removals
+    val (replace, remove) = touchedNames.partition(n =>
+      fs.exists(new Path(tmp, n)))
+    writeManifest(spark, tmp, replace, remove) // COMMIT POINT
+    applySwap(fs, root, tmp, replace, remove)
     (rowsDeleted, touchedVals.size.toLong)
   }
 }

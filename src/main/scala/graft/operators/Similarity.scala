@@ -773,14 +773,54 @@ object Similarity {
       "Similarity.writeIvfPqIndex")
     val coarse = graft.config.Sidecar.doubles2(meta, "coarse")
     val codebooks = graft.config.Sidecar.doubles3(meta, "codebooks")
-    ivfPqEncode(newCorpus, idCol, vecCol, coarse, codebooks)
+    // pin the batch so the count and the write see the same rows even
+    // if the caller's frame is non-deterministic
+    val batch = newCorpus.localCheckpoint(false)
+    val batchCount = batch.count()
+    ivfPqEncode(batch, idCol, vecCol, coarse, codebooks)
       .write.mode("append").partitionBy("cell").parquet(path)
     // refresh the pinned corpus count (drives ivfPqShortlist at scan
-    // time); parquet-footer metadata count, not a data scan
-    val n = spark.read.parquet(path).count()
+    // time) by ARITHMETIC, not a recount: encode is 1:1 with batch
+    // rows, and a footer recount would re-list every cell dir —
+    // corpus-scale metadata I/O on a path whose contract is cost ∝ the
+    // append batch (the delete path's own argument, r10 verdict item 2;
+    // build/append/delete all maintain `count` through the same
+    // sidecar, so the arithmetic is exact)
+    val n = graft.config.Sidecar.long(meta, "count") + batchCount
     val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     updated.put("count", n)
     graft.config.Sidecar.write(spark, path, updated)
+  }
+
+  /** Crash-recovery fsck for a stored [[writeIvfPqIndex]] table — see
+    * [[IndexCompact.recover]]: rolls a crashed compaction/deletion swap
+    * forward (committed temp present) or back (uncommitted), restores
+    * anything stranded aside, and is idempotent. Run it at the start
+    * of a maintenance window (compact/delete already self-heal) or
+    * after a known crash.
+    *
+    * If recovery changed anything, the sidecar's pinned corpus `count`
+    * is REPINNED by a footer recount: a crash can land between the
+    * swap and the family wrapper's count arithmetic
+    * ([[deleteFromIvfPqIndex]] updates the sidecar only after
+    * [[IndexCompact.deleteMatchingChecked]] returns), leaving the
+    * count stale. The recount is corpus-scale metadata I/O — exactly
+    * what the per-batch maintenance paths refuse — but recovery is the
+    * rare post-crash path, where exactness beats the one-time listing
+    * cost. Returns the action log (empty = healthy). */
+  def recoverIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val actions = IndexCompact.recover(spark, path)
+    if (actions.nonEmpty) {
+      val meta = graft.config.Sidecar.read(spark, path,
+        "Similarity.writeIvfPqIndex")
+      val n = if (IndexCompact.hasPartDirs(spark, path))
+        spark.read.parquet(path).count() else 0L
+      val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      updated.put("count", n)
+      graft.config.Sidecar.write(spark, path, updated)
+      actions :+ s"repinned sidecar count = $n after recovery"
+    } else actions
   }
 
   /** Folds the per-append file fragments back to one file per cell

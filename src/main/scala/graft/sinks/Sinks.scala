@@ -129,7 +129,16 @@ object PartitionedSink {
     * `partitionColumns` must name the table's partition columns (empty
     * for an unpartitioned table) — the rewrite reproduces that layout.
     * Returns rowsDeleted; an empty or non-matching delete set returns
-    * 0 WITHOUT rewriting anything (one count aggregate decides). */
+    * 0 WITHOUT rewriting anything (one count aggregate decides).
+    *
+    * Crash semantics: the table is replaced ATOMICALLY at the rename
+    * `tmp -> root` (the rewrite "happened" iff the old root was moved
+    * aside) and the data is reachable on disk at every instant — in
+    * `.delete_tmp` before the swap, in `.delete_old` during it. A
+    * crash between the two renames leaves no directory at `tablePath`;
+    * [[recoverTable]] is the fsck that rolls such a state forward
+    * (complete temp present) or back, and this method runs it first so
+    * a maintenance window self-heals the previous window's crash. */
   def deleteRowsByKey(spark: SparkSession, tablePath: String,
       idCol: String, deleteIds: DataFrame,
       partitionColumns: Seq[String] = Nil): Long = {
@@ -137,6 +146,7 @@ object PartitionedSink {
       s"deleteIds must be a single id column, got: " +
         deleteIds.columns.mkString(", "))
     import org.apache.hadoop.fs.Path
+    recoverTable(spark, tablePath) // self-heal a crashed prior rewrite
     val del = deleteIds.toDF("__graft_del_id").distinct()
       .localCheckpoint(false)
     val table = spark.read.parquet(tablePath)
@@ -160,9 +170,76 @@ object PartitionedSink {
     writer.parquet(tmp.toString)
     require(fs.rename(root, old), s"takedown swap failed: $root -> $old")
     require(fs.rename(tmp, root), s"takedown swap failed: $tmp -> $root")
-    fs.delete(old, true)
+    // a failed delete leaves a stale full copy beside the table —
+    // recoverable (recoverTable drops it) but worth failing loudly in
+    // a maintenance job rather than silently doubling storage
+    require(fs.delete(old, true),
+      s"takedown cleanup failed: stale copy left at $old — run " +
+        "PartitionedSink.recoverTable or remove it manually")
     nDel
   }
+
+  /** Crash-recovery fsck for [[deleteRowsByKey]]'s whole-root swap.
+    * The swap's commit point is the rename `root -> .delete_old`
+    * (which only runs after the temp write completed), so recovery is
+    * deterministic from what exists on disk:
+    *
+    *  - `root` present: no swap was in flight — drop any leftover
+    *    `.delete_tmp` (uncommitted rewrite) and `.delete_old` (stale
+    *    copy whose final delete failed).
+    *  - `root` missing, `.delete_tmp` present: crashed between the two
+    *    renames — roll FORWARD (rename temp in, drop old), completing
+    *    the delete that had already committed.
+    *  - `root` missing, `.delete_tmp` missing, `.delete_old` present:
+    *    not a state this protocol produces (temp is renamed in before
+    *    old is dropped), but restore the old copy rather than leave no
+    *    table at all.
+    *
+    * Idempotent; same single-writer window as the rewrite itself.
+    * Returns the action log (empty = healthy). */
+  def recoverTable(spark: SparkSession, tablePath: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val old = new Path(root.getParent, root.getName + ".delete_old")
+    val actions = scala.collection.mutable.ListBuffer.empty[String]
+    if (fs.exists(root)) {
+      if (fs.delete(tmp, true)) actions += "dropped uncommitted .delete_tmp"
+      if (fs.delete(old, true)) actions += "dropped stale .delete_old copy"
+    } else if (fs.exists(tmp)) {
+      require(fs.rename(tmp, root),
+        s"recovery roll-forward failed: $tmp -> $root")
+      fs.delete(old, true)
+      actions += "rolled forward crashed root swap from .delete_tmp"
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, root),
+        s"recovery restore failed: $old -> $root")
+      actions += "restored table root from .delete_old"
+    }
+    actions.toList
+  }
+
+  /** Partition-targeted row delete for a corpus table PARTITIONED BY a
+    * string/integral column (lang, source, date bucket): rewrites ONLY
+    * the partition directories holding a matching row — the same
+    * touched-dirs-only engine as the index families'
+    * [[graft.operators.Dedup.deleteFromBucketIndex]], with Hive path
+    * escaping for string partition values (`lang=pt:BR` lives in
+    * `lang=pt%3ABR`). At 100 TB this beats [[deleteRowsByKey]]'s full
+    * rewrite whenever deletes cluster in few partitions (a source-wide
+    * takedown, a date-range purge); an id-keyed delete that spreads
+    * over EVERY partition degrades to the same total rewrite cost plus
+    * per-directory swap overhead, so pick by the delete set's spread.
+    * Unlike the index paths there is no sidecar to refuse on — a
+    * corpus table's layout is self-describing. Crash recovery:
+    * [[graft.operators.IndexCompact.recover]]'s manifest protocol,
+    * self-healed at the start of each call. Returns
+    * (rowsDeleted, dirsRewritten). */
+  def deletePartitionRowsByKey(spark: SparkSession, tablePath: String,
+      idCol: String, deleteIds: DataFrame): (Long, Long) =
+    graft.operators.IndexCompact.deleteMatchingChecked(spark, tablePath,
+      idCol, deleteIds)
 }
 
 /** Object-store shipping & lifecycle — the Hadoop-`FileSystem`

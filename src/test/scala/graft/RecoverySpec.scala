@@ -1,0 +1,371 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IndexCompact, Similarity}
+import graft.sinks.PartitionedSink
+
+/** Crash-recovery fsck (r10 verdict item 1): the maintenance swaps
+  * must leave every row reachable at every instant and
+  * `IndexCompact.recover` / `PartitionedSink.recoverTable` must roll a
+  * crash at ANY intermediate state forward (committed — manifest / old
+  * root moved aside) or back (uncommitted), idempotently. The spec
+  * simulates the on-disk layout of each state (the swap protocol is a
+  * sequence of FileSystem renames, so the states are enumerable) and
+  * asserts the recovered index is probe-identical to a clean run. */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fs = new Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rowsOf(path: String): Set[(Long, Int)] =
+    spark.read.parquet(path).select(col("id"), col("p").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def noSiblings(path: String): Unit = {
+    val root = new Path(path)
+    for (sfx <- Seq(".compact_tmp", ".delete_tmp", ".swap_old"))
+      assert(!fs.exists(new Path(root.getParent, root.getName + sfx)),
+        s"leftover $sfx after recovery")
+  }
+
+  /** A tiny partitioned fixture table + sidecar: p=0..3, ids 0..39;
+    * deleting ids 10..19 (all of p=1's low half) partially empties p=1
+    * and deleting 20..29 fully empties p=2 — one `replace`, one
+    * `remove`, two untouched dirs. */
+  private def freshFixture(): String = {
+    val dir = tmpDir("graft_recovery_fixture")
+    (0L until 40L).toDF("id").withColumn("p", (col("id") / 10).cast("int"))
+      .repartition(4, col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(dir)
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", "id")
+    graft.config.Sidecar.write(spark, dir, meta)
+    dir
+  }
+  private val fixtureAll = (0L until 40L).map(i => (i, (i / 10).toInt)).toSet
+  private val fixtureKept = fixtureAll.filterNot { case (i, _) =>
+    (i >= 13 && i < 20) || (i >= 20 && i < 30) }
+  private val delIds = ((13L until 20L) ++ (20L until 30L)).toDF("id")
+
+  /** Constructs the COMMITTED crash state on `dir`: `.delete_tmp`
+    * holding the rewritten p=1 slice (p=2 writes nothing — fully
+    * emptied) plus the swap manifest, root untouched — exactly the
+    * operator's layout the instant after its commit point. */
+  private def commitUncrashedTmp(dir: String): (Path, Path, Path) = {
+    val root = new Path(dir)
+    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val old = new Path(root.getParent, root.getName + ".swap_old")
+    spark.read.parquet(dir)
+      .where(col("p").isin(1, 2))
+      .where(!col("id").isin((13L until 30L).map(Long.box): _*))
+      .repartition(2, col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(tmp.toString)
+    val m = graft.config.Sidecar.newNode()
+    val r = m.putArray("replace"); r.add("p=1")
+    val d = m.putArray("remove"); d.add("p=2")
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tmp, IndexCompact.SwapManifest), m)
+    (root, tmp, old)
+  }
+
+  test("recover mechanics: clean delete baseline + healthy recover is " +
+    "a no-op with an empty action log") {
+    val dir = freshFixture()
+    val (n, d) = IndexCompact.deleteMatching(spark, dir, "test", "id",
+      delIds)
+    assert(n === 17L && d === 2L)
+    assert(rowsOf(dir) === fixtureKept)
+    noSiblings(dir)
+    assert(IndexCompact.recover(spark, dir).isEmpty)
+    assert(rowsOf(dir) === fixtureKept)
+  }
+
+  test("recover mechanics: UNCOMMITTED crash (temp written, no " +
+    "manifest) rolls BACK — the live table is untouched") {
+    val dir = freshFixture()
+    val (root, tmp, _) = commitUncrashedTmp(dir)
+    fs.delete(new Path(tmp, IndexCompact.SwapManifest), false)
+    val log = IndexCompact.recover(spark, dir)
+    assert(log.exists(_.contains("reverted")), log.mkString("; "))
+    assert(rowsOf(dir) === fixtureAll)
+    noSiblings(dir)
+    assert(fs.exists(root))
+  }
+
+  test("recover mechanics: COMMITTED crash states all roll FORWARD to " +
+    "the clean-delete end state — before any rename, mid-replace " +
+    "(aside done, swap-in not), after replace before remove, and " +
+    "after all renames with leftovers") {
+    // state B: manifest written, no renames yet
+    val b = freshFixture(); commitUncrashedTmp(b)
+    // state C1: p=1 renamed aside, replacement NOT yet renamed in
+    val c1 = freshFixture()
+    val (r1, t1, o1) = commitUncrashedTmp(c1)
+    fs.mkdirs(o1)
+    assert(fs.rename(new Path(r1, "p=1"), new Path(o1, "p=1")))
+    // state C2: p=1 fully swapped, removal of p=2 not yet done
+    val c2 = freshFixture()
+    val (r2, t2, o2) = commitUncrashedTmp(c2)
+    fs.mkdirs(o2)
+    assert(fs.rename(new Path(r2, "p=1"), new Path(o2, "p=1")))
+    assert(fs.rename(new Path(t2, "p=1"), new Path(r2, "p=1")))
+    // state D: every rename done, .swap_old and .delete_tmp left behind
+    val dD = freshFixture()
+    val (r3, t3, o3) = commitUncrashedTmp(dD)
+    fs.mkdirs(o3)
+    assert(fs.rename(new Path(r3, "p=1"), new Path(o3, "p=1")))
+    assert(fs.rename(new Path(t3, "p=1"), new Path(r3, "p=1")))
+    assert(fs.rename(new Path(r3, "p=2"), new Path(o3, "p=2")))
+    for (dir <- Seq(b, c1, c2, dD)) {
+      val log = IndexCompact.recover(spark, dir)
+      assert(log.exists(_.contains("rolled forward")), log.mkString("; "))
+      assert(rowsOf(dir) === fixtureKept, s"state at $dir")
+      noSiblings(dir)
+      // idempotent: a second recover finds a healthy table
+      assert(IndexCompact.recover(spark, dir).isEmpty)
+      assert(rowsOf(dir) === fixtureKept)
+    }
+  }
+
+  test("recover mechanics: an orphan .swap_old restores only names " +
+    "the live tree lost and drops superseded copies") {
+    val dir = freshFixture()
+    val root = new Path(dir)
+    val old = new Path(root.getParent, root.getName + ".swap_old")
+    fs.mkdirs(old)
+    // superseded copy: p=1 exists live, the aside copy must be dropped
+    // (cloning the live dir stands in for the pre-swap version)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, "p=1"),
+      fs, new Path(old, "p=1"), false,
+      spark.sparkContext.hadoopConfiguration)
+    // stranded dir: p=3 renamed aside with no live replacement
+    assert(fs.rename(new Path(root, "p=3"), new Path(old, "p=3")))
+    val log = IndexCompact.recover(spark, dir)
+    assert(log.exists(_.contains("restored p=3")), log.mkString("; "))
+    assert(rowsOf(dir) === fixtureAll)
+    noSiblings(dir)
+  }
+
+  test("bucket index: a delete crashed mid-swap + recoverBucketIndex " +
+    "probes identically to the clean deleteFromBucketIndex run") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 5 === 2)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2)
+    val doomed = corpus.filter($"doc_id" % 7 === 3).select("doc_id")
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clean run: build, delete, probe
+    val clean = tmpDir("graft_recover_bucket_clean")
+    Dedup.writeBucketIndex(corpus, clean, "text", "doc_id", parts = 16)
+    Dedup.deleteFromBucketIndex(spark, clean, doomed)
+    val expected = pairs(Dedup.incrementalCandidatesStored(spark, clean,
+      batch, "text", "doc_id"))
+    assert(expected.nonEmpty)
+    // crashed run: same delete's temp layout, swap half-applied
+    val crash = tmpDir("graft_recover_bucket_crash")
+    Dedup.writeBucketIndex(corpus, crash, "text", "doc_id", parts = 16)
+    val root = new Path(crash)
+    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val old = new Path(root.getParent, root.getName + ".swap_old")
+    val doomedIds = doomed.as[Long].collect().toSeq
+    val idx = spark.read.parquet(crash)
+    val touched = idx.where(col("doc_id").isin(doomedIds.map(Long.box): _*))
+      .select("bpart").distinct().as[Int].collect().toSeq.sorted
+    assert(touched.size >= 2, "fixture needs ≥2 touched bparts")
+    idx.where(col("bpart").isin(touched.map(Int.box): _*))
+      .where(!col("doc_id").isin(doomedIds.map(Long.box): _*))
+      .repartition(touched.size, col("bpart"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bpart")
+      .parquet(tmp.toString)
+    val names = touched.map(v => s"bpart=$v")
+    val (rep, rem) = names.partition(n => fs.exists(new Path(tmp, n)))
+    val m = graft.config.Sidecar.newNode()
+    val ra = m.putArray("replace"); rep.foreach(ra.add)
+    val da = m.putArray("remove"); rem.foreach(da.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tmp, IndexCompact.SwapManifest), m)
+    // crash mid-swap: first touched dir renamed aside only
+    fs.mkdirs(old)
+    assert(fs.rename(new Path(root, rep.head), new Path(old, rep.head)))
+    val log = Dedup.recoverBucketIndex(spark, crash)
+    assert(log.exists(_.contains("rolled forward")), log.mkString("; "))
+    val recovered = pairs(Dedup.incrementalCandidatesStored(spark, crash,
+      batch, "text", "doc_id"))
+    assert(recovered === expected)
+    noSiblings(crash)
+  }
+
+  test("IVF-PQ index: a delete crashed mid-swap + recoverIvfPqIndex " +
+    "scans identically to the clean deleteFromIvfPqIndex run, and the " +
+    "post-recovery recount repins the sidecar corpus count") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val doomed = emb.filter($"vec_id" % 9 === 4).select("vec_id")
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val clean = tmpDir("graft_recover_ivfpq_clean")
+    Similarity.writeIvfPqIndex(emb, clean, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    Similarity.deleteFromIvfPqIndex(spark, clean, doomed)
+    val expected = rows(Similarity.ivfPqScanStored(spark, clean, queries,
+      "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 20))
+    assert(expected.nonEmpty)
+    val cleanCount = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, clean, "test"), "count")
+    // crashed run
+    val crash = tmpDir("graft_recover_ivfpq_crash")
+    Similarity.writeIvfPqIndex(emb, crash, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    val root = new Path(crash)
+    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val old = new Path(root.getParent, root.getName + ".swap_old")
+    val doomedIds = doomed.as[Long].collect().toSeq
+    val idx = spark.read.parquet(crash)
+    val touched = idx
+      .where(col("neighbor_id").isin(doomedIds.map(Long.box): _*))
+      .select("cell").distinct().as[Int].collect().toSeq.sorted
+    assert(touched.nonEmpty)
+    idx.where(col("cell").isin(touched.map(Int.box): _*))
+      .where(!col("neighbor_id").isin(doomedIds.map(Long.box): _*))
+      .repartition(touched.size, col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(tmp.toString)
+    val names = touched.map(v => s"cell=$v")
+    val (rep, rem) = names.partition(n => fs.exists(new Path(tmp, n)))
+    val m2 = graft.config.Sidecar.newNode()
+    val ra = m2.putArray("replace"); rep.foreach(ra.add)
+    val da = m2.putArray("remove"); rem.foreach(da.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tmp, IndexCompact.SwapManifest), m2)
+    fs.mkdirs(old)
+    assert(fs.rename(new Path(root, rep.head), new Path(old, rep.head)))
+    val log = Similarity.recoverIvfPqIndex(spark, crash)
+    assert(log.exists(_.contains("rolled forward")), log.mkString("; "))
+    val recovered = rows(Similarity.ivfPqScanStored(spark, crash, queries,
+      "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 20))
+    assert(recovered === expected)
+    noSiblings(crash)
+    // the crash happened before the family wrapper's count update, so
+    // recover recounts (rare path — exactness over the recount cost)
+    val crashCount = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, crash, "test"), "count")
+    assert(crashCount === cleanCount)
+  }
+
+  test("corpus table: recoverTable rolls the whole-root swap forward " +
+    "when the root vanished mid-swap, restores from .delete_old as a " +
+    "last resort, and cleans stale siblings beside a live root") {
+    def freshTable(): String = {
+      val dir = tmpDir("graft_recover_corpus")
+      (0L until 30L).toDF("id").withColumn("v", col("id") * 2)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      dir
+    }
+    def ids(path: String) =
+      spark.read.parquet(path).select("id").as[Long].collect().toSet
+    val del = Seq(3L, 7L, 11L).toDF("id")
+    val expected = (0L until 30L).toSet -- Set(3L, 7L, 11L)
+    // clean run for reference + healthy recover is a no-op
+    val clean = freshTable()
+    assert(PartitionedSink.deleteRowsByKey(spark, clean, "id", del) === 3L)
+    assert(ids(clean) === expected)
+    assert(PartitionedSink.recoverTable(spark, clean).isEmpty)
+    // crash between the two renames: root gone, tmp complete
+    val c1 = freshTable()
+    val root1 = new Path(c1)
+    val tmp1 = new Path(root1.getParent, root1.getName + ".delete_tmp")
+    spark.read.parquet(c1)
+      .where(!col("id").isin(3L, 7L, 11L))
+      .write.mode(SaveMode.Overwrite).parquet(tmp1.toString)
+    val old1 = new Path(root1.getParent, root1.getName + ".delete_old")
+    assert(fs.rename(root1, old1))
+    val log1 = PartitionedSink.recoverTable(spark, c1)
+    assert(log1.exists(_.contains("rolled forward")), log1.mkString("; "))
+    assert(ids(c1) === expected)
+    assert(!fs.exists(tmp1) && !fs.exists(old1))
+    // root and tmp both gone, only .delete_old left: restore it
+    val c2 = freshTable()
+    val root2 = new Path(c2)
+    val old2 = new Path(root2.getParent, root2.getName + ".delete_old")
+    assert(fs.rename(root2, old2))
+    val log2 = PartitionedSink.recoverTable(spark, c2)
+    assert(log2.exists(_.contains("restored")), log2.mkString("; "))
+    assert(ids(c2) === (0L until 30L).toSet)
+    // live root with stale siblings: both dropped, data untouched
+    val c3 = freshTable()
+    val root3 = new Path(c3)
+    fs.mkdirs(new Path(root3.getParent, root3.getName + ".delete_tmp"))
+    fs.mkdirs(new Path(root3.getParent, root3.getName + ".delete_old"))
+    val log3 = PartitionedSink.recoverTable(spark, c3)
+    assert(log3.size === 2, log3.mkString("; "))
+    assert(ids(c3) === (0L until 30L).toSet)
+  }
+
+  test("deletePartitionRowsByKey: STRING partition values needing Hive " +
+    "path escaping (=, :, %) are swapped by their escaped directory " +
+    "names; untouched partitions are never rewritten") {
+    val dir = tmpDir("graft_recover_strpart")
+    val rows = Seq(
+      (1L, "a=b"), (2L, "a=b"), (3L, "x:y"), (4L, "x:y"),
+      (5L, "p%q"), (6L, "p%q"), (7L, "plain"), (8L, "plain"))
+    rows.toDF("id", "part")
+      .repartition(4, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    val root = new Path(dir)
+    // the writer escaped the names; remember the untouched dir's mtime
+    assert(fs.exists(new Path(root, "part=a%3Db")))
+    assert(fs.exists(new Path(root, "part=x%3Ay")))
+    assert(fs.exists(new Path(root, "part=p%25q")))
+    val plainBefore = fs.getFileStatus(new Path(root, "part=plain"))
+      .getModificationTime
+    // delete id 1 (partially empties a=b) and 3+4 (fully empties x:y)
+    val (n, d) = PartitionedSink.deletePartitionRowsByKey(spark, dir,
+      "id", Seq(1L, 3L, 4L).toDF("id"))
+    assert(n === 3L && d === 2L)
+    val remaining = spark.read.parquet(dir)
+      .select("id", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(remaining === Set((2L, "a=b"), (5L, "p%q"), (6L, "p%q"),
+      (7L, "plain"), (8L, "plain")))
+    assert(!fs.exists(new Path(root, "part=x%3Ay")))
+    assert(fs.getFileStatus(new Path(root, "part=plain"))
+      .getModificationTime === plainBefore)
+    noSiblings(dir)
+  }
+
+  test("sidecar versioning: a sidecar from a NEWER writer is refused " +
+    "with a message naming both versions; current writes stamp the " +
+    "version and read back fine") {
+    val dir = tmpDir("graft_sidecar_version")
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", "id")
+    graft.config.Sidecar.write(spark, dir, meta)
+    val back = graft.config.Sidecar.read(spark, dir, "test")
+    assert(graft.config.Sidecar.int(back, "version") ===
+      graft.config.Sidecar.CurrentVersion)
+    // hand-write a future version (write() force-stamps, so go direct)
+    val future = graft.config.Sidecar.newNode()
+    future.put("idCol", "id")
+    future.put("version", 99)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(dir, graft.config.Sidecar.FileName), future)
+    val err = intercept[IllegalArgumentException] {
+      graft.config.Sidecar.read(spark, dir, "test")
+    }
+    assert(err.getMessage.contains("version 99"))
+    assert(err.getMessage.contains(
+      graft.config.Sidecar.CurrentVersion.toString))
+  }
+}
