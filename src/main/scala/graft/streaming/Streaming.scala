@@ -598,6 +598,113 @@ object Streaming {
       .option("checkpointLocation", checkpointPath)
       .start()
 
+  /** Streaming form of the ANN serving-index maintenance loop — the
+    * IVF-PQ sibling of [[dedupMaintenanceStream]] (r10 verdict item 4):
+    * each micro-batch of vectors (1) SCANS the stored
+    * [[graft.operators.Similarity.writeIvfPqIndex]] table for the
+    * batch's top-k neighbors (model and parameters from the index
+    * sidecar — never the stream's), (2) hands the materialized
+    * neighbor table to `sink` (route to a dedup decision, a retrieval
+    * log, a feature store — the caller's policy), and (3) APPENDS the
+    * batch's vectors encoded under the FROZEN sidecar model so every
+    * later micro-batch probes the grown corpus. foreachBatch is the
+    * right seam for the same reason as the LSH loop: the scan must
+    * read what earlier batches appended — a cyclic dependency on the
+    * query's own output no declarative streaming join expresses.
+    *
+    * Ordering: neighbors are eagerly materialized (localCheckpoint)
+    * BEFORE the append so a probe never sees its own batch.
+    *
+    * At-least-once semantics, decided and pinned: unlike the LSH
+    * index (where a replayed append duplicates banded rows and costs
+    * only probe I/O — the candidate set is a distinct pair set), a
+    * duplicated ENCODED row is visible (the neighbor occupies two
+    * shortlist/top-k slots) and drifts the sidecar's pinned corpus
+    * count. The append is therefore guarded per micro-batch: a marker
+    * under `<index>/_graft_batches/` (underscore-prefixed — parquet
+    * readers ignore it), committed AFTER the append, keyed by
+    * (checkpoint lineage, batchId) so a restart resuming the SAME
+    * checkpoint skips its replayed appends while a NEW stream against
+    * the index starts its own marker namespace. The residual window —
+    * a crash between the append and its marker — re-appends one
+    * batch; the documented repair is
+    * [[graft.operators.Similarity.deleteFromIvfPqIndex]] of the
+    * batch's ids (removes BOTH copies, count-exact) followed by one
+    * re-append. `sink` delivery itself is at-least-once, as for any
+    * foreachBatch — keep it idempotent. */
+  def annMaintenanceStream(vectors: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpointPath: String,
+      nprobe: Int, k: Int, shortlist: Int = 0)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val neighbors = graft.operators.Similarity.ivfPqScanStored(
+          b.sparkSession, indexPath, b, idCol, vecCol, nprobe, k,
+          shortlist)
+          .localCheckpoint(true) // probe BEFORE the append lands
+        sink(neighbors, batchId)
+        annAppendOnce(b.sparkSession, indexPath, b, idCol, vecCol,
+          checkpointPath, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
+  /** The marker-guarded append behind [[annMaintenanceStream]]:
+    * appends `batch` unless this (checkpoint lineage, batchId) already
+    * committed its marker. Returns whether the append ran. Package-
+    * private so StreamingSpec can assert the replay no-op directly. */
+  private[graft] def annAppendOnce(spark: SparkSession,
+      indexPath: String, batch: DataFrame, idCol: String, vecCol: String,
+      checkpointPath: String, batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    // lineage key: a restart from the SAME checkpoint replays the same
+    // batchIds (skip = exactly-once); a NEW stream (fresh checkpoint)
+    // must not inherit another lineage's markers
+    val lineage = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointPath.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val marker = new Path(new Path(indexPath, "_graft_batches"),
+      s"$lineage-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      graft.operators.Similarity.appendToIvfPqIndex(spark, indexPath,
+        batch, idCol, vecCol)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** Streaming takedown loop for the ANN serving index — the IVF-PQ
+    * sibling of [[takedownMaintenanceStream]]: each micro-batch of
+    * takedown/opt-out requests (a single id column) is DELETED from
+    * the stored index
+    * ([[graft.operators.Similarity.deleteFromIvfPqIndex]] — only the
+    * cell directories holding a doomed vector rewrite, the sidecar
+    * count maintained by exact arithmetic), then reported to `onBatch`
+    * as (rowsDeleted, dirsRewritten, batchId). No marker guard is
+    * needed here: deletion is naturally idempotent (a replayed
+    * micro-batch finds nothing left to remove — zero rows, zero count
+    * change) and commutative across disjoint batches, so ANY
+    * micro-batch split of a request set lands the index in the same
+    * state as one batch delete of the union — streaming ≡ batch
+    * asserted in StreamingSpec. */
+  def annTakedownStream(requests: DataFrame, indexPath: String,
+      checkpointPath: String)(
+      onBatch: (Long, Long, Long) => Unit): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val (nRows, nDirs) = graft.operators.Similarity
+          .deleteFromIvfPqIndex(b.sparkSession, indexPath, b)
+        onBatch(nRows, nDirs, batchId)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserTopK(user_id: Long, top: Seq[String])
 

@@ -1272,4 +1272,147 @@ class StreamingSpec extends SparkSpec {
     assert(pairsOf(idx) === pairsOf(refIdx))
     assert(pairsOf(idx).nonEmpty)
   }
+
+  test("annMaintenanceStream ≡ batch two-batch sequence: each " +
+    "micro-batch's neighbors match the stored scan at that point, the " +
+    "append makes batch 2 see batch 1, and a replayed append is a " +
+    "marker-guarded no-op (no duplicate rows, no count drift)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" < 375)
+    val batch1 = emb.filter($"vec_id" >= 375 && $"vec_id" < 440)
+    val batch2 = emb.filter($"vec_id" >= 440)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_cp").toString
+    graft.operators.Similarity.writeIvfPqIndex(base, idx, "vec_id",
+      "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val perBatch = scala.collection.mutable
+      .Map.empty[Long, Set[(Long, Long, Double, Int)]]
+    val q = Streaming.annMaintenanceStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, cp, nprobe = 3, k = 5, shortlist = 20) { (nb, id) =>
+      perBatch(id) = nb.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    }
+    def feed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    mem.addData(feed(batch1): _*)
+    q.processAllAvailable()
+    mem.addData(feed(batch2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch-mode references against separately-maintained indexes
+    def scanOf(idxPath: String, b: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.ivfPqScanStored(spark, idxPath, b,
+        "vec_id", "embedding", nprobe = 3, k = 5, shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_ref").toString
+    graft.operators.Similarity.writeIvfPqIndex(base, refIdx, "vec_id",
+      "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    val ref1 = scanOf(refIdx, batch1)
+    graft.operators.Similarity.appendToIvfPqIndex(spark, refIdx,
+      batch1, "vec_id", "embedding")
+    val ref2 = scanOf(refIdx, batch2)
+    assert(perBatch(0L) === ref1)
+    assert(perBatch(1L) === ref2)
+    assert(ref1.nonEmpty && ref2.nonEmpty)
+    // batch 2's scan actually saw batch 1 through the append
+    val unmaintainedIdx = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_unmaint").toString
+    graft.operators.Similarity.writeIvfPqIndex(base, unmaintainedIdx,
+      "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1,
+      nlist = 8)
+    assert(ref2 !== scanOf(unmaintainedIdx, batch2))
+    // replay: the marker commits after the append, so re-running the
+    // guarded append for an already-committed batchId is a no-op
+    val rowsBefore = spark.read.parquet(idx).count()
+    val countBefore = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, idx, "test"), "count")
+    assert(!Streaming.annAppendOnce(spark, idx, batch1.toDF(), "vec_id",
+      "embedding", cp, 0L))
+    assert(spark.read.parquet(idx).count() === rowsBefore)
+    assert(graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, idx, "test"), "count")
+      === countBefore)
+    assert(countBefore === emb.count()) // exact arithmetic end-to-end
+    // a NEW stream lineage (different checkpoint) is not blocked by
+    // this lineage's markers
+    val otherCp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_cp2").toString
+    assert(Streaming.annAppendOnce(spark, idx,
+      batch1.limit(0).toDF(), "vec_id", "embedding", otherCp, 0L))
+  }
+
+  test("annTakedownStream ≡ one batch delete of the union: a " +
+    "micro-batched stream of takedown requests lands the stored ANN " +
+    "index in the batch-delete state (scan-identical, count-exact), " +
+    "and a replayed request batch deletes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val doomed1 = emb.filter($"vec_id" % 10 === 2).select("vec_id")
+    val doomed2 = emb.filter($"vec_id" % 10 === 7).select("vec_id")
+    val probeBatch = emb.filter($"vec_id" % 10 === 4)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stream_anntd_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_stream_anntd_cp").toString
+    graft.operators.Similarity.writeIvfPqIndex(emb, idx, "vec_id",
+      "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+
+    val mem = MemoryStream[Long]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = Streaming.annTakedownStream(
+      mem.toDF().toDF("vec_id"), idx, cp) { (nRows, nDirs, id) =>
+      perBatch(id) = (nRows, nDirs)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    mem.addData(ids(doomed1): _*)
+    q.processAllAvailable()
+    mem.addData(ids(doomed2): _*)
+    q.processAllAvailable()
+    // replayed request batch: idempotent, deletes nothing
+    mem.addData(ids(doomed1): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(perBatch(0L)._1 === doomed1.count())
+    assert(perBatch(1L)._1 === doomed2.count())
+    assert(perBatch(2L) === ((0L, 0L)))
+    // streaming micro-batches ≡ one batch delete of the union
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_stream_anntd_ref").toString
+    graft.operators.Similarity.writeIvfPqIndex(emb, refIdx, "vec_id",
+      "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    graft.operators.Similarity.deleteFromIvfPqIndex(spark, refIdx,
+      doomed1.unionByName(doomed2))
+    def scanOf(idxPath: String) =
+      graft.operators.Similarity.ivfPqScanStored(spark, idxPath,
+        probeBatch, "vec_id", "embedding", nprobe = 3, k = 5,
+        shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(scanOf(idx) === scanOf(refIdx))
+    assert(scanOf(idx).nonEmpty)
+    def countOf(p: String) = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, p, "test"), "count")
+    assert(countOf(idx) === countOf(refIdx))
+    assert(countOf(idx) ===
+      emb.count() - doomed1.count() - doomed2.count())
+  }
 }
