@@ -48,7 +48,10 @@ object Bench {
       try {
         val parts = f.getLines().next().trim.split("\\s+").drop(1)
           .map(_.toLong)
-        (parts.lift(7).getOrElse(-1L), parts.sum)
+        // first 8 fields only (user..steal): the kernel already folds
+        // guest/guest_nice into user/nice, so summing all 10 would
+        // double-count guest time and understate steal_pct
+        (parts.lift(7).getOrElse(-1L), parts.take(8).sum)
       } finally f.close()
     } catch { case _: Throwable => (-1L, -1L) }
     val (stealStart, totalStart) = cpuJiffies()

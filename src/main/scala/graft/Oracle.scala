@@ -1087,6 +1087,19 @@ object Oracle {
          |  cluster_size
          |FROM j WHERE rn <= 2 ORDER BY doc_id""".stripMargin,
 
+    // q317: the Spark side materializes a lang-partitioned corpus
+    // copy, deletes the request batch through the touched-dirs-only
+    // swap (Hive-escaped string partition names), and re-aggregates
+    // the table it actually left on disk — DuckDB replays the
+    // remaining corpus directly, so the hash match pins the physical
+    // delete end-to-end
+    "q317_partitioned_takedown" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 3 AND lang IN ('de', 'fr'))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // q315: the FULL component recompute over the remaining corpus
     // (q52's reach chain with the doomed canonical ids excluded),
     // diffed against the original labels. The Spark side produces the

@@ -11,6 +11,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.config.TableSettings
 import graft.operators._
+import graft.sinks.PartitionedSink
 import graft.sources.Tables
 
 /** The operator-coverage query registry (SURVEY.md §2 inventory + §7
@@ -8353,15 +8354,23 @@ object Queries {
   def q304IvfPqStored(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    // per-run unique scratch dir (a fixed hash-keyed path raced under
+    // concurrent runs against the same sfDir), deleted after the scan
+    // materializes — the small result is pinned so the returned frame
+    // never re-reads the deleted index
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx_").toString
     Similarity.writeIvfPqIndex(emb, path, "vec_id", "embedding",
       dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16)
-    Similarity.ivfPqScanStored(s, path, queries, "vec_id", "embedding",
-        nprobe = 4, k = 10, shortlist = 50)
+    val res = Similarity.ivfPqScanStored(s, path, queries, "vec_id",
+        "embedding", nprobe = 4, k = 10, shortlist = 50)
       .select(col("query_id"), col("neighbor_id"),
         f6(col("cos")).as("cos"), col("rank"))
       .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
   }
 
   /** Incremental SURVIVOR maintenance, ORACLE-PROVEN — the step after
@@ -8846,6 +8855,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Partition-targeted corpus takedown, ORACLE-PROVEN — the
+    * string-partition delete path r10's verdict asked for
+    * ([[graft.sinks.PartitionedSink.deletePartitionRowsByKey]]): the
+    * corpus copy is laid out `partitionBy(lang)` (Hive-escaped string
+    * directory names — the layout every lang/source-partitioned corpus
+    * table actually has), a takedown batch names docs concentrated in
+    * two languages, and ONLY those two partition directories rewrite
+    * (the same touched-dirs-only engine, recoverable swap included, as
+    * the index families' deletes). The emitted per-lang survivor
+    * aggregate is recomputed from the post-delete table, so the DuckDB
+    * hash match pins the on-disk delete — escaping, swap, untouched
+    * dirs — against an external replay of the remaining corpus.
+    *
+    * Scale shape: one two-column membership scan finds the touched
+    * dirs; the rewrite reads and writes ONLY those (at 100 TB a
+    * two-language takedown touches 2 of thousands of directories);
+    * the audit aggregate is one map-side-combinable groupBy with
+    * ≤ |langs| rows out. The scratch copy exists for gate
+    * self-containment — a deployment deletes in place. */
+  def q317PartitionedTakedown(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_part_takedown_").toString
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(tbl)
+    val del = docs
+      .filter(col("doc_id") % 7 === 3 && col("lang").isin("de", "fr"))
+      .select("doc_id")
+    PartitionedSink.deletePartitionRowsByKey(s, tbl, "doc_id", del)
+    val res = s.read.parquet(tbl)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+      .localCheckpoint(true) // pin before the scratch copy is deleted
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9166,5 +9215,6 @@ object Queries {
     "q314_takedown_expansion" -> (q314TakedownExpansion _),
     "q315_delete_repair" -> (q315DeleteRepair _),
     "q316_cluster_cap_sample" -> (q316ClusterCapSample _),
+    "q317_partitioned_takedown" -> (q317PartitionedTakedown _),
   )
 }
