@@ -37,6 +37,9 @@ object ProbeAnn {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables(spark, sfDir, "embeddings")
+    if (args.lift(2).contains("drillonly")) {
+      drill(spark, base); spark.stop(); return
+    }
     val corpus = base
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(reps - 1))).as("r"))
@@ -229,6 +232,123 @@ object ProbeAnn {
     }
     println(s"[probe] post-delete scan rows=${postDel.count()} " +
       s"(deleted ids can no longer be neighbors)")
+
+    // drift-triggered rebuild drill (r10 verdict stretch item 8):
+    // q307's coarseDriftStats is the retrain TRIGGER; this exercises
+    // the DECISION. Per round, append a progressively SHIFTED batch
+    // (a real distribution move: a growing constant added to the first
+    // 16 dims) to an index maintained under the FROZEN build-time
+    // model, and report (a) the weighted mean drift the monitor sees,
+    // (b) recall@10 of the stale maintained index for the NEW traffic
+    // (the round's shifted vectors), and (c) recall@10 after a rebuild
+    // (writeIvfPqIndex over build ∪ appended — retrained model), both
+    // against a brute-force ground truth over the same grown corpus.
+    // The expected shape — drift rises with the shift, stale recall
+    // decays, rebuilt recall recovers — is the evidence the
+    // drift-threshold rebuild policy stands on. The drill runs at BASE
+    // scale (the shift, not the corpus size, is the variable) — pass
+    // "nodrill" as arg 3 to skip it on replicated-corpus runs, or
+    // "drillonly" to run just the drill.
+    if (!args.lift(2).contains("nodrill")) drill(spark, base)
+    new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idxDir), true)
     spark.stop()
+  }
+
+  /** The drift-drill stage (see main): exercises the REBUILD DECISION
+    * q307's drift monitor exists to gate. Per round, a growing slice of
+    * the corpus is re-encoded as genuinely SHIFTED traffic (a constant
+    * offset on the first 16 dims — a distribution move, appended under
+    * the FROZEN build-time model), and the drill measures, for the
+    * round's NEW traffic against brute-force truth over the grown
+    * corpus: the monitor's appended-weighted mean drift, recall@10 of
+    * the stale maintained index, of a SAME-capacity rebuild, and of a
+    * CAPACITY-SCALED rebuild (nlist and kCodes doubled, nprobe kept at
+    * the same probed fraction).
+    *
+    * Why three arms: five drill designs measured while building this
+    * (constant shifts, decorrelated reversed traffic, tight new
+    * clusters, isotropic raw vectors, tight+shallow shortlist) all
+    * agree that the frozen ASSIGNMENT almost never scatters true
+    * neighbors — argmax is deterministic, so close vectors co-assign
+    * under any fixed model, and tight new clusters scan at recall
+    * 1.000 stale. What actually decays as shifted mass grows is
+    * quantization RESOLUTION spread over a wider support — which a
+    * same-capacity retrain cannot recover (measured equal-or-worse
+    * than stale) and a capacity-scaled rebuild can. The monitor's
+    * drift is therefore a CAPACITY trigger, not a mere retrain
+    * trigger: rebuild bigger, not just fresher. */
+  private def drill(spark: SparkSession, base: DataFrame): Unit = {
+    val drillBase = base.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val drillIdx = java.nio.file.Files
+      .createTempDirectory("graft_probe_drill").toString
+    Similarity.writeIvfPqIndex(drillBase, drillIdx, "vec_id",
+      "embedding", dim = 64, m = 8, kCodes = 32, rounds = 2, nlist = 16)
+    val nBase = drillBase.count()
+    var grown = drillBase
+    var appendedAll: DataFrame = null
+    for (round <- 1 to 4) {
+      // shifted traffic: quarter r of the corpus re-encoded with a
+      // constant +1.0 on the first 16 dims (vector components are
+      // ~N(0, 0.125), so this is a large, realistic embedding-space
+      // move — new encoder, new domain), under fresh high ids
+      val batch = drillBase
+        .filter(col("vec_id") % 4 === (round - 1) % 4)
+        .select((col("vec_id") + lit(round.toLong << 41)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(j < 16, x + lit(1.0f)).otherwise(x).cast("float"))
+            .as("embedding"))
+        .localCheckpoint(true)
+      Similarity.appendToIvfPqIndex(spark, drillIdx, batch, "vec_id",
+        "embedding")
+      grown = grown.unionByName(batch).localCheckpoint(true)
+      appendedAll = (if (appendedAll == null) batch
+        else appendedAll.unionByName(batch)).localCheckpoint(true)
+      // the monitor's number: appended-weighted mean per-cell drift
+      val driftRow = Similarity.coarseDriftStats(drillBase, appendedAll,
+          "vec_id", "embedding", nlist = 16, rounds = 2)
+        .where(col("drift").isNotNull)
+        .agg((sum(col("drift") * col("n_new")) / sum(col("n_new")))
+          .as("d")).collect()(0)
+      val drift = if (driftRow.isNullAt(0)) 0.0 else driftRow.getDouble(0)
+      // new traffic = this round's shifted vectors (50 of them —
+      // 500 recall samples/arm keeps the curve above the +-0.03 noise
+      // a 20-query estimate showed)
+      val newQ = batch.orderBy("vec_id").limit(50).localCheckpoint(true)
+      val truth = Similarity.bruteForceTopK(grown, newQ, "vec_id",
+        "embedding", 10).localCheckpoint(true)
+      def recallOf(ann: DataFrame): Double =
+        truth.select("query_id", "neighbor_id")
+          .join(ann.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id")).count().toDouble /
+          truth.count()
+      val stale = recallOf(Similarity.ivfPqScanStored(spark, drillIdx,
+        newQ, "vec_id", "embedding", nprobe = 8, k = 10,
+        shortlist = 256))
+      def rebuildArm(nlist: Int, nprobe: Int, kCodes: Int): Double = {
+        val rbIdx = java.nio.file.Files
+          .createTempDirectory("graft_probe_drill_rb").toString
+        Similarity.writeIvfPqIndex(grown, rbIdx, "vec_id", "embedding",
+          dim = 64, m = 8, kCodes = kCodes, rounds = 2, nlist = nlist)
+        val r = recallOf(Similarity.ivfPqScanStored(spark, rbIdx, newQ,
+          "vec_id", "embedding", nprobe = nprobe, k = 10,
+          shortlist = 256))
+        new org.apache.hadoop.fs.Path(rbIdx)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(rbIdx), true)
+        r
+      }
+      val rebuiltSame = rebuildArm(nlist = 16, nprobe = 8, kCodes = 32)
+      val rebuiltScaled = rebuildArm(nlist = 32, nprobe = 16, kCodes = 64)
+      println(f"[probe] drill round=$round " +
+        f"appended=${appendedAll.count()}/$nBase drift=$drift%.4f " +
+        f"recall stale=$stale%.3f rebuilt-same=$rebuiltSame%.3f " +
+        f"rebuilt-scaled=$rebuiltScaled%.3f (brute=1.000)")
+    }
+    new org.apache.hadoop.fs.Path(drillIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(drillIdx), true)
   }
 }
