@@ -8885,7 +8885,11 @@ object Queries {
       .filter(col("doc_id") % 7 === 3 && col("lang").isin("de", "fr"))
       .select("doc_id")
     PartitionedSink.deletePartitionRowsByKey(s, tbl, "doc_id", del)
-    val res = s.read.parquet(tbl)
+    // explicit schema: an EMPTY corpus writes a partition-less table
+    // root that schema inference refuses; the audit's contract is an
+    // empty aggregate, not a crash
+    val res = s.read.schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+      .parquet(tbl)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
