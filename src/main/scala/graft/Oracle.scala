@@ -153,12 +153,20 @@ object Oracle {
     * Exposes, per subspace j: `es$j` (sliced corpus), `cent1s$j` /
     * `cent1ns$j` (raw / normalized trained codewords), `afs$j` (each
     * vector's assigned code — the PQ ENCODING), `sts$j` (stats). */
-  private def pqBlock(j: Int): String = {
+  private def pqBlock(j: Int): String = pqBlock(j, "TRUE")
+
+  /** As above with a TRAINING-slice predicate: Lloyd rounds see only
+    * `trainWhere` rows while the final encode (`afs\$j`) still covers
+    * the whole corpus — the frozen-model append contract q318 pins
+    * (codes for appended vectors computed under codebooks trained on
+    * the build slice alone). `TRUE` reproduces the original
+    * train-on-everything blocks bit-identically. */
+  private def pqBlock(j: Int, trainWhere: String): String = {
     val lo = j * 16 + 1
     val hi = (j + 1) * 16
     def round(i: Int): String =
       s"""ac${i}s$j AS (SELECT e.vec_id, e.v, cid,
-         |  list_dot_product(e.v, cv) AS s FROM es$j e, cent${i}ns$j),
+         |  list_dot_product(e.v, cv) AS s FROM ets$j e, cent${i}ns$j),
          |a${i}s$j AS (SELECT vec_id, v, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY s DESC, cid ASC) AS rn FROM ac${i}s$j)
@@ -177,7 +185,8 @@ object Oracle {
          |    AS cv FROM cent${i + 1}s$j)""".stripMargin
     s"""es$j AS MATERIALIZED (SELECT vec_id,
        |  (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS v FROM embeddings),
-       |cent0s$j AS (SELECT vec_id AS cid, v AS cv FROM es$j
+       |ets$j AS (SELECT * FROM es$j WHERE $trainWhere),
+       |cent0s$j AS (SELECT vec_id AS cid, v AS cv FROM ets$j
        |  WHERE vec_id < 8),
        |cent0ns$j AS (SELECT cid,
        |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
@@ -199,21 +208,27 @@ object Oracle {
     * sums, both top-k cuts — used by BOTH q295 (in-memory monolith)
     * and q304 (stored serving-index scan): the two Spark paths are
     * row-identical by construction. */
-  private def ivfPqSearchSql: String = {
+  private def ivfPqSearchSql: String = ivfPqSearchSql("TRUE")
+
+  /** As above with a TRAINING-slice predicate threaded through both
+    * the coarse quantizer and the PQ blocks; assignment, probing and
+    * scoring always cover the whole corpus. */
+  private def ivfPqSearchSql(trainWhere: String): String = {
     def lut(j: Int): String =
       s"""lut$j AS (SELECT q.vec_id AS query_id, c.cid,
          |  list_dot_product(q.v, c.cv) AS s
          |  FROM es$j q, cent1ns$j c WHERE q.vec_id < 5)""".stripMargin
-    s"""WITH ${(0 until 4).map(pqBlock).mkString(",\n")},
+    s"""WITH ${(0 until 4).map(pqBlock(_, trainWhere)).mkString(",\n")},
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |cent0r AS (SELECT vec_id AS cid, v AS cv FROM e
+         |etr AS (SELECT * FROM e WHERE $trainWhere),
+         |cent0r AS (SELECT vec_id AS cid, v AS cv FROM etr
          |  WHERE vec_id < 16),
          |cent0 AS (SELECT cid,
          |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
          |    AS cv FROM cent0r),
          |ac0 AS (SELECT e.vec_id, e.v, cid,
-         |  list_dot_product(e.v, cv) AS ccos FROM e, cent0),
+         |  list_dot_product(e.v, cv) AS ccos FROM etr e, cent0),
          |a0 AS (SELECT vec_id, v, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac0) WHERE rn = 1),
@@ -3410,6 +3425,11 @@ object Oracle {
     // oracles both — pinning stored ≡ in-memory against an EXTERNAL
     // engine, not just against ourselves.
     "q304_ivf_pq_stored" -> ivfPqSearchSql,
+
+    // q318: the SAME replay with the Lloyd training CTEs restricted to
+    // the build slice (vec_id < 375) while encode/probe/ADC cover the
+    // whole corpus — the frozen-model APPEND contract pinned externally
+    "q318_ivf_append_scan" -> ivfPqSearchSql("vec_id < 375"),
 
     // the ADC query path over the SAME codebooks: afs$j IS the PQ
     // encoding, lut$j the per-query score table; adc sums the four

@@ -8899,6 +8899,44 @@ object Queries {
     res
   }
 
+  /** APPEND-maintained ANN index, ORACLE-PROVEN — the frozen-model
+    * append contract q304 left to ScalaTest differentials, pinned
+    * externally: the index is built (trained + encoded) over the
+    * vec_id < 375 slice only, the rest of the corpus is APPENDED under
+    * the frozen sidecar model
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]] — codes for
+    * appended vectors computed with codebooks that never saw them),
+    * and the stored scan runs q295's exact parameters. DuckDB replays
+    * the same split — Lloyd training CTEs restricted to the build
+    * slice, assignment/encode/probe/ADC over the whole corpus — so the
+    * hash match IS the append ≡ frozen-model-rebuild contract, against
+    * an external engine.
+    *
+    * Scale shape: identical to q304's (build once + map-only append +
+    * pruned scan); the append leg is the part measured flat at
+    * 4×/25×/100× in ProbeAnn after the r11 count-arithmetic fix. */
+  def q318IvfAppendScan(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val build = emb.filter(col("vec_id") < 375)
+    val appended = emb.filter(col("vec_id") >= 375)
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append_idx_").toString
+    Similarity.writeIvfPqIndex(build, path, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16)
+    Similarity.appendToIvfPqIndex(s, path, appended, "vec_id",
+      "embedding")
+    val res = Similarity.ivfPqScanStored(s, path, queries, "vec_id",
+        "embedding", nprobe = 4, k = 10, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id"),
+        f6(col("cos")).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true) // pin before the scratch index is deleted
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9220,5 +9258,6 @@ object Queries {
     "q315_delete_repair" -> (q315DeleteRepair _),
     "q316_cluster_cap_sample" -> (q316ClusterCapSample _),
     "q317_partitioned_takedown" -> (q317PartitionedTakedown _),
+    "q318_ivf_append_scan" -> (q318IvfAppendScan _),
   )
 }
