@@ -1115,6 +1115,57 @@ object Oracle {
         |WHERE NOT (doc_id % 7 = 3 AND lang IN ('de', 'fr'))
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // q319: the Spark side drops whole source directories (metadata
+    // only, zero rewrite) and re-aggregates the table left on disk;
+    // DuckDB replays the surviving slice directly
+    "q319_partition_ttl" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(substr(source, 4) AS INT) < 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q320: the Spark side merges the corpus's STORED per-type KMV
+    // sketches with the batch's (k smallest of the union, no corpus
+    // rescan); DuckDB recomputes k-min over old UNION new from scratch
+    // — the hash match is the merge ≡ recompute contract (exact for
+    // KMV: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)))
+    "q320_incremental_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS t,
+         |    ${md5Long("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |sk AS (SELECT t, list_sort(list(DISTINCT h))[1:32] AS m
+         |  FROM h GROUP BY t)
+         |SELECT t AS event_type,
+         |  CAST(CASE WHEN len(m) < 32 THEN len(m)
+         |    ELSE CAST(floor(31.0 * 1152921504606846976.0 / m[32])
+         |      AS BIGINT) END AS BIGINT) AS approx_distinct
+         |FROM sk ORDER BY event_type""".stripMargin,
+
+    // q321: per batch doc, the probe's candidate-volume upper bound =
+    // the sum of corpus bucket sizes over the doc's own (band, bucket)
+    // cells — q29's banding replay split into corpus/batch sides
+    "q321_probe_admission" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, ${shingles("tk", 3)} AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5Mod("x")}) AS hs FROM s),
+         |sig AS (SELECT doc_id, [${sigElems("hs", 16).mkString(", ")}] AS sg FROM h),
+         |banded AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sg FROM sig),
+         |buckets AS (SELECT doc_id, band,
+         |  ${md5Long("array_to_string([sg[band*4+1], sg[band*4+2], sg[band*4+3], sg[band*4+4]], '_')")} AS bucket
+         |  FROM banded),
+         |cb AS (SELECT * FROM buckets WHERE NOT (doc_id % 20 = 7)),
+         |bb AS (SELECT * FROM buckets WHERE doc_id % 20 = 7),
+         |sizes AS (SELECT band, bucket, count(*) AS bsize
+         |  FROM cb GROUP BY band, bucket),
+         |vol AS (SELECT bb.doc_id,
+         |    sum(coalesce(bsize, 0)) AS est
+         |  FROM bb LEFT JOIN sizes USING (band, bucket)
+         |  GROUP BY bb.doc_id)
+         |SELECT doc_id, CAST(est AS BIGINT) AS est_candidates,
+         |  est <= 3 AS admit
+         |FROM vol ORDER BY doc_id""".stripMargin,
+
     // q315: the FULL component recompute over the remaining corpus
     // (q52's reach chain with the doomed canonical ids excluded),
     // diffed against the original labels. The Spark side produces the

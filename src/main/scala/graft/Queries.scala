@@ -8937,6 +8937,110 @@ object Queries {
     res
   }
 
+  /** Partition-DROP retention sweep, ORACLE-PROVEN — the cheapest
+    * takedown shape of all
+    * ([[graft.sinks.PartitionedSink.dropPartitionsWhere]]): when the
+    * delete predicate aligns with the partition column (a TTL on date
+    * buckets, a source decommission), whole directories drop with ZERO
+    * rewrite — one listing, one column-pruned audit count, N recursive
+    * deletes. Here the corpus copy is source-partitioned and shards
+    * src10..src19 age out (the numeric-suffix predicate evaluates on a
+    * directory-count-bounded driver frame, never a data scan); the
+    * per-source survivor aggregate is recomputed from the table left
+    * on disk, so the DuckDB hash match pins the physical drop.
+    *
+    * Scale shape: at 100 TB this is the operation that makes
+    * time-partitioned corpora retainable — cost ∝ matched directory
+    * count, data untouched. The scratch copy exists for gate
+    * self-containment. */
+  def q319PartitionTtl(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_part_ttl_").toString
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(tbl)
+    PartitionedSink.dropPartitionsWhere(s, tbl,
+      substring(col("source"), 4, 10).cast("int") >= 10)
+    val res = s.read
+      .schema("doc_id BIGINT, n_chars BIGINT, source STRING")
+      .parquet(tbl)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+      .localCheckpoint(true) // pin before the scratch copy is deleted
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
+  /** INCREMENTAL cardinality maintenance, ORACLE-PROVEN — the
+    * mergeable-sketch contract ([[graft.operators.Sketches.kmvMins]])
+    * doing the job it exists for: the corpus's per-type KMV sketches
+    * are the PERSISTED state (k longs per group, built once), a landed
+    * batch builds its own sketches, and the merge — k smallest of the
+    * union, pure array arithmetic on 2·k values per group — yields the
+    * updated distinct-count estimate WITHOUT rescanning the corpus.
+    * DuckDB replays the k-min computation over old ∪ new from scratch,
+    * so the hash match IS the merge ≡ recompute contract (exact for
+    * KMV by construction: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B))).
+    *
+    * Scale shape: per-batch cost is one scan of the BATCH plus O(k)
+    * per-group merge arithmetic; the corpus-scale sketch build is the
+    * once-per-corpus state job (recomputed here for gate
+    * self-containment). The same shape maintains NDV statistics for a
+    * CBO or a dashboard at 100 TB. */
+  def q320IncrementalKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val ev = t(s, dir, "events")
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+    val batch = ev.filter(col("u") % 10 === 3)
+    val corpus = ev.filter(col("u") % 10 =!= 3)
+    val stored = Sketches.kmvMins(corpus, Seq("t"), "u", k)
+      .select(col("t"), col("kmins").as("ma"))
+    val delta = Sketches.kmvMins(batch, Seq("t"), "u", k)
+      .select(col("t"), col("kmins").as("mb"))
+    val empty = array().cast("array<bigint>")
+    stored.join(delta, Seq("t"), "full_outer")
+      .withColumn("mu", slice(array_sort(array_union(
+        coalesce(col("ma"), empty), coalesce(col("mb"), empty))), 1, k))
+      .select(col("t").as("event_type"),
+        Sketches.kmvEstimate(col("mu"), k).as("approx_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** Probe ADMISSION CONTROL, ORACLE-PROVEN — the ops gate before
+    * q294's stored-index probe
+    * ([[graft.operators.Dedup.probeAdmission]]): per batch doc, the
+    * candidate volume its probe would generate, estimated from the
+    * STORED index's bucket sizes over the doc's own buckets (an upper
+    * bound — multi-bucket pairs count once per bucket), plus the
+    * admit/quarantine flag against a volume budget. A doc landing in a
+    * crawl-duplicated mega-bucket is exactly the probe that
+    * degenerates toward a full scan at 100 TB; this surfaces it BEFORE
+    * the join runs. DuckDB replays banding over the corpus, aggregates
+    * bucket sizes, and sums them per batch doc — the hash match pins
+    * the estimate, not just the flag.
+    *
+    * Scale shape: the same bpart-pruned, two-column index read as the
+    * probe itself, one (band, bucket) aggregate over the pruned slice,
+    * one batch-side join + per-doc sum. */
+  def q321ProbeAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_admission_idx_").toString
+    Dedup.writeBucketIndex(corpus, idx, "text", "doc_id", parts = 16)
+    val res = Dedup.probeAdmission(s, idx, batch, "text", "doc_id",
+        budget = 3L)
+      .orderBy("doc_id")
+      .localCheckpoint(true) // pin before the scratch index is deleted
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9259,5 +9363,8 @@ object Queries {
     "q316_cluster_cap_sample" -> (q316ClusterCapSample _),
     "q317_partitioned_takedown" -> (q317PartitionedTakedown _),
     "q318_ivf_append_scan" -> (q318IvfAppendScan _),
+    "q319_partition_ttl" -> (q319PartitionTtl _),
+    "q320_incremental_kmv" -> (q320IncrementalKmv _),
+    "q321_probe_admission" -> (q321ProbeAdmission _),
   )
 }

@@ -358,6 +358,47 @@ object Dedup {
     incrementalFromBanded(idx, bNew, idCol, maxBucketSize)
   }
 
+  /** ADMISSION CONTROL for the stored-index probe — the ops gate that
+    * runs BEFORE [[incrementalCandidatesStored]]: per batch doc,
+    * estimate the candidate volume its probe would generate (the sum
+    * of the stored index's bucket sizes over the doc's own buckets —
+    * an upper bound, since a pair sharing several buckets is counted
+    * once per bucket) and flag whether it fits `budget`. A doc landing
+    * in a crawl-duplicated mega-bucket is exactly the probe that
+    * degenerates toward a full scan at 100 TB; this surfaces it for
+    * quarantine/`maxBucketSize` handling BEFORE the join runs, from
+    * the same column-pruned, bpart-pruned read the probe itself uses
+    * (banding parameters from the sidecar, never the caller). Returns
+    * (idCol, est_candidates, admit). */
+  def probeAdmission(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, textCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val meta = graft.config.Sidecar.read(spark, indexPath,
+      "Dedup.writeBucketIndex")
+    import graft.config.Sidecar.{int => intField}
+    val (shingleSize, numHashes, bands, parts) =
+      (intField(meta, "shingleSize"), intField(meta, "numHashes"),
+        intField(meta, "bands"), intField(meta, "parts"))
+    val bNew = withMinhashBands(newDocs, textCol, idCol, shingleSize,
+      numHashes, bands).localCheckpoint(false)
+    if (!IndexCompact.hasPartDirs(spark, indexPath))
+      return bNew.groupBy(col(idCol))
+        .agg(lit(0L).as("est_candidates"))
+        .withColumn("admit", lit(true))
+    val touchedParts = bNew
+      .select(pmod(col("bucket"), lit(parts)).cast("int").as("bpart"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ parts values
+    // bucket sizes from ONLY the touched bpart dirs, two columns wide
+    val sizes = spark.read.parquet(indexPath)
+      .where(col("bpart").isin(touchedParts.map(Int.box): _*))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+    bNew.join(sizes, Seq("band", "bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("bsize"), lit(0L))).as("est_candidates"))
+      .withColumn("admit", col("est_candidates") <= lit(budget))
+  }
+
   /** Shared tail of the incremental paths: prune the (already banded)
     * corpus side to the batch's touched buckets, cap, and emit
     * canonicalized candidate pairs. */

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Partitioned multi-format sink — parity surface of the reference's
@@ -240,6 +240,58 @@ object PartitionedSink {
       idCol: String, deleteIds: DataFrame): (Long, Long) =
     graft.operators.IndexCompact.deleteMatchingChecked(spark, tablePath,
       idCol, deleteIds)
+
+  /** Drops WHOLE partition directories whose partition VALUE satisfies
+    * `predicate` — the retention/TTL sweep (age out a date bucket,
+    * decommission a source) and the cheapest takedown shape of all:
+    * where [[deleteRowsByKey]] rewrites the table and
+    * [[deletePartitionRowsByKey]] rewrites touched directories, a
+    * value-aligned delete needs NO rewrite — one directory listing,
+    * one column-pruned count of the doomed slice (the audit number a
+    * compliance log wants), and one recursive delete per matched
+    * directory. This is `ALTER TABLE .. DROP PARTITION` re-expressed
+    * for a raw-parquet layout.
+    *
+    * The predicate sees the partition value as a STRING column named
+    * after the partition column (its on-disk form, Hive-unescaped) —
+    * cast inside the predicate for numeric/date semantics. Evaluation
+    * happens on a directory-count-bounded driver frame, never a data
+    * scan. Crash semantics: each directory delete is independent and
+    * the sweep is idempotent — re-running after a crash completes it
+    * (no temp dirs, nothing to recover). Same single-writer/no-reader
+    * window as the other maintenance steps. Returns
+    * (rowsDropped, dirsDropped); an empty or unpartitioned table, or a
+    * predicate matching nothing, returns (0, 0) without deleting
+    * anything. */
+  def dropPartitionsWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (dirs.isEmpty) return (0L, 0L)
+    val partCol = dirs.head.getPath.getName.split("=")(0)
+    val values = dirs.map(d => ExternalCatalogUtils.unescapePathName(
+      d.getPath.getName.split("=", 2)(1)))
+    import spark.implicits._
+    val doomed = values.toDF(partCol).where(predicate)
+      .collect().map(_.getString(0)) // ≤ directory count rows
+    if (doomed.isEmpty) return (0L, 0L)
+    // audit count before the drop — one partition-pruned, single-column
+    // scan of only the doomed directories
+    val rows = spark.read.parquet(tablePath)
+      .where(col(partCol).cast("string").isin(doomed: _*))
+      .select(col(partCol)).count()
+    for (v <- doomed) {
+      val name = s"$partCol=${ExternalCatalogUtils.escapePathName(v)}"
+      require(fs.delete(new Path(root, name), true),
+        s"partition drop failed: $tablePath/$name")
+    }
+    (rows, doomed.length.toLong)
+  }
 }
 
 /** Object-store shipping & lifecycle — the Hadoop-`FileSystem`

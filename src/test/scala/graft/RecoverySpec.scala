@@ -345,6 +345,38 @@ class RecoverySpec extends SparkSpec {
     noSiblings(dir)
   }
 
+  test("dropPartitionsWhere: metadata-only partition drop — matched " +
+    "dirs (incl. Hive-escaped names) vanish without a rewrite, audit " +
+    "counts are exact, no-match and re-run are no-ops") {
+    val dir = tmpDir("graft_drop_parts")
+    Seq((1L, "a=b"), (2L, "a=b"), (3L, "keep:1"), (4L, "keep:1"),
+      (5L, "old"), (6L, "old"), (7L, "old"))
+      .toDF("id", "part").repartition(3, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    val root = new Path(dir)
+    val keepBefore = fs.getFileStatus(new Path(root, "part=keep%3A1"))
+      .getModificationTime
+    // predicate sees unescaped string values
+    val (rows, dcount) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("part") === "a=b" || col("part") === "old")
+    assert((rows, dcount) === ((5L, 2L)))
+    assert(!fs.exists(new Path(root, "part=a%3Db")))
+    assert(!fs.exists(new Path(root, "part=old")))
+    // survivor untouched (same files, same mtime — no rewrite)
+    assert(fs.getFileStatus(new Path(root, "part=keep%3A1"))
+      .getModificationTime === keepBefore)
+    val left = spark.read.parquet(dir).select("id").as[Long]
+      .collect().toSet
+    assert(left === Set(3L, 4L))
+    // idempotent: the same sweep finds nothing the second time
+    assert(PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("part") === "a=b" || col("part") === "old") === ((0L, 0L)))
+    // no-match predicate deletes nothing
+    assert(PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("part") === "absent") === ((0L, 0L)))
+    assert(spark.read.parquet(dir).count() === 2L)
+  }
+
   test("sidecar versioning: a sidecar from a NEWER writer is refused " +
     "with a message naming both versions; current writes stamp the " +
     "version and read back fine") {
