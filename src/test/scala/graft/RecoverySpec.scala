@@ -134,6 +134,30 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  test("recover mechanics: EXHAUSTIVE crash-point enumeration — the " +
+    "committed swap is a fixed sequence of five filesystem ops, and " +
+    "recovery converges to the clean end state from every prefix") {
+    // the applySwap op sequence for this fixture (replace=[p=1],
+    // remove=[p=2]): aside p=1, swap-in p=1, aside p=2, delete old,
+    // delete tmp — a crash can land between any two
+    for (k <- 0 to 5) {
+      val dir = freshFixture()
+      val (root, tmp, old) = commitUncrashedTmp(dir)
+      val ops: Seq[() => Unit] = Seq(
+        () => { fs.mkdirs(old)
+          assert(fs.rename(new Path(root, "p=1"), new Path(old, "p=1"))) },
+        () => assert(fs.rename(new Path(tmp, "p=1"), new Path(root, "p=1"))),
+        () => assert(fs.rename(new Path(root, "p=2"), new Path(old, "p=2"))),
+        () => fs.delete(old, true),
+        () => fs.delete(tmp, true))
+      ops.take(k).foreach(_.apply())
+      IndexCompact.recover(spark, dir)
+      assert(rowsOf(dir) === fixtureKept, s"crash after op $k")
+      noSiblings(dir)
+      assert(IndexCompact.recover(spark, dir).isEmpty, s"idempotence after op $k")
+    }
+  }
+
   test("recover mechanics: an orphan .swap_old restores only names " +
     "the live tree lost and drops superseded copies") {
     val dir = freshFixture()
