@@ -144,6 +144,16 @@ object ProbeIncremental {
         Dedup.compactBucketIndex(spark, idxDir)
       val secProbeCompact = probeWall()
 
+      // probe ADMISSION (r11): the pre-join gate must cost what the
+      // probe costs — a banding map over the batch plus a bpart-pruned
+      // two-column read — so its wall must stay flat across corpus
+      // growth exactly like sec_stored
+      val tAdm = System.nanoTime()
+      val admitted = graft.operators.Dedup.probeAdmission(spark, idxDir,
+        batch, "text", "doc_id", budget = 8L)
+        .where(col("admit")).count()
+      val secAdmission = (System.nanoTime() - tAdm) / 1e9
+
       // takedown (delete) maintenance: a FIXED-size takedown batch
       // (the base corpus's ≡1 mod 20 slice, replica 0) is removed from
       // the stored index. The claim: the only corpus-scale work is one
@@ -176,6 +186,30 @@ object ProbeIncremental {
         .where(col("component") =!= col("oc")).count()
       val secRepair = (System.nanoTime() - t6) / 1e9
 
+      // the takedown COST LADDER (r11): the same logical delete at
+      // three physical shapes. A partition-value-aligned delete drops
+      // whole directories — metadata-only, corpus-size-INDEPENDENT —
+      // while the row-level full rewrite pays the whole corpus. The
+      // gap between sec_drop_parts and sec_row_rewrite is what
+      // value-aligned layouts buy at 100 TB.
+      val corpusTbl = s"/tmp/graft_probe_corpus_r$reps"
+      corpus.withColumn("pb", pmod(col("doc_id"), lit(20)).cast("int"))
+        .repartition(20, col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(corpusTbl)
+      val tDrop = System.nanoTime()
+      val (dropRows, dropDirs) = graft.sinks.PartitionedSink
+        .dropPartitionsWhere(spark, corpusTbl, col("pb").cast("int") >= 16)
+      val secDropParts = (System.nanoTime() - tDrop) / 1e9
+      val rewriteIds = spark.read.parquet(corpusTbl)
+        .where(col("pb").cast("int") === 5).select("doc_id")
+      val tRw = System.nanoTime()
+      val rwRows = graft.sinks.PartitionedSink.deleteRowsByKey(spark,
+        corpusTbl, "doc_id", rewriteIds, Seq("pb"))
+      val secRowRewrite = (System.nanoTime() - tRw) / 1e9
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(corpusTbl), true)
+
       println(f"""{"probe":"incremental","reps":$reps,""" +
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
@@ -189,7 +223,11 @@ object ProbeIncremental {
         f""""n_doomed":$nDoomed,"sec_delete":$secDelete%.2f,""" +
         f""""del_rows":$delRows,"del_dirs":$delDirs,""" +
         f""""sec_probe_deleted":$secProbeDeleted%.2f,""" +
-        f""""sec_repair":$secRepair%.2f,"repair_changed":$repairChanged}""")
+        f""""sec_repair":$secRepair%.2f,"repair_changed":$repairChanged,""" +
+        f""""sec_admission":$secAdmission%.2f,"admitted":$admitted,""" +
+        f""""sec_drop_parts":$secDropParts%.2f,""" +
+        f""""drop_rows":$dropRows,"drop_dirs":$dropDirs,""" +
+        f""""sec_row_rewrite":$secRowRewrite%.2f,"rw_rows":$rwRows}""")
       // the probe's scratch index is corpus-scale — don't leave it in /tmp
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
