@@ -1142,6 +1142,28 @@ object Oracle {
          |      AS BIGINT) END AS BIGINT) AS approx_distinct
          |FROM sk ORDER BY event_type""".stripMargin,
 
+    // q322: the dirty register (trailing digit pair transposed) linked
+    // back to the clean one by 15-char prefix blocking + Jaro-Winkler
+    // best-match; the native kernel is bit-exact with DuckDB's
+    // jaro_winkler_similarity, so the (sim DESC, key ASC) ranking is
+    // deterministic in both engines
+    "q322_record_linkage" ->
+      s"""WITH clean AS (SELECT c_custkey AS clean_key,
+         |    c_name AS clean_name FROM customer),
+         |dirty AS (SELECT c_custkey AS dirty_key,
+         |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+         |      || substr(c_name, 17, 1) AS dirty_name
+         |  FROM customer WHERE c_custkey % 3 = 0),
+         |cand AS (SELECT dirty_key, clean_key,
+         |    jaro_winkler_similarity(dirty_name, clean_name) AS sim
+         |  FROM dirty JOIN clean
+         |    ON substr(dirty_name, 1, 15) = substr(clean_name, 1, 15)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_key
+         |    ORDER BY sim DESC, clean_key ASC) AS rn FROM cand)
+         |SELECT dirty_key, clean_key AS best_clean_key,
+         |  ${f6("sim")} AS sim, clean_key = dirty_key AS linked_ok
+         |FROM r WHERE rn = 1 ORDER BY dirty_key""".stripMargin,
+
     // q321: per batch doc, the probe's candidate-volume upper bound =
     // the sum of corpus bucket sizes over the doc's own (band, bucket)
     // cells — q29's banding replay split into corpus/batch sides

