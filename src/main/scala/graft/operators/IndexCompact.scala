@@ -81,8 +81,67 @@ private[graft] object IndexCompact {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def partDirs(fs: FileSystem, p: Path) = fs.listStatus(p).toSeq
+  private def eqDirs(fs: FileSystem, p: Path) = fs.listStatus(p).toSeq
     .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+
+  private def hasDataFiles(fs: FileSystem, p: Path): Boolean =
+    fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** All LEAF `=`-directories under `root` as root-relative paths
+    * (`p=1`; nested: `YEAR=2019/MONTH=4`) — a leaf is a `=`-dir with
+    * no `=`-children. No layout validation: the raw walk
+    * [[recover]]'s stranded-dir restore needs (a half-swapped tree is
+    * exactly where consistency must not be assumed). Cost: one listing
+    * per partition directory — directory-count-bounded metadata, the
+    * same class as the single-level listStatus it generalizes. */
+  private def leafDirsRaw(fs: FileSystem, root: Path): Seq[(String, Seq[String])] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
+    def walk(dir: Path, rel: String, cols: Seq[String]): Unit = {
+      val kids = eqDirs(fs, dir)
+      if (kids.isEmpty) { if (cols.nonEmpty) acc += ((rel, cols)) }
+      else kids.foreach { k =>
+        val name = k.getPath.getName
+        walk(k.getPath, if (rel.isEmpty) name else s"$rel/$name",
+          cols :+ name.split("=", 2)(0))
+      }
+    }
+    walk(root, "", Nil)
+    acc.toList
+  }
+
+  /** The table's partition layout: (partition columns outermost-first,
+    * leaf directories as root-relative paths). Single-level tables
+    * return one column; nested `YEAR=2019/MONTH=4` layouts (the
+    * reference's own canonical shape — ref `spark.py:56-58`
+    * partitionBy on a column list, `config.py:38-39` deriving both)
+    * return the full chain. An EMPTY `=`-dir at a shallower depth than
+    * the deepest chain is tolerated and ignored (a crashed swap's
+    * stray parent — [[applySwap]] prunes them); a shallow dir HOLDING
+    * DATA is a genuinely mixed layout and refused loudly — silently
+    * operating on half a tree is the wrong failure mode for a delete
+    * engine. */
+  private[graft] def leafParts(fs: FileSystem, root: Path): (Seq[String], Seq[String]) = {
+    val all = leafDirsRaw(fs, root)
+    if (all.isEmpty) return (Nil, Nil)
+    val depth = all.map(_._2.length).max
+    val (full, shallow) = all.partition(_._2.length == depth)
+    val cols = full.head._2
+    full.foreach { case (rel, cs) =>
+      require(cs == cols, s"inconsistent partition layout under $root: " +
+        s"$rel names columns ${cs.mkString("/")}, " +
+        s"expected ${cols.mkString("/")}")
+    }
+    shallow.foreach { case (rel, _) =>
+      require(!hasDataFiles(fs, new Path(root, rel)),
+        s"mixed-depth partition layout under $root: $rel holds data " +
+          s"files at depth ${rel.count(_ == '/') + 1} while the layout " +
+          s"is ${cols.mkString("/")} — refusing to guess")
+    }
+    (cols, full.map(_._1))
+  }
 
   private def sibling(root: Path, suffix: String) =
     new Path(root.getParent, root.getName + suffix)
@@ -93,10 +152,16 @@ private[graft] object IndexCompact {
     * values get Hive path escaping via the SAME routine the writer
     * uses (`ExternalCatalogUtils.escapePathName` — `=`/`:`/`%`/... →
     * `%XX`), so string-partitioned corpus tables (lang, source) are
-    * first-class delete targets. Other types (timestamp/date/decimal
-    * have writer-specific renderings) and nulls (written to
-    * `__HIVE_DEFAULT_PARTITION__`, which a takedown by id should never
-    * target blindly) are refused loudly rather than guessed. */
+    * first-class delete targets. DATE values render as ISO
+    * `yyyy-MM-dd` — exactly what Spark's writer produces for DateType
+    * partitions (pinned against a real `partitionBy` write in
+    * RecoverySpec), and what `java.sql.Date.toString` /
+    * `LocalDate.toString` produce, so date-bucketed layouts (the
+    * TTL-natural partition type) are first-class delete targets too.
+    * Remaining types (timestamp/decimal have writer-specific
+    * renderings) and nulls (written to `__HIVE_DEFAULT_PARTITION__`,
+    * which a takedown by id should never target blindly) are refused
+    * loudly rather than guessed. */
   private[operators] def partDirName(partCol: String, v: Any): String =
     v match {
       case null => throw new IllegalArgumentException(
@@ -108,8 +173,10 @@ private[graft] object IndexCompact {
           _: java.lang.Integer | _: java.lang.Long) => s"$partCol=$n"
       case s: String =>
         s"$partCol=${ExternalCatalogUtils.escapePathName(s)}"
+      case d: java.sql.Date => s"$partCol=$d"
+      case d: java.time.LocalDate => s"$partCol=$d"
       case other => throw new IllegalArgumentException(
-        s"deleteMatching supports integral and string partition " +
+        s"deleteMatching supports integral, string and date partition " +
           s"values; '$partCol' has ${other.getClass.getSimpleName}")
     }
 
@@ -128,7 +195,16 @@ private[graft] object IndexCompact {
     * detected by its presence under `.swap_old`. Data is reachable at
     * every instant: live rows sit in exactly one of root / tmp / old
     * until the final deletes, which run only once the live tree is
-    * complete. */
+    * complete. Manifest names may be NESTED relative paths
+    * (`YEAR=2019/MONTH=4`) — the swap unit is the deepest touched
+    * directory; parents are created on demand and parents emptied by
+    * nested removals are pruned before cleanup (an empty `YEAR=` dir
+    * would otherwise read as a malformed shallow leaf forever). The
+    * final cleanup deletes are REQUIRED to succeed: a false return
+    * from the `.swap_old` delete would leave a standalone old dir
+    * whose restore path could resurrect intentionally removed
+    * partitions on the next recover (r11 ADVICE) — failing loudly
+    * keeps recovery deterministic. */
   private def applySwap(fs: FileSystem, root: Path, tmp: Path,
       replace: Seq[String], remove: Seq[String]): Unit = {
     val old = sibling(root, OldSuffix)
@@ -137,20 +213,47 @@ private[graft] object IndexCompact {
       val src = new Path(tmp, name)
       if (fs.exists(src)) {
         val dst = new Path(root, name)
-        if (fs.exists(dst))
-          require(fs.rename(dst, new Path(old, name)),
-            s"swap aside failed: $dst -> $old/$name")
+        if (fs.exists(dst)) {
+          val aside = new Path(old, name)
+          fs.mkdirs(aside.getParent)
+          require(fs.rename(dst, aside),
+            s"swap aside failed: $dst -> $aside")
+        }
+        fs.mkdirs(dst.getParent)
         require(fs.rename(src, dst), s"swap failed: $src -> $dst")
       }
     }
     for (name <- remove) {
       val dst = new Path(root, name)
-      if (fs.exists(dst) && !fs.exists(new Path(old, name)))
-        require(fs.rename(dst, new Path(old, name)),
-          s"removal aside failed: $dst -> $old/$name")
+      val aside = new Path(old, name)
+      if (fs.exists(dst) && !fs.exists(aside)) {
+        fs.mkdirs(aside.getParent)
+        require(fs.rename(dst, aside),
+          s"removal aside failed: $dst -> $aside")
+      }
     }
-    fs.delete(old, true)
-    fs.delete(tmp, true)
+    pruneEmptyPartDirs(fs, root)
+    require(!fs.exists(old) || fs.delete(old, true),
+      s"swap cleanup failed: $old left behind — re-run recover")
+    require(!fs.exists(tmp) || fs.delete(tmp, true),
+      s"swap cleanup failed: $tmp left behind — re-run recover")
+  }
+
+  /** Removes `=`-directories that hold no data anywhere below them —
+    * the parents a nested removal empties out. A legitimate partition
+    * directory always holds at least one data file (Spark's writer
+    * never emits an empty dir), so an empty subtree is always swap
+    * residue. Idempotent, directory-count-bounded. */
+  private[graft] def pruneEmpty(fs: FileSystem, root: Path): Unit =
+    pruneEmptyPartDirs(fs, root)
+
+  private def pruneEmptyPartDirs(fs: FileSystem, root: Path): Unit = {
+    def prunable(d: Path): Boolean =
+      fs.listStatus(d).forall(st => st.isDirectory &&
+        st.getPath.getName.contains("=") && prunable(st.getPath))
+    for (k <- eqDirs(fs, root) if prunable(k.getPath))
+      require(fs.delete(k.getPath, true),
+        s"empty partition-dir prune failed: ${k.getPath}")
   }
 
   /** Crash-recovery fsck for a stored index (or any table maintained
@@ -195,15 +298,21 @@ private[graft] object IndexCompact {
     if (fs.exists(old)) {
       // no temp left ⇒ the swap loop finished every rename (old is
       // deleted before tmp); anything still here is pre-swap data whose
-      // replacement is already live — restore only names the live tree
-      // LOST (a state no crash of this protocol produces, but recovery
-      // is the wrong place to assume that) and drop the rest
-      for (d <- fs.listStatus(old) if !fs.exists(new Path(root, d.getPath.getName))) {
-        require(fs.rename(d.getPath, new Path(root, d.getPath.getName)),
-          s"restore failed: ${d.getPath} -> $root")
-        actions += s"restored ${d.getPath.getName} from $OldSuffix"
+      // replacement is already live — restore only LEAF dirs the live
+      // tree LOST (a state no crash of this protocol produces, but
+      // recovery is the wrong place to assume that) and drop the rest.
+      // The walk is the raw leaf enumeration (nested-aware), matching
+      // the relative names applySwap renamed aside.
+      for ((rel, _) <- leafDirsRaw(fs, old)
+           if !fs.exists(new Path(root, rel))) {
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(new Path(old, rel), dst),
+          s"restore failed: $old/$rel -> $dst")
+        actions += s"restored $rel from $OldSuffix"
       }
-      fs.delete(old, true)
+      require(fs.delete(old, true),
+        s"recovery cleanup failed: $old left behind")
       actions += s"removed leftover $OldSuffix"
     }
     actions.toList
@@ -221,29 +330,29 @@ private[graft] object IndexCompact {
     val root = new Path(indexPath)
     val fs = fsOf(spark, root)
 
-    def dataFiles(): Long = partDirs(fs, root).map { d =>
-      fs.listStatus(d.getPath).count { f =>
+    def dataFiles(): Long = leafParts(fs, root)._2.map { rel =>
+      fs.listStatus(new Path(root, rel)).count { f =>
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.toLong
     }.sum
 
-    val dirs = partDirs(fs, root)
-    if (dirs.isEmpty) return (0L, 0L)
-    val partCol = dirs.head.getPath.getName.split("=")(0)
+    val (partCols, leaves) = leafParts(fs, root)
+    if (leaves.isEmpty) return (0L, 0L)
     val before = dataFiles()
 
     val tmp = sibling(root, ".compact_tmp")
     fs.delete(tmp, true)
     // sibling temp dir: never read and write under the same root
     spark.read.parquet(indexPath)
-      .repartition(dirs.size, col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    val tmpNames = partDirs(fs, tmp).map(_.getPath.getName)
+      .repartition(leaves.size, partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(tmp.toString)
+    val tmpNames = leafParts(fs, tmp)._2
     // compaction preserves every partition value, so `remove` is empty
     // in practice — computed anyway so the manifest states the whole
     // intended end state, not an assumption about the rewrite
-    val remove = dirs.map(_.getPath.getName).diff(tmpNames)
+    val remove = leaves.diff(tmpNames)
     writeManifest(spark, tmp, tmpNames, remove) // COMMIT POINT
     applySwap(fs, root, tmp, tmpNames, remove)
     (before, dataFiles())
@@ -305,33 +414,41 @@ private[graft] object IndexCompact {
     recover(spark, indexPath) // self-heal a crashed prior maintenance run
     val root = new Path(indexPath)
     val fs = fsOf(spark, root)
-    val dirs = partDirs(fs, root)
-    if (dirs.isEmpty) return (0L, 0L)
-    val partCol = dirs.head.getPath.getName.split("=")(0)
+    val (partCols, leaves) = leafParts(fs, root)
+    if (leaves.isEmpty) return (0L, 0L)
     // read twice below (touched scan + anti-join); checkpoint so a
     // recomputed delete-set expression can't diverge between the two
     val del = deleteIds.toDF("__graft_del_id").distinct()
       .localCheckpoint(false)
     // column-pruned scan: which directories hold a doomed row, and how
-    // many — the ONLY corpus-scale read, two columns wide
+    // many — the ONLY corpus-scale read, partition cols + id wide
     val touchedAgg = spark.read.parquet(indexPath)
-      .select(col(partCol), col(idColName).as("__graft_id"))
+      .select(partCols.map(col) :+ col(idColName).as("__graft_id"): _*)
       .join(del, col("__graft_id") === col("__graft_del_id"), "left_semi")
-      .groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
       .collect() // ≤ partition-dir count rows (parts/nlist-bounded)
     if (touchedAgg.isEmpty) return (0L, 0L)
-    val rowsDeleted = touchedAgg.map(_.getLong(1)).sum
-    val touchedVals = touchedAgg.map(_.get(0)).toSeq
-    // validate every touched value's directory name up front (refusals
+    val rowsDeleted = touchedAgg.map(_.getLong(partCols.size)).sum
+    val touchedVals: Seq[Seq[Any]] =
+      touchedAgg.toSeq.map(r => partCols.indices.map(r.get))
+    // validate every touched tuple's directory path up front (refusals
     // must fire before any rewrite starts, not between renames)
-    val touchedNames = touchedVals.map(partDirName(partCol, _))
+    val touchedNames = touchedVals.map(vs =>
+      partCols.zip(vs).map { case (c, v) => partDirName(c, v) }
+        .mkString("/"))
+    // touched-tuple predicate: OR of per-leaf conjunctions — bounded
+    // by the touched directory count and fully partition-prunable
+    val touchedPred = touchedVals.map(vs =>
+      partCols.zip(vs).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _)).reduce(_ || _)
     val tmp = sibling(root, ".delete_tmp")
     fs.delete(tmp, true)
     spark.read.parquet(indexPath)
-      .where(col(partCol).isin(touchedVals: _*))
+      .where(touchedPred)
       .join(del, col(idColName) === col("__graft_del_id"), "left_anti")
-      .repartition(touchedVals.size, col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      .repartition(touchedVals.size, partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(tmp.toString)
     // fully-deleted partitions wrote no tmp dir: they are removals
     val (replace, remove) = touchedNames.partition(n =>
       fs.exists(new Path(tmp, n)))

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Partitioned multi-format sink — parity surface of the reference's
   * write_partitioned (pyspark_ingestion/spark.py:51-75):
@@ -134,11 +134,17 @@ object PartitionedSink {
     * Crash semantics: the table is replaced ATOMICALLY at the rename
     * `tmp -> root` (the rewrite "happened" iff the old root was moved
     * aside) and the data is reachable on disk at every instant — in
-    * `.delete_tmp` before the swap, in `.delete_old` during it. A
-    * crash between the two renames leaves no directory at `tablePath`;
-    * [[recoverTable]] is the fsck that rolls such a state forward
-    * (complete temp present) or back, and this method runs it first so
-    * a maintenance window self-heals the previous window's crash. */
+    * `.rowdelete_tmp` before the swap, in `.rowdelete_old` during it.
+    * The suffixes are DISTINCT from the partition-swap protocol's
+    * (`.delete_tmp`/`.swap_old`, [[graft.operators.IndexCompact]])
+    * because both protocols are exposed side by side on the same
+    * corpus tables: were they shared, one protocol's recovery could
+    * misread the other's committed temp as uncommitted and delete it
+    * (r11 ADVICE). A crash between the two renames leaves no directory
+    * at `tablePath`; [[recoverTable]] is the fsck that rolls such a
+    * state forward (complete temp present) or back, and this method
+    * runs it first so a maintenance window self-heals the previous
+    * window's crash — from EITHER protocol. */
   def deleteRowsByKey(spark: SparkSession, tablePath: String,
       idCol: String, deleteIds: DataFrame,
       partitionColumns: Seq[String] = Nil): Long = {
@@ -158,8 +164,8 @@ object PartitionedSink {
     if (nDel == 0L) return 0L
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
-    val old = new Path(root.getParent, root.getName + ".delete_old")
+    val tmp = new Path(root.getParent, root.getName + ".rowdelete_tmp")
+    val old = new Path(root.getParent, root.getName + ".rowdelete_old")
     fs.delete(tmp, true); fs.delete(old, true)
     val kept = table
       .join(del, col(idCol) === col("__graft_del_id"), "left_anti")
@@ -179,45 +185,57 @@ object PartitionedSink {
     nDel
   }
 
-  /** Crash-recovery fsck for [[deleteRowsByKey]]'s whole-root swap.
-    * The swap's commit point is the rename `root -> .delete_old`
-    * (which only runs after the temp write completed), so recovery is
-    * deterministic from what exists on disk:
+  /** Crash-recovery fsck for a corpus table maintained through BOTH
+    * delete protocols: [[deleteRowsByKey]]'s whole-root swap
+    * (`.rowdelete_tmp`/`.rowdelete_old`) and the partition-directory
+    * swap behind [[deletePartitionRowsByKey]]
+    * (`.delete_tmp`/`.swap_old`, delegated to
+    * [[graft.operators.IndexCompact.recover]]). The two protocols use
+    * DISTINCT sibling suffixes precisely so each recovery only ever
+    * touches its own leftovers; this method runs both, whole-root
+    * first (a vanished root must come back before the partition fsck
+    * inspects the tree).
+    *
+    * Whole-root protocol: the commit point is the rename
+    * `root -> .rowdelete_old` (which only runs after the temp write
+    * completed), so recovery is deterministic from what exists on
+    * disk:
     *
     *  - `root` present: no swap was in flight — drop any leftover
-    *    `.delete_tmp` (uncommitted rewrite) and `.delete_old` (stale
-    *    copy whose final delete failed).
-    *  - `root` missing, `.delete_tmp` present: crashed between the two
-    *    renames — roll FORWARD (rename temp in, drop old), completing
-    *    the delete that had already committed.
-    *  - `root` missing, `.delete_tmp` missing, `.delete_old` present:
-    *    not a state this protocol produces (temp is renamed in before
-    *    old is dropped), but restore the old copy rather than leave no
-    *    table at all.
+    *    `.rowdelete_tmp` (uncommitted rewrite) and `.rowdelete_old`
+    *    (stale copy whose final delete failed).
+    *  - `root` missing, `.rowdelete_tmp` present: crashed between the
+    *    two renames — roll FORWARD (rename temp in, drop old),
+    *    completing the delete that had already committed.
+    *  - `root` missing, `.rowdelete_tmp` missing, `.rowdelete_old`
+    *    present: not a state this protocol produces (temp is renamed
+    *    in before old is dropped), but restore the old copy rather
+    *    than leave no table at all.
     *
     * Idempotent; same single-writer window as the rewrite itself.
-    * Returns the action log (empty = healthy). */
+    * Returns the combined action log (empty = healthy). */
   def recoverTable(spark: SparkSession, tablePath: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
-    val old = new Path(root.getParent, root.getName + ".delete_old")
+    val tmp = new Path(root.getParent, root.getName + ".rowdelete_tmp")
+    val old = new Path(root.getParent, root.getName + ".rowdelete_old")
     val actions = scala.collection.mutable.ListBuffer.empty[String]
     if (fs.exists(root)) {
-      if (fs.delete(tmp, true)) actions += "dropped uncommitted .delete_tmp"
-      if (fs.delete(old, true)) actions += "dropped stale .delete_old copy"
+      if (fs.delete(tmp, true)) actions += "dropped uncommitted .rowdelete_tmp"
+      if (fs.delete(old, true)) actions += "dropped stale .rowdelete_old copy"
     } else if (fs.exists(tmp)) {
       require(fs.rename(tmp, root),
         s"recovery roll-forward failed: $tmp -> $root")
       fs.delete(old, true)
-      actions += "rolled forward crashed root swap from .delete_tmp"
+      actions += "rolled forward crashed root swap from .rowdelete_tmp"
     } else if (fs.exists(old)) {
       require(fs.rename(old, root),
         s"recovery restore failed: $old -> $root")
-      actions += "restored table root from .delete_old"
+      actions += "restored table root from .rowdelete_old"
     }
-    actions.toList
+    actions.toList ++
+      graft.operators.IndexCompact.recover(spark, tablePath)
   }
 
   /** Partition-targeted row delete for a corpus table PARTITIONED BY a
@@ -233,13 +251,17 @@ object PartitionedSink {
     * per-directory swap overhead, so pick by the delete set's spread.
     * Unlike the index paths there is no sidecar to refuse on — a
     * corpus table's layout is self-describing. Crash recovery:
+    * [[recoverTable]] first (a crashed [[deleteRowsByKey]] whole-root
+    * swap must restore the root before this path reads the tree), then
     * [[graft.operators.IndexCompact.recover]]'s manifest protocol,
     * self-healed at the start of each call. Returns
     * (rowsDeleted, dirsRewritten). */
   def deletePartitionRowsByKey(spark: SparkSession, tablePath: String,
-      idCol: String, deleteIds: DataFrame): (Long, Long) =
+      idCol: String, deleteIds: DataFrame): (Long, Long) = {
+    recoverTable(spark, tablePath)
     graft.operators.IndexCompact.deleteMatchingChecked(spark, tablePath,
       idCol, deleteIds)
+  }
 
   /** Drops WHOLE partition directories whose partition VALUE satisfies
     * `predicate` — the retention/TTL sweep (age out a date bucket,
@@ -252,44 +274,62 @@ object PartitionedSink {
     * directory. This is `ALTER TABLE .. DROP PARTITION` re-expressed
     * for a raw-parquet layout.
     *
-    * The predicate sees the partition value as a STRING column named
-    * after the partition column (its on-disk form, Hive-unescaped) —
-    * cast inside the predicate for numeric/date semantics. Evaluation
-    * happens on a directory-count-bounded driver frame, never a data
-    * scan. Crash semantics: each directory delete is independent and
-    * the sweep is idempotent — re-running after a crash completes it
-    * (no temp dirs, nothing to recover). Same single-writer/no-reader
-    * window as the other maintenance steps. Returns
-    * (rowsDropped, dirsDropped); an empty or unpartitioned table, or a
-    * predicate matching nothing, returns (0, 0) without deleting
-    * anything. */
+    * The predicate sees EVERY partition level as a STRING column named
+    * after that partition column (its on-disk form, Hive-unescaped) —
+    * a nested `YEAR=2019/MONTH=4` layout (the reference's own
+    * canonical shape, ref `spark.py:56-58` / `config.py:38-39`)
+    * exposes both `YEAR` and `MONTH`, so a month-grain TTL
+    * (`YEAR*12+MONTH < cutoff`) sees the full key, never just the
+    * outer column. Cast inside the predicate for numeric/date
+    * semantics. Evaluation happens on a directory-count-bounded driver
+    * frame, never a data scan; the drop unit is the LEAF directory,
+    * and parents emptied by dropping all their leaves are pruned too.
+    * Crash semantics: a crashed run of the OTHER protocols is healed
+    * first ([[recoverTable]]); the sweep itself needs no recovery —
+    * each leaf delete is independent and idempotent, re-running
+    * completes it. Same single-writer/no-reader window as the other
+    * maintenance steps. Returns (rowsDropped, dirsDropped); an empty
+    * or unpartitioned table, or a predicate matching nothing, returns
+    * (0, 0) without deleting anything. */
   def dropPartitionsWhere(spark: SparkSession, tablePath: String,
       predicate: Column): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0L, 0L)
-    val dirs = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    if (dirs.isEmpty) return (0L, 0L)
-    val partCol = dirs.head.getPath.getName.split("=")(0)
-    val values = dirs.map(d => ExternalCatalogUtils.unescapePathName(
-      d.getPath.getName.split("=", 2)(1)))
-    import spark.implicits._
-    val doomed = values.toDF(partCol).where(predicate)
-      .collect().map(_.getString(0)) // ≤ directory count rows
+    recoverTable(spark, tablePath) // heal a crashed delete protocol run
+    val (partCols, leaves) =
+      graft.operators.IndexCompact.leafParts(fs, root)
+    if (leaves.isEmpty) return (0L, 0L)
+    // one row per LEAF dir, one string column per partition level
+    val values: Seq[Seq[String]] = leaves.map(_.split("/").toSeq.map(
+      seg => ExternalCatalogUtils.unescapePathName(seg.split("=", 2)(1))))
+    val schema = StructType(partCols.map(StructField(_, StringType)))
+    val frame = spark.createDataFrame(
+      java.util.Arrays.asList(values.map(Row.fromSeq): _*), schema)
+    val doomed: Seq[Seq[String]] = frame.where(predicate)
+      .collect().toSeq.map(r => partCols.indices.map(r.getString))
     if (doomed.isEmpty) return (0L, 0L)
-    // audit count before the drop — one partition-pruned, single-column
-    // scan of only the doomed directories
+    // audit count before the drop — one partition-pruned scan of only
+    // the doomed directories, partition columns wide (an OR of
+    // per-leaf conjunctions, bounded by the doomed leaf count)
+    val doomedPred = doomed.map(vs =>
+      partCols.zip(vs).map { case (c, v) =>
+        col(c).cast("string") === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
     val rows = spark.read.parquet(tablePath)
-      .where(col(partCol).cast("string").isin(doomed: _*))
-      .select(col(partCol)).count()
-    for (v <- doomed) {
-      val name = s"$partCol=${ExternalCatalogUtils.escapePathName(v)}"
-      require(fs.delete(new Path(root, name), true),
-        s"partition drop failed: $tablePath/$name")
+      .where(doomedPred).select(col(partCols.head)).count()
+    for (vs <- doomed) {
+      val rel = partCols.zip(vs).map { case (c, v) =>
+        s"$c=${ExternalCatalogUtils.escapePathName(v)}" }.mkString("/")
+      require(fs.delete(new Path(root, rel), true),
+        s"partition drop failed: $tablePath/$rel")
     }
+    // parents emptied by the leaf drops (a fully aged-out YEAR) go too
+    graft.operators.IndexCompact.pruneEmpty(fs, root)
     (rows, doomed.length.toLong)
   }
 }

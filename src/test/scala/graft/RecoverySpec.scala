@@ -309,20 +309,20 @@ class RecoverySpec extends SparkSpec {
     // crash between the two renames: root gone, tmp complete
     val c1 = freshTable()
     val root1 = new Path(c1)
-    val tmp1 = new Path(root1.getParent, root1.getName + ".delete_tmp")
+    val tmp1 = new Path(root1.getParent, root1.getName + ".rowdelete_tmp")
     spark.read.parquet(c1)
       .where(!col("id").isin(3L, 7L, 11L))
       .write.mode(SaveMode.Overwrite).parquet(tmp1.toString)
-    val old1 = new Path(root1.getParent, root1.getName + ".delete_old")
+    val old1 = new Path(root1.getParent, root1.getName + ".rowdelete_old")
     assert(fs.rename(root1, old1))
     val log1 = PartitionedSink.recoverTable(spark, c1)
     assert(log1.exists(_.contains("rolled forward")), log1.mkString("; "))
     assert(ids(c1) === expected)
     assert(!fs.exists(tmp1) && !fs.exists(old1))
-    // root and tmp both gone, only .delete_old left: restore it
+    // root and tmp both gone, only .rowdelete_old left: restore it
     val c2 = freshTable()
     val root2 = new Path(c2)
-    val old2 = new Path(root2.getParent, root2.getName + ".delete_old")
+    val old2 = new Path(root2.getParent, root2.getName + ".rowdelete_old")
     assert(fs.rename(root2, old2))
     val log2 = PartitionedSink.recoverTable(spark, c2)
     assert(log2.exists(_.contains("restored")), log2.mkString("; "))
@@ -330,11 +330,54 @@ class RecoverySpec extends SparkSpec {
     // live root with stale siblings: both dropped, data untouched
     val c3 = freshTable()
     val root3 = new Path(c3)
-    fs.mkdirs(new Path(root3.getParent, root3.getName + ".delete_tmp"))
-    fs.mkdirs(new Path(root3.getParent, root3.getName + ".delete_old"))
+    fs.mkdirs(new Path(root3.getParent, root3.getName + ".rowdelete_tmp"))
+    fs.mkdirs(new Path(root3.getParent, root3.getName + ".rowdelete_old"))
     val log3 = PartitionedSink.recoverTable(spark, c3)
     assert(log3.size === 2, log3.mkString("; "))
     assert(ids(c3) === (0L until 30L).toSet)
+  }
+
+  test("protocol separation (r11 ADVICE medium): a COMMITTED " +
+    "partition-swap crash is healed — not destroyed — by " +
+    "recoverTable/deleteRowsByKey, and a crashed whole-root swap's " +
+    "temp is invisible to the partition protocol's recover") {
+    // partition-level delete crashed after its commit point: manifest
+    // written, one dir renamed aside — the state the old shared
+    // .delete_tmp suffix made deleteRowsByKey misread as uncommitted
+    val dir = freshFixture()
+    val (root, tmp, old) = commitUncrashedTmp(dir)
+    fs.mkdirs(old)
+    assert(fs.rename(new Path(root, "p=1"), new Path(old, "p=1")))
+    // a whole-root entry point must roll the OTHER protocol's swap
+    // FORWARD (via delegation), then run its own delete cleanly
+    import spark.implicits._
+    val n = PartitionedSink.deleteRowsByKey(spark, dir, "id",
+      Seq(0L).toDF("id"), partitionColumns = Seq("p"))
+    assert(n === 1L)
+    assert(rowsOf(dir) === fixtureKept - ((0L, 0)))
+    noSiblings(dir)
+    // conversely: a crashed whole-root swap (root renamed aside, temp
+    // complete, NO manifest — that protocol has none) must not be
+    // misread by IndexCompact.recover as an uncommitted partition
+    // write and deleted; recoverTable rolls it forward
+    val dir2 = freshFixture()
+    val root2 = new Path(dir2)
+    val tmp2 = new Path(root2.getParent, root2.getName + ".rowdelete_tmp")
+    spark.read.parquet(dir2).where(col("id") =!= 5L)
+      .repartition(4, col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p")
+      .parquet(tmp2.toString)
+    val old2 = new Path(root2.getParent, root2.getName + ".rowdelete_old")
+    assert(fs.rename(root2, old2))
+    // the partition protocol's fsck sees nothing of its own to do and
+    // must leave the committed whole-root temp alone
+    assert(graft.operators.IndexCompact.recover(spark, dir2).isEmpty)
+    assert(fs.exists(tmp2), "partition-protocol recover must not " +
+      "delete the whole-root protocol's committed temp")
+    val log = PartitionedSink.recoverTable(spark, dir2)
+    assert(log.exists(_.contains("rolled forward")), log.mkString("; "))
+    assert(rowsOf(dir2) === fixtureAll.filterNot(_._1 == 5L))
+    noSiblings(dir2)
   }
 
   test("deletePartitionRowsByKey: STRING partition values needing Hive " +
@@ -399,6 +442,184 @@ class RecoverySpec extends SparkSpec {
     assert(PartitionedSink.dropPartitionsWhere(spark, dir,
       col("part") === "absent") === ((0L, 0L)))
     assert(spark.read.parquet(dir).count() === 2L)
+  }
+
+  // ---- nested (multi-level) partition layouts — r11 verdict item 1 ----
+
+  /** YEAR=/MONTH= fixture: 36 rows over 1992..1994 × months 1,4,7,
+    * ids encode (year, month): id = (yr-1992)*12 + mo, 4 rows each. */
+  private def nestedFixture(): String = {
+    val dir = tmpDir("graft_recovery_nested")
+    val rows = for {
+      yr <- Seq(1992, 1993, 1994); mo <- Seq(1, 4, 7); i <- 0 until 4
+    } yield (((yr - 1992) * 12 + mo) * 10L + i, yr, mo)
+    rows.toDF("id", "yr", "mo")
+      .repartition(9, col("yr"), col("mo"))
+      .write.mode(SaveMode.Overwrite).partitionBy("yr", "mo").parquet(dir)
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", "id")
+    graft.config.Sidecar.write(spark, dir, meta)
+    dir
+  }
+  private def nestedRows(path: String): Set[(Long, Int, Int)] =
+    spark.read.parquet(path)
+      .select(col("id"), col("yr").cast("int"), col("mo").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+  private val nestedAll: Set[(Long, Int, Int)] = (for {
+    yr <- Seq(1992, 1993, 1994); mo <- Seq(1, 4, 7); i <- 0 until 4
+  } yield (((yr - 1992) * 12 + mo) * 10L + i, yr, mo)).toSet
+
+  test("nested deleteMatching: YEAR=/MONTH= layout — only touched " +
+    "month dirs rewrite, a fully-emptied month is removed (and its " +
+    "emptied year parent pruned), untouched months keep their files") {
+    val dir = nestedFixture()
+    val root = new Path(dir)
+    // 1992/04 partially emptied (2 of 4 rows), 1994/07 fully emptied
+    val doomed = Seq(40L, 41L) ++ (0 until 4).map(i => 310L + i)
+    val untouchedBefore = fs.getFileStatus(new Path(root, "yr=1993/mo=1"))
+      .getModificationTime
+    val (n, d) = IndexCompact.deleteMatching(spark, dir, "test", "id",
+      doomed.toDF("id"))
+    assert(n === 6L && d === 2L)
+    assert(nestedRows(dir) === nestedAll.filterNot(t =>
+      doomed.contains(t._1)))
+    assert(fs.getFileStatus(new Path(root, "yr=1993/mo=1"))
+      .getModificationTime === untouchedBefore)
+    assert(!fs.exists(new Path(root, "yr=1994/mo=7")))
+    noSiblings(dir)
+    // delete the REST of 1994 (mo=1, mo=4): the emptied yr=1994 parent
+    // must be pruned, not left as a stray shallow leaf
+    val rest = nestedAll.filter(_._2 == 1994).map(_._1).toSeq
+    val (n2, _) = IndexCompact.deleteMatching(spark, dir, "test", "id",
+      rest.toDF("id"))
+    assert(n2 === 8L) // 1994/07's 4 rows already gone
+    assert(!fs.exists(new Path(root, "yr=1994")),
+      "emptied year parent must be pruned")
+    assert(nestedRows(dir) === nestedAll.filterNot(t =>
+      doomed.contains(t._1) || t._2 == 1994))
+    noSiblings(dir)
+  }
+
+  test("nested crash-point enumeration: a committed two-level swap " +
+    "(replace yr=1992/mo=4, remove yr=1994/mo=7) recovers to the " +
+    "clean end state from every op prefix, idempotently") {
+    val expected = nestedAll.filterNot(t =>
+      Seq(40L, 41L, 310L, 311L, 312L, 313L).contains(t._1))
+    for (k <- 0 to 5) {
+      val dir = nestedFixture()
+      val root = new Path(dir)
+      val tmp = new Path(root.getParent, root.getName + ".delete_tmp")
+      val old = new Path(root.getParent, root.getName + ".swap_old")
+      // the operator's committed temp: rewritten 1992/04 slice only
+      spark.read.parquet(dir)
+        .where(col("yr") === 1992 && col("mo") === 4)
+        .where(!col("id").isin(40L, 41L))
+        .repartition(1, col("yr"), col("mo"))
+        .write.mode(SaveMode.Overwrite).partitionBy("yr", "mo")
+        .parquet(tmp.toString)
+      val m = graft.config.Sidecar.newNode()
+      val r = m.putArray("replace"); r.add("yr=1992/mo=4")
+      val dd = m.putArray("remove"); dd.add("yr=1994/mo=7")
+      graft.config.Sidecar.writeNode(spark,
+        new Path(tmp, IndexCompact.SwapManifest), m)
+      val ops: Seq[() => Unit] = Seq(
+        () => { fs.mkdirs(new Path(old, "yr=1992"))
+          assert(fs.rename(new Path(root, "yr=1992/mo=4"),
+            new Path(old, "yr=1992/mo=4"))) },
+        () => assert(fs.rename(new Path(tmp, "yr=1992/mo=4"),
+          new Path(root, "yr=1992/mo=4"))),
+        () => { fs.mkdirs(new Path(old, "yr=1994"))
+          assert(fs.rename(new Path(root, "yr=1994/mo=7"),
+            new Path(old, "yr=1994/mo=7"))) },
+        () => fs.delete(old, true),
+        () => fs.delete(tmp, true))
+      ops.take(k).foreach(_.apply())
+      IndexCompact.recover(spark, dir)
+      assert(nestedRows(dir) === expected, s"crash after op $k")
+      noSiblings(dir)
+      assert(IndexCompact.recover(spark, dir).isEmpty,
+        s"idempotence after op $k")
+    }
+  }
+
+  test("nested dropPartitionsWhere: the predicate sees BOTH partition " +
+    "columns — a month-grain TTL on a YEAR=/MONTH= table drops exactly " +
+    "the months below the cutoff and prunes fully-aged-out years") {
+    val dir = nestedFixture()
+    val root = new Path(dir)
+    val keepBefore = fs.getFileStatus(new Path(root, "yr=1994/mo=7"))
+      .getModificationTime
+    // cutoff 1993-07: drops all of 1992 (3 dirs) + 1993/01,04 (2 dirs)
+    val (rows, dirs) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("yr").cast("int") * 12 + col("mo").cast("int") <
+        lit(1993 * 12 + 7))
+    assert((rows, dirs) === ((20L, 5L)))
+    assert(!fs.exists(new Path(root, "yr=1992")),
+      "fully-aged-out year must be pruned")
+    assert(fs.exists(new Path(root, "yr=1993/mo=7")))
+    assert(fs.getFileStatus(new Path(root, "yr=1994/mo=7"))
+      .getModificationTime === keepBefore)
+    assert(nestedRows(dir) === nestedAll.filter(t =>
+      t._2 * 12 + t._3 >= 1993 * 12 + 7))
+    // idempotent + no-match
+    assert(PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("yr").cast("int") * 12 + col("mo").cast("int") <
+        lit(1993 * 12 + 7)) === ((0L, 0L)))
+  }
+
+  test("nested compact: fragments fold to one file per month dir " +
+    "through the same manifest swap, rows identical") {
+    val dir = nestedFixture()
+    // fragment: two appends touching every month dir (fresh literal
+    // frames — never read and append under the same root)
+    for (g <- 1 to 2) {
+      val batch = for {
+        yr <- Seq(1992, 1993, 1994); mo <- Seq(1, 4, 7)
+      } yield (1000L * g + (yr - 1992) * 12 + mo, yr, mo)
+      batch.toDF("id", "yr", "mo")
+        .repartition(9, col("yr"), col("mo"))
+        .write.mode("append").partitionBy("yr", "mo").parquet(dir)
+    }
+    val before = nestedRows(dir)
+    val extra = spark.read.parquet(dir).count()
+    assert(extra === 54L) // appends landed
+    val (fb, fa) = IndexCompact.compact(spark, dir, "test")
+    assert(fb > fa && fa === 9L, s"files $fb -> $fa")
+    assert(spark.read.parquet(dir).count() === extra)
+    assert(nestedRows(dir) === before)
+    noSiblings(dir)
+  }
+
+  test("DATE-typed partition values: the swap engine renders DateType " +
+    "dirs exactly as Spark's writer does (ISO yyyy-MM-dd), so a " +
+    "date-bucketed corpus is a first-class delete target") {
+    val dir = tmpDir("graft_recovery_datepart")
+    val rows = (0 until 12).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-0${i % 3 + 1}-15"))
+    }
+    rows.toDF("id", "d")
+      .repartition(3, col("d"))
+      .write.mode(SaveMode.Overwrite).partitionBy("d").parquet(dir)
+    val root = new Path(dir)
+    // pin the writer's rendering before anything else
+    assert(fs.exists(new Path(root, "d=2024-01-15")),
+      fs.listStatus(root).map(_.getPath.getName).mkString(", "))
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", "id")
+    graft.config.Sidecar.write(spark, dir, meta)
+    // ids 0,3,6,9 live in d=2024-01-15; delete two of them (replace)
+    // and ALL of d=2024-02-15's (1,4,7,10 — a removal)
+    val (n, d) = IndexCompact.deleteMatching(spark, dir, "test", "id",
+      Seq(0L, 3L, 1L, 4L, 7L, 10L).toDF("id"))
+    assert(n === 6L && d === 2L)
+    assert(!fs.exists(new Path(root, "d=2024-02-15")))
+    val left = spark.read.parquet(dir)
+      .select(col("id"), col("d").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left === Set((6L, "2024-01-15"), (9L, "2024-01-15"),
+      (2L, "2024-03-15"), (5L, "2024-03-15"), (8L, "2024-03-15"),
+      (11L, "2024-03-15")))
+    noSiblings(dir)
   }
 
   test("sidecar versioning: a sidecar from a NEWER writer is refused " +
