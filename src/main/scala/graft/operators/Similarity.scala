@@ -777,6 +777,16 @@ object Similarity {
     // if the caller's frame is non-deterministic
     val batch = newCorpus.localCheckpoint(false)
     val batchCount = batch.count()
+    // intent marker: a crash between the parquet append and the sidecar
+    // count update leaves NO swap leftovers, so [[recoverIvfPqIndex]]
+    // would otherwise see a healthy tree and silently keep the
+    // understated count forever (shortlist sizing drifts low — r11
+    // ADVICE). The marker brackets the non-atomic append+repin pair;
+    // recovery finding one repins by footer recount regardless of swap
+    // state. Underscore-prefixed ⇒ parquet readers ignore it.
+    val intentP = new org.apache.hadoop.fs.Path(path, AppendIntentMarker)
+    val fs = intentP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(intentP, true).close()
     ivfPqEncode(batch, idCol, vecCol, coarse, codebooks)
       .write.mode("append").partitionBy("cell").parquet(path)
     // refresh the pinned corpus count (drives ivfPqShortlist at scan
@@ -790,7 +800,13 @@ object Similarity {
     val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     updated.put("count", n)
     graft.config.Sidecar.write(spark, path, updated)
+    require(fs.delete(intentP, false) || !fs.exists(intentP),
+      s"append intent-marker cleanup failed: $intentP — run recover")
   }
+
+  /** See [[appendToIvfPqIndex]] — present on disk only while an append
+    * is between its parquet write and its sidecar count update. */
+  private[graft] val AppendIntentMarker = "_graft_append_intent"
 
   /** Crash-recovery fsck for a stored [[writeIvfPqIndex]] table — see
     * [[IndexCompact.recover]]: rolls a crashed compaction/deletion swap
@@ -807,10 +823,27 @@ object Similarity {
     * count stale. The recount is corpus-scale metadata I/O — exactly
     * what the per-batch maintenance paths refuse — but recovery is the
     * rare post-crash path, where exactness beats the one-time listing
-    * cost. Returns the action log (empty = healthy). */
+    * cost.
+    *
+    * A crashed APPEND leaves no swap leftovers at all — only the
+    * [[AppendIntentMarker]] [[appendToIvfPqIndex]] writes before its
+    * parquet append and removes after its sidecar update. Recovery
+    * finding the marker repins the count by recount (the appended rows
+    * ARE on disk or aren't; the footer is ground truth either way) and
+    * clears it — without this the understated count would persist
+    * silently across every later append (r11 ADVICE). Returns the
+    * action log (empty = healthy). */
   def recoverIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[String] = {
-    val actions = IndexCompact.recover(spark, path)
+    val swapActions = IndexCompact.recover(spark, path)
+    val intentP = new org.apache.hadoop.fs.Path(path, AppendIntentMarker)
+    val fs = intentP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val intent = fs.exists(intentP)
+    val actions =
+      if (intent) swapActions :+ "found interrupted-append intent marker"
+      else swapActions
+    if (intent) require(fs.delete(intentP, false),
+      s"intent-marker removal failed: $intentP")
     if (actions.nonEmpty) {
       val meta = graft.config.Sidecar.read(spark, path,
         "Similarity.writeIvfPqIndex")

@@ -543,10 +543,13 @@ object Streaming {
     *
     * Ordering: pairs are eagerly materialized (localCheckpoint)
     * BEFORE the append so the probe never sees its own batch.
-    * At-least-once caveat: a replayed micro-batch re-appends its
-    * banded rows — duplicate (id, band, bucket) rows cost probe I/O
-    * but not correctness (the candidate set is a distinct pair set,
-    * unchanged under row duplication). */
+    * The append is marker-guarded per (checkpoint lineage, batchId)
+    * via [[appendOnce]] — the same exactly-once mechanism as the ANN
+    * loop. A replayed LSH append was never a CORRECTNESS hazard
+    * (duplicate (id, band, bucket) rows leave the distinct candidate
+    * pair set unchanged), but each replay grew probe I/O until a
+    * compact; the guard makes both maintenance loops exactly-once and
+    * the story uniform (r11 stretch item). */
   def dedupMaintenanceStream(docs: DataFrame, textCol: String,
       idCol: String, indexPath: String, checkpointPath: String)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
@@ -558,8 +561,11 @@ object Streaming {
           b.sparkSession, indexPath, b, textCol, idCol)
           .localCheckpoint(true) // probe BEFORE the append lands
         sink(pairs, batchId)
-        graft.operators.Dedup.appendToBucketIndex(b.sparkSession,
-          indexPath, b, textCol)
+        appendOnce(b.sparkSession, indexPath, checkpointPath, batchId) {
+          () =>
+            graft.operators.Dedup.appendToBucketIndex(b.sparkSession,
+              indexPath, b, textCol)
+        }: Unit
       }
       .option("checkpointLocation", checkpointPath)
       .start()
@@ -657,22 +663,66 @@ object Streaming {
     * private so StreamingSpec can assert the replay no-op directly. */
   private[graft] def annAppendOnce(spark: SparkSession,
       indexPath: String, batch: DataFrame, idCol: String, vecCol: String,
-      checkpointPath: String, batchId: Long): Boolean = {
+      checkpointPath: String, batchId: Long): Boolean =
+    appendOnce(spark, indexPath, checkpointPath, batchId) { () =>
+      graft.operators.Similarity.appendToIvfPqIndex(spark, indexPath,
+        batch, idCol, vecCol)
+    }
+
+  /** Replay a restart can actually reach: Spark retains
+    * `spark.sql.streaming.minBatchesToRetain` (default 100) committed
+    * batches in the checkpoint, so a resumed stream can re-offer at
+    * most that many old batchIds. Markers older than the newest
+    * committed id minus this window are dead weight — without pruning
+    * a one-batch-per-second stream writes ~86k marker files/day next
+    * to an index whose compaction exists to kill small-file pathology
+    * (r11 verdict item 2). */
+  private[graft] val MarkerRetention = 128
+
+  /** Family-agnostic exactly-once guard for streaming index appends
+    * (shared by [[annAppendOnce]] and [[dedupMaintenanceStream]]):
+    * runs `doAppend` unless this (checkpoint lineage, batchId) already
+    * committed a marker under `<index>/_graft_batches/`
+    * (underscore-prefixed — parquet readers ignore it), committed
+    * AFTER the append so a crash between the two re-appends exactly
+    * one batch (the documented repair: delete the batch's ids, then
+    * one re-append). The lineage key is a hash of the CANONICAL
+    * checkpoint path (`fs.makeQualified` — trailing slash, relative
+    * form and scheme-qualified spellings of the same checkpoint must
+    * map to one lineage, or a differently-spelled restart would
+    * re-append every replayed batch; r11 ADVICE), so a restart
+    * resuming the same checkpoint skips its replays while a NEW stream
+    * against the index starts its own namespace. After each committed
+    * append, markers of THIS lineage older than
+    * batchId − [[MarkerRetention]] are pruned — the checkpoint can no
+    * longer replay them, and the listing this costs is bounded by the
+    * retention window itself once pruning has run once. Returns
+    * whether the append ran. */
+  private[graft] def appendOnce(spark: SparkSession, indexPath: String,
+      checkpointPath: String, batchId: Long)(
+      doAppend: () => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
-    // lineage key: a restart from the SAME checkpoint replays the same
-    // batchIds (skip = exactly-once); a NEW stream (fresh checkpoint)
-    // must not inherit another lineage's markers
+    val cp = new Path(checkpointPath)
+    val canonical = cp
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(cp).toString
     val lineage = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointPath.getBytes("UTF-8"))
+      .digest(canonical.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    val marker = new Path(new Path(indexPath, "_graft_batches"),
-      s"$lineage-$batchId")
+    val dir = new Path(indexPath, "_graft_batches")
+    val marker = new Path(dir, s"$lineage-$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {
-      graft.operators.Similarity.appendToIvfPqIndex(spark, indexPath,
-        batch, idCol, vecCol)
+      doAppend()
       fs.create(marker, true).close()
+      val floor = batchId - MarkerRetention
+      if (floor > 0)
+        for (st <- fs.listStatus(dir)
+             if st.getPath.getName.startsWith(s"$lineage-");
+             bid <- st.getPath.getName.stripPrefix(s"$lineage-")
+               .toLongOption if bid < floor)
+          fs.delete(st.getPath, false): Unit
       true
     }
   }

@@ -288,6 +288,46 @@ class RecoverySpec extends SparkSpec {
     assert(crashCount === cleanCount)
   }
 
+  test("IVF-PQ append crash window: a crash between the parquet append " +
+    "and the sidecar count update leaves NO swap leftovers — the " +
+    "intent marker is what recoverIvfPqIndex repins from, closing the " +
+    "silent-understatement window (r11 ADVICE)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" < 400)
+    val batch = emb.filter($"vec_id" >= 400)
+    val idx = tmpDir("graft_recover_ivfpq_append")
+    Similarity.writeIvfPqIndex(base, idx, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    val preMeta = graft.config.Sidecar.read(spark, idx, "test")
+    val staleCount = graft.config.Sidecar.long(preMeta, "count")
+    // real append, then rewind the sidecar to its pre-append state and
+    // drop the intent marker back in — byte-for-byte the on-disk state
+    // a crash between the parquet write and the sidecar update leaves
+    Similarity.appendToIvfPqIndex(spark, idx, batch, "vec_id",
+      "embedding")
+    graft.config.Sidecar.write(spark, idx, preMeta
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+    val marker = new Path(idx, Similarity.AppendIntentMarker)
+    fs.create(marker, true).close()
+    val log = Similarity.recoverIvfPqIndex(spark, idx)
+    assert(log.exists(_.contains("intent")), log.mkString("; "))
+    val repinned = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, idx, "test"), "count")
+    assert(repinned === spark.read.parquet(idx).count())
+    assert(repinned === emb.count())
+    assert(repinned !== staleCount)
+    assert(!fs.exists(marker))
+    // idempotent: a healthy index recovers to an empty action log
+    assert(Similarity.recoverIvfPqIndex(spark, idx).isEmpty)
+    noSiblings(idx)
+    // the happy path never leaves a marker behind
+    Similarity.appendToIvfPqIndex(spark, idx,
+      batch.limit(0), "vec_id", "embedding")
+    assert(!fs.exists(marker))
+  }
+
   test("corpus table: recoverTable rolls the whole-root swap forward " +
     "when the root vanished mid-swap, restores from .delete_old as a " +
     "last resort, and cleans stale siblings beside a live root") {

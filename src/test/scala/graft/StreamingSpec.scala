@@ -1415,4 +1415,73 @@ class StreamingSpec extends SparkSpec {
     assert(countOf(idx) ===
       emb.count() - doomed1.count() - doomed2.count())
   }
+
+  test("appendOnce lineage is canonical-path keyed (trailing-slash and " +
+    "scheme-qualified spellings of one checkpoint share markers) and a " +
+    "long marker history prunes to the retention window with " +
+    "replay-skip intact inside it and other lineages untouched") {
+    import org.apache.hadoop.fs.Path
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_appendonce_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_appendonce_cp").toString
+    val cp2 = java.nio.file.Files
+      .createTempDirectory("graft_appendonce_cp2").toString
+    var runs = 0
+    def run(cpSpelling: String, batchId: Long): Boolean =
+      Streaming.appendOnce(spark, idx, cpSpelling, batchId)(() =>
+        runs += 1)
+    assert(run(cp, 7L) && runs === 1)
+    // the r11 ADVICE hazard: a restart spelling the same checkpoint
+    // with a trailing slash or a file: scheme must NOT re-append
+    assert(!run(cp + "/", 7L))
+    assert(!run("file:" + cp, 7L))
+    assert(runs === 1)
+    // a second lineage's marker must survive the first one's pruning
+    assert(run(cp2, 5L) && runs === 2)
+    // long history: batchId 200 prunes this lineage's markers below
+    // 200 - MarkerRetention = 72 (here: 0, 1, 7, 64)
+    assert(run(cp, 0L) && run(cp, 1L) && run(cp, 64L))
+    assert(run(cp, 200L) && runs === 6)
+    val dir = new Path(idx, "_graft_batches")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(dir).map(_.getPath.getName).toSet
+    assert(left.size === 2, s"markers after prune: $left") // cp:200 + cp2:5
+    assert(left.exists(_.endsWith("-200")))
+    assert(left.exists(_.endsWith("-5")))
+    // replay-skip still holds for the retained window
+    assert(!run(cp, 200L))
+    assert(!run(cp2, 5L))
+    assert(runs === 6)
+  }
+
+  test("dedupMaintenanceStream's append is exactly-once: a replayed " +
+    "guarded LSH append leaves the stored banded rows byte-identical " +
+    "(no probe-I/O decay across restarts)") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lsh_once_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_lsh_once_cp").toString
+    graft.operators.Dedup.writeBucketIndex(corpus, idx, "text",
+      "doc_id", parts = 16)
+    val rows0 = spark.read.parquet(idx).count()
+    def guardedAppend(): Boolean =
+      Streaming.appendOnce(spark, idx, cp, 0L)(() =>
+        graft.operators.Dedup.appendToBucketIndex(spark, idx, batch,
+          "text"))
+    assert(guardedAppend())
+    val rows1 = spark.read.parquet(idx).count()
+    assert(rows1 > rows0)
+    // replay of the same (lineage, batchId): marker-skipped no-op —
+    // before r12 this re-appended the banded rows (correctness-safe
+    // but probe I/O grew per restart until a compact)
+    assert(!guardedAppend())
+    assert(spark.read.parquet(idx).count() === rows1)
+  }
 }
