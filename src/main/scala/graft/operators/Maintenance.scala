@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, max => smax}
+
+/** ONE-CALL maintenance window for any graft-maintained stored table —
+  * the single entry point an ops cron calls (r11 stretch item 8),
+  * composing only existing operators: family-aware crash recovery →
+  * fragment check → compact if past threshold → health report.
+  *
+  * The family is detected from the `_graft_index.json` sidecar the
+  * write APIs pin next to the data (`coarse` model ⇒ IVF-PQ serving
+  * index, banding parameters ⇒ LSH bucket index, no sidecar ⇒ plain
+  * partitioned corpus table), so the cron needs a PATH, not knowledge
+  * of what lives there. Recovery is each family's own fsck
+  * ([[Similarity.recoverIvfPqIndex]] — also repins the corpus count
+  * after a crashed append; [[Dedup.recoverBucketIndex]];
+  * [[graft.sinks.PartitionedSink.recoverTable]] — heals BOTH delete
+  * protocols), all idempotent, so running the window against a healthy
+  * table is safe and cheap.
+  *
+  * Compaction triggers on the max data-file count per leaf directory
+  * (each append leaves ≥1 fragment per touched dir; probe wall decays
+  * with fragment count — ProbeIncremental measures the curve) and runs
+  * the family's manifest-committed recoverable swap. Plain corpus
+  * tables are NOT compacted in place (their rewrite story is
+  * [[graft.sinks.PartitionedSink.compact]], source → target, a
+  * deployment decision about where the rewrite lands) — the report
+  * still carries their fragment stats so the cron can alert.
+  *
+  * Scale shape: recovery and the fragment census are
+  * directory-listing-bounded metadata; the balance histogram is a
+  * partition-column-only footer aggregate (no data pages); only a
+  * triggered compact reads data, and that is the job's purpose. */
+object Maintenance {
+
+  /** What one maintenance window found and did. `balanceMaxOverMean`
+    * is the straggler ratio the partition-pruned probes inherit from
+    * the heaviest leaf (q308's headline number); 1.0 is perfectly
+    * balanced, NaN means an empty table. */
+  final case class Report(
+      family: String,
+      recoveryActions: Seq[String],
+      leafDirs: Long,
+      dataFilesBefore: Long,
+      maxFilesPerDir: Long,
+      compacted: Boolean,
+      dataFilesAfter: Long,
+      balanceMaxOverMean: Double)
+
+  private val IvfPq = "ivfpq"
+  private val LshBucket = "lsh-bucket"
+  private val Table = "table"
+
+  /** Run one maintenance window against `path`: recover → compact if
+    * any leaf directory holds more than `maxFilesPerDir` data files →
+    * report. Same single-writer/no-reader window as the operators it
+    * composes. */
+  def run(spark: SparkSession, path: String,
+      maxFilesPerDir: Int = 4): Report = {
+    require(maxFilesPerDir >= 1,
+      s"maxFilesPerDir must be >= 1, got $maxFilesPerDir")
+    val family = detectFamily(spark, path)
+    val actions = family match {
+      case IvfPq => Similarity.recoverIvfPqIndex(spark, path)
+      case LshBucket => Dedup.recoverBucketIndex(spark, path)
+      case Table => graft.sinks.PartitionedSink.recoverTable(spark, path)
+    }
+    val (leaves, before, maxPer) = fragmentCensus(spark, path)
+    val shouldCompact = maxPer > maxFilesPerDir && family != Table
+    val after =
+      if (!shouldCompact) before
+      else family match {
+        case IvfPq => Similarity.compactIvfPqIndex(spark, path)._2
+        case _ => Dedup.compactBucketIndex(spark, path)._2
+      }
+    Report(family, actions, leaves, before, maxPer, shouldCompact,
+      after, balance(spark, path, leaves))
+  }
+
+  /** Family detection from the sidecar's own fields — the model arrays
+    * only the ANN writer pins vs the banding integers only the LSH
+    * writer pins; anything sidecar-less is a plain corpus table. */
+  private def detectFamily(spark: SparkSession, path: String): String =
+    graft.config.Sidecar.readNode(spark,
+        new Path(path, graft.config.Sidecar.FileName)) match {
+      case Some(n) if n.has("coarse") => IvfPq
+      case Some(_) => LshBucket
+      case None => Table
+    }
+
+  /** (leaf dirs, total data files, max files in one leaf) — one
+    * listing per partition directory, metadata only. */
+  private def fragmentCensus(spark: SparkSession,
+      path: String): (Long, Long, Long) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L, 0L)
+    val leaves = IndexCompact.leafParts(fs, root)._2
+    val perDir = leaves.map { rel =>
+      fs.listStatus(new Path(root, rel)).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+    }
+    (leaves.size.toLong, perDir.sum,
+      if (perDir.isEmpty) 0L else perDir.max)
+  }
+
+  /** Max/mean leaf row ratio from a partition-column-only aggregate —
+    * q308's balance number without reading a data page. */
+  private def balance(spark: SparkSession, path: String,
+      leaves: Long): Double = {
+    if (leaves == 0L) return Double.NaN
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCols = IndexCompact.leafParts(fs, root)._1
+    val hist = spark.read.parquet(path)
+      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(smax(col("n")).as("mx"), org.apache.spark.sql.functions
+        .sum(col("n")).as("total"))
+      .collect()(0)
+    if (hist.isNullAt(0)) Double.NaN
+    else hist.getLong(0).toDouble / (hist.getLong(1).toDouble / leaves)
+  }
+}

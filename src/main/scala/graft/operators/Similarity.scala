@@ -959,6 +959,50 @@ object Similarity {
       .distinct().collect().map(_.getInt(0)).toSeq
   }
 
+  /** ADMISSION CONTROL for the stored-index ANN scan — the ops gate
+    * that runs BEFORE [[ivfPqScanStored]], the IVF-PQ sibling of
+    * [[graft.operators.Dedup.probeAdmission]] (r11 verdict item 5):
+    * per query, the number of encoded rows its scan would read — the
+    * EXACT per-query scan volume, the sum of the stored index's cell
+    * sizes over the query's own nprobe probe cells under the frozen
+    * sidecar model (the same assignment expression the scan prunes
+    * with) — plus the admit/quarantine flag against a row budget. A
+    * query batch landing in a crawl-duplicated hot cell, or an nprobe
+    * set too high for the index's size, is exactly the scan that
+    * degenerates toward a full read at 100 TB; this surfaces it BEFORE
+    * the ADC join runs.
+    *
+    * I/O shape: strictly LESS than the scan it gates — cell sizes come
+    * from a zero-data-column count over ONLY the batch's touched cell
+    * directories (partition-pruned footer counts; the scan itself
+    * reads codes + vectors from those same dirs). Returns
+    * (query_id, est_rows, admit); a fully-taken-down index admits
+    * everything at volume 0. */
+  def scanAdmission(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, budget: Long): DataFrame = {
+    val meta = graft.config.Sidecar.read(spark, path,
+      "Similarity.writeIvfPqIndex")
+    val nlist = graft.config.Sidecar.int(meta, "nlist")
+    val coarse = graft.config.Sidecar.doubles2(meta, "coarse")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe $nprobe out of range for nlist=$nlist")
+    val qc = queries.select(col(idCol).as("query_id"),
+      explode(probeCells(coarse, nprobe)(col(vecCol))).as("cell"))
+    if (!IndexCompact.hasPartDirs(spark, path))
+      return queries.select(col(idCol).as("query_id"),
+        lit(0L).as("est_rows"), lit(true).as("admit"))
+    val touched = qc.select(col("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ nlist values
+    val sizes = spark.read.parquet(path)
+      .where(col("cell").isin(touched.map(Int.box): _*))
+      .groupBy(col("cell")).agg(count(lit(1)).as("csize"))
+    qc.join(sizes, Seq("cell"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("csize"), lit(0L))).as("est_rows"))
+      .withColumn("admit", col("est_rows") <= lit(budget))
+  }
+
   /** Model-drift report — the RETRAIN TRIGGER for an append-maintained
     * ANN index ([[appendToIvfPqIndex]] freezes the build-time model;
     * this measures what that freeze costs): train the coarse quantizer

@@ -138,4 +138,90 @@ class LifecycleSpec extends SparkSpec {
       Seq(999999L).toDF("doc_id"), Seq("lang")) === 0L)
     assert(fileSet() === before)
   }
+
+  test("Maintenance.run — one call heals a crashed swap, folds append " +
+    "fragments, repins a crash-stale ANN count, and reports honestly " +
+    "on a plain table it refuses to rewrite") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Maintenance, Similarity}
+    val hfs = new Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+
+    // --- LSH bucket index: crashed (uncommitted tmp) + fragmented ---
+    val lsh = tmp("maint-lsh").toString
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    Dedup.writeBucketIndex(corpus, lsh, "text", "doc_id", parts = 8)
+    for (r <- 1 to 3) // three appends ⇒ ≥4 fragments per touched dir
+      Dedup.appendToBucketIndex(spark, lsh,
+        docs.filter($"doc_id" % 4 === 0 && $"doc_id" % 3 === r % 3),
+        "text")
+    val probeBatch = docs.filter($"doc_id" % 7 === 2)
+    def pairsOf(p: String) = Dedup.incrementalCandidatesStored(spark, p,
+        probeBatch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairsOf(lsh)
+    // an UNCOMMITTED crashed maintenance tmp (no manifest): recovery
+    // must drop it
+    val junk = new Path(lsh + ".delete_tmp")
+    hfs.mkdirs(junk)
+    hfs.create(new Path(junk, "stray.parquet"), true).close()
+    val rep = Maintenance.run(spark, lsh, maxFilesPerDir = 2)
+    assert(rep.family === "lsh-bucket")
+    assert(rep.recoveryActions.nonEmpty)
+    assert(!hfs.exists(junk))
+    assert(rep.compacted && rep.maxFilesPerDir > 2)
+    assert(rep.dataFilesAfter === rep.leafDirs) // one file per dir
+    assert(rep.dataFilesAfter < rep.dataFilesBefore)
+    assert(pairsOf(lsh) === expected) // probe-identity through the window
+    assert(expected.nonEmpty)
+    // idempotent second window: healthy, nothing to do
+    val rep2 = Maintenance.run(spark, lsh, maxFilesPerDir = 2)
+    assert(rep2.recoveryActions.isEmpty && !rep2.compacted)
+    assert(rep2.balanceMaxOverMean >= 1.0)
+
+    // --- ANN index: crash-stale sidecar count (intent marker) ---
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val ann = tmp("maint-ann").toString
+    Similarity.writeIvfPqIndex(emb.filter($"vec_id" < 400), ann,
+      "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, rounds = 1,
+      nlist = 8)
+    val preMeta = graft.config.Sidecar.read(spark, ann, "test")
+    Similarity.appendToIvfPqIndex(spark, ann,
+      emb.filter($"vec_id" >= 400), "vec_id", "embedding")
+    // rewind sidecar + re-drop the intent marker = the crash state
+    graft.config.Sidecar.write(spark, ann, preMeta
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+    hfs.create(new Path(ann, Similarity.AppendIntentMarker), true).close()
+    val repAnn = Maintenance.run(spark, ann, maxFilesPerDir = 1)
+    assert(repAnn.family === "ivfpq")
+    assert(repAnn.recoveryActions.exists(_.contains("intent")))
+    assert(graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, ann, "test"), "count")
+      === emb.count())
+    assert(repAnn.compacted && repAnn.dataFilesAfter === repAnn.leafDirs)
+
+    // --- plain corpus table: recovered + censused, never rewritten ---
+    val table = tmp("maint-table").toString
+    val part = docs.limit(200)
+      .withColumn("lang", (col("doc_id") % 3).cast("string"))
+    part.write.mode("overwrite").partitionBy("lang").parquet(table)
+    part.write.mode("append").partitionBy("lang").parquet(table)
+    val filesBefore = hfs.listFiles(new Path(table), true)
+    var nBefore = 0
+    while (filesBefore.hasNext) {
+      if (filesBefore.next().getPath.getName.endsWith(".parquet"))
+        nBefore += 1
+    }
+    val repT = Maintenance.run(spark, table, maxFilesPerDir = 1)
+    assert(repT.family === "table")
+    assert(!repT.compacted) // in-place rewrite is not the table story
+    assert(repT.maxFilesPerDir > 1 && repT.dataFilesAfter === nBefore)
+    assert(repT.balanceMaxOverMean >= 1.0)
+  }
 }
