@@ -1229,6 +1229,32 @@ object Oracle {
         |  est <= 125 AS admit
         |FROM vol ORDER BY query_id""".stripMargin,
 
+    // q325: nested-layout takedown by id — the Spark side deletes the
+    // doomed orders' lines from a (yr, mo)-partitioned copy through
+    // the nested manifest swap and re-aggregates the leaves left on
+    // disk; DuckDB replays the surviving rows directly
+    "q325_nested_takedown" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |  CAST(month(l_shipdate) AS INT) AS mo,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 13 = 4)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q326: DATE-partitioned takedown by id — the swap engine's
+    // DateType dir rendering driven end-to-end; money as floor-cents
+    // BIGINT (IEEE multiply + floor bit-identical in both engines)
+    "q326_date_takedown" ->
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS VARCHAR) AS d,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 11 = 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q321: per batch doc, the probe's candidate-volume upper bound =
     // the sum of corpus bucket sizes over the doc's own (band, bucket)
     // cells — q29's banding replay split into corpus/batch sides

@@ -210,6 +210,38 @@ object ProbeIncremental {
         spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(corpusTbl), true)
 
+      // the same ladder on a NESTED layout (r12): the reference's
+      // canonical two-level shape (4 × 5 = 20 leaves here). The claim:
+      // layout DEPTH costs nothing — the TTL wall tracks matched LEAF
+      // count and the row-delete wall tracks touched leaves, both flat
+      // as the corpus grows, exactly like the single-level ladder.
+      val nestedTbl = s"/tmp/graft_probe_nested_r$reps"
+      corpus
+        .withColumn("pa", pmod(col("doc_id"), lit(4)).cast("int"))
+        .withColumn("pb", pmod(col("doc_id") * 7, lit(5)).cast("int"))
+        .repartition(20, col("pa"), col("pb"))
+        .write.mode("overwrite").partitionBy("pa", "pb")
+        .parquet(nestedTbl)
+      // inner-grain TTL: drops a PARTIAL outer bucket (pa=3 keeps
+      // pb<2) — inexpressible for a single-level engine
+      val tNd = System.nanoTime()
+      val (ndRows, ndDirs) = graft.sinks.PartitionedSink
+        .dropPartitionsWhere(spark, nestedTbl,
+          col("pa").cast("int") * 5 + col("pb").cast("int") >= 17)
+      val secDropNested = (System.nanoTime() - tNd) / 1e9
+      val nestedDelIds = spark.read.parquet(nestedTbl)
+        .where(col("pa").cast("int") === 1 &&
+          col("pb").cast("int") === 2)
+        .select("doc_id")
+      val tNrd = System.nanoTime()
+      val (nrdRows, nrdDirs) = graft.sinks.PartitionedSink
+        .deletePartitionRowsByKey(spark, nestedTbl, "doc_id",
+          nestedDelIds)
+      val secNestedRowDel = (System.nanoTime() - tNrd) / 1e9
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(nestedTbl), true)
+
       println(f"""{"probe":"incremental","reps":$reps,""" +
         f""""n_corpus":$nDocs,"n_batch":$nBatch,"sec":$sec%.2f,""" +
         f""""sec_stored":$secStored%.2f,""" +
@@ -227,7 +259,11 @@ object ProbeIncremental {
         f""""sec_admission":$secAdmission%.2f,"admitted":$admitted,""" +
         f""""sec_drop_parts":$secDropParts%.2f,""" +
         f""""drop_rows":$dropRows,"drop_dirs":$dropDirs,""" +
-        f""""sec_row_rewrite":$secRowRewrite%.2f,"rw_rows":$rwRows}""")
+        f""""sec_row_rewrite":$secRowRewrite%.2f,"rw_rows":$rwRows,""" +
+        f""""sec_drop_nested":$secDropNested%.2f,""" +
+        f""""nested_drop_rows":$ndRows,"nested_drop_dirs":$ndDirs,""" +
+        f""""sec_nested_rowdel":$secNestedRowDel%.2f,""" +
+        f""""nested_del_rows":$nrdRows,"nested_del_dirs":$nrdDirs}""")
       // the probe's scratch index is corpus-scale — don't leave it in /tmp
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)

@@ -9174,6 +9174,93 @@ object Queries {
     res
   }
 
+  /** NESTED-layout takedown BY ID, ORACLE-PROVEN — q317's
+    * directory-targeted row delete
+    * ([[graft.sinks.PartitionedSink.deletePartitionRowsByKey]] →
+    * `IndexCompact.deleteMatchingChecked`) generalized to the
+    * reference's canonical `YEAR=/MONTH=` shape: the doomed ids'
+    * lineitem rows are removed from a (yr, mo)-partitioned copy
+    * through the nested manifest swap — the touched-TUPLE predicate is
+    * an OR of per-leaf (yr AND mo) conjunctions, the rewrite
+    * repartitions on BOTH columns, and the swap unit is the deepest
+    * touched directory. RecoverySpec proves the crash states; this
+    * pins the end-to-end nested delete against DuckDB's replay of the
+    * surviving rows. Delete set `l_orderkey % 13 = 4` — multi-line
+    * orders whose lines ship in DIFFERENT months, so a doomed id's
+    * rows span leaves and the per-leaf anti-join must agree across
+    * them.
+    *
+    * Scale shape: same as q317 — one column-pruned corpus scan
+    * (partition cols + id), rewrite bounded to touched leaves. */
+  def q325NestedTakedown(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_nested_takedown_").toString
+    li.repartition(col("yr"), col("mo"))
+      .write.mode("overwrite").partitionBy("yr", "mo").parquet(tbl)
+    val del = li.filter(col("l_orderkey") % 13 === 4)
+      .select("l_orderkey")
+    PartitionedSink.deletePartitionRowsByKey(s, tbl, "l_orderkey", del)
+    val res = s.read
+      .schema("l_orderkey BIGINT, qty BIGINT, yr INT, mo INT")
+      .parquet(tbl)
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      .orderBy("yr", "mo")
+      .localCheckpoint(true) // pin before the scratch copy is deleted
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
+  /** DATE-partitioned takedown, ORACLE-PROVEN — the r12 DateType swap
+    * support (`IndexCompact.partDirName` renders
+    * `java.sql.Date`/`LocalDate` as the ISO string Spark's writer
+    * itself produces) driven end-to-end: orders copied out partitioned
+    * by a month-truncated DATE column (80 `d=1996-07-01`-style dirs —
+    * the TTL-natural bucket type), a takedown batch deleted by id
+    * through the manifest swap (touched DATE values collected from the
+    * inferred partition column, dir names re-rendered through the
+    * date branch), survivors re-aggregated from disk and hash-matched.
+    * Money survives as floor-cents BIGINT — IEEE multiply + floor are
+    * bit-identical in both engines, so the sum is exact.
+    *
+    * Scale shape: q317's — the date rendering changes WHICH dirs
+    * rewrite, never how many. */
+  def q326DateTakedown(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_date_takedown_").toString
+    ord.repartition(col("d"))
+      .write.mode("overwrite").partitionBy("d").parquet(tbl)
+    val del = ord.filter(col("o_orderkey") % 11 === 7)
+      .select("o_orderkey")
+    PartitionedSink.deletePartitionRowsByKey(s, tbl, "o_orderkey", del)
+    val res = s.read
+      .schema("o_orderkey BIGINT, cents BIGINT, d DATE")
+      .parquet(tbl)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      // report the bucket as its ISO string: the driver comparator
+      // normalizes DuckDB DATE to a timestamp, so a DATE column can't
+      // hash-match — the PARTITIONING stays DateType, only the report
+      // column is stringified
+      .select(col("d").cast("string").as("d"), col("n_orders"),
+        col("sum_cents"))
+      .orderBy("d")
+      .localCheckpoint(true) // pin before the scratch copy is deleted
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9502,5 +9589,7 @@ object Queries {
     "q322_record_linkage" -> (q322RecordLinkage _),
     "q323_nested_ttl" -> (q323NestedTtl _),
     "q324_scan_admission" -> (q324ScanAdmission _),
+    "q325_nested_takedown" -> (q325NestedTakedown _),
+    "q326_date_takedown" -> (q326DateTakedown _),
   )
 }

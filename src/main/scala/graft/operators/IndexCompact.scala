@@ -421,16 +421,32 @@ private[graft] object IndexCompact {
     val del = deleteIds.toDF("__graft_del_id").distinct()
       .localCheckpoint(false)
     // column-pruned scan: which directories hold a doomed row, and how
-    // many — the ONLY corpus-scale read, partition cols + id wide
+    // many — the ONLY corpus-scale read, partition cols + id wide.
+    // DateType partition values are collected as their ISO strings and
+    // rehydrated as java.time.LocalDate: decoding java.sql.Date rows
+    // links sun.util.calendar, which a plain JVM (no spark-submit
+    // module options) refuses under JDK 17 — LocalDate is pure
+    // java.time and flag-free, and Literal/partDirName handle it.
+    val scanSchema = spark.read.parquet(indexPath)
+      .select(partCols.map(col): _*).schema
+    val dateCols = partCols.filter(c => scanSchema(c).dataType ==
+      org.apache.spark.sql.types.DateType).toSet
+    val partSel = partCols.map(c =>
+      if (dateCols(c)) col(c).cast("string").as(c) else col(c))
     val touchedAgg = spark.read.parquet(indexPath)
-      .select(partCols.map(col) :+ col(idColName).as("__graft_id"): _*)
+      .select(partSel :+ col(idColName).as("__graft_id"): _*)
       .join(del, col("__graft_id") === col("__graft_del_id"), "left_semi")
       .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
       .collect() // ≤ partition-dir count rows (parts/nlist-bounded)
     if (touchedAgg.isEmpty) return (0L, 0L)
     val rowsDeleted = touchedAgg.map(_.getLong(partCols.size)).sum
     val touchedVals: Seq[Seq[Any]] =
-      touchedAgg.toSeq.map(r => partCols.indices.map(r.get))
+      touchedAgg.toSeq.map(r => partCols.indices.map { i =>
+        val v = r.get(i)
+        if (dateCols(partCols(i)) && v != null)
+          java.time.LocalDate.parse(v.asInstanceOf[String])
+        else v
+      })
     // validate every touched tuple's directory path up front (refusals
     // must fire before any rewrite starts, not between renames)
     val touchedNames = touchedVals.map(vs =>
