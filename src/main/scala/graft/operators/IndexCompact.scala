@@ -84,11 +84,20 @@ private[graft] object IndexCompact {
   private def eqDirs(fs: FileSystem, p: Path) = fs.listStatus(p).toSeq
     .filter(st => st.isDirectory && st.getPath.getName.contains("="))
 
+  /** The one definition of "data file" the swap engine, the compactor
+    * and the maintenance census all share: a plain file that is not an
+    * underscore/dot sidecar (`_SUCCESS`, `_graft_*`, checksums). */
+  private[graft] def isDataFile(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = st.getPath.getName
+    st.isFile && !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Data files directly inside `p` — directory-listing-bounded. */
+  private[graft] def dataFileCount(fs: FileSystem, p: Path): Long =
+    fs.listStatus(p).count(isDataFile).toLong
+
   private def hasDataFiles(fs: FileSystem, p: Path): Boolean =
-    fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    fs.listStatus(p).exists(isDataFile)
 
   /** All LEAF `=`-directories under `root` as root-relative paths
     * (`p=1`; nested: `YEAR=2019/MONTH=4`) — a leaf is a `=`-dir with
@@ -330,12 +339,8 @@ private[graft] object IndexCompact {
     val root = new Path(indexPath)
     val fs = fsOf(spark, root)
 
-    def dataFiles(): Long = leafParts(fs, root)._2.map { rel =>
-      fs.listStatus(new Path(root, rel)).count { f =>
-        val n = f.getPath.getName
-        f.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.toLong
-    }.sum
+    def dataFiles(): Long = leafParts(fs, root)._2
+      .map(rel => dataFileCount(fs, new Path(root, rel))).sum
 
     val (partCols, leaves) = leafParts(fs, root)
     if (leaves.isEmpty) return (0L, 0L)

@@ -67,7 +67,7 @@ object Maintenance {
       case LshBucket => Dedup.recoverBucketIndex(spark, path)
       case Table => graft.sinks.PartitionedSink.recoverTable(spark, path)
     }
-    val (leaves, before, maxPer) = fragmentCensus(spark, path)
+    val (partCols, leaves, before, maxPer) = fragmentCensus(spark, path)
     val shouldCompact = maxPer > maxFilesPerDir && family != Table
     val after =
       if (!shouldCompact) before
@@ -75,47 +75,47 @@ object Maintenance {
         case IvfPq => Similarity.compactIvfPqIndex(spark, path)._2
         case _ => Dedup.compactBucketIndex(spark, path)._2
       }
-    Report(family, actions, leaves, before, maxPer, shouldCompact,
-      after, balance(spark, path, leaves))
+    Report(family, actions, leaves.size.toLong, before, maxPer,
+      shouldCompact, after, balance(spark, path, partCols,
+        // compaction preserves every partition VALUE (asserted by its
+        // own row-identity specs), so the pre-compaction leaf count is
+        // the post-compaction one too
+        leaves.size.toLong))
   }
 
   /** Family detection from the sidecar's own fields — the model arrays
-    * only the ANN writer pins vs the banding integers only the LSH
-    * writer pins; anything sidecar-less is a plain corpus table. */
+    * only the ANN writer pins, the banding integers only the LSH
+    * writer pins; anything else (sidecar-less, or a sidecar pinning
+    * neither — e.g. a corpus table that only records its id column) is
+    * a plain table and must NEVER be compacted in place. */
   private def detectFamily(spark: SparkSession, path: String): String =
     graft.config.Sidecar.readNode(spark,
         new Path(path, graft.config.Sidecar.FileName)) match {
-      case Some(n) if n.has("coarse") => IvfPq
-      case Some(_) => LshBucket
-      case None => Table
+      case Some(n) if n.has("coarse") && n.has("codebooks") => IvfPq
+      case Some(n) if n.has("bands") && n.has("parts") => LshBucket
+      case _ => Table
     }
 
-  /** (leaf dirs, total data files, max files in one leaf) — one
-    * listing per partition directory, metadata only. */
+  /** (partition columns, leaf dirs, total data files, max files in one
+    * leaf) — ONE tree walk, one listing per partition directory,
+    * metadata only; threaded through so [[balance]] never re-walks. */
   private def fragmentCensus(spark: SparkSession,
-      path: String): (Long, Long, Long) = {
+      path: String): (Seq[String], Seq[String], Long, Long) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0L, 0L, 0L)
-    val leaves = IndexCompact.leafParts(fs, root)._2
-    val perDir = leaves.map { rel =>
-      fs.listStatus(new Path(root, rel)).count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.toLong
-    }
-    (leaves.size.toLong, perDir.sum,
+    if (!fs.exists(root)) return (Nil, Nil, 0L, 0L)
+    val (partCols, leaves) = IndexCompact.leafParts(fs, root)
+    val perDir = leaves.map(rel =>
+      IndexCompact.dataFileCount(fs, new Path(root, rel)))
+    (partCols, leaves, perDir.sum,
       if (perDir.isEmpty) 0L else perDir.max)
   }
 
   /** Max/mean leaf row ratio from a partition-column-only aggregate —
     * q308's balance number without reading a data page. */
   private def balance(spark: SparkSession, path: String,
-      leaves: Long): Double = {
+      partCols: Seq[String], leaves: Long): Double = {
     if (leaves == 0L) return Double.NaN
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partCols = IndexCompact.leafParts(fs, root)._1
     val hist = spark.read.parquet(path)
       .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(smax(col("n")).as("mx"), org.apache.spark.sql.functions

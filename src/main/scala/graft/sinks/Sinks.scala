@@ -212,6 +212,19 @@ object PartitionedSink {
     *    in before old is dropped), but restore the old copy rather
     *    than leave no table at all.
     *
+    * LEGACY suffixes: builds before the protocol split wrote the
+    * whole-root swap under `.delete_tmp`/`.delete_old` — the same
+    * `.delete_tmp` the partition protocol now owns. A crash left by
+    * such a build is still recovered here, and BEFORE delegating to
+    * the partition fsck (which would read a manifest-less legacy temp
+    * as its own uncommitted write and DELETE the committed rewrite):
+    * root missing + manifest-less `.delete_tmp` is unambiguously a
+    * legacy whole-root commit (the partition protocol never removes
+    * the root) and rolls forward; a `.delete_old` beside a live root
+    * is a legacy stale copy and is dropped. A `.delete_tmp` beside a
+    * live root resolves identically under both protocols (uncommitted
+    * ⇒ delete), so it is left to the partition fsck.
+    *
     * Idempotent; same single-writer window as the rewrite itself.
     * Returns the combined action log (empty = healthy). */
   def recoverTable(spark: SparkSession, tablePath: String): Seq[String] = {
@@ -220,19 +233,36 @@ object PartitionedSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(root.getParent, root.getName + ".rowdelete_tmp")
     val old = new Path(root.getParent, root.getName + ".rowdelete_old")
+    val legacyTmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val legacyOld = new Path(root.getParent, root.getName + ".delete_old")
     val actions = scala.collection.mutable.ListBuffer.empty[String]
     if (fs.exists(root)) {
       if (fs.delete(tmp, true)) actions += "dropped uncommitted .rowdelete_tmp"
       if (fs.delete(old, true)) actions += "dropped stale .rowdelete_old copy"
+      if (fs.delete(legacyOld, true))
+        actions += "dropped stale legacy .delete_old copy"
     } else if (fs.exists(tmp)) {
       require(fs.rename(tmp, root),
         s"recovery roll-forward failed: $tmp -> $root")
       fs.delete(old, true)
       actions += "rolled forward crashed root swap from .rowdelete_tmp"
+    } else if (fs.exists(legacyTmp) && graft.config.Sidecar.readNode(
+        spark, new Path(legacyTmp,
+          graft.operators.IndexCompact.SwapManifest)).isEmpty) {
+      // pre-split build's whole-root swap crashed between its renames:
+      // the committed rewrite is the manifest-less legacy temp
+      require(fs.rename(legacyTmp, root),
+        s"legacy recovery roll-forward failed: $legacyTmp -> $root")
+      fs.delete(legacyOld, true)
+      actions += "rolled forward crashed legacy root swap from .delete_tmp"
     } else if (fs.exists(old)) {
       require(fs.rename(old, root),
         s"recovery restore failed: $old -> $root")
       actions += "restored table root from .rowdelete_old"
+    } else if (fs.exists(legacyOld)) {
+      require(fs.rename(legacyOld, root),
+        s"legacy recovery restore failed: $legacyOld -> $root")
+      actions += "restored table root from legacy .delete_old"
     }
     actions.toList ++
       graft.operators.IndexCompact.recover(spark, tablePath)
@@ -299,8 +329,11 @@ object PartitionedSink {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0L, 0L)
+    // recovery FIRST: a crashed whole-root swap leaves no directory at
+    // root, and an exists-check before healing would read that state
+    // as a legitimately absent table and silently retain aged-out data
     recoverTable(spark, tablePath) // heal a crashed delete protocol run
+    if (!fs.exists(root)) return (0L, 0L)
     val (partCols, leaves) =
       graft.operators.IndexCompact.leafParts(fs, root)
     if (leaves.isEmpty) return (0L, 0L)

@@ -676,8 +676,17 @@ object Streaming {
     * committed id minus this window are dead weight — without pruning
     * a one-batch-per-second stream writes ~86k marker files/day next
     * to an index whose compaction exists to kill small-file pathology
-    * (r11 verdict item 2). */
+    * (r11 verdict item 2). The retention FLOOR; the effective window
+    * ([[markerRetention]]) follows the session's actual
+    * `minBatchesToRetain` when a deployment raises it — pruning
+    * against the default while the checkpoint can replay further back
+    * would re-append exactly the batches the markers exist to skip. */
   private[graft] val MarkerRetention = 128
+
+  private[graft] def markerRetention(spark: SparkSession): Long =
+    math.max(MarkerRetention.toLong,
+      spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
+        .toLong)
 
   /** Family-agnostic exactly-once guard for streaming index appends
     * (shared by [[annAppendOnce]] and [[dedupMaintenanceStream]]):
@@ -692,31 +701,41 @@ object Streaming {
     * map to one lineage, or a differently-spelled restart would
     * re-append every replayed batch; r11 ADVICE), so a restart
     * resuming the same checkpoint skips its replays while a NEW stream
-    * against the index starts its own namespace. After each committed
-    * append, markers of THIS lineage older than
-    * batchId − [[MarkerRetention]] are pruned — the checkpoint can no
-    * longer replay them, and the listing this costs is bounded by the
-    * retention window itself once pruning has run once. Returns
-    * whether the append ran. */
+    * against the index starts its own namespace. Markers written by a
+    * build that hashed the RAW path are still honored for skip (the
+    * legacy lineage is checked too — without it the first resumed
+    * stream after an upgrade would re-append its replayed batch), but
+    * new markers are written under the canonical lineage only. After
+    * each committed append, markers of THIS lineage older than
+    * batchId − [[markerRetention]] (the session's
+    * `minBatchesToRetain`, floored at [[MarkerRetention]]) are
+    * pruned — the checkpoint can no longer replay them, and the
+    * listing this costs is bounded by the retention window itself once
+    * pruning has run once. Returns whether the append ran. */
   private[graft] def appendOnce(spark: SparkSession, indexPath: String,
       checkpointPath: String, batchId: Long)(
       doAppend: () => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
+    def sha8(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
     val cp = new Path(checkpointPath)
     val canonical = cp
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(cp).toString
-    val lineage = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val lineage = sha8(canonical)
+    val legacyLineage = sha8(checkpointPath)
     val dir = new Path(indexPath, "_graft_batches")
     val marker = new Path(dir, s"$lineage-$batchId")
+    val legacyMarker = new Path(dir, s"$legacyLineage-$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
+    if (fs.exists(marker) ||
+      (legacyLineage != lineage && fs.exists(legacyMarker))) false
     else {
       doAppend()
       fs.create(marker, true).close()
-      val floor = batchId - MarkerRetention
+      val floor = batchId - markerRetention(spark)
       if (floor > 0)
         for (st <- fs.listStatus(dir)
              if st.getPath.getName.startsWith(s"$lineage-");

@@ -223,5 +223,14 @@ class LifecycleSpec extends SparkSpec {
     assert(!repT.compacted) // in-place rewrite is not the table story
     assert(repT.maxFilesPerDir > 1 && repT.dataFilesAfter === nBefore)
     assert(repT.balanceMaxOverMean >= 1.0)
+    // a corpus table whose sidecar pins NEITHER family's fields (e.g.
+    // only an id column) is still a plain table — classifying it LSH
+    // would compact it in place, the exact rewrite the policy forbids
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", "doc_id")
+    graft.config.Sidecar.write(spark, table, meta)
+    val repT2 = Maintenance.run(spark, table, maxFilesPerDir = 1)
+    assert(repT2.family === "table")
+    assert(!repT2.compacted && repT2.dataFilesAfter === nBefore)
   }
 }

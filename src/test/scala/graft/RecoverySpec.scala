@@ -420,6 +420,64 @@ class RecoverySpec extends SparkSpec {
     noSiblings(dir2)
   }
 
+  test("legacy whole-root suffixes (.delete_tmp/.delete_old from " +
+    "pre-split builds) are still recovered: a manifest-less legacy " +
+    "temp with a vanished root rolls FORWARD instead of being eaten " +
+    "as an uncommitted partition write, and a stale legacy old copy " +
+    "beside a live root is dropped") {
+    import spark.implicits._
+    // crash state a PRE-SPLIT build left: root renamed aside to
+    // .delete_old, committed rewrite in manifest-less .delete_tmp
+    val dir = freshFixture()
+    val root = new Path(dir)
+    val lTmp = new Path(root.getParent, root.getName + ".delete_tmp")
+    val lOld = new Path(root.getParent, root.getName + ".delete_old")
+    spark.read.parquet(dir).where(col("id") =!= 5L)
+      .repartition(4, col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p")
+      .parquet(lTmp.toString)
+    assert(fs.rename(root, lOld))
+    val log = PartitionedSink.recoverTable(spark, dir)
+    assert(log.exists(_.contains("legacy")), log.mkString("; "))
+    assert(rowsOf(dir) === fixtureAll.filterNot(_._1 == 5L))
+    assert(!fs.exists(lTmp) && !fs.exists(lOld))
+    noSiblings(dir)
+    // stale legacy .delete_old beside a LIVE root: dropped, data kept
+    val dir2 = freshFixture()
+    val root2 = new Path(dir2)
+    val lOld2 = new Path(root2.getParent, root2.getName + ".delete_old")
+    fs.mkdirs(lOld2)
+    val log2 = PartitionedSink.recoverTable(spark, dir2)
+    assert(log2.exists(_.contains("legacy")), log2.mkString("; "))
+    assert(!fs.exists(lOld2))
+    assert(rowsOf(dir2) === fixtureAll)
+  }
+
+  test("dropPartitionsWhere heals a crashed whole-root swap BEFORE " +
+    "its exists-check: a vanished root with a committed temp is " +
+    "rolled forward and the TTL sweep then drops normally instead of " +
+    "silently no-opping") {
+    import spark.implicits._
+    val dir = freshFixture()
+    val root = new Path(dir)
+    val tmp = new Path(root.getParent, root.getName + ".rowdelete_tmp")
+    spark.read.parquet(dir).where(col("id") =!= 5L)
+      .repartition(4, col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p")
+      .parquet(tmp.toString)
+    assert(fs.rename(root,
+      new Path(root.getParent, root.getName + ".rowdelete_old")))
+    // root is GONE here — the pre-fix code returned (0,0) without
+    // healing, silently retaining aged-out partitions
+    val (rows, dirs) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("p").cast("int") >= 3)
+    assert(dirs >= 1L && rows >= 1L)
+    val left = spark.read.parquet(dir).select("p").distinct()
+      .as[Int].collect().toSet
+    assert(left === Set(0, 1, 2))
+    noSiblings(dir)
+  }
+
   test("deletePartitionRowsByKey: STRING partition values needing Hive " +
     "path escaping (=, :, %) are swapped by their escaped directory " +
     "names; untouched partitions are never rewritten") {

@@ -1453,6 +1453,30 @@ class StreamingSpec extends SparkSpec {
     assert(!run(cp, 200L))
     assert(!run(cp2, 5L))
     assert(runs === 6)
+    // markers written by a pre-canonicalization build (lineage =
+    // sha of the RAW path) are still honored for skip — without this
+    // the first resumed stream after an upgrade re-appends its
+    // replayed batch
+    val cp3 = java.nio.file.Files
+      .createTempDirectory("graft_appendonce_cp3").toString
+    val legacyLineage = java.security.MessageDigest
+      .getInstance("SHA-256").digest(cp3.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    fs.create(new Path(dir, s"$legacyLineage-9"), true).close()
+    assert(!run(cp3, 9L)) // skipped via the legacy marker
+    assert(run(cp3, 10L)) // a new batch still appends
+    assert(runs === 7)
+    // the retention window follows the session's minBatchesToRetain
+    // when a deployment raises it past the 128 floor
+    assert(Streaming.markerRetention(spark) === 128L)
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "300")
+    try {
+      assert(Streaming.markerRetention(spark) === 300L)
+      assert(run(cp, 250L)) // floor = 250-300 < 0: nothing pruned
+      assert(fs.listStatus(dir).map(_.getPath.getName)
+        .exists(_.endsWith("-200")))
+    } finally
+      spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
   }
 
   test("dedupMaintenanceStream's append is exactly-once: a replayed " +
