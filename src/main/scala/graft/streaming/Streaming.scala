@@ -604,6 +604,42 @@ object Streaming {
       .option("checkpointLocation", checkpointPath)
       .start()
 
+  /** Streaming takedown loop for the CORPUS TABLE itself — the third
+    * target a compliance stream hits (the LSH index via
+    * [[takedownMaintenanceStream]], the ANN index via
+    * [[annTakedownStream]], and the partitioned corpus the documents
+    * actually live in, via
+    * [[graft.sinks.PartitionedSink.deletePartitionRowsByKey]]): each
+    * micro-batch of takedown/opt-out ids is deleted through the
+    * manifest-committed partition swap — only the directories holding
+    * a doomed row rewrite, nested layouts first-class — then reported
+    * to `onBatch` as (rowsDeleted, dirsRewritten, batchId), the
+    * per-request evidence line a compliance log records. `idCol` names
+    * the table's key column; the request stream's single column is
+    * matched against it.
+    *
+    * Same replay semantics as the other two takedown loops: deletion
+    * is idempotent (a replayed batch finds nothing left — zero rows,
+    * zero dirs) and commutative across disjoint batches, so ANY
+    * micro-batch split lands the table in the same state as one batch
+    * delete of the union — no marker guard needed. Each call
+    * self-heals a crashed prior window (either delete protocol) before
+    * it reads the tree. */
+  def corpusTakedownStream(requests: DataFrame, tablePath: String,
+      idCol: String, checkpointPath: String)(
+      onBatch: (Long, Long, Long) => Unit): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val (nRows, nDirs) = graft.sinks.PartitionedSink
+          .deletePartitionRowsByKey(b.sparkSession, tablePath, idCol,
+            b)
+        onBatch(nRows, nDirs, batchId)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** Streaming form of the ANN serving-index maintenance loop — the
     * IVF-PQ sibling of [[dedupMaintenanceStream]] (r10 verdict item 4):
     * each micro-batch of vectors (1) SCANS the stored

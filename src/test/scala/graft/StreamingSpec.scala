@@ -1416,6 +1416,63 @@ class StreamingSpec extends SparkSpec {
       emb.count() - doomed1.count() - doomed2.count())
   }
 
+  test("corpusTakedownStream ≡ one batch delete of the union on a " +
+    "NESTED-partitioned corpus table: micro-batched requests land the " +
+    "table in the batch-delete state through the partition swap, with " +
+    "per-batch compliance evidence, and a replayed batch deletes " +
+    "nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod}
+    def freshTable(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_corpus_td").toString
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id", $"n_chars")
+        .withColumn("pa", pmod($"doc_id", lit(3)).cast("int"))
+        .withColumn("pb", pmod($"doc_id" * 5, lit(4)).cast("int"))
+        .repartition(12, col("pa"), col("pb"))
+        .write.mode("overwrite").partitionBy("pa", "pb").parquet(dir)
+      dir
+    }
+    def ids(path: String) = spark.read.parquet(path)
+      .select("doc_id").as[Long].collect().toSet
+    val all = ids(freshTable())
+    val doomed1 = all.filter(_ % 10 == 2)
+    val doomed2 = all.filter(_ % 10 == 7)
+
+    val tbl = freshTable()
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_stream_corpus_td_cp").toString
+    val mem = MemoryStream[Long]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = Streaming.corpusTakedownStream(
+      mem.toDF().toDF("doc_id"), tbl, "doc_id", cp) { (r, d, id) =>
+      perBatch(id) = (r, d)
+    }
+    mem.addData(doomed1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(doomed2.toSeq: _*)
+    q.processAllAvailable()
+    // replayed request batch: idempotent, deletes nothing
+    mem.addData(doomed1.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(perBatch(0L)._1 === doomed1.size.toLong)
+    assert(perBatch(1L)._1 === doomed2.size.toLong)
+    assert(perBatch(2L) === ((0L, 0L)))
+    assert(perBatch(0L)._2 >= 1L && perBatch(0L)._2 <= 12L)
+    // streaming micro-batches ≡ one batch delete of the union
+    val refTbl = freshTable()
+    graft.sinks.PartitionedSink.deletePartitionRowsByKey(spark, refTbl,
+      "doc_id", (doomed1 ++ doomed2).toSeq.toDF("doc_id"))
+    assert(ids(tbl) === ids(refTbl))
+    assert(ids(tbl) === all -- doomed1 -- doomed2)
+    assert(ids(tbl).nonEmpty)
+  }
+
   test("appendOnce lineage is canonical-path keyed (trailing-slash and " +
     "scheme-qualified spellings of one checkpoint share markers) and a " +
     "long marker history prunes to the retention window with " +
