@@ -197,7 +197,7 @@ object ProbeIncremental {
         .repartition(20, col("pb"))
         .write.mode("overwrite").partitionBy("pb").parquet(corpusTbl)
       val tDrop = System.nanoTime()
-      val (dropRows, dropDirs) = graft.sinks.PartitionedSink
+      val (dropRows, dropDirs, _) = graft.sinks.PartitionedSink
         .dropPartitionsWhere(spark, corpusTbl, col("pb").cast("int") >= 16)
       val secDropParts = (System.nanoTime() - tDrop) / 1e9
       val rewriteIds = spark.read.parquet(corpusTbl)
@@ -225,7 +225,7 @@ object ProbeIncremental {
       // inner-grain TTL: drops a PARTIAL outer bucket (pa=3 keeps
       // pb<2) — inexpressible for a single-level engine
       val tNd = System.nanoTime()
-      val (ndRows, ndDirs) = graft.sinks.PartitionedSink
+      val (ndRows, ndDirs, _) = graft.sinks.PartitionedSink
         .dropPartitionsWhere(spark, nestedTbl,
           col("pa").cast("int") * 5 + col("pb").cast("int") >= 17)
       val secDropNested = (System.nanoTime() - tNd) / 1e9
@@ -269,6 +269,55 @@ object ProbeIncremental {
         spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(idxDir), true)
       corpus.unpersist()
+    }
+
+    // ---- WIDE-layout arm (r12 stretch 7): the maintenance window's
+    // metadata floor vs LEAF COUNT. `leafParts` lists partition dirs
+    // sequentially on the driver — free at the ladder's 20-83 leaves;
+    // this measures the curve where an object-store table actually
+    // lives (1k/4k/16k leaves) for (a) the raw census walk, (b) the
+    // one-call Maintenance.run window (recover + census + balance
+    // footer aggregate), and (c) the TTL sweep's predicate frame at
+    // no-match (pure metadata) and at a 5% match (metadata + deletes).
+    // The 100 TB claim: all four walls are leaf-LINEAR with a small
+    // constant — no quadratic listing, no data pages read.
+    val leavesList = args.lift(2).getOrElse("1000,4000,16000")
+      .split(",").map(_.trim.toInt).toSeq
+    for (nLeaves <- leavesList) {
+      val tbl = s"/tmp/graft_probe_wide_$nLeaves"
+      spark.range(nLeaves.toLong * 4)
+        .select(col("id"), (col("id") % nLeaves).cast("int").as("p"))
+        .repartition(32, col("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(tbl)
+      val root = new org.apache.hadoop.fs.Path(tbl)
+      val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tc = System.nanoTime()
+      val (pcols, leaves) =
+        graft.operators.IndexCompact.leafParts(hfs, root)
+      val secCensus = (System.nanoTime() - tc) / 1e9
+      require(pcols == Seq("p") && leaves.size == nLeaves,
+        s"wide fixture: ${leaves.size} leaves != $nLeaves")
+      val tw = System.nanoTime()
+      val rep = graft.operators.Maintenance.run(spark, tbl,
+        maxFilesPerDir = 64)
+      val secWindow = (System.nanoTime() - tw) / 1e9
+      require(rep.leafDirs == nLeaves.toLong && !rep.compacted)
+      val tn = System.nanoTime()
+      val (nmRows, nmDirs, _) = graft.sinks.PartitionedSink
+        .dropPartitionsWhere(spark, tbl, col("p").cast("int") < 0)
+      val secTtlNoMatch = (System.nanoTime() - tn) / 1e9
+      require(nmRows == 0L && nmDirs == 0L)
+      val tm = System.nanoTime()
+      val (mRows, mDirs, _) = graft.sinks.PartitionedSink
+        .dropPartitionsWhere(spark, tbl,
+          col("p").cast("int") >= (nLeaves * 95) / 100)
+      val secTtl5pct = (System.nanoTime() - tm) / 1e9
+      println(f"""{"probe":"wide_layout","leaves":$nLeaves,""" +
+        f""""sec_census":$secCensus%.2f,"sec_window":$secWindow%.2f,""" +
+        f""""sec_ttl_nomatch":$secTtlNoMatch%.2f,""" +
+        f""""sec_ttl_5pct":$secTtl5pct%.2f,"dropped_rows":$mRows,""" +
+        f""""dropped_dirs":$mDirs}""")
+      hfs.delete(root, true)
     }
     spark.stop()
   }

@@ -75,12 +75,21 @@ object Maintenance {
         case IvfPq => Similarity.compactIvfPqIndex(spark, path)._2
         case _ => Dedup.compactBucketIndex(spark, path)._2
       }
-    Report(family, actions, leaves.size.toLong, before, maxPer,
-      shouldCompact, after, balance(spark, path, partCols,
-        // compaction preserves every partition VALUE (asserted by its
-        // own row-identity specs), so the pre-compaction leaf count is
-        // the post-compaction one too
-        leaves.size.toLong))
+    // the balance denominator must be the CURRENT leaf count: the swap
+    // manifest computes `remove` precisely because a compact is not
+    // guaranteed to preserve every partition value (an emptied leaf is
+    // dropped), so dividing by the pre-compaction census would silently
+    // skew max/mean after any leaf-dropping compact (r12 ADVICE). The
+    // recount is one listing per partition directory — the same
+    // metadata class as the census itself, paid only when a compact ran.
+    val leavesNow =
+      if (shouldCompact) {
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        IndexCompact.leafParts(fs, root)._2.size.toLong
+      } else leaves.size.toLong
+    Report(family, actions, leavesNow, before, maxPer,
+      shouldCompact, after, balance(spark, path, partCols, leavesNow))
   }
 
   /** Family detection from the sidecar's own fields — the model arrays

@@ -786,6 +786,20 @@ object Similarity {
     // state. Underscore-prefixed ⇒ parquet readers ignore it.
     val intentP = new org.apache.hadoop.fs.Path(path, AppendIntentMarker)
     val fs = intentP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LEFTOVER marker means a prior append crashed mid-write and
+    // nothing has recovered yet; overwriting it here would adopt the
+    // stale sidecar count as the arithmetic base and understate the
+    // corpus forever (the crashed batch's partial rows are on disk but
+    // uncounted — the exact window the marker exists to close, and the
+    // most likely post-crash path is precisely a retried append, not a
+    // maintenance window; r12 ADVICE). Recover FIRST: the footer
+    // recount repins `count` to ground truth, then this append's
+    // arithmetic is exact again.
+    if (fs.exists(intentP)) {
+      recoverIvfPqIndex(spark, path): Unit
+      // re-read the repinned sidecar — `meta` above holds the stale count
+      return appendToIvfPqIndex(spark, path, batch, idCol, vecCol)
+    }
     fs.create(intentP, true).close()
     ivfPqEncode(batch, idCol, vecCol, coarse, codebooks)
       .write.mode("append").partitionBy("cell").parquet(path)

@@ -1,0 +1,101 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** ONE auditable ledger for takedown/retention evidence — the unified
+  * sink behind all three compliance streams (LSH index, ANN index,
+  * corpus table; r12 stretch item 8). Before this, each loop reported
+  * (rows, dirs, batchId) through its own ad-hoc callback and a
+  * deployment had to stitch three notebooks together to answer "what
+  * did request X actually delete, everywhere?" — the question a
+  * compliance audit starts with.
+  *
+  * Design: an append-only directory of ONE-ROW parquet files, one per
+  * (target, lineage, batchId) evidence line, committed by the same
+  * rename-aside discipline as the index swaps — the row is written to
+  * a dot-prefixed inflight dir (invisible to readers) and RENAMED to
+  * its final name, so a reader never sees a torn file and a crash
+  * leaves only an ignorable `.inflight-*` dir ([[recover]] sweeps
+  * them; the replaying stream re-attempts the line). The final name IS
+  * the idempotence key: a replayed micro-batch re-runs its delete
+  * (finds nothing — deletion is idempotent), then finds its evidence
+  * file already present and SKIPS, preserving the original nonzero
+  * counts instead of overwriting them with the replay's zeros. That
+  * makes the ledger exactly-once without any coordination beyond the
+  * filesystem rename, the same trick as
+  * [[graft.streaming.Streaming.appendOnce]]'s markers.
+  *
+  * Scale shape: one tiny file per micro-batch per target — audit
+  * volume, not data volume. A deployment that runs takedown streams
+  * for years compacts the ledger like any other table
+  * ([[PartitionedSink.compact]]); the files are self-describing
+  * parquet, so the compacted form reads identically. */
+object ComplianceLog {
+
+  /** Evidence schema. `lineage` is the stream's canonical checkpoint
+    * hash (distinct streams writing one ledger never collide);
+    * `committed_at_ms` is the wall clock at commit — operational
+    * metadata, not part of the idempotence key. */
+  val Schema: StructType = StructType.fromDDL(
+    "target STRING, table_path STRING, lineage STRING, " +
+      "batch_id BIGINT, rows_deleted BIGINT, dirs_rewritten BIGINT, " +
+      "committed_at_ms BIGINT")
+
+  /** Appends one evidence line unless (target, lineage, batchId) is
+    * already recorded. Returns whether the line was written (false =
+    * replay, original evidence preserved). */
+  def append(spark: SparkSession, logPath: String, target: String,
+      tablePath: String, lineage: String, batchId: Long,
+      rowsDeleted: Long, dirsRewritten: Long): Boolean = {
+    val root = new Path(logPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val name = s"$target-$lineage-$batchId.parquet"
+    val dest = new Path(root, name)
+    if (fs.exists(dest)) return false
+    val inflight = new Path(root, s".inflight-$name")
+    val row = Row(target, tablePath, lineage, batchId, rowsDeleted,
+      dirsRewritten, System.currentTimeMillis())
+    spark.createDataFrame(java.util.Arrays.asList(row), Schema)
+      .coalesce(1).write.mode("overwrite").parquet(inflight.toString)
+    val part = fs.listStatus(inflight).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"compliance inflight write produced no part file: $inflight"))
+    require(fs.rename(part, dest), s"compliance append failed: $dest")
+    fs.delete(inflight, true): Unit
+    true
+  }
+
+  /** The ledger as a DataFrame (schema-pinned; an absent or empty
+    * ledger reads as zero rows, not an error — the audit query over a
+    * deployment that never deleted anything is a report, not a
+    * crash). */
+  def read(spark: SparkSession, logPath: String): DataFrame = {
+    val root = new Path(logPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = fs.exists(root) && fs.listStatus(root)
+      .exists(st => !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    if (!hasFiles)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), Schema)
+    else spark.read.schema(Schema).parquet(logPath)
+  }
+
+  /** Sweeps crashed `.inflight-*` dirs (a crash between the parquet
+    * write and the rename). The evidence line itself is NOT lost: the
+    * stream that crashed replays its batch, finds no final file, and
+    * re-appends. Returns the swept dir names. */
+  def recover(spark: SparkSession, logPath: String): Seq[String] = {
+    val root = new Path(logPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val stale = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".inflight-")).toSeq
+    stale.foreach(p => fs.delete(p, true))
+    stale.map(_.getName)
+  }
+}

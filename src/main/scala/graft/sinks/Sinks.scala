@@ -314,15 +314,33 @@ object PartitionedSink {
     * semantics. Evaluation happens on a directory-count-bounded driver
     * frame, never a data scan; the drop unit is the LEAF directory,
     * and parents emptied by dropping all their leaves are pruned too.
+    *
+    * NULL partitions: Spark's writer sends a null (or empty-string)
+    * partition value to `__HIVE_DEFAULT_PARTITION__`, and Spark's
+    * READER surfaces that directory as NULL — so the predicate sees it
+    * as SQL NULL too, never as the sentinel string (r12 verdict item
+    * 2: unescaping the sentinel let a typed TTL predicate silently
+    * retain aged-out null-partition data forever, while a string
+    * predicate could match it lexicographically by accident). The
+    * contract is plain SQL three-valued logic: a typed comparison
+    * (`col("d").cast("int") < cutoff`) evaluates NULL on the sentinel
+    * leaf and does NOT drop it; dropping null partitions is a
+    * first-class DELIBERATE act — include `col("d").isNull` in the
+    * predicate. Null leaves the predicate did not match are REPORTED,
+    * not silent: the third return component counts retained leaves
+    * with a NULL at any level, so a TTL cron can alert instead of
+    * discovering years of retained sentinel data by audit.
+    *
     * Crash semantics: a crashed run of the OTHER protocols is healed
     * first ([[recoverTable]]); the sweep itself needs no recovery —
     * each leaf delete is independent and idempotent, re-running
     * completes it. Same single-writer/no-reader window as the other
-    * maintenance steps. Returns (rowsDropped, dirsDropped); an empty
-    * or unpartitioned table, or a predicate matching nothing, returns
-    * (0, 0) without deleting anything. */
+    * maintenance steps. Returns
+    * (rowsDropped, dirsDropped, nullLeavesRetained); an empty or
+    * unpartitioned table, or a predicate matching nothing, returns
+    * (0, 0, _) without deleting anything. */
   def dropPartitionsWhere(spark: SparkSession, tablePath: String,
-      predicate: Column): (Long, Long) = {
+      predicate: Column): (Long, Long, Long) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.Row
@@ -333,37 +351,51 @@ object PartitionedSink {
     // root, and an exists-check before healing would read that state
     // as a legitimately absent table and silently retain aged-out data
     recoverTable(spark, tablePath) // heal a crashed delete protocol run
-    if (!fs.exists(root)) return (0L, 0L)
+    if (!fs.exists(root)) return (0L, 0L, 0L)
     val (partCols, leaves) =
       graft.operators.IndexCompact.leafParts(fs, root)
-    if (leaves.isEmpty) return (0L, 0L)
-    // one row per LEAF dir, one string column per partition level
-    val values: Seq[Seq[String]] = leaves.map(_.split("/").toSeq.map(
-      seg => ExternalCatalogUtils.unescapePathName(seg.split("=", 2)(1))))
+    if (leaves.isEmpty) return (0L, 0L, 0L)
+    // one row per LEAF dir, one string column per partition level; the
+    // null-partition sentinel surfaces as SQL NULL (see scaladoc) —
+    // the same value Spark's reader gives that directory's rows
+    val hiveNull = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    val values: Seq[Seq[String]] = leaves.map(_.split("/").toSeq.map {
+      seg =>
+        val raw = seg.split("=", 2)(1)
+        if (raw == hiveNull) null
+        else ExternalCatalogUtils.unescapePathName(raw)
+    })
     val schema = StructType(partCols.map(StructField(_, StringType)))
     val frame = spark.createDataFrame(
       java.util.Arrays.asList(values.map(Row.fromSeq): _*), schema)
     val doomed: Seq[Seq[String]] = frame.where(predicate)
       .collect().toSeq.map(r => partCols.indices.map(r.getString))
-    if (doomed.isEmpty) return (0L, 0L)
+    val doomedSet = doomed.toSet
+    val nullRetained = values.count(vs =>
+      vs.exists(_ == null) && !doomedSet.contains(vs)).toLong
+    if (doomed.isEmpty) return (0L, 0L, nullRetained)
     // audit count before the drop — one partition-pruned scan of only
     // the doomed directories, partition columns wide (an OR of
-    // per-leaf conjunctions, bounded by the doomed leaf count)
+    // per-leaf conjunctions, bounded by the doomed leaf count; a NULL
+    // level matches with isNull — reading the table back surfaces the
+    // sentinel as NULL, the same convention the predicate frame uses)
     val doomedPred = doomed.map(vs =>
       partCols.zip(vs).map { case (c, v) =>
-        col(c).cast("string") === lit(v) }.reduce(_ && _))
+        if (v == null) col(c).isNull
+        else col(c).cast("string") === lit(v) }.reduce(_ && _))
       .reduce(_ || _)
     val rows = spark.read.parquet(tablePath)
       .where(doomedPred).select(col(partCols.head)).count()
     for (vs <- doomed) {
       val rel = partCols.zip(vs).map { case (c, v) =>
-        s"$c=${ExternalCatalogUtils.escapePathName(v)}" }.mkString("/")
+        s"$c=" + (if (v == null) hiveNull
+          else ExternalCatalogUtils.escapePathName(v)) }.mkString("/")
       require(fs.delete(new Path(root, rel), true),
         s"partition drop failed: $tablePath/$rel")
     }
     // parents emptied by the leaf drops (a fully aged-out YEAR) go too
     graft.operators.IndexCompact.pruneEmpty(fs, root)
-    (rows, doomed.length.toLong)
+    (rows, doomed.length.toLong, nullRetained)
   }
 }
 

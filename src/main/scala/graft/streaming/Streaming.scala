@@ -549,14 +549,46 @@ object Streaming {
     * (duplicate (id, band, bucket) rows leave the distinct candidate
     * pair set unchanged), but each replay grew probe I/O until a
     * compact; the guard makes both maintenance loops exactly-once and
-    * the story uniform (r11 stretch item). */
+    * the story uniform (r11 stretch item).
+    *
+    * Admission (r12 verdict item 4 — the gate now GATES): with a
+    * finite `admitBudget`, each micro-batch first runs
+    * [[graft.operators.Dedup.probeAdmission]] — the per-doc estimated
+    * candidate volume from bucket sizes over only the batch's touched
+    * `bpart` dirs, strictly less I/O than the probe it gates. Docs
+    * over budget are QUARANTINED: handed to `quarantine` with their
+    * evidence row (the doc's full columns + `est_candidates`, plus the
+    * batchId argument — what a compliance/ops log records), and
+    * neither probed NOR appended — a mega-bucket doc (the degenerate
+    * boilerplate that hashes half the corpus into one bucket) must not
+    * grow the bucket it already saturates; re-admission after manual
+    * review is a plain [[graft.operators.Dedup.appendToBucketIndex]].
+    * The admitted remainder flows through probe → sink → append
+    * unchanged, so streaming ≡ batch still holds over admitted rows
+    * (StreamingSpec). The default budget admits everything and skips
+    * the gate entirely — zero cost unless opted in. */
   def dedupMaintenanceStream(docs: DataFrame, textCol: String,
-      idCol: String, indexPath: String, checkpointPath: String)(
+      idCol: String, indexPath: String, checkpointPath: String,
+      admitBudget: Long = Long.MaxValue,
+      quarantine: (DataFrame, Long) => Unit = (_, _) => ())(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val b = batch.toDF().localCheckpoint(true)
+        val all = batch.toDF().localCheckpoint(true)
+        val b =
+          if (admitBudget == Long.MaxValue) all
+          else {
+            val adm = graft.operators.Dedup.probeAdmission(
+              all.sparkSession, indexPath, all, textCol, idCol,
+              admitBudget).localCheckpoint(true)
+            val over = all.join(adm.where(!col("admit"))
+              .select(col(idCol), col("est_candidates")), Seq(idCol))
+              .localCheckpoint(true)
+            if (over.count() > 0) quarantine(over, batchId)
+            all.join(adm.where(col("admit")).select(col(idCol)),
+              Seq(idCol), "left_semi").localCheckpoint(true)
+          }
         val pairs = graft.operators.Dedup.incrementalCandidatesStored(
           b.sparkSession, indexPath, b, textCol, idCol)
           .localCheckpoint(true) // probe BEFORE the append lands
@@ -589,9 +621,14 @@ object Streaming {
     * lands the index in the same state as one batch delete of the
     * union — streaming ≡ batch asserted in StreamingSpec. The IVF-PQ
     * family composes the same way via
-    * [[graft.operators.Similarity.deleteFromIvfPqIndex]]. */
+    * [[graft.operators.Similarity.deleteFromIvfPqIndex]].
+    *
+    * With `complianceLog` set, each batch's evidence lands in the
+    * unified [[graft.sinks.ComplianceLog]] ledger (target
+    * `lsh-index`) BEFORE `onBatch` — exactly-once by file-name key,
+    * so a replayed batch preserves the original counts. */
   def takedownMaintenanceStream(requests: DataFrame, indexPath: String,
-      checkpointPath: String)(
+      checkpointPath: String, complianceLog: Option[String] = None)(
       onBatch: (Long, Long, Long) => Unit): StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -599,6 +636,10 @@ object Streaming {
         val b = batch.toDF().localCheckpoint(true)
         val (nRows, nDirs) = graft.operators.Dedup.deleteFromBucketIndex(
           b.sparkSession, indexPath, b)
+        complianceLog.foreach(lp => graft.sinks.ComplianceLog.append(
+          b.sparkSession, lp, "lsh-index", indexPath,
+          canonicalLineage(b.sparkSession, checkpointPath), batchId,
+          nRows, nDirs): Unit)
         onBatch(nRows, nDirs, batchId)
       }
       .option("checkpointLocation", checkpointPath)
@@ -624,9 +665,14 @@ object Streaming {
     * micro-batch split lands the table in the same state as one batch
     * delete of the union — no marker guard needed. Each call
     * self-heals a crashed prior window (either delete protocol) before
-    * it reads the tree. */
+    * it reads the tree.
+    *
+    * With `complianceLog` set, each batch's evidence lands in the
+    * unified [[graft.sinks.ComplianceLog]] ledger (target `corpus`)
+    * BEFORE `onBatch`. */
   def corpusTakedownStream(requests: DataFrame, tablePath: String,
-      idCol: String, checkpointPath: String)(
+      idCol: String, checkpointPath: String,
+      complianceLog: Option[String] = None)(
       onBatch: (Long, Long, Long) => Unit): StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -635,6 +681,10 @@ object Streaming {
         val (nRows, nDirs) = graft.sinks.PartitionedSink
           .deletePartitionRowsByKey(b.sparkSession, tablePath, idCol,
             b)
+        complianceLog.foreach(lp => graft.sinks.ComplianceLog.append(
+          b.sparkSession, lp, "corpus", tablePath,
+          canonicalLineage(b.sparkSession, checkpointPath), batchId,
+          nRows, nDirs): Unit)
         onBatch(nRows, nDirs, batchId)
       }
       .option("checkpointLocation", checkpointPath)
@@ -673,15 +723,47 @@ object Streaming {
     * [[graft.operators.Similarity.deleteFromIvfPqIndex]] of the
     * batch's ids (removes BOTH copies, count-exact) followed by one
     * re-append. `sink` delivery itself is at-least-once, as for any
-    * foreachBatch — keep it idempotent. */
+    * foreachBatch — keep it idempotent.
+    *
+    * Admission (r12 verdict item 4): with a finite `admitBudget`, each
+    * micro-batch first runs
+    * [[graft.operators.Similarity.scanAdmission]] — the EXACT encoded
+    * row volume each vector's scan would read (cell sizes over its own
+    * nprobe probe cells under the frozen sidecar model, a
+    * zero-data-column count over only the touched cell dirs). Vectors
+    * over budget are QUARANTINED: handed to `quarantine` with their
+    * evidence (full columns + `est_rows`, plus the batchId argument)
+    * and neither scanned nor appended — an nprobe-too-high/hot-cell
+    * query must not stall the stream behind one degenerate ADC join;
+    * re-admission after review is a plain
+    * [[graft.operators.Similarity.appendToIvfPqIndex]]. The admitted
+    * remainder flows through scan → sink → append unchanged
+    * (streaming ≡ batch over admitted rows, StreamingSpec). The
+    * default budget admits everything and skips the gate entirely. */
   def annMaintenanceStream(vectors: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpointPath: String,
-      nprobe: Int, k: Int, shortlist: Int = 0)(
+      nprobe: Int, k: Int, shortlist: Int = 0,
+      admitBudget: Long = Long.MaxValue,
+      quarantine: (DataFrame, Long) => Unit = (_, _) => ())(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val b = batch.toDF().localCheckpoint(true)
+        val all = batch.toDF().localCheckpoint(true)
+        val b =
+          if (admitBudget == Long.MaxValue) all
+          else {
+            val adm = graft.operators.Similarity.scanAdmission(
+              all.sparkSession, indexPath, all, idCol, vecCol, nprobe,
+              admitBudget).localCheckpoint(true)
+            val over = all.join(adm.where(!col("admit"))
+              .select(col("query_id").as(idCol), col("est_rows")),
+              Seq(idCol)).localCheckpoint(true)
+            if (over.count() > 0) quarantine(over, batchId)
+            all.join(adm.where(col("admit"))
+              .select(col("query_id").as(idCol)), Seq(idCol),
+              "left_semi").localCheckpoint(true)
+          }
         val neighbors = graft.operators.Similarity.ivfPqScanStored(
           b.sparkSession, indexPath, b, idCol, vecCol, nprobe, k,
           shortlist)
@@ -741,43 +823,70 @@ object Streaming {
     * build that hashed the RAW path are still honored for skip (the
     * legacy lineage is checked too — without it the first resumed
     * stream after an upgrade would re-append its replayed batch), but
-    * new markers are written under the canonical lineage only. After
-    * each committed append, markers of THIS lineage older than
-    * batchId − [[markerRetention]] (the session's
-    * `minBatchesToRetain`, floored at [[MarkerRetention]]) are
-    * pruned — the checkpoint can no longer replay them, and the
-    * listing this costs is bounded by the retention window itself once
-    * pruning has run once. Returns whether the append ran. */
+    * new markers are written under the canonical lineage only — and a
+    * legacy-marker skip MIGRATES the batch: the canonical marker is
+    * written and the legacy one deleted, so the legacy namespace
+    * drains as the stream replays through it instead of persisting
+    * forever next to an index whose compaction exists to kill
+    * small-file pathology (r12 verdict item 5 — before this, every
+    * batch paid a second `fs.exists` for all time and legacy markers
+    * were never pruned). After each committed append, markers of this
+    * lineage AND the legacy one older than batchId −
+    * [[markerRetention]] (the session's `minBatchesToRetain`, floored
+    * at [[MarkerRetention]]) are pruned — the checkpoint can no longer
+    * replay them, and the listing this costs is bounded by the
+    * retention window itself once pruning has run once. Returns
+    * whether the append ran. */
+  private def sha8(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** The canonical checkpoint-lineage key (shared by [[appendOnce]]'s
+    * markers and [[graft.sinks.ComplianceLog]] evidence names):
+    * trailing-slash, relative and scheme-qualified spellings of one
+    * checkpoint map to one lineage. */
+  private[graft] def canonicalLineage(spark: SparkSession,
+      checkpointPath: String): String = {
+    val cp = new org.apache.hadoop.fs.Path(checkpointPath)
+    sha8(cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(cp).toString)
+  }
+
   private[graft] def appendOnce(spark: SparkSession, indexPath: String,
       checkpointPath: String, batchId: Long)(
       doAppend: () => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
-    def sha8(s: String): String =
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s.getBytes("UTF-8"))
-        .take(8).map("%02x".format(_)).mkString
-    val cp = new Path(checkpointPath)
-    val canonical = cp
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(cp).toString
-    val lineage = sha8(canonical)
+    val lineage = canonicalLineage(spark, checkpointPath)
     val legacyLineage = sha8(checkpointPath)
     val dir = new Path(indexPath, "_graft_batches")
     val marker = new Path(dir, s"$lineage-$batchId")
     val legacyMarker = new Path(dir, s"$legacyLineage-$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker) ||
-      (legacyLineage != lineage && fs.exists(legacyMarker))) false
-    else {
-      doAppend()
-      fs.create(marker, true).close()
+    def prune(): Unit = {
       val floor = batchId - markerRetention(spark)
       if (floor > 0)
-        for (st <- fs.listStatus(dir)
-             if st.getPath.getName.startsWith(s"$lineage-");
-             bid <- st.getPath.getName.stripPrefix(s"$lineage-")
-               .toLongOption if bid < floor)
+        for (st <- fs.listStatus(dir);
+             name = st.getPath.getName
+             if name.startsWith(s"$lineage-") ||
+               name.startsWith(s"$legacyLineage-");
+             bid <- name.substring(name.indexOf('-') + 1).toLongOption
+             if bid < floor)
           fs.delete(st.getPath, false): Unit
+    }
+    if (fs.exists(marker)) false
+    else if (legacyLineage != lineage && fs.exists(legacyMarker)) {
+      // sunset: adopt the skip into the canonical namespace, drain the
+      // legacy one (write-then-delete — a crash between the two leaves
+      // BOTH markers, still a skip on every later offer)
+      fs.create(marker, true).close()
+      fs.delete(legacyMarker, false): Unit
+      prune()
+      false
+    } else {
+      doAppend()
+      fs.create(marker, true).close()
+      prune()
       true
     }
   }
@@ -795,9 +904,13 @@ object Streaming {
     * change) and commutative across disjoint batches, so ANY
     * micro-batch split of a request set lands the index in the same
     * state as one batch delete of the union — streaming ≡ batch
-    * asserted in StreamingSpec. */
+    * asserted in StreamingSpec.
+    *
+    * With `complianceLog` set, each batch's evidence lands in the
+    * unified [[graft.sinks.ComplianceLog]] ledger (target
+    * `ann-index`) BEFORE `onBatch`. */
   def annTakedownStream(requests: DataFrame, indexPath: String,
-      checkpointPath: String)(
+      checkpointPath: String, complianceLog: Option[String] = None)(
       onBatch: (Long, Long, Long) => Unit): StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -805,6 +918,10 @@ object Streaming {
         val b = batch.toDF().localCheckpoint(true)
         val (nRows, nDirs) = graft.operators.Similarity
           .deleteFromIvfPqIndex(b.sparkSession, indexPath, b)
+        complianceLog.foreach(lp => graft.sinks.ComplianceLog.append(
+          b.sparkSession, lp, "ann-index", indexPath,
+          canonicalLineage(b.sparkSession, checkpointPath), batchId,
+          nRows, nDirs): Unit)
         onBatch(nRows, nDirs, batchId)
       }
       .option("checkpointLocation", checkpointPath)

@@ -469,7 +469,7 @@ class RecoverySpec extends SparkSpec {
       new Path(root.getParent, root.getName + ".rowdelete_old")))
     // root is GONE here — the pre-fix code returned (0,0) without
     // healing, silently retaining aged-out partitions
-    val (rows, dirs) = PartitionedSink.dropPartitionsWhere(spark, dir,
+    val (rows, dirs, _) = PartitionedSink.dropPartitionsWhere(spark, dir,
       col("p").cast("int") >= 3)
     assert(dirs >= 1L && rows >= 1L)
     val left = spark.read.parquet(dir).select("p").distinct()
@@ -522,7 +522,7 @@ class RecoverySpec extends SparkSpec {
     val keepBefore = fs.getFileStatus(new Path(root, "part=keep%3A1"))
       .getModificationTime
     // predicate sees unescaped string values
-    val (rows, dcount) = PartitionedSink.dropPartitionsWhere(spark, dir,
+    val (rows, dcount, _) = PartitionedSink.dropPartitionsWhere(spark, dir,
       col("part") === "a=b" || col("part") === "old")
     assert((rows, dcount) === ((5L, 2L)))
     assert(!fs.exists(new Path(root, "part=a%3Db")))
@@ -535,10 +535,10 @@ class RecoverySpec extends SparkSpec {
     assert(left === Set(3L, 4L))
     // idempotent: the same sweep finds nothing the second time
     assert(PartitionedSink.dropPartitionsWhere(spark, dir,
-      col("part") === "a=b" || col("part") === "old") === ((0L, 0L)))
+      col("part") === "a=b" || col("part") === "old") === ((0L, 0L, 0L)))
     // no-match predicate deletes nothing
     assert(PartitionedSink.dropPartitionsWhere(spark, dir,
-      col("part") === "absent") === ((0L, 0L)))
+      col("part") === "absent") === ((0L, 0L, 0L)))
     assert(spark.read.parquet(dir).count() === 2L)
   }
 
@@ -648,7 +648,7 @@ class RecoverySpec extends SparkSpec {
     val keepBefore = fs.getFileStatus(new Path(root, "yr=1994/mo=7"))
       .getModificationTime
     // cutoff 1993-07: drops all of 1992 (3 dirs) + 1993/01,04 (2 dirs)
-    val (rows, dirs) = PartitionedSink.dropPartitionsWhere(spark, dir,
+    val (rows, dirs, _) = PartitionedSink.dropPartitionsWhere(spark, dir,
       col("yr").cast("int") * 12 + col("mo").cast("int") <
         lit(1993 * 12 + 7))
     assert((rows, dirs) === ((20L, 5L)))
@@ -662,7 +662,7 @@ class RecoverySpec extends SparkSpec {
     // idempotent + no-match
     assert(PartitionedSink.dropPartitionsWhere(spark, dir,
       col("yr").cast("int") * 12 + col("mo").cast("int") <
-        lit(1993 * 12 + 7)) === ((0L, 0L)))
+        lit(1993 * 12 + 7)) === ((0L, 0L, 0L)))
   }
 
   test("nested compact: fragments fold to one file per month dir " +
@@ -742,5 +742,179 @@ class RecoverySpec extends SparkSpec {
     assert(err.getMessage.contains("version 99"))
     assert(err.getMessage.contains(
       graft.config.Sidecar.CurrentVersion.toString))
+  }
+
+  // ---- layout-refusal guards (r12 verdict item 1: these requires are
+  // what stand between a malformed tree and a silent partial delete,
+  // and they were ledger-claimed but untested) ----
+
+  test("mixed-depth refusal: a shallow =dir HOLDING DATA inside a " +
+    "nested layout is refused loudly with the offending path named — " +
+    "by the raw walk and by every delete entry point over it") {
+    val dir = nestedFixture()
+    val root = new Path(dir)
+    // move a real data file from a depth-2 leaf into a NEW childless
+    // yr-level dir: a shallow =dir holding data at depth 1 while the
+    // layout is yr/mo — the half-written-tree shape the guard exists
+    // for (a yr-dir WITH month children is walked through, so the
+    // mixed state a crashed writer leaves is exactly this one)
+    val leaf = new Path(root, "yr=1992/mo=1")
+    val dataFile = fs.listStatus(leaf)
+      .map(_.getPath).filter(p => !p.getName.startsWith("_") &&
+        !p.getName.startsWith(".")).head
+    fs.mkdirs(new Path(root, "yr=1999"))
+    assert(fs.rename(dataFile, new Path(root, s"yr=1999/${dataFile.getName}")))
+    val err = intercept[IllegalArgumentException] {
+      IndexCompact.leafParts(fs, root)
+    }
+    assert(err.getMessage.contains("mixed-depth"), err.getMessage)
+    assert(err.getMessage.contains("yr=1999"), err.getMessage)
+    // the guard fires through the public delete surfaces too — no
+    // entry point silently operates on half the tree
+    val err2 = intercept[IllegalArgumentException] {
+      PartitionedSink.dropPartitionsWhere(spark, dir,
+        col("yr").cast("int") < 1993)
+    }
+    assert(err2.getMessage.contains("mixed-depth"))
+    val err3 = intercept[IllegalArgumentException] {
+      IndexCompact.deleteMatching(spark, dir, "test", "id",
+        Seq(40L).toDF("id"))
+    }
+    assert(err3.getMessage.contains("mixed-depth"))
+    // an EMPTY shallow =dir (a crashed swap's stray parent) stays
+    // tolerated: put the file back, leave the emptied yr=1999 behind
+    assert(fs.rename(new Path(root, s"yr=1999/${dataFile.getName}"),
+      dataFile))
+    val (cols, leaves) = IndexCompact.leafParts(fs, root)
+    assert(cols === Seq("yr", "mo") && leaves.size === 9)
+  }
+
+  test("inconsistent-column-chain refusal: equal-depth leaves naming " +
+    "different partition columns are refused loudly, never guessed") {
+    val dir = nestedFixture()
+    val root = new Path(dir)
+    // rename yr=1994/mo=7 to yr=1994/day=7: same depth, different
+    // column chain (yr/day vs yr/mo)
+    assert(fs.rename(new Path(root, "yr=1994/mo=7"),
+      new Path(root, "yr=1994/day=7")))
+    val err = intercept[IllegalArgumentException] {
+      IndexCompact.leafParts(fs, root)
+    }
+    assert(err.getMessage.contains("inconsistent partition layout"),
+      err.getMessage)
+    assert(err.getMessage.contains("day"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      PartitionedSink.dropPartitionsWhere(spark, dir,
+        col("yr").cast("int") < 1993)
+    }
+    assert(err2.getMessage.contains("inconsistent partition layout"))
+  }
+
+  // ---- null partitions in the TTL sweep (r12 verdict item 2) ----
+
+  test("dropPartitionsWhere null partitions: the sentinel surfaces as " +
+    "SQL NULL — typed predicates retain it and REPORT it, string " +
+    "predicates cannot match it lexicographically, and isNull drops " +
+    "it deliberately with exact audit counts") {
+    val dir = tmpDir("graft_drop_nullpart")
+    val rows = Seq[(Long, Option[Int])](
+      (1L, Some(1)), (2L, Some(1)), (3L, Some(2)), (4L, Some(2)),
+      (5L, None), (6L, None))
+    rows.toDF("id", "d").repartition(3, col("d"))
+      .write.mode(SaveMode.Overwrite).partitionBy("d").parquet(dir)
+    val root = new Path(dir)
+    val sentinel = new Path(root, "d=__HIVE_DEFAULT_PARTITION__")
+    assert(fs.exists(sentinel),
+      fs.listStatus(root).map(_.getPath.getName).mkString(", "))
+    // typed TTL: ages out d=1 only; the null leaf is NOT dropped
+    // (NULL never satisfies the comparison — plain SQL semantics, the
+    // same value Spark's reader gives those rows) and IS reported
+    val (rows1, dirs1, nulls1) = PartitionedSink.dropPartitionsWhere(
+      spark, dir, col("d").cast("int") < 2)
+    assert((rows1, dirs1, nulls1) === ((2L, 1L, 1L)))
+    assert(fs.exists(sentinel), "typed predicate must not drop nulls")
+    // a string predicate spelling the sentinel matches NOTHING — the
+    // predicate sees NULL, never the on-disk sentinel string (the r12
+    // accidental-lexicographic-match hazard)
+    val (rows2, dirs2, nulls2) = PartitionedSink.dropPartitionsWhere(
+      spark, dir, col("d") === "__HIVE_DEFAULT_PARTITION__")
+    assert((rows2, dirs2, nulls2) === ((0L, 0L, 1L)))
+    assert(fs.exists(sentinel))
+    // dropping null partitions is a DELIBERATE act: isNull targets the
+    // sentinel leaf, rows counted exactly, nothing left to report
+    val (rows3, dirs3, nulls3) = PartitionedSink.dropPartitionsWhere(
+      spark, dir, col("d").isNull)
+    assert((rows3, dirs3, nulls3) === ((2L, 1L, 0L)))
+    assert(!fs.exists(sentinel))
+    val left = spark.read.parquet(dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left === Set(3L, 4L))
+  }
+
+  test("dropPartitionsWhere null partitions, NESTED layout: a NULL at " +
+    "the inner level is reported per retained leaf and isNull " +
+    "composes with outer-level predicates") {
+    val dir = tmpDir("graft_drop_nullpart_nested")
+    val rows = Seq[(Long, Int, Option[Int])](
+      (1L, 2023, Some(1)), (2L, 2023, None),
+      (3L, 2024, Some(1)), (4L, 2024, None))
+    rows.toDF("id", "yr", "mo").repartition(4, col("yr"), col("mo"))
+      .write.mode(SaveMode.Overwrite).partitionBy("yr", "mo").parquet(dir)
+    val root = new Path(dir)
+    assert(fs.exists(new Path(root,
+      "yr=2023/mo=__HIVE_DEFAULT_PARTITION__")))
+    // month-grain TTL under 2024: drops yr=2023/mo=1 only; BOTH null
+    // leaves survive (2023's because NULL fails the month arithmetic,
+    // 2024's because the year survives) and both are reported
+    val (r1, d1, n1) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("yr").cast("int") * 12 + col("mo").cast("int") <
+        lit(2024 * 12 + 1))
+    assert((r1, d1, n1) === ((1L, 1L, 2L)))
+    // deliberate null sweep scoped to the aged year only
+    val (r2, d2, n2) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("yr").cast("int") < 2024 && col("mo").isNull)
+    assert((r2, d2, n2) === ((1L, 1L, 1L)))
+    assert(!fs.exists(new Path(root, "yr=2023")),
+      "fully-emptied year must be pruned")
+    val left = spark.read.parquet(dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left === Set(3L, 4L))
+  }
+
+  test("retried append after an append crash recovers FIRST: the " +
+    "leftover intent marker triggers a footer-recount repin before " +
+    "the new batch's arithmetic, so the count stays exact on the most " +
+    "likely post-crash path (r12 ADVICE medium)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" < 380)
+    val batch1 = emb.filter($"vec_id" >= 380 && $"vec_id" < 440)
+    val batch2 = emb.filter($"vec_id" >= 440)
+    val idx = tmpDir("graft_retry_append_ivfpq")
+    Similarity.writeIvfPqIndex(base, idx, "vec_id", "embedding",
+      dim = 64, m = 4, kCodes = 8, rounds = 1, nlist = 8)
+    val preMeta = graft.config.Sidecar.read(spark, idx, "test")
+    // crash state: batch1's rows ON DISK, sidecar count rewound to its
+    // pre-append value, intent marker present (same construction as
+    // the recoverIvfPqIndex test above)
+    Similarity.appendToIvfPqIndex(spark, idx, batch1, "vec_id",
+      "embedding")
+    graft.config.Sidecar.write(spark, idx, preMeta
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+    val marker = new Path(idx, Similarity.AppendIntentMarker)
+    fs.create(marker, true).close()
+    // the retry path: a DIRECT append (no maintenance window ran) —
+    // before the fix this clobbered the marker and adopted the stale
+    // count as its arithmetic base, understating batch1's rows forever
+    Similarity.appendToIvfPqIndex(spark, idx, batch2, "vec_id",
+      "embedding")
+    val count = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, idx, "test"), "count")
+    assert(count === emb.count(), "count must include the crashed " +
+      "batch's rows (recount) plus the retried batch (arithmetic)")
+    assert(count === spark.read.parquet(idx).count())
+    assert(!fs.exists(marker))
+    noSiblings(idx)
   }
 }

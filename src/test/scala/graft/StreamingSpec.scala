@@ -1565,4 +1565,208 @@ class StreamingSpec extends SparkSpec {
     assert(!guardedAppend())
     assert(spark.read.parquet(idx).count() === rows1)
   }
+
+  test("appendOnce legacy-marker sunset: a legacy-lineage skip " +
+    "migrates the batch to the canonical namespace (legacy marker " +
+    "deleted), stragglers are pruned by the retention sweep, and the " +
+    "marker dir stays bounded (r12 verdict item 5)") {
+    import org.apache.hadoop.fs.Path
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_sunset_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_sunset_cp").toString
+    def sha8(s: String) = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val legacy = sha8(cp) // pre-canonicalization build hashed the RAW path
+    val cpP = new Path(cp)
+    val canonical = sha8(cpP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(cpP).toString)
+    assert(legacy !== canonical)
+    val dir = new Path(idx, "_graft_batches")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a legacy-era history: batches 0..10 committed by the old build
+    for (i <- 0 to 10)
+      fs.create(new Path(dir, s"$legacy-$i"), true).close()
+    var runs = 0
+    def run(batchId: Long): Boolean =
+      Streaming.appendOnce(spark, idx, cp, batchId)(() => runs += 1)
+    def names: Set[String] =
+      fs.listStatus(dir).map(_.getPath.getName).toSet
+    // a restart replaying through the legacy history: every batch
+    // skips (no re-append) AND migrates — legacy namespace drains
+    for (i <- 0 to 10) assert(!run(i.toLong), s"batch $i must skip")
+    assert(runs === 0)
+    assert(!names.exists(_.startsWith(s"$legacy-")),
+      s"legacy namespace must drain: $names")
+    assert((0 to 10).forall(i => names.contains(s"$canonical-$i")))
+    // skip still holds on a re-offer (now via the canonical marker)
+    assert(!run(5L) && runs === 0)
+    // new batches append under the canonical lineage only
+    assert(run(11L) && runs === 1)
+    // a legacy straggler older than the retention window is pruned by
+    // the next committed append's sweep (legacy prefix included)
+    fs.create(new Path(dir, s"$legacy-2"), true).close()
+    assert(run(300L) && runs === 2) // floor = 300 - 128 = 172
+    val left = names
+    assert(!left.exists(_.startsWith(s"$legacy-")),
+      s"straggler must be pruned: $left")
+    assert(left === Set(s"$canonical-300"), s"bounded dir: $left")
+  }
+
+  test("dedupMaintenanceStream admission gate: an over-budget " +
+    "mega-bucket doc is quarantined with evidence (not probed, not " +
+    "appended), the admitted remainder flows probe→sink→append " +
+    "unchanged, and the stream keeps draining (r12 verdict item 4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = "the same boilerplate text repeated across this " +
+      "corpus again and again verbatim"
+    def uniq(i: Long) = s"unique document number $i carrying distinct " +
+      s"content token$i alpha beta gamma delta epsilon zeta"
+    val corpus = ((0L until 40L).map(i => (i, boiler)) ++
+      (100L until 120L).map(i => (i, uniq(i)))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_admit_lsh_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_admit_lsh_cp").toString
+    graft.operators.Dedup.writeBucketIndex(corpus, idx, "text",
+      "doc_id", parts = 16)
+    // batch 1: the boilerplate doc saturates its own bucket (est ≈
+    // bucket population × bands); the dup of doc 100 shares only
+    // singleton buckets — measure both ests batch-side and put the
+    // budget between them, so the test pins the SPLIT, not a constant
+    val batch1 = Seq((500L, boiler), (501L, uniq(100)))
+      .toDF("doc_id", "text")
+    val est = graft.operators.Dedup.probeAdmission(spark, idx, batch1,
+      "text", "doc_id", Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est(500L) > 4 * est(501L),
+      s"fixture must separate the ests: $est")
+    val budget = (est(500L) + est(501L)) / 2
+    val mem = MemoryStream[(Long, String)]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val quarantined =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = Streaming.dedupMaintenanceStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, cp,
+      admitBudget = budget,
+      quarantine = (df, id) => quarantined(id) = df
+        .select("doc_id", "est_candidates").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet) { (pairs, id) =>
+      perBatch(id) = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    mem.addData((500L, boiler), (501L, uniq(100)))
+    q.processAllAvailable()
+    // the stream keeps draining after a quarantine
+    mem.addData((502L, uniq(110)))
+    q.processAllAvailable()
+    q.stop()
+    // evidence: the mega-bucket doc, with its measured volume
+    assert(quarantined(0L) === Set((500L, est(500L))))
+    assert(!quarantined.contains(1L), "batch 2 has nothing over budget")
+    // streaming ≡ batch over ADMITTED rows: a fresh index probed with
+    // only the admitted doc yields batch 1's sink pairs
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_admit_lsh_ref").toString
+    graft.operators.Dedup.writeBucketIndex(corpus, refIdx, "text",
+      "doc_id", parts = 16)
+    def pairsOf(b: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.incrementalCandidatesStored(spark, refIdx,
+        b, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref1 = pairsOf(Seq((501L, uniq(100))).toDF("doc_id", "text"))
+    assert(perBatch(0L) === ref1)
+    assert(ref1.nonEmpty, "the admitted dup must pair with doc 100")
+    // quarantined doc NOT appended; admitted docs are
+    val idxIds = spark.read.parquet(idx).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(!idxIds.contains(500L), "quarantined doc must not grow the " +
+      "bucket it already saturates")
+    assert(idxIds.contains(501L) && idxIds.contains(502L))
+  }
+
+  test("annMaintenanceStream admission gate: a hot-cell query is " +
+    "quarantined with its exact scan volume (not scanned, not " +
+    "appended), admitted vectors flow scan→sink→append unchanged " +
+    "(r12 verdict item 4)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // skewed corpus: 199 vectors in a tight cluster around e1, 21
+    // around e2 — the e1 cell is the hot one. Lloyd seeds from ids
+    // 0..nlist-1, so id 0 sits in cluster A and id 1 in cluster B
+    // (one seed per cluster ⇒ the 2-means split is the cluster split)
+    def jitter(base: Array[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 31 + j * 7) % 13 - 6) * 1e-3f }.toSeq
+    val e1 = Array.tabulate(8)(j => if (j == 0) 1f else 0f)
+    val e2 = Array.tabulate(8)(j => if (j == 1) 1f else 0f)
+    val vecs: Seq[Seq[Float]] = jitter(e1, 0) +: jitter(e2, 1) +:
+      (((2 until 200).map(jitter(e1, _)) ++
+        (200 until 220).map(jitter(e2, _))): Seq[Seq[Float]])
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_admit_ann_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_admit_ann_cp").toString
+    graft.operators.Similarity.writeIvfPqIndex(corpus, idx, "vec_id",
+      "embedding", dim = 8, m = 2, kCodes = 4, rounds = 2, nlist = 2)
+    val batch1 = Seq((500L, jitter(e1, 500)), (501L, jitter(e2, 501)))
+      .toDF("vec_id", "embedding")
+    // measure the per-query scan volumes and split them with the budget
+    val est = graft.operators.Similarity.scanAdmission(spark, idx,
+      batch1, "vec_id", "embedding", nprobe = 1, budget = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est(500L) > 2 * est(501L),
+      s"fixture must separate the cells: $est")
+    val budget = (est(500L) + est(501L)) / 2
+    // batch-mode reference for the admitted query, against the index
+    // AS BATCH 1 SEES IT (pre-append) — computed before the stream
+    // mutates it
+    val ref1 = graft.operators.Similarity.ivfPqScanStored(spark, idx,
+      Seq((501L, jitter(e2, 501))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nprobe = 1, k = 3, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val perBatch = scala.collection.mutable
+      .Map.empty[Long, Set[(Long, Long)]]
+    val quarantined = scala.collection.mutable
+      .Map.empty[Long, Set[(Long, Long)]]
+    val q = Streaming.annMaintenanceStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, cp, nprobe = 1, k = 3, shortlist = 10, admitBudget = budget,
+      quarantine = (df, id) => quarantined(id) = df
+        .select("vec_id", "est_rows").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet) { (nb, id) =>
+      perBatch(id) = nb.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val count0 = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, idx, "test"), "count")
+    mem.addData((500L, jitter(e1, 500)), (501L, jitter(e2, 501)))
+    q.processAllAvailable()
+    mem.addData((502L, jitter(e2, 502))) // stream keeps draining
+    q.processAllAvailable()
+    q.stop()
+    assert(quarantined(0L) === Set((500L, est(500L))))
+    assert(!quarantined.contains(1L))
+    // neighbors were produced for the admitted query only, and match
+    // the batch-mode stored scan over the pre-append index exactly
+    assert(perBatch(0L) === ref1)
+    assert(perBatch(0L).map(_._1) === Set(501L))
+    // quarantined vector never appended: the count grew by the two
+    // ADMITTED vectors exactly
+    val count2 = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, idx, "test"), "count")
+    assert(count2 === count0 + 2)
+    val idxIds = spark.read.parquet(idx).select("neighbor_id")
+      .distinct().as[Long].collect().toSet
+    assert(!idxIds.contains(500L))
+    assert(idxIds.contains(501L) && idxIds.contains(502L))
+  }
 }
