@@ -1255,6 +1255,46 @@ object Oracle {
         |WHERE NOT (o_orderkey % 11 = 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q327: null-partition TTL contract — phase 1 replays the typed
+    // sweep's survivors under SQL three-valued logic (NULL never
+    // satisfies the comparison, so the null group MUST appear);
+    // phase 2 replays the deliberate isNull sweep (null group gone).
+    // The Spark side reads both states physically from disk.
+    "q327_null_partition_ttl" ->
+      """WITH base AS (SELECT doc_id, n_chars,
+        |    nullif(source, 'src7') AS src FROM documents),
+        |p1 AS (SELECT 1 AS phase, coalesce(src, 'null') AS src,
+        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM base
+        |  WHERE src IS NULL
+        |    OR NOT (CAST(substring(src, 4) AS INT) >= 15)
+        |  GROUP BY 1, 2),
+        |p2 AS (SELECT 2 AS phase, src, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM base
+        |  WHERE src IS NOT NULL
+        |    AND NOT (CAST(substring(src, 4) AS INT) >= 15)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(phase AS INT) AS phase, src, n_docs, sum_chars
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |ORDER BY phase, src""".stripMargin,
+
+    // q328: compliance-ledger evidence replay — each disjoint takedown
+    // batch must have deleted exactly the rows matching its id
+    // predicate, across exactly its ids' distinct partition values
+    // (the touched-directory count of the partition swap); the Spark
+    // side reads these numbers back from the ledger the deletes wrote
+    "q328_compliance_ledger" ->
+      """WITH b AS (SELECT CASE CAST(doc_id % 30 AS INT)
+        |    WHEN 3 THEN 0 WHEN 13 THEN 1 WHEN 23 THEN 2 END AS batch_id,
+        |    source
+        |  FROM documents
+        |  WHERE CAST(doc_id % 30 AS INT) IN (3, 13, 23))
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  count(*) AS rows_deleted,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q321: per batch doc, the probe's candidate-volume upper bound =
     // the sum of corpus bucket sizes over the doc's own (band, bucket)
     // cells — q29's banding replay split into corpus/batch sides

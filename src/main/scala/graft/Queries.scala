@@ -9261,6 +9261,105 @@ object Queries {
     res
   }
 
+  /** NULL-partition TTL contract, ORACLE-PROVEN — the r13 decision for
+    * `__HIVE_DEFAULT_PARTITION__` leaves in
+    * [[graft.sinks.PartitionedSink.dropPartitionsWhere]] (r12 verdict
+    * item 2) driven end-to-end: the corpus is copied out partitioned by
+    * a NULLABLE source key (src7 nulled), a typed numeric TTL ages out
+    * the high sources — and the null leaf survives BY SQL SEMANTICS
+    * (the sentinel surfaces to the predicate as NULL, which never
+    * satisfies a comparison; it is also counted in the sweep's
+    * retained-nulls report, asserted in-line). Dropping null
+    * partitions is then a second, DELIBERATE `isNull` sweep. The
+    * result unions both phases' survivor aggregates recomputed from
+    * the directories left on disk, so the DuckDB hash match pins both
+    * physical states: phase 1 must still contain the null group
+    * (silent retention is impossible to confuse with a drop), phase 2
+    * must not.
+    *
+    * Scale shape: both sweeps are the metadata-only directory drops of
+    * q319 — the null handling changes WHAT the predicate sees, never
+    * what gets read. */
+  def q327NullPartitionTtl(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("source") === "src7", lit(null))
+          .otherwise(col("source")).as("src"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_null_ttl_").toString
+    docs.repartition(col("src"))
+      .write.mode("overwrite").partitionBy("src").parquet(tbl)
+    def survivors(phase: Int) = s.read
+      .schema("doc_id BIGINT, n_chars BIGINT, src STRING")
+      .parquet(tbl)
+      .groupBy(coalesce(col("src"), lit("null")).as("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("phase", lit(phase))
+      .localCheckpoint(true) // pin before the next sweep mutates the dir
+    val (_, _, nulls1) = PartitionedSink.dropPartitionsWhere(s, tbl,
+      substring(col("src"), 4, 10).cast("int") >= 15)
+    require(nulls1 == 1L,
+      s"typed TTL must report the retained null leaf, got $nulls1")
+    val phase1 = survivors(1)
+    val (_, d2, nulls2) = PartitionedSink.dropPartitionsWhere(s, tbl,
+      col("src").isNull)
+    require(d2 == 1L && nulls2 == 0L,
+      s"deliberate isNull sweep must drop the one null leaf: ($d2, $nulls2)")
+    val phase2 = survivors(2)
+    val res = phase1.unionByName(phase2)
+      .select(col("phase"), col("src"), col("n_docs"), col("sum_chars"))
+      .orderBy("phase", "src")
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
+  /** COMPLIANCE LEDGER, ORACLE-PROVEN — the unified takedown evidence
+    * sink ([[graft.sinks.ComplianceLog]], r12 stretch item 8) driven
+    * through three sequential takedown batches against a
+    * source-partitioned corpus copy: each batch's
+    * [[graft.sinks.PartitionedSink.deletePartitionRowsByKey]] evidence
+    * (rows deleted, directories rewritten) is committed to the ledger
+    * by the rename-aside protocol, and the query READS THE LEDGER
+    * BACK. DuckDB replays what each disjoint batch must have deleted —
+    * row count by id predicate, directory count as the batch's
+    * distinct partition values — so the hash match pins the recorded
+    * evidence against an independent reconstruction of the deletes,
+    * not against the code that wrote it.
+    *
+    * Scale shape: the ledger is one tiny file per batch per target
+    * (audit volume); the deletes are q317's touched-directory
+    * rewrites. */
+  def q328ComplianceLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_ledger_tbl_").toString
+    val log = java.nio.file.Files
+      .createTempDirectory("graft_ledger_log_").toString
+    docs.repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(tbl)
+    for (b <- 0 until 3) {
+      val ids = docs
+        .filter(pmod(col("doc_id"), lit(30)) === lit(b * 10 + 3))
+        .select("doc_id")
+      val (r, d) = PartitionedSink.deletePartitionRowsByKey(s, tbl,
+        "doc_id", ids)
+      graft.sinks.ComplianceLog.append(s, log, "corpus", tbl,
+        "q328", b.toLong, r, d): Unit
+    }
+    val res = graft.sinks.ComplianceLog.read(s, log)
+      .select(col("batch_id"), col("rows_deleted"), col("dirs_rewritten"))
+      .orderBy("batch_id")
+      .localCheckpoint(true) // pin before the scratch dirs are deleted
+    for (path <- Seq(tbl, log)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9591,5 +9690,7 @@ object Queries {
     "q324_scan_admission" -> (q324ScanAdmission _),
     "q325_nested_takedown" -> (q325NestedTakedown _),
     "q326_date_takedown" -> (q326DateTakedown _),
+    "q327_null_partition_ttl" -> (q327NullPartitionTtl _),
+    "q328_compliance_ledger" -> (q328ComplianceLedger _),
   )
 }
