@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max => smax}
 
 /** ONE-CALL maintenance window for any graft-maintained stored table —
@@ -38,7 +38,11 @@ object Maintenance {
   /** What one maintenance window found and did. `balanceMaxOverMean`
     * is the straggler ratio the partition-pruned probes inherit from
     * the heaviest leaf (q308's headline number); 1.0 is perfectly
-    * balanced, NaN means an empty table. */
+    * balanced, NaN means an empty table. The `ttl*` fields carry the
+    * retention sweep's evidence when a `ttl` predicate was passed
+    * (zeros otherwise) — `ttlNullLeavesRetained` is the null-partition
+    * report a cron alerts on (see
+    * [[graft.sinks.PartitionedSink.dropPartitionsWhere]]). */
   final case class Report(
       family: String,
       recoveryActions: Seq[String],
@@ -47,26 +51,48 @@ object Maintenance {
       maxFilesPerDir: Long,
       compacted: Boolean,
       dataFilesAfter: Long,
-      balanceMaxOverMean: Double)
+      balanceMaxOverMean: Double,
+      ttlRowsDropped: Long = 0L,
+      ttlDirsDropped: Long = 0L,
+      ttlNullLeavesRetained: Long = 0L)
 
   private val IvfPq = "ivfpq"
   private val LshBucket = "lsh-bucket"
   private val Table = "table"
 
-  /** Run one maintenance window against `path`: recover → compact if
-    * any leaf directory holds more than `maxFilesPerDir` data files →
-    * report. Same single-writer/no-reader window as the operators it
+  /** Run one maintenance window against `path`: recover → retention
+    * sweep (when a `ttl` predicate is passed — whole partition
+    * directories whose VALUE satisfies it drop with zero rewrite,
+    * nulls retained-and-reported per
+    * [[graft.sinks.PartitionedSink.dropPartitionsWhere]]'s contract) →
+    * compact if any leaf directory holds more than `maxFilesPerDir`
+    * data files → report. With `ttl` this is the COMPLETE ops cron in
+    * one call: heal, retain, defragment, measure. A `ttl` on a stored
+    * INDEX is refused loudly — its partition key (`bpart`/`cell`) is
+    * an internal hash, so a value-aligned sweep would age out index
+    * shards, not data; index removal goes through the delete APIs.
+    * Same single-writer/no-reader window as the operators it
     * composes. */
   def run(spark: SparkSession, path: String,
-      maxFilesPerDir: Int = 4): Report = {
+      maxFilesPerDir: Int = 4, ttl: Option[Column] = None): Report = {
     require(maxFilesPerDir >= 1,
       s"maxFilesPerDir must be >= 1, got $maxFilesPerDir")
     val family = detectFamily(spark, path)
+    require(ttl.isEmpty || family == Table,
+      s"Maintenance.run: a TTL predicate on a '$family' index would " +
+        "age out shards by their internal partition key — retention " +
+        "is a corpus-table policy; use the index delete APIs instead")
     val actions = family match {
       case IvfPq => Similarity.recoverIvfPqIndex(spark, path)
       case LshBucket => Dedup.recoverBucketIndex(spark, path)
       case Table => graft.sinks.PartitionedSink.recoverTable(spark, path)
     }
+    val (ttlRows, ttlDirs, ttlNulls) = ttl match {
+      case Some(p) =>
+        graft.sinks.PartitionedSink.dropPartitionsWhere(spark, path, p)
+      case None => (0L, 0L, 0L)
+    }
+    // census AFTER the sweep: the report describes the post-window tree
     val (partCols, leaves, before, maxPer) = fragmentCensus(spark, path)
     val shouldCompact = maxPer > maxFilesPerDir && family != Table
     val after =
@@ -89,7 +115,8 @@ object Maintenance {
         IndexCompact.leafParts(fs, root)._2.size.toLong
       } else leaves.size.toLong
     Report(family, actions, leavesNow, before, maxPer,
-      shouldCompact, after, balance(spark, path, partCols, leavesNow))
+      shouldCompact, after, balance(spark, path, partCols, leavesNow),
+      ttlRows, ttlDirs, ttlNulls)
   }
 
   /** Family detection from the sidecar's own fields — the model arrays

@@ -30,8 +30,13 @@ import org.apache.spark.sql.types.StructType
   * Scale shape: one tiny file per micro-batch per target — audit
   * volume, not data volume. A deployment that runs takedown streams
   * for years compacts the ledger like any other table
-  * ([[PartitionedSink.compact]]); the files are self-describing
-  * parquet, so the compacted form reads identically. */
+  * ([[PartitionedSink.compact]], no partition columns) — but ONLY
+  * once the writing streams' replay horizon has passed the compacted
+  * range: the file NAME is the idempotence key, so compacting a
+  * batch the checkpoint can still replay would forget its skip state
+  * and let the replay's zeros re-append (the same retention logic as
+  * [[graft.streaming.Streaming.appendOnce]]'s marker pruning —
+  * `minBatchesToRetain` behind the newest batch is safe). */
 object ComplianceLog {
 
   /** Evidence schema. `lineage` is the stream's canonical checkpoint
@@ -49,6 +54,13 @@ object ComplianceLog {
   def append(spark: SparkSession, logPath: String, target: String,
       tablePath: String, lineage: String, batchId: Long,
       rowsDeleted: Long, dirsRewritten: Long): Boolean = {
+    // the pair is a FILE NAME (the idempotence key): path separators
+    // or globs in it would silently change which file the exists-check
+    // guards
+    require(target.matches("[A-Za-z0-9._-]+") &&
+      lineage.matches("[A-Za-z0-9._-]+"),
+      s"compliance target/lineage must be plain names, got " +
+        s"'$target' / '$lineage'")
     val root = new Path(logPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)

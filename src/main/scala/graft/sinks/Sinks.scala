@@ -386,9 +386,19 @@ object PartitionedSink {
       partCols.zip(vs).map { case (c, v) =>
         s"$c=" + (if (v == null) hiveNull
           else ExternalCatalogUtils.escapePathName(v)) }.mkString("/"))
-    val rows = spark.read.option("basePath", tablePath)
-      .parquet(doomedRels.map(rel => new Path(root, rel).toString): _*)
-      .count()
+    // an EMPTY doomed leaf (a crash leftover) contributes zero rows but
+    // must not reach the reader: with only-doomed-paths reads, a batch
+    // of all-empty dirs would have no footer to infer a schema from
+    // and throw where the sweep should drop the dirs and report 0
+    val withData = doomedRels.filter(rel =>
+      fs.listStatus(new Path(root, rel)).exists(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")))
+    val rows =
+      if (withData.isEmpty) 0L
+      else spark.read.option("basePath", tablePath)
+        .parquet(withData.map(rel => new Path(root, rel).toString): _*)
+        .count()
     for (rel <- doomedRels) {
       require(fs.delete(new Path(root, rel), true),
         s"partition drop failed: $tablePath/$rel")

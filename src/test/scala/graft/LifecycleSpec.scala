@@ -234,6 +234,52 @@ class LifecycleSpec extends SparkSpec {
     assert(!repT2.compacted && repT2.dataFilesAfter === nBefore)
   }
 
+  test("Maintenance.run with a ttl predicate — the complete ops cron " +
+    "in one call: heal, retain (report-carried evidence incl. the " +
+    "null-partition count), census; refused loudly on index families") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, when, lit}
+    import graft.operators.{Dedup, Maintenance}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars", $"source")
+    // corpus table partitioned by a nullable source (src3 nulled)
+    val table = tmp("maint-ttl-table").toString
+    docs.withColumn("src", when(col("source") === "src3", lit(null))
+        .otherwise(col("source")))
+      .drop("source")
+      .repartition(4, col("src"))
+      .write.mode("overwrite").partitionBy("src").parquet(table)
+    val hfs = new Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomedRows = spark.read.parquet(table)
+      .where(col("src").cast("string").substr(4, 10).cast("int") >= 15)
+      .count()
+    val rep = Maintenance.run(spark, table, maxFilesPerDir = 64,
+      ttl = Some(col("src").substr(4, 10).cast("int") >= 15))
+    assert(rep.family === "table")
+    assert(rep.ttlRowsDropped === doomedRows && rep.ttlDirsDropped === 5L)
+    assert(rep.ttlNullLeavesRetained === 1L,
+      "the window's report must carry the null-partition alert")
+    assert(!hfs.exists(new Path(table, "src=src15")))
+    assert(hfs.exists(new Path(table, "src=__HIVE_DEFAULT_PARTITION__")))
+    assert(rep.leafDirs === 15L) // 19 named sources - 5 dropped + null
+    // idempotent second window: sweep finds nothing, still reports the
+    // retained null leaf
+    val rep2 = Maintenance.run(spark, table, maxFilesPerDir = 64,
+      ttl = Some(col("src").substr(4, 10).cast("int") >= 15))
+    assert(rep2.ttlRowsDropped === 0L && rep2.ttlDirsDropped === 0L)
+    assert(rep2.ttlNullLeavesRetained === 1L)
+    // a TTL on a stored index is refused loudly
+    val lsh = tmp("maint-ttl-lsh").toString
+    Dedup.writeBucketIndex(docs.select($"doc_id",
+      $"source".as("text")), lsh, "text", "doc_id", parts = 4)
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.run(spark, lsh, ttl = Some(col("bpart") >= 0))
+    }
+    assert(err.getMessage.contains("retention is a corpus-table policy"))
+  }
+
   test("ComplianceLog — all three takedown streams share ONE auditable " +
     "ledger: per-batch evidence lines match the callbacks, a replayed " +
     "append preserves the original counts, crashed inflight dirs " +

@@ -881,6 +881,32 @@ class RecoverySpec extends SparkSpec {
     assert(left === Set(3L, 4L))
   }
 
+  test("dropPartitionsWhere: EMPTY doomed leaves (crash leftovers) are " +
+    "dropped and audited as zero rows — including the all-empty batch " +
+    "that would leave the only-doomed-paths reader without a schema") {
+    import spark.implicits._
+    val dir = tmpDir("graft_drop_emptyleaf")
+    (0L until 40L).toDF("id")
+      .withColumn("p", (col("id") / 10).cast("int"))
+      .repartition(4, col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(dir)
+    val root = new Path(dir)
+    fs.mkdirs(new Path(root, "p=9")) // a data-less leaf
+    // mixed batch: p=3 holds 10 rows, p=9 none
+    val (r1, d1, _) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("p").cast("int") >= 3)
+    assert((r1, d1) === ((10L, 2L)))
+    assert(!fs.exists(new Path(root, "p=3")) &&
+      !fs.exists(new Path(root, "p=9")))
+    // all-empty batch: nothing to read, still dropped and reported
+    fs.mkdirs(new Path(root, "p=8"))
+    val (r2, d2, _) = PartitionedSink.dropPartitionsWhere(spark, dir,
+      col("p").cast("int") === 8)
+    assert((r2, d2) === ((0L, 1L)))
+    assert(!fs.exists(new Path(root, "p=8")))
+    assert(spark.read.parquet(dir).count() === 30L)
+  }
+
   test("retried append after an append crash recovers FIRST: the " +
     "leftover intent marker triggers a footer-recount repin before " +
     "the new batch's arithmetic, so the count stays exact on the most " +
