@@ -106,19 +106,30 @@ private[graft] object IndexCompact {
     * exactly where consistency must not be assumed). Cost: one listing
     * per partition directory — directory-count-bounded metadata, the
     * same class as the single-level listStatus it generalizes. */
-  private def leafDirsRaw(fs: FileSystem, root: Path): Seq[(String, Seq[String])] = {
+  private def leafDirsRaw(fs: FileSystem, root: Path): Seq[(String, Seq[String])] =
+    leafDirsWithInterior(fs, root)._1
+
+  /** The raw walk plus the INTERIOR `=`-dirs it passed through (dirs
+    * with `=`-children) — [[leafParts]] checks those for loose data
+    * files, a malformed state the leaf-only view cannot see. */
+  private def leafDirsWithInterior(fs: FileSystem, root: Path)
+      : (Seq[(String, Seq[String])], Seq[String]) = {
     val acc = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
+    val interior = scala.collection.mutable.ListBuffer.empty[String]
     def walk(dir: Path, rel: String, cols: Seq[String]): Unit = {
       val kids = eqDirs(fs, dir)
       if (kids.isEmpty) { if (cols.nonEmpty) acc += ((rel, cols)) }
-      else kids.foreach { k =>
-        val name = k.getPath.getName
-        walk(k.getPath, if (rel.isEmpty) name else s"$rel/$name",
-          cols :+ name.split("=", 2)(0))
+      else {
+        if (cols.nonEmpty) interior += rel
+        kids.foreach { k =>
+          val name = k.getPath.getName
+          walk(k.getPath, if (rel.isEmpty) name else s"$rel/$name",
+            cols :+ name.split("=", 2)(0))
+        }
       }
     }
     walk(root, "", Nil)
-    acc.toList
+    (acc.toList, interior.toList)
   }
 
   /** The table's partition layout: (partition columns outermost-first,
@@ -133,7 +144,7 @@ private[graft] object IndexCompact {
     * operating on half a tree is the wrong failure mode for a delete
     * engine. */
   private[graft] def leafParts(fs: FileSystem, root: Path): (Seq[String], Seq[String]) = {
-    val all = leafDirsRaw(fs, root)
+    val (all, interior) = leafDirsWithInterior(fs, root)
     if (all.isEmpty) return (Nil, Nil)
     val depth = all.map(_._2.length).max
     val (full, shallow) = all.partition(_._2.length == depth)
@@ -148,6 +159,18 @@ private[graft] object IndexCompact {
         s"mixed-depth partition layout under $root: $rel holds data " +
           s"files at depth ${rel.count(_ == '/') + 1} while the layout " +
           s"is ${cols.mkString("/")} — refusing to guess")
+    }
+    // an INTERIOR =dir holding loose data files next to its =children
+    // is the third malformed shape (r13 bound, now closed): the
+    // leaf-only view cannot represent those rows, so a delete/compact
+    // over the leaves would silently ignore them — and Spark's own
+    // partition discovery refuses the tree at read time anyway. One
+    // extra listing per interior dir (years, not leaves).
+    interior.foreach { rel =>
+      require(!hasDataFiles(fs, new Path(root, rel)),
+        s"mixed partition layout under $root: $rel holds data files " +
+          s"NEXT TO its partition subdirectories while the layout is " +
+          s"${cols.mkString("/")} — refusing to guess")
     }
     (cols, full.map(_._1))
   }

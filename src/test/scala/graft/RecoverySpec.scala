@@ -787,6 +787,18 @@ class RecoverySpec extends SparkSpec {
       dataFile))
     val (cols, leaves) = IndexCompact.leafParts(fs, root)
     assert(cols === Seq("yr", "mo") && leaves.size === 9)
+    // third malformed shape: data files NEXT TO =children inside an
+    // interior dir — the leaf-only view cannot represent those rows
+    assert(fs.rename(dataFile,
+      new Path(root, s"yr=1992/${dataFile.getName}")))
+    val err4 = intercept[IllegalArgumentException] {
+      IndexCompact.leafParts(fs, root)
+    }
+    assert(err4.getMessage.contains("NEXT TO"), err4.getMessage)
+    assert(err4.getMessage.contains("yr=1992"), err4.getMessage)
+    assert(fs.rename(new Path(root, s"yr=1992/${dataFile.getName}"),
+      dataFile))
+    assert(IndexCompact.leafParts(fs, root)._2.size === 9)
   }
 
   test("inconsistent-column-chain refusal: equal-depth leaves naming " +
