@@ -92,45 +92,92 @@ private[graft] object IndexCompact {
     st.isFile && !n.startsWith("_") && !n.startsWith(".")
   }
 
-  /** Data files directly inside `p` — directory-listing-bounded. */
-  private[graft] def dataFileCount(fs: FileSystem, p: Path): Long =
-    fs.listStatus(p).count(isDataFile).toLong
+  /** A data file as the walk's listing saw it — name and byte length
+    * (the length lets the balance footer reads seek straight to the
+    * parquet tail without a per-file `getFileStatus`). */
+  private[graft] final case class DataFileRef(name: String, len: Long)
 
-  private def hasDataFiles(fs: FileSystem, p: Path): Boolean =
-    fs.listStatus(p).exists(isDataFile)
+  /** One walked `=`-directory: root-relative path, the partition-column
+    * chain its path names, the DATA FILES listed directly inside it,
+    * and whether it has `=`-children. The walk retains each dir's
+    * single listing so the layout guards, the fragment census and the
+    * balance footer job never pay a second `listStatus` pass over the
+    * tree. */
+  private[operators] final case class PartDir(rel: String,
+      cols: Seq[String], dataFiles: Seq[DataFileRef], isLeaf: Boolean)
+
+  /** Threads for [[walkPartTree]]'s per-level fan-out. Listing is
+    * RTT-bound on object stores (tens of ms per dir — a 100k-leaf tree
+    * is half an hour sequential, seconds fanned out) and syscall-bound
+    * locally; Hadoop `FileSystem` metadata calls are thread-safe by
+    * contract. */
+  private val WalkParallelism = 16
+
+  /** All `=`-directories under `root` from ONE listing per directory,
+    * fanned out [[WalkParallelism]]-wide level by level. No layout
+    * validation: the raw view is what [[recover]]'s stranded-dir
+    * restore needs (a half-swapped tree is exactly where consistency
+    * must not be assumed); [[leafCensus]] layers the guards on top.
+    * The root's own loose files are not represented (nothing above the
+    * first `=`-level is partition data). Output is sorted by relative
+    * path so every consumer sees a deterministic order regardless of
+    * listing interleave. */
+  private def walkPartTree(fs: FileSystem, root: Path): Seq[PartDir] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ListBuffer.empty[PartDir]
+    var frontier: Seq[(Path, String, Seq[String])] = Seq((root, "", Nil))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      WalkParallelism,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-part-walk")
+        t.setDaemon(true)
+        t
+      })
+    try {
+      while (frontier.nonEmpty) {
+        val tasks = frontier.map { node =>
+          new java.util.concurrent.Callable[
+              ((Path, String, Seq[String]),
+                Array[org.apache.hadoop.fs.FileStatus])] {
+            def call() = (node, fs.listStatus(node._1))
+          }
+        }
+        val listed = pool.invokeAll(tasks.asJava).asScala.map { f =>
+          try f.get()
+          catch { // surface the listing's own exception, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+        val next = Seq.newBuilder[(Path, String, Seq[String])]
+        listed.foreach { case ((_, rel, cols), sts) =>
+          val kids = sts.filter(st =>
+            st.isDirectory && st.getPath.getName.contains("="))
+          if (cols.nonEmpty)
+            out += PartDir(rel, cols,
+              sts.filter(isDataFile)
+                .map(st => DataFileRef(st.getPath.getName, st.getLen))
+                .toSeq,
+              kids.isEmpty)
+          kids.foreach { k =>
+            val name = k.getPath.getName
+            next += ((k.getPath,
+              if (rel.isEmpty) name else s"$rel/$name",
+              cols :+ name.split("=", 2)(0)))
+          }
+        }
+        frontier = next.result()
+      }
+    } finally pool.shutdown()
+    out.toList.sortBy(_.rel)
+  }
 
   /** All LEAF `=`-directories under `root` as root-relative paths
     * (`p=1`; nested: `YEAR=2019/MONTH=4`) — a leaf is a `=`-dir with
-    * no `=`-children. No layout validation: the raw walk
-    * [[recover]]'s stranded-dir restore needs (a half-swapped tree is
-    * exactly where consistency must not be assumed). Cost: one listing
-    * per partition directory — directory-count-bounded metadata, the
-    * same class as the single-level listStatus it generalizes. */
+    * no `=`-children. See [[walkPartTree]] for cost and (absent)
+    * validation. */
   private def leafDirsRaw(fs: FileSystem, root: Path): Seq[(String, Seq[String])] =
-    leafDirsWithInterior(fs, root)._1
-
-  /** The raw walk plus the INTERIOR `=`-dirs it passed through (dirs
-    * with `=`-children) — [[leafParts]] checks those for loose data
-    * files, a malformed state the leaf-only view cannot see. */
-  private def leafDirsWithInterior(fs: FileSystem, root: Path)
-      : (Seq[(String, Seq[String])], Seq[String]) = {
-    val acc = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
-    val interior = scala.collection.mutable.ListBuffer.empty[String]
-    def walk(dir: Path, rel: String, cols: Seq[String]): Unit = {
-      val kids = eqDirs(fs, dir)
-      if (kids.isEmpty) { if (cols.nonEmpty) acc += ((rel, cols)) }
-      else {
-        if (cols.nonEmpty) interior += rel
-        kids.foreach { k =>
-          val name = k.getPath.getName
-          walk(k.getPath, if (rel.isEmpty) name else s"$rel/$name",
-            cols :+ name.split("=", 2)(0))
-        }
-      }
-    }
-    walk(root, "", Nil)
-    (acc.toList, interior.toList)
-  }
+    walkPartTree(fs, root).collect { case d if d.isLeaf => (d.rel, d.cols) }
 
   /** The table's partition layout: (partition columns outermost-first,
     * leaf directories as root-relative paths). Single-level tables
@@ -144,35 +191,52 @@ private[graft] object IndexCompact {
     * operating on half a tree is the wrong failure mode for a delete
     * engine. */
   private[graft] def leafParts(fs: FileSystem, root: Path): (Seq[String], Seq[String]) = {
-    val (all, interior) = leafDirsWithInterior(fs, root)
+    val (cols, leaves) = leafCensus(fs, root)
+    (cols, leaves.map(_.rel))
+  }
+
+  /** One full-depth leaf with the data files its single walk listing
+    * saw — [[leafCensus]]'s unit. */
+  private[graft] final case class LeafInfo(rel: String,
+      dataFiles: Seq[DataFileRef])
+
+  /** [[leafParts]] plus each leaf's data-file names, all from the ONE
+    * listing per directory [[walkPartTree]] already paid — the
+    * fragment census and the balance footer job consume these instead
+    * of re-listing every leaf. Guards identical to [[leafParts]]
+    * (this IS its implementation). */
+  private[graft] def leafCensus(fs: FileSystem, root: Path)
+      : (Seq[String], Seq[LeafInfo]) = {
+    val dirs = walkPartTree(fs, root)
+    val all = dirs.filter(_.isLeaf)
     if (all.isEmpty) return (Nil, Nil)
-    val depth = all.map(_._2.length).max
-    val (full, shallow) = all.partition(_._2.length == depth)
-    val cols = full.head._2
-    full.foreach { case (rel, cs) =>
-      require(cs == cols, s"inconsistent partition layout under $root: " +
-        s"$rel names columns ${cs.mkString("/")}, " +
+    val depth = all.map(_.cols.length).max
+    val (full, shallow) = all.partition(_.cols.length == depth)
+    val cols = full.head.cols
+    full.foreach { d =>
+      require(d.cols == cols, s"inconsistent partition layout under $root: " +
+        s"${d.rel} names columns ${d.cols.mkString("/")}, " +
         s"expected ${cols.mkString("/")}")
     }
-    shallow.foreach { case (rel, _) =>
-      require(!hasDataFiles(fs, new Path(root, rel)),
-        s"mixed-depth partition layout under $root: $rel holds data " +
-          s"files at depth ${rel.count(_ == '/') + 1} while the layout " +
+    shallow.foreach { d =>
+      require(d.dataFiles.isEmpty,
+        s"mixed-depth partition layout under $root: ${d.rel} holds data " +
+          s"files at depth ${d.rel.count(_ == '/') + 1} while the layout " +
           s"is ${cols.mkString("/")} — refusing to guess")
     }
     // an INTERIOR =dir holding loose data files next to its =children
     // is the third malformed shape (r13 bound, now closed): the
     // leaf-only view cannot represent those rows, so a delete/compact
     // over the leaves would silently ignore them — and Spark's own
-    // partition discovery refuses the tree at read time anyway. One
-    // extra listing per interior dir (years, not leaves).
-    interior.foreach { rel =>
-      require(!hasDataFiles(fs, new Path(root, rel)),
-        s"mixed partition layout under $root: $rel holds data files " +
+    // partition discovery refuses the tree at read time anyway. The
+    // walk's retained listings make this check free.
+    dirs.filterNot(_.isLeaf).foreach { d =>
+      require(d.dataFiles.isEmpty,
+        s"mixed partition layout under $root: ${d.rel} holds data files " +
           s"NEXT TO its partition subdirectories while the layout is " +
           s"${cols.mkString("/")} — refusing to guess")
     }
-    (cols, full.map(_._1))
+    (cols, full.map(d => LeafInfo(d.rel, d.dataFiles)))
   }
 
   private def sibling(root: Path, suffix: String) =
@@ -362,12 +426,13 @@ private[graft] object IndexCompact {
     val root = new Path(indexPath)
     val fs = fsOf(spark, root)
 
-    def dataFiles(): Long = leafParts(fs, root)._2
-      .map(rel => dataFileCount(fs, new Path(root, rel))).sum
+    def dataFiles(): Long = leafCensus(fs, root)._2
+      .map(_.dataFiles.size.toLong).sum
 
-    val (partCols, leaves) = leafParts(fs, root)
+    val (partCols, census) = leafCensus(fs, root)
+    val leaves = census.map(_.rel)
     if (leaves.isEmpty) return (0L, 0L)
-    val before = dataFiles()
+    val before = census.map(_.dataFiles.size.toLong).sum
 
     val tmp = sibling(root, ".compact_tmp")
     fs.delete(tmp, true)

@@ -2,7 +2,25 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max => smax}
+
+/** Serializable carrier for the session's Hadoop `Configuration`
+  * (filesystem credentials, scheme implementations) into the balance
+  * footer-read tasks — `Configuration` is `Writable` but not
+  * `Serializable`. */
+private final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
 
 /** ONE-CALL maintenance window for any graft-maintained stored table —
   * the single entry point an ops cron calls (r11 stretch item 8),
@@ -93,7 +111,7 @@ object Maintenance {
       case None => (0L, 0L, 0L)
     }
     // census AFTER the sweep: the report describes the post-window tree
-    val (partCols, leaves, before, maxPer) = fragmentCensus(spark, path)
+    val (leaves, before, maxPer) = fragmentCensus(spark, path)
     val shouldCompact = maxPer > maxFilesPerDir && family != Table
     val after =
       if (!shouldCompact) before
@@ -101,21 +119,17 @@ object Maintenance {
         case IvfPq => Similarity.compactIvfPqIndex(spark, path)._2
         case _ => Dedup.compactBucketIndex(spark, path)._2
       }
-    // the balance denominator must be the CURRENT leaf count: the swap
+    // the balance census must describe the CURRENT tree: the swap
     // manifest computes `remove` precisely because a compact is not
     // guaranteed to preserve every partition value (an emptied leaf is
-    // dropped), so dividing by the pre-compaction census would silently
+    // dropped), so reusing the pre-compaction census would silently
     // skew max/mean after any leaf-dropping compact (r12 ADVICE). The
     // recount is one listing per partition directory — the same
     // metadata class as the census itself, paid only when a compact ran.
     val leavesNow =
-      if (shouldCompact) {
-        val root = new Path(path)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        IndexCompact.leafParts(fs, root)._2.size.toLong
-      } else leaves.size.toLong
-    Report(family, actions, leavesNow, before, maxPer,
-      shouldCompact, after, balance(spark, path, partCols, leavesNow),
+      if (shouldCompact) fragmentCensus(spark, path)._1 else leaves
+    Report(family, actions, leavesNow.size.toLong, before, maxPer,
+      shouldCompact, after, balance(spark, path, leavesNow),
       ttlRows, ttlDirs, ttlNulls)
   }
 
@@ -132,32 +146,96 @@ object Maintenance {
       case _ => Table
     }
 
-  /** (partition columns, leaf dirs, total data files, max files in one
-    * leaf) — ONE tree walk, one listing per partition directory,
-    * metadata only; threaded through so [[balance]] never re-walks. */
+  /** (leaves with their data-file names, total data files, max files
+    * in one leaf) — ONE tree walk, one listing per partition
+    * directory, metadata only; the retained file lists are threaded
+    * through so [[balance]] never re-lists anything. */
   private def fragmentCensus(spark: SparkSession,
-      path: String): (Seq[String], Seq[String], Long, Long) = {
+      path: String): (Seq[IndexCompact.LeafInfo], Long, Long) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (Nil, Nil, 0L, 0L)
-    val (partCols, leaves) = IndexCompact.leafParts(fs, root)
-    val perDir = leaves.map(rel =>
-      IndexCompact.dataFileCount(fs, new Path(root, rel)))
-    (partCols, leaves, perDir.sum,
-      if (perDir.isEmpty) 0L else perDir.max)
+    if (!fs.exists(root)) return (Nil, 0L, 0L)
+    val leaves = IndexCompact.leafCensus(fs, root)._2
+    val perDir = leaves.map(_.dataFiles.size.toLong)
+    (leaves, perDir.sum, if (perDir.isEmpty) 0L else perDir.max)
   }
 
-  /** Max/mean leaf row ratio from a partition-column-only aggregate —
-    * q308's balance number without reading a data page. */
+  /** Max/mean leaf row ratio from parquet FOOTER record counts over
+    * the census's retained file lists — a distributed metadata job
+    * (`sc.parallelize` over the file list, tail reads only, a two-long
+    * aggregate back to the driver), never a table scan. The DataFrame
+    * aggregate this replaces paid a fresh driver file listing plus one
+    * scheduled scan task per small-file pack — ~20 s of the 26 s
+    * window wall at 16k leaves (wide-layout probe). Task count is
+    * parallelism-bounded, not file-bounded, so 100k-leaf trees
+    * schedule ~64 tasks, not 100k. */
   private def balance(spark: SparkSession, path: String,
-      partCols: Seq[String], leaves: Long): Double = {
-    if (leaves == 0L) return Double.NaN
-    val hist = spark.read.parquet(path)
-      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .agg(smax(col("n")).as("mx"), org.apache.spark.sql.functions
-        .sum(col("n")).as("total"))
-      .collect()(0)
-    if (hist.isNullAt(0)) Double.NaN
-    else hist.getLong(0).toDouble / (hist.getLong(1).toDouble / leaves)
+      leaves: Seq[IndexCompact.LeafInfo]): Double = {
+    if (leaves.isEmpty) return Double.NaN
+    val root = new Path(path)
+    val files = leaves.flatMap(l => l.dataFiles.map(f =>
+      (l.rel, new Path(new Path(root, l.rel), f.name).toString, f.len)))
+    if (files.isEmpty) return Double.NaN
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val (mx, total) = spark.sparkContext
+      .parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = hconf.value
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        it.map { case (leaf, f, len) =>
+          val p = new Path(f)
+          if (fs == null) fs = p.getFileSystem(conf)
+          (leaf, footerRowCount(fs, p, len))
+        }
+      }
+      .reduceByKey(_ + _) // per-leaf rows: one tiny shuffle, ≤ |leaves| rows
+      .map(_._2)
+      .aggregate((0L, 0L))(
+        { case ((m, t), n) => (math.max(m, n), t + n) },
+        { case ((m1, t1), (m2, t2)) => (math.max(m1, m2), t1 + t2) })
+    // mean over ALL leaf dirs (a row-less leaf still counts — same
+    // denominator the DataFrame form used)
+    if (total == 0L) Double.NaN
+    else mx.toDouble / (total.toDouble / leaves.size)
+  }
+
+  /** `num_rows` from one parquet footer, read directly: seek to the
+    * tail (the census's retained length — no `getFileStatus`), check
+    * the plaintext magic, read the thrift `FileMetaData`. This
+    * bypasses the `ParquetFileReader`/`HadoopInputFile` stack, whose
+    * per-open overhead measured ~6.5 ms/file AND lock-limited a
+    * 32-thread pool to ~10× sequential (wide-layout probe: 16k tiny
+    * footers took ~11 s through the stack vs 0.06 s as raw tail
+    * reads); the direct read is two seeks + one thrift parse per
+    * file, through the same `FileSystem` abstraction every store
+    * supports. Encrypted footers (`PARE` magic) are refused loudly —
+    * a balance report is not worth guessing at crypto. */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, len: Long): Long = {
+    require(len >= 12, s"not a parquet file (too short, $len bytes): $p")
+    val in = fs.open(p)
+    try {
+      in.seek(len - 8)
+      val tail = new Array[Byte](8)
+      in.readFully(tail)
+      val magic = new String(tail, 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(magic == "PAR1",
+        s"unsupported parquet tail magic '$magic' (encrypted footers " +
+          s"are not balance-scannable): $p")
+      val fLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(fLen > 0 && fLen <= len - 8,
+        s"corrupt parquet footer length $fLen in $len-byte file: $p")
+      val fBuf = new Array[Byte](fLen)
+      in.seek(len - 8 - fLen)
+      in.readFully(fBuf)
+      org.apache.parquet.format.Util
+        .readFileMetaData(new java.io.ByteArrayInputStream(fBuf))
+        .getNum_rows
+    } finally in.close()
   }
 }

@@ -234,6 +234,37 @@ class LifecycleSpec extends SparkSpec {
     assert(!repT2.compacted && repT2.dataFilesAfter === nBefore)
   }
 
+  test("Maintenance balance ≡ the DataFrame groupBy ratio on a skewed " +
+    "multi-file layout: the direct footer tail-reads carry the same " +
+    "row counts as a full scan (r13: the footer job replaces the " +
+    "task-per-file aggregate)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val table = tmp("maint-balance").toString
+    // deliberately skewed: leaf sizes 10/40/150, fragmented across
+    // two appends so several leaves hold multiple files
+    val part = spark.range(200).select(col("id"),
+      org.apache.spark.sql.functions.when(col("id") < 10, lit(0))
+        .when(col("id") < 50, lit(1)).otherwise(lit(2)).as("g"))
+    part.write.mode("overwrite").partitionBy("g").parquet(table)
+    part.write.mode("append").partitionBy("g").parquet(table)
+    val hist = spark.read.parquet(table)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val expected = hist.max.toDouble / (hist.sum.toDouble / hist.length)
+    val rep = graft.operators.Maintenance.run(spark, table,
+      maxFilesPerDir = 64)
+    assert(rep.family === "table" && !rep.compacted)
+    assert(rep.leafDirs === 3 && rep.dataFilesBefore > 3,
+      s"fixture must fragment: $rep")
+    // exact equality: both sides are ratios of the same exact longs
+    assert(rep.balanceMaxOverMean === expected,
+      s"footer balance ${rep.balanceMaxOverMean} != scan $expected")
+    val hfs2 = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs2.delete(new Path(table), true)
+  }
+
   test("Maintenance.run with a ttl predicate — the complete ops cron " +
     "in one call: heal, retain (report-carried evidence incl. the " +
     "null-partition count), census; refused loudly on index families") {
