@@ -566,11 +566,20 @@ object Streaming {
     * The admitted remainder flows through probe → sink → append
     * unchanged, so streaming ≡ batch still holds over admitted rows
     * (StreamingSpec). The default budget admits everything and skips
-    * the gate entirely — zero cost unless opted in. */
+    * the gate entirely — zero cost unless opted in.
+    *
+    * `quarantine` delivery is at-least-once (plain foreachBatch
+    * semantics). With `quarantineStore` set, the over-budget rows land
+    * in a [[graft.sinks.QuarantineStore]] keyed by (checkpoint
+    * lineage, batchId) BEFORE the callback, and a replayed batch that
+    * finds its evidence file already present skips BOTH the store
+    * append and the callback — quarantine evidence becomes
+    * exactly-once end to end (StreamingSpec pins the replay skip). */
   def dedupMaintenanceStream(docs: DataFrame, textCol: String,
       idCol: String, indexPath: String, checkpointPath: String,
       admitBudget: Long = Long.MaxValue,
-      quarantine: (DataFrame, Long) => Unit = (_, _) => ())(
+      quarantine: (DataFrame, Long) => Unit = (_, _) => (),
+      quarantineStore: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -585,7 +594,13 @@ object Streaming {
             val over = all.join(adm.where(!col("admit"))
               .select(col(idCol), col("est_candidates")), Seq(idCol))
               .localCheckpoint(true)
-            if (over.count() > 0) quarantine(over, batchId)
+            if (over.count() > 0) {
+              val fresh = quarantineStore.forall(sp =>
+                graft.sinks.QuarantineStore.append(all.sparkSession, sp,
+                  canonicalLineage(all.sparkSession, checkpointPath),
+                  batchId, over))
+              if (fresh) quarantine(over, batchId)
+            }
             all.join(adm.where(col("admit")).select(col(idCol)),
               Seq(idCol), "left_semi").localCheckpoint(true)
           }
@@ -739,12 +754,18 @@ object Streaming {
     * [[graft.operators.Similarity.appendToIvfPqIndex]]. The admitted
     * remainder flows through scan → sink → append unchanged
     * (streaming ≡ batch over admitted rows, StreamingSpec). The
-    * default budget admits everything and skips the gate entirely. */
+    * default budget admits everything and skips the gate entirely.
+    *
+    * `quarantine` delivery is at-least-once; with `quarantineStore`
+    * set it becomes exactly-once, keyed by (checkpoint lineage,
+    * batchId) — see [[dedupMaintenanceStream]], the contract is
+    * shared. */
   def annMaintenanceStream(vectors: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpointPath: String,
       nprobe: Int, k: Int, shortlist: Int = 0,
       admitBudget: Long = Long.MaxValue,
-      quarantine: (DataFrame, Long) => Unit = (_, _) => ())(
+      quarantine: (DataFrame, Long) => Unit = (_, _) => (),
+      quarantineStore: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -759,7 +780,13 @@ object Streaming {
             val over = all.join(adm.where(!col("admit"))
               .select(col("query_id").as(idCol), col("est_rows")),
               Seq(idCol)).localCheckpoint(true)
-            if (over.count() > 0) quarantine(over, batchId)
+            if (over.count() > 0) {
+              val fresh = quarantineStore.forall(sp =>
+                graft.sinks.QuarantineStore.append(all.sparkSession, sp,
+                  canonicalLineage(all.sparkSession, checkpointPath),
+                  batchId, over))
+              if (fresh) quarantine(over, batchId)
+            }
             all.join(adm.where(col("admit"))
               .select(col("query_id").as(idCol)), Seq(idCol),
               "left_semi").localCheckpoint(true)

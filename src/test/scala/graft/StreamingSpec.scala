@@ -1769,4 +1769,75 @@ class StreamingSpec extends SparkSpec {
     assert(!idxIds.contains(500L))
     assert(idxIds.contains(501L) && idxIds.contains(502L))
   }
+
+  test("quarantineStore makes quarantine evidence exactly-once: a " +
+    "replayed over-budget batch skips both the store append and the " +
+    "callback; the store read-back carries the original evidence " +
+    "(r13: closes the at-least-once quarantine-delivery bound)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = "the same boilerplate text repeated across this " +
+      "corpus again and again verbatim"
+    def uniq(i: Long) = s"unique document number $i carrying distinct " +
+      s"content token$i alpha beta gamma delta epsilon zeta"
+    val corpus = ((0L until 40L).map(i => (i, boiler)) ++
+      (100L until 120L).map(i => (i, uniq(i)))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_qstore_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_qstore_cp").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_qstore_evidence").toString
+    graft.operators.Dedup.writeBucketIndex(corpus, idx, "text",
+      "doc_id", parts = 16)
+    val est = graft.operators.Dedup.probeAdmission(spark, idx,
+      Seq((500L, boiler), (501L, uniq(100))).toDF("doc_id", "text"),
+      "text", "doc_id", Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val budget = (est(500L) + est(501L)) / 2
+    var calls = 0
+    def runOnce(): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.dedupMaintenanceStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, cp,
+        admitBudget = budget,
+        quarantine = (_, _) => calls += 1,
+        quarantineStore = Some(store)) { (_, _) => () }
+      mem.addData((500L, boiler), (501L, uniq(100)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    assert(calls === 1)
+    val stored0 = graft.sinks.QuarantineStore.read(spark, store).get
+      .select("doc_id", "est_candidates").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored0 === Set((500L, est(500L))),
+      "the store carries the evidence row with its measured volume")
+    // the replay a crash-before-checkpoint-commit produces: wipe the
+    // checkpoint so batch 0 re-offers under the SAME canonical lineage
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(cp), true))
+    runOnce()
+    assert(calls === 1,
+      "a replayed batch must not re-deliver quarantine evidence")
+    val stored1 = graft.sinks.QuarantineStore.read(spark, store).get
+      .select("doc_id", "est_candidates").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored1 === stored0, "the original evidence stands")
+    // direct replay of the key: append refuses, rows unchanged
+    assert(!graft.sinks.QuarantineStore.append(spark, store,
+      Streaming.canonicalLineage(spark, cp), 0L,
+      Seq((999L, 999L)).toDF("doc_id", "est_candidates")))
+    // recover sweeps a crashed inflight dir and loses nothing final
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store, ".inflight-crashed"))
+    assert(graft.sinks.QuarantineStore.recover(spark, store) ===
+      Seq(".inflight-crashed"))
+    assert(graft.sinks.QuarantineStore.read(spark, store).get.count() === 1)
+    // an empty store reads as None, not an error
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_qstore_empty").toString
+    assert(graft.sinks.QuarantineStore.read(spark, empty).isEmpty)
+  }
 }
