@@ -5,6 +5,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{col, count, lit}
 
+/** Serializable carrier for the session's Hadoop `Configuration`
+  * (filesystem credentials, scheme implementations) into the footer
+  * read tasks — `Configuration` is `Writable` but not
+  * `Serializable`. */
+private final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 /** Compaction and deletion for the stored, `partitionBy`-laid-out index
   * families ([[Dedup.writeBucketIndex]]'s bpart layout and
   * [[Similarity.writeIvfPqIndex]]'s cell layout) — the lifecycle steps
@@ -237,6 +256,100 @@ private[graft] object IndexCompact {
           s"${cols.mkString("/")} — refusing to guess")
     }
     (cols, full.map(d => LeafInfo(d.rel, d.dataFiles)))
+  }
+
+  /** `num_rows` from one parquet footer, read directly: seek to the
+    * tail (the walk's retained length — no `getFileStatus`), check the
+    * plaintext magic, read the thrift `FileMetaData`. This bypasses
+    * the `ParquetFileReader`/`HadoopInputFile` stack, whose per-open
+    * overhead measured ~6.5 ms/file AND lock-limited a 32-thread pool
+    * to ~10× sequential (wide-layout probe: 16k tiny footers took
+    * ~11 s through the stack vs 0.06 s as raw tail reads); the direct
+    * read is two seeks + one thrift parse per file, through the same
+    * `FileSystem` abstraction every store supports. Encrypted footers
+    * (`PARE` magic) are refused loudly — a row count is not worth
+    * guessing at crypto. */
+  private def footerRowCount(fs: FileSystem, p: Path, len: Long): Long = {
+    require(len >= 12, s"not a parquet file (too short, $len bytes): $p")
+    val in = fs.open(p)
+    try {
+      in.seek(len - 8)
+      val tail = new Array[Byte](8)
+      in.readFully(tail)
+      val magic = new String(tail, 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(magic == "PAR1",
+        s"unsupported parquet tail magic '$magic' (encrypted footers " +
+          s"are not footer-scannable): $p")
+      val fLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(fLen > 0 && fLen <= len - 8,
+        s"corrupt parquet footer length $fLen in $len-byte file: $p")
+      val fBuf = new Array[Byte](fLen)
+      in.seek(len - 8 - fLen)
+      in.readFully(fBuf)
+      org.apache.parquet.format.Util
+        .readFileMetaData(new java.io.ByteArrayInputStream(fBuf))
+        .getNum_rows
+    } finally in.close()
+  }
+
+  /** Per-leaf row counts from footer tail reads over an
+    * already-listed `(leafRel, filePath, fileLen)` list — ONE
+    * distributed metadata job, NO shuffle: each task map-side-combines
+    * its slice into a partial (leaf → rows) map and the driver merges
+    * the partials. The file list is leaf-grouped, so partials barely
+    * overlap (≤ files + slices entries in total) and the merged map is
+    * the same leaf-count-bounded frame the census already holds.
+    * Shuffle-free deliberately: an RDD shuffle of (String, Long) makes
+    * Spark auto-select Kryo for the wire format, and Kryo's class
+    * registration needs `--add-opens java.base/java.nio` — a bare-JVM
+    * launcher (the driver's own Verify/Bench invocation) has no such
+    * flag, the q326 LocalDate lesson again. Task count is
+    * parallelism-bounded, not file-bounded, so 100k-leaf trees
+    * schedule ~64 tasks, not 100k. */
+  private[graft] def footerLeafRows(spark: SparkSession,
+      files: Seq[(String, String, Long)]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = hconf.value
+        var fs: FileSystem = null
+        val partial = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (leaf, f, len) =>
+          val p = new Path(f)
+          if (fs == null) fs = p.getFileSystem(conf)
+          partial.update(leaf,
+            partial.getOrElse(leaf, 0L) + footerRowCount(fs, p, len))
+        }
+        Iterator.single(partial.toMap)
+      }
+      .collect()
+      .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (leaf, n)) =>
+          a.updated(leaf, a.getOrElse(leaf, 0L) + n)
+        }
+      }
+  }
+
+  /** Total row count of a partition-laid-out table from footer
+    * metadata over [[leafCensus]]'s single listing pass — what the
+    * crash-recovery repins use instead of `read.parquet(..).count()`,
+    * which schedules a scan task per small-file pack and re-lists the
+    * tree it just walked. Zero for a dir with partition dirs but no
+    * data files (a fully-taken-down corpus). */
+  private[graft] def footerRowTotal(spark: SparkSession,
+      path: String): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val leaves = leafCensus(fs, root)._2
+    val files = leaves.flatMap(l => l.dataFiles.map(f =>
+      (l.rel, new Path(new Path(root, l.rel), f.name).toString, f.len)))
+    footerLeafRows(spark, files).valuesIterator.sum
   }
 
   private def sibling(root: Path, suffix: String) =

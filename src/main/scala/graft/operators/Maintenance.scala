@@ -3,25 +3,6 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SparkSession}
 
-/** Serializable carrier for the session's Hadoop `Configuration`
-  * (filesystem credentials, scheme implementations) into the balance
-  * footer-read tasks — `Configuration` is `Writable` but not
-  * `Serializable`. */
-private final class SerializableHadoopConf(
-    @transient private var conf: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-  def value: org.apache.hadoop.conf.Configuration = conf
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    conf.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    conf = new org.apache.hadoop.conf.Configuration(false)
-    conf.readFields(in)
-  }
-}
-
 /** ONE-CALL maintenance window for any graft-maintained stored table —
   * the single entry point an ops cron calls (r11 stretch item 8),
   * composing only existing operators: family-aware crash recovery →
@@ -162,8 +143,10 @@ object Maintenance {
 
   /** Max/mean leaf row ratio from parquet FOOTER record counts over
     * the census's retained file lists — a distributed metadata job
-    * (`sc.parallelize` over the file list, tail reads only, a two-long
-    * aggregate back to the driver), never a table scan. The DataFrame
+    * (`sc.parallelize` over the file list, tail reads only, partial
+    * per-leaf maps merged on the driver — see
+    * [[IndexCompact.footerLeafRows]] for why it is shuffle-free),
+    * never a table scan. The DataFrame
     * aggregate this replaces paid a fresh driver file listing plus one
     * scheduled scan task per small-file pack — ~20 s of the 26 s
     * window wall at 16k leaves (wide-layout probe). Task count is
@@ -176,66 +159,13 @@ object Maintenance {
     val files = leaves.flatMap(l => l.dataFiles.map(f =>
       (l.rel, new Path(new Path(root, l.rel), f.name).toString, f.len)))
     if (files.isEmpty) return Double.NaN
-    val hconf = new SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1, math.min(files.size,
-      spark.sparkContext.defaultParallelism * 2))
-    val (mx, total) = spark.sparkContext
-      .parallelize(files, slices)
-      .mapPartitions { it =>
-        val conf = hconf.value
-        var fs: org.apache.hadoop.fs.FileSystem = null
-        it.map { case (leaf, f, len) =>
-          val p = new Path(f)
-          if (fs == null) fs = p.getFileSystem(conf)
-          (leaf, footerRowCount(fs, p, len))
-        }
-      }
-      .reduceByKey(_ + _) // per-leaf rows: one tiny shuffle, ≤ |leaves| rows
-      .map(_._2)
-      .aggregate((0L, 0L))(
-        { case ((m, t), n) => (math.max(m, n), t + n) },
-        { case ((m1, t1), (m2, t2)) => (math.max(m1, m2), t1 + t2) })
+    val perLeaf = IndexCompact.footerLeafRows(spark, files)
+    if (perLeaf.isEmpty) return Double.NaN
+    val total = perLeaf.valuesIterator.sum
     // mean over ALL leaf dirs (a row-less leaf still counts — same
     // denominator the DataFrame form used)
     if (total == 0L) Double.NaN
-    else mx.toDouble / (total.toDouble / leaves.size)
-  }
-
-  /** `num_rows` from one parquet footer, read directly: seek to the
-    * tail (the census's retained length — no `getFileStatus`), check
-    * the plaintext magic, read the thrift `FileMetaData`. This
-    * bypasses the `ParquetFileReader`/`HadoopInputFile` stack, whose
-    * per-open overhead measured ~6.5 ms/file AND lock-limited a
-    * 32-thread pool to ~10× sequential (wide-layout probe: 16k tiny
-    * footers took ~11 s through the stack vs 0.06 s as raw tail
-    * reads); the direct read is two seeks + one thrift parse per
-    * file, through the same `FileSystem` abstraction every store
-    * supports. Encrypted footers (`PARE` magic) are refused loudly —
-    * a balance report is not worth guessing at crypto. */
-  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path, len: Long): Long = {
-    require(len >= 12, s"not a parquet file (too short, $len bytes): $p")
-    val in = fs.open(p)
-    try {
-      in.seek(len - 8)
-      val tail = new Array[Byte](8)
-      in.readFully(tail)
-      val magic = new String(tail, 4, 4,
-        java.nio.charset.StandardCharsets.US_ASCII)
-      require(magic == "PAR1",
-        s"unsupported parquet tail magic '$magic' (encrypted footers " +
-          s"are not balance-scannable): $p")
-      val fLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      require(fLen > 0 && fLen <= len - 8,
-        s"corrupt parquet footer length $fLen in $len-byte file: $p")
-      val fBuf = new Array[Byte](fLen)
-      in.seek(len - 8 - fLen)
-      in.readFully(fBuf)
-      org.apache.parquet.format.Util
-        .readFileMetaData(new java.io.ByteArrayInputStream(fBuf))
-        .getNum_rows
-    } finally in.close()
+    else perLeaf.valuesIterator.max.toDouble /
+      (total.toDouble / leaves.size)
   }
 }

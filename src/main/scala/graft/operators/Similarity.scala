@@ -736,9 +736,10 @@ object Similarity {
         "an empty serving index is a deployment error, not a frame")
     ivfPqEncode(corpus, idCol, vecCol, coarse, codebooks)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // corpus size feeds ivfPqShortlist at scan time; counting the
-    // WRITTEN table is parquet-footer metadata, not a second data scan
-    val n = corpus.sparkSession.read.parquet(path).count()
+    // corpus size feeds ivfPqShortlist at scan time; count the WRITTEN
+    // table from its footer metadata (one walk + tail reads — never a
+    // second data scan, and no task-per-file count job)
+    val n = IndexCompact.footerRowTotal(corpus.sparkSession, path)
     val meta = graft.config.Sidecar.newNode()
     meta.put("dim", dim)
     meta.put("m", m)
@@ -834,9 +835,11 @@ object Similarity {
     * swap and the family wrapper's count arithmetic
     * ([[deleteFromIvfPqIndex]] updates the sidecar only after
     * [[IndexCompact.deleteMatchingChecked]] returns), leaving the
-    * count stale. The recount is corpus-scale metadata I/O — exactly
-    * what the per-batch maintenance paths refuse — but recovery is the
-    * rare post-crash path, where exactness beats the one-time listing
+    * count stale. The recount is corpus-scale metadata I/O
+    * ([[IndexCompact.footerRowTotal]]: one parallel walk + footer tail
+    * reads, never data pages or a task-per-file count job) — more than
+    * the per-batch maintenance paths pay, but recovery is the rare
+    * post-crash path, where exactness beats the one-time metadata
     * cost.
     *
     * A crashed APPEND leaves no swap leftovers at all — only the
@@ -861,8 +864,7 @@ object Similarity {
     if (actions.nonEmpty) {
       val meta = graft.config.Sidecar.read(spark, path,
         "Similarity.writeIvfPqIndex")
-      val n = if (IndexCompact.hasPartDirs(spark, path))
-        spark.read.parquet(path).count() else 0L
+      val n = IndexCompact.footerRowTotal(spark, path)
       val updated = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
       updated.put("count", n)
       graft.config.Sidecar.write(spark, path, updated)
