@@ -1295,6 +1295,26 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q329: footer-metadata balance replay — the per-leaf row counts
+    // the maintenance window reads from parquet footer tails must
+    // equal a full recount of the doubled (two-append) skewed copy,
+    // and the balance ratio must match max/(total/leaves) computed in
+    // the same division order (exact double identity)
+    "q329_footer_balance" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN doc_id % 10 < 5 THEN 0
+        |    ELSE doc_id % 10 END AS part_g
+        |  FROM documents
+        |), per AS (
+        |  SELECT part_g, 2 * count(*) AS leaf_rows
+        |  FROM base GROUP BY part_g
+        |)
+        |SELECT part_g, leaf_rows,
+        |  CAST(MAX(leaf_rows) OVER () AS DOUBLE) /
+        |    (CAST(SUM(leaf_rows) OVER () AS DOUBLE) /
+        |     CAST(COUNT(*) OVER () AS DOUBLE)) AS balance
+        |FROM per ORDER BY part_g""".stripMargin,
+
     // q321: per batch doc, the probe's candidate-volume upper bound =
     // the sum of corpus bucket sizes over the doc's own (band, bucket)
     // cells — q29's banding replay split into corpus/batch sides

@@ -9360,6 +9360,58 @@ object Queries {
     res
   }
 
+  /** FOOTER-METADATA statistics, ORACLE-PROVEN — the maintenance
+    * window's balance engine ([[graft.operators.Maintenance.run]] over
+    * [[graft.operators.IndexCompact.footerLeafRows]], r13): per-leaf
+    * row counts read from parquet footer TAILS (two seeks + one thrift
+    * parse per file, through the census's retained listings — never a
+    * data page, never a task-per-file count job), on a deliberately
+    * SKEWED, two-append-fragmented partitioned copy so every leaf sums
+    * multiple footers. DuckDB recounts the leaves from the raw rows
+    * and recomputes max/(total/leaves) in the same division order, so
+    * the hash match pins the direct footer parser AND the report's
+    * balance ratio against an independent full count — the metadata
+    * path and the data path must agree exactly.
+    *
+    * Scale shape: one walk (one listing per directory, 16-wide) plus
+    * one parallelism-bounded footer job; the per-leaf frame is
+    * leaf-count-bounded driver data, the same class as the census
+    * itself. This is the statistics read a 100 TB table's balance
+    * report runs on every maintenance window, so its exactness gets a
+    * gate row, not just a spec assert. */
+  def q329FooterBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 5, lit(0L))
+          .otherwise(col("doc_id") % 10).as("g"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_footer_bal_").toString
+    docs.repartition(col("g"))
+      .write.mode("overwrite").partitionBy("g").parquet(tbl)
+    docs.repartition(col("g"))
+      .write.mode("append").partitionBy("g").parquet(tbl)
+    val rep = graft.operators.Maintenance.run(s, tbl, maxFilesPerDir = 64)
+    require(rep.family == "table" && rep.dataFilesBefore > rep.leafDirs,
+      s"fixture must fragment leaves across appends: $rep")
+    val root = new org.apache.hadoop.fs.Path(tbl)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val leaves = graft.operators.IndexCompact.leafCensus(fs, root)._2
+    val perLeaf = graft.operators.IndexCompact.footerLeafRows(s,
+      leaves.flatMap(l => l.dataFiles.map(f => (l.rel,
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, l.rel), f.name).toString,
+        f.len))))
+    // leaf-count-bounded driver frame (6 leaves), the census's own class
+    val rows = perLeaf.toSeq
+      .map { case (rel, n) =>
+        (rel.stripPrefix("g=").toLong, n, rep.balanceMaxOverMean)
+      }
+      .sortBy(_._1)
+    fs.delete(root, true): Unit
+    import s.implicits._
+    rows.toDF("part_g", "leaf_rows", "balance")
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9692,5 +9744,6 @@ object Queries {
     "q326_date_takedown" -> (q326DateTakedown _),
     "q327_null_partition_ttl" -> (q327NullPartitionTtl _),
     "q328_compliance_ledger" -> (q328ComplianceLedger _),
+    "q329_footer_balance" -> (q329FooterBalance _),
   )
 }
