@@ -29,14 +29,14 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale shape: one tiny file per micro-batch per target — audit
   * volume, not data volume. A deployment that runs takedown streams
-  * for years compacts the ledger like any other table
-  * ([[PartitionedSink.compact]], no partition columns) — but ONLY
-  * once the writing streams' replay horizon has passed the compacted
-  * range: the file NAME is the idempotence key, so compacting a
-  * batch the checkpoint can still replay would forget its skip state
-  * and let the replay's zeros re-append (the same retention logic as
+  * for years folds the old names away with [[compactBefore]] — but
+  * ONLY batches the writing streams' replay horizon has passed: the
+  * file NAME is the idempotence key, so compacting a batch the
+  * checkpoint can still replay would forget its skip state and let
+  * the replay's zeros re-append (the same retention logic as
   * [[graft.streaming.Streaming.appendOnce]]'s marker pruning —
-  * `minBatchesToRetain` behind the newest batch is safe). */
+  * `minBatchesToRetain` behind the newest batch is safe; the horizon
+  * is [[compactBefore]]'s explicit argument). */
 object ComplianceLog {
 
   /** Evidence schema. `lineage` is the stream's canonical checkpoint
@@ -97,17 +97,34 @@ object ComplianceLog {
     else spark.read.schema(Schema).parquet(logPath)
   }
 
-  /** Sweeps crashed `.inflight-*` dirs (a crash between the parquet
-    * write and the rename). The evidence line itself is NOT lost: the
-    * stream that crashed replays its batch, finds no final file, and
-    * re-appends. Returns the swept dir names. */
+  /** Folds every evidence file with batch id < `horizonBatchId` into
+    * one consolidated `compacted-<maxFolded>.parquet` — the ledger's
+    * long-run maintenance ([[EvidenceCompaction]]: manifest-committed,
+    * crash-rolls-forward, chains re-fold). THE CALLER OWNS THE
+    * HORIZON: pass at most (newest committed batch −
+    * `minBatchesToRetain`) across every stream writing this ledger —
+    * folding a batch a checkpoint can still replay forgets its
+    * replay-skip state and lets the replay's zeros re-append (the
+    * scaladoc'd caveat above, now enforced by one explicit argument
+    * instead of by hand). Returns (filesFolded, rowsFolded). */
+  def compactBefore(spark: SparkSession, logPath: String,
+      horizonBatchId: Long): (Long, Long) =
+    EvidenceCompaction.compactBefore(spark, logPath, horizonBatchId,
+      Some(Schema))
+
+  /** Rolls a crashed [[compactBefore]] forward (manifest-committed),
+    * then sweeps crashed append `.inflight-*` dirs (a crash between
+    * the parquet write and the rename). An append's evidence line is
+    * NOT lost: the stream that crashed replays its batch, finds no
+    * final file, and re-appends. Returns the action log. */
   def recover(spark: SparkSession, logPath: String): Seq[String] = {
+    val folded = EvidenceCompaction.recover(spark, logPath)
     val root = new Path(logPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Nil
+    if (!fs.exists(root)) return folded
     val stale = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith(".inflight-")).toSeq
     stale.foreach(p => fs.delete(p, true))
-    stale.map(_.getName)
+    folded ++ stale.map(_.getName)
   }
 }

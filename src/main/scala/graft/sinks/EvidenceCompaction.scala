@@ -1,0 +1,163 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Shared compaction engine for the name-keyed evidence stores
+  * ([[ComplianceLog]], [[QuarantineStore]]): folds every evidence file
+  * whose trailing batch id is OLDER than a caller-supplied replay
+  * horizon into one consolidated file. The stores' docs state the
+  * constraint this encodes: the file NAME is the replay-skip state, so
+  * only batches the writing stream's checkpoint can no longer re-offer
+  * (`minBatchesToRetain` behind the newest committed batch) may ever
+  * lose their individual names — the caller passes that horizon
+  * explicitly, this engine never guesses it.
+  *
+  * Crash-safe by the store's own discipline, extended with a manifest
+  * because a fold DELETES originals:
+  *
+  *  1. The doomed rows are read and written whole into the dot-prefixed
+  *     [[InflightDir]] (invisible to readers).
+  *  1. [[Manifest]] is written at the store root naming the destination
+  *     file and every original to remove — the COMMIT POINT: the
+  *     consolidated data is fully on disk inside the inflight dir.
+  *  1. Originals are deleted, the inflight part file is renamed to the
+  *     destination, manifest and inflight dir are removed.
+  *
+  * A crash before step 2 leaves an ignorable inflight dir (the
+  * store's recover sweeps it; originals untouched). A crash after
+  * step 2 rolls FORWARD deterministically ([[recover]]): delete any
+  * listed original still present, complete the rename, clean up —
+  * idempotent at every intermediate state. Same single-writer,
+  * no-reader window as the stores' other maintenance; a reader
+  * overlapping step 3 could see evidence rows missing mid-fold, which
+  * is exactly why the window exists.
+  *
+  * Consolidated files are named `compacted-<maxFoldedBatchId>.parquet`;
+  * their trailing id parses like any evidence file, so a LATER fold
+  * with a higher horizon folds earlier consolidations into the new one
+  * (chains never accumulate). */
+private[sinks] object EvidenceCompaction {
+  private[sinks] val Manifest = "_graft_compact.json"
+  private[sinks] val InflightDir = ".inflight-compact"
+  /** Reserved name prefix for consolidated files; appends refuse a key
+    * that would collide with it. */
+  private[sinks] val CompactedPrefix = "compacted"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isEvidenceFile(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith(".") &&
+      !name.startsWith("_")
+
+  /** Trailing batch id of an evidence file name
+    * (`target-lineage-<id>.parquet`, `<lineage>-<id>.parquet`,
+    * `compacted-<id>.parquet`) — refused loudly on anything else: a
+    * foreign file in an evidence store is a deployment error, and
+    * silently skipping it would exempt it from every future fold. */
+  private def idOf(name: String): Long = {
+    val stem = name.stripSuffix(".parquet")
+    val cut = stem.lastIndexOf('-')
+    require(cut >= 0 && cut < stem.length - 1,
+      s"not an evidence file name (no trailing batch id): $name")
+    try stem.substring(cut + 1).toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"not an evidence file name (non-numeric trailing id): $name")
+    }
+  }
+
+  /** Folds every evidence file with trailing id < `horizonBatchId`
+    * into one `compacted-<maxFolded>.parquet`. `schema` pins the read
+    * for fixed-schema stores (ComplianceLog); None infers from the
+    * files (QuarantineStore — one stream, one schema per store).
+    * Returns (filesFolded, rowsFolded); (0, 0) when fewer than two
+    * files are old enough (folding one file buys nothing). */
+  def compactBefore(spark: SparkSession, logPath: String,
+      horizonBatchId: Long, schema: Option[StructType]): (Long, Long) = {
+    val root = new Path(logPath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return (0L, 0L)
+    recover(spark, logPath): Unit // self-heal a crashed prior fold first
+    val doomed = fs.listStatus(root).map(_.getPath.getName)
+      .filter(isEvidenceFile)
+      .filter(n => idOf(n) < horizonBatchId)
+      .sorted.toSeq
+    if (doomed.size < 2) return (0L, 0L)
+    val dest = s"$CompactedPrefix-${doomed.map(idOf).max}.parquet"
+    val inflight = new Path(root, InflightDir)
+    fs.delete(inflight, true)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val rows = reader
+      .parquet(doomed.map(n => new Path(root, n).toString): _*)
+      .coalesce(1)
+    rows.write.mode("overwrite").parquet(inflight.toString)
+    val part = fs.listStatus(inflight).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"compaction inflight write produced no part file: $inflight"))
+    val nRows = spark.read.parquet(inflight.toString).count()
+    // COMMIT POINT: consolidated data is complete inside inflight
+    val node = graft.config.Sidecar.newNode()
+    node.put("dest", dest)
+    val arr = node.putArray("remove"); doomed.foreach(arr.add)
+    graft.config.Sidecar.writeNode(spark, new Path(root, Manifest), node)
+    applyFold(fs, root, dest, doomed)
+    (doomed.size.toLong, nRows)
+  }
+
+  /** The idempotent roll-forward loop: delete listed originals, move
+    * the inflight part to the destination, clean up. Every step is
+    * re-runnable after a crash at any point. */
+  private def applyFold(fs: FileSystem, root: Path, dest: String,
+      remove: Seq[String]): Unit = {
+    val destP = new Path(root, dest)
+    remove.filterNot(_ == dest)
+      .foreach(n => fs.delete(new Path(root, n), false))
+    val inflight = new Path(root, InflightDir)
+    if (fs.exists(inflight)) {
+      fs.listStatus(inflight).map(_.getPath)
+        .find(_.getName.startsWith("part-")).foreach { part =>
+          // dest may be among the folded names (an earlier compacted
+          // chain with the same max id) — it was deleted above, so the
+          // rename lands clean; if dest survives a replayed recover,
+          // the part is already gone and this branch is skipped
+          fs.delete(destP, false)
+          require(fs.rename(part, destP),
+            s"evidence compaction rename failed: $part -> $destP")
+        }
+      require(fs.delete(inflight, true),
+        s"evidence compaction cleanup failed: $inflight")
+    }
+    require(fs.delete(new Path(root, Manifest), false) ||
+      !fs.exists(new Path(root, Manifest)),
+      s"evidence compaction manifest cleanup failed under $root")
+  }
+
+  /** Rolls a crashed fold forward (manifest present — the consolidated
+    * data is complete, finish the deletes/rename) or sweeps an
+    * uncommitted inflight dir (no manifest — originals untouched).
+    * Idempotent; returns the action log (empty = nothing to do). */
+  def recover(spark: SparkSession, logPath: String): Seq[String] = {
+    val root = new Path(logPath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Nil
+    val manifestP = new Path(root, Manifest)
+    graft.config.Sidecar.readNode(spark, manifestP) match {
+      case Some(m) =>
+        val dest = m.get("dest").asText()
+        val remove = graft.config.Sidecar.strings(m, "remove")
+        applyFold(fs, root, dest, remove)
+        Seq(s"rolled forward crashed evidence fold into $dest " +
+          s"(${remove.size} originals)")
+      case None =>
+        val inflight = new Path(root, InflightDir)
+        if (fs.exists(inflight)) {
+          fs.delete(inflight, true)
+          Seq(s"swept uncommitted evidence fold: $InflightDir")
+        } else Nil
+    }
+  }
+}

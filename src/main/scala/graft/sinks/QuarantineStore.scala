@@ -27,10 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plus the gate's estimate column, which differ per gate family);
   * point each stream at its own directory. Scale shape: one tiny file
   * per quarantining micro-batch — incident volume, not data volume.
-  * The compaction caveat is [[ComplianceLog]]'s verbatim: the file
-  * name is the skip state, so only batches beyond the writing stream's
-  * replay horizon (`minBatchesToRetain` behind the newest) may ever be
-  * folded together. */
+  * Old names fold away with [[compactBefore]] under
+  * [[ComplianceLog]]'s caveat verbatim: the file name is the skip
+  * state, so only batches beyond the writing stream's replay horizon
+  * (`minBatchesToRetain` behind the newest) may ever be folded
+  * together — the horizon is the explicit argument. */
 object QuarantineStore {
 
   /** Appends `rows` as the (lineage, batchId) quarantine evidence
@@ -38,8 +39,10 @@ object QuarantineStore {
     * written (false = replay; the original evidence stands). */
   def append(spark: SparkSession, storePath: String, lineage: String,
       batchId: Long, rows: DataFrame): Boolean = {
-    require(lineage.matches("[A-Za-z0-9._-]+"),
-      s"quarantine lineage must be a plain name, got '$lineage'")
+    require(lineage.matches("[A-Za-z0-9._-]+") &&
+      lineage != EvidenceCompaction.CompactedPrefix,
+      s"quarantine lineage must be a plain non-reserved name, got " +
+        s"'$lineage'")
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
@@ -71,17 +74,30 @@ object QuarantineStore {
     if (!hasFiles) None else Some(spark.read.parquet(storePath))
   }
 
-  /** Sweeps crashed `.inflight-*` dirs (a crash between the parquet
-    * write and the rename). The evidence is NOT lost: the stream that
-    * crashed replays its batch, finds no final file, and re-appends.
-    * Returns the swept dir names. */
+  /** Folds every quarantine file with batch id < `horizonBatchId`
+    * into one consolidated file — same engine, contract and
+    * caller-owned horizon as
+    * [[ComplianceLog.compactBefore]] ([[EvidenceCompaction]]); the
+    * schema is inferred from the store's own files (one stream, one
+    * schema per store). Returns (filesFolded, rowsFolded). */
+  def compactBefore(spark: SparkSession, storePath: String,
+      horizonBatchId: Long): (Long, Long) =
+    EvidenceCompaction.compactBefore(spark, storePath, horizonBatchId,
+      None)
+
+  /** Rolls a crashed [[compactBefore]] forward (manifest-committed),
+    * then sweeps crashed append `.inflight-*` dirs (a crash between
+    * the parquet write and the rename). An append's evidence is NOT
+    * lost: the stream that crashed replays its batch, finds no final
+    * file, and re-appends. Returns the action log. */
   def recover(spark: SparkSession, storePath: String): Seq[String] = {
+    val folded = EvidenceCompaction.recover(spark, storePath)
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Nil
+    if (!fs.exists(root)) return folded
     val stale = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith(".inflight-")).toSeq
     stale.foreach(p => fs.delete(p, true))
-    stale.map(_.getName)
+    folded ++ stale.map(_.getName)
   }
 }

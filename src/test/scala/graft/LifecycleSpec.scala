@@ -311,6 +311,80 @@ class LifecycleSpec extends SparkSpec {
     assert(err.getMessage.contains("retention is a corpus-table policy"))
   }
 
+  test("Evidence compaction (r13): compactBefore folds only batches " +
+    "past the caller's replay horizon, preserves every row and the " +
+    "skip state of live batches, re-folds chains, and a crashed fold " +
+    "rolls forward from its manifest") {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.{ComplianceLog, QuarantineStore}
+    val log = tmp("evc-log").toString
+    // two streams' evidence: lineage aaa batches 0..2, bbb 1/3/5
+    for (b <- Seq(0L, 1L, 2L))
+      assert(ComplianceLog.append(spark, log, "lsh", "t", "aaa", b,
+        10 + b, 1 + b))
+    for (b <- Seq(1L, 3L, 5L))
+      assert(ComplianceLog.append(spark, log, "ann", "t", "bbb", b,
+        20 + b, 2 + b))
+    def snapshot() = ComplianceLog.read(spark, log)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val before = snapshot()
+    val hfs = new Path(log)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def finals() = hfs.listStatus(new Path(log)).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).sorted
+    assert(finals().length === 6)
+    // fold everything the (caller-owned) horizon 4 has passed
+    val (folded, rows) = ComplianceLog.compactBefore(spark, log, 4L)
+    assert(folded === 5L && rows === 5L, s"($folded, $rows)")
+    assert(finals() === Array("ann-bbb-5.parquet", "compacted-3.parquet"))
+    assert(snapshot() === before, "every evidence row survives the fold")
+    // skip state: live batches keep refusing replays; folded batches
+    // deliberately DON'T — that is exactly why the horizon must be
+    // past the writing stream's replay window
+    assert(!ComplianceLog.append(spark, log, "ann", "t", "bbb", 5L, 0, 0))
+    assert(ComplianceLog.append(spark, log, "lsh", "t", "aaa", 0L, 10, 1))
+    // chain re-fold: a later horizon folds the earlier consolidation
+    val (folded2, rows2) = ComplianceLog.compactBefore(spark, log, 6L)
+    assert(folded2 === 3L && rows2 === 7L, s"($folded2, $rows2)")
+    assert(finals() === Array("compacted-5.parquet"))
+    assert(snapshot() === before, "chain re-fold preserves the rows")
+    // crashed fold: reconstruct the exact post-commit-point state (a
+    // manifest + complete inflight data, originals not yet deleted)
+    // and assert recover rolls it forward deterministically
+    assert(ComplianceLog.append(spark, log, "lsh", "t", "aaa", 7L, 70, 7))
+    val doomed = Seq("compacted-5.parquet", "lsh-aaa-7.parquet")
+    val inflight = new Path(log, ".inflight-compact")
+    spark.read.schema(ComplianceLog.Schema)
+      .parquet(doomed.map(n => new Path(log, n).toString): _*)
+      .coalesce(1).write.mode("overwrite").parquet(inflight.toString)
+    val node = graft.config.Sidecar.newNode()
+    node.put("dest", "compacted-7.parquet")
+    val arr = node.putArray("remove"); doomed.foreach(arr.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(log, "_graft_compact.json"), node)
+    val actions = ComplianceLog.recover(spark, log)
+    assert(actions.exists(_.contains("rolled forward")), actions)
+    assert(finals() === Array("compacted-7.parquet"))
+    assert(snapshot() === before + (("lsh", "aaa", 7L, 70L, 7L)))
+    assert(ComplianceLog.recover(spark, log) === Nil, "idempotent")
+    // QuarantineStore shares the engine: fold two of three, rows
+    // survive, reserved lineage refused
+    import spark.implicits._
+    val store = tmp("evc-store").toString
+    for (b <- Seq(0L, 1L, 2L))
+      assert(QuarantineStore.append(spark, store, "cafe", b,
+        Seq((b, s"doc$b")).toDF("id", "why")))
+    val (qf, qr) = QuarantineStore.compactBefore(spark, store, 2L)
+    assert(qf === 2L && qr === 2L)
+    assert(QuarantineStore.read(spark, store).get.count() === 3)
+    val err = intercept[IllegalArgumentException] {
+      QuarantineStore.append(spark, store, "compacted", 9L,
+        Seq((9L, "x")).toDF("id", "why"))
+    }
+    assert(err.getMessage.contains("reserved"), err.getMessage)
+  }
+
   test("ComplianceLog — all three takedown streams share ONE auditable " +
     "ledger: per-batch evidence lines match the callbacks, a replayed " +
     "append preserves the original counts, crashed inflight dirs " +
