@@ -99,11 +99,23 @@ object Sidecar {
   /** Generic JSON node write to an explicit path — the shared
     * serialization the swap manifest ([[graft.operators.IndexCompact]])
     * reuses so there is exactly one JSON writer in the repo. */
+  /** Atomic: the bytes land in a dot-prefixed sibling and RENAME onto
+    * `p`, so a reader (and a post-crash `recover`) sees the old node
+    * or the new one, never a torn file. This matters most for the
+    * nodes that serve as COMMIT POINTS — the swap manifests and the
+    * evidence-fold manifest — where "manifest present" must imply
+    * "manifest complete": a plain create+write could die mid-write and
+    * leave recovery parsing garbage forever (r13 review finding). A
+    * crashed attempt leaves only an ignorable dot-file. */
   def writeNode(spark: SparkSession, p: Path, node: ObjectNode): Unit = {
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Generic JSON node read from an explicit path; None if absent. */

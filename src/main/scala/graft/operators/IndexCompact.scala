@@ -269,7 +269,25 @@ private[graft] object IndexCompact {
     * `FileSystem` abstraction every store supports. Encrypted footers
     * (`PARE` magic) are refused loudly — a row count is not worth
     * guessing at crypto. */
-  private def footerRowCount(fs: FileSystem, p: Path, len: Long): Long = {
+  /** The 4-byte tail magic of one parquet file — `PAR1` (plaintext
+    * footer) or `PARE` (parquet modular encryption with an encrypted
+    * footer). The footer fast paths dispatch on the FIRST file's
+    * magic: a `PARE` table falls back to the key-aware
+    * `spark.read.parquet` reader instead of refusing (Spark writes a
+    * table's files uniformly; a genuinely mixed tree still hits
+    * [[footerRowCount]]'s loud refusal downstream). */
+  private[graft] def tailMagic(fs: FileSystem, p: Path, len: Long): String = {
+    require(len >= 12, s"not a parquet file (too short, $len bytes): $p")
+    val in = fs.open(p)
+    try {
+      in.seek(len - 4)
+      val tail = new Array[Byte](4)
+      in.readFully(tail)
+      new String(tail, java.nio.charset.StandardCharsets.US_ASCII)
+    } finally in.close()
+  }
+
+  private[graft] def footerRowCount(fs: FileSystem, p: Path, len: Long): Long = {
     require(len >= 12, s"not a parquet file (too short, $len bytes): $p")
     val in = fs.open(p)
     try {
@@ -349,7 +367,13 @@ private[graft] object IndexCompact {
     val leaves = leafCensus(fs, root)._2
     val files = leaves.flatMap(l => l.dataFiles.map(f =>
       (l.rel, new Path(new Path(root, l.rel), f.name).toString, f.len)))
-    footerLeafRows(spark, files).valuesIterator.sum
+    if (files.isEmpty) 0L
+    else if (tailMagic(fs, new Path(files.head._2), files.head._3) == "PARE")
+      // encrypted footers: only the key-aware reader can count (r13
+      // review finding — refusing here would break builds/recovery on
+      // encrypted deployments that the replaced count() served fine)
+      spark.read.parquet(path).count()
+    else footerLeafRows(spark, files).valuesIterator.sum
   }
 
   private def sibling(root: Path, suffix: String) =

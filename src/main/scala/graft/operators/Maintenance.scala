@@ -159,6 +159,14 @@ object Maintenance {
     val files = leaves.flatMap(l => l.dataFiles.map(f =>
       (l.rel, new Path(new Path(root, l.rel), f.name).toString, f.len)))
     if (files.isEmpty) return Double.NaN
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (IndexCompact.tailMagic(fs, new Path(files.head._2),
+        files.head._3) == "PARE")
+      // encrypted footers: fall back to the key-aware scan aggregate
+      // (the pre-r13 implementation) rather than refuse the report
+      return balanceByScan(spark, path,
+        leaves.head.rel.split('/').toSeq.map(_.split("=", 2)(0)),
+        leaves.size.toLong)
     val perLeaf = IndexCompact.footerLeafRows(spark, files)
     if (perLeaf.isEmpty) return Double.NaN
     val total = perLeaf.valuesIterator.sum
@@ -167,5 +175,20 @@ object Maintenance {
     if (total == 0L) Double.NaN
     else perLeaf.valuesIterator.max.toDouble /
       (total.toDouble / leaves.size)
+  }
+
+  /** The pre-r13 balance: a partition-column-only DataFrame aggregate
+    * through the full (key-aware) reader — kept as the encrypted-
+    * footer fallback, where tail reads cannot see `num_rows`. Same
+    * ratio, same division order as the footer path. */
+  private def balanceByScan(spark: SparkSession, path: String,
+      partCols: Seq[String], leaves: Long): Double = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => smax, sum => ssum}
+    val hist = spark.read.parquet(path)
+      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(smax(col("n")).as("mx"), ssum(col("n")).as("total"))
+      .collect()(0)
+    if (hist.isNullAt(0)) Double.NaN
+    else hist.getLong(0).toDouble / (hist.getLong(1).toDouble / leaves)
   }
 }

@@ -63,21 +63,12 @@ object ComplianceLog {
         s"'$target' / '$lineage'")
     val root = new Path(logPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
     val name = s"$target-$lineage-$batchId.parquet"
-    val dest = new Path(root, name)
-    if (fs.exists(dest)) return false
-    val inflight = new Path(root, s".inflight-$name")
+    if (fs.exists(new Path(root, name))) return false
     val row = Row(target, tablePath, lineage, batchId, rowsDeleted,
       dirsRewritten, System.currentTimeMillis())
-    spark.createDataFrame(java.util.Arrays.asList(row), Schema)
-      .coalesce(1).write.mode("overwrite").parquet(inflight.toString)
-    val part = fs.listStatus(inflight).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"compliance inflight write produced no part file: $inflight"))
-    require(fs.rename(part, dest), s"compliance append failed: $dest")
-    fs.delete(inflight, true): Unit
+    EvidenceCompaction.writeCommitted(spark, root, name,
+      spark.createDataFrame(java.util.Arrays.asList(row), Schema))
     true
   }
 
@@ -85,17 +76,11 @@ object ComplianceLog {
     * ledger reads as zero rows, not an error — the audit query over a
     * deployment that never deleted anything is a report, not a
     * crash). */
-  def read(spark: SparkSession, logPath: String): DataFrame = {
-    val root = new Path(logPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasFiles = fs.exists(root) && fs.listStatus(root)
-      .exists(st => !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-    if (!hasFiles)
+  def read(spark: SparkSession, logPath: String): DataFrame =
+    if (!EvidenceCompaction.hasFinalFiles(spark, new Path(logPath)))
       spark.createDataFrame(
         java.util.Collections.emptyList[Row](), Schema)
     else spark.read.schema(Schema).parquet(logPath)
-  }
 
   /** Folds every evidence file with batch id < `horizonBatchId` into
     * one consolidated `compacted-<maxFolded>.parquet` — the ledger's
@@ -117,14 +102,7 @@ object ComplianceLog {
     * the parquet write and the rename). An append's evidence line is
     * NOT lost: the stream that crashed replays its batch, finds no
     * final file, and re-appends. Returns the action log. */
-  def recover(spark: SparkSession, logPath: String): Seq[String] = {
-    val folded = EvidenceCompaction.recover(spark, logPath)
-    val root = new Path(logPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return folded
-    val stale = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(".inflight-")).toSeq
-    stale.foreach(p => fs.delete(p, true))
-    folded ++ stale.map(_.getName)
-  }
+  def recover(spark: SparkSession, logPath: String): Seq[String] =
+    EvidenceCompaction.recover(spark, logPath) ++
+      EvidenceCompaction.sweepInflights(spark, new Path(logPath))
 }

@@ -48,6 +48,51 @@ private[sinks] object EvidenceCompaction {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The one rename-commit write the evidence stores share: `rows` as
+    * ONE parquet file at `root/name`, written whole into a
+    * dot-prefixed inflight dir and RENAMED in — a reader never sees a
+    * torn file, a crash leaves an ignorable `.inflight-*` dir for
+    * [[sweepInflights]], and the rename is the commit. The caller has
+    * already checked `name` is absent (that check IS the stores'
+    * idempotence). */
+  private[sinks] def writeCommitted(spark: SparkSession, root: Path,
+      name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(root)
+    val inflight = new Path(root, s".inflight-$name")
+    rows.coalesce(1).write.mode("overwrite").parquet(inflight.toString)
+    val part = fs.listStatus(inflight).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"evidence inflight write produced no part file: $inflight"))
+    require(fs.rename(part, new Path(root, name)),
+      s"evidence append failed: $root/$name")
+    fs.delete(inflight, true): Unit
+  }
+
+  /** Sweeps crashed append `.inflight-*` dirs. Evidence is NOT lost:
+    * the stream that crashed replays its batch, finds no final file,
+    * and re-appends. */
+  private[sinks] def sweepInflights(spark: SparkSession,
+      root: Path): Seq[String] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Nil
+    val stale = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".inflight-")).toSeq
+    stale.foreach(p => fs.delete(p, true))
+    stale.map(_.getName)
+  }
+
+  /** Whether the store holds any FINAL evidence file (dot/underscore
+    * sidecars and inflight dirs don't count). */
+  private[sinks] def hasFinalFiles(spark: SparkSession,
+      root: Path): Boolean = {
+    val fs = fsOf(spark, root)
+    fs.exists(root) && fs.listStatus(root)
+      .exists(st => !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+  }
+
   private def isEvidenceFile(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith(".") &&
       !name.startsWith("_")
@@ -98,7 +143,10 @@ private[sinks] object EvidenceCompaction {
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(
         s"compaction inflight write produced no part file: $inflight"))
-    val nRows = spark.read.parquet(inflight.toString).count()
+    // rowsFolded from the consolidated file's own footer — the store
+    // was just written, don't schedule a second read job over it
+    val nRows = graft.operators.IndexCompact.footerRowCount(fs, part,
+      fs.getFileStatus(part).getLen)
     // COMMIT POINT: consolidated data is complete inside inflight
     val node = graft.config.Sidecar.newNode()
     node.put("dest", dest)

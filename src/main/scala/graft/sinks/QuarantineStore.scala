@@ -17,10 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * key — written to a dot-prefixed inflight dir (invisible to readers)
   * and RENAMED in, so a reader never sees a torn file and a crash
   * leaves only an ignorable `.inflight-*` dir ([[recover]] sweeps
-  * them; the replaying stream re-attempts the append). A replayed
-  * batch finds its file already present and SKIPS — the streams then
-  * suppress the callback too, making quarantine evidence exactly-once
-  * end to end when a store is configured.
+  * them; the replaying stream re-attempts the append). The streams
+  * check [[recorded]] BEFORE the callback and append: a replayed
+  * recorded batch re-offers neither, while a crash between the
+  * callback and the append re-offers BOTH on replay — the STORE is
+  * exactly-once, the CALLBACK at-least-once (it can double-fire
+  * across a crash, never be silently lost; ordering it after the
+  * append would invert that into at-most-once, the wrong failure
+  * mode for evidence).
   *
   * One store holds ONE stream's quarantines (the file schema is the
   * caller's batch schema — evidence rows carry the doc/vector columns
@@ -43,36 +47,32 @@ object QuarantineStore {
       lineage != EvidenceCompaction.CompactedPrefix,
       s"quarantine lineage must be a plain non-reserved name, got " +
         s"'$lineage'")
-    val root = new Path(storePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
-    val name = s"$lineage-$batchId.parquet"
-    val dest = new Path(root, name)
-    if (fs.exists(dest)) return false
-    val inflight = new Path(root, s".inflight-$name")
+    if (recorded(spark, storePath, lineage, batchId)) return false
     // quarantines are incident-sized (the over-budget slice of one
     // micro-batch); one file per key keeps the rename the commit point
-    rows.coalesce(1).write.mode("overwrite").parquet(inflight.toString)
-    val part = fs.listStatus(inflight).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"quarantine inflight write produced no part file: $inflight"))
-    require(fs.rename(part, dest), s"quarantine append failed: $dest")
-    fs.delete(inflight, true): Unit
+    EvidenceCompaction.writeCommitted(spark, new Path(storePath),
+      s"$lineage-$batchId.parquet", rows)
     true
+  }
+
+  /** Whether (lineage, batchId) already has its evidence file — the
+    * replay check the maintenance streams run BEFORE the quarantine
+    * callback, so a replayed batch skips the callback and a crash
+    * between callback and [[append]] re-offers both (callback
+    * at-least-once, store exactly-once). */
+  def recorded(spark: SparkSession, storePath: String, lineage: String,
+      batchId: Long): Boolean = {
+    val p = new Path(storePath, s"$lineage-$batchId.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Every quarantined row in the store, or None when nothing has ever
     * been quarantined (the schema is the writing stream's — an empty
     * store has none to offer). */
-  def read(spark: SparkSession, storePath: String): Option[DataFrame] = {
-    val root = new Path(storePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasFiles = fs.exists(root) && fs.listStatus(root)
-      .exists(st => !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-    if (!hasFiles) None else Some(spark.read.parquet(storePath))
-  }
+  def read(spark: SparkSession, storePath: String): Option[DataFrame] =
+    if (!EvidenceCompaction.hasFinalFiles(spark, new Path(storePath)))
+      None
+    else Some(spark.read.parquet(storePath))
 
   /** Folds every quarantine file with batch id < `horizonBatchId`
     * into one consolidated file — same engine, contract and
@@ -90,14 +90,7 @@ object QuarantineStore {
     * the parquet write and the rename). An append's evidence is NOT
     * lost: the stream that crashed replays its batch, finds no final
     * file, and re-appends. Returns the action log. */
-  def recover(spark: SparkSession, storePath: String): Seq[String] = {
-    val folded = EvidenceCompaction.recover(spark, storePath)
-    val root = new Path(storePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return folded
-    val stale = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(".inflight-")).toSeq
-    stale.foreach(p => fs.delete(p, true))
-    folded ++ stale.map(_.getName)
-  }
+  def recover(spark: SparkSession, storePath: String): Seq[String] =
+    EvidenceCompaction.recover(spark, storePath) ++
+      EvidenceCompaction.sweepInflights(spark, new Path(storePath))
 }

@@ -569,12 +569,15 @@ object Streaming {
     * the gate entirely — zero cost unless opted in.
     *
     * `quarantine` delivery is at-least-once (plain foreachBatch
-    * semantics). With `quarantineStore` set, the over-budget rows land
-    * in a [[graft.sinks.QuarantineStore]] keyed by (checkpoint
-    * lineage, batchId) BEFORE the callback, and a replayed batch that
-    * finds its evidence file already present skips BOTH the store
-    * append and the callback — quarantine evidence becomes
-    * exactly-once end to end (StreamingSpec pins the replay skip). */
+    * semantics). With `quarantineStore` set, the over-budget rows ALSO
+    * land in a [[graft.sinks.QuarantineStore]] keyed by (checkpoint
+    * lineage, batchId): the store is exactly-once (name-keyed), and a
+    * replayed batch whose evidence is already recorded skips the
+    * callback too — so the callback stays at-least-once (it fires
+    * BEFORE the record lands; a crash between the two re-offers both
+    * on replay, it is never silently lost) and anything needing
+    * exactly-once side effects reads the store. StreamingSpec pins
+    * the replay skip. */
   def dedupMaintenanceStream(docs: DataFrame, textCol: String,
       idCol: String, indexPath: String, checkpointPath: String,
       admitBudget: Long = Long.MaxValue,
@@ -594,12 +597,19 @@ object Streaming {
             val over = all.join(adm.where(!col("admit"))
               .select(col(idCol), col("est_candidates")), Seq(idCol))
               .localCheckpoint(true)
-            if (over.count() > 0) {
-              val fresh = quarantineStore.forall(sp =>
-                graft.sinks.QuarantineStore.append(all.sparkSession, sp,
-                  canonicalLineage(all.sparkSession, checkpointPath),
-                  batchId, over))
-              if (fresh) quarantine(over, batchId)
+            if (over.count() > 0) quarantineStore match {
+              case None => quarantine(over, batchId)
+              case Some(sp) =>
+                val lin = canonicalLineage(all.sparkSession, checkpointPath)
+                if (!graft.sinks.QuarantineStore.recorded(
+                    all.sparkSession, sp, lin, batchId)) {
+                  // callback FIRST: a crash before the record lands
+                  // re-offers both on replay (at-least-once); the
+                  // reverse order could lose the callback forever
+                  quarantine(over, batchId)
+                  graft.sinks.QuarantineStore.append(all.sparkSession,
+                    sp, lin, batchId, over): Unit
+                }
             }
             all.join(adm.where(col("admit")).select(col(idCol)),
               Seq(idCol), "left_semi").localCheckpoint(true)
@@ -757,9 +767,10 @@ object Streaming {
     * default budget admits everything and skips the gate entirely.
     *
     * `quarantine` delivery is at-least-once; with `quarantineStore`
-    * set it becomes exactly-once, keyed by (checkpoint lineage,
-    * batchId) — see [[dedupMaintenanceStream]], the contract is
-    * shared. */
+    * set the store records the evidence exactly-once, keyed by
+    * (checkpoint lineage, batchId), and the callback skips only
+    * already-recorded replays — see [[dedupMaintenanceStream]], the
+    * contract is shared. */
   def annMaintenanceStream(vectors: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpointPath: String,
       nprobe: Int, k: Int, shortlist: Int = 0,
@@ -780,12 +791,17 @@ object Streaming {
             val over = all.join(adm.where(!col("admit"))
               .select(col("query_id").as(idCol), col("est_rows")),
               Seq(idCol)).localCheckpoint(true)
-            if (over.count() > 0) {
-              val fresh = quarantineStore.forall(sp =>
-                graft.sinks.QuarantineStore.append(all.sparkSession, sp,
-                  canonicalLineage(all.sparkSession, checkpointPath),
-                  batchId, over))
-              if (fresh) quarantine(over, batchId)
+            if (over.count() > 0) quarantineStore match {
+              case None => quarantine(over, batchId)
+              case Some(sp) =>
+                val lin = canonicalLineage(all.sparkSession, checkpointPath)
+                if (!graft.sinks.QuarantineStore.recorded(
+                    all.sparkSession, sp, lin, batchId)) {
+                  // callback FIRST — see dedupMaintenanceStream
+                  quarantine(over, batchId)
+                  graft.sinks.QuarantineStore.append(all.sparkSession,
+                    sp, lin, batchId, over): Unit
+                }
             }
             all.join(adm.where(col("admit"))
               .select(col("query_id").as(idCol)), Seq(idCol),

@@ -311,6 +311,41 @@ class LifecycleSpec extends SparkSpec {
     assert(err.getMessage.contains("retention is a corpus-table policy"))
   }
 
+  test("footer tail-magic dispatch: PAR1 reads fast, PARE (encrypted " +
+    "footer) is detected for the key-aware fallback, garbage is " +
+    "refused loudly") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.IndexCompact
+    val dir = tmp("tail-magic").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val hfs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = hfs.listStatus(new Path(s"$dir/t"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val plen = hfs.getFileStatus(part).getLen
+    assert(IndexCompact.tailMagic(hfs, part, plen) === "PAR1")
+    assert(IndexCompact.footerRowCount(hfs, part, plen) === 1L)
+    def fake(name: String, magic: String): (Path, Long) = {
+      val p = new Path(dir, name)
+      val out = hfs.create(p, true)
+      out.write(("x" * 20 + magic).getBytes("US-ASCII"))
+      out.close()
+      (p, hfs.getFileStatus(p).getLen)
+    }
+    val (pe, le) = fake("enc.parquet", "PARE")
+    assert(IndexCompact.tailMagic(hfs, pe, le) === "PARE")
+    val err = intercept[IllegalArgumentException] {
+      IndexCompact.footerRowCount(hfs, pe, le)
+    }
+    assert(err.getMessage.contains("PARE"), err.getMessage)
+    val (pg, lg) = fake("junk.parquet", "WHAT")
+    val err2 = intercept[IllegalArgumentException] {
+      IndexCompact.footerRowCount(hfs, pg, lg)
+    }
+    assert(err2.getMessage.contains("WHAT"), err2.getMessage)
+  }
+
   test("Evidence compaction (r13): compactBefore folds only batches " +
     "past the caller's replay horizon, preserves every row and the " +
     "skip state of live batches, re-folds chains, and a crashed fold " +
