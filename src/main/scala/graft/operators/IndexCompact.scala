@@ -141,18 +141,26 @@ private[graft] object IndexCompact {
     * first `=`-level is partition data). Output is sorted by relative
     * path so every consumer sees a deterministic order regardless of
     * listing interleave. */
-  private def walkPartTree(fs: FileSystem, root: Path): Seq[PartDir] = {
-    import scala.jdk.CollectionConverters._
-    val out = scala.collection.mutable.ListBuffer.empty[PartDir]
-    var frontier: Seq[(Path, String, Seq[String])] = Seq((root, "", Nil))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+  /** Shared daemon pool for every walk — a window runs several walks
+    * (census, compact temp, post-swap recount) and per-call pool
+    * churn, while cheap, is pure waste; `invokeAll` is safe under
+    * concurrent walks. Daemon threads so a bare-JVM launcher exits
+    * cleanly. */
+  private lazy val walkPool =
+    java.util.concurrent.Executors.newFixedThreadPool(
       WalkParallelism,
       (r: Runnable) => {
         val t = new Thread(r, "graft-part-walk")
         t.setDaemon(true)
         t
       })
-    try {
+
+  private def walkPartTree(fs: FileSystem, root: Path): Seq[PartDir] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ListBuffer.empty[PartDir]
+    var frontier: Seq[(Path, String, Seq[String])] = Seq((root, "", Nil))
+    val pool = walkPool
+    locally {
       while (frontier.nonEmpty) {
         val tasks = frontier.map { node =>
           new java.util.concurrent.Callable[
@@ -187,7 +195,7 @@ private[graft] object IndexCompact {
         }
         frontier = next.result()
       }
-    } finally pool.shutdown()
+    }
     out.toList.sortBy(_.rel)
   }
 

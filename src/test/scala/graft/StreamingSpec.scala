@@ -1830,6 +1830,18 @@ class StreamingSpec extends SparkSpec {
     assert(!graft.sinks.QuarantineStore.append(spark, store,
       Streaming.canonicalLineage(spark, cp), 0L,
       Seq((999L, 999L)).toDF("doc_id", "est_candidates")))
+    // at-least-once callback: a crash BETWEEN the callback and the
+    // store append (evidence file never landed) must re-offer BOTH on
+    // replay — simulate by deleting the recorded file + checkpoint
+    val lin = Streaming.canonicalLineage(spark, cp)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(store,
+      s"$lin-0.parquet"), false))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(cp), true))
+    runOnce()
+    assert(calls === 2,
+      "an unrecorded replay must re-fire the callback (at-least-once)")
+    assert(graft.sinks.QuarantineStore.recorded(spark, store, lin, 0L),
+      "and the evidence must land")
     // recover sweeps a crashed inflight dir and loses nothing final
     fs.mkdirs(new org.apache.hadoop.fs.Path(store, ".inflight-crashed"))
     assert(graft.sinks.QuarantineStore.recover(spark, store) ===
