@@ -72,10 +72,24 @@ object Maintenance {
     * shards, not data; index removal goes through the delete APIs.
     * Same single-writer/no-reader window as the operators it
     * composes. */
+  /** With `evidence = Some((ledgerPath, runId))` and a `ttl`, the
+    * sweep's (rows, dirs) land in the same
+    * [[graft.sinks.ComplianceLog]] the takedown STREAMS write (target
+    * `ttl-sweep`, lineage `cron`, batchId = runId) — one auditable
+    * ledger for both the streaming and the batch-cron retention
+    * paths. The runId is the idempotence key: a retried window with
+    * the SAME runId keeps the first run's evidence (the retry's sweep
+    * finds nothing left and would otherwise record zeros — exactly
+    * the replay hazard the ledger's name-keying exists for), so give
+    * each scheduled window its own runId (the cron's epoch slot). */
   def run(spark: SparkSession, path: String,
-      maxFilesPerDir: Int = 4, ttl: Option[Column] = None): Report = {
+      maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
+      evidence: Option[(String, Long)] = None): Report = {
     require(maxFilesPerDir >= 1,
       s"maxFilesPerDir must be >= 1, got $maxFilesPerDir")
+    require(evidence.isEmpty || ttl.nonEmpty,
+      "Maintenance.run: evidence records the ttl sweep — passing a " +
+        "ledger without a ttl predicate would log nothing")
     val family = detectFamily(spark, path)
     require(ttl.isEmpty || family == Table,
       s"Maintenance.run: a TTL predicate on a '$family' index would " +
@@ -90,6 +104,10 @@ object Maintenance {
       case Some(p) =>
         graft.sinks.PartitionedSink.dropPartitionsWhere(spark, path, p)
       case None => (0L, 0L, 0L)
+    }
+    evidence.foreach { case (ledger, runId) =>
+      graft.sinks.ComplianceLog.append(spark, ledger, "ttl-sweep",
+        path, "cron", runId, ttlRows, ttlDirs): Unit
     }
     // census AFTER the sweep: the report describes the post-window tree
     val (leaves, before, maxPer) = fragmentCensus(spark, path)

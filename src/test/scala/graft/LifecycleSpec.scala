@@ -286,8 +286,10 @@ class LifecycleSpec extends SparkSpec {
     val doomedRows = spark.read.parquet(table)
       .where(col("src").cast("string").substr(4, 10).cast("int") >= 15)
       .count()
+    val ledger = tmp("maint-ttl-ledger").toString
     val rep = Maintenance.run(spark, table, maxFilesPerDir = 64,
-      ttl = Some(col("src").substr(4, 10).cast("int") >= 15))
+      ttl = Some(col("src").substr(4, 10).cast("int") >= 15),
+      evidence = Some((ledger, 1L)))
     assert(rep.family === "table")
     assert(rep.ttlRowsDropped === doomedRows && rep.ttlDirsDropped === 5L)
     assert(rep.ttlNullLeavesRetained === 1L,
@@ -295,12 +297,28 @@ class LifecycleSpec extends SparkSpec {
     assert(!hfs.exists(new Path(table, "src=src15")))
     assert(hfs.exists(new Path(table, "src=__HIVE_DEFAULT_PARTITION__")))
     assert(rep.leafDirs === 15L) // 19 named sources - 5 dropped + null
+    // the sweep's evidence landed in the SAME ledger the takedown
+    // streams write — one audit surface for both retention paths
+    def ledgerRows() = graft.sinks.ComplianceLog.read(spark, ledger)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(ledgerRows() ===
+      Seq(("ttl-sweep", "cron", 1L, doomedRows, 5L)))
     // idempotent second window: sweep finds nothing, still reports the
-    // retained null leaf
+    // retained null leaf; a RETRIED runId keeps the first run's
+    // evidence instead of recording the retry's zeros
     val rep2 = Maintenance.run(spark, table, maxFilesPerDir = 64,
-      ttl = Some(col("src").substr(4, 10).cast("int") >= 15))
+      ttl = Some(col("src").substr(4, 10).cast("int") >= 15),
+      evidence = Some((ledger, 1L)))
     assert(rep2.ttlRowsDropped === 0L && rep2.ttlDirsDropped === 0L)
     assert(rep2.ttlNullLeavesRetained === 1L)
+    assert(ledgerRows() ===
+      Seq(("ttl-sweep", "cron", 1L, doomedRows, 5L)))
+    // evidence without a ttl logs nothing — refused, not silently dropped
+    val errEv = intercept[IllegalArgumentException] {
+      Maintenance.run(spark, table, evidence = Some((ledger, 2L)))
+    }
+    assert(errEv.getMessage.contains("would log nothing"))
     // a TTL on a stored index is refused loudly
     val lsh = tmp("maint-ttl-lsh").toString
     Dedup.writeBucketIndex(docs.select($"doc_id",
