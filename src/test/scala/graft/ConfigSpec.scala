@@ -58,4 +58,30 @@ class ConfigSpec extends SparkSpec {
       assert((fa < fb) === a.isBefore(b))
     }
   }
+
+  test("Sidecar.writeNode commits atomically: a crashed attempt's torn " +
+    "dot-tmp never shadows the committed node, and the next write " +
+    "consumes it (r13 review fix — manifests are commit points)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_atomic")
+    val p = new Path(dir.toString, "_graft_swap.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = graft.config.Sidecar.newNode(); v1.put("v", 1)
+    graft.config.Sidecar.writeNode(spark, p, v1)
+    assert(!fs.exists(new Path(dir.toString, "._graft_swap.json.tmp")),
+      "a successful commit leaves no tmp behind")
+    // a crash mid-write of a LATER attempt leaves a torn dot-tmp; the
+    // committed node must stay readable and intact
+    val out = fs.create(new Path(dir.toString, "._graft_swap.json.tmp"), true)
+    out.write("{\"v\": 2, \"trunc".getBytes("UTF-8")); out.close()
+    val back = graft.config.Sidecar.readNode(spark, p)
+    assert(back.exists(_.get("v").asInt() === 1),
+      "the torn tmp must never shadow the committed manifest")
+    // the next successful write replaces both tmp and node
+    val v3 = graft.config.Sidecar.newNode(); v3.put("v", 3)
+    graft.config.Sidecar.writeNode(spark, p, v3)
+    assert(graft.config.Sidecar.readNode(spark, p)
+      .exists(_.get("v").asInt() === 3))
+    assert(!fs.exists(new Path(dir.toString, "._graft_swap.json.tmp")))
+  }
 }
