@@ -567,6 +567,46 @@ class RecoverySpec extends SparkSpec {
     yr <- Seq(1992, 1993, 1994); mo <- Seq(1, 4, 7); i <- 0 until 4
   } yield (((yr - 1992) * 12 + mo) * 10L + i, yr, mo)).toSet
 
+  test("three-level yr=/mo=/dy= layout: the walk, the TTL sweep and " +
+    "takedown-by-id are depth-generic, not two-level specials (r13 " +
+    "spot check on the parallel walk)") {
+    val dir = tmpDir("graft_recovery_deep")
+    val rows = for {
+      yr <- Seq(1992, 1993); mo <- Seq(1, 4); dy <- Seq(5, 15); i <- 0 until 2
+    } yield ((yr * 10000L + mo * 100 + dy) * 10 + i, yr, mo, dy)
+    rows.toDF("id", "yr", "mo", "dy")
+      .repartition(8, col("yr"), col("mo"), col("dy"))
+      .write.mode(SaveMode.Overwrite).partitionBy("yr", "mo", "dy")
+      .parquet(dir)
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("idCol", "id")
+    graft.config.Sidecar.write(spark, dir, meta)
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (cols, leaves) = IndexCompact.leafParts(hfs, root)
+    assert(cols === Seq("yr", "mo", "dy") && leaves.size === 8)
+    def remaining(): Set[Long] = spark.read.parquet(dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val all = rows.map(_._1).toSet
+    // day-grain TTL drops one day across every year/month — partial
+    // at every upper level
+    val (tr, td, tn) = graft.sinks.PartitionedSink.dropPartitionsWhere(
+      spark, dir, col("dy").cast("int") === 5)
+    assert((tr, td, tn) === ((8L, 4L, 0L)))
+    assert(remaining() === all.filter(id => (id / 10) % 100 == 15))
+    // takedown-by-id spanning the remaining leaves
+    import spark.implicits._
+    val doomed = remaining().filter(id => id % 10 == 0)
+    val (dr, dd) = graft.sinks.PartitionedSink.deletePartitionRowsByKey(
+      spark, dir, "id", doomed.toSeq.toDF("id"))
+    assert(dr === doomed.size.toLong && dd === 4L)
+    assert(remaining() === all.filter(id =>
+      (id / 10) % 100 == 15 && id % 10 != 0))
+    // post-ops the tree still parses as a clean three-level layout
+    // (dropped dy= subtrees left no malformed shallow residue)
+    assert(IndexCompact.leafParts(hfs, root)._1 === Seq("yr", "mo", "dy"))
+  }
+
   test("nested deleteMatching: YEAR=/MONTH= layout — only touched " +
     "month dirs rewrite, a fully-emptied month is removed (and its " +
     "emptied year parent pruned), untouched months keep their files") {
