@@ -99,14 +99,25 @@ object Sidecar {
   /** Generic JSON node write to an explicit path — the shared
     * serialization the swap manifest ([[graft.operators.IndexCompact]])
     * reuses so there is exactly one JSON writer in the repo. */
-  /** Atomic: the bytes land in a dot-prefixed sibling and RENAME onto
-    * `p`, so a reader (and a post-crash `recover`) sees the old node
-    * or the new one, never a torn file. This matters most for the
-    * nodes that serve as COMMIT POINTS — the swap manifests and the
-    * evidence-fold manifest — where "manifest present" must imply
-    * "manifest complete": a plain create+write could die mid-write and
-    * leave recovery parsing garbage forever (r13 review finding). A
-    * crashed attempt leaves only an ignorable dot-file. */
+  /** Rename-committed: the bytes land in a dot-prefixed sibling and
+    * RENAME onto `p`, so a reader (and a post-crash `recover`) sees the
+    * old node or the new one, never a torn file — atomic where the
+    * store's rename is atomic (HDFS, local, ABFS; S3-like stores
+    * emulate rename as copy+delete, and there the guarantee degrades
+    * to the store's own). This matters most for the nodes that serve
+    * as COMMIT POINTS — the swap manifests and the evidence-fold
+    * manifest — where "manifest present" must imply "manifest
+    * complete": a plain create+write could die mid-write and leave
+    * recovery parsing garbage forever (r13 review finding). A crashed
+    * attempt leaves only an ignorable dot-file.
+    *
+    * The overwrite-rename goes through `FileContext` where the scheme
+    * binds one (HDFS/local/ABFS ship `AbstractFileSystem` impls);
+    * Hadoop-compatible stores that only implement `FileSystem` (no
+    * `fs.AbstractFileSystem.<scheme>.impl`) fall back to
+    * delete-then-rename — a hair wider crash window (a crash between
+    * the two leaves `p` absent until the next write), the best those
+    * stores offer (r13 ADVICE). */
   def writeNode(spark: SparkSession, p: Path, node: ObjectNode): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
@@ -114,8 +125,14 @@ object Sidecar {
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node))
     finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(p, false)
+        require(fs.rename(tmp, p), s"sidecar commit failed: $tmp -> $p")
+    }
   }
 
   /** Generic JSON node read from an explicit path; None if absent. */

@@ -157,6 +157,11 @@ private[graft] object IndexCompact {
 
   private def walkPartTree(fs: FileSystem, root: Path): Seq[PartDir] = {
     import scala.jdk.CollectionConverters._
+    // total on a missing root (Nil, like a dir with no =-children):
+    // every current caller guarantees existence, but a helper this
+    // load-bearing must not throw raw FileNotFoundException the day a
+    // future caller doesn't (r13 ADVICE)
+    if (!fs.exists(root)) return Nil
     val out = scala.collection.mutable.ListBuffer.empty[PartDir]
     var frontier: Seq[(Path, String, Seq[String])] = Seq((root, "", Nil))
     val pool = walkPool
@@ -309,7 +314,10 @@ private[graft] object IndexCompact {
           s"are not footer-scannable): $p")
       val fLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      require(fLen > 0 && fLen <= len - 8,
+      // a minimum valid file is PAR1 + footer + len + PAR1 = fLen + 12
+      // bytes, so a length reaching into the 4-byte header magic is
+      // corrupt — refuse it here, not in the thrift parser (r13 ADVICE)
+      require(fLen > 0 && fLen <= len - 12,
         s"corrupt parquet footer length $fLen in $len-byte file: $p")
       val fBuf = new Array[Byte](fLen)
       in.seek(len - 8 - fLen)

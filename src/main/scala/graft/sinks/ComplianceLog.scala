@@ -61,6 +61,13 @@ object ComplianceLog {
       lineage.matches("[A-Za-z0-9._-]+"),
       s"compliance target/lineage must be plain names, got " +
         s"'$target' / '$lineage'")
+    // the id is parsed back out of the file name at the LAST '-': a
+    // negative id would split as a positive one and silently change
+    // fold eligibility under compactBefore's horizon (r13 ADVICE).
+    // Streaming batch ids are non-negative by construction; a cron
+    // runId must be too.
+    require(batchId >= 0,
+      s"compliance batch/run id must be >= 0, got $batchId")
     val root = new Path(logPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val name = s"$target-$lineage-$batchId.parquet"

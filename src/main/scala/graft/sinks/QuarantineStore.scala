@@ -47,6 +47,10 @@ object QuarantineStore {
       lineage != EvidenceCompaction.CompactedPrefix,
       s"quarantine lineage must be a plain non-reserved name, got " +
         s"'$lineage'")
+    // negative ids mis-parse at the name's last '-' (see
+    // ComplianceLog.append; r13 ADVICE)
+    require(batchId >= 0,
+      s"quarantine batch id must be >= 0, got $batchId")
     if (recorded(spark, storePath, lineage, batchId)) return false
     // quarantines are incident-sized (the over-budget slice of one
     // micro-batch); one file per key keeps the rename the commit point

@@ -362,6 +362,27 @@ class LifecycleSpec extends SparkSpec {
       IndexCompact.footerRowCount(hfs, pg, lg)
     }
     assert(err2.getMessage.contains("WHAT"), err2.getMessage)
+    // a footer length reaching into the 4-byte header magic (len-12 <
+    // fLen <= len-8) is corrupt and must be refused BEFORE the thrift
+    // parser sees it (r13 ADVICE): 20-byte file claiming a 12-byte
+    // footer overlaps the leading PAR1
+    val pc = new Path(dir, "overlap.parquet")
+    val outc = hfs.create(pc, true)
+    outc.write("PAR1".getBytes("US-ASCII"))
+    outc.write(new Array[Byte](8))
+    outc.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(12).array())
+    outc.write("PAR1".getBytes("US-ASCII"))
+    outc.close()
+    val err3 = intercept[IllegalArgumentException] {
+      IndexCompact.footerRowCount(hfs, pc, hfs.getFileStatus(pc).getLen)
+    }
+    assert(err3.getMessage.contains("corrupt parquet footer length"),
+      err3.getMessage)
+    // the metadata helpers are total on a missing root (r13 ADVICE):
+    // 0 rows / no leaves, not raw FileNotFoundException
+    assert(IndexCompact.footerRowTotal(spark,
+      s"$dir/never-written") === 0L)
   }
 
   test("Evidence compaction (r13): compactBefore folds only batches " +
@@ -378,6 +399,17 @@ class LifecycleSpec extends SparkSpec {
     for (b <- Seq(1L, 3L, 5L))
       assert(ComplianceLog.append(spark, log, "ann", "t", "bbb", b,
         20 + b, 2 + b))
+    // a negative id would mis-parse at the name's last '-' and change
+    // fold eligibility (r13 ADVICE): refused at the write
+    val errNeg = intercept[IllegalArgumentException] {
+      ComplianceLog.append(spark, log, "lsh", "t", "aaa", -5L, 1, 1)
+    }
+    assert(errNeg.getMessage.contains(">= 0"), errNeg.getMessage)
+    val errNegQ = intercept[IllegalArgumentException] {
+      QuarantineStore.append(spark, log, "aaa", -5L,
+        spark.range(1).toDF())
+    }
+    assert(errNegQ.getMessage.contains(">= 0"), errNegQ.getMessage)
     def snapshot() = ComplianceLog.read(spark, log)
       .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSet
