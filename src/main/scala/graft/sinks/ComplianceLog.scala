@@ -39,6 +39,37 @@ import org.apache.spark.sql.types.StructType
   * is [[compactBefore]]'s explicit argument). */
 object ComplianceLog {
 
+  /** The (ledger, target, lineage, batchId) addressing of one evidence
+    * line — what a delete protocol needs to commit its own evidence at
+    * the right point in ITS crash protocol (the rows/dirs counts are
+    * the protocol's to fill). Build the lineage with
+    * [[tableLineage]] (batch crons) or
+    * [[graft.streaming.Streaming]]'s canonical checkpoint hash
+    * (streams). */
+  final case class Key(ledgerPath: String, target: String,
+      lineage: String, batchId: Long)
+
+  private def sha8(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** The lineage key for a BATCH cron's evidence: `<prefix>-<sha8 of
+    * the qualified table path>` — folding the swept table's identity
+    * into the idempotence key, so N tables swept into ONE shared
+    * ledger at the same cron slot (the same runId) record N distinct
+    * lines instead of colliding on the first (r13 verdict item 1).
+    * Qualification mirrors the streams' canonical checkpoint lineage:
+    * relative, trailing-slash and scheme-qualified spellings of one
+    * table map to one lineage. */
+  def tableLineage(spark: SparkSession, tablePath: String,
+      prefix: String = "cron"): String = {
+    val p = new Path(tablePath)
+    prefix + "-" + sha8(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString)
+  }
+
   /** Evidence schema. `lineage` is the stream's canonical checkpoint
     * hash (distinct streams writing one ledger never collide);
     * `committed_at_ms` is the wall clock at commit — operational

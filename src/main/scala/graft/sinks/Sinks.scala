@@ -265,7 +265,51 @@ object PartitionedSink {
       actions += "restored table root from legacy .delete_old"
     }
     actions.toList ++
-      graft.operators.IndexCompact.recover(spark, tablePath)
+      graft.operators.IndexCompact.recover(spark, tablePath) ++
+      recoverTtlSweep(spark, root, fs)
+  }
+
+  /** Manifest an EVIDENCED TTL sweep commits before its leaf deletes —
+    * at the table root, underscore-prefixed so parquet readers ignore
+    * it. Presence means a sweep committed (counts + doomed list are
+    * final) but may not have finished deleting; [[recoverTtlSweep]]
+    * completes it deterministically. */
+  private val TtlSweepManifest = "_graft_ttl_sweep.json"
+
+  /** Completes a crashed EVIDENCED TTL sweep from its manifest: append
+    * the recorded evidence (name-keyed — a replay that already
+    * appended skips), delete every listed doomed leaf still present
+    * (idempotent), prune emptied parents, drop the manifest. Runs from
+    * [[recoverTable]] so EVERY maintenance entry point heals it, not
+    * just the next sweep. The counts in the manifest were measured
+    * BEFORE any delete, so the completed sweep's evidence is exact no
+    * matter where the crash fell — including under a LATER cron slot's
+    * runId, which would otherwise re-count the remainder as its own
+    * evidence and overstate the ledger. */
+  private def recoverTtlSweep(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val mp = new Path(root, TtlSweepManifest)
+    graft.config.Sidecar.readNode(spark, mp) match {
+      case None => Nil
+      case Some(m) =>
+        val batch = graft.config.Sidecar.long(m, "batch")
+        ComplianceLog.append(spark,
+          graft.config.Sidecar.str(m, "ledger"),
+          graft.config.Sidecar.str(m, "target"),
+          graft.config.Sidecar.str(m, "table"),
+          graft.config.Sidecar.str(m, "lineage"), batch,
+          graft.config.Sidecar.long(m, "rows"),
+          graft.config.Sidecar.long(m, "dirs")): Unit
+        val doomed = graft.config.Sidecar.strings(m, "doomed")
+        doomed.foreach(rel => fs.delete(new Path(root, rel), true))
+        graft.operators.IndexCompact.pruneEmpty(fs, root)
+        require(fs.delete(mp, false),
+          s"ttl sweep manifest cleanup failed: $mp")
+        Seq(s"completed crashed ttl sweep (runId $batch, " +
+          s"${doomed.size} dirs)")
+    }
   }
 
   /** Partition-targeted row delete for a corpus table PARTITIONED BY a
@@ -332,29 +376,65 @@ object PartitionedSink {
     * discovering years of retained sentinel data by audit.
     *
     * Crash semantics: a crashed run of the OTHER protocols is healed
-    * first ([[recoverTable]]); the sweep itself needs no recovery —
-    * each leaf delete is independent and idempotent, re-running
-    * completes it. Same single-writer/no-reader window as the other
-    * maintenance steps. Returns
+    * first ([[recoverTable]]); an UNevidenced sweep needs no recovery
+    * of its own — each leaf delete is independent and idempotent,
+    * re-running completes it. Same single-writer/no-reader window as
+    * the other maintenance steps. Returns
     * (rowsDropped, dirsDropped, nullLeavesRetained); an empty or
     * unpartitioned table, or a predicate matching nothing, returns
     * (0, 0, _) without deleting anything. */
   def dropPartitionsWhere(spark: SparkSession, tablePath: String,
       predicate: Column): (Long, Long, Long) = {
+    val (r, d, n, _) =
+      dropPartitionsWhere(spark, tablePath, predicate, None)
+    (r, d, n)
+  }
+
+  /** As [[dropPartitionsWhere]], with the sweep's compliance evidence
+    * committed INSIDE the sweep's own crash protocol (r13 verdict item
+    * 2's batch sibling / ADVICE finding): with `evidence =
+    * Some(ComplianceLog.Key(...))` the audit counts land in the ledger
+    * via a manifest-committed mini-protocol — (1) count the doomed
+    * slice (BEFORE anything is deleted), (2) write a
+    * `_graft_ttl_sweep.json` manifest at the table root naming the
+    * counts and every doomed leaf (the COMMIT POINT), (3) append the
+    * ledger line (name-keyed — a retry with the same runId preserves
+    * the first run's evidence), (4) delete the leaves, prune, drop the
+    * manifest. A crash at ANY point recovers exactly:
+    * [[recoverTable]] (run by every maintenance entry point, any
+    * runId) finds the manifest, appends the recorded evidence if the
+    * crash beat step 3, completes the deletes, and cleans up — so the
+    * ledger can neither record a retry's zeros (the pre-r14 window)
+    * nor double-count a crashed sweep's remainder under the next cron
+    * slot's runId.
+    *
+    * The fourth return component is whether THIS call wrote the
+    * ledger line (false = the key was already recorded — a replay, or
+    * a collision the caller should surface rather than swallow; r13
+    * verdict item 1). Without `evidence` it is always false. */
+  def dropPartitionsWhere(spark: SparkSession, tablePath: String,
+      predicate: Column,
+      evidence: Option[ComplianceLog.Key]): (Long, Long, Long, Boolean) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one keyed ledger line for THIS sweep — also stamped on the
+    // nothing-to-drop paths, so "the sweep ran and found nothing" is
+    // auditable evidence too, not an absent line
+    def record(rows: Long, dirs: Long): Boolean =
+      evidence.exists(k => ComplianceLog.append(spark, k.ledgerPath,
+        k.target, tablePath, k.lineage, k.batchId, rows, dirs))
     // recovery FIRST: a crashed whole-root swap leaves no directory at
     // root, and an exists-check before healing would read that state
     // as a legitimately absent table and silently retain aged-out data
     recoverTable(spark, tablePath) // heal a crashed delete protocol run
-    if (!fs.exists(root)) return (0L, 0L, 0L)
+    if (!fs.exists(root)) return (0L, 0L, 0L, record(0L, 0L))
     val (partCols, leaves) =
       graft.operators.IndexCompact.leafParts(fs, root)
-    if (leaves.isEmpty) return (0L, 0L, 0L)
+    if (leaves.isEmpty) return (0L, 0L, 0L, record(0L, 0L))
     // one row per LEAF dir, one string column per partition level; the
     // null-partition sentinel surfaces as SQL NULL (see scaladoc) —
     // the same value Spark's reader gives that directory's rows
@@ -373,7 +453,7 @@ object PartitionedSink {
     val doomedSet = doomed.toSet
     val nullRetained = values.count(vs =>
       vs.exists(_ == null) && !doomedSet.contains(vs)).toLong
-    if (doomed.isEmpty) return (0L, 0L, nullRetained)
+    if (doomed.isEmpty) return (0L, 0L, nullRetained, record(0L, 0L))
     // audit count before the drop — read ONLY the doomed directories,
     // as explicit leaf paths: planning and I/O are both ∝ the doomed
     // leaf count, independent of how many leaves SURVIVE. (The r13
@@ -399,13 +479,33 @@ object PartitionedSink {
       else spark.read.option("basePath", tablePath)
         .parquet(withData.map(rel => new Path(root, rel).toString): _*)
         .count()
+    // COMMIT POINT (evidenced sweeps only): counts + doomed list are
+    // final; from here a crash completes via recoverTtlSweep with
+    // exactly these numbers, never a recount of the remainder
+    evidence.foreach { k =>
+      val node = graft.config.Sidecar.newNode()
+      node.put("ledger", k.ledgerPath)
+      node.put("target", k.target)
+      node.put("table", tablePath)
+      node.put("lineage", k.lineage)
+      node.put("batch", k.batchId)
+      node.put("rows", rows)
+      node.put("dirs", doomed.length.toLong)
+      val arr = node.putArray("doomed"); doomedRels.foreach(arr.add)
+      graft.config.Sidecar.writeNode(spark,
+        new Path(root, TtlSweepManifest), node)
+    }
+    val recorded = record(rows, doomed.length.toLong)
     for (rel <- doomedRels) {
       require(fs.delete(new Path(root, rel), true),
         s"partition drop failed: $tablePath/$rel")
     }
     // parents emptied by the leaf drops (a fully aged-out YEAR) go too
     graft.operators.IndexCompact.pruneEmpty(fs, root)
-    (rows, doomed.length.toLong, nullRetained)
+    evidence.foreach(_ => require(
+      fs.delete(new Path(root, TtlSweepManifest), false),
+      s"ttl sweep manifest cleanup failed under $tablePath"))
+    (rows, doomed.length.toLong, nullRetained, recorded)
   }
 }
 

@@ -297,23 +297,31 @@ class LifecycleSpec extends SparkSpec {
     assert(!hfs.exists(new Path(table, "src=src15")))
     assert(hfs.exists(new Path(table, "src=__HIVE_DEFAULT_PARTITION__")))
     assert(rep.leafDirs === 15L) // 19 named sources - 5 dropped + null
+    assert(rep.ttlEvidenceRecorded,
+      "the first window must report that it wrote the ledger line")
     // the sweep's evidence landed in the SAME ledger the takedown
-    // streams write — one audit surface for both retention paths
+    // streams write — one audit surface for both retention paths; the
+    // lineage folds the TABLE in (r14: cron-<sha8(qualified path)>)
+    val lin = graft.sinks.ComplianceLog.tableLineage(spark, table)
+    assert(lin.startsWith("cron-") && lin.length === 5 + 16, lin)
     def ledgerRows() = graft.sinks.ComplianceLog.read(spark, ledger)
       .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(ledgerRows() ===
-      Seq(("ttl-sweep", "cron", 1L, doomedRows, 5L)))
+      Seq(("ttl-sweep", lin, 1L, doomedRows, 5L)))
     // idempotent second window: sweep finds nothing, still reports the
     // retained null leaf; a RETRIED runId keeps the first run's
-    // evidence instead of recording the retry's zeros
+    // evidence instead of recording the retry's zeros — and the skip
+    // is VISIBLE in the report, not a discarded boolean
     val rep2 = Maintenance.run(spark, table, maxFilesPerDir = 64,
       ttl = Some(col("src").substr(4, 10).cast("int") >= 15),
       evidence = Some((ledger, 1L)))
     assert(rep2.ttlRowsDropped === 0L && rep2.ttlDirsDropped === 0L)
     assert(rep2.ttlNullLeavesRetained === 1L)
+    assert(!rep2.ttlEvidenceRecorded,
+      "a retried runId must surface the preserved-evidence skip")
     assert(ledgerRows() ===
-      Seq(("ttl-sweep", "cron", 1L, doomedRows, 5L)))
+      Seq(("ttl-sweep", lin, 1L, doomedRows, 5L)))
     // evidence without a ttl logs nothing — refused, not silently dropped
     val errEv = intercept[IllegalArgumentException] {
       Maintenance.run(spark, table, evidence = Some((ledger, 2L)))
@@ -327,6 +335,106 @@ class LifecycleSpec extends SparkSpec {
       Maintenance.run(spark, lsh, ttl = Some(col("bpart") >= 0))
     }
     assert(err.getMessage.contains("retention is a corpus-table policy"))
+  }
+
+  test("TTL evidence keying + crash protocol (r14): two tables sweep " +
+    "into ONE ledger at the same runId without colliding, and a sweep " +
+    "that crashed after its manifest commit completes under the NEXT " +
+    "slot's window with the ORIGINAL counts — never zeros, never a " +
+    "double-counted remainder") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sinks.ComplianceLog
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars", $"source".as("src"))
+    val ledger = tmp("ttl-key-ledger").toString
+    val hfs = new Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkTable(name: String): String = {
+      val t = tmp(name).toString
+      docs.repartition(4, col("src"))
+        .write.mode("overwrite").partitionBy("src").parquet(t)
+      t
+    }
+    // --- collision fix: N tables, one ledger, SAME cron slot ---
+    val (tA, tB) = (mkTable("ttl-key-a"), mkTable("ttl-key-b"))
+    val pred = col("src").substr(4, 10).cast("int") >= 15
+    val ttl = Some(pred)
+    val repA = graft.operators.Maintenance.run(spark, tA,
+      maxFilesPerDir = 64, ttl = ttl, evidence = Some((ledger, 7L)))
+    val repB = graft.operators.Maintenance.run(spark, tB,
+      maxFilesPerDir = 64, ttl = ttl, evidence = Some((ledger, 7L)))
+    assert(repA.ttlEvidenceRecorded && repB.ttlEvidenceRecorded,
+      "both tables' windows must record their own line (r13: the " +
+        "second silently collided)")
+    val lines = ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(lines === Set(
+      (ComplianceLog.tableLineage(spark, tA), 7L, repA.ttlRowsDropped),
+      (ComplianceLog.tableLineage(spark, tB), 7L, repB.ttlRowsDropped)))
+    assert(repA.ttlRowsDropped > 0L, "fixture must have doomed rows")
+    // --- crash protocol: manifest committed, everything after lost ---
+    val tC = mkTable("ttl-key-c")
+    val doomedRels = Seq("src=src15", "src=src16")
+    val doomedRows = spark.read.parquet(tC)
+      .where(col("src").isin("src15", "src16")).count()
+    val linC = ComplianceLog.tableLineage(spark, tC)
+    val node = graft.config.Sidecar.newNode()
+    node.put("ledger", ledger)
+    node.put("target", "ttl-sweep")
+    node.put("table", tC)
+    node.put("lineage", linC)
+    node.put("batch", 3L)
+    node.put("rows", doomedRows)
+    node.put("dirs", 2L)
+    val arr = node.putArray("doomed"); doomedRels.foreach(arr.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tC, "_graft_ttl_sweep.json"), node)
+    // the NEXT cron slot runs a wider sweep (runId 4): recovery must
+    // first complete runId 3 with ITS counts, then sweep what's left
+    val rep4 = graft.operators.Maintenance.run(spark, tC,
+      maxFilesPerDir = 64,
+      ttl = Some(col("src").substr(4, 10).cast("int") >= 15),
+      evidence = Some((ledger, 4L)))
+    assert(!hfs.exists(new Path(tC, "_graft_ttl_sweep.json")))
+    assert(!hfs.exists(new Path(tC, "src=src15")))
+    val got = ComplianceLog.read(spark, ledger)
+      .where(col("lineage") === lit(linC))
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // runId 3's line carries the manifest's full counts; runId 4's
+    // line counts ONLY the remainder (src17/18/19) — no overlap
+    assert(got(0) === ((3L, doomedRows, 2L)), got.mkString(","))
+    assert(got(1)._1 === 4L && got(1)._3 === 3L, got.mkString(","))
+    assert(rep4.ttlEvidenceRecorded)
+    assert(got(1)._2 === rep4.ttlRowsDropped)
+    // --- crash AFTER the ledger append: heal completes the deletes
+    // without a duplicate or overwritten line ---
+    val tD = mkTable("ttl-key-d")
+    val linD = ComplianceLog.tableLineage(spark, tD)
+    val rowsD = spark.read.parquet(tD)
+      .where(col("src") === "src15").count()
+    assert(ComplianceLog.append(spark, ledger, "ttl-sweep", tD, linD,
+      9L, rowsD, 1L))
+    val nodeD = graft.config.Sidecar.newNode()
+    nodeD.put("ledger", ledger)
+    nodeD.put("target", "ttl-sweep")
+    nodeD.put("table", tD)
+    nodeD.put("lineage", linD)
+    nodeD.put("batch", 9L)
+    nodeD.put("rows", rowsD)
+    nodeD.put("dirs", 1L)
+    val arrD = nodeD.putArray("doomed"); arrD.add("src=src15")
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tD, "_graft_ttl_sweep.json"), nodeD)
+    val healed = PartitionedSink.recoverTable(spark, tD)
+    assert(healed.exists(_.contains("completed crashed ttl sweep")),
+      healed.mkString(";"))
+    assert(!hfs.exists(new Path(tD, "src=src15")))
+    val dLines = ComplianceLog.read(spark, ledger)
+      .where(col("lineage") === lit(linD)).collect()
+    assert(dLines.length === 1 && dLines(0).getLong(4) === rowsD)
   }
 
   test("footer tail-magic dispatch: PAR1 reads fast, PARE (encrypted " +
