@@ -304,14 +304,22 @@ object Dedup {
     * corpus-independent, so the sidecar is untouched.
     * Delete-then-probe ≡ rebuild-on-remaining row-identity is
     * asserted in DedupSimilaritySpec. Returns
-    * (rowsDeleted, dirsRewritten). */
+    * (rowsDeleted, dirsRewritten).
+    *
+    * With `evidence` set, the delete's
+    * [[graft.sinks.ComplianceLog]] line is committed INSIDE the swap
+    * protocol — written between the manifest commit and the swap, and
+    * re-emitted by recovery from the manifest if a crash beat it — so
+    * a replayed batch can never overwrite real counts with its
+    * post-delete zeros (r13 verdict item 2). */
   def deleteFromBucketIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, deleteIds: DataFrame): (Long, Long) = {
+      indexPath: String, deleteIds: DataFrame,
+      evidence: Option[graft.sinks.ComplianceLog.Key] = None): (Long, Long) = {
     // one sidecar read serves both the refusal check and idCol
     val meta = graft.config.Sidecar.read(spark, indexPath,
       "Dedup.writeBucketIndex")
     IndexCompact.deleteMatchingChecked(spark, indexPath,
-      graft.config.Sidecar.str(meta, "idCol"), deleteIds)
+      graft.config.Sidecar.str(meta, "idCol"), deleteIds, evidence)
   }
 
   /** Crash-recovery fsck for a stored [[writeBucketIndex]] table — see

@@ -430,11 +430,44 @@ private[graft] object IndexCompact {
     }
 
   private def writeManifest(spark: SparkSession, tmp: Path,
-      replace: Seq[String], remove: Seq[String]): Unit = {
+      replace: Seq[String], remove: Seq[String],
+      evidence: Option[(graft.sinks.ComplianceLog.Key, String, Long,
+        Long)] = None): Unit = {
     val node = graft.config.Sidecar.newNode()
     val r = node.putArray("replace"); replace.foreach(r.add)
     val d = node.putArray("remove"); remove.foreach(d.add)
+    // a delete's compliance evidence rides the COMMIT POINT itself: the
+    // counts exist the instant the manifest lands, so a crash anywhere
+    // after it can still produce the exact ledger line during recovery
+    // (r13 verdict item 2 — the zeros window)
+    evidence.foreach { case (k, table, rows, dirs) =>
+      val ev = node.putObject("evidence")
+      ev.put("ledger", k.ledgerPath)
+      ev.put("target", k.target)
+      ev.put("table", table)
+      ev.put("lineage", k.lineage)
+      ev.put("batch", k.batchId)
+      ev.put("rows", rows)
+      ev.put("dirs", dirs)
+    }
     graft.config.Sidecar.writeNode(spark, new Path(tmp, SwapManifest), node)
+  }
+
+  /** Appends the ledger line a committed manifest carries (no-op for
+    * manifests without one). Idempotent by the ledger's name keying —
+    * safe to run on every roll-forward, however many times. */
+  private def appendManifestEvidence(spark: SparkSession,
+      m: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val ev = m.get("evidence")
+    if (ev != null && ev.isObject)
+      graft.sinks.ComplianceLog.append(spark,
+        graft.config.Sidecar.str(ev, "ledger"),
+        graft.config.Sidecar.str(ev, "target"),
+        graft.config.Sidecar.str(ev, "table"),
+        graft.config.Sidecar.str(ev, "lineage"),
+        graft.config.Sidecar.long(ev, "batch"),
+        graft.config.Sidecar.long(ev, "rows"),
+        graft.config.Sidecar.long(ev, "dirs")): Unit
   }
 
   /** The idempotent swap loop (protocol step 3+4). Every rename is
@@ -531,6 +564,10 @@ private[graft] object IndexCompact {
           case Some(m) =>
             val replace = graft.config.Sidecar.strings(m, "replace")
             val remove = graft.config.Sidecar.strings(m, "remove")
+            // evidence BEFORE the swap completes: applySwap deletes the
+            // tmp dir (and with it the manifest), so this is the last
+            // point the counts exist on disk
+            appendManifestEvidence(spark, m)
             applySwap(fs, root, tmp, replace, remove)
             actions += s"rolled forward crashed $suffix swap " +
               s"(${replace.size} replaced, ${remove.size} removed)"
@@ -652,16 +689,23 @@ private[graft] object IndexCompact {
     * the swap engine for sidecar-LESS partitioned corpus tables
     * ([[graft.sinks.PartitionedSink.deletePartitionRowsByKey]]). */
   private[graft] def deleteMatchingChecked(spark: SparkSession,
-      indexPath: String, idColName: String,
-      deleteIds: DataFrame): (Long, Long) = {
+      indexPath: String, idColName: String, deleteIds: DataFrame,
+      evidence: Option[graft.sinks.ComplianceLog.Key] = None): (Long, Long) = {
     require(deleteIds.columns.length == 1,
       s"deleteIds must be a single id column, got: " +
         deleteIds.columns.mkString(", "))
+    // zero-work paths still stamp their keyed line: "the delete ran
+    // and matched nothing" is evidence too — and on a REPLAY the key
+    // already exists, so the original counts always win
+    def record(rows: Long, dirs: Long): Unit =
+      evidence.foreach(k => graft.sinks.ComplianceLog.append(spark,
+        k.ledgerPath, k.target, indexPath, k.lineage, k.batchId, rows,
+        dirs): Unit)
     recover(spark, indexPath) // self-heal a crashed prior maintenance run
     val root = new Path(indexPath)
     val fs = fsOf(spark, root)
     val (partCols, leaves) = leafParts(fs, root)
-    if (leaves.isEmpty) return (0L, 0L)
+    if (leaves.isEmpty) { record(0L, 0L); return (0L, 0L) }
     // read twice below (touched scan + anti-join); checkpoint so a
     // recomputed delete-set expression can't diverge between the two
     val del = deleteIds.toDF("__graft_del_id").distinct()
@@ -684,7 +728,7 @@ private[graft] object IndexCompact {
       .join(del, col("__graft_id") === col("__graft_del_id"), "left_semi")
       .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
       .collect() // ≤ partition-dir count rows (parts/nlist-bounded)
-    if (touchedAgg.isEmpty) return (0L, 0L)
+    if (touchedAgg.isEmpty) { record(0L, 0L); return (0L, 0L) }
     val rowsDeleted = touchedAgg.map(_.getLong(partCols.size)).sum
     val touchedVals: Seq[Seq[Any]] =
       touchedAgg.toSeq.map(r => partCols.indices.map { i =>
@@ -714,7 +758,13 @@ private[graft] object IndexCompact {
     // fully-deleted partitions wrote no tmp dir: they are removals
     val (replace, remove) = touchedNames.partition(n =>
       fs.exists(new Path(tmp, n)))
-    writeManifest(spark, tmp, replace, remove) // COMMIT POINT
+    writeManifest(spark, tmp, replace, remove, // COMMIT POINT
+      evidence.map(k => (k, indexPath, rowsDeleted,
+        touchedVals.size.toLong)))
+    // ledger line between the commit and the swap: a crash on either
+    // side converges — before the append, recover() re-appends from
+    // the manifest; after it, the keyed re-append skips
+    record(rowsDeleted, touchedVals.size.toLong)
     applySwap(fs, root, tmp, replace, remove)
     (rowsDeleted, touchedVals.size.toLong)
   }

@@ -893,13 +893,17 @@ object Similarity {
     * sidecar's `count` IS refreshed so the derived shortlist keeps
     * tracking the true corpus size. Delete-then-scan ≡
     * frozen-model-scan-over-remaining row-identity is asserted in
-    * DedupSimilaritySpec. Returns (rowsDeleted, dirsRewritten). */
+    * DedupSimilaritySpec. Returns (rowsDeleted, dirsRewritten).
+    * `evidence` commits the compliance line inside the swap protocol —
+    * see [[graft.operators.Dedup.deleteFromBucketIndex]], the contract
+    * is shared. */
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, deleteIds: DataFrame): (Long, Long) = {
+      path: String, deleteIds: DataFrame,
+      evidence: Option[graft.sinks.ComplianceLog.Key] = None): (Long, Long) = {
     val meta = graft.config.Sidecar.read(spark, path,
       "Similarity.writeIvfPqIndex")
     val res = IndexCompact.deleteMatchingChecked(spark, path,
-      "neighbor_id", deleteIds)
+      "neighbor_id", deleteIds, evidence)
     if (res._1 > 0) {
       // each vector is exactly one encoded row, so the delta IS the
       // new count — no recount job (a footer recount would re-list

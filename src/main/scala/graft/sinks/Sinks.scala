@@ -331,10 +331,11 @@ object PartitionedSink {
     * self-healed at the start of each call. Returns
     * (rowsDeleted, dirsRewritten). */
   def deletePartitionRowsByKey(spark: SparkSession, tablePath: String,
-      idCol: String, deleteIds: DataFrame): (Long, Long) = {
+      idCol: String, deleteIds: DataFrame,
+      evidence: Option[ComplianceLog.Key] = None): (Long, Long) = {
     recoverTable(spark, tablePath)
     graft.operators.IndexCompact.deleteMatchingChecked(spark, tablePath,
-      idCol, deleteIds)
+      idCol, deleteIds, evidence)
   }
 
   /** Drops WHOLE partition directories whose partition VALUE satisfies

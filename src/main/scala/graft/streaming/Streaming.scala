@@ -651,7 +651,12 @@ object Streaming {
     * With `complianceLog` set, each batch's evidence lands in the
     * unified [[graft.sinks.ComplianceLog]] ledger (target
     * `lsh-index`) BEFORE `onBatch` — exactly-once by file-name key,
-    * so a replayed batch preserves the original counts. */
+    * so a replayed batch preserves the original counts. The line is
+    * committed INSIDE the delete's swap protocol (between the swap
+    * manifest and the renames, re-emitted by recovery from the
+    * manifest if a crash beats it), so the r13 zeros window — crash
+    * between the delete's commit and a post-delete append, replay
+    * finds nothing and records zeros forever — cannot occur. */
   def takedownMaintenanceStream(requests: DataFrame, indexPath: String,
       checkpointPath: String, complianceLog: Option[String] = None)(
       onBatch: (Long, Long, Long) => Unit): StreamingQuery =
@@ -660,11 +665,10 @@ object Streaming {
           batchId: Long) =>
         val b = batch.toDF().localCheckpoint(true)
         val (nRows, nDirs) = graft.operators.Dedup.deleteFromBucketIndex(
-          b.sparkSession, indexPath, b)
-        complianceLog.foreach(lp => graft.sinks.ComplianceLog.append(
-          b.sparkSession, lp, "lsh-index", indexPath,
-          canonicalLineage(b.sparkSession, checkpointPath), batchId,
-          nRows, nDirs): Unit)
+          b.sparkSession, indexPath, b,
+          complianceLog.map(lp => graft.sinks.ComplianceLog.Key(lp,
+            "lsh-index",
+            canonicalLineage(b.sparkSession, checkpointPath), batchId)))
         onBatch(nRows, nDirs, batchId)
       }
       .option("checkpointLocation", checkpointPath)
@@ -694,7 +698,9 @@ object Streaming {
     *
     * With `complianceLog` set, each batch's evidence lands in the
     * unified [[graft.sinks.ComplianceLog]] ledger (target `corpus`)
-    * BEFORE `onBatch`. */
+    * BEFORE `onBatch`, committed inside the delete's swap protocol —
+    * see [[takedownMaintenanceStream]], the zeros-window contract is
+    * shared. */
   def corpusTakedownStream(requests: DataFrame, tablePath: String,
       idCol: String, checkpointPath: String,
       complianceLog: Option[String] = None)(
@@ -705,11 +711,10 @@ object Streaming {
         val b = batch.toDF().localCheckpoint(true)
         val (nRows, nDirs) = graft.sinks.PartitionedSink
           .deletePartitionRowsByKey(b.sparkSession, tablePath, idCol,
-            b)
-        complianceLog.foreach(lp => graft.sinks.ComplianceLog.append(
-          b.sparkSession, lp, "corpus", tablePath,
-          canonicalLineage(b.sparkSession, checkpointPath), batchId,
-          nRows, nDirs): Unit)
+            b, complianceLog.map(lp => graft.sinks.ComplianceLog.Key(
+              lp, "corpus",
+              canonicalLineage(b.sparkSession, checkpointPath),
+              batchId)))
         onBatch(nRows, nDirs, batchId)
       }
       .option("checkpointLocation", checkpointPath)
@@ -951,7 +956,9 @@ object Streaming {
     *
     * With `complianceLog` set, each batch's evidence lands in the
     * unified [[graft.sinks.ComplianceLog]] ledger (target
-    * `ann-index`) BEFORE `onBatch`. */
+    * `ann-index`) BEFORE `onBatch`, committed inside the delete's
+    * swap protocol — see [[takedownMaintenanceStream]], the
+    * zeros-window contract is shared. */
   def annTakedownStream(requests: DataFrame, indexPath: String,
       checkpointPath: String, complianceLog: Option[String] = None)(
       onBatch: (Long, Long, Long) => Unit): StreamingQuery =
@@ -960,11 +967,11 @@ object Streaming {
           batchId: Long) =>
         val b = batch.toDF().localCheckpoint(true)
         val (nRows, nDirs) = graft.operators.Similarity
-          .deleteFromIvfPqIndex(b.sparkSession, indexPath, b)
-        complianceLog.foreach(lp => graft.sinks.ComplianceLog.append(
-          b.sparkSession, lp, "ann-index", indexPath,
-          canonicalLineage(b.sparkSession, checkpointPath), batchId,
-          nRows, nDirs): Unit)
+          .deleteFromIvfPqIndex(b.sparkSession, indexPath, b,
+            complianceLog.map(lp => graft.sinks.ComplianceLog.Key(lp,
+              "ann-index",
+              canonicalLineage(b.sparkSession, checkpointPath),
+              batchId)))
         onBatch(nRows, nDirs, batchId)
       }
       .option("checkpointLocation", checkpointPath)

@@ -995,4 +995,57 @@ class RecoverySpec extends SparkSpec {
     assert(!fs.exists(marker))
     noSiblings(idx)
   }
+
+  test("swap-manifest evidence (r14, r13 verdict item 2): a delete's " +
+    "compliance line rides the commit point — a crash between the " +
+    "manifest and the append is re-emitted by recovery with the REAL " +
+    "counts, and a replayed batch can never overwrite them with zeros") {
+    import graft.sinks.ComplianceLog
+    val ledger = tmpDir("graft_swapev_ledger")
+    def lines(lin: String) = ComplianceLog.read(spark, ledger)
+      .where(col("lineage") === lit(lin))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    // --- normal path: delete with evidence → exactly one line ---
+    val a = freshFixture()
+    val keyA = ComplianceLog.Key(ledger, "lsh-index", "aaaa1111", 0L)
+    val (nA, dA) = IndexCompact.deleteMatchingChecked(spark, a, "id",
+      delIds, Some(keyA))
+    assert((nA, dA) === ((17L, 2L)))
+    assert(lines("aaaa1111") === Seq(("lsh-index", 0L, 17L, 2L)))
+    // a REPLAY of the batch (ids already gone) records nothing new
+    val (nA2, dA2) = IndexCompact.deleteMatchingChecked(spark, a, "id",
+      delIds, Some(keyA))
+    assert((nA2, dA2) === ((0L, 0L)))
+    assert(lines("aaaa1111") === Seq(("lsh-index", 0L, 17L, 2L)),
+      "the replay's zeros must not shadow the original evidence")
+    // --- crash state: manifest (with evidence) committed, ledger
+    // append and swap both lost — the r13 window reconstructed ---
+    val b = freshFixture()
+    val (_, tmpB, _) = commitUncrashedTmp(b)
+    val m = graft.config.Sidecar.readNode(spark,
+      new Path(tmpB, IndexCompact.SwapManifest)).get
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val ev = m.putObject("evidence")
+    ev.put("ledger", ledger); ev.put("target", "corpus")
+    ev.put("table", b); ev.put("lineage", "bbbb2222")
+    ev.put("batch", 5L); ev.put("rows", 17L); ev.put("dirs", 2L)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tmpB, IndexCompact.SwapManifest), m)
+    // the stream restarts: its replayed micro-batch re-runs the
+    // delete, whose self-heal rolls the swap forward — the evidence
+    // must surface with the manifest's counts, and the replay's own
+    // nothing-left-to-delete zeros must be skipped by the key
+    val keyB = ComplianceLog.Key(ledger, "corpus", "bbbb2222", 5L)
+    val (nB, dB) = IndexCompact.deleteMatchingChecked(spark, b, "id",
+      delIds, Some(keyB))
+    assert((nB, dB) === ((0L, 0L)), "the replay finds nothing left")
+    assert(lines("bbbb2222") === Seq(("corpus", 5L, 17L, 2L)),
+      "recovery must emit the crashed delete's REAL counts, not zeros")
+    assert(rowsOf(b) === fixtureKept)
+    noSiblings(b)
+    // idempotent: a second recover pass adds nothing
+    assert(IndexCompact.recover(spark, b).isEmpty)
+    assert(lines("bbbb2222").length === 1)
+  }
 }
