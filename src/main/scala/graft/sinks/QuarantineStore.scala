@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Exactly-once evidence store for the admission gates' QUARANTINED
   * rows — closing the documented at-least-once bound on quarantine
@@ -29,7 +30,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * One store holds ONE stream's quarantines (the file schema is the
   * caller's batch schema — evidence rows carry the doc/vector columns
   * plus the gate's estimate column, which differ per gate family);
-  * point each stream at its own directory. Scale shape: one tiny file
+  * point each stream at its own directory. The first append PINS that
+  * schema in a `_graft_schema.json` sidecar and every later append is
+  * checked against it (names + types, nullability free): the realistic
+  * hazard is not two streams sharing a store but ONE stream whose
+  * evidence schema evolves across deployments — without the pin, the
+  * old and new files coexist and [[compactBefore]]'s
+  * union-by-inference could silently drop or null the columns only
+  * one side has (r13 verdict item 3). Evolving the schema is a
+  * deliberate act: fold the old store away (or start a new directory)
+  * rather than mixing shapes under one inference. [[compactBefore]]
+  * and [[read]] both use the pinned schema when present, so a fold
+  * can never change what a reader sees. Scale shape: one tiny file
   * per quarantining micro-batch — incident volume, not data volume.
   * Old names fold away with [[compactBefore]] under
   * [[ComplianceLog]]'s caveat verbatim: the file name is the skip
@@ -38,9 +50,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * together — the horizon is the explicit argument. */
 object QuarantineStore {
 
+  /** Schema pin sidecar name — underscore-prefixed so parquet readers
+    * and the evidence-file name parser both ignore it. */
+  private[sinks] val SchemaSidecar = "_graft_schema.json"
+
+  /** The store's pinned schema, if any append has pinned one. */
+  private def pinnedSchema(spark: SparkSession,
+      root: Path): Option[StructType] =
+    graft.config.Sidecar.readNode(spark, new Path(root, SchemaSidecar))
+      .map(n => DataType.fromJson(
+        graft.config.Sidecar.str(n, "schemaJson"))
+        .asInstanceOf[StructType])
+
+  private def shape(s: StructType): Set[(String, DataType)] =
+    s.fields.map(f => (f.name, f.dataType)).toSet
+
+  /** First append pins, later appends must match (names + types;
+    * nullability and field order free — parquet reads by name and
+    * checkpoint replays can flip nullability). */
+  private def pinOrCheck(spark: SparkSession, root: Path,
+      schema: StructType): Unit =
+    pinnedSchema(spark, root) match {
+      case None =>
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(root)
+        val node = graft.config.Sidecar.newNode()
+        node.put("schemaJson", schema.json)
+        graft.config.Sidecar.writeNode(spark,
+          new Path(root, SchemaSidecar), node)
+      case Some(p) =>
+        require(shape(p) == shape(schema),
+          s"quarantine store $root is pinned to schema " +
+            s"[${p.toDDL}] but this batch carries " +
+            s"[${schema.toDDL}] — one store holds one stream's ONE " +
+            "schema; an evolved gate writes to a fresh store (fold " +
+            "the old one away with compactBefore), it does not mix " +
+            "shapes under one inference")
+    }
+
   /** Appends `rows` as the (lineage, batchId) quarantine evidence
     * unless that key is already recorded. Returns whether the file was
-    * written (false = replay; the original evidence stands). */
+    * written (false = replay; the original evidence stands). Refuses
+    * loudly — replay or not — if `rows`' schema does not match the
+    * store's pinned one (see the class doc). */
   def append(spark: SparkSession, storePath: String, lineage: String,
       batchId: Long, rows: DataFrame): Boolean = {
     require(lineage.matches("[A-Za-z0-9._-]+") &&
@@ -51,6 +104,7 @@ object QuarantineStore {
     // ComplianceLog.append; r13 ADVICE)
     require(batchId >= 0,
       s"quarantine batch id must be >= 0, got $batchId")
+    pinOrCheck(spark, new Path(storePath), rows.schema)
     if (recorded(spark, storePath, lineage, batchId)) return false
     // quarantines are incident-sized (the over-budget slice of one
     // micro-batch); one file per key keeps the rename the commit point
@@ -71,23 +125,29 @@ object QuarantineStore {
   }
 
   /** Every quarantined row in the store, or None when nothing has ever
-    * been quarantined (the schema is the writing stream's — an empty
-    * store has none to offer). */
+    * been quarantined (the schema is the pinned one when present — a
+    * pre-pin legacy store falls back to inference). */
   def read(spark: SparkSession, storePath: String): Option[DataFrame] =
     if (!EvidenceCompaction.hasFinalFiles(spark, new Path(storePath)))
       None
-    else Some(spark.read.parquet(storePath))
+    else {
+      val pinned = pinnedSchema(spark, new Path(storePath))
+      Some(pinned.fold(spark.read)(spark.read.schema)
+        .parquet(storePath))
+    }
 
   /** Folds every quarantine file with batch id < `horizonBatchId`
     * into one consolidated file — same engine, contract and
     * caller-owned horizon as
     * [[ComplianceLog.compactBefore]] ([[EvidenceCompaction]]); the
-    * schema is inferred from the store's own files (one stream, one
-    * schema per store). Returns (filesFolded, rowsFolded). */
+    * fold reads under the PINNED schema when present (r13 verdict
+    * item 3 — inference over a store that somehow mixed shapes could
+    * silently drop columns; a pre-pin legacy store still infers).
+    * Returns (filesFolded, rowsFolded). */
   def compactBefore(spark: SparkSession, storePath: String,
       horizonBatchId: Long): (Long, Long) =
     EvidenceCompaction.compactBefore(spark, storePath, horizonBatchId,
-      None)
+      pinnedSchema(spark, new Path(storePath)))
 
   /** Rolls a crashed [[compactBefore]] forward (manifest-committed),
     * then sweeps crashed append `.inflight-*` dirs (a crash between

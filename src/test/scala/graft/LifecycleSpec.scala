@@ -578,6 +578,50 @@ class LifecycleSpec extends SparkSpec {
     assert(err.getMessage.contains("reserved"), err.getMessage)
   }
 
+  test("QuarantineStore schema pin (r14, r13 verdict item 3): the " +
+    "first append pins the store's schema, an evolved batch is " +
+    "refused loudly instead of mixing shapes under inference, and " +
+    "the fold reads under the pin") {
+    import graft.sinks.QuarantineStore
+    import spark.implicits._
+    val store = tmp("qs-pin").toString
+    for (b <- Seq(0L, 1L, 2L))
+      assert(QuarantineStore.append(spark, store, "cafe", b,
+        Seq((b, s"doc$b", b * 10)).toDF("id", "why", "est")))
+    // same shape, different column ORDER and nullability: accepted
+    assert(QuarantineStore.append(spark, store, "cafe", 3L,
+      Seq(("doc3", 3L, 30L)).toDF("why", "id", "est")))
+    // an EVOLVED schema (added column) is the r13 hazard: refused
+    val err = intercept[IllegalArgumentException] {
+      QuarantineStore.append(spark, store, "cafe", 4L,
+        Seq((4L, "doc4", 40L, 0.5)).toDF("id", "why", "est", "score"))
+    }
+    assert(err.getMessage.contains("pinned to schema"), err.getMessage)
+    // ...and so is a retyped column
+    val err2 = intercept[IllegalArgumentException] {
+      QuarantineStore.append(spark, store, "cafe", 4L,
+        Seq(("4", "doc4", 40L)).toDF("id", "why", "est"))
+    }
+    assert(err2.getMessage.contains("pinned to schema"), err2.getMessage)
+    // the fold runs under the pin and the read-back is row-identical
+    val before = QuarantineStore.read(spark, store).get
+      .select($"id", $"why", $"est").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val (qf, qr) = QuarantineStore.compactBefore(spark, store, 3L)
+    assert(qf === 3L && qr === 3L)
+    val after = QuarantineStore.read(spark, store).get
+    assert(after.select($"id", $"why", $"est").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === before)
+    // the pin survives the fold (it is an underscore sidecar, never
+    // fold input) and keeps guarding post-fold appends
+    val err3 = intercept[IllegalArgumentException] {
+      QuarantineStore.append(spark, store, "cafe", 9L,
+        Seq((9L, "x", 1L, 0.1)).toDF("id", "why", "est", "score"))
+    }
+    assert(err3.getMessage.contains("pinned to schema"), err3.getMessage)
+  }
+
   test("ComplianceLog — all three takedown streams share ONE auditable " +
     "ledger: per-batch evidence lines match the callbacks, a replayed " +
     "append preserves the original counts, crashed inflight dirs " +

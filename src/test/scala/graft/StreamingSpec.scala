@@ -1826,10 +1826,14 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "est_candidates").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stored1 === stored0, "the original evidence stands")
-    // direct replay of the key: append refuses, rows unchanged
+    // direct replay of the key: append refuses, rows unchanged (the
+    // frame carries the store's pinned 3-column shape — r14's schema
+    // pin fires BEFORE the replay skip, so a short frame would be a
+    // loud mismatch, not a quiet false)
     assert(!graft.sinks.QuarantineStore.append(spark, store,
       Streaming.canonicalLineage(spark, cp), 0L,
-      Seq((999L, 999L)).toDF("doc_id", "est_candidates")))
+      Seq((999L, "zzz", 999L)).toDF("doc_id", "text",
+        "est_candidates")))
     // at-least-once callback: a crash BETWEEN the callback and the
     // store append (evidence file never landed) must re-offer BOTH on
     // replay — simulate by deleting the recorded file + checkpoint
