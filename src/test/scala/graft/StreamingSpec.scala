@@ -1856,4 +1856,132 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft_qstore_empty").toString
     assert(graft.sinks.QuarantineStore.read(spark, empty).isEmpty)
   }
+
+  test("quarantine incident drill, LSH family (r14, r13 verdict item " +
+    "4): over-budget doc quarantined → read back from the store → " +
+    "re-admitted via the plain append API → the index converges to " +
+    "probe parity with a never-quarantined control") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = "the same boilerplate text repeated across this " +
+      "corpus again and again verbatim"
+    def uniq(i: Long) = s"unique document number $i carrying distinct " +
+      s"content token$i alpha beta gamma delta epsilon zeta"
+    val corpus = ((0L until 40L).map(i => (i, boiler)) ++
+      (100L until 120L).map(i => (i, uniq(i)))).toDF("doc_id", "text")
+    def mk(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (idx, ctl, cp, store) = (mk("graft_drill_lsh_idx"),
+      mk("graft_drill_lsh_ctl"), mk("graft_drill_lsh_cp"),
+      mk("graft_drill_lsh_store"))
+    graft.operators.Dedup.writeBucketIndex(corpus, idx, "text",
+      "doc_id", parts = 16)
+    val batch = Seq((500L, boiler), (501L, uniq(100)))
+      .toDF("doc_id", "text")
+    val est = graft.operators.Dedup.probeAdmission(spark, idx, batch,
+      "text", "doc_id", Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val q = Streaming.dedupMaintenanceStream(
+      { val m = MemoryStream[(Long, String)]
+        m.addData((500L, boiler), (501L, uniq(100)))
+        m.toDF().toDF("doc_id", "text") },
+      "text", "doc_id", idx, cp,
+      admitBudget = (est(500L) + est(501L)) / 2,
+      quarantineStore = Some(store)) { (_, _) => () }
+    q.processAllAvailable(); q.stop()
+    // the incident: read the evidence back — full doc columns, so the
+    // reviewer holds everything re-admission needs
+    val held = graft.sinks.QuarantineStore.read(spark, store).get
+    assert(held.count() === 1 &&
+      held.select("doc_id").as[Long].head() === 500L)
+    // review decision: re-admit via the documented plain append
+    graft.operators.Dedup.appendToBucketIndex(spark, idx,
+      held.select($"doc_id", $"text"), "text")
+    // control: the same corpus + batch with NO gate in the way
+    graft.operators.Dedup.writeBucketIndex(corpus, ctl, "text",
+      "doc_id", parts = 16)
+    graft.operators.Dedup.appendToBucketIndex(spark, ctl, batch, "text")
+    // probe parity: a fresh boilerplate dup AND a fresh unique dup
+    // see identical candidate sets through both indexes
+    val probe = Seq((900L, boiler), (901L, uniq(101)))
+      .toDF("doc_id", "text")
+    def pairs(path: String) = graft.operators.Dedup
+      .incrementalCandidatesStored(spark, path, probe, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (got, want) = (pairs(idx), pairs(ctl))
+    assert(got === want, s"drill index diverged: ${got.diff(want)} / " +
+      s"${want.diff(got)}")
+    assert(got.exists(p => p._1 === 500L || p._2 === 500L),
+      "the re-admitted doc must be probe-visible")
+  }
+
+  test("quarantine incident drill, ANN family (r14, r13 verdict item " +
+    "4): over-budget vector quarantined → read back → re-admitted " +
+    "via appendToIvfPqIndex → scan parity and count parity with a " +
+    "never-quarantined control") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def jitter(base: Array[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 31 + j * 7) % 13 - 6) * 1e-3f }.toSeq
+    val e1 = Array.tabulate(8)(j => if (j == 0) 1f else 0f)
+    val e2 = Array.tabulate(8)(j => if (j == 1) 1f else 0f)
+    val vecs: Seq[Seq[Float]] = jitter(e1, 0) +: jitter(e2, 1) +:
+      (((2 until 200).map(jitter(e1, _)) ++
+        (200 until 220).map(jitter(e2, _))): Seq[Seq[Float]])
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    def mk(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (idx, ctl, cp, store) = (mk("graft_drill_ann_idx"),
+      mk("graft_drill_ann_ctl"), mk("graft_drill_ann_cp"),
+      mk("graft_drill_ann_store"))
+    for (p <- Seq(idx, ctl))
+      graft.operators.Similarity.writeIvfPqIndex(corpus, p, "vec_id",
+        "embedding", dim = 8, m = 2, kCodes = 4, rounds = 2, nlist = 2)
+    val batch = Seq((500L, jitter(e1, 500)), (501L, jitter(e2, 501)))
+      .toDF("vec_id", "embedding")
+    val est = graft.operators.Similarity.scanAdmission(spark, idx,
+      batch, "vec_id", "embedding", nprobe = 1, budget = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val q = Streaming.annMaintenanceStream(
+      { val m = MemoryStream[(Long, Seq[Float])]
+        m.addData((500L, jitter(e1, 500)), (501L, jitter(e2, 501)))
+        m.toDF().toDF("vec_id", "embedding") },
+      "vec_id", "embedding", idx, cp, nprobe = 1, k = 3,
+      shortlist = 10, admitBudget = (est(500L) + est(501L)) / 2,
+      quarantineStore = Some(store)) { (_, _) => () }
+    q.processAllAvailable(); q.stop()
+    val held = graft.sinks.QuarantineStore.read(spark, store).get
+    assert(held.count() === 1 &&
+      held.select("vec_id").as[Long].head() === 500L)
+    // re-admit the held vector — its embedding column round-tripped
+    // the store's parquet exactly, so the documented repair is one
+    // plain append of the read-back
+    graft.operators.Similarity.appendToIvfPqIndex(spark, idx,
+      held.select($"vec_id", $"embedding"), "vec_id", "embedding")
+    graft.operators.Similarity.appendToIvfPqIndex(spark, ctl, batch,
+      "vec_id", "embedding")
+    // count parity: both sidecars agree the corpus grew by 2
+    def countOf(p: String) = graft.config.Sidecar.long(
+      graft.config.Sidecar.read(spark, p, "test"), "count")
+    assert(countOf(idx) === countOf(ctl))
+    // scan parity: probes into both cells see identical neighbors
+    val probe = Seq((900L, jitter(e1, 900)), (901L, jitter(e2, 901)))
+      .toDF("vec_id", "embedding")
+    def scan(p: String) = graft.operators.Similarity.ivfPqScanStored(
+      spark, p, probe, "vec_id", "embedding", nprobe = 1, k = 5,
+      shortlist = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val (got, want) = (scan(idx), scan(ctl))
+    assert(got === want, s"drill index diverged: ${got.diff(want)} / " +
+      s"${want.diff(got)}")
+    // the re-admitted vector is index-visible (top-k membership under
+    // PQ-quantized scores over a 200-vector cell is tie-prone, so the
+    // visibility check reads the encoded rows, parity checks the scan)
+    val ids = spark.read.parquet(idx).select("neighbor_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(500L),
+      "the re-admitted vector must be encoded in the index")
+  }
 }
