@@ -1295,6 +1295,39 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q330: ledger-audit replay — every covered (target, batch) cell's
+    // recorded counts must equal an independent reconstruction of that
+    // batch's deletes (row count by id predicate, directory count as
+    // the batch's distinct partition values — the batches are disjoint
+    // id slices, so each cell is order-independent), and every gap
+    // cell must surface as recorded=0 with -1 sentinels
+    "q330_ledger_audit" ->
+      """WITH grid AS (
+        |  SELECT * FROM (VALUES
+        |    ('archive', CAST(0 AS BIGINT), 1), ('archive', 1, 0),
+        |    ('archive', 2, 1),
+        |    ('corpus', 0, 1), ('corpus', 1, 1), ('corpus', 2, 1),
+        |    ('mirror', 0, 1), ('mirror', 1, 1), ('mirror', 2, 0)
+        |  ) g(target, batch_id, covered)
+        |), per_batch AS (
+        |  SELECT CAST(CASE CAST(doc_id % 30 AS INT)
+        |      WHEN 3 THEN 0 WHEN 13 THEN 1 WHEN 23 THEN 2 END AS BIGINT)
+        |      AS batch_id,
+        |    count(*) AS n_rows,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_dirs
+        |  FROM documents
+        |  WHERE CAST(doc_id % 30 AS INT) IN (3, 13, 23)
+        |  GROUP BY 1
+        |)
+        |SELECT g.target, g.batch_id,
+        |  CAST(g.covered AS BIGINT) AS recorded,
+        |  CASE WHEN g.covered = 1 THEN p.n_rows
+        |    ELSE CAST(-1 AS BIGINT) END AS rows_deleted,
+        |  CASE WHEN g.covered = 1 THEN p.n_dirs
+        |    ELSE CAST(-1 AS BIGINT) END AS dirs_rewritten
+        |FROM grid g JOIN per_batch p USING (batch_id)
+        |ORDER BY target, batch_id""".stripMargin,
+
     // q329: footer-metadata balance replay — the per-leaf row counts
     // the maintenance window reads from parquet footer tails must
     // equal a full recount of the doubled (two-append) skewed copy,

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.sources.Tables
 
+/** Local filesystem with a configurable per-`listStatus` latency —
+  * the probe's object-store stand-in (r13 stretch item 8): directory
+  * listings on S3/GCS are RTT-bound (tens of ms), and the 16-wide
+  * walk's scaladoc claims that is exactly where its fan-out pays.
+  * Registered under the `slowfs:` scheme via `fs.slowfs.impl`;
+  * `-Dgraft.slowfs.listDelayMs` sets the simulated RTT (default
+  * 10 ms). Only `listStatus` sleeps — the walk's cost unit. */
+class LatencyLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowfs"
+  override def getUri: java.net.URI = java.net.URI.create("slowfs:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    Thread.sleep(java.lang.Long.getLong("graft.slowfs.listDelayMs", 10L))
+    super.listStatus(f)
+  }
+}
+
 /** Scale probe for q294's incremental near-dup ingestion
   * (`Dedup.incrementalCandidates`): hold the BATCH fixed (the base
   * corpus's doc_id ≡ 7 mod 20 slice) while the CORPUS replicates
@@ -318,6 +335,94 @@ object ProbeIncremental {
         f""""sec_ttl_5pct":$secTtl5pct%.2f,"dropped_rows":$mRows,""" +
         f""""dropped_dirs":$mDirs}""")
       hfs.delete(root, true)
+    }
+
+    // ---- CONCURRENT-window arm (r13 verdict item 6): the window is
+    // marketed as an ops cron and the walk pool is a SHARED 16-thread
+    // global — N crons firing together over N tables contend for it
+    // (and for the JVM-wide FileSystem cache lock). 4 windows over
+    // DISTINCT fresh 4k-leaf tables, sequential vs parallel, fresh
+    // fixtures for each mode so page-cache warmth can't flatter the
+    // second measurement. The claim: parallel ≈ sequential wall (the
+    // pool serializes the listing fan-out but windows interleave
+    // their Spark/footer phases), and never a pathological blow-up
+    // from lock contention.
+    locally {
+      val wLeaves = 4000
+      def mkConcTable(tag: String, i: Int): String = {
+        val tbl = s"/tmp/graft_probe_conc_${tag}_$i"
+        spark.range(wLeaves.toLong * 4)
+          .select(col("id"), (col("id") % wLeaves).cast("int").as("p"))
+          .repartition(32, col("p"))
+          .write.mode("overwrite").partitionBy("p").parquet(tbl)
+        tbl
+      }
+      def drop(tbl: String): Unit =
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tbl), true)
+      val seqTbls = (0 until 4).map(mkConcTable("seq", _))
+      val tSeq = System.nanoTime()
+      seqTbls.foreach { t =>
+        val r = graft.operators.Maintenance.run(spark, t,
+          maxFilesPerDir = 64)
+        require(r.leafDirs == wLeaves.toLong)
+      }
+      val secSeq = (System.nanoTime() - tSeq) / 1e9
+      seqTbls.foreach(drop)
+      val parTbls = (0 until 4).map(mkConcTable("par", _))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val tPar = System.nanoTime()
+      val threads = parTbls.map { t =>
+        val th = new Thread(() =>
+          try {
+            val r = graft.operators.Maintenance.run(spark, t,
+              maxFilesPerDir = 64)
+            require(r.leafDirs == wLeaves.toLong)
+          } catch { case e: Throwable => errs.add(e): Unit },
+          s"conc-window-$t")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val secPar = (System.nanoTime() - tPar) / 1e9
+      if (!errs.isEmpty) throw errs.peek()
+      parTbls.foreach(drop)
+      println(f"""{"probe":"concurrent_windows","windows":4,""" +
+        f""""leaves_each":$wLeaves,"sec_sequential":$secSeq%.2f,""" +
+        f""""sec_parallel":$secPar%.2f}""")
+    }
+
+    // ---- OBJECT-STORE latency arm (r13 stretch item 8): the same
+    // census walk through a local FS whose every listStatus pays a
+    // simulated RTT. A sequential walk's floor is leaves × RTT; the
+    // 16-wide walk should land near (leaves / 16) × RTT — measured,
+    // not argued from scaladoc.
+    locally {
+      val nLeaves = 2000
+      val delayMs = java.lang.Long.getLong("graft.slowfs.listDelayMs", 10L)
+      spark.sparkContext.hadoopConfiguration.set("fs.slowfs.impl",
+        classOf[LatencyLocalFs].getName)
+      val tbl = s"/tmp/graft_probe_slowfs_$nLeaves"
+      spark.range(nLeaves.toLong * 2)
+        .select(col("id"), (col("id") % nLeaves).cast("int").as("p"))
+        .repartition(32, col("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(tbl)
+      val slowRoot = new org.apache.hadoop.fs.Path(s"slowfs:$tbl")
+      val sfs = slowRoot.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val tSlow = System.nanoTime()
+      val (cols, leaves) =
+        graft.operators.IndexCompact.leafParts(sfs, slowRoot)
+      val secSlow = (System.nanoTime() - tSlow) / 1e9
+      require(cols == Seq("p") && leaves.size == nLeaves,
+        s"slowfs walk saw ${leaves.size} leaves != $nLeaves")
+      val secSeqFloor = (nLeaves + 1).toDouble * delayMs / 1e3
+      println(f"""{"probe":"slowfs_walk","leaves":$nLeaves,""" +
+        f""""list_delay_ms":$delayMs,"sec_walk":$secSlow%.2f,""" +
+        f""""sec_sequential_floor":$secSeqFloor%.2f}""")
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tbl), true)
     }
     spark.stop()
   }

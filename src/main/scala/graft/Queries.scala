@@ -9412,6 +9412,75 @@ object Queries {
     rows.toDF("part_g", "leaf_rows", "balance")
   }
 
+  /** COMPLIANCE-LEDGER AUDIT, ORACLE-PROVEN — the READ path a
+    * compliance officer actually runs (r13 stretch item 7): "what did
+    * each takedown batch delete, on every target it should have hit —
+    * and where are the gaps?" Three materializations of the corpus
+    * (primary, mirror, archive — the deployment shape where one
+    * request must land N places) each process an INCOMPLETE subset of
+    * three takedown batches, every delete committing its evidence
+    * through the swap-manifest protocol
+    * ([[graft.sinks.PartitionedSink.deletePartitionRowsByKey]] with a
+    * ledger key — r14's threaded evidence driven end-to-end under the
+    * oracle, not just specs). The audit joins the full
+    * (target × batch) grid against the ledger: covered cells carry
+    * the recorded counts, gaps surface as `recorded = 0` rows — the
+    * difference between "deleted nowhere" and "deleted everywhere but
+    * the archive" is exactly what the unified ledger exists to make
+    * visible. DuckDB reconstructs every covered cell's counts from
+    * the id predicate and the batch's distinct partition values, so
+    * the hash match pins the threaded evidence against an independent
+    * replay of each delete.
+    *
+    * Scale shape: the deletes are q317's touched-directory rewrites;
+    * the ledger read is audit-volume; the grid join is
+    * (targets × batches)-bounded driver data. */
+  def q330LedgerAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val log = java.nio.file.Files
+      .createTempDirectory("graft_audit_log_").toString
+    // coverage matrix with deliberate gaps: mirror missed batch 2,
+    // archive missed batch 1
+    val coverage = Seq(("archive", Seq(0, 2)), ("corpus", Seq(0, 1, 2)),
+      ("mirror", Seq(0, 1)))
+    val tbls = coverage.map { case (target, batches) =>
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft_audit_${target}_").toString
+      docs.repartition(col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(tbl)
+      for (b <- batches) {
+        val ids = docs
+          .filter(pmod(col("doc_id"), lit(30)) === lit(b * 10 + 3))
+          .select("doc_id")
+        PartitionedSink.deletePartitionRowsByKey(s, tbl, "doc_id", ids,
+          Some(graft.sinks.ComplianceLog.Key(log, target, "q330",
+            b.toLong))): Unit
+      }
+      tbl
+    }
+    val grid = coverage.map(_._1)
+      .flatMap(target => (0L until 3L).map(b => (target, b)))
+      .toDF("target", "batch_id")
+    val ledger = graft.sinks.ComplianceLog.read(s, log)
+      .select(col("target"), col("batch_id"), col("rows_deleted"),
+        col("dirs_rewritten"))
+    val res = grid.join(ledger, Seq("target", "batch_id"), "left")
+      .select(col("target"), col("batch_id"),
+        when(col("rows_deleted").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("recorded"),
+        coalesce(col("rows_deleted"), lit(-1L)).as("rows_deleted"),
+        coalesce(col("dirs_rewritten"), lit(-1L)).as("dirs_rewritten"))
+      .orderBy("target", "batch_id")
+      .localCheckpoint(true) // pin before the scratch dirs are deleted
+    for (path <- tbls :+ log) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9745,5 +9814,6 @@ object Queries {
     "q327_null_partition_ttl" -> (q327NullPartitionTtl _),
     "q328_compliance_ledger" -> (q328ComplianceLedger _),
     "q329_footer_balance" -> (q329FooterBalance _),
+    "q330_ledger_audit" -> (q330LedgerAudit _),
   )
 }
