@@ -109,11 +109,18 @@ object Maintenance {
       s"Maintenance.run: a TTL predicate on a '$family' index would " +
         "age out shards by their internal partition key — retention " +
         "is a corpus-table policy; use the index delete APIs instead")
-    val actions = family match {
+    val actions = (family match {
       case IvfPq => Similarity.recoverIvfPqIndex(spark, path)
       case LshBucket => Dedup.recoverBucketIndex(spark, path)
       case Table => graft.sinks.PartitionedSink.recoverTable(spark, path)
-    }
+    }) ++
+      // the window is the cron's ONE entry point, so it also heals the
+      // ledger it is about to write: a crashed fold rolls forward, a
+      // crashed append's .inflight-* dirs sweep away (the evidence
+      // line itself is re-emitted by the sweep protocol, never lost)
+      evidence.toSeq.flatMap { case (ledger, _) =>
+        graft.sinks.ComplianceLog.recover(spark, ledger)
+      }
     val (ttlRows, ttlDirs, ttlNulls, ttlRecorded) = ttl match {
       case Some(p) =>
         val key = evidence.map { case (ledger, runId) =>

@@ -144,7 +144,15 @@ object PartitionedSink {
     * at `tablePath`; [[recoverTable]] is the fsck that rolls such a
     * state forward (complete temp present) or back, and this method
     * runs it first so a maintenance window self-heals the previous
-    * window's crash — from EITHER protocol. */
+    * window's crash — from EITHER protocol.
+    *
+    * No `evidence` parameter here BY DESIGN: the whole-root swap has
+    * no manifest to ride (its commit point is a single rename), so an
+    * in-protocol ledger line would need a second commit mechanism for
+    * one caller. A compliance delete that needs crash-exact evidence
+    * uses [[deletePartitionRowsByKey]] (the takedown streams do); this
+    * full-rewrite path is the offline batch job whose evidence is the
+    * job's own success/failure. */
   def deleteRowsByKey(spark: SparkSession, tablePath: String,
       idCol: String, deleteIds: DataFrame,
       partitionColumns: Seq[String] = Nil): Long = {
