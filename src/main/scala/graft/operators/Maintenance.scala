@@ -115,11 +115,12 @@ object Maintenance {
       case Table => graft.sinks.PartitionedSink.recoverTable(spark, path)
     }) ++
       // the window is the cron's ONE entry point, so it also heals the
-      // ledger it is about to write: a crashed fold rolls forward, a
-      // crashed append's .inflight-* dirs sweep away (the evidence
-      // line itself is re-emitted by the sweep protocol, never lost)
+      // ledger it is about to write — with the SHARED-writer heal:
+      // takedown streams and sibling windows may be appending to this
+      // ledger right now, so the inflight sweep is age-gated (a full
+      // ComplianceLog.recover would kill a live writer's inflight)
       evidence.toSeq.flatMap { case (ledger, _) =>
-        graft.sinks.ComplianceLog.recover(spark, ledger)
+        graft.sinks.ComplianceLog.healShared(spark, ledger)
       }
     val (ttlRows, ttlDirs, ttlNulls, ttlRecorded) = ttl match {
       case Some(p) =>

@@ -139,8 +139,21 @@ object ComplianceLog {
     * then sweeps crashed append `.inflight-*` dirs (a crash between
     * the parquet write and the rename). An append's evidence line is
     * NOT lost: the stream that crashed replays its batch, finds no
-    * final file, and re-appends. Returns the action log. */
+    * final file, and re-appends. Same single-writer window as
+    * [[compactBefore]] — the sweep would kill a CONCURRENT writer's
+    * live inflight. Returns the action log. */
   def recover(spark: SparkSession, logPath: String): Seq[String] =
     EvidenceCompaction.recover(spark, logPath) ++
       EvidenceCompaction.sweepInflights(spark, new Path(logPath))
+
+  /** The heal a maintenance CRON runs implicitly against a ledger
+    * other writers may be appending to RIGHT NOW (takedown streams,
+    * sibling windows): fold roll-forward is manifest-scoped and safe;
+    * the inflight sweep is age-gated to an hour so it removes only
+    * genuinely crashed appends, never a live writer's
+    * seconds-lived inflight. */
+  def healShared(spark: SparkSession, logPath: String): Seq[String] =
+    EvidenceCompaction.recover(spark, logPath) ++
+      EvidenceCompaction.sweepInflights(spark, new Path(logPath),
+        olderThanMs = 3600L * 1000L)
 }

@@ -72,13 +72,22 @@ private[sinks] object EvidenceCompaction {
 
   /** Sweeps crashed append `.inflight-*` dirs. Evidence is NOT lost:
     * the stream that crashed replays its batch, finds no final file,
-    * and re-appends. */
+    * and re-appends. `olderThanMs > 0` spares inflights younger than
+    * that — the age gate an entry point needs when OTHER writers may
+    * be appending to the same store concurrently (a live append's
+    * inflight lives for seconds; sweeping it mid-write would fail the
+    * writer's rename): the explicit `recover` calls keep the
+    * everything-sweep under their documented single-writer window,
+    * the maintenance cron's implicit heal passes an hour. */
   private[sinks] def sweepInflights(spark: SparkSession,
-      root: Path): Seq[String] = {
+      root: Path, olderThanMs: Long = 0L): Seq[String] = {
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Nil
-    val stale = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(".inflight-")).toSeq
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith(".inflight-") &&
+        (olderThanMs <= 0L || st.getModificationTime < cutoff))
+      .map(_.getPath).toSeq
     stale.foreach(p => fs.delete(p, true))
     stale.map(_.getName)
   }

@@ -391,19 +391,28 @@ class LifecycleSpec extends SparkSpec {
     val arr = node.putArray("doomed"); doomedRels.foreach(arr.add)
     graft.config.Sidecar.writeNode(spark,
       new Path(tC, "_graft_ttl_sweep.json"), node)
-    // a crashed ledger append's inflight dir: the window heals the
-    // ledger it writes (r14 — the cron's one entry point sweeps it)
-    hfs.mkdirs(new Path(ledger, ".inflight-crashed"))
+    // ledger heal from the window (r14): a STALE inflight (a crashed
+    // append, mtime aged past the hour gate) is swept; a FRESH one (a
+    // concurrent writer's live append) is spared — the window must
+    // never kill a sibling's in-flight rename
+    val staleInflight = new Path(ledger, ".inflight-crashed")
+    val liveInflight = new Path(ledger, ".inflight-live")
+    hfs.mkdirs(staleInflight); hfs.mkdirs(liveInflight)
+    hfs.setTimes(staleInflight,
+      System.currentTimeMillis() - 2L * 3600 * 1000, -1)
     // the NEXT cron slot runs a wider sweep (runId 4): recovery must
     // first complete runId 3 with ITS counts, then sweep what's left
     val rep4 = graft.operators.Maintenance.run(spark, tC,
       maxFilesPerDir = 64,
       ttl = Some(col("src").substr(4, 10).cast("int") >= 15),
       evidence = Some((ledger, 4L)))
-    assert(!hfs.exists(new Path(ledger, ".inflight-crashed")),
-      "the window must sweep the ledger's crashed append inflight")
+    assert(!hfs.exists(staleInflight),
+      "the window must sweep the ledger's crashed (stale) inflight")
+    assert(hfs.exists(liveInflight),
+      "the window must spare a concurrent writer's live inflight")
     assert(rep4.recoveryActions.exists(_.contains(".inflight-crashed")),
       rep4.recoveryActions.mkString(";"))
+    hfs.delete(liveInflight, true)
     assert(!hfs.exists(new Path(tC, "_graft_ttl_sweep.json")))
     assert(!hfs.exists(new Path(tC, "src=src15")))
     val got = ComplianceLog.read(spark, ledger)
