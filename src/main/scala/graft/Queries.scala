@@ -9463,15 +9463,9 @@ object Queries {
     val grid = coverage.map(_._1)
       .flatMap(target => (0L until 3L).map(b => (target, b)))
       .toDF("target", "batch_id")
-    val ledger = graft.sinks.ComplianceLog.read(s, log)
-      .select(col("target"), col("batch_id"), col("rows_deleted"),
-        col("dirs_rewritten"))
-    val res = grid.join(ledger, Seq("target", "batch_id"), "left")
-      .select(col("target"), col("batch_id"),
-        when(col("rows_deleted").isNotNull, lit(1L)).otherwise(lit(0L))
-          .as("recorded"),
-        coalesce(col("rows_deleted"), lit(-1L)).as("rows_deleted"),
-        coalesce(col("dirs_rewritten"), lit(-1L)).as("dirs_rewritten"))
+    // the audit is LIBRARY surface (ComplianceLog.audit), not a
+    // query-local join — a compliance review calls one API
+    val res = graft.sinks.ComplianceLog.audit(s, log, grid)
       .orderBy("target", "batch_id")
       .localCheckpoint(true) // pin before the scratch dirs are deleted
     for (path <- tbls :+ log) {

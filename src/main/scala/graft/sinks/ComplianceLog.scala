@@ -120,6 +120,35 @@ object ComplianceLog {
         java.util.Collections.emptyList[Row](), Schema)
     else spark.read.schema(Schema).parquet(logPath)
 
+  /** The audit read — "what did each request batch delete, on every
+    * target it should have hit, and where are the gaps?" `expected` is
+    * the (target, batch_id) grid a compliance review asserts coverage
+    * over (every target a request class must land on × every request
+    * batch); the result carries one row per grid cell with
+    * `recorded` = 1/0 and the recorded counts (-1 sentinels on gap
+    * cells, so the frame stays flat and join-friendly). A gap row is
+    * the ledger's reason to exist: "deleted everywhere but the
+    * archive" is invisible to any single stream's own reporting.
+    * Driver cost is grid × ledger — audit volume on both sides
+    * (oracle-proven as q330). */
+  def audit(spark: SparkSession, logPath: String,
+      expected: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(expected.columns.toSeq == Seq("target", "batch_id"),
+      s"expected grid must be (target, batch_id), got: " +
+        expected.columns.mkString(", "))
+    expected.join(
+        read(spark, logPath).select(col("target"), col("batch_id"),
+          col("rows_deleted"), col("dirs_rewritten")),
+        Seq("target", "batch_id"), "left")
+      .select(col("target"), col("batch_id"),
+        when(col("rows_deleted").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("recorded"),
+        coalesce(col("rows_deleted"), lit(-1L)).as("rows_deleted"),
+        coalesce(col("dirs_rewritten"), lit(-1L))
+          .as("dirs_rewritten"))
+  }
+
   /** Folds every evidence file with batch id < `horizonBatchId` into
     * one consolidated `compacted-<maxFolded>.parquet` — the ledger's
     * long-run maintenance ([[EvidenceCompaction]]: manifest-committed,
