@@ -155,6 +155,28 @@ object Maintenance {
       ttlRows, ttlDirs, ttlNulls, ttlRecorded)
   }
 
+  /** The multi-table cron in one call — the deployment shape the
+    * table-keyed evidence exists for (r13 verdict item 1: N tables,
+    * ONE shared ledger, one runId per slot): runs [[run]] over every
+    * path with the same knobs and returns (path → Report). Each
+    * table's ledger line is keyed by its own
+    * [[graft.sinks.ComplianceLog.tableLineage]], so the lines never
+    * collide; each report's `ttlEvidenceRecorded` says whether THIS
+    * slot wrote that table's line (false = a retried slot, first
+    * run's evidence stands). Tables are processed sequentially —
+    * the windows share the walk pool and the Spark session, and the
+    * concurrent-windows probe showed parallelism is a wash at the
+    * metadata floor; a deployment that wants it anyway can thread
+    * [[run]] calls itself (the ledger's append protocol and the
+    * age-gated heal are concurrency-safe by design). A failure on one
+    * table propagates after the earlier tables' windows completed —
+    * the cron reruns the slot, completed tables skip by their
+    * evidence key. */
+  def runAll(spark: SparkSession, paths: Seq[String],
+      maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
+      evidence: Option[(String, Long)] = None): Seq[(String, Report)] =
+    paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))
+
   /** Family detection from the sidecar's own fields — the model arrays
     * only the ANN writer pins, the banding integers only the LSH
     * writer pins; anything else (sidecar-less, or a sidecar pinning

@@ -358,13 +358,14 @@ class LifecycleSpec extends SparkSpec {
       t
     }
     // --- collision fix: N tables, one ledger, SAME cron slot ---
+    // driven through the multi-table entry point the keying exists for
     val (tA, tB) = (mkTable("ttl-key-a"), mkTable("ttl-key-b"))
     val pred = col("src").substr(4, 10).cast("int") >= 15
     val ttl = Some(pred)
-    val repA = graft.operators.Maintenance.run(spark, tA,
-      maxFilesPerDir = 64, ttl = ttl, evidence = Some((ledger, 7L)))
-    val repB = graft.operators.Maintenance.run(spark, tB,
-      maxFilesPerDir = 64, ttl = ttl, evidence = Some((ledger, 7L)))
+    val reps = graft.operators.Maintenance.runAll(spark, Seq(tA, tB),
+      maxFilesPerDir = 64, ttl = ttl,
+      evidence = Some((ledger, 7L))).toMap
+    val (repA, repB) = (reps(tA), reps(tB))
     assert(repA.ttlEvidenceRecorded && repB.ttlEvidenceRecorded,
       "both tables' windows must record their own line (r13: the " +
         "second silently collided)")
