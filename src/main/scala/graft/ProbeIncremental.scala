@@ -329,12 +329,30 @@ object ProbeIncremental {
         .dropPartitionsWhere(spark, tbl,
           col("p").cast("int") >= (nLeaves * 95) / 100)
       val secTtl5pct = (System.nanoTime() - tm) / 1e9
+      // the EVIDENCED sweep at the same 5% width (the next band down):
+      // adds the ttl-sweep manifest (one JSON write carrying the full
+      // doomed-leaf list — ~800 entries at 16k leaves) plus the keyed
+      // ledger append; the delta vs sec_ttl_5pct is the whole cost of
+      // crash-exact evidence at this scale
+      val evLedger = s"/tmp/graft_probe_wide_ledger_$nLeaves"
+      val tmE = System.nanoTime()
+      val (eRows, eDirs, _, eRec) = graft.sinks.PartitionedSink
+        .dropPartitionsWhere(spark, tbl,
+          col("p").cast("int") >= (nLeaves * 90) / 100,
+          Some(graft.sinks.ComplianceLog.Key(evLedger, "ttl-sweep",
+            graft.sinks.ComplianceLog.tableLineage(spark, tbl), 1L)))
+      val secTtl5pctEv = (System.nanoTime() - tmE) / 1e9
+      require(eRec && eDirs == mDirs,
+        s"evidenced sweep must drop the same width: $eDirs vs $mDirs")
       println(f"""{"probe":"wide_layout","leaves":$nLeaves,""" +
         f""""sec_census":$secCensus%.2f,"sec_window":$secWindow%.2f,""" +
         f""""sec_ttl_nomatch":$secTtlNoMatch%.2f,""" +
         f""""sec_ttl_5pct":$secTtl5pct%.2f,"dropped_rows":$mRows,""" +
-        f""""dropped_dirs":$mDirs}""")
+        f""""dropped_dirs":$mDirs,""" +
+        f""""sec_ttl_5pct_evidenced":$secTtl5pctEv%.2f,""" +
+        f""""evidenced_rows":$eRows}""")
       hfs.delete(root, true)
+      hfs.delete(new org.apache.hadoop.fs.Path(evLedger), true)
     }
 
     // ---- CONCURRENT-window arm (r13 verdict item 6): the window is

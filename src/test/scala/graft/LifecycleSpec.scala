@@ -452,6 +452,15 @@ class LifecycleSpec extends SparkSpec {
     val dLines = ComplianceLog.read(spark, ledger)
       .where(col("lineage") === lit(linD)).collect()
     assert(dLines.length === 1 && dLines(0).getLong(4) === rowsD)
+    // lineage canonicalization: every spelling of one table maps to
+    // ONE key (else a differently-spelled cron config would fork the
+    // idempotence namespace and re-record evidence), distinct tables
+    // never collide, and the result is a valid plain ledger name
+    val spellings = Seq(tA, s"$tA/", s"file:$tA", s"file://$tA")
+      .map(ComplianceLog.tableLineage(spark, _))
+    assert(spellings.distinct.size === 1, spellings.mkString(","))
+    assert(ComplianceLog.tableLineage(spark, tB) !== spellings.head)
+    assert(spellings.head.matches("cron-[0-9a-f]{16}"))
   }
 
   test("footer tail-magic dispatch: PAR1 reads fast, PARE (encrypted " +
