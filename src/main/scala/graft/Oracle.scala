@@ -1295,6 +1295,35 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q331: stored-SimHash lifecycle replay — both probe phases
+    // reconstructed index-free from the raw text (full simhash vote,
+    // byte banding, band equi-join, exact Hamming cut); phase 2's
+    // corpus includes batch A because the append landed it
+    "q331_simhash_stored" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t),
+         |sk AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sk FROM h),
+         |banded AS (SELECT doc_id, sk, unnest([0, 1, 2, 3]) AS band FROM sk),
+         |bv AS (SELECT doc_id, sk, band, (sk >> (band * 8)) & 255 AS bandval
+         |  FROM banded),
+         |ba AS (SELECT * FROM bv WHERE doc_id % 20 = 7),
+         |bb AS (SELECT * FROM bv WHERE doc_id % 20 = 13),
+         |corp AS (SELECT * FROM bv WHERE doc_id % 20 NOT IN (7, 13)),
+         |p1 AS (SELECT DISTINCT 1 AS phase, n.doc_id AS id_new,
+         |    o.doc_id AS id_old,
+         |    CAST(bit_count(xor(n.sk, o.sk)) AS INTEGER) AS hamming
+         |  FROM ba n JOIN corp o
+         |  ON n.band = o.band AND n.bandval = o.bandval),
+         |p2 AS (SELECT DISTINCT 2 AS phase, n.doc_id AS id_new,
+         |    o.doc_id AS id_old,
+         |    CAST(bit_count(xor(n.sk, o.sk)) AS INTEGER) AS hamming
+         |  FROM bb n JOIN (SELECT * FROM corp UNION ALL SELECT * FROM ba) o
+         |  ON n.band = o.band AND n.bandval = o.bandval)
+         |SELECT phase, id_new, id_old, hamming
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         |WHERE hamming <= 2
+         |ORDER BY phase, id_new, id_old""".stripMargin,
+
     // q330: ledger-audit replay — every covered (target, batch) cell's
     // recorded counts must equal an independent reconstruction of that
     // batch's deletes (row count by id predicate, directory count as

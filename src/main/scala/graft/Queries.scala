@@ -9475,6 +9475,47 @@ object Queries {
     res
   }
 
+  /** STORED SimHash index lifecycle, ORACLE-PROVEN (r14) — the
+    * Hamming-sketch dedup family completed from batch-only
+    * ([[graft.operators.Dedup.simhashCandidates]], q30/q51) to the
+    * same stored build → probe → append → probe loop the MinHash
+    * family has: phase 1 probes batch A (doc_id ≡ 7 mod 20) against
+    * the stored corpus index (bpart-pruned read, Hamming-verified
+    * pairs), the batch is APPENDED under the sidecar's frozen banding,
+    * and phase 2 probes batch B (≡ 13) against the GROWN index — its
+    * pairs can now hit batch A's docs, which is the whole point of the
+    * append. DuckDB replays both phases from the raw text (the full
+    * simhash vote, the byte banding, the band equi-join, the exact
+    * Hamming cut), so the hash match pins the stored probe against an
+    * index-free reconstruction.
+    *
+    * Scale shape: the index is written once (parts-bounded dirs); each
+    * probe reads only its touched bpart dirs; the append costs
+    * ∝ |batch|. Same 100 TB posture as q294/q305's LSH loop. */
+  def q331SimhashStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batchA = docs.filter(pmod(col("doc_id"), lit(20)) === 7)
+    val batchB = docs.filter(pmod(col("doc_id"), lit(20)) === 13)
+    val corpus = docs.filter(!pmod(col("doc_id"), lit(20)).isin(7, 13))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_simhash_idx_").toString
+    Dedup.writeSimhashIndex(corpus, idx, "text", "doc_id")
+    def probe(b: DataFrame, phase: Int) =
+      Dedup.incrementalSimhashStored(s, idx, b, "text", "doc_id")
+        .select(lit(phase).as("phase"), col("id_new"), col("id_old"),
+          col("hamming"))
+        .localCheckpoint(true) // pin before the index mutates/deletes
+    val p1 = probe(batchA, 1)
+    Dedup.appendToSimhashIndex(s, idx, batchA, "text")
+    val p2 = probe(batchB, 2)
+    val res = p1.unionByName(p2)
+      .orderBy("phase", "id_new", "id_old")
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9809,5 +9850,6 @@ object Queries {
     "q328_compliance_ledger" -> (q328ComplianceLedger _),
     "q329_footer_balance" -> (q329FooterBalance _),
     "q330_ledger_audit" -> (q330LedgerAudit _),
+    "q331_simhash_stored" -> (q331SimhashStored _),
   )
 }

@@ -734,13 +734,15 @@ object Dedup {
     * a ≤ maxHamming pair almost always shares a band); candidates are
     * verified with the exact Hamming distance. Same bucketed-join
     * shuffle shape as MinHash LSH: collision-bound, never all-pairs. */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
+  /** One (idCol, sk, band, bandval) row per (doc, band) — the banded
+    * SimHash frame [[simhashCandidates]] self-joins and the stored
+    * [[writeSimhashIndex]] family persists. The sketch is let-bound:
+    * projecting sk and the band values as separate columns would
+    * re-inline the 32-vote sketch 5x via CollapseProject. */
+  private def simhashBandedFrame(df: DataFrame, textCol: String,
+      idCol: String, bands: Int): DataFrame = {
     val bandBits = 32 / bands
     val mask = (1L << bandBits) - 1
-    // one (sk, band, bandval) struct array per row with the sketch
-    // let-bound: projecting sk and the 4 band values as separate
-    // columns would re-inline the 32-vote sketch 5x via CollapseProject
     val bandedArr = Expr.let(simhash(col(textCol))) { s =>
       transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(s.as("sk"), b.as("band"),
@@ -751,9 +753,14 @@ object Dedup {
             pow(lit(2.0), (b * lit(bandBits)).cast("double")))
             .cast("long").bitwiseAND(lit(mask)).as("bandval")))
     }
-    val banded = df.select(col(idCol), explode(bandedArr).as("e"))
+    df.select(col(idCol), explode(bandedArr).as("e"))
       .select(col(idCol), col("e.sk").as("sk"), col("e.band").as("band"),
         col("e.bandval").as("bandval"))
+  }
+
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
+    val banded = simhashBandedFrame(df, textCol, idCol, bands)
     val l = banded.select(col("band"), col("bandval"),
       col(idCol).as("id_a"), col("sk").as("sk_a"))
     val r = banded.select(col("band"), col("bandval"),
@@ -764,6 +771,117 @@ object Dedup {
         hammingDistance(col("sk_a"), col("sk_b")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Writes a STORED SimHash near-dup index — the Hamming-sketch
+    * sibling of [[writeBucketIndex]], completing the family: MinHash
+    * LSH had the full build → probe → append → compact → delete
+    * lifecycle while SimHash stopped at batch candidates
+    * ([[simhashCandidates]]). Rows are the banded frame
+    * (id, sk, band, bandval) plus `bpart` = hash(band, bandval) mod
+    * `parts` — a uniform partition key (raw `bandval` skews with the
+    * corpus's bit distribution; hashing it spreads the dirs), so a
+    * batch probe reads only its touched `bpart` directories exactly
+    * like the LSH probe. The sidecar pins (bits, bands, parts, idCol)
+    * plus `kind: simhash` — a probe banded differently would MISS
+    * near-dups silently, and the kind field makes cross-family
+    * mistakes (an LSH probe against a SimHash index) fail with a
+    * named error instead of a missing-field parse. Compaction,
+    * deletion and crash recovery come from the layout-generic
+    * [[IndexCompact]] engine unchanged ([[compactBucketIndex]] /
+    * [[deleteFromBucketIndex]] / [[recoverBucketIndex]] all work —
+    * the sidecar carries idCol, and [[graft.operators.Maintenance]]
+    * detects the bands+parts shape as a bucket-family index). */
+  def writeSimhashIndex(docs: DataFrame, path: String, textCol: String,
+      idCol: String, bands: Int = 4, parts: Int = 16): Unit = {
+    require(32 % bands == 0 && bands >= 1 && bands <= 32,
+      s"bands must divide the 32-bit sketch, got $bands")
+    simhashBandedFrame(docs, textCol, idCol, bands)
+      .withColumn("bpart",
+        pmod(xxhash64(col("band"), col("bandval")), lit(parts))
+          .cast("int"))
+      .write.mode("overwrite").partitionBy("bpart").parquet(path)
+    val meta = graft.config.Sidecar.newNode()
+    meta.put("kind", "simhash")
+    meta.put("idCol", idCol)
+    meta.put("bits", 32)
+    meta.put("bands", bands)
+    meta.put("parts", parts)
+    graft.config.Sidecar.write(docs.sparkSession, path, meta)
+  }
+
+  private def simhashMeta(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): com.fasterxml.jackson.databind.JsonNode = {
+    val meta = graft.config.Sidecar.read(spark, indexPath,
+      "Dedup.writeSimhashIndex")
+    require(meta.has("kind") &&
+      graft.config.Sidecar.str(meta, "kind") == "simhash",
+      s"$indexPath is not a SimHash index — probe it with the API " +
+        "matching its builder (a cross-family probe silently misses " +
+        "every near-dup)")
+    meta
+  }
+
+  /** Per-batch near-dup probe against a STORED [[writeSimhashIndex]]
+    * table: bands the batch with the SIDECAR's parameters, collects
+    * the touched `bpart` set (≤ `parts` ints — model-size driver
+    * data), reads the index with that partition filter (file-level
+    * pruning — untouched directories never read), equi-joins on
+    * (band, bandval) and verifies with the exact Hamming distance over
+    * the full sketches. Returns (id_new, id_old, hamming) distinct
+    * pairs with hamming ≤ `maxHamming` — probe ≡ the batch×corpus
+    * slice of [[simhashCandidates]] by construction (same banding,
+    * same verify; asserted in DedupSimilaritySpec and oracle-proven
+    * as q331). Cost ∝ the batch's band-bucket spread, not the
+    * corpus. */
+  def incrementalSimhashStored(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int = 2): DataFrame = {
+    val meta = simhashMeta(spark, indexPath)
+    import graft.config.Sidecar.{int => intField}
+    val (bands, parts) =
+      (intField(meta, "bands"), intField(meta, "parts"))
+    // a fully-taken-down index is a valid zero-candidate state
+    if (!IndexCompact.hasPartDirs(spark, indexPath))
+      return newDocs.limit(0).select(col(idCol).as("id_new"),
+        col(idCol).as("id_old"), lit(0).as("hamming"))
+    val bNew = simhashBandedFrame(newDocs, textCol, idCol, bands)
+      .localCheckpoint(false)
+    val touched = bNew
+      .select(pmod(xxhash64(col("band"), col("bandval")), lit(parts))
+        .cast("int").as("bpart"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ parts values
+    val idx = spark.read.parquet(indexPath)
+      .where(col("bpart").isin(touched.map(Int.box): _*))
+      .select(col(idCol).as("id_old"), col("sk").as("sk_old"),
+        col("band"), col("bandval"))
+    bNew.select(col(idCol).as("id_new"), col("sk").as("sk_new"),
+        col("band"), col("bandval"))
+      .join(idx, Seq("band", "bandval"))
+      .where(col("id_new") =!= col("id_old"))
+      .select(col("id_new"), col("id_old"),
+        hammingDistance(col("sk_new"), col("sk_old"))
+          .cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Appends a landed batch to a STORED [[writeSimhashIndex]] table —
+    * banding parameters from the sidecar, never the caller (the same
+    * silent-poisoning hazard as [[appendToBucketIndex]]). Cost
+    * ∝ |batch|: one sketch map + an append into the touched bpart
+    * directories. */
+  def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, textCol: String): Unit = {
+    val meta = simhashMeta(spark, indexPath)
+    import graft.config.Sidecar.{int => intField}
+    simhashBandedFrame(newDocs, textCol,
+        graft.config.Sidecar.str(meta, "idCol"),
+        intField(meta, "bands"))
+      .withColumn("bpart",
+        pmod(xxhash64(col("band"), col("bandval")),
+          lit(intField(meta, "parts"))).cast("int"))
+      .write.mode("append").partitionBy("bpart").parquet(indexPath)
   }
 
   // ------------------------------------------------------------------

@@ -456,6 +456,69 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(touched <= 16)
   }
 
+  test("stored SimHash index (r14): the bpart-pruned probe ≡ the " +
+    "batch×corpus slice of simhashCandidates, append-then-probe ≡ " +
+    "rebuild, cross-family probes are refused by kind, and the " +
+    "generic delete engine serves the new family unchanged") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch1 = docs.filter($"doc_id" % 5 === 2)
+    val batch2 = docs.filter($"doc_id" % 5 === 4)
+    val corpus = docs.filter($"doc_id" % 5 =!= 2 && $"doc_id" % 5 =!= 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_simhash_index").toString
+    Dedup.writeSimhashIndex(corpus, dir, "text", "doc_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_new", "id_old")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the batch×corpus slice of the batch-mode candidate
+    // generator over the union (directional — id_new from the batch)
+    def slice(c: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) = {
+      val bIds = b.select($"doc_id").as[Long].collect().toSet
+      Dedup.simhashCandidates(c.unionByName(b), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .flatMap { case (a, bb) =>
+          Seq(a -> bb, bb -> a).collect {
+            case (n, o) if bIds(n) && !bIds(o) => (n, o) }
+        }.toSet
+    }
+    val viaStored = pairs(Dedup.incrementalSimhashStored(
+      spark, dir, batch1, "text", "doc_id"))
+    assert(viaStored === slice(corpus, batch1))
+    assert(viaStored.nonEmpty, "fixture must have near-dup pairs")
+    // append-then-probe ≡ rebuild over corpus ∪ batch1
+    Dedup.appendToSimhashIndex(spark, dir, batch1, "text")
+    val viaAppend = pairs(Dedup.incrementalSimhashStored(
+      spark, dir, batch2, "text", "doc_id"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_simhash_rebuild").toString
+    Dedup.writeSimhashIndex(corpus.unionByName(batch1), rebuilt,
+      "text", "doc_id")
+    assert(viaAppend === pairs(Dedup.incrementalSimhashStored(
+      spark, rebuilt, batch2, "text", "doc_id")))
+    // cross-family mistakes are NAMED refusals, not missing-field
+    // parses or (worse) silent misses
+    val lsh = java.nio.file.Files
+      .createTempDirectory("graft_simhash_xfam").toString
+    Dedup.writeBucketIndex(corpus, lsh, "text", "doc_id", parts = 8)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalSimhashStored(spark, lsh, batch1, "text",
+        "doc_id").count()
+    }
+    assert(err.getMessage.contains("not a SimHash index"),
+      err.getMessage)
+    // the layout-generic delete engine serves the new family: delete
+    // batch1's rows and the probe stops pairing against them
+    val (delRows, delDirs) =
+      Dedup.deleteFromBucketIndex(spark, dir, batch1.select("doc_id"))
+    assert(delRows > 0L && delDirs > 0L)
+    val afterDelete = pairs(Dedup.incrementalSimhashStored(
+      spark, dir, batch2, "text", "doc_id"))
+    assert(afterDelete === slice(corpus, batch2))
+  }
+
   test("appendToBucketIndex: probing after an append ≡ probing an " +
     "index REBUILT from scratch over corpus ∪ batch1 — the two-batch " +
     "maintenance loop loses nothing, and the append bands with the " +
