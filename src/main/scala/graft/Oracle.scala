@@ -1295,6 +1295,28 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q332: SimHash admission replay — per batch doc, the sum of
+    // corpus (band, bandval) bucket sizes over the doc's own cells
+    // (an upper bound counting multi-cell pairs once per shared cell),
+    // then the literal budget cut — the estimator reconstructed
+    // index-free
+    "q332_simhash_admission" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t),
+         |sk AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sk FROM h),
+         |banded AS (SELECT doc_id, sk, unnest([0, 1, 2, 3]) AS band FROM sk),
+         |bv AS (SELECT doc_id, band, (sk >> (band * 8)) & 255 AS bandval
+         |  FROM banded),
+         |corp AS (SELECT band, bandval, count(*) AS bsize
+         |  FROM bv WHERE NOT doc_id % 20 = 7 GROUP BY 1, 2),
+         |vol AS (SELECT b.doc_id, sum(COALESCE(c.bsize, 0)) AS est
+         |  FROM (SELECT * FROM bv WHERE doc_id % 20 = 7) b
+         |  LEFT JOIN corp c ON b.band = c.band AND b.bandval = c.bandval
+         |  GROUP BY 1)
+         |SELECT doc_id, CAST(est AS BIGINT) AS est_candidates,
+         |  est <= 30 AS admit
+         |FROM vol ORDER BY doc_id""".stripMargin,
+
     // q331: stored-SimHash lifecycle replay — both probe phases
     // reconstructed index-free from the raw text (full simhash vote,
     // byte banding, band equi-join, exact Hamming cut); phase 2's

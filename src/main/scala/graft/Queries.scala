@@ -9516,6 +9516,31 @@ object Queries {
     res
   }
 
+  /** SimHash ADMISSION estimator, ORACLE-PROVEN (r14) — q321's gate
+    * for the new stored family: per batch doc, the candidate volume
+    * its [[graft.operators.Dedup.incrementalSimhashStored]] probe
+    * would generate (sum of the stored index's (band, bandval) bucket
+    * sizes over the doc's own cells, from the same bpart-pruned
+    * two-column read the probe pays). DuckDB replays the whole
+    * estimator index-free: the 32-bit sketch vote, the byte banding,
+    * per-cell corpus counts, per-doc sums, the budget cut. Feeds
+    * [[graft.streaming.Streaming.simhashMaintenanceStream]]'s gate. */
+  def q332SimhashAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_shadm_idx_").toString
+    Dedup.writeSimhashIndex(corpus, idx, "text", "doc_id")
+    val res = Dedup.simhashAdmission(s, idx, batch, "text", "doc_id",
+        budget = 30L)
+      .orderBy("doc_id")
+      .localCheckpoint(true) // pin before the scratch index is deleted
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9851,5 +9876,6 @@ object Queries {
     "q329_footer_balance" -> (q329FooterBalance _),
     "q330_ledger_audit" -> (q330LedgerAudit _),
     "q331_simhash_stored" -> (q331SimhashStored _),
+    "q332_simhash_admission" -> (q332SimhashAdmission _),
   )
 }

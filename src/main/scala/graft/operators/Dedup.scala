@@ -884,6 +884,42 @@ object Dedup {
       .write.mode("append").partitionBy("bpart").parquet(indexPath)
   }
 
+  /** ADMISSION CONTROL for the stored-SimHash probe — the gate before
+    * [[incrementalSimhashStored]], mirroring [[probeAdmission]]: per
+    * batch doc, the candidate-volume upper bound its probe would
+    * generate (the sum of stored (band, bandval) bucket sizes over the
+    * doc's own cells), from the same bpart-pruned two-column read the
+    * probe itself pays. The degenerate case this catches is the
+    * all-identical-sketch bucket (boilerplate/empty docs vote the same
+    * bits), which saturates a band cell exactly like an LSH
+    * mega-bucket. Returns (idCol, est_candidates, admit). */
+  def simhashAdmission(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, textCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val meta = simhashMeta(spark, indexPath)
+    import graft.config.Sidecar.{int => intField}
+    val (bands, parts) =
+      (intField(meta, "bands"), intField(meta, "parts"))
+    val bNew = simhashBandedFrame(newDocs, textCol, idCol, bands)
+      .localCheckpoint(false)
+    if (!IndexCompact.hasPartDirs(spark, indexPath))
+      return bNew.groupBy(col(idCol))
+        .agg(lit(0L).as("est_candidates"))
+        .withColumn("admit", lit(true))
+    val touched = bNew
+      .select(pmod(xxhash64(col("band"), col("bandval")), lit(parts))
+        .cast("int").as("bpart"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ parts values
+    val sizes = spark.read.parquet(indexPath)
+      .where(col("bpart").isin(touched.map(Int.box): _*))
+      .groupBy(col("band"), col("bandval"))
+      .agg(count(lit(1)).as("bsize"))
+    bNew.join(sizes, Seq("band", "bandval"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("bsize"), lit(0L))).as("est_candidates"))
+      .withColumn("admit", col("est_candidates") <= lit(budget))
+  }
+
   // ------------------------------------------------------------------
   // N-gram Jaccard verification
   // ------------------------------------------------------------------

@@ -584,6 +584,59 @@ object Streaming {
       quarantine: (DataFrame, Long) => Unit = (_, _) => (),
       quarantineStore: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
+    bucketFamilyMaintenanceStream(docs, idCol, indexPath,
+      checkpointPath, admitBudget, quarantine, quarantineStore,
+      admission = (s, df, bud) => graft.operators.Dedup.probeAdmission(
+        s, indexPath, df, textCol, idCol, bud),
+      probe = (s, df) => graft.operators.Dedup
+        .incrementalCandidatesStored(s, indexPath, df, textCol, idCol),
+      append = (s, df) => graft.operators.Dedup.appendToBucketIndex(
+        s, indexPath, df, textCol))(sink)
+
+  /** Streaming maintenance loop for the STORED SimHash index — the
+    * Hamming-sketch sibling of [[dedupMaintenanceStream]] (the r14
+    * family completion): per micro-batch, probe the stored
+    * [[graft.operators.Dedup.writeSimhashIndex]] table for the batch's
+    * near-dup pairs (banding from the sidecar, Hamming-verified), hand
+    * them to `sink`, then append the batch under the frozen banding so
+    * the next batch probes the grown corpus. Exactly-once, admission,
+    * and quarantine semantics are IDENTICAL to the LSH loop — one
+    * engine ([[bucketFamilyMaintenanceStream]]) serves both families,
+    * so every contract StreamingSpec pins there (marker-guarded
+    * appends, callback-before-store, streaming ≡ batch over admitted
+    * rows) holds here by construction. */
+  def simhashMaintenanceStream(docs: DataFrame, textCol: String,
+      idCol: String, indexPath: String, checkpointPath: String,
+      admitBudget: Long = Long.MaxValue,
+      quarantine: (DataFrame, Long) => Unit = (_, _) => (),
+      quarantineStore: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    bucketFamilyMaintenanceStream(docs, idCol, indexPath,
+      checkpointPath, admitBudget, quarantine, quarantineStore,
+      admission = (s, df, bud) => graft.operators.Dedup
+        .simhashAdmission(s, indexPath, df, textCol, idCol, bud),
+      probe = (s, df) => graft.operators.Dedup
+        .incrementalSimhashStored(s, indexPath, df, textCol, idCol),
+      append = (s, df) => graft.operators.Dedup.appendToSimhashIndex(
+        s, indexPath, df, textCol))(sink)
+
+  /** The one probe→sink→append maintenance engine behind the
+    * bucket-family streams ([[dedupMaintenanceStream]] MinHash LSH,
+    * [[simhashMaintenanceStream]] SimHash): admission gate (the
+    * family's estimator emits (idCol, est_candidates, admit); docs
+    * over budget are quarantined with evidence and neither probed nor
+    * appended), eager probe materialization BEFORE the append (a probe
+    * must never see its own batch), sink delivery, and the
+    * marker-guarded exactly-once append ([[appendOnce]]). */
+  private def bucketFamilyMaintenanceStream(docs: DataFrame,
+      idCol: String, indexPath: String, checkpointPath: String,
+      admitBudget: Long,
+      quarantine: (DataFrame, Long) => Unit,
+      quarantineStore: Option[String],
+      admission: (SparkSession, DataFrame, Long) => DataFrame,
+      probe: (SparkSession, DataFrame) => DataFrame,
+      append: (SparkSession, DataFrame) => Unit)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
@@ -591,9 +644,8 @@ object Streaming {
         val b =
           if (admitBudget == Long.MaxValue) all
           else {
-            val adm = graft.operators.Dedup.probeAdmission(
-              all.sparkSession, indexPath, all, textCol, idCol,
-              admitBudget).localCheckpoint(true)
+            val adm = admission(all.sparkSession, all, admitBudget)
+              .localCheckpoint(true)
             val over = all.join(adm.where(!col("admit"))
               .select(col(idCol), col("est_candidates")), Seq(idCol))
               .localCheckpoint(true)
@@ -614,14 +666,11 @@ object Streaming {
             all.join(adm.where(col("admit")).select(col(idCol)),
               Seq(idCol), "left_semi").localCheckpoint(true)
           }
-        val pairs = graft.operators.Dedup.incrementalCandidatesStored(
-          b.sparkSession, indexPath, b, textCol, idCol)
+        val pairs = probe(b.sparkSession, b)
           .localCheckpoint(true) // probe BEFORE the append lands
         sink(pairs, batchId)
         appendOnce(b.sparkSession, indexPath, checkpointPath, batchId) {
-          () =>
-            graft.operators.Dedup.appendToBucketIndex(b.sparkSession,
-              indexPath, b, textCol)
+          () => append(b.sparkSession, b)
         }: Unit
       }
       .option("checkpointLocation", checkpointPath)

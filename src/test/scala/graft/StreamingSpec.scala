@@ -1857,6 +1857,88 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sinks.QuarantineStore.read(spark, empty).isEmpty)
   }
 
+  test("simhashMaintenanceStream (r14): the SimHash family's streaming " +
+    "loop — streaming ≡ batch probes across micro-batches, the " +
+    "marker-guarded append skips a replay, and the admission gate " +
+    "quarantines a sketch-saturating doc with its measured volume") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val boiler = "the same boilerplate text repeated across this " +
+      "corpus again and again verbatim"
+    def uniq(i: Long) = s"unique document number $i carrying distinct " +
+      s"content token$i alpha beta gamma delta epsilon zeta"
+    val corpus = ((0L until 40L).map(i => (i, boiler)) ++
+      (100L until 120L).map(i => (i, uniq(i)))).toDF("doc_id", "text")
+    def mk(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (idx, cp) = (mk("graft_shstream_idx"), mk("graft_shstream_cp"))
+    graft.operators.Dedup.writeSimhashIndex(corpus, idx, "text",
+      "doc_id")
+    // batch-mode references against the index AS EACH BATCH SEES IT
+    def ref(b: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.incrementalSimhashStored(spark, idx, b,
+        "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = Seq((500L, uniq(100))).toDF("doc_id", "text")
+    val b2 = Seq((501L, uniq(100))).toDF("doc_id", "text")
+    val ref1 = ref(b1)
+    assert(ref1.nonEmpty, "the dup must pair with doc 100")
+    val mem = MemoryStream[(Long, String)]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q = Streaming.simhashMaintenanceStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, cp) {
+      (pairs, id) =>
+        perBatch(id) = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    mem.addData((500L, uniq(100)))
+    q.processAllAvailable()
+    // batch 2's probe must see batch 1's appended doc 500
+    mem.addData((501L, uniq(100)))
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch(0L) === ref1)
+    assert(perBatch(1L).map(_._2).contains(500L),
+      "the second micro-batch must pair with the first's appended doc")
+    assert(perBatch(1L) === ref(b2),
+      "streaming ≡ batch against the grown index")
+    // exactly-once: a direct replayed append is a no-op
+    assert(!Streaming.appendOnce(spark, idx, cp, 0L)(() =>
+      fail("replayed batch must not re-append")))
+    // admission: a boilerplate doc saturates its own sketch cells
+    // (identical text → identical sketch → 40-deep band buckets)
+    val est = graft.operators.Dedup.simhashAdmission(spark, idx,
+      Seq((600L, boiler), (601L, uniq(110))).toDF("doc_id", "text"),
+      "text", "doc_id", Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // uniq docs share most filler tokens, so their sketches are close
+    // and their band cells overlap — a 3x margin still splits cleanly
+    assert(est(600L) > 3 * est(601L),
+      s"fixture must separate the ests: $est")
+    val budget = (est(600L) + est(601L)) / 2
+    val (cp2, mem2) = (mk("graft_shstream_cp2"),
+      MemoryStream[(Long, String)])
+    val quarantined =
+      scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val q2 = Streaming.simhashMaintenanceStream(
+      mem2.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, cp2,
+      admitBudget = budget,
+      quarantine = (df, id) => quarantined(id) = df
+        .select("doc_id", "est_candidates").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet) { (_, _) => () }
+    mem2.addData((600L, boiler), (601L, uniq(110)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(quarantined(0L) === Set((600L, est(600L))))
+    val idxIds = spark.read.parquet(idx).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(!idxIds.contains(600L),
+      "the saturating doc must not grow the cells it saturates")
+    assert(idxIds.contains(601L) && idxIds.contains(500L) &&
+      idxIds.contains(501L))
+  }
+
   test("quarantine incident drill, LSH family (r14, r13 verdict item " +
     "4): over-budget doc quarantined → read back from the store → " +
     "re-admitted via the plain append API → the index converges to " +
