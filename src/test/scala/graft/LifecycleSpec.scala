@@ -335,6 +335,16 @@ class LifecycleSpec extends SparkSpec {
       Maintenance.run(spark, lsh, ttl = Some(col("bpart") >= 0))
     }
     assert(err.getMessage.contains("retention is a corpus-table policy"))
+    // ...including the r14 SimHash family: its bands+parts sidecar
+    // must keep detecting as a bucket-family INDEX (a field drift that
+    // demoted it to "table" would let a TTL age out index shards)
+    val sh = tmp("maint-ttl-simhash").toString
+    Dedup.writeSimhashIndex(docs.select($"doc_id",
+      $"source".as("text")), sh, "text", "doc_id", parts = 4)
+    val errSh = intercept[IllegalArgumentException] {
+      Maintenance.run(spark, sh, ttl = Some(col("bpart") >= 0))
+    }
+    assert(errSh.getMessage.contains("retention is a corpus-table policy"))
   }
 
   test("TTL evidence keying + crash protocol (r14): two tables sweep " +
