@@ -766,4 +766,27 @@ class PlanSpec extends SparkSpec {
     assert(p311.contains("partial_sum") || p311.contains("partial_count"),
       p311)
   }
+
+  test("stored SimHash probe (r14): the index scan carries the bpart " +
+    "PARTITION filter (untouched directories pruned at planning, the " +
+    "probe's whole scale story) and the verify join stays equi-join " +
+    "(band, bandval) — no cartesian, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val batch = docs.filter(col("doc_id") % 20 === 7)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_plan_simhash").toString
+    graft.operators.Dedup.writeSimhashIndex(corpus, idx, "text",
+      "doc_id")
+    val probe = graft.operators.Dedup.incrementalSimhashStored(spark,
+      idx, batch, "text", "doc_id")
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bpart"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // no hints: size stats/AQE pick broadcast vs SMJ (the q303 lesson)
+    assert(!probe.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
 }
