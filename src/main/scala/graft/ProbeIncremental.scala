@@ -171,6 +171,26 @@ object ProbeIncremental {
         .where(col("admit")).count()
       val secAdmission = (System.nanoTime() - tAdm) / 1e9
 
+      // the r14 stored SimHash family on the same ladder: per-batch
+      // probe wall against a stored index of the replicated corpus
+      // must stay ~flat like sec_stored (same bpart-pruned layout,
+      // same collision-bound join), and the admission gate must cost
+      // what the probe costs
+      val shIdxDir = s"/tmp/graft_probe_simhash_index_r$reps"
+      Dedup.writeSimhashIndex(corpus, shIdxDir, "text", "doc_id")
+      val tSh = System.nanoTime()
+      val shPairs = Dedup.incrementalSimhashStored(spark, shIdxDir,
+        batch, "text", "doc_id").count()
+      val secSimhash = (System.nanoTime() - tSh) / 1e9
+      val tShAdm = System.nanoTime()
+      val shAdmitted = Dedup.simhashAdmission(spark, shIdxDir, batch,
+        "text", "doc_id", budget = 64L)
+        .where(col("admit")).count()
+      val secSimhashAdm = (System.nanoTime() - tShAdm) / 1e9
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(shIdxDir), true)
+
       // takedown (delete) maintenance: a FIXED-size takedown batch
       // (the base corpus's ≡1 mod 20 slice, replica 0) is removed from
       // the stored index. The claim: the only corpus-scale work is one
@@ -274,6 +294,10 @@ object ProbeIncremental {
         f""""sec_probe_deleted":$secProbeDeleted%.2f,""" +
         f""""sec_repair":$secRepair%.2f,"repair_changed":$repairChanged,""" +
         f""""sec_admission":$secAdmission%.2f,"admitted":$admitted,""" +
+        f""""sec_simhash_stored":$secSimhash%.2f,""" +
+        f""""simhash_pairs":$shPairs,""" +
+        f""""sec_simhash_admission":$secSimhashAdm%.2f,""" +
+        f""""simhash_admitted":$shAdmitted,""" +
         f""""sec_drop_parts":$secDropParts%.2f,""" +
         f""""drop_rows":$dropRows,"drop_dirs":$dropDirs,""" +
         f""""sec_row_rewrite":$secRowRewrite%.2f,"rw_rows":$rwRows,""" +
