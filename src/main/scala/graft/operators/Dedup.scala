@@ -341,11 +341,30 @@ object Dedup {
     * are pruned at the file level, so probe I/O tracks the batch's
     * bucket spread, not the corpus. Same candidate contract as
     * [[incrementalCandidates]] (asserted in DedupSimilaritySpec). */
+  /** The stored probes/gates take the BATCH's id column from the
+    * caller but read the STORED INDEX under the sidecar's pinned
+    * `idCol` — the two must be one name. A mismatch refuses with the
+    * family's named error instead of surfacing as an
+    * unresolved-column AnalysisException from the index read (r14
+    * ADVICE): probes read their parameters from the sidecar, and the
+    * id column is a parameter like any other. */
+  private def requireSidecarIdCol(
+      meta: com.fasterxml.jackson.databind.JsonNode, idCol: String,
+      indexPath: String, api: String): Unit = {
+    val pinned = graft.config.Sidecar.str(meta, "idCol")
+    require(pinned == idCol,
+      s"$api: index $indexPath pins idCol '$pinned' but the caller " +
+        s"passed '$idCol' — the sidecar owns the probe's parameters; " +
+        "pass the pinned name (the batch must carry that column)")
+  }
+
   def incrementalCandidatesStored(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame, textCol: String,
       idCol: String, maxBucketSize: Int = 0): DataFrame = {
     val meta = graft.config.Sidecar.read(spark, indexPath,
       "Dedup.writeBucketIndex")
+    requireSidecarIdCol(meta, idCol, indexPath,
+      "Dedup.incrementalCandidatesStored")
     import graft.config.Sidecar.{int => intField}
     val (shingleSize, numHashes, bands, parts) =
       (intField(meta, "shingleSize"), intField(meta, "numHashes"),
@@ -383,6 +402,7 @@ object Dedup {
       idCol: String, budget: Long): DataFrame = {
     val meta = graft.config.Sidecar.read(spark, indexPath,
       "Dedup.writeBucketIndex")
+    requireSidecarIdCol(meta, idCol, indexPath, "Dedup.probeAdmission")
     import graft.config.Sidecar.{int => intField}
     val (shingleSize, numHashes, bands, parts) =
       (intField(meta, "shingleSize"), intField(meta, "numHashes"),
@@ -838,6 +858,8 @@ object Dedup {
       indexPath: String, newDocs: DataFrame, textCol: String,
       idCol: String, maxHamming: Int = 2): DataFrame = {
     val meta = simhashMeta(spark, indexPath)
+    requireSidecarIdCol(meta, idCol, indexPath,
+      "Dedup.incrementalSimhashStored")
     import graft.config.Sidecar.{int => intField}
     val (bands, parts) =
       (intField(meta, "bands"), intField(meta, "parts"))
@@ -864,6 +886,26 @@ object Dedup {
           .cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Deletes takedown/opt-out docs from a STORED [[writeSimhashIndex]]
+    * table — the family-checked delete ([[simhashMeta]] refuses a
+    * cross-family path; the engine underneath is the same generic
+    * [[IndexCompact.deleteMatchingChecked]] the LSH family uses:
+    * column-pruned (bpart, id) scan, only the touched bpart
+    * directories rewritten, manifest-committed swap). Sketch banding
+    * is corpus-independent, so the sidecar is untouched. With
+    * `evidence` set, the [[graft.sinks.ComplianceLog]] line rides the
+    * swap manifest exactly like every other evidenced delete — see
+    * [[deleteFromBucketIndex]]. Returns (rowsDeleted, dirsRewritten).
+    * A SimHash doc holds `bands` rows (one per band), so rowsDeleted
+    * = bands × matched docs. */
+  def deleteFromSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, deleteIds: DataFrame,
+      evidence: Option[graft.sinks.ComplianceLog.Key] = None): (Long, Long) = {
+    val meta = simhashMeta(spark, indexPath)
+    IndexCompact.deleteMatchingChecked(spark, indexPath,
+      graft.config.Sidecar.str(meta, "idCol"), deleteIds, evidence)
   }
 
   /** Appends a landed batch to a STORED [[writeSimhashIndex]] table —
@@ -897,6 +939,7 @@ object Dedup {
       indexPath: String, newDocs: DataFrame, textCol: String,
       idCol: String, budget: Long): DataFrame = {
     val meta = simhashMeta(spark, indexPath)
+    requireSidecarIdCol(meta, idCol, indexPath, "Dedup.simhashAdmission")
     import graft.config.Sidecar.{int => intField}
     val (bands, parts) =
       (intField(meta, "bands"), intField(meta, "parts"))

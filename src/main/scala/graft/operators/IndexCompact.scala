@@ -442,6 +442,12 @@ private[graft] object IndexCompact {
     // (r13 verdict item 2 — the zeros window)
     evidence.foreach { case (k, table, rows, dirs) =>
       val ev = node.putObject("evidence")
+      // schema version for the recovery-side parse: fields are read by
+      // NAME, so adding one is backward-safe but a rename would
+      // silently no-op old manifests during roll-forward — the version
+      // turns that into a loud refusal (r14 stretch 8), the same
+      // pattern as the index sidecars
+      ev.put("v", 1)
       ev.put("ledger", k.ledgerPath)
       ev.put("target", k.target)
       ev.put("table", table)
@@ -455,11 +461,22 @@ private[graft] object IndexCompact {
 
   /** Appends the ledger line a committed manifest carries (no-op for
     * manifests without one). Idempotent by the ledger's name keying —
-    * safe to run on every roll-forward, however many times. */
+    * safe to run on every roll-forward, however many times. Refuses
+    * an evidence block of an UNKNOWN schema version loudly: recovery
+    * is the one reader that must never guess field meanings (a
+    * guessed-wrong parse here writes a permanent wrong ledger line);
+    * a version-less block is v1 — every manifest this library ever
+    * wrote before versioning. */
   private def appendManifestEvidence(spark: SparkSession,
       m: com.fasterxml.jackson.databind.JsonNode): Unit = {
     val ev = m.get("evidence")
-    if (ev != null && ev.isObject)
+    if (ev != null && ev.isObject) {
+      val v = if (ev.has("v")) ev.get("v").asInt else 1
+      require(v == 1,
+        s"swap-manifest evidence block has schema version $v; this " +
+          "build reads v1 — upgrade the library before recovering " +
+          "this table (guessing field meanings during roll-forward " +
+          "would commit a wrong ledger line forever)")
       graft.sinks.ComplianceLog.append(spark,
         graft.config.Sidecar.str(ev, "ledger"),
         graft.config.Sidecar.str(ev, "target"),
@@ -468,6 +485,7 @@ private[graft] object IndexCompact {
         graft.config.Sidecar.long(ev, "batch"),
         graft.config.Sidecar.long(ev, "rows"),
         graft.config.Sidecar.long(ev, "dirs")): Unit
+    }
   }
 
   /** The idempotent swap loop (protocol step 3+4). Every rename is

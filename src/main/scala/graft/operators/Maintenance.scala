@@ -163,19 +163,48 @@ object Maintenance {
     * [[graft.sinks.ComplianceLog.tableLineage]], so the lines never
     * collide; each report's `ttlEvidenceRecorded` says whether THIS
     * slot wrote that table's line (false = a retried slot, first
-    * run's evidence stands). Tables are processed sequentially —
-    * the windows share the walk pool and the Spark session, and the
-    * concurrent-windows probe showed parallelism is a wash at the
-    * metadata floor; a deployment that wants it anyway can thread
-    * [[run]] calls itself (the ledger's append protocol and the
-    * age-gated heal are concurrency-safe by design). A failure on one
-    * table propagates after the earlier tables' windows completed —
-    * the cron reruns the slot, completed tables skip by their
-    * evidence key. */
+    * run's evidence stands). `parallelism` threads the windows
+    * (default 1 = sequential): the concurrent-windows probe MEASURED
+    * 4 parallel windows at 0.69 s against 1.26 s sequential — the
+    * shared 16-wide walk pool and the JVM FileSystem cache show no
+    * contention pathology, windows interleave their Spark/footer
+    * phases and win ~1.8× — so the default is about failure
+    * ISOLATION (sequential windows localize a thrown table
+    * deterministically), not cost. The ledger's append protocol and
+    * the age-gated heal are concurrency-safe by design (the probe
+    * ran them hot). Failure semantics either way: a failing table
+    * propagates after the other tables' windows completed or
+    * unwound — the cron reruns the slot, completed tables skip by
+    * their evidence key. Results come back in `paths` order
+    * regardless of completion order. */
   def runAll(spark: SparkSession, paths: Seq[String],
       maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
-      evidence: Option[(String, Long)] = None): Seq[(String, Report)] =
-    paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))
+      evidence: Option[(String, Long)] = None,
+      parallelism: Int = 1): Seq[(String, Report)] = {
+    require(parallelism >= 1,
+      s"runAll parallelism must be >= 1, got $parallelism")
+    if (parallelism == 1 || paths.size <= 1)
+      paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        parallelism.min(paths.size))
+      try {
+        val futures = paths.map(p => pool.submit(
+          new java.util.concurrent.Callable[(String, Report)] {
+            override def call(): (String, Report) =
+              p -> run(spark, p, maxFilesPerDir, ttl, evidence)
+          }))
+        // get() in submit order: results stay paths-ordered and the
+        // FIRST failing table (by input position) is the one reported
+        futures.map(f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+      } finally pool.shutdownNow(): Unit
+    }
+  }
 
   /** Family detection from the sidecar's own fields — the model arrays
     * only the ANN writer pins, the banding integers only the LSH

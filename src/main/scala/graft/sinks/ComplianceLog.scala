@@ -124,26 +124,37 @@ object ComplianceLog {
     * target it should have hit, and where are the gaps?" `expected` is
     * the (target, batch_id) grid a compliance review asserts coverage
     * over (every target a request class must land on × every request
-    * batch); the result carries one row per grid cell with
-    * `recorded` = 1/0 and the recorded counts (-1 sentinels on gap
-    * cells, so the frame stays flat and join-friendly). A gap row is
-    * the ledger's reason to exist: "deleted everywhere but the
-    * archive" is invisible to any single stream's own reporting.
-    * Driver cost is grid × ledger — audit volume on both sides
-    * (oracle-proven as q330). */
+    * batch); the result carries EXACTLY one row per grid cell —
+    * `recorded` is the number of ledger lines covering the cell
+    * (0 = gap) and the counts are SUMS over those lines (-1 sentinels
+    * on gap cells, so the frame stays flat and join-friendly). The
+    * ledger's key is (target, lineage, batch_id), one level finer than
+    * the grid: a cell legitimately holds N lines when N lineages share
+    * it — exactly what [[graft.operators.Maintenance.runAll]] produces
+    * (N tables, target `ttl-sweep`, one runId) — so the join must
+    * aggregate, not fan out, or a multi-table cron would silently
+    * break the one-row-per-cell contract and double-count every
+    * per-cell sum (r14 ADVICE). `recorded > 1` is the explicit
+    * multi-lineage signal; drill into the raw [[read]] frame for the
+    * per-lineage lines. A gap row is the ledger's reason to exist:
+    * "deleted everywhere but the archive" is invisible to any single
+    * stream's own reporting. Driver cost is grid × ledger — audit
+    * volume on both sides (oracle-proven as q330/q333). */
   def audit(spark: SparkSession, logPath: String,
       expected: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
     require(expected.columns.toSeq == Seq("target", "batch_id"),
       s"expected grid must be (target, batch_id), got: " +
         expected.columns.mkString(", "))
     expected.join(
-        read(spark, logPath).select(col("target"), col("batch_id"),
-          col("rows_deleted"), col("dirs_rewritten")),
+        read(spark, logPath)
+          .groupBy(col("target"), col("batch_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("rows_deleted")).as("rows_deleted"),
+            sum(col("dirs_rewritten")).as("dirs_rewritten")),
         Seq("target", "batch_id"), "left")
       .select(col("target"), col("batch_id"),
-        when(col("rows_deleted").isNotNull, lit(1L)).otherwise(lit(0L))
-          .as("recorded"),
+        coalesce(col("n_lines"), lit(0L)).as("recorded"),
         coalesce(col("rows_deleted"), lit(-1L)).as("rows_deleted"),
         coalesce(col("dirs_rewritten"), lit(-1L))
           .as("dirs_rewritten"))

@@ -59,7 +59,15 @@ private[sinks] object EvidenceCompaction {
       name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(root)
-    val inflight = new Path(root, s".inflight-$name")
+    // birth epoch IN the name: sweepInflights' age gate must not trust
+    // directory mtime — object stores commonly report 0/creation-only
+    // for "directories", which would make healShared sweep a LIVE
+    // writer's seconds-old inflight as if it were ancient (r14 ADVICE).
+    // The writer fails loudly and replays in that case (no evidence
+    // loss), but the concurrent-safety claim should hold everywhere,
+    // so the gate reads the timestamp the writer stamped itself.
+    val inflight = new Path(root,
+      s".inflight-${System.currentTimeMillis()}-$name")
     rows.coalesce(1).write.mode("overwrite").parquet(inflight.toString)
     val part = fs.listStatus(inflight).map(_.getPath)
       .find(_.getName.startsWith("part-"))
@@ -78,15 +86,30 @@ private[sinks] object EvidenceCompaction {
     * inflight lives for seconds; sweeping it mid-write would fail the
     * writer's rename): the explicit `recover` calls keep the
     * everything-sweep under their documented single-writer window,
-    * the maintenance cron's implicit heal passes an hour. */
+    * the maintenance cron's implicit heal passes an hour. The age
+    * comes from the epoch the WRITER stamped into the inflight name
+    * (`.inflight-<epochMs>-...`) — never from directory mtime, which
+    * object stores report as 0/unreliable and which would let a
+    * shared-ledger heal sweep a live writer's inflight (r14 ADVICE);
+    * a legacy unstamped name falls back to mtime, the best signal it
+    * has. */
   private[sinks] def sweepInflights(spark: SparkSession,
       root: Path, olderThanMs: Long = 0L): Seq[String] = {
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Nil
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def bornAt(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.stripPrefix(".inflight-").takeWhile(_.isDigit)
+        match {
+          // epoch-millis is 12–13 digits for any plausible wall clock
+          // (2001–2286); a shorter/longer digit run is a legacy name
+          // whose target merely starts with digits, not a stamp
+          case ds if ds.length >= 12 && ds.length <= 13 => ds.toLong
+          case _ => st.getModificationTime
+        }
     val stale = fs.listStatus(root)
       .filter(st => st.getPath.getName.startsWith(".inflight-") &&
-        (olderThanMs <= 0L || st.getModificationTime < cutoff))
+        (olderThanMs <= 0L || bornAt(st) < cutoff))
       .map(_.getPath).toSeq
     stale.foreach(p => fs.delete(p, true))
     stale.map(_.getName)

@@ -62,23 +62,50 @@ object QuarantineStore {
         graft.config.Sidecar.str(n, "schemaJson"))
         .asInstanceOf[StructType])
 
+  private def writePin(spark: SparkSession, root: Path,
+      schema: StructType): Unit = {
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(root)
+    val node = graft.config.Sidecar.newNode()
+    node.put("schemaJson", schema.json)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(root, SchemaSidecar), node)
+  }
+
+  /** The pin to enforce, MIGRATING a legacy pre-pin store on first
+    * touch: a non-empty store without a sidecar pins the schema its
+    * OWN existing files carry — never the incoming batch's (r14
+    * ADVICE: bootstrapping the pin from the first post-upgrade batch
+    * would enshrine exactly the evolved shape the pin exists to
+    * refuse, and read/compactBefore under it would silently null the
+    * legacy files' columns). None = genuinely empty store, nothing to
+    * pin yet. Same migrate-on-touch pattern as the legacy-lineage
+    * upgrade the index families use. */
+  private def ensurePin(spark: SparkSession,
+      root: Path): Option[StructType] =
+    pinnedSchema(spark, root).orElse {
+      if (!EvidenceCompaction.hasFinalFiles(spark, root)) None
+      else {
+        val legacy = spark.read.parquet(root.toString).schema
+        writePin(spark, root, legacy)
+        Some(legacy)
+      }
+    }
+
   private def shape(s: StructType): Set[(String, DataType)] =
     s.fields.map(f => (f.name, f.dataType)).toSet
 
-  /** First append pins, later appends must match (names + types;
-    * nullability and field order free — parquet reads by name and
-    * checkpoint replays can flip nullability). */
+  /** First append into an empty store pins; every later append must
+    * match (names + types; nullability and field order free — parquet
+    * reads by name and checkpoint replays can flip nullability). A
+    * legacy pre-pin store pins from its EXISTING files via
+    * [[ensurePin]] before the batch is checked, so an evolved append
+    * against legacy evidence refuses loudly instead of silently
+    * enshrining the new shape. */
   private def pinOrCheck(spark: SparkSession, root: Path,
       schema: StructType): Unit =
-    pinnedSchema(spark, root) match {
-      case None =>
-        val fs = root.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        fs.mkdirs(root)
-        val node = graft.config.Sidecar.newNode()
-        node.put("schemaJson", schema.json)
-        graft.config.Sidecar.writeNode(spark,
-          new Path(root, SchemaSidecar), node)
+    ensurePin(spark, root) match {
+      case None => writePin(spark, root, schema)
       case Some(p) =>
         require(shape(p) == shape(schema),
           s"quarantine store $root is pinned to schema " +
@@ -125,13 +152,15 @@ object QuarantineStore {
   }
 
   /** Every quarantined row in the store, or None when nothing has ever
-    * been quarantined (the schema is the pinned one when present — a
-    * pre-pin legacy store falls back to inference). */
+    * been quarantined. The schema is always the PIN's: a pre-pin
+    * legacy store is pinned from its own files on this first touch
+    * ([[ensurePin]]), so the read's shape can never drift under a
+    * later fold. */
   def read(spark: SparkSession, storePath: String): Option[DataFrame] =
     if (!EvidenceCompaction.hasFinalFiles(spark, new Path(storePath)))
       None
     else {
-      val pinned = pinnedSchema(spark, new Path(storePath))
+      val pinned = ensurePin(spark, new Path(storePath))
       Some(pinned.fold(spark.read)(spark.read.schema)
         .parquet(storePath))
     }
@@ -140,14 +169,14 @@ object QuarantineStore {
     * into one consolidated file — same engine, contract and
     * caller-owned horizon as
     * [[ComplianceLog.compactBefore]] ([[EvidenceCompaction]]); the
-    * fold reads under the PINNED schema when present (r13 verdict
-    * item 3 — inference over a store that somehow mixed shapes could
-    * silently drop columns; a pre-pin legacy store still infers).
-    * Returns (filesFolded, rowsFolded). */
+    * fold reads under the PINNED schema (r13 verdict item 3 —
+    * inference over a store that somehow mixed shapes could silently
+    * drop columns; a pre-pin legacy store is pinned from its own
+    * files first, [[ensurePin]]). Returns (filesFolded, rowsFolded). */
   def compactBefore(spark: SparkSession, storePath: String,
       horizonBatchId: Long): (Long, Long) =
     EvidenceCompaction.compactBefore(spark, storePath, horizonBatchId,
-      pinnedSchema(spark, new Path(storePath)))
+      ensurePin(spark, new Path(storePath)))
 
   /** Rolls a crashed [[compactBefore]] forward (manifest-committed),
     * then sweeps crashed append `.inflight-*` dirs (a crash between

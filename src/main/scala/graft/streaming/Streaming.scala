@@ -723,6 +723,37 @@ object Streaming {
       .option("checkpointLocation", checkpointPath)
       .start()
 
+  /** Streaming takedown loop against a STORED SimHash index — the
+    * fourth takedown target, completing the family symmetry (r14
+    * stretch 7): a deployment running
+    * [[graft.operators.Dedup.writeSimhashIndex]] as its primary
+    * near-dup store gets the same one-liner the LSH index
+    * ([[takedownMaintenanceStream]]), the ANN index
+    * ([[annTakedownStream]]) and the corpus table
+    * ([[corpusTakedownStream]]) have. Each micro-batch of request ids
+    * is deleted via
+    * [[graft.operators.Dedup.deleteFromSimhashIndex]] (family-checked
+    * sidecar, touched-bpart rewrites only), and with `complianceLog`
+    * set the evidence line (target `simhash-index`) rides the
+    * delete's swap manifest — same replay/zeros-window contract as
+    * the other three loops, word for word. */
+  def simhashTakedownStream(requests: DataFrame, indexPath: String,
+      checkpointPath: String, complianceLog: Option[String] = None)(
+      onBatch: (Long, Long, Long) => Unit): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val (nRows, nDirs) = graft.operators.Dedup.deleteFromSimhashIndex(
+          b.sparkSession, indexPath, b,
+          complianceLog.map(lp => graft.sinks.ComplianceLog.Key(lp,
+            "simhash-index",
+            canonicalLineage(b.sparkSession, checkpointPath), batchId)))
+        onBatch(nRows, nDirs, batchId)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** Streaming takedown loop for the CORPUS TABLE itself — the third
     * target a compliance stream hits (the LSH index via
     * [[takedownMaintenanceStream]], the ANN index via
