@@ -1295,6 +1295,31 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q333: multi-lineage audit cell — two identical table copies
+    // swept by one cron slot (one runId) record two lineage-keyed
+    // lines in ONE (target, batch) cell; the audit must aggregate to
+    // exactly one row per cell (recorded = covering-line count, sums
+    // across lineages) plus a -1-sentinel gap row for the slot that
+    // never ran. Reconstructed from the TTL predicate over the raw
+    // table: rows = 2 × matching docs, dirs = 2 × distinct doomed
+    // partition values.
+    "q333_audit_multilineage" ->
+      """WITH doomed AS (
+        |  SELECT count(*) AS n_rows, count(DISTINCT source) AS n_dirs
+        |  FROM documents
+        |  WHERE CAST(substr(source, 4, 10) AS INT) >= 15
+        |)
+        |SELECT * FROM (
+        |  SELECT 'ttl-sweep' AS target, CAST(5 AS BIGINT) AS batch_id,
+        |    CAST(2 AS BIGINT) AS recorded,
+        |    CAST(2 * n_rows AS BIGINT) AS rows_deleted,
+        |    CAST(2 * n_dirs AS BIGINT) AS dirs_rewritten
+        |  FROM doomed
+        |  UNION ALL
+        |  SELECT 'ttl-sweep', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |) ORDER BY batch_id""".stripMargin,
+
     // q332: SimHash admission replay — per batch doc, the sum of
     // corpus (band, bandval) bucket sizes over the doc's own cells
     // (an upper bound counting multi-cell pairs once per shared cell),

@@ -9541,6 +9541,55 @@ object Queries {
     res
   }
 
+  /** MULTI-LINEAGE AUDIT CELL, ORACLE-PROVEN (r15) — the grid cell
+    * shape [[graft.operators.Maintenance.runAll]] produces and the
+    * r14 audit silently fanned out: two tables swept by ONE cron slot
+    * (target `ttl-sweep`, one runId) into one shared ledger record
+    * two lineage-keyed lines in the SAME (target, batch) cell, and
+    * [[graft.sinks.ComplianceLog.audit]] must return EXACTLY one row
+    * for it — `recorded` = the covering-line count (2), the counts
+    * summed across lineages — plus a `recorded = 0` gap row for the
+    * slot that never ran. The windows run with `parallelism = 2`, so
+    * the opt-in concurrent cron is driven under the oracle, not just
+    * specs. DuckDB reconstructs the cell from the TTL predicate
+    * replayed over the raw table (2 × rows and 2 × distinct doomed
+    * partition values — the tables are identical copies), so the
+    * hash match pins the sweep evidence, the lineage keying AND the
+    * per-cell aggregation against an independent replay.
+    *
+    * Scale shape: the sweeps are metadata-bounded whole-directory
+    * drops; the audit is grid × ledger driver data (audit volume). */
+  def q333AuditMultiLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_ml_audit_log_").toString
+    val tbls = Seq("a", "b").map { tag =>
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft_ml_audit_$tag").toString
+      docs.repartition(col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(tbl)
+      tbl
+    }
+    val reps = graft.operators.Maintenance.runAll(s, tbls,
+      maxFilesPerDir = 64,
+      ttl = Some(col("source").substr(4, 10).cast("int") >= 15),
+      evidence = Some((ledger, 5L)), parallelism = 2)
+    require(reps.forall(_._2.ttlEvidenceRecorded),
+      "both windows must record their own lineage-keyed line")
+    val grid = Seq(("ttl-sweep", 5L), ("ttl-sweep", 6L))
+      .toDF("target", "batch_id")
+    val res = graft.sinks.ComplianceLog.audit(s, ledger, grid)
+      .orderBy("batch_id")
+      .localCheckpoint(true) // pin before the scratch dirs are deleted
+    for (path <- tbls :+ ledger) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -9877,5 +9926,6 @@ object Queries {
     "q330_ledger_audit" -> (q330LedgerAudit _),
     "q331_simhash_stored" -> (q331SimhashStored _),
     "q332_simhash_admission" -> (q332SimhashAdmission _),
+    "q333_audit_multilineage" -> (q333AuditMultiLineage _),
   )
 }

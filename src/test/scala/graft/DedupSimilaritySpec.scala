@@ -454,6 +454,21 @@ class DedupSimilaritySpec extends SparkSpec {
     val touched = Dedup.bucketIndex(batch, "text", "doc_id", parts = 16)
       .select("bpart").distinct().count()
     assert(touched <= 16)
+    // idCol is a sidecar parameter like any other (r15, r14 ADVICE):
+    // a caller mismatch refuses with the family's NAMED error at plan
+    // time, never an unresolved-column AnalysisException mid-probe —
+    // all four stored entry points share the check
+    for ((label, thunk) <- Seq[(String, () => Any)](
+        ("probe", () => Dedup.incrementalCandidatesStored(
+          spark, dir, batch.withColumnRenamed("doc_id", "id"),
+          "text", "id")),
+        ("admission", () => Dedup.probeAdmission(
+          spark, dir, batch.withColumnRenamed("doc_id", "id"),
+          "text", "id", budget = 8L)))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains("pins idCol 'doc_id'"),
+        s"$label: ${e.getMessage}")
+    }
   }
 
   test("stored SimHash index (r14): the bpart-pruned probe ≡ the " +
@@ -509,6 +524,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("not a SimHash index"),
       err.getMessage)
+    // ...and so is an idCol contradicting the sidecar (r15): the
+    // SimHash probe and gate share the LSH family's named refusal
+    val errId = intercept[IllegalArgumentException] {
+      Dedup.incrementalSimhashStored(spark, dir,
+        batch1.withColumnRenamed("doc_id", "id"), "text", "id")
+    }
+    assert(errId.getMessage.contains("pins idCol 'doc_id'"),
+      errId.getMessage)
+    val errAdm = intercept[IllegalArgumentException] {
+      Dedup.simhashAdmission(spark, dir,
+        batch1.withColumnRenamed("doc_id", "id"), "text", "id", 8L)
+    }
+    assert(errAdm.getMessage.contains("pins idCol 'doc_id'"),
+      errAdm.getMessage)
     // the layout-generic delete engine serves the new family: delete
     // batch1's rows and the probe stops pairing against them
     val (delRows, delDirs) =

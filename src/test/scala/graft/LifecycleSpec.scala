@@ -658,6 +658,130 @@ class LifecycleSpec extends SparkSpec {
     assert(err3.getMessage.contains("pinned to schema"), err3.getMessage)
   }
 
+  test("QuarantineStore legacy migrate-on-touch (r15, r14 ADVICE): a " +
+    "pre-pin store pins the schema its EXISTING files carry on first " +
+    "touch — never the incoming batch's — so an evolved post-upgrade " +
+    "append refuses loudly instead of enshrining the evolved shape " +
+    "and nulling the legacy columns under read/fold") {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.QuarantineStore
+    import spark.implicits._
+    val hfs = new Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkLegacy(name: String): String = {
+      // a store written by a pre-pin library version: evidence files
+      // present, no _graft_schema.json sidecar
+      val st = tmp(name).toString
+      for (b <- Seq(0L, 1L))
+        assert(QuarantineStore.append(spark, st, "old", b,
+          Seq((b, s"doc$b")).toDF("id", "why")))
+      assert(hfs.delete(new Path(st, "_graft_schema.json"), false))
+      st
+    }
+    // upgrade hazard: the first post-upgrade APPEND carries an evolved
+    // shape — the pin must come from the legacy files and refuse it
+    val s1 = mkLegacy("qs-legacy-append")
+    val err = intercept[IllegalArgumentException] {
+      QuarantineStore.append(spark, s1, "old", 2L,
+        Seq((2L, "doc2", 0.5)).toDF("id", "why", "score"))
+    }
+    assert(err.getMessage.contains("pinned to schema"), err.getMessage)
+    assert(hfs.exists(new Path(s1, "_graft_schema.json")),
+      "the refused append must still have pinned the LEGACY schema")
+    // a matching append proceeds under the migrated pin
+    assert(QuarantineStore.append(spark, s1, "old", 2L,
+      Seq((2L, "doc2")).toDF("id", "why")))
+    // first READ of a legacy store also migrates the pin, and the
+    // frame is the legacy shape
+    val s2 = mkLegacy("qs-legacy-read")
+    val got = QuarantineStore.read(spark, s2).get
+    assert(got.columns.toSet === Set("id", "why") && got.count() === 2)
+    assert(hfs.exists(new Path(s2, "_graft_schema.json")))
+    // first FOLD of a legacy store runs under the migrated pin and
+    // round-trips the rows
+    val s3 = mkLegacy("qs-legacy-fold")
+    val (ff, fr) = QuarantineStore.compactBefore(spark, s3, 2L)
+    assert(ff === 2L && fr === 2L)
+    assert(QuarantineStore.read(spark, s3).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((0L, "doc0"), (1L, "doc1")))
+  }
+
+  test("Maintenance.runAll parallelism (r15, r14 verdict item 2): two " +
+    "tables swept in PARALLEL into one shared ledger at one runId " +
+    "record two distinct evidence lines and return reports in paths " +
+    "order — the measured 1.8x win is safe to opt into") {
+    import org.apache.spark.sql.functions.col
+    import graft.sinks.ComplianceLog
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars", $"source".as("src"))
+    val ledger = tmp("runall-par-ledger").toString
+    def mkTable(name: String): String = {
+      val t = tmp(name).toString
+      docs.repartition(4, col("src"))
+        .write.mode("overwrite").partitionBy("src").parquet(t)
+      t
+    }
+    val (tA, tB) = (mkTable("runall-par-a"), mkTable("runall-par-b"))
+    val pred = col("src").substr(4, 10).cast("int") >= 15
+    val reps = graft.operators.Maintenance.runAll(spark, Seq(tA, tB),
+      maxFilesPerDir = 64, ttl = Some(pred),
+      evidence = Some((ledger, 11L)), parallelism = 2)
+    assert(reps.map(_._1) === Seq(tA, tB),
+      "parallel results must come back in paths order")
+    val byPath = reps.toMap
+    assert(byPath(tA).ttlEvidenceRecorded && byPath(tB).ttlEvidenceRecorded)
+    assert(byPath(tA).ttlRowsDropped > 0L)
+    val lines = ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(lines === Set(
+      (ComplianceLog.tableLineage(spark, tA), 11L,
+        byPath(tA).ttlRowsDropped),
+      (ComplianceLog.tableLineage(spark, tB), 11L,
+        byPath(tB).ttlRowsDropped)))
+    // the aggregate audit sees ONE row for the shared cell with the
+    // lineage-line count and summed counts (r14 ADVICE: the fan-out)
+    val cell = ComplianceLog.audit(spark, ledger,
+      Seq(("ttl-sweep", 11L)).toDF("target", "batch_id")).collect()
+    assert(cell.length === 1)
+    assert(cell(0).getLong(2) === 2L, "recorded = covering-line count")
+    assert(cell(0).getLong(3) ===
+      byPath(tA).ttlRowsDropped + byPath(tB).ttlRowsDropped)
+  }
+
+  test("inflight age gate reads the writer-stamped epoch, not dir " +
+    "mtime (r15, r14 ADVICE): a fresh-named inflight with a ZERO " +
+    "mtime (object-store shape) is spared by the shared heal, a " +
+    "stale-named one with a fresh mtime is swept") {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.ComplianceLog
+    val ledger = tmp("inflight-epoch-ledger").toString
+    assert(ComplianceLog.append(spark, ledger, "t", "/x", "lin", 0L,
+      1L, 1L))
+    val hfs = new Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    // live writer on a store whose dir mtime reads 0: the name says
+    // seconds old — must survive the hour-gated heal
+    val live = new Path(ledger, s".inflight-$now-t-lin-5.parquet")
+    hfs.mkdirs(live)
+    hfs.setTimes(live, 0L, -1)
+    // crashed writer from 2h ago whose dir mtime got refreshed (a
+    // listing/touch): the name says ancient — must be swept
+    val crashed = new Path(ledger,
+      s".inflight-${now - 2L * 3600 * 1000}-t-lin-6.parquet")
+    hfs.mkdirs(crashed)
+    ComplianceLog.healShared(spark, ledger)
+    assert(hfs.exists(live),
+      "heal must trust the fresh name epoch over the zero mtime")
+    assert(!hfs.exists(crashed),
+      "heal must sweep the stale name epoch despite the fresh mtime")
+    // explicit recover (single-writer window) still sweeps everything
+    ComplianceLog.recover(spark, ledger)
+    assert(!hfs.exists(live))
+  }
+
   test("ComplianceLog — all three takedown streams share ONE auditable " +
     "ledger: per-batch evidence lines match the callbacks, a replayed " +
     "append preserves the original counts, crashed inflight dirs " +

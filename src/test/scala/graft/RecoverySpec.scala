@@ -1048,4 +1048,40 @@ class RecoverySpec extends SparkSpec {
     assert(IndexCompact.recover(spark, b).isEmpty)
     assert(lines("bbbb2222").length === 1)
   }
+
+  test("evidence-schema versioning (r15, r14 stretch 8): recovery " +
+    "refuses an evidence block from a NEWER schema version loudly — " +
+    "guessing field meanings during roll-forward would commit a wrong " +
+    "ledger line forever — while today's writes stamp v1 and " +
+    "version-less legacy blocks read as v1 (pinned above)") {
+    import graft.sinks.ComplianceLog
+    val ledger = tmpDir("graft_swapev_v_ledger")
+    val c = freshFixture()
+    val (_, tmpC, _) = commitUncrashedTmp(c)
+    val m = graft.config.Sidecar.readNode(spark,
+      new Path(tmpC, IndexCompact.SwapManifest)).get
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val ev = m.putObject("evidence")
+    ev.put("v", 2)
+    ev.put("ledger", ledger); ev.put("target", "corpus")
+    ev.put("table", c); ev.put("lineage", "cccc3333")
+    ev.put("batch", 7L); ev.put("rows", 17L); ev.put("dirs", 2L)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(tmpC, IndexCompact.SwapManifest), m)
+    val err = intercept[IllegalArgumentException] {
+      IndexCompact.recover(spark, c)
+    }
+    assert(err.getMessage.contains("schema version 2"), err.getMessage)
+    // nothing was guessed into the ledger, and the crash state is
+    // still intact for the upgraded library to recover
+    assert(ComplianceLog.read(spark, ledger).count() === 0L)
+    assert(fs.exists(new Path(tmpC, IndexCompact.SwapManifest)))
+    // today's own writes stamp v=1 and round-trip through recovery
+    val d = freshFixture()
+    val keyD = ComplianceLog.Key(ledger, "corpus", "dddd4444", 8L)
+    IndexCompact.deleteMatchingChecked(spark, d, "id", delIds,
+      Some(keyD)): Unit
+    assert(ComplianceLog.read(spark, ledger)
+      .where(col("lineage") === lit("dddd4444")).count() === 1L)
+  }
 }

@@ -1273,6 +1273,80 @@ class StreamingSpec extends SparkSpec {
     assert(pairsOf(idx).nonEmpty)
   }
 
+  test("simhashTakedownStream ≡ one batch delete of the union (r15, " +
+    "r14 stretch 7): the SimHash index's takedown loop lands the " +
+    "stored index in the rebuild-on-remaining state, with per-batch " +
+    "evidence lines riding the swap manifest into the shared ledger " +
+    "under target simhash-index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val doomed1 = docs.filter($"doc_id" % 10 === 2)
+    val doomed2 = docs.filter($"doc_id" % 10 === 7)
+    val remaining = docs.filter($"doc_id" % 10 =!= 2 &&
+      $"doc_id" % 10 =!= 7)
+    val probeBatch = docs.filter($"doc_id" % 10 === 4)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_sh_takedown_idx").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_sh_takedown_cp").toString
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_sh_takedown_ledger").toString
+    graft.operators.Dedup.writeSimhashIndex(docs, idx, "text",
+      "doc_id", bands = 4, parts = 16)
+
+    val mem = MemoryStream[Long]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = Streaming.simhashTakedownStream(
+      mem.toDF().toDF("doc_id"), idx, cp, Some(ledger)) {
+      (nRows, nDirs, id) => perBatch(id) = (nRows, nDirs)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    mem.addData(ids(doomed1): _*)
+    q.processAllAvailable()
+    mem.addData(ids(doomed2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // per-batch evidence: a SimHash doc holds one row per band
+    assert(perBatch(0L)._1 === doomed1.count() * 4)
+    assert(perBatch(1L)._1 === doomed2.count() * 4)
+    // the ledger carries both batches under the family's own target,
+    // counts matching the callbacks exactly
+    val lines = graft.sinks.ComplianceLog.read(spark, ledger)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(lines === Set(
+      ("simhash-index", 0L, perBatch(0L)._1),
+      ("simhash-index", 1L, perBatch(1L)._1)))
+    // streaming micro-batches ≡ one batch delete of the union
+    def pairsOf(idxPath: String) =
+      graft.operators.Dedup.incrementalSimhashStored(spark, idxPath,
+        probeBatch, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_sh_takedown_ref").toString
+    graft.operators.Dedup.writeSimhashIndex(remaining, refIdx, "text",
+      "doc_id", bands = 4, parts = 16)
+    assert(pairsOf(idx) === pairsOf(refIdx))
+    assert(pairsOf(idx).nonEmpty)
+    // cross-family guard: the SimHash delete refuses an LSH index
+    val lshIdx = java.nio.file.Files
+      .createTempDirectory("graft_sh_takedown_lsh").toString
+    graft.operators.Dedup.writeBucketIndex(remaining, lshIdx, "text",
+      "doc_id", parts = 8)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.deleteFromSimhashIndex(spark, lshIdx,
+        doomed1.select("doc_id"))
+    }
+    assert(err.getMessage.contains("not a SimHash index"),
+      err.getMessage)
+  }
+
   test("annMaintenanceStream ≡ batch two-batch sequence: each " +
     "micro-batch's neighbors match the stored scan at that point, the " +
     "append makes batch 2 see batch 1, and a replayed append is a " +
