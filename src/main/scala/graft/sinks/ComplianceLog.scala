@@ -28,7 +28,16 @@ import org.apache.spark.sql.types.StructType
   * [[graft.streaming.Streaming.appendOnce]]'s markers.
   *
   * Scale shape: one tiny file per micro-batch per target — audit
-  * volume, not data volume. A deployment that runs takedown streams
+  * volume, not data volume — but the READ paths are linear in FILE
+  * count, so folding is a floor, not an option: the ledger-scale
+  * probe measured `append` FLAT (0.09 s at 10k files, 0.08 s at 25k —
+  * the exists-check is one getFileStatus, never a listing), while
+  * [[read]]/[[audit]] cost ~0.35 ms/file (3.7 s at 10k, 8.5 s at
+  * 25k — parquet task scheduling over one-row files) and collapse to
+  * ~0.1 s after a fold; the fold itself pays ~1.8 ms/file once
+  * (24 s at 10k, 44 s at 25k), with read-back identity asserted.
+  * 25k files ≈ a year of four streams at ~17 batches/day — fold at
+  * least quarterly. A deployment that runs takedown streams
   * for years folds the old names away with [[compactBefore]] — but
   * ONLY batches the writing streams' replay horizon has passed: the
   * file NAME is the idempotence key, so compacting a batch the
