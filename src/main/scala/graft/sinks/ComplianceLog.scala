@@ -32,10 +32,11 @@ import org.apache.spark.sql.types.StructType
   * count, so folding is a floor, not an option: the ledger-scale
   * probe measured `append` FLAT (0.09 s at 10k files, 0.08 s at 25k —
   * the exists-check is one getFileStatus, never a listing), while
-  * [[read]]/[[audit]] cost ~0.35 ms/file (3.7 s at 10k, 8.5 s at
+  * [[read]]/[[audit]] cost ~0.4 ms/file (3.7 s at 10k, 8.5 s at
   * 25k — parquet task scheduling over one-row files) and collapse to
-  * ~0.1 s after a fold; the fold itself pays ~1.8 ms/file once
-  * (24 s at 10k, 44 s at 25k), with read-back identity asserted.
+  * ~0.1 s after a fold; the fold itself pays ~0.7 ms/file once
+  * (6 s at 10k, 18 s at 25k — directory-read + name-id filter, never
+  * an explicit-path index), with read-back identity asserted.
   * 25k files ≈ a year of four streams at ~17 batches/day — fold at
   * least quarterly. A deployment that runs takedown streams
   * for years folds the old names away with [[compactBefore]] — but
