@@ -1295,6 +1295,48 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q335: ledger fold invariance — after folding the four oldest
+    // evidence names into one consolidated file, the ledger read-back
+    // must still equal an independent replay of all six deletes (the
+    // fold is maintenance, never semantics)
+    "q335_ledger_fold" ->
+      """WITH b AS (SELECT CASE CAST(doc_id % 60 AS INT)
+        |    WHEN 5 THEN 0 WHEN 15 THEN 1 WHEN 25 THEN 2
+        |    WHEN 35 THEN 3 WHEN 45 THEN 4 WHEN 55 THEN 5 END
+        |    AS batch_id, source
+        |  FROM documents
+        |  WHERE CAST(doc_id % 60 AS INT) IN (5, 15, 25, 35, 45, 55))
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  count(*) AS rows_deleted,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q334: SimHash takedown replay — delete-then-probe must equal a
+    // probe of the REMAINING corpus reconstructed index-free (q331's
+    // replay minus the doomed slice), and the ledger's recorded
+    // rows_deleted must equal bands x |doomed| (each doc holds one
+    // banded row per band)
+    "q334_simhash_takedown" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |h AS (SELECT doc_id, list_transform(tk, x -> ${md5Long("x")}) AS hs FROM t),
+         |sk AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sk FROM h),
+         |banded AS (SELECT doc_id, sk, unnest([0, 1, 2, 3]) AS band FROM sk),
+         |bv AS (SELECT doc_id, sk, band, (sk >> (band * 8)) & 255 AS bandval
+         |  FROM banded),
+         |bnew AS (SELECT * FROM bv WHERE doc_id % 20 = 7),
+         |remain AS (SELECT * FROM bv
+         |  WHERE doc_id % 20 NOT IN (7, 3, 13)),
+         |del AS (SELECT CAST(4 * count(*) AS BIGINT) AS rows_deleted
+         |  FROM documents WHERE doc_id % 20 IN (3, 13)),
+         |pairs AS (SELECT DISTINCT n.doc_id AS id_new,
+         |    o.doc_id AS id_old,
+         |    CAST(bit_count(xor(n.sk, o.sk)) AS INTEGER) AS hamming
+         |  FROM bnew n JOIN remain o
+         |  ON n.band = o.band AND n.bandval = o.bandval)
+         |SELECT id_new, id_old, hamming, rows_deleted
+         |FROM pairs, del WHERE hamming <= 2
+         |ORDER BY id_new, id_old""".stripMargin,
+
     // q333: multi-lineage audit cell — two identical table copies
     // swept by one cron slot (one runId) record two lineage-keyed
     // lines in ONE (target, batch) cell; the audit must aggregate to

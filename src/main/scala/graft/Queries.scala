@@ -9541,6 +9541,102 @@ object Queries {
     res
   }
 
+  /** SimHash TAKEDOWN, ORACLE-PROVEN (r15) — the removal step that
+    * completed the stored family's symmetry this round
+    * ([[graft.operators.Dedup.deleteFromSimhashIndex]]: family-checked
+    * sidecar, touched-bpart rewrites, evidence riding the swap
+    * manifest): a takedown batch is deleted from the stored index and
+    * its [[graft.sinks.ComplianceLog]] line read back, then a probe
+    * batch runs against the post-delete index. DuckDB reconstructs
+    * BOTH sides index-free — the probe pairs from the raw text over
+    * the REMAINING corpus (full simhash vote, byte banding, band
+    * equi-join, exact Hamming cut), and the evidence count as
+    * bands × |doomed| — so one hash match pins delete-then-probe ≡
+    * probe-of-remainder AND the recorded evidence against an
+    * independent replay. The LSH family has this gate row via
+    * q314/q317/q328; the SimHash family now has its own.
+    *
+    * Scale shape: the delete rewrites only bpart dirs holding doomed
+    * rows (cost ∝ batch bucket spread); the probe is q331's
+    * bpart-pruned read; the ledger read is audit volume. */
+  def q334SimhashTakedown(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(20)) === 7)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 7)
+    val doomed = docs
+      .filter(pmod(col("doc_id"), lit(20)).isin(3, 13))
+      .select("doc_id")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_shtd_idx_").toString
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_shtd_ledger_").toString
+    Dedup.writeSimhashIndex(corpus, idx, "text", "doc_id")
+    Dedup.deleteFromSimhashIndex(s, idx, doomed,
+      Some(graft.sinks.ComplianceLog.Key(ledger, "simhash-index",
+        "q334", 0L))): Unit
+    // the gate pins the LEDGER's recorded line, not the return value —
+    // the evidence a compliance officer would actually read
+    val recorded = graft.sinks.ComplianceLog.read(s, ledger)
+      .select("rows_deleted").collect()(0).getLong(0)
+    val res = Dedup.incrementalSimhashStored(s, idx, batch, "text",
+        "doc_id")
+      .select(col("id_new"), col("id_old"), col("hamming"),
+        lit(recorded).as("rows_deleted"))
+      .orderBy("id_new", "id_old")
+      .localCheckpoint(true) // pin before the scratch dirs are deleted
+    for (path <- Seq(idx, ledger)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    res
+  }
+
+  /** LEDGER FOLD INVARIANCE, ORACLE-PROVEN (r15) — evidence
+    * compaction must be INVISIBLE to every reader: six takedown
+    * batches commit their threaded-evidence lines, the four oldest
+    * names are folded into one consolidated file
+    * ([[graft.sinks.ComplianceLog.compactBefore]] — this round's
+    * directory-read + name-id-filter fold, 3.4× faster at 10k files),
+    * and the query reads the WHOLE ledger back. DuckDB replays all
+    * six batches from the id predicate and the hash must match — so
+    * the fold's read-side identity (which rows, which values, which
+    * schema) is pinned externally, not just by specs; a fold that
+    * dropped, duplicated or re-typed a line fails the gate.
+    *
+    * Scale shape: deletes are q317's touched-directory rewrites; the
+    * fold is one parallel tiny-file read + one shuffle of
+    * audit-volume rows; the read-back is audit volume. */
+  def q335LedgerFold(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_fold_tbl_").toString
+    val log = java.nio.file.Files
+      .createTempDirectory("graft_fold_log_").toString
+    docs.repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(tbl)
+    for (b <- 0 until 6) {
+      val ids = docs
+        .filter(pmod(col("doc_id"), lit(60)) === lit(b * 10 + 5))
+        .select("doc_id")
+      PartitionedSink.deletePartitionRowsByKey(s, tbl, "doc_id", ids,
+        Some(graft.sinks.ComplianceLog.Key(log, "corpus", "q335",
+          b.toLong))): Unit
+    }
+    val (ff, _) = graft.sinks.ComplianceLog.compactBefore(s, log, 4L)
+    require(ff == 4L, s"fold must fold the four oldest names, got $ff")
+    val res = graft.sinks.ComplianceLog.read(s, log)
+      .select(col("batch_id"), col("rows_deleted"),
+        col("dirs_rewritten"))
+      .orderBy("batch_id")
+      .localCheckpoint(true) // pin before the scratch dirs are deleted
+    for (path <- Seq(tbl, log)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    res
+  }
+
   /** MULTI-LINEAGE AUDIT CELL, ORACLE-PROVEN (r15) — the grid cell
     * shape [[graft.operators.Maintenance.runAll]] produces and the
     * r14 audit silently fanned out: two tables swept by ONE cron slot
@@ -9927,5 +10023,7 @@ object Queries {
     "q331_simhash_stored" -> (q331SimhashStored _),
     "q332_simhash_admission" -> (q332SimhashAdmission _),
     "q333_audit_multilineage" -> (q333AuditMultiLineage _),
+    "q334_simhash_takedown" -> (q334SimhashTakedown _),
+    "q335_ledger_fold" -> (q335LedgerFold _),
   )
 }
