@@ -172,7 +172,11 @@ object Maintenance {
     * ISOLATION (sequential windows localize a thrown table
     * deterministically), not cost. The ledger's append protocol and
     * the age-gated heal are concurrency-safe by design (the probe
-    * ran them hot). Failure semantics either way: a failing table
+    * ran them hot), and the shared ledger's fold roll-forward is
+    * serialized per store within the JVM (see
+    * [[graft.sinks.EvidenceCompaction]]'s heal monitor) so N
+    * windows healing one crashed fold cannot interleave.
+    * Failure semantics either way: a failing table
     * propagates after the other tables' windows completed or
     * unwound — the cron reruns the slot, completed tables skip by
     * their evidence key. Results come back in `paths` order

@@ -48,6 +48,28 @@ private[sinks] object EvidenceCompaction {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** One monitor per qualified store root, JVM-wide. The fold
+    * roll-forward's delete→rename loop is idempotent across
+    * SEQUENTIAL retries but NOT across two INTERLEAVED healers: healer
+    * B can delete healer A's freshly-renamed destination and then fail
+    * its own rename (the part file moved), leaving the consolidated
+    * rows nowhere while the originals are already gone — evidence
+    * loss. Concurrent healers in ONE JVM are a supported shape
+    * ([[graft.operators.Maintenance.runAll]] with `parallelism > 1`
+    * points N windows' `healShared` at the same shared ledger), so
+    * [[recover]] and [[compactBefore]] serialize per store here;
+    * healers in DIFFERENT JVMs remain the store's documented
+    * single-writer maintenance window. Intrinsic locks are reentrant,
+    * so compactBefore's own recover-first call nests fine. The map is
+    * unbounded only in distinct store paths a JVM touches — cron
+    * scale, not data scale. */
+  private val healMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(spark: SparkSession, root: Path): Object =
+    healMonitors.computeIfAbsent(
+      fsOf(spark, root).makeQualified(root).toString,
+      _ => new Object)
+
   /** The one rename-commit write the evidence stores share: `rows` as
     * ONE parquet file at `root/name`, written whole into a
     * dot-prefixed inflight dir and RENAMED in — a reader never sees a
@@ -157,6 +179,7 @@ private[sinks] object EvidenceCompaction {
     val root = new Path(logPath)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return (0L, 0L)
+    monitorFor(spark, root).synchronized {
     recover(spark, logPath): Unit // self-heal a crashed prior fold first
     val doomed = fs.listStatus(root).map(_.getPath.getName)
       .filter(isEvidenceFile)
@@ -201,6 +224,7 @@ private[sinks] object EvidenceCompaction {
     graft.config.Sidecar.writeNode(spark, new Path(root, Manifest), node)
     applyFold(fs, root, dest, doomed)
     (doomed.size.toLong, nRows)
+    }
   }
 
   /** The idempotent roll-forward loop: delete listed originals, move
@@ -239,6 +263,7 @@ private[sinks] object EvidenceCompaction {
     val root = new Path(logPath)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Nil
+    monitorFor(spark, root).synchronized {
     val manifestP = new Path(root, Manifest)
     graft.config.Sidecar.readNode(spark, manifestP) match {
       case Some(m) =>
@@ -253,6 +278,7 @@ private[sinks] object EvidenceCompaction {
           fs.delete(inflight, true)
           Seq(s"swept uncommitted evidence fold: $InflightDir")
         } else Nil
+    }
     }
   }
 }

@@ -782,6 +782,53 @@ class LifecycleSpec extends SparkSpec {
     assert(!hfs.exists(live))
   }
 
+  test("concurrent heals of one crashed fold are loss-free (r15 " +
+    "self-review): runAll(parallelism>1) points N windows' healShared " +
+    "at ONE shared ledger — without per-store serialization, healer B " +
+    "can delete healer A's freshly-renamed consolidation and then " +
+    "fail its own rename, losing the folded evidence with the " +
+    "originals already gone") {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.ComplianceLog
+    val ledger = tmp("conc-heal-ledger").toString
+    for (b <- 0L until 5L)
+      assert(ComplianceLog.append(spark, ledger, "t", "/x", "lin", b,
+        b + 1, 1L))
+    val snapshot = ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet
+    // reconstruct the exact post-commit-point fold crash: complete
+    // inflight data + manifest, originals not yet deleted
+    val doomed = (0L until 4L).map(b => s"t-lin-$b.parquet")
+    val inflight = new Path(ledger, ".inflight-compact")
+    spark.read.schema(ComplianceLog.Schema)
+      .parquet(doomed.map(n => new Path(ledger, n).toString): _*)
+      .coalesce(1).write.mode("overwrite").parquet(inflight.toString)
+    val node = graft.config.Sidecar.newNode()
+    node.put("dest", "compacted-3.parquet")
+    val arr = node.putArray("remove"); doomed.foreach(arr.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(ledger, "_graft_compact.json"), node)
+    // eight healers race the roll-forward
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 8).map { i =>
+      val th = new Thread(() =>
+        try ComplianceLog.healShared(spark, ledger): Unit
+        catch { case e: Throwable => errs.add(e): Unit },
+        s"conc-heal-$i")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"a racing healer threw: ${errs.peek()}")
+    val hfs = new Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.exists(new Path(ledger, "compacted-3.parquet")),
+      "the consolidation must survive every interleaving")
+    assert(ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet === snapshot,
+      "every evidence row survives the racing heals")
+    assert(ComplianceLog.recover(spark, ledger) === Nil, "idempotent")
+  }
+
   test("ComplianceLog — all three takedown streams share ONE auditable " +
     "ledger: per-batch evidence lines match the callbacks, a replayed " +
     "append preserves the original counts, crashed inflight dirs " +
