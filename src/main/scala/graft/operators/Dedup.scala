@@ -332,15 +332,6 @@ object Dedup {
       indexPath: String): Seq[String] =
     IndexCompact.recover(spark, indexPath)
 
-  /** Per-batch probe against a STORED [[writeBucketIndex]] table:
-    * bands the batch with the parameters the SIDECAR pins (never
-    * caller-supplied — see [[writeBucketIndex]] for why a mismatch is
-    * a silent-miss hazard), collects the touched `bpart` set (bounded
-    * by `parts` — a model-size driver list, not data), and reads the
-    * index with that partition FILTER — untouched directory partitions
-    * are pruned at the file level, so probe I/O tracks the batch's
-    * bucket spread, not the corpus. Same candidate contract as
-    * [[incrementalCandidates]] (asserted in DedupSimilaritySpec). */
   /** The stored probes/gates take the BATCH's id column from the
     * caller but read the STORED INDEX under the sidecar's pinned
     * `idCol` — the two must be one name. A mismatch refuses with the
@@ -358,6 +349,15 @@ object Dedup {
         "pass the pinned name (the batch must carry that column)")
   }
 
+  /** Per-batch probe against a STORED [[writeBucketIndex]] table:
+    * bands the batch with the parameters the SIDECAR pins (never
+    * caller-supplied — see [[writeBucketIndex]] for why a mismatch is
+    * a silent-miss hazard), collects the touched `bpart` set (bounded
+    * by `parts` — a model-size driver list, not data), and reads the
+    * index with that partition FILTER — untouched directory partitions
+    * are pruned at the file level, so probe I/O tracks the batch's
+    * bucket spread, not the corpus. Same candidate contract as
+    * [[incrementalCandidates]] (asserted in DedupSimilaritySpec). */
   def incrementalCandidatesStored(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame, textCol: String,
       idCol: String, maxBucketSize: Int = 0): DataFrame = {

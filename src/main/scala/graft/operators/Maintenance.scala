@@ -198,15 +198,23 @@ object Maintenance {
             override def call(): (String, Report) =
               p -> run(spark, p, maxFilesPerDir, ttl, evidence)
           }))
-        // get() in submit order: results stay paths-ordered and the
-        // FIRST failing table (by input position) is the one reported
-        futures.map(f =>
-          try f.get()
+        // await EVERY window before reporting — the doc's contract: a
+        // failure propagates only after the other tables' windows
+        // completed or unwound. Rethrowing on the first get() would
+        // shutdownNow() siblings MID-PROTOCOL (abandoning, e.g., a
+        // committed TTL manifest to the next slot's recovery) and
+        // silently skip queued tables' sweeps for this slot. get() in
+        // submit order also keeps the FIRST failing table (by input
+        // position) the one reported.
+        val settled = futures.map(f =>
+          try Right(f.get())
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              Left(e.getCause)
           })
-      } finally pool.shutdownNow(): Unit
+        settled.collectFirst { case Left(e) => throw e }: Unit
+        settled.collect { case Right(r) => r }
+      } finally pool.shutdown(): Unit
     }
   }
 

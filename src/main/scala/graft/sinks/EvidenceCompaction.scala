@@ -129,8 +129,17 @@ private[sinks] object EvidenceCompaction {
           case ds if ds.length >= 12 && ds.length <= 13 => ds.toLong
           case _ => st.getModificationTime
         }
+    // the FOLD's inflight dir is never this sweep's to touch: it has
+    // no epoch stamp (its name is fixed), so the age gate would fall
+    // back to the very mtime this function exists to distrust and
+    // could kill a LIVE fold mid-write. [[recover]] owns that dir —
+    // manifest present ⇒ roll forward, absent ⇒ sweep — and runs
+    // under the per-store monitor, so an in-JVM heal waits for a live
+    // fold instead of racing it (cross-JVM folds are the store's
+    // documented single-writer window).
     val stale = fs.listStatus(root)
       .filter(st => st.getPath.getName.startsWith(".inflight-") &&
+        st.getPath.getName != InflightDir &&
         (olderThanMs <= 0L || bornAt(st) < cutoff))
       .map(_.getPath).toSeq
     stale.foreach(p => fs.delete(p, true))

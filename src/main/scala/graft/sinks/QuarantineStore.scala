@@ -72,25 +72,36 @@ object QuarantineStore {
       new Path(root, SchemaSidecar), node)
   }
 
-  /** The pin to enforce, MIGRATING a legacy pre-pin store on first
-    * touch: a non-empty store without a sidecar pins the schema its
-    * OWN existing files carry — never the incoming batch's (r14
-    * ADVICE: bootstrapping the pin from the first post-upgrade batch
-    * would enshrine exactly the evolved shape the pin exists to
-    * refuse, and read/compactBefore under it would silently null the
-    * legacy files' columns). None = genuinely empty store, nothing to
-    * pin yet. Same migrate-on-touch pattern as the legacy-lineage
-    * upgrade the index families use. */
-  private def ensurePin(spark: SparkSession,
+  /** The schema that GOVERNS a store right now: the pin when present,
+    * else — for a legacy pre-pin store — the shape its OWN existing
+    * files carry (never an incoming batch's; r14 ADVICE: bootstrapping
+    * the pin from the first post-upgrade batch would enshrine exactly
+    * the evolved shape the pin exists to refuse, and read/fold under
+    * it would silently null the legacy files' columns). None =
+    * genuinely empty store, nothing to govern yet. */
+  private def governingSchema(spark: SparkSession,
       root: Path): Option[StructType] =
     pinnedSchema(spark, root).orElse {
       if (!EvidenceCompaction.hasFinalFiles(spark, root)) None
-      else {
-        val legacy = spark.read.parquet(root.toString).schema
-        writePin(spark, root, legacy)
-        Some(legacy)
-      }
+      else Some(spark.read.parquet(root.toString).schema)
     }
+
+  /** [[governingSchema]] + MIGRATE-ON-TOUCH for the WRITE paths
+    * (append, fold): a legacy store's derived schema is persisted as
+    * the pin so every later touch enforces it. [[read]] deliberately
+    * does NOT call this — a read must stay a read (an auditor with
+    * read-only credentials reads legacy stores too), and it is
+    * deterministic without the persisted pin because the governing
+    * schema derives from the same files it reads. Same
+    * migrate-on-touch pattern as the legacy-lineage upgrade the index
+    * families use. */
+  private def ensurePin(spark: SparkSession,
+      root: Path): Option[StructType] = {
+    val gov = governingSchema(spark, root)
+    if (gov.isDefined && pinnedSchema(spark, root).isEmpty)
+      writePin(spark, root, gov.get)
+    gov
+  }
 
   private def shape(s: StructType): Set[(String, DataType)] =
     s.fields.map(f => (f.name, f.dataType)).toSet
@@ -152,16 +163,18 @@ object QuarantineStore {
   }
 
   /** Every quarantined row in the store, or None when nothing has ever
-    * been quarantined. The schema is always the PIN's: a pre-pin
-    * legacy store is pinned from its own files on this first touch
-    * ([[ensurePin]]), so the read's shape can never drift under a
-    * later fold. */
+    * been quarantined. The schema is the GOVERNING one — the pin, or
+    * for a legacy pre-pin store the shape of its own files
+    * ([[governingSchema]]) — so a fold can never change what a reader
+    * sees. A read stays a READ: it never persists the pin (read-only
+    * credentials must be able to audit a legacy store); the first
+    * WRITE-path touch migrates it. */
   def read(spark: SparkSession, storePath: String): Option[DataFrame] =
     if (!EvidenceCompaction.hasFinalFiles(spark, new Path(storePath)))
       None
     else {
-      val pinned = ensurePin(spark, new Path(storePath))
-      Some(pinned.fold(spark.read)(spark.read.schema)
+      val gov = governingSchema(spark, new Path(storePath))
+      Some(gov.fold(spark.read)(spark.read.schema)
         .parquet(storePath))
     }
 

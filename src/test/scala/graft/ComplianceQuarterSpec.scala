@@ -90,8 +90,10 @@ class ComplianceQuarterSpec extends SparkSpec {
     // ---- four takedown streams, one ledger
     val (cpLsh, cpSh, cpP, cpA) = (tmpDir("cq-cp-lsh"),
       tmpDir("cq-cp-sh"), tmpDir("cq-cp-p"), tmpDir("cq-cp-a"))
-    val calls = scala.collection.mutable
-      .Map.empty[(String, Long), (Long, Long)]
+    // concurrent: four stream-execution threads report through this
+    val calls =
+      scala.collection.concurrent.TrieMap
+        .empty[(String, Long), (Long, Long)]
     def track(tag: String)(r: Long, d: Long, id: Long): Unit =
       calls((tag, id)) = (r, d)
     val memLsh = MemoryStream[Long]; val memSh = MemoryStream[Long]

@@ -691,12 +691,19 @@ class LifecycleSpec extends SparkSpec {
     // a matching append proceeds under the migrated pin
     assert(QuarantineStore.append(spark, s1, "old", 2L,
       Seq((2L, "doc2")).toDF("id", "why")))
-    // first READ of a legacy store also migrates the pin, and the
-    // frame is the legacy shape
+    // a READ of a legacy store is governed by the files' own shape
+    // but stays a PURE read (an auditor with read-only credentials
+    // must be able to read a legacy store) — only a later WRITE-path
+    // touch persists the pin
     val s2 = mkLegacy("qs-legacy-read")
     val got = QuarantineStore.read(spark, s2).get
     assert(got.columns.toSet === Set("id", "why") && got.count() === 2)
-    assert(hfs.exists(new Path(s2, "_graft_schema.json")))
+    assert(!hfs.exists(new Path(s2, "_graft_schema.json")),
+      "read must not acquire a write side-effect")
+    assert(QuarantineStore.append(spark, s2, "old", 2L,
+      Seq((2L, "doc2")).toDF("id", "why")))
+    assert(hfs.exists(new Path(s2, "_graft_schema.json")),
+      "the first write-path touch migrates the pin")
     // first FOLD of a legacy store runs under the migrated pin and
     // round-trips the rows
     val s3 = mkLegacy("qs-legacy-fold")
