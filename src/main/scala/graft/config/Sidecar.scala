@@ -44,6 +44,16 @@ object Sidecar {
   /** A fresh object node to populate with build parameters. */
   def newNode(): ObjectNode = mapper.createObjectNode()
 
+  /** Serialized bytes of a node — for the one writer that cannot go
+    * through [[writeNode]]'s overwrite-rename commit: the evidence
+    * stores' fold LEASE must be created EXCLUSIVELY (create(overwrite
+    * = false) is the cross-process mutual exclusion), so its bytes are
+    * written straight into the exclusive stream. Everything else keeps
+    * using [[writeNode]]; this just keeps Jackson the repo's single
+    * JSON serializer. */
+  private[graft] def toBytes(node: ObjectNode): Array[Byte] =
+    mapper.writeValueAsBytes(node)
+
   /** Attach a nested double matrix (e.g. coarse centroids). */
   def putDoubles2(node: ObjectNode, field: String,
       m: Seq[Seq[Double]]): Unit = {

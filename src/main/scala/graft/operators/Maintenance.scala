@@ -179,17 +179,41 @@ object Maintenance {
     * Failure semantics either way: a failing table
     * propagates after the other tables' windows completed or
     * unwound — the cron reruns the slot, completed tables skip by
-    * their evidence key. Results come back in `paths` order
-    * regardless of completion order. */
+    * their evidence key. The thrown failure is the FIRST failing
+    * table by input position; every OTHER table's failure rides
+    * along as a suppressed exception (r15 verdict item 5 — an
+    * operator debugging a two-table outage sees both without
+    * rerunning). Results come back in `paths` order regardless of
+    * completion order.
+    *
+    * `ledgerFoldHorizon` wires the ledger's own maintenance into the
+    * slot (r15 verdict item 4 — the scaladoc says "fold at least
+    * quarterly", so the cron that touches the ledger every slot
+    * should be able to): after EVERY window completed (never on a
+    * failed slot — the rerun folds), the shared evidence ledger is
+    * folded with [[graft.sinks.ComplianceLog.compactBefore]] at the
+    * given horizon. THE CALLER OWNS THE HORIZON, same contract as
+    * calling compactBefore by hand: at most (newest committed batch −
+    * `minBatchesToRetain`) across every stream AND cron writing this
+    * ledger — this slot's own runId included (the fold runs after
+    * this slot's lines landed, so a horizon above the current runId
+    * would fold skip state a retried slot still needs). Requires
+    * `evidence` (the ledger path comes from it); a ledger-only fold
+    * without a sweep is a direct compactBefore call. */
   def runAll(spark: SparkSession, paths: Seq[String],
       maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
       evidence: Option[(String, Long)] = None,
-      parallelism: Int = 1): Seq[(String, Report)] = {
+      parallelism: Int = 1,
+      ledgerFoldHorizon: Option[Long] = None): Seq[(String, Report)] = {
     require(parallelism >= 1,
       s"runAll parallelism must be >= 1, got $parallelism")
-    if (parallelism == 1 || paths.size <= 1)
-      paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))
-    else {
+    require(ledgerFoldHorizon.isEmpty || evidence.nonEmpty,
+      "runAll: ledgerFoldHorizon folds the evidence ledger passed " +
+        "via `evidence` — without one there is nothing to fold")
+    val reports =
+      if (parallelism == 1 || paths.size <= 1)
+        paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))
+      else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         parallelism.min(paths.size))
       try {
@@ -205,17 +229,42 @@ object Maintenance {
         // committed TTL manifest to the next slot's recovery) and
         // silently skip queued tables' sweeps for this slot. get() in
         // submit order also keeps the FIRST failing table (by input
-        // position) the one reported.
+        // position) the one reported. An interrupt/cancellation is
+        // settled as that table's failure too — re-set the flag and
+        // keep draining, so the contract survives a caller's
+        // interrupt (r15 ADVICE; the remaining get()s then settle
+        // immediately with the flag set, and the windows themselves
+        // keep running to completion in the pool rather than being
+        // killed mid-protocol).
         val settled = futures.map(f =>
           try Right(f.get())
           catch {
             case e: java.util.concurrent.ExecutionException =>
               Left(e.getCause)
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              Left(e)
+            case e: java.util.concurrent.CancellationException =>
+              Left(e)
           })
-        settled.collectFirst { case Left(e) => throw e }: Unit
+        val failures = settled.collect { case Left(e) => e }
+        failures.headOption.foreach { primary =>
+          // sibling failures must not be swallowed (r15 verdict item
+          // 5): attach them to the primary instead of forcing a rerun
+          // to discover the second failing table
+          failures.drop(1).foreach(primary.addSuppressed)
+          throw primary
+        }
         settled.collect { case Right(r) => r }
       } finally pool.shutdown(): Unit
+      }
+    ledgerFoldHorizon.foreach { horizon =>
+      evidence.foreach { case (ledger, _) =>
+        graft.sinks.ComplianceLog.compactBefore(spark, ledger,
+          horizon): Unit
+      }
     }
+    reports
   }
 
   /** Family detection from the sidecar's own fields — the model arrays

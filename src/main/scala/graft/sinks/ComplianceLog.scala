@@ -170,6 +170,38 @@ object ComplianceLog {
           .as("dirs_rewritten"))
   }
 
+  /** Per-lineage drill-down of [[audit]] (r15 verdict stretch 7) —
+    * `recorded > 1` on an audit cell says N lineages share it; this is
+    * the officer's one-liner for "WHICH lineages, with what counts?"
+    * instead of a hand-join against the raw [[read]] frame. One row
+    * per covering ledger LINE within each expected grid cell, same gap
+    * semantics as [[audit]]: an uncovered cell keeps exactly one row
+    * (lineage NULL, `recorded` 0, -1 sentinel counts) so the frame
+    * stays flat and join-friendly; a covered line carries its own
+    * lineage, `recorded` 1 and its own (un-summed) counts — grouping
+    * this frame by (target, batch_id) reproduces [[audit]] exactly.
+    * Driver cost is grid × ledger, audit volume on both sides. */
+  def auditByLineage(spark: SparkSession, logPath: String,
+      expected: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(expected.columns.toSeq == Seq("target", "batch_id"),
+      s"expected grid must be (target, batch_id), got: " +
+        expected.columns.mkString(", "))
+    expected.join(
+        read(spark, logPath)
+          .select(col("target"), col("batch_id"), col("lineage"),
+            col("rows_deleted"), col("dirs_rewritten")),
+        Seq("target", "batch_id"), "left")
+      .select(col("target"), col("batch_id"), col("lineage"),
+        // lineage is never null in the ledger (append requires a
+        // plain name), so null ⇔ the left join found no line ⇔ gap
+        when(col("lineage").isNull, lit(0L)).otherwise(lit(1L))
+          .as("recorded"),
+        coalesce(col("rows_deleted"), lit(-1L)).as("rows_deleted"),
+        coalesce(col("dirs_rewritten"), lit(-1L))
+          .as("dirs_rewritten"))
+  }
+
   /** Folds every evidence file with batch id < `horizonBatchId` into
     * one consolidated `compacted-<maxFolded>.parquet` — the ledger's
     * long-run maintenance ([[EvidenceCompaction]]: manifest-committed,

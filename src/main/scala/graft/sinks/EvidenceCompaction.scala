@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.StructType
   * idempotent at every intermediate state. Same single-writer,
   * no-reader window as the stores' other maintenance; a reader
   * overlapping step 3 could see evidence rows missing mid-fold, which
-  * is exactly why the window exists.
+  * is exactly why the window exists. The single-WRITER half of that
+  * window is enforced on disk ([[withFoldLease]] — a second
+  * fold/roll-forward process, any JVM, refuses loudly); the
+  * no-READER half remains the deployment's contract.
   *
   * Consolidated files are named `compacted-<maxFoldedBatchId>.parquet`;
   * their trailing id parses like any evidence file, so a LATER fold
@@ -44,6 +47,16 @@ private[sinks] object EvidenceCompaction {
   /** Reserved name prefix for consolidated files; appends refuse a key
     * that would collide with it. */
   private[sinks] val CompactedPrefix = "compacted"
+  /** Cross-JVM single-writer lease for the fold/roll-forward window —
+    * see [[withFoldLease]]. Underscore-prefixed so every reader
+    * (parquet directory scans, [[hasFinalFiles]], the fold's own
+    * doomed listing) ignores it. */
+  private[sinks] val Lease = "_graft_fold_lease.json"
+  /** How long a fold lease may sit before another maintenance process
+    * may take it over. 15 min dwarfs every measured fold wall (18 s at
+    * 25k files, ledger-scale probe) while keeping a crashed cron's
+    * ledger healable within the same slot. */
+  private[sinks] val LeaseStaleMs = 15L * 60 * 1000L
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,8 +71,11 @@ private[sinks] object EvidenceCompaction {
     * ([[graft.operators.Maintenance.runAll]] with `parallelism > 1`
     * points N windows' `healShared` at the same shared ledger), so
     * [[recover]] and [[compactBefore]] serialize per store here;
-    * healers in DIFFERENT JVMs remain the store's documented
-    * single-writer maintenance window. Intrinsic locks are reentrant,
+    * healers in DIFFERENT JVMs — and in-JVM healers reaching one
+    * local store through ALIASED spellings (symlinks, `..`) the
+    * qualified-path key cannot unify — are fenced by the on-disk
+    * [[withFoldLease]] instead: they refuse loudly rather than
+    * interleave. Intrinsic locks are reentrant,
     * so compactBefore's own recover-first call nests fine. The map is
     * unbounded only in distinct store paths a JVM touches — cron
     * scale, not data scale. */
@@ -69,6 +85,118 @@ private[sinks] object EvidenceCompaction {
     healMonitors.computeIfAbsent(
       fsOf(spark, root).makeQualified(root).toString,
       _ => new Object)
+
+  /** Cross-JVM single-writer guard for the fold/roll-forward window
+    * (r15 verdict item 1): [[healMonitors]] serializes concurrent
+    * healers inside ONE process, but the identical interleave — healer
+    * B deleting healer A's freshly-renamed consolidation, then failing
+    * its own rename — is equally reachable by two maintenance crons on
+    * DIFFERENT hosts pointed at one shared ledger, exactly the
+    * concurrent-maintenance shape
+    * [[graft.operators.Maintenance.runAll]]'s `parallelism` doc
+    * advertises. This lease turns the stores' "documented
+    * single-writer maintenance window" from prose into a refusal:
+    * [[compactBefore]] and a working [[recover]] create [[Lease]]
+    * EXCLUSIVELY (`create(overwrite = false)` — atomic where the
+    * store's create is; S3-like stores degrade to best-effort, the
+    * same caveat as every rename-commit in this file), and a second
+    * process that finds a FRESH foreign lease refuses loudly instead
+    * of interleaving. The owner stamps its epoch INTO the lease, so a
+    * crash while holding leaves a lease a later healer takes over once
+    * it ages past [[LeaseStaleMs]] (delete + re-create-exclusive; the
+    * roll-forward it then runs is the same deterministic manifest
+    * replay, so takeover is safe). A torn/unreadable lease ages by
+    * file mtime — the best signal it has. Because the lease lives IN
+    * the store directory, it also fences aliased spellings of one
+    * local store that the in-JVM monitor key cannot unify. */
+  private def withFoldLease[T](spark: SparkSession, root: Path)(
+      body: => T): T = {
+    val fs = fsOf(spark, root)
+    val owner = java.util.UUID.randomUUID().toString
+    acquireLease(spark, fs, root, owner)
+    var failed: Throwable = null
+    try body
+    catch { case e: Throwable => failed = e; throw e }
+    finally {
+      try releaseLease(spark, fs, root, owner)
+      catch {
+        // the body's failure is the primary story; a release problem
+        // rides along instead of masking it
+        case e: Throwable if failed != null => failed.addSuppressed(e)
+      }
+    }
+  }
+
+  /** The lease's birth epoch: the owner-stamped field, file mtime for
+    * a torn/unreadable lease, MinValue when absent. */
+  private def leaseEpoch(spark: SparkSession, fs: FileSystem,
+      leaseP: Path): Long =
+    (try graft.config.Sidecar.readNode(spark, leaseP)
+        .filter(n => n.has("epochMs") &&
+          n.get("epochMs").canConvertToLong)
+        .map(_.get("epochMs").asLong())
+      catch { case _: Exception => None })
+      .getOrElse(
+        try fs.getFileStatus(leaseP).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MinValue })
+
+  private def acquireLease(spark: SparkSession, fs: FileSystem,
+      root: Path, owner: String): Unit = {
+    val leaseP = new Path(root, Lease)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(leaseP, false)
+        try {
+          val node = graft.config.Sidecar.newNode()
+          node.put("owner", owner)
+          node.put("epochMs", System.currentTimeMillis())
+          out.write(graft.config.Sidecar.toBytes(node))
+        } finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val born = leaseEpoch(spark, fs, leaseP)
+    if (born == Long.MinValue) {
+      // the holder released between our failed create and the read:
+      // one retry; a second failure is live contention — refuse
+      require(tryCreate(),
+        s"evidence-store fold lease contended: $leaseP")
+      return
+    }
+    val age = System.currentTimeMillis() - born
+    if (age < LeaseStaleMs) throw new IllegalStateException(
+      s"another maintenance process holds the evidence-store fold " +
+        s"lease $leaseP (stamped ${age / 1000} s ago) — concurrent " +
+        "cross-process fold/roll-forward can lose consolidated " +
+        "evidence, so this window refuses; wait for the holder, or " +
+        s"for the lease to go stale after ${LeaseStaleMs / 60000} " +
+        "min if the holder crashed")
+    fs.delete(leaseP, false)
+    require(tryCreate(),
+      s"evidence-store fold lease contended during stale takeover: " +
+        leaseP)
+  }
+
+  private def releaseLease(spark: SparkSession, fs: FileSystem,
+      root: Path, owner: String): Unit = {
+    val leaseP = new Path(root, Lease)
+    val ours =
+      try graft.config.Sidecar.readNode(spark, leaseP)
+        .exists(n => n.has("owner") && n.get("owner").asText() == owner)
+      catch { case _: Exception => false }
+    // a lease that is no longer ours means this window overran
+    // LeaseStaleMs and another process took it over — its fold may
+    // have interleaved with ours, which is exactly the loss scenario
+    // the lease exists to prevent; say so loudly instead of deleting
+    // the taker's lease out from under it
+    if (!ours) throw new IllegalStateException(
+      s"evidence-store fold lease $leaseP was taken over mid-window " +
+        s"(held past the ${LeaseStaleMs / 60000} min stale bound) — " +
+        "another maintenance process may have interleaved; run " +
+        "recover under a fresh window and audit the store")
+    require(fs.delete(leaseP, false),
+      s"evidence-store fold lease release failed: $leaseP")
+  }
 
   /** The one rename-commit write the evidence stores share: `rows` as
     * ONE parquet file at `root/name`, written whole into a
@@ -87,9 +215,13 @@ private[sinks] object EvidenceCompaction {
     // writer's seconds-old inflight as if it were ancient (r14 ADVICE).
     // The writer fails loudly and replays in that case (no evidence
     // loss), but the concurrent-safety claim should hold everywhere,
-    // so the gate reads the timestamp the writer stamped itself.
+    // so the gate reads the timestamp the writer stamped itself. The
+    // `ts` marker makes the stamp UNAMBIGUOUS against target/lineage
+    // names that merely begin with 12-13 digits (allowed by the name
+    // rule; a bare digit run parsed as a ~2001 epoch and got a live
+    // pre-upgrade writer's inflight swept — r15 ADVICE).
     val inflight = new Path(root,
-      s".inflight-${System.currentTimeMillis()}-$name")
+      s".inflight-ts${System.currentTimeMillis()}-$name")
     rows.coalesce(1).write.mode("overwrite").parquet(inflight.toString)
     val part = fs.listStatus(inflight).map(_.getPath)
       .find(_.getName.startsWith("part-"))
@@ -110,25 +242,34 @@ private[sinks] object EvidenceCompaction {
     * everything-sweep under their documented single-writer window,
     * the maintenance cron's implicit heal passes an hour. The age
     * comes from the epoch the WRITER stamped into the inflight name
-    * (`.inflight-<epochMs>-...`) — never from directory mtime, which
-    * object stores report as 0/unreliable and which would let a
+    * (`.inflight-ts<epochMs>-...`) — never from directory mtime,
+    * which object stores report as 0/unreliable and which would let a
     * shared-ledger heal sweep a live writer's inflight (r14 ADVICE);
-    * a legacy unstamped name falls back to mtime, the best signal it
-    * has. */
+    * a name WITHOUT the `ts` marker falls back to mtime, the best
+    * signal it has. The marker exists because a bare leading digit
+    * run is ambiguous: a legacy target/lineage beginning with 12-13
+    * digits parsed as a ~2001 epoch and the hour gate swept it even
+    * seconds old (r15 ADVICE) — now only `ts<12-13 digits>-` parses
+    * as a stamp. Transition caveat: inflights written by the
+    * PREVIOUS (bare-digit-stamp) writer age by mtime during a rolling
+    * upgrade — a seconds-wide window, bounded the same way (loud
+    * writer failure + replay). */
   private[sinks] def sweepInflights(spark: SparkSession,
       root: Path, olderThanMs: Long = 0L): Seq[String] = {
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Nil
     val cutoff = System.currentTimeMillis() - olderThanMs
-    def bornAt(st: org.apache.hadoop.fs.FileStatus): Long =
-      st.getPath.getName.stripPrefix(".inflight-").takeWhile(_.isDigit)
-        match {
-          // epoch-millis is 12–13 digits for any plausible wall clock
-          // (2001–2286); a shorter/longer digit run is a legacy name
-          // whose target merely starts with digits, not a stamp
-          case ds if ds.length >= 12 && ds.length <= 13 => ds.toLong
-          case _ => st.getModificationTime
-        }
+    def bornAt(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val rest = st.getPath.getName.stripPrefix(".inflight-")
+      val ds = if (rest.startsWith("ts"))
+        rest.drop(2).takeWhile(_.isDigit) else ""
+      // epoch-millis is 12–13 digits for any plausible wall clock
+      // (2001–2286), and the stamp ends at a '-' separator; anything
+      // else is an unstamped name — trust its mtime
+      if (ds.length >= 12 && ds.length <= 13 &&
+          rest.lift(2 + ds.length).contains('-')) ds.toLong
+      else st.getModificationTime
+    }
     // the FOLD's inflight dir is never this sweep's to touch: it has
     // no epoch stamp (its name is fixed), so the age gate would fall
     // back to the very mtime this function exists to distrust and
@@ -189,33 +330,41 @@ private[sinks] object EvidenceCompaction {
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return (0L, 0L)
     monitorFor(spark, root).synchronized {
-    recover(spark, logPath): Unit // self-heal a crashed prior fold first
+    withFoldLease(spark, root) {
+    recoverInner(spark, fs, root): Unit // self-heal a crashed fold first
     val doomed = fs.listStatus(root).map(_.getPath.getName)
       .filter(isEvidenceFile)
       .filter(n => idOf(n) < horizonBatchId)
       .sorted.toSeq
-    if (doomed.size < 2) return (0L, 0L)
+    if (doomed.size < 2) (0L, 0L)
+    else {
     val dest = s"$CompactedPrefix-${doomed.map(idOf).max}.parquet"
     val inflight = new Path(root, InflightDir)
     fs.delete(inflight, true)
     val reader = schema.fold(spark.read)(spark.read.schema)
-    // read the whole DIRECTORY and select doomed rows by the trailing
-    // id parsed from input_file_name(), instead of enumerating 10k
-    // explicit paths: an explicit-path file index getFileStatus-es
-    // every path on the driver (ledger-scale probe: ~2 ms/file, 21 s
-    // at 10k files) where the directory index pays ONE listing; the
-    // name filter is the same `idOf(name) < horizon` predicate the
-    // doomed list was built from, per row instead of per path. And
-    // repartition(1), NOT coalesce(1) — coalesce would fold the scan
-    // into the single output task and open every footer serially; the
-    // shuffle keeps the tiny-file reads parallel and moves only
-    // evidence rows to the one writer. Probe: 24 → 6 s at 10k files,
-    // 44 → 18 s at 25k (~0.7 ms/file — the directory read's own rate).
-    val fileId = org.apache.spark.sql.functions.regexp_extract(
-      org.apache.spark.sql.functions.input_file_name(),
-      "-([0-9]+)\\.parquet$", 1).cast("long")
+    // read the whole DIRECTORY and select doomed rows by the file name
+    // from input_file_name(), instead of enumerating 10k explicit
+    // paths: an explicit-path file index getFileStatus-es every path
+    // on the driver (ledger-scale probe: ~2 ms/file, 21 s at 10k
+    // files) where the directory index pays ONE listing. The row
+    // filter is the EXACT doomed name set (an InSet hash lookup — 25k
+    // names is ~2 MB of driver strings), NOT a re-applied horizon
+    // predicate: the scan's listing is a SECOND, later listing, so a
+    // sub-horizon file landing between the two (a replayed cross-JVM
+    // append under a miscomputed horizon) must not have its rows
+    // folded while its name stays off the manifest's remove list —
+    // the folded rows and the removed files can never diverge when
+    // both come from one list (r15 ADVICE). And repartition(1), NOT
+    // coalesce(1) — coalesce would fold the scan into the single
+    // output task and open every footer serially; the shuffle keeps
+    // the tiny-file reads parallel and moves only evidence rows to
+    // the one writer. Probe: 24 → 6 s at 10k files, 44 → 18 s at 25k
+    // (~0.7 ms/file — the directory read's own rate).
+    val fname = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.input_file_name(), "/"), -1)
     val rows = reader.parquet(root.toString)
-      .where(fileId < horizonBatchId)
+      .where(fname.isin(doomed: _*))
       .repartition(1)
     rows.write.mode("overwrite").parquet(inflight.toString)
     val part = fs.listStatus(inflight).map(_.getPath)
@@ -233,6 +382,8 @@ private[sinks] object EvidenceCompaction {
     graft.config.Sidecar.writeNode(spark, new Path(root, Manifest), node)
     applyFold(fs, root, dest, doomed)
     (doomed.size.toLong, nRows)
+    }
+    }
     }
   }
 
@@ -267,12 +418,28 @@ private[sinks] object EvidenceCompaction {
   /** Rolls a crashed fold forward (manifest present — the consolidated
     * data is complete, finish the deletes/rename) or sweeps an
     * uncommitted inflight dir (no manifest — originals untouched).
-    * Idempotent; returns the action log (empty = nothing to do). */
+    * Idempotent; returns the action log (empty = nothing to do). A
+    * WORKING recover runs under the cross-JVM [[withFoldLease]]; the
+    * nothing-to-heal fast path skips the lease entirely — the shared
+    * heal runs every cron slot against mostly-healthy stores, and two
+    * metadata writes per slot per store would be pure overhead (a
+    * manifest committed by a concurrent cross-JVM fold AFTER our
+    * check is that fold's to finish, not ours). */
   def recover(spark: SparkSession, logPath: String): Seq[String] = {
     val root = new Path(logPath)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Nil
     monitorFor(spark, root).synchronized {
+    if (!fs.exists(new Path(root, Manifest)) &&
+        !fs.exists(new Path(root, InflightDir))) Nil
+    else withFoldLease(spark, root) { recoverInner(spark, fs, root) }
+    }
+  }
+
+  /** [[recover]]'s body, callable by a holder that ALREADY owns the
+    * monitor and the fold lease ([[compactBefore]]'s heal-first). */
+  private def recoverInner(spark: SparkSession, fs: FileSystem,
+      root: Path): Seq[String] = {
     val manifestP = new Path(root, Manifest)
     graft.config.Sidecar.readNode(spark, manifestP) match {
       case Some(m) =>
@@ -287,7 +454,6 @@ private[sinks] object EvidenceCompaction {
           fs.delete(inflight, true)
           Seq(s"swept uncommitted evidence fold: $InflightDir")
         } else Nil
-    }
     }
   }
 }

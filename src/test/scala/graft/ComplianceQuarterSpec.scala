@@ -176,9 +176,9 @@ class ComplianceQuarterSpec extends SparkSpec {
     // must sweep exactly the stale one.
     val now = System.currentTimeMillis()
     val staleInf = new Path(ledger,
-      s".inflight-${now - 2L * 3600 * 1000}-corpus-dead-9.parquet")
+      s".inflight-ts${now - 2L * 3600 * 1000}-corpus-dead-9.parquet")
     val liveInf = new Path(ledger,
-      s".inflight-$now-corpus-live-9.parquet")
+      s".inflight-ts$now-corpus-live-9.parquet")
     hfs.mkdirs(staleInf); hfs.mkdirs(liveInf)
     // CRASH STAGE C — batch 2's delete on the LSH index dies the
     // instant after its swap-manifest commit (evidence riding it),

@@ -771,22 +771,40 @@ class LifecycleSpec extends SparkSpec {
     val now = System.currentTimeMillis()
     // live writer on a store whose dir mtime reads 0: the name says
     // seconds old — must survive the hour-gated heal
-    val live = new Path(ledger, s".inflight-$now-t-lin-5.parquet")
+    val live = new Path(ledger, s".inflight-ts$now-t-lin-5.parquet")
     hfs.mkdirs(live)
     hfs.setTimes(live, 0L, -1)
     // crashed writer from 2h ago whose dir mtime got refreshed (a
     // listing/touch): the name says ancient — must be swept
     val crashed = new Path(ledger,
-      s".inflight-${now - 2L * 3600 * 1000}-t-lin-6.parquet")
+      s".inflight-ts${now - 2L * 3600 * 1000}-t-lin-6.parquet")
     hfs.mkdirs(crashed)
+    // the r15 ADVICE ambiguity, pinned in BOTH directions: a name
+    // WITHOUT the `ts` marker ages by MTIME even when it leads with a
+    // plausible epoch digit run — a legacy target/lineage that merely
+    // starts with 12 digits must not parse as a ~2001 stamp and get a
+    // live writer's inflight swept...
+    val digitLed = new Path(ledger,
+      s".inflight-${now - 9L * 3600 * 1000}-fresh.parquet")
+    hfs.mkdirs(digitLed) // fresh mtime, ancient-looking digits: spared
+    // ...and an unstamped name with a genuinely stale mtime is swept
+    val unstampedStale = new Path(ledger, ".inflight-legacy-crashed")
+    hfs.mkdirs(unstampedStale)
+    hfs.setTimes(unstampedStale,
+      now - 2L * 3600 * 1000, -1)
     ComplianceLog.healShared(spark, ledger)
     assert(hfs.exists(live),
       "heal must trust the fresh name epoch over the zero mtime")
     assert(!hfs.exists(crashed),
       "heal must sweep the stale name epoch despite the fresh mtime")
+    assert(hfs.exists(digitLed),
+      "a bare digit run without the ts marker is a NAME, not a stamp")
+    assert(!hfs.exists(unstampedStale),
+      "an unstamped name with a stale mtime is swept")
     // explicit recover (single-writer window) still sweeps everything
     ComplianceLog.recover(spark, ledger)
     assert(!hfs.exists(live))
+    assert(!hfs.exists(digitLed))
   }
 
   test("concurrent heals of one crashed fold are loss-free (r15 " +
@@ -834,6 +852,186 @@ class LifecycleSpec extends SparkSpec {
       .map(r => (r.getLong(3), r.getLong(4))).toSet === snapshot,
       "every evidence row survives the racing heals")
     assert(ComplianceLog.recover(spark, ledger) === Nil, "idempotent")
+  }
+
+  test("cross-JVM fold lease (r16, r15 verdict item 1): a FRESH " +
+    "foreign lease makes fold and roll-forward refuse loudly (the " +
+    "cross-process interleave the in-JVM monitor cannot see), a STALE " +
+    "lease is taken over, and a completed window releases its own") {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.ComplianceLog
+    val ledger = tmp("fold-lease-ledger").toString
+    for (b <- 0L until 5L)
+      assert(ComplianceLog.append(spark, ledger, "t", "/x", "lin", b,
+        b + 1, 1L))
+    val hfs = new Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseP = new Path(ledger, "_graft_fold_lease.json")
+    def writeLease(ageMs: Long): Unit = {
+      val node = graft.config.Sidecar.newNode()
+      node.put("owner", "other-jvm")
+      node.put("epochMs", System.currentTimeMillis() - ageMs)
+      graft.config.Sidecar.writeNode(spark, leaseP, node)
+    }
+    // --- a fresh foreign lease (another host's cron, mid-fold):
+    // compactBefore must refuse without touching the store
+    writeLease(ageMs = 0L)
+    val before = ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet
+    val e1 = intercept[IllegalStateException] {
+      ComplianceLog.compactBefore(spark, ledger, 4L)
+    }
+    assert(e1.getMessage.contains("holds the evidence-store fold lease"),
+      e1.getMessage)
+    assert(ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet === before,
+      "a refused fold must leave the store untouched")
+    // --- the same refusal guards a WORKING recover: reconstruct the
+    // post-commit-point crash state (manifest + complete inflight) —
+    // the exact state where an interleaved second healer can lose the
+    // consolidation — and assert recover refuses while the foreign
+    // lease is fresh, leaving the crash state intact for the holder
+    val doomed = (0L until 4L).map(b => s"t-lin-$b.parquet")
+    val inflight = new Path(ledger, ".inflight-compact")
+    spark.read.schema(ComplianceLog.Schema)
+      .parquet(doomed.map(n => new Path(ledger, n).toString): _*)
+      .coalesce(1).write.mode("overwrite").parquet(inflight.toString)
+    val node = graft.config.Sidecar.newNode()
+    node.put("dest", "compacted-3.parquet")
+    val arr = node.putArray("remove"); doomed.foreach(arr.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(ledger, "_graft_compact.json"), node)
+    val e2 = intercept[IllegalStateException] {
+      ComplianceLog.recover(spark, ledger)
+    }
+    assert(e2.getMessage.contains("holds the evidence-store fold lease"),
+      e2.getMessage)
+    assert(hfs.exists(new Path(ledger, "_graft_compact.json")) &&
+      hfs.exists(inflight) &&
+      doomed.forall(n => hfs.exists(new Path(ledger, n))),
+      "a refused recover must leave the crash state intact")
+    // --- the holder crashed: once the lease ages past the stale
+    // bound, the next healer takes it over, rolls the fold forward,
+    // and releases — the lease never wedges a dead cron's ledger
+    writeLease(ageMs = 16L * 60 * 1000)
+    val actions = ComplianceLog.recover(spark, ledger)
+    assert(actions.exists(_.contains("rolled forward")), actions)
+    assert(hfs.exists(new Path(ledger, "compacted-3.parquet")))
+    assert(!hfs.exists(leaseP),
+      "a completed window must release the lease it took over")
+    assert(ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet === before,
+      "takeover roll-forward preserves every evidence row")
+    // --- and a plain healthy-path fold under no contention still
+    // acquires and releases transparently
+    assert(ComplianceLog.append(spark, ledger, "t", "/x", "lin", 9L,
+      9L, 1L))
+    val (ff, _) = ComplianceLog.compactBefore(spark, ledger, 9L)
+    assert(ff === 2L)
+    assert(!hfs.exists(leaseP), "the lease must not outlive the fold")
+  }
+
+  test("runAll surfaces EVERY failing table (r16, r15 verdict item " +
+    "5): the first failure by input position is thrown, the sibling " +
+    "rides along as a suppressed exception instead of forcing a " +
+    "rerun to discover it") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    // two index-family dirs (hand-pinned sidecars — detectFamily
+    // reads fields, not data): a TTL on an index is runAll's loudest
+    // per-table refusal, and the two families give the two failures
+    // distinguishable messages
+    val lshDir = tmp("runall-fail-lsh").toString
+    val lshNode = graft.config.Sidecar.newNode()
+    lshNode.put("bands", 16); lshNode.put("parts", 8)
+    graft.config.Sidecar.write(spark, lshDir, lshNode)
+    val ivfDir = tmp("runall-fail-ivf").toString
+    val ivfNode = graft.config.Sidecar.newNode()
+    graft.config.Sidecar.putDoubles2(ivfNode, "coarse",
+      Seq(Seq(0.0, 1.0)))
+    graft.config.Sidecar.putDoubles3(ivfNode, "codebooks",
+      Seq(Seq(Seq(0.0, 1.0))))
+    graft.config.Sidecar.write(spark, ivfDir, ivfNode)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.runAll(spark, Seq(lshDir, ivfDir),
+        ttl = Some(col("p") < 5), parallelism = 2)
+    }
+    assert(err.getMessage.contains("lsh-bucket"),
+      s"primary must be the FIRST failing table by input position: " +
+        err.getMessage)
+    val sup = err.getSuppressed
+    assert(sup.length === 1 && sup(0).getMessage.contains("ivfpq"),
+      s"the sibling failure must ride along suppressed, got " +
+        s"${sup.length}: ${sup.map(_.getMessage).mkString(" | ")}")
+    val p = new Path(lshDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  test("runAll ledgerFoldHorizon (r16, r15 verdict item 4): one cron " +
+    "slot sweeps N tables, folds the ledger's replay-passed names, " +
+    "and the audit reads back bit-identically across the fold") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import graft.sinks.ComplianceLog
+    val ledger = tmp("runall-fold-ledger").toString
+    // six slots of history from earlier crons (batch ids 0..5)
+    for (b <- 0L until 6L)
+      assert(ComplianceLog.append(spark, ledger, "ttl-sweep", "/old",
+        "lin-old", b, b + 10, 1L))
+    val tbls = Seq("a", "b").map { tag =>
+      val tbl = tmp(s"runall-fold-$tag").toString
+      spark.range(40)
+        .select(col("id"), (col("id") % 4).cast("int").as("p"))
+        .repartition(4, col("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(tbl)
+      tbl
+    }
+    val grid = {
+      import spark.implicits._
+      (Seq(("ttl-sweep", 9L)) ++ (0L until 6L).map(("ttl-sweep", _)))
+        .toDF("target", "batch_id")
+    }
+    val auditBefore = ComplianceLog.audit(spark, ledger.toString,
+      grid.where(col("batch_id") < 6L)).collect().toSet
+    // the slot: sweep both tables (runId 9), then fold ids < 4
+    val reps = graft.operators.Maintenance.runAll(spark, tbls,
+      maxFilesPerDir = 64, ttl = Some(col("p") >= 2),
+      evidence = Some((ledger, 9L)), parallelism = 2,
+      ledgerFoldHorizon = Some(4L))
+    assert(reps.forall(_._2.ttlEvidenceRecorded))
+    val hfs = new Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finals = hfs.listStatus(new Path(ledger)).map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted
+    // 0..3 folded into compacted-3; 4, 5 and the slot's two
+    // lineage-keyed lines keep their names
+    assert(finals.count(_ startsWith "compacted-") === 1, finals.toSeq)
+    assert(finals.length === 5, finals.toSeq)
+    // the fold is maintenance, never semantics: the historical cells
+    // audit bit-identically, and the slot's multi-lineage cell is
+    // exact (two tables, 2 × 20 rows each with p in {2,3}, 2 dirs)
+    val auditAfter = ComplianceLog.audit(spark, ledger,
+      grid.where(col("batch_id") < 6L)).collect().toSet
+    assert(auditAfter === auditBefore,
+      "historical audit cells must be identical across the fold")
+    val slotCell = ComplianceLog.audit(spark, ledger, grid)
+      .where(col("batch_id") === 9L).collect()
+    assert(slotCell.length === 1)
+    assert(slotCell(0).getLong(2) === 2L &&
+      slotCell(0).getLong(3) === 40L && slotCell(0).getLong(4) === 4L,
+      slotCell.mkString(","))
+    // the knob without a ledger is a loud misuse, not a silent no-op
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.runAll(spark, tbls,
+        ledgerFoldHorizon = Some(1L))
+    }
+    assert(err.getMessage.contains("ledgerFoldHorizon"), err.getMessage)
+    for (path <- tbls :+ ledger) {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
   }
 
   test("ComplianceLog — all three takedown streams share ONE auditable " +
