@@ -1295,6 +1295,30 @@ object Oracle {
         |  CAST(count(DISTINCT source) AS BIGINT) AS dirs_rewritten
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q336: per-lineage audit drill-down — every covering line
+    // reconstructed from the raw documents table (the same grouped
+    // counts the appends carried), recorded 1 per line, plus the
+    // one-flat-row gap cell ('' lineage, recorded 0, -1 sentinels)
+    // for the batch no lineage covered
+    "q336_audit_lineage" ->
+      """WITH lines AS (
+        |  SELECT source AS lineage,
+        |    CAST(n_chars % 2 AS BIGINT) AS batch_id,
+        |    count(*) AS rows_deleted,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS dirs_rewritten
+        |  FROM documents
+        |  WHERE source IN ('src15','src16','src17','src18','src19')
+        |  GROUP BY 1, 2
+        |)
+        |SELECT * FROM (
+        |  SELECT 'takedown' AS target, batch_id, lineage,
+        |    CAST(1 AS BIGINT) AS recorded, rows_deleted, dirs_rewritten
+        |  FROM lines
+        |  UNION ALL
+        |  SELECT 'takedown', CAST(2 AS BIGINT), '', CAST(0 AS BIGINT),
+        |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |) ORDER BY batch_id, lineage""".stripMargin,
+
     // q335: ledger fold invariance — after folding the four oldest
     // evidence names into one consolidated file, the ledger read-back
     // must still equal an independent replay of all six deletes (the

@@ -9686,6 +9686,65 @@ object Queries {
     res
   }
 
+  /** PER-LINEAGE AUDIT DRILL-DOWN, ORACLE-PROVEN (r16, r15 verdict
+    * stretch 7) — [[graft.sinks.ComplianceLog.auditByLineage]] answers
+    * the question `audit`'s `recorded > 1` cells raise: WHICH lineages
+    * covered the cell, each with its own (un-summed) counts, plus the
+    * same one-flat-row gap semantics for cells no lineage covered.
+    * Five takedown lineages (one per source) commit data-derived
+    * evidence lines for two request batches; batch 2 never ran.
+    * DuckDB reconstructs every line from the raw documents table (the
+    * same grouped counts the appends carried) plus the sentinel gap
+    * row, so the hash match pins the drill-down's join shape, the
+    * gap row and the count pass-through against an independent
+    * replay.
+    *
+    * Scale shape: the evidence writes are audit volume (one tiny file
+    * per line, driver loop over a 10-row bounded aggregate); the
+    * drill-down is grid × ledger — both audit volume, never data
+    * volume. */
+  def q336AuditLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("n_chars"), col("lang"), col("source"))
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_lin_audit_log_").toString
+    val srcs = Seq("src15", "src16", "src17", "src18", "src19")
+    // the lines a real takedown family would have recorded: per
+    // (lineage, batch) row/dir counts derived from the data so the
+    // oracle can replay them — a bounded 10-row aggregate, collected
+    // only to drive the appends (audit volume, not data volume)
+    // batch keyed off n_chars parity, NOT doc_id: the fixture lays
+    // sources out as doc_id ≡ srcN (mod 20), so any doc_id residue
+    // that factors through 20 is constant per source and would
+    // collapse the multi-lineage cells this query exists to drill
+    val lines = docs
+      .filter(col("source").isin(srcs: _*))
+      .groupBy(col("source"),
+        pmod(col("n_chars"), lit(2)).cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("lang")).as("dirs"))
+      .collect()
+    lines.foreach { r =>
+      require(graft.sinks.ComplianceLog.append(s, ledger, "takedown",
+        "/corpus", r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    }
+    val grid = (0L until 3L).map(("takedown", _))
+      .toDF("target", "batch_id")
+    val res = graft.sinks.ComplianceLog.auditByLineage(s, ledger, grid)
+      // '' is not a legal lineage name, so it is an unambiguous gap
+      // sentinel that keeps the compare null-free
+      .select(col("target"), col("batch_id"),
+        coalesce(col("lineage"), lit("")).as("lineage"),
+        col("recorded"), col("rows_deleted"), col("dirs_rewritten"))
+      .orderBy("batch_id", "lineage")
+      .localCheckpoint(true) // pin before the scratch ledger is deleted
+    val p = new org.apache.hadoop.fs.Path(ledger)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    res
+  }
+
   // =======================================================================
   // Registry
   // =======================================================================
@@ -10025,5 +10084,6 @@ object Queries {
     "q333_audit_multilineage" -> (q333AuditMultiLineage _),
     "q334_simhash_takedown" -> (q334SimhashTakedown _),
     "q335_ledger_fold" -> (q335LedgerFold _),
+    "q336_audit_lineage" -> (q336AuditLineage _),
   )
 }
