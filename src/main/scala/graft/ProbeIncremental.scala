@@ -18,9 +18,57 @@ class LatencyLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("slowfs:///")
   override def listStatus(f: org.apache.hadoop.fs.Path)
       : Array[org.apache.hadoop.fs.FileStatus] = {
+    LatencyLocalFs.count(LatencyLocalFs.lists)
     Thread.sleep(java.lang.Long.getLong("graft.slowfs.listDelayMs", 10L))
-    super.listStatus(f)
+    // RawLocalFileSystem.listStatus stats every CHILD internally — a
+    // local-FS artifact: a real object store's LIST response carries
+    // the statuses, so those nested stats must be neither counted nor
+    // priced (without this guard a directory read looked like 4
+    // serial driver HEADs per file and the RTT arm overstated the
+    // read wall 40×)
+    LatencyLocalFs.inList.set(true)
+    try super.listStatus(f)
+    finally LatencyLocalFs.inList.set(false)
   }
+  /** Per-path metadata RTT (the S3 HEAD) — default 0 so the walk
+    * probes keep measuring pure listing fan-out; the ledger RTT arm
+    * turns it on to price every getFileStatus the way an object store
+    * does. Deletes/creates are NOT RTT-modeled here (real stores
+    * batch deletes); the arm's printed record says so. */
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    if (!LatencyLocalFs.inList.get) {
+      LatencyLocalFs.count(LatencyLocalFs.stats)
+      val d = java.lang.Long.getLong("graft.slowfs.statDelayMs", 0L)
+      if (d > 0) Thread.sleep(d)
+    }
+    super.getFileStatus(f)
+  }
+}
+
+/** Call counters for the shim — the RTT probes report metadata-call
+  * COUNTS (an invariant of the code path) alongside walls under a
+  * synthetic sleep, split driver/executor because a serial driver-side
+  * RTT is the scale hazard while executor-side RTTs amortize across
+  * task threads. */
+object LatencyLocalFs {
+  final class Split {
+    val driver = new java.util.concurrent.atomic.AtomicLong
+    val executor = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { driver.set(0L); executor.set(0L) }
+    override def toString =
+      s"""{"driver":${driver.get},"executor":${executor.get}}"""
+  }
+  val stats = new Split
+  val lists = new Split
+  /** Inside a listStatus call on THIS thread — see the listStatus
+    * override for why nested child stats are exempt. */
+  private[graft] val inList: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+  private[graft] def count(s: Split): Unit =
+    if (Thread.currentThread().getName.startsWith("Executor"))
+      s.executor.incrementAndGet(): Unit
+    else s.driver.incrementAndGet(): Unit
 }
 
 /** Scale probe for q294's incremental near-dup ingestion
@@ -555,6 +603,7 @@ object ProbeIncremental {
         hfs.delete(lroot, true)
       }
     }
+
     spark.stop()
   }
 }

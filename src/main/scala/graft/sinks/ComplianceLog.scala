@@ -38,7 +38,21 @@ import org.apache.spark.sql.types.StructType
   * (6 s at 10k, 18 s at 25k — directory-read + name-id filter, never
   * an explicit-path index), with read-back identity asserted.
   * 25k files ≈ a year of four streams at ~17 batches/day — fold at
-  * least quarterly. A deployment that runs takedown streams
+  * least quarterly.
+  *
+  * Under OBJECT-STORE RTT (graft.ProbeLedgerRtt, 10 ms per LIST and
+  * per HEAD, 10k files) the shape holds because the DRIVER-side
+  * metadata calls are CONSTANT per phase — the serial RTTs that
+  * would not amortize: append 2 stats + 3 listings (0.17 s), read and
+  * audit 1 stat + 2 listings each (7.8 / 8.5 s — the linear term is 2
+  * footer-open HEADs per file that ride the 32 executor threads in
+  * parallel; modern S3A skips even those by passing the listing's
+  * status into openFile), fold 6 stats + 6 listings (9.6 s),
+  * post-fold read 0.5 s. The explicit-path file index the r15 fix
+  * removed would have paid 10k SERIAL driver HEADs — 100 s at this
+  * RTT — against the fold's constant 6. Deletes/creates are not
+  * RTT-modeled (stores batch deletes); counts are measured by the
+  * shim's per-phase call counters, not inferred. A deployment that runs takedown streams
   * for years folds the old names away with [[compactBefore]] — but
   * ONLY batches the writing streams' replay horizon has passed: the
   * file NAME is the idempotence key, so compacting a batch the
@@ -211,7 +225,11 @@ object ComplianceLog {
     * folding a batch a checkpoint can still replay forgets its
     * replay-skip state and lets the replay's zeros re-append (the
     * scaladoc'd caveat above, now enforced by one explicit argument
-    * instead of by hand). Returns (filesFolded, rowsFolded). */
+    * instead of by hand). Single-writer is enforced on disk: the fold
+    * takes the store's cross-JVM lease (`_graft_fold_lease.json`, see
+    * [[EvidenceCompaction]]) and a concurrent fold/roll-forward in
+    * ANY process refuses loudly instead of interleaving. Returns
+    * (filesFolded, rowsFolded). */
   def compactBefore(spark: SparkSession, logPath: String,
       horizonBatchId: Long): (Long, Long) =
     EvidenceCompaction.compactBefore(spark, logPath, horizonBatchId,

@@ -185,7 +185,10 @@ object QuarantineStore {
     * fold reads under the PINNED schema (r13 verdict item 3 —
     * inference over a store that somehow mixed shapes could silently
     * drop columns; a pre-pin legacy store is pinned from its own
-    * files first, [[ensurePin]]). Returns (filesFolded, rowsFolded). */
+    * files first, [[ensurePin]]). Single-writer is enforced on disk
+    * via the store's cross-JVM fold lease (see
+    * [[EvidenceCompaction]]); a concurrent fold/roll-forward in any
+    * process refuses loudly. Returns (filesFolded, rowsFolded). */
   def compactBefore(spark: SparkSession, storePath: String,
       horizonBatchId: Long): (Long, Long) =
     EvidenceCompaction.compactBefore(spark, storePath, horizonBatchId,
