@@ -251,9 +251,21 @@ object ComplianceLog {
     * sibling windows): fold roll-forward is manifest-scoped and safe;
     * the inflight sweep is age-gated to an hour so it removes only
     * genuinely crashed appends, never a live writer's
-    * seconds-lived inflight. */
+    * seconds-lived inflight. If a SIBLING process already holds the
+    * fold lease (it is rolling the crashed fold forward right now),
+    * this heal DEFERS to it — reported in the action log, never a
+    * thrown slot failure: the sibling's roll-forward IS the heal,
+    * appends are lease-free and safe concurrent with it, and if the
+    * sibling died mid-roll the state heals at a later slot once its
+    * lease goes stale. The explicit single-writer [[recover]] still
+    * refuses loudly in the same situation. */
   def healShared(spark: SparkSession, logPath: String): Seq[String] =
-    EvidenceCompaction.recover(spark, logPath) ++
+    (try EvidenceCompaction.recover(spark, logPath)
+      catch {
+        case e: EvidenceCompaction.FoldLeaseHeldException =>
+          Seq(s"deferred crashed-fold heal to the lease holder: " +
+            e.getMessage)
+      }) ++
       EvidenceCompaction.sweepInflights(spark, new Path(logPath),
         olderThanMs = 3600L * 1000L)
 }

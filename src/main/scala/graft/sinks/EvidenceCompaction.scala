@@ -140,6 +140,17 @@ private[sinks] object EvidenceCompaction {
         try fs.getFileStatus(leaseP).getModificationTime
         catch { case _: java.io.FileNotFoundException => Long.MinValue })
 
+  /** A fold/roll-forward window found another process's FRESH lease.
+    * Typed so [[ComplianceLog.healShared]] — the heal N sibling crons
+    * run against one shared ledger every slot — can DEFER to the
+    * holder instead of failing the whole maintenance slot over a
+    * benign race: the holder's roll-forward IS the heal. The explicit
+    * single-writer entry points ([[compactBefore]], [[recover]]) let
+    * it propagate: there, a concurrent holder is a deployment-contract
+    * violation to surface, not to paper over. */
+  private[sinks] final class FoldLeaseHeldException(msg: String)
+    extends IllegalStateException(msg)
+
   private def acquireLease(spark: SparkSession, fs: FileSystem,
       root: Path, owner: String): Unit = {
     val leaseP = new Path(root, Lease)
@@ -164,7 +175,7 @@ private[sinks] object EvidenceCompaction {
       return
     }
     val age = System.currentTimeMillis() - born
-    if (age < LeaseStaleMs) throw new IllegalStateException(
+    if (age < LeaseStaleMs) throw new FoldLeaseHeldException(
       s"another maintenance process holds the evidence-store fold " +
         s"lease $leaseP (stamped ${age / 1000} s ago) — concurrent " +
         "cross-process fold/roll-forward can lose consolidated " +

@@ -230,15 +230,22 @@ class ComplianceQuarterSpec extends SparkSpec {
       "the replayed batch must find the rolled-forward index empty " +
         "of its ids")
     // week 4: TTL slot 3 — its window heal sweeps stage B's stale
-    // inflight and spares the live one
+    // inflight and spares the live one, and the slot FOLDS the
+    // replay-passed ledger names in the same window (r16: the
+    // ledgerFoldHorizon knob — the fold the scaladoc says to run "at
+    // least quarterly", wired into the cron instead of hand-run; the
+    // audit below reads the POST-fold ledger, so every exact-count
+    // assert doubles as fold invariance against the replay)
     val pred3 = col("source").substr(4, 10).cast("int") < 12
     val slot3 = graft.operators.Maintenance.runAll(spark,
       Seq(primary, archive), maxFilesPerDir = 64, ttl = Some(pred3),
-      evidence = Some((ledger, 3L))).toMap
+      evidence = Some((ledger, 3L)), ledgerFoldHorizon = Some(2L)).toMap
     val (ttlRows3, ttlDirs3) = simTtl(12)
     assert(!hfs.exists(staleInf), "stage B: stale inflight swept")
     assert(hfs.exists(liveInf), "stage B: live inflight spared")
     hfs.delete(liveInf, true)
+    assert(hfs.exists(new Path(ledger, "compacted-1.parquet")),
+      "slot 3's window must have folded the replay-passed names")
     // ---- admission-gated ingestion with quarantine: a batch the
     // gate rejects wholesale lands in the PINNED store exactly once,
     // then re-admits through the documented plain append
@@ -309,11 +316,15 @@ class ComplianceQuarterSpec extends SparkSpec {
     // gap cells: the slots that never ran surface, they don't vanish
     assert(got(("corpus", 3L)) === ((0L, -1L, -1L)))
     assert(got(("ttl-sweep", 0L)) === ((0L, -1L, -1L)))
-    // ======== fold the replay horizon away: the audit is invariant ==
+    // ======== chain re-fold at a later horizon: still invariant ====
+    // (slot 3's in-window fold already consolidated ids < 2 — the
+    // audit above read the post-fold ledger; this second fold folds
+    // that consolidation itself plus the id-2 names into a new chain
+    // head, the years-of-deployment shape)
     val totalPre = ComplianceLog.read(spark, ledger)
       .agg(count(lit(1)), sum($"rows_deleted")).collect()(0)
-    val (ff, _) = ComplianceLog.compactBefore(spark, ledger, 2L)
-    assert(ff > 2L, "the fold must actually fold the old names")
+    val (ff, _) = ComplianceLog.compactBefore(spark, ledger, 3L)
+    assert(ff > 2L, "the re-fold must fold the chain head + id-2 names")
     assert(auditMap() === got,
       "evidence compaction must never change what the audit reads")
     val totalPost = ComplianceLog.read(spark, ledger)

@@ -910,6 +910,14 @@ class LifecycleSpec extends SparkSpec {
       hfs.exists(inflight) &&
       doomed.forall(n => hfs.exists(new Path(ledger, n))),
       "a refused recover must leave the crash state intact")
+    // ...but the SHARED heal (what N sibling crons run every slot)
+    // DEFERS to the holder instead of failing the whole maintenance
+    // slot: the holder's roll-forward is the heal
+    val deferred = ComplianceLog.healShared(spark, ledger)
+    assert(deferred.exists(_.contains("deferred crashed-fold heal")),
+      deferred.mkString(";"))
+    assert(hfs.exists(new Path(ledger, "_graft_compact.json")),
+      "a deferring heal must leave the holder's crash state alone")
     // --- the holder crashed: once the lease ages past the stale
     // bound, the next healer takes it over, rolls the fold forward,
     // and releases — the lease never wedges a dead cron's ledger
