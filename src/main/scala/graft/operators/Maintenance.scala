@@ -199,7 +199,12 @@ object Maintenance {
     * this slot's lines landed, so a horizon above the current runId
     * would fold skip state a retried slot still needs). Requires
     * `evidence` (the ledger path comes from it); a ledger-only fold
-    * without a sweep is a direct compactBefore call. */
+    * without a sweep is a direct compactBefore call. If a SIBLING
+    * cron is folding the same shared ledger right now, the fold
+    * refuses on its cross-JVM lease and this slot FAILS loudly —
+    * the uniform rerun contract applies: the rerun's sweeps skip by
+    * their evidence keys and its fold settles against whatever the
+    * winning cron left (usually nothing left to fold). */
   def runAll(spark: SparkSession, paths: Seq[String],
       maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
       evidence: Option[(String, Long)] = None,
