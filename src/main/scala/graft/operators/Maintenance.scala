@@ -215,6 +215,15 @@ object Maintenance {
     require(ledgerFoldHorizon.isEmpty || evidence.nonEmpty,
       "runAll: ledgerFoldHorizon folds the evidence ledger passed " +
         "via `evidence` — without one there is nothing to fold")
+    // the doc's own caveat, enforced: a horizon above this slot's
+    // runId would fold the slot's OWN just-written evidence names —
+    // the replay-skip state a retried slot needs — and a retry's
+    // zeros would re-append and double-report the audit cell
+    require(ledgerFoldHorizon.forall(h => evidence.exists(_._2 >= h)),
+      s"runAll: ledgerFoldHorizon (${ledgerFoldHorizon.orNull}) must " +
+        s"be <= the slot's runId (${evidence.map(_._2).orNull}) — a " +
+        "higher horizon folds this slot's own evidence names and " +
+        "forgets the replay-skip state a retried slot needs")
     val reports =
       if (parallelism == 1 || paths.size <= 1)
         paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))

@@ -110,12 +110,12 @@ private[sinks] object EvidenceCompaction {
     * the store directory, it also fences aliased spellings of one
     * local store that the in-JVM monitor key cannot unify. */
   private def withFoldLease[T](spark: SparkSession, root: Path)(
-      body: => T): T = {
+      body: LeaseHandle => T): T = {
     val fs = fsOf(spark, root)
     val owner = java.util.UUID.randomUUID().toString
     acquireLease(spark, fs, root, owner)
     var failed: Throwable = null
-    try body
+    try body(new LeaseHandle(spark, fs, root, owner))
     catch { case e: Throwable => failed = e; throw e }
     finally {
       try releaseLease(spark, fs, root, owner)
@@ -125,6 +125,36 @@ private[sinks] object EvidenceCompaction {
         case e: Throwable if failed != null => failed.addSuppressed(e)
       }
     }
+  }
+
+  /** Whether the lease at `root` currently carries `owner`'s stamp. */
+  private def isOwnedBy(spark: SparkSession, fs: FileSystem,
+      root: Path, owner: String): Boolean =
+    try graft.config.Sidecar.readNode(spark, new Path(root, Lease))
+      .exists(n => n.has("owner") && n.get("owner").asText() == owner)
+    catch { case _: Exception => false }
+
+  /** Live handle on a held fold lease. [[reassert]] re-reads the
+    * lease and throws if it no longer carries this window's owner —
+    * called immediately before the MUTATING section (the manifest
+    * commit, the roll-forward's deletes/renames), so a holder that
+    * overran [[LeaseStaleMs]] (long GC, store throttling, a >15-min
+    * cross-host clock skew) aborts BEFORE touching originals instead
+    * of discovering the takeover at release time, after the damage
+    * (r16 self-review). The single lease file holds one owner, so two
+    * processes can never both pass a reassert; the residual window is
+    * the one RTT between the re-read and the first mutation — full
+    * fencing would need the store to verify a token on every
+    * mutation, which filesystem primitives don't offer. */
+  private final class LeaseHandle(spark: SparkSession, fs: FileSystem,
+      root: Path, owner: String) {
+    def reassert(): Unit =
+      if (!isOwnedBy(spark, fs, root, owner))
+        throw new IllegalStateException(
+          s"evidence-store fold lease under $root is no longer this " +
+            s"window's (overran the ${LeaseStaleMs / 60000} min " +
+            "stale bound and was taken over) — aborting before " +
+            "mutating; the taker's roll-forward owns the store now")
   }
 
   /** The lease's birth epoch: the owner-stamped field, file mtime for
@@ -154,23 +184,39 @@ private[sinks] object EvidenceCompaction {
   private def acquireLease(spark: SparkSession, fs: FileSystem,
       root: Path, owner: String): Unit = {
     val leaseP = new Path(root, Lease)
-    def tryCreate(): Boolean =
+    // create-exclusive, then stamp. An exists-failure returns false
+    // (contention — the normal signal); a STAMP failure after a
+    // successful create is a real store error and must both surface
+    // AND remove the just-created empty lease — left behind it would
+    // read as a fresh foreign holder (mtime fallback) and block every
+    // fold/heal on this store for LeaseStaleMs with a message
+    // pointing at a holder that does not exist (r16 self-review).
+    def tryCreate(): Boolean = {
+      val out =
+        try fs.create(leaseP, false)
+        catch { case _: java.io.IOException => return false }
       try {
-        val out = fs.create(leaseP, false)
-        try {
-          val node = graft.config.Sidecar.newNode()
-          node.put("owner", owner)
-          node.put("epochMs", System.currentTimeMillis())
-          out.write(graft.config.Sidecar.toBytes(node))
-        } finally out.close()
+        val node = graft.config.Sidecar.newNode()
+        node.put("owner", owner)
+        node.put("epochMs", System.currentTimeMillis())
+        out.write(graft.config.Sidecar.toBytes(node))
+        out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          try fs.delete(leaseP, false): Unit
+          catch { case c: Throwable => e.addSuppressed(c) }
+          throw e
+      }
+    }
     if (tryCreate()) return
     val born = leaseEpoch(spark, fs, leaseP)
     if (born == Long.MinValue) {
       // the holder released between our failed create and the read:
-      // one retry; a second failure is live contention — refuse
-      require(tryCreate(),
+      // one retry; a second failure is live contention — another
+      // process holds it NOW, the defer-able condition
+      if (!tryCreate()) throw new FoldLeaseHeldException(
         s"evidence-store fold lease contended: $leaseP")
       return
     }
@@ -182,8 +228,37 @@ private[sinks] object EvidenceCompaction {
         "evidence, so this window refuses; wait for the holder, or " +
         s"for the lease to go stale after ${LeaseStaleMs / 60000} " +
         "min if the holder crashed")
-    fs.delete(leaseP, false)
-    require(tryCreate(),
+    // STALE takeover must be single-winner even among CONCURRENT
+    // takers: an unconditional delete+create would let taker A delete
+    // taker B's FRESH lease microseconds after B won, re-opening the
+    // dual-healer interleave the lease exists to prevent (r16
+    // self-review). The claim is a rename-aside — a file can be
+    // renamed away exactly once, so exactly one taker proceeds —
+    // followed by a CONTENT check, because the rename claims whatever
+    // sits at the lease path NOW, which may already be a concurrent
+    // taker's fresh lease rather than the stale one this process
+    // measured.
+    val grave = new Path(root, s".$Lease.takeover-$owner")
+    if (!fs.rename(leaseP, grave)) throw new FoldLeaseHeldException(
+      s"lost the stale-lease takeover race on $leaseP — another " +
+        "maintenance process claimed it first")
+    if (leaseEpoch(spark, fs, grave) != born) {
+      // we claimed a LIVE taker's fresh lease: restore it; if a third
+      // taker already created a new lease meanwhile, drop our copy —
+      // the displaced holder's pre-mutation reassert aborts it before
+      // damage (see LeaseHandle)
+      if (!fs.rename(grave, leaseP)) fs.delete(grave, false): Unit
+      throw new FoldLeaseHeldException(
+        s"stale-lease takeover on $leaseP raced a concurrent taker " +
+          "that had already re-acquired it — deferring to the holder")
+    }
+    fs.delete(grave, false): Unit // best-effort; a crash here leaves
+    // one ignorable dot-file that the next takeover never touches
+    // (per-owner grave names)
+    // winning the rename does not guarantee winning the lease: a
+    // sibling's plain create can land in the gap — then IT is the
+    // holder and this window defers like any other contender
+    if (!tryCreate()) throw new FoldLeaseHeldException(
       s"evidence-store fold lease contended during stale takeover: " +
         leaseP)
   }
@@ -191,10 +266,7 @@ private[sinks] object EvidenceCompaction {
   private def releaseLease(spark: SparkSession, fs: FileSystem,
       root: Path, owner: String): Unit = {
     val leaseP = new Path(root, Lease)
-    val ours =
-      try graft.config.Sidecar.readNode(spark, leaseP)
-        .exists(n => n.has("owner") && n.get("owner").asText() == owner)
-      catch { case _: Exception => false }
+    val ours = isOwnedBy(spark, fs, root, owner)
     // a lease that is no longer ours means this window overran
     // LeaseStaleMs and another process took it over — its fold may
     // have interleaved with ours, which is exactly the loss scenario
@@ -340,9 +412,22 @@ private[sinks] object EvidenceCompaction {
     val root = new Path(logPath)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return (0L, 0L)
+    // lease-free no-op fast path: with the fold wired into the cron
+    // ([[graft.operators.Maintenance.runAll]]'s ledgerFoldHorizon)
+    // this runs EVERY slot against a mostly-already-folded store, and
+    // the lease's two metadata writes per slot per store would be
+    // pure overhead — same rationale as [[recover]]'s fast path. One
+    // read-only listing; a manifest committed by a concurrent fold
+    // after this check is that fold's to finish, and a genuinely
+    // foldable store re-checks everything under the lease below.
+    val names0 = fs.listStatus(root).map(_.getPath.getName)
+    if (!names0.contains(Manifest) && !names0.contains(InflightDir) &&
+        names0.count(n => isEvidenceFile(n) &&
+          idOf(n) < horizonBatchId) < 2)
+      return (0L, 0L)
     monitorFor(spark, root).synchronized {
-    withFoldLease(spark, root) {
-    recoverInner(spark, fs, root): Unit // self-heal a crashed fold first
+    withFoldLease(spark, root) { lease =>
+    recoverInner(spark, fs, root, lease): Unit // heal a crashed fold
     val doomed = fs.listStatus(root).map(_.getPath.getName)
       .filter(isEvidenceFile)
       .filter(n => idOf(n) < horizonBatchId)
@@ -386,6 +471,10 @@ private[sinks] object EvidenceCompaction {
     // was just written, don't schedule a second read job over it
     val nRows = graft.operators.IndexCompact.footerRowCount(fs, part,
       fs.getFileStatus(part).getLen)
+    // the inflight write above is the window's long phase — re-check
+    // the lease is still ours before the first mutation (the manifest
+    // is the commit point; applyFold deletes originals)
+    lease.reassert()
     // COMMIT POINT: consolidated data is complete inside inflight
     val node = graft.config.Sidecar.newNode()
     node.put("dest", dest)
@@ -443,25 +532,33 @@ private[sinks] object EvidenceCompaction {
     monitorFor(spark, root).synchronized {
     if (!fs.exists(new Path(root, Manifest)) &&
         !fs.exists(new Path(root, InflightDir))) Nil
-    else withFoldLease(spark, root) { recoverInner(spark, fs, root) }
+    else withFoldLease(spark, root) { lease =>
+      recoverInner(spark, fs, root, lease)
+    }
     }
   }
 
   /** [[recover]]'s body, callable by a holder that ALREADY owns the
-    * monitor and the fold lease ([[compactBefore]]'s heal-first). */
+    * monitor and the fold lease ([[compactBefore]]'s heal-first).
+    * Both branches mutate (roll-forward deletes originals; the sweep
+    * deletes an inflight dir that a concurrent fold may be LIVELY
+    * writing if our lease was taken over), so each re-asserts the
+    * lease first. */
   private def recoverInner(spark: SparkSession, fs: FileSystem,
-      root: Path): Seq[String] = {
+      root: Path, lease: LeaseHandle): Seq[String] = {
     val manifestP = new Path(root, Manifest)
     graft.config.Sidecar.readNode(spark, manifestP) match {
       case Some(m) =>
         val dest = m.get("dest").asText()
         val remove = graft.config.Sidecar.strings(m, "remove")
+        lease.reassert()
         applyFold(fs, root, dest, remove)
         Seq(s"rolled forward crashed evidence fold into $dest " +
           s"(${remove.size} originals)")
       case None =>
         val inflight = new Path(root, InflightDir)
         if (fs.exists(inflight)) {
+          lease.reassert()
           fs.delete(inflight, true)
           Seq(s"swept uncommitted evidence fold: $InflightDir")
         } else Nil

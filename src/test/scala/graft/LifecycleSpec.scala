@@ -939,6 +939,80 @@ class LifecycleSpec extends SparkSpec {
     assert(!hfs.exists(leaseP), "the lease must not outlive the fold")
   }
 
+  test("stale-lease takeover is single-winner under CONCURRENT " +
+    "takers (r16 self-review): the claim is a rename-aside + content " +
+    "check, so two healers racing one crashed fold's stale lease " +
+    "through aliased store spellings (distinct in-JVM monitors — the " +
+    "cross-process shape) never both mutate; the consolidation and " +
+    "every evidence row survive") {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.ComplianceLog
+    val real = tmp("tko-ledger")
+    val ledger = real.toString
+    for (b <- 0L until 5L)
+      assert(ComplianceLog.append(spark, ledger, "t", "/x", "lin", b,
+        b + 1, 1L))
+    val snapshot = ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet
+    val hfs = new Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crashed fold state: manifest + complete inflight + the crashed
+    // holder's STALE lease (what a kill -9 mid-fold really leaves)
+    val doomed = (0L until 4L).map(b => s"t-lin-$b.parquet")
+    spark.read.schema(ComplianceLog.Schema)
+      .parquet(doomed.map(n => new Path(ledger, n).toString): _*)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(ledger, ".inflight-compact").toString)
+    val node = graft.config.Sidecar.newNode()
+    node.put("dest", "compacted-3.parquet")
+    val arr = node.putArray("remove"); doomed.foreach(arr.add)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(ledger, "_graft_compact.json"), node)
+    val stale = graft.config.Sidecar.newNode()
+    stale.put("owner", "dead-cron")
+    stale.put("epochMs", System.currentTimeMillis() - 16L * 60 * 1000)
+    graft.config.Sidecar.writeNode(spark,
+      new Path(ledger, "_graft_fold_lease.json"), stale)
+    // aliased spellings of ONE store: symlinks defeat the qualified-
+    // path monitor key, so the healers really race the on-disk lease
+    // protocol — the closest a single JVM gets to two processes
+    val aliases = (0 until 4).map { i =>
+      val link = java.nio.file.Paths.get(s"$ledger-alias-$i")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, real)
+      link.toString
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val threads = aliases.map { spelling =>
+      val th = new Thread(() =>
+        try outcomes.add(
+          ComplianceLog.healShared(spark, spelling).mkString(";")): Unit
+        catch { case e: Throwable => errs.add(e): Unit },
+        s"tko-$spelling")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"healShared must defer, never throw: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val logs = outcomes.asScala.toSeq
+    assert(logs.exists(_.contains("rolled forward")),
+      s"exactly one healer must win and roll forward: $logs")
+    assert(logs.count(_.contains("rolled forward")) === 1,
+      s"single winner: $logs")
+    assert(hfs.exists(new Path(ledger, "compacted-3.parquet")),
+      "the consolidation survives the takeover race")
+    assert(ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet === snapshot,
+      "every evidence row survives the takeover race")
+    assert(!hfs.exists(new Path(ledger, "_graft_fold_lease.json")),
+      "the winner releases its lease")
+    assert(ComplianceLog.recover(spark, ledger) === Nil, "idempotent")
+    aliases.foreach(a =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(a)))
+  }
+
   test("runAll surfaces EVERY failing table (r16, r15 verdict item " +
     "5): the first failure by input position is thrown, the sibling " +
     "rides along as a suppressed exception instead of forcing a " +
@@ -1035,6 +1109,15 @@ class LifecycleSpec extends SparkSpec {
         ledgerFoldHorizon = Some(1L))
     }
     assert(err.getMessage.contains("ledgerFoldHorizon"), err.getMessage)
+    // ...and so is a horizon above the slot's own runId: it would
+    // fold the slot's just-written evidence names — the replay-skip
+    // state a retried slot needs (r16 self-review)
+    val err2 = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.runAll(spark, tbls,
+        ttl = Some(col("p") >= 2), evidence = Some((ledger, 9L)),
+        ledgerFoldHorizon = Some(10L))
+    }
+    assert(err2.getMessage.contains("runId"), err2.getMessage)
     for (path <- tbls :+ ledger) {
       val p = new Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
