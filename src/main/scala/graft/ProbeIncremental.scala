@@ -517,16 +517,12 @@ object ProbeIncremental {
 
     // ---- LEDGER-SCALE arm (r14 verdict item 4): ComplianceLog is
     // marketed for years of takedown streams, but nothing measured its
-    // read paths at realistic file counts. Fixture synthesized by ONE
-    // partitioned write + renames — appending N one-row files through
-    // append() would serialize N Spark jobs; the resulting layout is
-    // exactly what N appends leave (one-row parquet files named
-    // target-lineage-<id>.parquet; batch_id is duplicated out of the
-    // partition column so the data files keep it). Measured: one
-    // append's exists-check at full count, the schema-pinned read, the
-    // full-grid audit, the replay-horizon fold, and the post-fold
-    // read — with a read-back identity assert so the fold can never
-    // trade speed for rows.
+    // read paths at realistic file counts. Fixture: see
+    // [[LedgerProbeFixture]] (shared with ProbeLedgerRtt). Measured:
+    // one append's exists-check at full count, the schema-pinned
+    // read, the full-grid audit, the replay-horizon fold, and the
+    // post-fold read — with a read-back identity assert so the fold
+    // can never trade speed for rows.
     locally {
       import org.apache.hadoop.fs.Path
       import graft.sinks.ComplianceLog
@@ -535,31 +531,7 @@ object ProbeIncremental {
         val lroot = new Path(ledger)
         val hfs = lroot.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        hfs.delete(lroot, true)
-        val scratch = new Path(s"${ledger}_scratch")
-        hfs.delete(scratch, true)
-        spark.range(nFiles.toLong)
-          .select(lit("takedown").as("target"),
-            lit("/t").as("table_path"), lit("lin").as("lineage"),
-            col("id").as("batch_id"),
-            (col("id") % 50 + 1).as("rows_deleted"),
-            lit(1L).as("dirs_rewritten"),
-            lit(0L).as("committed_at_ms"), col("id").as("bid"))
-          .repartition(32, col("bid"))
-          .write.mode("overwrite").partitionBy("bid")
-          .parquet(scratch.toString)
-        hfs.mkdirs(lroot)
-        for (st <- hfs.listStatus(scratch)
-            if st.getPath.getName.startsWith("bid=")) {
-          val bid = st.getPath.getName.stripPrefix("bid=")
-          val part = hfs.listStatus(st.getPath).map(_.getPath)
-            .find(_.getName.startsWith("part-"))
-            .getOrElse(throw new IllegalStateException(
-              s"no part file under ${st.getPath}"))
-          require(hfs.rename(part,
-            new Path(lroot, s"takedown-lin-$bid.parquet")))
-        }
-        hfs.delete(scratch, true)
+        LedgerProbeFixture.build(spark, ledger, nFiles)
         val preSum = ComplianceLog.read(spark, ledger)
           .agg(sum(col("rows_deleted"))).collect()(0).getLong(0)
         // one live append at full file count: the exists-check is one

@@ -28,6 +28,45 @@ import graft.sinks.ComplianceLog
   *
   * Usage: runMain graft.ProbeLedgerRtt [nFiles] [statDelayMs]
   */
+/** Shared ledger fixture for the scale probes: N one-row evidence
+  * files synthesized by ONE partitioned write + renames — appending N
+  * files through `ComplianceLog.append` would serialize N Spark jobs;
+  * the resulting layout is exactly what N appends leave (one-row
+  * parquet files named `takedown-lin-<id>.parquet`; batch_id is
+  * duplicated out of the partition column so the data files keep
+  * it). */
+private[graft] object LedgerProbeFixture {
+  def build(spark: SparkSession, ledger: String, nFiles: Int): Unit = {
+    val lroot = new Path(ledger)
+    val hfs = lroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(lroot, true)
+    val scratch = new Path(s"${ledger}_scratch")
+    hfs.delete(scratch, true)
+    spark.range(nFiles.toLong)
+      .select(lit("takedown").as("target"),
+        lit("/t").as("table_path"), lit("lin").as("lineage"),
+        col("id").as("batch_id"),
+        (col("id") % 50 + 1).as("rows_deleted"),
+        lit(1L).as("dirs_rewritten"),
+        lit(0L).as("committed_at_ms"), col("id").as("bid"))
+      .repartition(32, col("bid"))
+      .write.mode("overwrite").partitionBy("bid")
+      .parquet(scratch.toString)
+    hfs.mkdirs(lroot)
+    for (st <- hfs.listStatus(scratch)
+        if st.getPath.getName.startsWith("bid=")) {
+      val bid = st.getPath.getName.stripPrefix("bid=")
+      val part = hfs.listStatus(st.getPath).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file under ${st.getPath}"))
+      require(hfs.rename(part,
+        new Path(lroot, s"takedown-lin-$bid.parquet")))
+    }
+    hfs.delete(scratch, true): Unit
+  }
+}
+
 object ProbeLedgerRtt {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(10000)
@@ -46,34 +85,8 @@ object ProbeLedgerRtt {
     val local = s"/tmp/graft_probe_ledger_rtt_$nFiles"
     val lroot = new Path(local)
     val hfs = lroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    def buildFixture(): Unit = {
-      hfs.delete(lroot, true)
-      val scratch = new Path(s"${local}_scratch")
-      hfs.delete(scratch, true)
-      spark.range(nFiles.toLong)
-        .select(lit("takedown").as("target"),
-          lit("/t").as("table_path"), lit("lin").as("lineage"),
-          col("id").as("batch_id"),
-          (col("id") % 50 + 1).as("rows_deleted"),
-          lit(1L).as("dirs_rewritten"),
-          lit(0L).as("committed_at_ms"), col("id").as("bid"))
-        .repartition(32, col("bid"))
-        .write.mode("overwrite").partitionBy("bid")
-        .parquet(scratch.toString)
-      hfs.mkdirs(lroot)
-      for (st <- hfs.listStatus(scratch)
-          if st.getPath.getName.startsWith("bid=")) {
-        val bid = st.getPath.getName.stripPrefix("bid=")
-        val part = hfs.listStatus(st.getPath).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(
-            s"no part file under ${st.getPath}"))
-        require(hfs.rename(part,
-          new Path(lroot, s"takedown-lin-$bid.parquet")))
-      }
-      hfs.delete(scratch, true)
-    }
+    def buildFixture(): Unit =
+      LedgerProbeFixture.build(spark, local, nFiles)
 
     val slow = s"slowfs:$local"
     val grid = spark.range(nFiles.toLong)
