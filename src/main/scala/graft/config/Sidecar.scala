@@ -54,6 +54,13 @@ object Sidecar {
   private[graft] def toBytes(node: ObjectNode): Array[Byte] =
     mapper.writeValueAsBytes(node)
 
+  /** Parse already-read bytes; None on torn/non-JSON content. For the
+    * one reader (the fold lease) that must read a file ONCE and both
+    * byte-compare and parse the same snapshot — re-reading could see
+    * a different file. */
+  private[graft] def parseNode(bytes: Array[Byte]): Option[JsonNode] =
+    try Some(mapper.readTree(bytes)) catch { case _: Exception => None }
+
   /** Attach a nested double matrix (e.g. coarse centroids). */
   def putDoubles2(node: ObjectNode, field: String,
       m: Seq[Seq[Double]]): Unit = {
@@ -145,15 +152,20 @@ object Sidecar {
     }
   }
 
-  /** Generic JSON node read from an explicit path; None if absent. */
+  /** Generic JSON node read from an explicit path; None if absent —
+    * including a file that vanishes between the exists check and the
+    * open (a recovery manifest being FINISHED by a concurrent healer
+    * is exactly that shape; the r16 lease-race spec caught the
+    * TOCTOU live). */
   def readNode(spark: SparkSession, p: Path): Option[JsonNode] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      Some(mapper.readTree(bytes))
-    }
+    else
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(mapper.readTree(bytes))
+      } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** The string elements of an array field (e.g. the swap manifest's

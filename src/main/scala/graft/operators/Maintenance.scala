@@ -98,7 +98,16 @@ object Maintenance {
     * [[graft.sinks.PartitionedSink.dropPartitionsWhere]]). */
   def run(spark: SparkSession, path: String,
       maxFilesPerDir: Int = 4, ttl: Option[Column] = None,
-      evidence: Option[(String, Long)] = None): Report = {
+      evidence: Option[(String, Long)] = None): Report =
+    runOne(spark, path, maxFilesPerDir, ttl, evidence,
+      healLedger = true)
+
+  /** [[run]]'s body. `healLedger = false` lets [[runAll]] heal the
+    * SHARED ledger once per slot instead of once per table (N tables
+    * paid N redundant ledger listings per slot; r16 self-review). */
+  private def runOne(spark: SparkSession, path: String,
+      maxFilesPerDir: Int, ttl: Option[Column],
+      evidence: Option[(String, Long)], healLedger: Boolean): Report = {
     require(maxFilesPerDir >= 1,
       s"maxFilesPerDir must be >= 1, got $maxFilesPerDir")
     require(evidence.isEmpty || ttl.nonEmpty,
@@ -119,9 +128,10 @@ object Maintenance {
       // takedown streams and sibling windows may be appending to this
       // ledger right now, so the inflight sweep is age-gated (a full
       // ComplianceLog.recover would kill a live writer's inflight)
-      evidence.toSeq.flatMap { case (ledger, _) =>
+      (if (!healLedger) Nil
+       else evidence.toSeq.flatMap { case (ledger, _) =>
         graft.sinks.ComplianceLog.healShared(spark, ledger)
-      }
+      })
     val (ttlRows, ttlDirs, ttlNulls, ttlRecorded) = ttl match {
       case Some(p) =>
         val key = evidence.map { case (ledger, runId) =>
@@ -168,23 +178,28 @@ object Maintenance {
     * 4 parallel windows at 0.69 s against 1.26 s sequential — the
     * shared 16-wide walk pool and the JVM FileSystem cache show no
     * contention pathology, windows interleave their Spark/footer
-    * phases and win ~1.8× — so the default is about failure
-    * ISOLATION (sequential windows localize a thrown table
-    * deterministically), not cost. The ledger's append protocol and
+    * phases and win ~1.8× — so the default is about resource
+    * serialization (one window's Spark/footer load at a time), not
+    * cost. The ledger's append protocol and
     * the age-gated heal are concurrency-safe by design (the probe
     * ran them hot), and the shared ledger's fold roll-forward is
     * serialized per store within the JVM (see
     * [[graft.sinks.EvidenceCompaction]]'s heal monitor) so N
-    * windows healing one crashed fold cannot interleave.
-    * Failure semantics either way: a failing table
-    * propagates after the other tables' windows completed or
-    * unwound — the cron reruns the slot, completed tables skip by
+    * windows healing one crashed fold cannot interleave. The shared
+    * ledger is healed ONCE per slot (not once per table — N tables
+    * paid N redundant ledger listings); its heal actions ride the
+    * FIRST table's report.
+    * Failure semantics at EITHER parallelism: every table's window is
+    * attempted (completed or unwound) before a failure propagates —
+    * the cron reruns the slot, completed tables skip by
     * their evidence key. The thrown failure is the FIRST failing
     * table by input position; every OTHER table's failure rides
     * along as a suppressed exception (r15 verdict item 5 — an
     * operator debugging a two-table outage sees both without
-    * rerunning). Results come back in `paths` order regardless of
-    * completion order.
+    * rerunning; r16 self-review extended the same settle-all contract
+    * to the sequential path, which previously aborted the remaining
+    * tables at the first throw despite this paragraph). Results come
+    * back in `paths` order regardless of completion order.
     *
     * `ledgerFoldHorizon` wires the ledger's own maintenance into the
     * slot (r15 verdict item 4 — the scaladoc says "fold at least
@@ -224,9 +239,32 @@ object Maintenance {
         s"be <= the slot's runId (${evidence.map(_._2).orNull}) — a " +
         "higher horizon folds this slot's own evidence names and " +
         "forgets the replay-skip state a retried slot needs")
+    // the SHARED ledger heals once per slot, not once per table (r16
+    // self-review: N tables paid N redundant ledger listings); the
+    // slot heal's actions ride the first table's report below
+    val slotHeal = evidence.toSeq.flatMap { case (ledger, _) =>
+      graft.sinks.ComplianceLog.healShared(spark, ledger)
+    }
+    // settle-all at EITHER parallelism — the doc's contract: every
+    // table's window is attempted before a failure propagates
+    // (rethrowing mid-loop would silently skip the remaining tables'
+    // sweeps for this slot), the first failure by input position is
+    // thrown, siblings ride along suppressed (r15 verdict item 5)
+    def throwOrCollect(settled: Seq[Either[Throwable, (String, Report)]])
+        : Seq[(String, Report)] = {
+      val failures = settled.collect { case Left(e) => e }
+      failures.headOption.foreach { primary =>
+        failures.drop(1).foreach(primary.addSuppressed)
+        throw primary
+      }
+      settled.collect { case Right(r) => r }
+    }
     val reports =
       if (parallelism == 1 || paths.size <= 1)
-        paths.map(p => p -> run(spark, p, maxFilesPerDir, ttl, evidence))
+        throwOrCollect(paths.map(p =>
+          try Right(p -> runOne(spark, p, maxFilesPerDir, ttl, evidence,
+            healLedger = false))
+          catch { case scala.util.control.NonFatal(e) => Left(e) }))
       else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         parallelism.min(paths.size))
@@ -234,15 +272,13 @@ object Maintenance {
         val futures = paths.map(p => pool.submit(
           new java.util.concurrent.Callable[(String, Report)] {
             override def call(): (String, Report) =
-              p -> run(spark, p, maxFilesPerDir, ttl, evidence)
+              p -> runOne(spark, p, maxFilesPerDir, ttl, evidence,
+                healLedger = false)
           }))
-        // await EVERY window before reporting — the doc's contract: a
-        // failure propagates only after the other tables' windows
-        // completed or unwound. Rethrowing on the first get() would
+        // await EVERY window — rethrowing on the first get() would
         // shutdownNow() siblings MID-PROTOCOL (abandoning, e.g., a
-        // committed TTL manifest to the next slot's recovery) and
-        // silently skip queued tables' sweeps for this slot. get() in
-        // submit order also keeps the FIRST failing table (by input
+        // committed TTL manifest to the next slot's recovery). get()
+        // in submit order keeps the FIRST failing table (by input
         // position) the one reported. An interrupt/cancellation is
         // settled as that table's failure too — re-set the flag and
         // keep draining, so the contract survives a caller's
@@ -250,7 +286,7 @@ object Maintenance {
         // immediately with the flag set, and the windows themselves
         // keep running to completion in the pool rather than being
         // killed mid-protocol).
-        val settled = futures.map(f =>
+        throwOrCollect(futures.map(f =>
           try Right(f.get())
           catch {
             case e: java.util.concurrent.ExecutionException =>
@@ -260,16 +296,7 @@ object Maintenance {
               Left(e)
             case e: java.util.concurrent.CancellationException =>
               Left(e)
-          })
-        val failures = settled.collect { case Left(e) => e }
-        failures.headOption.foreach { primary =>
-          // sibling failures must not be swallowed (r15 verdict item
-          // 5): attach them to the primary instead of forcing a rerun
-          // to discover the second failing table
-          failures.drop(1).foreach(primary.addSuppressed)
-          throw primary
-        }
-        settled.collect { case Right(r) => r }
+          }))
       } finally pool.shutdown(): Unit
       }
     ledgerFoldHorizon.foreach { horizon =>
@@ -278,7 +305,12 @@ object Maintenance {
           horizon): Unit
       }
     }
-    reports
+    reports match {
+      case (p, r) +: tail if slotHeal.nonEmpty =>
+        (p, r.copy(recoveryActions = slotHeal ++ r.recoveryActions)) +:
+          tail
+      case rs => rs
+    }
   }
 
   /** Family detection from the sidecar's own fields — the model arrays

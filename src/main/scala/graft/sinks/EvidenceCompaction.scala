@@ -109,9 +109,23 @@ private[sinks] object EvidenceCompaction {
     * file mtime — the best signal it has. Because the lease lives IN
     * the store directory, it also fences aliased spellings of one
     * local store that the in-JVM monitor key cannot unify. */
+  /** The filesystem the LEASE protocol runs on: the RAW layer when
+    * `fs` is checksummed (file://'s LocalFileSystem). Checksum
+    * sidecars are written/deleted non-atomically next to the data, so
+    * concurrent lease creates/deletes/renames tear `.crc` files and
+    * checksummed reads of the lease throw ChecksumException under
+    * exactly the contention the lease arbitrates (the LifecycleSpec
+    * takeover race caught this live). The lease's own integrity story
+    * is its JSON parse + byte compare; object-store filesystems pass
+    * through unchanged. */
+  private def leaseFsOf(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   private def withFoldLease[T](spark: SparkSession, root: Path)(
       body: LeaseHandle => T): T = {
-    val fs = fsOf(spark, root)
+    val fs = leaseFsOf(fsOf(spark, root))
     val owner = java.util.UUID.randomUUID().toString
     acquireLease(spark, fs, root, owner)
     var failed: Throwable = null
@@ -127,12 +141,43 @@ private[sinks] object EvidenceCompaction {
     }
   }
 
-  /** Whether the lease at `root` currently carries `owner`'s stamp. */
+  /** The lease file's bytes in ONE read: None when absent. One
+    * transient-read retry; a double failure surfaces as its OWN error
+    * with the cause attached — a caller that mapped a store hiccup to
+    * "taken over" would send the operator auditing for an interleave
+    * that never happened and leave the lease stranded behind a lie
+    * (r16 self-review). Returning bytes (not a parse) lets the
+    * takeover path byte-compare the exact snapshot it measured. */
+  private def leaseBytes(fs: FileSystem,
+      leaseP: Path): Option[Array[Byte]] = {
+    def read(): Option[Array[Byte]] =
+      try {
+        val in = fs.open(leaseP)
+        try Some(in.readAllBytes()) finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    try read()
+    catch {
+      case first: Exception =>
+        try read()
+        catch {
+          case second: Exception =>
+            second.addSuppressed(first)
+            throw new IllegalStateException(
+              s"could not read the evidence-store fold lease $leaseP " +
+                "to verify ownership — a store read failure, NOT a " +
+                "takeover; retry the window", second)
+        }
+    }
+  }
+
+  /** Whether the lease at `root` currently carries `owner`'s stamp.
+    * Propagates [[leaseBytes]]' double-read-failure error — "could
+    * not verify" must never be reported as "not ours". */
   private def isOwnedBy(spark: SparkSession, fs: FileSystem,
       root: Path, owner: String): Boolean =
-    try graft.config.Sidecar.readNode(spark, new Path(root, Lease))
+    leaseBytes(fs, new Path(root, Lease))
+      .flatMap(graft.config.Sidecar.parseNode)
       .exists(n => n.has("owner") && n.get("owner").asText() == owner)
-    catch { case _: Exception => false }
 
   /** Live handle on a held fold lease. [[reassert]] re-reads the
     * lease and throws if it no longer carries this window's owner —
@@ -148,27 +193,38 @@ private[sinks] object EvidenceCompaction {
     * mutation, which filesystem primitives don't offer. */
   private final class LeaseHandle(spark: SparkSession, fs: FileSystem,
       root: Path, owner: String) {
+    // thrown as the DEFERRABLE type: a failed reassert means another
+    // process owns (or is actively contending) the lease RIGHT NOW —
+    // whether a post-overrun taker or a mistaken claim mid-restore —
+    // and this window aborts unmutated, so a shared-heal caller
+    // treats it like any other contention (the state is intact for
+    // whoever holds the lease, or for the next slot)
     def reassert(): Unit =
       if (!isOwnedBy(spark, fs, root, owner))
-        throw new IllegalStateException(
+        throw new FoldLeaseHeldException(
           s"evidence-store fold lease under $root is no longer this " +
-            s"window's (overran the ${LeaseStaleMs / 60000} min " +
-            "stale bound and was taken over) — aborting before " +
-            "mutating; the taker's roll-forward owns the store now")
+            s"window's (taken over after the ${LeaseStaleMs / 60000} " +
+            "min stale bound, or claimed mid-arbitration by a " +
+            "concurrent taker) — aborting before mutating")
   }
 
-  /** The lease's birth epoch: the owner-stamped field, file mtime for
-    * a torn/unreadable lease, MinValue when absent. */
-  private def leaseEpoch(spark: SparkSession, fs: FileSystem,
+  /** The birth epoch of already-read lease bytes: the owner-stamped
+    * field, file mtime for torn (unparseable) content, MinValue when
+    * the lease was absent. */
+  private def leaseEpochOf(bytes: Option[Array[Byte]], fs: FileSystem,
       leaseP: Path): Long =
-    (try graft.config.Sidecar.readNode(spark, leaseP)
-        .filter(n => n.has("epochMs") &&
-          n.get("epochMs").canConvertToLong)
-        .map(_.get("epochMs").asLong())
-      catch { case _: Exception => None })
-      .getOrElse(
-        try fs.getFileStatus(leaseP).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MinValue })
+    bytes match {
+      case None => Long.MinValue
+      case Some(b) =>
+        graft.config.Sidecar.parseNode(b)
+          .filter(n => n.has("epochMs") &&
+            n.get("epochMs").canConvertToLong)
+          .map(_.get("epochMs").asLong())
+          .getOrElse(
+            try fs.getFileStatus(leaseP).getModificationTime
+            catch { case _: java.io.FileNotFoundException =>
+              Long.MinValue })
+    }
 
   /** A fold/roll-forward window found another process's FRESH lease.
     * Typed so [[ComplianceLog.healShared]] — the heal N sibling crons
@@ -211,7 +267,8 @@ private[sinks] object EvidenceCompaction {
       }
     }
     if (tryCreate()) return
-    val born = leaseEpoch(spark, fs, leaseP)
+    val observed = leaseBytes(fs, leaseP)
+    val born = leaseEpochOf(observed, fs, leaseP)
     if (born == Long.MinValue) {
       // the holder released between our failed create and the read:
       // one retry; a second failure is live contention — another
@@ -239,15 +296,36 @@ private[sinks] object EvidenceCompaction {
     // taker's fresh lease rather than the stale one this process
     // measured.
     val grave = new Path(root, s".$Lease.takeover-$owner")
-    if (!fs.rename(leaseP, grave)) throw new FoldLeaseHeldException(
+    // rename outcomes vary by FileSystem: RawLocalFileSystem's
+    // copy-fallback THROWS FileNotFoundException when the source
+    // vanished (a sibling claimed it) where HDFS returns false — both
+    // spell "lost the race" (the LifecycleSpec takeover race caught
+    // the throwing shape live)
+    def tryRename(src: Path, dst: Path): Boolean =
+      try fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
+    if (!tryRename(leaseP, grave)) throw new FoldLeaseHeldException(
       s"lost the stale-lease takeover race on $leaseP — another " +
         "maintenance process claimed it first")
-    if (leaseEpoch(spark, fs, grave) != born) {
+    // the claim check is BYTE identity against the measured snapshot,
+    // never an mtime comparison: rename is copy+delete on object
+    // stores and re-stamps mtime, so an mtime check would disown a
+    // legitimately claimed TORN lease, restore it (refreshing its
+    // mtime again), and livelock every future takeover 15 min at a
+    // time (r16 self-review); bytes survive any rename
+    val claimed = leaseBytes(fs, grave)
+    if (!observed.zip(claimed)
+        .exists(p => java.util.Arrays.equals(p._1, p._2))) {
       // we claimed a LIVE taker's fresh lease: restore it; if a third
       // taker already created a new lease meanwhile, drop our copy —
       // the displaced holder's pre-mutation reassert aborts it before
-      // damage (see LeaseHandle)
-      if (!fs.rename(grave, leaseP)) fs.delete(grave, false): Unit
+      // damage (see LeaseHandle). Liveness caveat, accepted: if the
+      // displaced holder aborted AND released inside our claim→restore
+      // gap, the restored lease is a fresh-looking orphan that defers
+      // heals until the stale bound passes — a bounded wedge (≤ 15
+      // min), never a safety hole, and only reachable in the
+      // already-rare mistaken-claim race
+      if (!tryRename(grave, leaseP)) fs.delete(grave, false): Unit
       throw new FoldLeaseHeldException(
         s"stale-lease takeover on $leaseP raced a concurrent taker " +
           "that had already re-acquired it — deferring to the holder")
@@ -267,16 +345,21 @@ private[sinks] object EvidenceCompaction {
       root: Path, owner: String): Unit = {
     val leaseP = new Path(root, Lease)
     val ours = isOwnedBy(spark, fs, root, owner)
-    // a lease that is no longer ours means this window overran
-    // LeaseStaleMs and another process took it over — its fold may
-    // have interleaved with ours, which is exactly the loss scenario
-    // the lease exists to prevent; say so loudly instead of deleting
-    // the taker's lease out from under it
-    if (!ours) throw new IllegalStateException(
-      s"evidence-store fold lease $leaseP was taken over mid-window " +
-        s"(held past the ${LeaseStaleMs / 60000} min stale bound) — " +
-        "another maintenance process may have interleaved; run " +
-        "recover under a fresh window and audit the store")
+    // a lease that is no longer ours at release means another process
+    // claimed it mid-window (post-overrun takeover, or a concurrent
+    // taker's mistaken claim). This window's MUTATIONS were guarded
+    // by reassert immediately before each one, and the claimant's own
+    // byte-compare/reassert checks abort IT unmutated — so this is
+    // contention to surface, not silent loss; thrown as the
+    // deferrable type so a shared-heal caller notes it while the
+    // explicit single-writer windows still fail loudly. Never delete
+    // the claimant's lease out from under it.
+    if (!ours) throw new FoldLeaseHeldException(
+      s"evidence-store fold lease $leaseP was claimed by another " +
+        "process mid-window (after this window's last pre-mutation " +
+        "reassert, or after its work completed) — the claimant's own " +
+        "arbitration aborts it before any interleaved mutation; " +
+        "re-run this window's entry point to confirm the store")
     require(fs.delete(leaseP, false),
       s"evidence-store fold lease release failed: $leaseP")
   }
@@ -306,10 +389,8 @@ private[sinks] object EvidenceCompaction {
     val inflight = new Path(root,
       s".inflight-ts${System.currentTimeMillis()}-$name")
     rows.coalesce(1).write.mode("overwrite").parquet(inflight.toString)
-    val part = fs.listStatus(inflight).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"evidence inflight write produced no part file: $inflight"))
+    val part = singlePart(fs, inflight,
+      s"evidence inflight write produced no part file: $inflight")
     require(fs.rename(part, new Path(root, name)),
       s"evidence append failed: $root/$name")
     fs.delete(inflight, true): Unit
@@ -383,6 +464,14 @@ private[sinks] object EvidenceCompaction {
   private def isEvidenceFile(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith(".") &&
       !name.startsWith("_")
+
+  /** The single `part-*` file a one-partition parquet write left in
+    * `dir` — shared by the append and fold write paths so part-file
+    * discovery has exactly one implementation. */
+  private def singlePart(fs: FileSystem, dir: Path, err: => String): Path =
+    fs.listStatus(dir).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(err))
 
   /** Trailing batch id of an evidence file name
     * (`target-lineage-<id>.parquet`, `<lineage>-<id>.parquet`,
@@ -463,14 +552,20 @@ private[sinks] object EvidenceCompaction {
       .where(fname.isin(doomed: _*))
       .repartition(1)
     rows.write.mode("overwrite").parquet(inflight.toString)
-    val part = fs.listStatus(inflight).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"compaction inflight write produced no part file: $inflight"))
+    val part = singlePart(fs, inflight,
+      s"compaction inflight write produced no part file: $inflight")
     // rowsFolded from the consolidated file's own footer — the store
-    // was just written, don't schedule a second read job over it
-    val nRows = graft.operators.IndexCompact.footerRowCount(fs, part,
-      fs.getFileStatus(part).getLen)
+    // was just written, don't schedule a second read job over it.
+    // Encrypted-parquet deployments (PARE tail magic) hide num_rows
+    // from the tail read, so fall back to the key-aware reader over
+    // the one just-written file rather than refuse the fold (the
+    // same dispatch as Maintenance.balance / footerRowTotal)
+    val partLen = fs.getFileStatus(part).getLen
+    val nRows =
+      if (graft.operators.IndexCompact.tailMagic(fs, part, partLen)
+          == "PAR1")
+        graft.operators.IndexCompact.footerRowCount(fs, part, partLen)
+      else reader.parquet(inflight.toString).count()
     // the inflight write above is the window's long phase — re-check
     // the lease is still ours before the first mutation (the manifest
     // is the commit point; applyFold deletes originals)

@@ -96,12 +96,19 @@ object QuarantineStore {
     * migrate-on-touch pattern as the legacy-lineage upgrade the index
     * families use. */
   private def ensurePin(spark: SparkSession,
-      root: Path): Option[StructType] = {
-    val gov = governingSchema(spark, root)
-    if (gov.isDefined && pinnedSchema(spark, root).isEmpty)
-      writePin(spark, root, gov.get)
-    gov
-  }
+      root: Path): Option[StructType] =
+    pinnedSchema(spark, root).orElse {
+      // legacy pre-pin store: derive from its own files and persist —
+      // one sidecar read on the common already-pinned path (the old
+      // shape re-read the sidecar just to decide whether to persist,
+      // two extra metadata RTTs per quarantining micro-batch)
+      if (!EvidenceCompaction.hasFinalFiles(spark, root)) None
+      else {
+        val derived = spark.read.parquet(root.toString).schema
+        writePin(spark, root, derived)
+        Some(derived)
+      }
+    }
 
   private def shape(s: StructType): Set[(String, DataType)] =
     s.fields.map(f => (f.name, f.dataType)).toSet

@@ -997,20 +997,40 @@ class LifecycleSpec extends SparkSpec {
       s"healShared must defer, never throw: ${errs.peek()}")
     import scala.jdk.CollectionConverters._
     val logs = outcomes.asScala.toSeq
-    assert(logs.exists(_.contains("rolled forward")),
-      s"exactly one healer must win and roll forward: $logs")
-    assert(logs.count(_.contains("rolled forward")) === 1,
-      s"single winner: $logs")
-    assert(hfs.exists(new Path(ledger, "compacted-3.parquet")),
-      "the consolidation survives the takeover race")
+    // AT MOST one healer mutates in the contended pass (two would be
+    // the interleave); ZERO is legal — mistaken-claim restores can
+    // abort every contender, and the next slot completes the heal
+    assert(logs.count(_.contains("rolled forward")) <= 1,
+      s"at most one winner may mutate: $logs")
+    // every row survives the race in EVERY outcome: either the
+    // consolidation landed or the full crash state is intact
     assert(ComplianceLog.read(spark, ledger).collect()
       .map(r => (r.getLong(3), r.getLong(4))).toSet === snapshot,
       "every evidence row survives the takeover race")
+    // the next slot (lease aged past the stale bound — rewrite it
+    // backdated rather than sleep 15 min) completes deterministically
+    if (hfs.exists(new Path(ledger, "_graft_fold_lease.json")))
+      writeLease2(ledger, ageMs = 16L * 60 * 1000)
+    ComplianceLog.healShared(spark, ledger)
+    assert(hfs.exists(new Path(ledger, "compacted-3.parquet")),
+      "the follow-up slot must land the consolidation")
+    assert(ComplianceLog.read(spark, ledger).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSet === snapshot,
+      "every evidence row survives the completed heal")
     assert(!hfs.exists(new Path(ledger, "_graft_fold_lease.json")),
-      "the winner releases its lease")
+      "the completing healer releases its lease")
     assert(ComplianceLog.recover(spark, ledger) === Nil, "idempotent")
     aliases.foreach(a =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(a)))
+  }
+
+  private def writeLease2(ledger: String, ageMs: Long): Unit = {
+    val node = graft.config.Sidecar.newNode()
+    node.put("owner", "orphaned-cron")
+    node.put("epochMs", System.currentTimeMillis() - ageMs)
+    graft.config.Sidecar.writeNode(spark,
+      new org.apache.hadoop.fs.Path(ledger, "_graft_fold_lease.json"),
+      node)
   }
 
   test("runAll surfaces EVERY failing table (r16, r15 verdict item " +
