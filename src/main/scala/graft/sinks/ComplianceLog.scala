@@ -44,13 +44,17 @@ import org.apache.spark.sql.types.StructType
   * per HEAD, 10k files) the shape holds because the DRIVER-side
   * metadata calls are CONSTANT per phase — the serial RTTs that
   * would not amortize: append 2 stats + 3 listings (0.17 s), read and
-  * audit 1 stat + 2 listings each (7.8 / 8.5 s — the linear term is 2
+  * audit 1 stat + 2 listings each (8.3 / 8.8 s — the linear term is 2
   * footer-open HEADs per file that ride the 32 executor threads in
   * parallel; modern S3A skips even those by passing the listing's
-  * status into openFile), fold 6 stats + 6 listings (9.6 s),
-  * post-fold read 0.5 s. The explicit-path file index the r15 fix
-  * removed would have paid 10k SERIAL driver HEADs — 100 s at this
-  * RTT — against the fold's constant 6. Deletes/creates are not
+  * status into openFile), fold 8 stats + 7 listings (10.8 s;
+  * re-measured after the r16 cross-JVM lease + its pre-mutation
+  * reasserts — the protocol added 2 stats + 1 listing, constant, and
+  * its lease READS are opens a real store charges as ~4 more
+  * constant GETs), post-fold read 0.7 s. The explicit-path file
+  * index the r15 fix removed would have paid 10k SERIAL driver
+  * HEADs — 100 s at this RTT — against the fold's constant 8.
+  * Deletes/creates are not
   * RTT-modeled (stores batch deletes); counts are measured by the
   * shim's per-phase call counters, not inferred. A deployment that runs takedown streams
   * for years folds the old names away with [[compactBefore]] — but
