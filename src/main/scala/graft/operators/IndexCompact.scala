@@ -574,6 +574,22 @@ private[graft] object IndexCompact {
   def recover(spark: SparkSession, indexPath: String): Seq[String] = {
     val root = new Path(indexPath)
     val fs = fsOf(spark, root)
+    // lease-free no-op fast path: a healthy store (no crashed temp,
+    // no swap-old) pays the existence stats it always paid and never
+    // touches the lease — probes and appends that recover-first stay
+    // metadata-cheap. Only a store with crash state to MUTATE takes
+    // the single-writer maintenance lease (re-entering the caller's
+    // frame when a compact/delete/cron window already holds it).
+    val crashed = TmpSuffixes.exists(s => fs.exists(sibling(root, s))) ||
+      fs.exists(sibling(root, OldSuffix))
+    if (!crashed) Nil
+    else graft.sinks.EvidenceCompaction.withMaintenanceLease(spark,
+      root) { lease => recoverLocked(spark, root, fs, lease) }
+  }
+
+  private def recoverLocked(spark: SparkSession, root: Path,
+      fs: FileSystem,
+      lease: graft.sinks.EvidenceCompaction.LeaseHandle): Seq[String] = {
     val actions = scala.collection.mutable.ListBuffer.empty[String]
     for (suffix <- TmpSuffixes) {
       val tmp = sibling(root, suffix)
@@ -582,6 +598,10 @@ private[graft] object IndexCompact {
           case Some(m) =>
             val replace = graft.config.Sidecar.strings(m, "replace")
             val remove = graft.config.Sidecar.strings(m, "remove")
+            // the roll-forward's delete→rename loop is exactly the
+            // interleave the lease exists to prevent — re-check
+            // ownership immediately before mutating
+            lease.reassert()
             // evidence BEFORE the swap completes: applySwap deletes the
             // tmp dir (and with it the manifest), so this is the last
             // point the counts exist on disk
@@ -593,6 +613,7 @@ private[graft] object IndexCompact {
             // the rewrite never committed: the live tree is untouched
             // (renames only start after the manifest lands), so the
             // partial temp is the only thing to clean up
+            lease.reassert()
             fs.delete(tmp, true)
             actions += s"reverted uncommitted $suffix write"
         }
@@ -600,6 +621,7 @@ private[graft] object IndexCompact {
     }
     val old = sibling(root, OldSuffix)
     if (fs.exists(old)) {
+      lease.reassert()
       // no temp left ⇒ the swap loop finished every rename (old is
       // deleted before tmp); anything still here is pre-swap data whose
       // replacement is already live — restore only LEAF dirs the live
@@ -630,33 +652,48 @@ private[graft] object IndexCompact {
     // sidecar refusal first: compacting a bare directory would happily
     // rewrite data nobody can probe correctly
     graft.config.Sidecar.read(spark, indexPath, builder)
-    recover(spark, indexPath) // self-heal a crashed prior maintenance run
     val root = new Path(indexPath)
-    val fs = fsOf(spark, root)
+    // the whole compaction window — heal, rewrite, manifest, swap —
+    // runs under the store's single-writer maintenance lease: a
+    // second maintenance process (any JVM) refuses loudly instead of
+    // interleaving its renames with this swap. Re-enters a
+    // Maintenance.run window's lease when called from the cron.
+    graft.sinks.EvidenceCompaction.withMaintenanceLease(spark, root) {
+      lease =>
+      recover(spark, indexPath) // re-enters this window's lease
+      val fs = fsOf(spark, root)
 
-    def dataFiles(): Long = leafCensus(fs, root)._2
-      .map(_.dataFiles.size.toLong).sum
+      def dataFiles(): Long = leafCensus(fs, root)._2
+        .map(_.dataFiles.size.toLong).sum
 
-    val (partCols, census) = leafCensus(fs, root)
-    val leaves = census.map(_.rel)
-    if (leaves.isEmpty) return (0L, 0L)
-    val before = census.map(_.dataFiles.size.toLong).sum
+      val (partCols, census) = leafCensus(fs, root)
+      val leaves = census.map(_.rel)
+      if (leaves.isEmpty) (0L, 0L)
+      else {
+        val before = census.map(_.dataFiles.size.toLong).sum
 
-    val tmp = sibling(root, ".compact_tmp")
-    fs.delete(tmp, true)
-    // sibling temp dir: never read and write under the same root
-    spark.read.parquet(indexPath)
-      .repartition(leaves.size, partCols.map(col): _*)
-      .write.mode("overwrite").partitionBy(partCols: _*)
-      .parquet(tmp.toString)
-    val tmpNames = leafParts(fs, tmp)._2
-    // compaction preserves every partition value, so `remove` is empty
-    // in practice — computed anyway so the manifest states the whole
-    // intended end state, not an assumption about the rewrite
-    val remove = leaves.diff(tmpNames)
-    writeManifest(spark, tmp, tmpNames, remove) // COMMIT POINT
-    applySwap(fs, root, tmp, tmpNames, remove)
-    (before, dataFiles())
+        val tmp = sibling(root, ".compact_tmp")
+        fs.delete(tmp, true)
+        // sibling temp dir: never read and write under the same root
+        spark.read.parquet(indexPath)
+          .repartition(leaves.size, partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*)
+          .parquet(tmp.toString)
+        val tmpNames = leafParts(fs, tmp)._2
+        // compaction preserves every partition value, so `remove` is
+        // empty in practice — computed anyway so the manifest states
+        // the whole intended end state, not an assumption about the
+        // rewrite
+        val remove = leaves.diff(tmpNames)
+        // the rewrite above is the window's long phase — re-check the
+        // lease before the commit point (the manifest; applySwap then
+        // renames live dirs aside)
+        lease.reassert()
+        writeManifest(spark, tmp, tmpNames, remove) // COMMIT POINT
+        applySwap(fs, root, tmp, tmpNames, remove)
+        (before, dataFiles())
+      }
+    }
   }
 
   /** Deletes every index row whose `idColName` matches a value in
@@ -715,13 +752,30 @@ private[graft] object IndexCompact {
     // zero-work paths still stamp their keyed line: "the delete ran
     // and matched nothing" is evidence too — and on a REPLAY the key
     // already exists, so the original counts always win
+    val root = new Path(indexPath)
+    val fs = fsOf(spark, root)
+    // the whole delete window — heal, touched scan, rewrite,
+    // manifest, swap — runs under the store's single-writer
+    // maintenance lease (a takedown stream's micro-batch takes it per
+    // batch; a cron window's nested call re-enters). The no-op paths
+    // pay the lease's two metadata writes, which the touched scan —
+    // one column-pruned corpus read they already pay — dwarfs.
+    graft.sinks.EvidenceCompaction.withMaintenanceLease(spark, root) {
+      lease => deleteLocked(spark, root, fs, indexPath, idColName,
+        deleteIds, evidence, lease)
+    }
+  }
+
+  private def deleteLocked(spark: SparkSession, root: Path,
+      fs: FileSystem, indexPath: String, idColName: String,
+      deleteIds: DataFrame,
+      evidence: Option[graft.sinks.ComplianceLog.Key],
+      lease: graft.sinks.EvidenceCompaction.LeaseHandle): (Long, Long) = {
     def record(rows: Long, dirs: Long): Unit =
       evidence.foreach(k => graft.sinks.ComplianceLog.append(spark,
         k.ledgerPath, k.target, indexPath, k.lineage, k.batchId, rows,
         dirs): Unit)
-    recover(spark, indexPath) // self-heal a crashed prior maintenance run
-    val root = new Path(indexPath)
-    val fs = fsOf(spark, root)
+    recover(spark, indexPath) // re-enters this window's lease
     val (partCols, leaves) = leafParts(fs, root)
     if (leaves.isEmpty) { record(0L, 0L); return (0L, 0L) }
     // read twice below (touched scan + anti-join); checkpoint so a
@@ -776,6 +830,9 @@ private[graft] object IndexCompact {
     // fully-deleted partitions wrote no tmp dir: they are removals
     val (replace, remove) = touchedNames.partition(n =>
       fs.exists(new Path(tmp, n)))
+    // the anti-join rewrite above is the window's long phase —
+    // re-check the lease before the commit point
+    lease.reassert()
     writeManifest(spark, tmp, replace, remove, // COMMIT POINT
       evidence.map(k => (k, indexPath, rowsDeleted,
         touchedVals.size.toLong)))

@@ -76,8 +76,15 @@ object Maintenance {
     * INDEX is refused loudly — its partition key (`bpart`/`cell`) is
     * an internal hash, so a value-aligned sweep would age out index
     * shards, not data; index removal goes through the delete APIs.
-    * Same single-writer/no-reader window as the operators it
-    * composes. */
+    * The single-WRITER half of the window is enforced on disk (r16):
+    * the whole window holds the table's sibling maintenance lease
+    * (`<table>.maintenance_lease.json` — see
+    * [[graft.sinks.EvidenceCompaction.withMaintenanceLease]]), so a
+    * concurrent maintenance process on ANY host refuses loudly
+    * (`IllegalStateException` naming the lease) instead of
+    * interleaving; a crashed window's lease is taken over after 15
+    * min and the refused slot simply reruns. The no-READER half
+    * remains the deployment's contract. */
   /** With `evidence = Some((ledgerPath, runId))` and a `ttl`, the
     * sweep's (rows, dirs) land in the same
     * [[graft.sinks.ComplianceLog]] the takedown STREAMS write (target
@@ -118,6 +125,16 @@ object Maintenance {
       s"Maintenance.run: a TTL predicate on a '$family' index would " +
         "age out shards by their internal partition key — retention " +
         "is a corpus-table policy; use the index delete APIs instead")
+    // the WHOLE window — recover, TTL sweep, compact, balance — holds
+    // the table's single-writer maintenance lease (r16 second wave):
+    // per-step leases alone would still let two crons on one table
+    // interleave ACROSS steps (cron A's TTL sweep deleting leaf files
+    // while cron B's compact rewrites them resurrects the aged-out
+    // rows with cron A's evidence already recorded — silent). The
+    // inner protocol steps re-enter this frame; a sibling cron's
+    // window refuses loudly on the on-disk lease and its slot reruns.
+    graft.sinks.EvidenceCompaction.withMaintenanceLease(spark,
+      new org.apache.hadoop.fs.Path(path)) { _ =>
     val actions = (family match {
       case IvfPq => Similarity.recoverIvfPqIndex(spark, path)
       case LshBucket => Dedup.recoverBucketIndex(spark, path)
@@ -163,6 +180,7 @@ object Maintenance {
     Report(family, actions, leavesNow.size.toLong, before, maxPer,
       shouldCompact, after, balance(spark, path, leavesNow),
       ttlRows, ttlDirs, ttlNulls, ttlRecorded)
+    }
   }
 
   /** The multi-table cron in one call — the deployment shape the

@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.StructType
   * their trailing id parses like any evidence file, so a LATER fold
   * with a higher horizon folds earlier consolidations into the new one
   * (chains never accumulate). */
-private[sinks] object EvidenceCompaction {
+private[graft] object EvidenceCompaction {
   private[sinks] val Manifest = "_graft_compact.json"
   private[sinks] val InflightDir = ".inflight-compact"
   /** Reserved name prefix for consolidated files; appends refuse a key
@@ -57,6 +57,17 @@ private[sinks] object EvidenceCompaction {
     * 25k files, ledger-scale probe) while keeping a crashed cron's
     * ledger healable within the same slot. */
   private[sinks] val LeaseStaleMs = 15L * 60 * 1000L
+  /** SIBLING lease file suffix for TABLE maintenance windows (see
+    * [[withMaintenanceLease]]): `<table>.maintenance_lease.json`
+    * beside the table directory, the same sibling namespace as the
+    * swap protocol's `.compact_tmp`/`.swap_old`. Sibling — not
+    * in-root like [[Lease]] — because corpus tables are WHOLE-ROOT
+    * swapped ([[PartitionedSink.deleteRowsByKey]] renames the root
+    * itself): an in-root lease would travel with the rename and
+    * vanish mid-window, and acquiring at a crashed-away root would
+    * re-create the root directory and flip the whole-root recovery's
+    * `exists(root)` dispatch onto the wrong branch. */
+  private[graft] val MaintenanceLeaseSuffix = ".maintenance_lease.json"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,20 +135,71 @@ private[sinks] object EvidenceCompaction {
   }
 
   private def withFoldLease[T](spark: SparkSession, root: Path)(
-      body: LeaseHandle => T): T = {
-    val fs = leaseFsOf(fsOf(spark, root))
-    val owner = java.util.UUID.randomUUID().toString
-    acquireLease(spark, fs, root, owner)
-    var failed: Throwable = null
-    try body(new LeaseHandle(spark, fs, root, owner))
-    catch { case e: Throwable => failed = e; throw e }
-    finally {
-      try releaseLease(spark, fs, root, owner)
-      catch {
-        // the body's failure is the primary story; a release problem
-        // rides along instead of masking it
-        case e: Throwable if failed != null => failed.addSuppressed(e)
-      }
+      body: LeaseHandle => T): T =
+    withLease(spark, new Path(root, Lease), "evidence-store fold")(body)
+
+  /** The SAME single-writer lease protocol, guarding a TABLE's whole
+    * maintenance window (r16 second wave — the swap engine and the
+    * cron window had the identical argued-not-enforced contract the
+    * r15 verdict flagged for the evidence stores): held across
+    * recover → TTL sweep → compact → delete by
+    * [[graft.operators.Maintenance]], re-entered by the inner
+    * protocol steps ([[PartitionedSink.recoverTable]], the
+    * [[graft.operators.IndexCompact]] swap engine) so a direct call
+    * to any entry point takes the lease standalone while a nested
+    * call rides its caller's frame. Lease file is a SIBLING of the
+    * table root ([[MaintenanceLeaseSuffix]]) — see that constant for
+    * why in-root placement is unsafe for whole-root-swapped tables. */
+  private[graft] def withMaintenanceLease[T](spark: SparkSession,
+      root: Path)(body: LeaseHandle => T): T = {
+    require(root.getParent != null,
+      s"table maintenance lease needs a parent directory to live " +
+        s"in, but $root is a filesystem root")
+    withLease(spark,
+      new Path(root.getParent, root.getName + MaintenanceLeaseSuffix),
+      "table-maintenance")(body)
+  }
+
+  /** Leases THIS THREAD currently holds, keyed by qualified lease
+    * path — makes the window lease REENTRANT within one maintenance
+    * call chain: [[graft.operators.Maintenance.run]] holds the
+    * table's lease across its whole window while the inner protocol
+    * steps re-enter the same frame (same handle, so their reasserts
+    * check the OUTER owner) instead of refusing their own caller.
+    * Thread-local because each `runAll` window runs its table on one
+    * pool thread; two THREADS contending for one store arbitrate
+    * through the on-disk protocol exactly like two processes —
+    * single-writer per store is the contract, in-JVM included (the
+    * evidence stores' heal paths additionally queue same-JVM healers
+    * on [[healMonitors]], which is reentrant and unchanged). */
+  private val heldLeases =
+    new ThreadLocal[Map[String, LeaseHandle]] {
+      override def initialValue(): Map[String, LeaseHandle] = Map.empty
+    }
+
+  private def withLease[T](spark: SparkSession, leaseP0: Path,
+      desc: String)(body: LeaseHandle => T): T = {
+    val fs = leaseFsOf(fsOf(spark, leaseP0))
+    val leaseP = fs.makeQualified(leaseP0)
+    heldLeases.get.get(leaseP.toString) match {
+      case Some(held) => body(held) // re-entered: caller's frame owns
+      case None =>
+        val owner = java.util.UUID.randomUUID().toString
+        acquireLease(fs, leaseP, owner, desc)
+        val handle = new LeaseHandle(fs, leaseP, owner, desc)
+        heldLeases.set(heldLeases.get + (leaseP.toString -> handle))
+        var failed: Throwable = null
+        try body(handle)
+        catch { case e: Throwable => failed = e; throw e }
+        finally {
+          heldLeases.set(heldLeases.get - leaseP.toString)
+          try releaseLease(fs, leaseP, owner, desc)
+          catch {
+            // the body's failure is the primary story; a release
+            // problem rides along instead of masking it
+            case e: Throwable if failed != null => failed.addSuppressed(e)
+          }
+        }
     }
   }
 
@@ -163,19 +225,19 @@ private[sinks] object EvidenceCompaction {
           case second: Exception =>
             second.addSuppressed(first)
             throw new IllegalStateException(
-              s"could not read the evidence-store fold lease $leaseP " +
+              s"could not read the store lease $leaseP " +
                 "to verify ownership — a store read failure, NOT a " +
                 "takeover; retry the window", second)
         }
     }
   }
 
-  /** Whether the lease at `root` currently carries `owner`'s stamp.
+  /** Whether the lease at `leaseP` currently carries `owner`'s stamp.
     * Propagates [[leaseBytes]]' double-read-failure error — "could
     * not verify" must never be reported as "not ours". */
-  private def isOwnedBy(spark: SparkSession, fs: FileSystem,
-      root: Path, owner: String): Boolean =
-    leaseBytes(fs, new Path(root, Lease))
+  private def isOwnedBy(fs: FileSystem,
+      leaseP: Path, owner: String): Boolean =
+    leaseBytes(fs, leaseP)
       .flatMap(graft.config.Sidecar.parseNode)
       .exists(n => n.has("owner") && n.get("owner").asText() == owner)
 
@@ -191,8 +253,8 @@ private[sinks] object EvidenceCompaction {
     * the one RTT between the re-read and the first mutation — full
     * fencing would need the store to verify a token on every
     * mutation, which filesystem primitives don't offer. */
-  private final class LeaseHandle(spark: SparkSession, fs: FileSystem,
-      root: Path, owner: String) {
+  private[graft] final class LeaseHandle(fs: FileSystem,
+      leaseP: Path, owner: String, desc: String) {
     // thrown as the DEFERRABLE type: a failed reassert means another
     // process owns (or is actively contending) the lease RIGHT NOW —
     // whether a post-overrun taker or a mistaken claim mid-restore —
@@ -200,9 +262,9 @@ private[sinks] object EvidenceCompaction {
     // treats it like any other contention (the state is intact for
     // whoever holds the lease, or for the next slot)
     def reassert(): Unit =
-      if (!isOwnedBy(spark, fs, root, owner))
+      if (!isOwnedBy(fs, leaseP, owner))
         throw new FoldLeaseHeldException(
-          s"evidence-store fold lease under $root is no longer this " +
+          s"$desc lease $leaseP is no longer this " +
             s"window's (taken over after the ${LeaseStaleMs / 60000} " +
             "min stale bound, or claimed mid-arbitration by a " +
             "concurrent taker) — aborting before mutating")
@@ -234,12 +296,11 @@ private[sinks] object EvidenceCompaction {
     * single-writer entry points ([[compactBefore]], [[recover]]) let
     * it propagate: there, a concurrent holder is a deployment-contract
     * violation to surface, not to paper over. */
-  private[sinks] final class FoldLeaseHeldException(msg: String)
+  private[graft] final class FoldLeaseHeldException(msg: String)
     extends IllegalStateException(msg)
 
-  private def acquireLease(spark: SparkSession, fs: FileSystem,
-      root: Path, owner: String): Unit = {
-    val leaseP = new Path(root, Lease)
+  private def acquireLease(fs: FileSystem,
+      leaseP: Path, owner: String, desc: String): Unit = {
     // create-exclusive, then stamp. An exists-failure returns false
     // (contention — the normal signal); a STAMP failure after a
     // successful create is a real store error and must both surface
@@ -274,15 +335,16 @@ private[sinks] object EvidenceCompaction {
       // one retry; a second failure is live contention — another
       // process holds it NOW, the defer-able condition
       if (!tryCreate()) throw new FoldLeaseHeldException(
-        s"evidence-store fold lease contended: $leaseP")
+        s"$desc lease contended: $leaseP")
       return
     }
     val age = System.currentTimeMillis() - born
     if (age < LeaseStaleMs) throw new FoldLeaseHeldException(
-      s"another maintenance process holds the evidence-store fold " +
+      s"another maintenance process holds the $desc " +
         s"lease $leaseP (stamped ${age / 1000} s ago) — concurrent " +
-        "cross-process fold/roll-forward can lose consolidated " +
-        "evidence, so this window refuses; wait for the holder, or " +
+        "cross-process maintenance windows can interleave their " +
+        "delete/rename protocols and lose data, so this window " +
+        "refuses; wait for the holder, or " +
         s"for the lease to go stale after ${LeaseStaleMs / 60000} " +
         "min if the holder crashed")
     // STALE takeover must be single-winner even among CONCURRENT
@@ -295,7 +357,8 @@ private[sinks] object EvidenceCompaction {
     // sits at the lease path NOW, which may already be a concurrent
     // taker's fresh lease rather than the stale one this process
     // measured.
-    val grave = new Path(root, s".$Lease.takeover-$owner")
+    val grave = new Path(leaseP.getParent,
+      s".${leaseP.getName}.takeover-$owner")
     // rename outcomes vary by FileSystem: RawLocalFileSystem's
     // copy-fallback THROWS FileNotFoundException when the source
     // vanished (a sibling claimed it) where HDFS returns false — both
@@ -337,14 +400,13 @@ private[sinks] object EvidenceCompaction {
     // sibling's plain create can land in the gap — then IT is the
     // holder and this window defers like any other contender
     if (!tryCreate()) throw new FoldLeaseHeldException(
-      s"evidence-store fold lease contended during stale takeover: " +
+      s"$desc lease contended during stale takeover: " +
         leaseP)
   }
 
-  private def releaseLease(spark: SparkSession, fs: FileSystem,
-      root: Path, owner: String): Unit = {
-    val leaseP = new Path(root, Lease)
-    val ours = isOwnedBy(spark, fs, root, owner)
+  private def releaseLease(fs: FileSystem,
+      leaseP: Path, owner: String, desc: String): Unit = {
+    val ours = isOwnedBy(fs, leaseP, owner)
     // a lease that is no longer ours at release means another process
     // claimed it mid-window (post-overrun takeover, or a concurrent
     // taker's mistaken claim). This window's MUTATIONS were guarded
@@ -355,13 +417,13 @@ private[sinks] object EvidenceCompaction {
     // explicit single-writer windows still fail loudly. Never delete
     // the claimant's lease out from under it.
     if (!ours) throw new FoldLeaseHeldException(
-      s"evidence-store fold lease $leaseP was claimed by another " +
+      s"$desc lease $leaseP was claimed by another " +
         "process mid-window (after this window's last pre-mutation " +
         "reassert, or after its work completed) — the claimant's own " +
         "arbitration aborts it before any interleaved mutation; " +
         "re-run this window's entry point to confirm the store")
     require(fs.delete(leaseP, false),
-      s"evidence-store fold lease release failed: $leaseP")
+      s"$desc lease release failed: $leaseP")
   }
 
   /** The one rename-commit write the evidence stores share: `rows` as

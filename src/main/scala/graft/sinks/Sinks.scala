@@ -159,8 +159,23 @@ object PartitionedSink {
     require(deleteIds.columns.length == 1,
       s"deleteIds must be a single id column, got: " +
         deleteIds.columns.mkString(", "))
+    // heal + scan + rewrite + whole-root swap as ONE single-writer
+    // window under the table's maintenance lease — a concurrent
+    // maintenance process refuses loudly instead of, e.g., compacting
+    // the root out from under the two commit renames
+    EvidenceCompaction.withMaintenanceLease(spark,
+      new org.apache.hadoop.fs.Path(tablePath)) { lease =>
+      deleteRowsLocked(spark, tablePath, idCol, deleteIds,
+        partitionColumns, lease)
+    }
+  }
+
+  private def deleteRowsLocked(spark: SparkSession, tablePath: String,
+      idCol: String, deleteIds: DataFrame,
+      partitionColumns: Seq[String],
+      lease: EvidenceCompaction.LeaseHandle): Long = {
     import org.apache.hadoop.fs.Path
-    recoverTable(spark, tablePath) // self-heal a crashed prior rewrite
+    recoverTable(spark, tablePath) // re-enters this window's lease
     val del = deleteIds.toDF("__graft_del_id").distinct()
       .localCheckpoint(false)
     val table = spark.read.parquet(tablePath)
@@ -182,6 +197,9 @@ object PartitionedSink {
         .write.partitionBy(partitionColumns: _*)
     else kept.write).mode("errorifexists")
     writer.parquet(tmp.toString)
+    // the rewrite above is the window's long phase — re-check the
+    // lease before the commit point (the first root rename)
+    lease.reassert()
     require(fs.rename(root, old), s"takedown swap failed: $root -> $old")
     require(fs.rename(tmp, root), s"takedown swap failed: $tmp -> $root")
     // a failed delete leaves a stale full copy beside the table —
@@ -241,9 +259,35 @@ object PartitionedSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(root.getParent, root.getName + ".rowdelete_tmp")
     val old = new Path(root.getParent, root.getName + ".rowdelete_old")
+    val legacyOld = new Path(root.getParent, root.getName + ".delete_old")
+    // lease-free fast path: a live root with no whole-root crash
+    // state and no committed TTL-sweep manifest has nothing for THIS
+    // fsck to mutate — delegate to the partition fsck, which takes
+    // its own lease only when it finds crash state. (A `.delete_tmp`
+    // beside a live root is the partition protocol's to resolve.)
+    val healthy = fs.exists(root) && !fs.exists(tmp) &&
+      !fs.exists(old) && !fs.exists(legacyOld) &&
+      !fs.exists(new Path(root, TtlSweepManifest))
+    if (healthy) graft.operators.IndexCompact.recover(spark, tablePath)
+    else EvidenceCompaction.withMaintenanceLease(spark, root) { lease =>
+      recoverTableLocked(spark, tablePath, root, fs, lease)
+    }
+  }
+
+  private def recoverTableLocked(spark: SparkSession, tablePath: String,
+      root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: EvidenceCompaction.LeaseHandle): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root.getParent, root.getName + ".rowdelete_tmp")
+    val old = new Path(root.getParent, root.getName + ".rowdelete_old")
     val legacyTmp = new Path(root.getParent, root.getName + ".delete_tmp")
     val legacyOld = new Path(root.getParent, root.getName + ".delete_old")
     val actions = scala.collection.mutable.ListBuffer.empty[String]
+    // every branch below mutates immediately (the whole-root fsck is
+    // all renames/deletes) — one ownership re-check up front covers
+    // the window; the claimant's own arbitration aborts IT unmutated
+    lease.reassert()
     if (fs.exists(root)) {
       if (fs.delete(tmp, true)) actions += "dropped uncommitted .rowdelete_tmp"
       if (fs.delete(old, true)) actions += "dropped stale .rowdelete_old copy"
@@ -340,11 +384,15 @@ object PartitionedSink {
     * (rowsDeleted, dirsRewritten). */
   def deletePartitionRowsByKey(spark: SparkSession, tablePath: String,
       idCol: String, deleteIds: DataFrame,
-      evidence: Option[ComplianceLog.Key] = None): (Long, Long) = {
-    recoverTable(spark, tablePath)
-    graft.operators.IndexCompact.deleteMatchingChecked(spark, tablePath,
-      idCol, deleteIds, evidence)
-  }
+      evidence: Option[ComplianceLog.Key] = None): (Long, Long) =
+    // one lease frame across the whole-root heal AND the partition
+    // delete — the nested entry points re-enter it
+    EvidenceCompaction.withMaintenanceLease(spark,
+      new org.apache.hadoop.fs.Path(tablePath)) { _ =>
+      recoverTable(spark, tablePath)
+      graft.operators.IndexCompact.deleteMatchingChecked(spark,
+        tablePath, idCol, deleteIds, evidence)
+    }
 
   /** Drops WHOLE partition directories whose partition VALUE satisfies
     * `predicate` — the retention/TTL sweep (age out a date bucket,
@@ -423,7 +471,20 @@ object PartitionedSink {
     * verdict item 1). Without `evidence` it is always false. */
   def dropPartitionsWhere(spark: SparkSession, tablePath: String,
       predicate: Column,
-      evidence: Option[ComplianceLog.Key]): (Long, Long, Long, Boolean) = {
+      evidence: Option[ComplianceLog.Key]): (Long, Long, Long, Boolean) =
+    // heal + census + doomed count + manifest + leaf deletes as ONE
+    // single-writer window — without it, a sibling cron's compact can
+    // rewrite leaves this sweep is deleting and resurrect aged-out
+    // rows whose evidence was already recorded
+    EvidenceCompaction.withMaintenanceLease(spark,
+      new org.apache.hadoop.fs.Path(tablePath)) { lease =>
+      dropPartitionsLocked(spark, tablePath, predicate, evidence, lease)
+    }
+
+  private def dropPartitionsLocked(spark: SparkSession,
+      tablePath: String, predicate: Column,
+      evidence: Option[ComplianceLog.Key],
+      lease: EvidenceCompaction.LeaseHandle): (Long, Long, Long, Boolean) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.Row
@@ -488,6 +549,9 @@ object PartitionedSink {
       else spark.read.option("basePath", tablePath)
         .parquet(withData.map(rel => new Path(root, rel).toString): _*)
         .count()
+    // the doomed count above read the doomed slice — re-check the
+    // lease before the commit point (the manifest) and the deletes
+    lease.reassert()
     // COMMIT POINT (evidenced sweeps only): counts + doomed list are
     // final; from here a crash completes via recoverTtlSweep with
     // exactly these numbers, never a recount of the remainder

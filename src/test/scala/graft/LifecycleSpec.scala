@@ -1261,4 +1261,81 @@ class LifecycleSpec extends SparkSpec {
       assert(n === seen.filter(_._1._1 == t).values.map(_._1).sum,
         s"target $t")
   }
+
+  test("table-maintenance lease (r16 second wave): the swap engine, " +
+    "the TTL sweep, and the whole cron window hold a SIBLING " +
+    "single-writer lease — a fresh foreign lease refuses every entry " +
+    "point with the table untouched, a stale one is taken over, the " +
+    "sibling placement survives the whole-root swap, and nested " +
+    "protocol steps re-enter their caller's frame") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = tmp("maint-lease").toString
+    val table = s"$dir/corpus"
+    Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y"))
+      .toDF("id", "src", "v")
+      .write.partitionBy("src").parquet(table)
+    val root = new Path(table)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseP = new Path(root.getParent,
+      root.getName + ".maintenance_lease.json")
+    def writeForeign(ageMs: Long): Unit = {
+      val node = graft.config.Sidecar.newNode()
+      node.put("owner", "other-jvm")
+      node.put("epochMs", System.currentTimeMillis() - ageMs)
+      graft.config.Sidecar.writeNode(spark, leaseP, node)
+    }
+    // --- a fresh foreign lease (another host's cron, mid-window):
+    // the TTL sweep, the partition takedown, and the whole cron
+    // window each refuse loudly before mutating anything
+    writeForeign(ageMs = 0L)
+    val e1 = intercept[IllegalStateException] {
+      graft.sinks.PartitionedSink.dropPartitionsWhere(spark, table,
+        org.apache.spark.sql.functions.col("src") === "a")
+    }
+    assert(e1.getMessage.contains("holds the table-maintenance lease"),
+      e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      graft.sinks.PartitionedSink.deletePartitionRowsByKey(spark,
+        table, "id", Seq(1L).toDF("id"))
+    }
+    assert(e2.getMessage.contains("holds the table-maintenance lease"),
+      e2.getMessage)
+    val e3 = intercept[IllegalStateException] {
+      graft.operators.Maintenance.run(spark, table)
+    }
+    assert(e3.getMessage.contains("holds the table-maintenance lease"),
+      e3.getMessage)
+    assert(spark.read.parquet(table).count() === 4L,
+      "refused windows must leave the table untouched")
+    // --- the holder crashed: a stale lease is taken over, the window
+    // completes (sweep drops src=a) and releases
+    writeForeign(ageMs = 16L * 60 * 1000)
+    val (rows, dirs, _) = graft.sinks.PartitionedSink
+      .dropPartitionsWhere(spark, table,
+        org.apache.spark.sql.functions.col("src") === "a")
+    assert((rows, dirs) === ((2L, 1L)))
+    assert(!hfs.exists(leaseP),
+      "a completed window releases the lease it took over")
+    // --- whole-root swap: the SIBLING placement means the lease file
+    // does NOT travel with deleteRowsByKey's root renames (an in-root
+    // lease would end up inside .rowdelete_old and vanish mid-window)
+    val n = graft.sinks.PartitionedSink.deleteRowsByKey(spark, table,
+      "id", Seq(3L).toDF("id"))
+    assert(n === 1L)
+    assert(!hfs.exists(leaseP))
+    assert(spark.read.parquet(table).select("id").as[Long]
+      .collect().toSet === Set(4L))
+    // --- reentrancy is structural: nested frames on one thread share
+    // ONE handle, the inner exit does not release, the outermost does
+    graft.sinks.EvidenceCompaction.withMaintenanceLease(spark, root) {
+      h1 =>
+      graft.sinks.EvidenceCompaction.withMaintenanceLease(spark, root) {
+        h2 => assert(h1 eq h2, "nested frame must re-enter the handle")
+      }
+      h1.reassert() // the inner frame's exit must NOT have released
+      assert(hfs.exists(leaseP), "held across the inner frame's exit")
+    }
+    assert(!hfs.exists(leaseP), "the outermost frame releases")
+  }
 }
