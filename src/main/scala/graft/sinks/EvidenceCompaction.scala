@@ -149,7 +149,16 @@ private[graft] object EvidenceCompaction {
     * to any entry point takes the lease standalone while a nested
     * call rides its caller's frame. Lease file is a SIBLING of the
     * table root ([[MaintenanceLeaseSuffix]]) — see that constant for
-    * why in-root placement is unsafe for whole-root-swapped tables. */
+    * why in-root placement is unsafe for whole-root-swapped tables.
+    * Sibling placement has one fencing gap the evidence stores'
+    * in-root lease does not: two processes addressing one physical
+    * table through ALIASED spellings (a symlink under a different
+    * name) derive DIFFERENT sibling lease files and are not fenced
+    * against each other — address a table by one canonical path (the
+    * same single-spelling contract the ledger's `tableLineage` key
+    * already documents). The in-root evidence lease fences aliases
+    * because any spelling resolves INTO the same directory; a table
+    * lease cannot live there (whole-root swaps rename the root). */
   private[graft] def withMaintenanceLease[T](spark: SparkSession,
       root: Path)(body: LeaseHandle => T): T = {
     require(root.getParent != null,

@@ -1338,4 +1338,57 @@ class LifecycleSpec extends SparkSpec {
     }
     assert(!hfs.exists(leaseP), "the outermost frame releases")
   }
+
+  test("table-maintenance lease under CONCURRENT windows (r16 second " +
+    "wave): N TTL sweeps racing one table drop the doomed partition " +
+    "EXACTLY once — later serialized sweeps see the swept tree and " +
+    "report zeros, losers refuse loudly on the on-disk lease, and " +
+    "the surviving rows are exact under every interleaving") {
+    import spark.implicits._
+    val table = tmp("race-table").toString + "/t"
+    (1L to 40L).map(i =>
+        (i, if (i % 4 == 0) "old" else "keep" + (i % 3), "v" + i))
+      .toDF("id", "src", "v").write.partitionBy("src").parquet(table)
+    val expectSurvivors = (1L to 40L).filterNot(_ % 4 == 0).toSet
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val wins =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val threads = (0 until 4).map { i =>
+      val th = new Thread(() =>
+        try {
+          val (r, d, _) = graft.sinks.PartitionedSink
+            .dropPartitionsWhere(spark, table,
+              org.apache.spark.sql.functions.col("src") === "old")
+          wins.add((r, d)): Unit
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("table-maintenance lease") =>
+            () // loser: refused loudly before touching anything
+          case e: Throwable => errs.add(e): Unit
+        }, s"sweep-$i")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"only lease refusals are legal under contention: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val results = wins.asScala.toSeq
+    // the lease serializes the whole window (census + count + delete),
+    // so the doomed partition's (rows, dirs) are counted EXACTLY once
+    // across however many sweeps completed; the rest see the already-
+    // swept tree and report zeros — a double-count here would be the
+    // cross-window interleave the lease exists to prevent
+    assert(results.nonEmpty,
+      "the first acquirer runs unopposed and must complete")
+    assert(results.count(_ == ((10L, 1L))) === 1, results.toString)
+    assert(results.forall(r => r == ((10L, 1L)) || r == ((0L, 0L))),
+      results.toString)
+    assert(spark.read.parquet(table).select("id").as[Long]
+      .collect().toSet === expectSurvivors,
+      "survivors must be exact under every interleaving")
+    // the refused crons' slots rerun uncontended and settle to zeros
+    val (r2, d2, _) = graft.sinks.PartitionedSink.dropPartitionsWhere(
+      spark, table, org.apache.spark.sql.functions.col("src") === "old")
+    assert((r2, d2) === ((0L, 0L)))
+  }
 }
