@@ -836,6 +836,9 @@ object Queries {
     val agg1 = base.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .persist()
+    // populate the cache before its three consumers race it (r16 — see
+    // partGraph's e.count() rationale)
+    agg1.count()
     val stats = agg1.groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = agg1.filter(col("term").isNotNull)
@@ -986,6 +989,13 @@ object Queries {
           struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct().persist()
+    // materialize the cache BEFORE any consumer runs (r16): AQE launches
+    // every consumer exchange of the first action concurrently, and each
+    // scanned the still-empty cache, re-running the basket explode +
+    // distinct (two identical 1.196M-record map stages per q78 run). A
+    // populated cache is served to all of them; count() is the cheapest
+    // full materialization (and costs one column).
+    e.count()
     val (deg, triangles) = orientedTriangles(e)
     (e, deg, triangles)
   }
@@ -1008,7 +1018,7 @@ object Queries {
     // ordered WITHOUT re-joining degrees: only π-ordered wedges (v,w)
     // are emitted, halving the wedge join and matching the oriented
     // close edge exactly once per triangle
-    val oriented = e
+    def orientedFrame() = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(when(col("da") < col("db") ||
@@ -1019,6 +1029,9 @@ object Queries {
         .as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"),
         col("e.dt").as("dd"))
+      // persisted; the thunk's count() below populates the cache before
+      // the bloom/wedge/close consumers run concurrently (r16 — see
+      // partGraph's e.count() rationale)
       .persist()
     // wedge enumeration stays a src-keyed self-join: the tempting
     // alternative (per-source neighbor-list C(k,2) expansion, as used
@@ -1026,13 +1039,6 @@ object Queries {
     // π-oriented out-lists reach ~10³ neighbors, and exploding a
     // million-wedge HOF product through interpreted array code loses
     // to the codegen'd sort-merge join it replaces
-    val w1 = oriented.select(col("src"), col("dst").as("v"),
-      col("dd").as("dv"))
-    val w2 = oriented.select(col("src"), col("dst").as("w"),
-      col("dd").as("dw"))
-    val wedges = w1.join(w2, Seq("src"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
     // wedges outnumber edges ~34:1 here (41M vs 1.2M at sf0.1) and
     // only ~5% close into triangles — a bloom over the oriented edge
     // pairs, keyed by codegen'd xxhash64 (md5 would cost more than the
@@ -1054,7 +1060,17 @@ object Queries {
     // consumes only `e` — callers that never count triangles must not
     // pay for materializing the oriented edges
     val triangles = () => {
+      val oriented = orientedFrame()
+      // populate oriented's cache FIRST: the bloom build and the close
+      // join otherwise race concurrent scans of the empty cache
       val nOriented = oriented.count()
+      val w1 = oriented.select(col("src"), col("dst").as("v"),
+        col("dd").as("dv"))
+      val w2 = oriented.select(col("src"), col("dst").as("w"),
+        col("dd").as("dw"))
+      val wedges = w1.join(w2, Seq("src"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
       val idealBits = math.max(1L, nOriented) * 10
       val bits = math.max(1L << 24, math.min(1L << 28,
         java.lang.Long.highestOneBit(idealBits - 1) << 1)).toInt
@@ -1125,8 +1141,10 @@ object Queries {
     val toks = t(s, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .persist() // scanned by the sketch, the N count, and the recount
-    val sketch = Sketches.countMinSketch(toks, "term", depth, width)
+    // count FIRST (r16): populates the persisted cache before the
+    // sketch and recount consumers race the empty cache (see partGraph)
     val nTotal = toks.count()
+    val sketch = Sketches.countMinSketch(toks, "term", depth, width)
     val slack = 3L * nTotal / width
     val estDf = probes
       .map(p => (p, Sketches.countMinEstimate(sketch, depth, width, p)))
@@ -1230,6 +1248,9 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .persist()
+    // populate the cache before its consumers race it (r16 — see
+    // partGraph's e.count() rationale)
+    docs.count()
     val bi = docs.select(col("doc_id"),
         explode(transform(slice(col("ts"), lit(1), size(col("ts")) - 1),
           (u, i) => struct(u.as("u"),
@@ -4451,8 +4472,15 @@ object Queries {
     val corpus = broadcast(emb.select(col("vec_id").as("nid"),
       col("label").as("nlabel"), col("embedding").as("nvec"),
       Similarity.norm(col("embedding")).as("nnorm")))
+    // spread the n² probe (r16): the query side is one small parquet
+    // split, so the broadcast NLJ ran the whole 2000×2000 dot-product
+    // loop in a single 4.8s task — repartition the stream side to the
+    // configured parallelism before the join (deterministic hash; the
+    // per-query window/vote below is partition-independent)
     val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
         Similarity.norm(col("embedding")).as("qnorm"))
+      .repartition(graft.operators.Graph.shufflePartitions(emb),
+        col("vec_id"))
       .join(corpus, col("vec_id") =!= col("nid"))
       .withColumn("cos", Similarity.dotNative(col("embedding"),
         col("nvec")) / (col("qnorm") * col("nnorm")))
@@ -8545,7 +8573,15 @@ object Queries {
     * aggregate. Nothing is all-pairs; nothing corpus-scale is
     * broadcast. */
   def q309BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+    // spread the tokenize+shingle map (r16): the corpus parquet is one
+    // unsplittable row group, so the whole 291k-position explode ran in
+    // the single scan task (~1.1s, and q312 pays it again); hashing the
+    // raw docs across the configured parallelism first costs one tiny
+    // exchange of the 5k texts
+    val docs = t(s, dir, "documents")
+      .repartition(graft.operators.Graph.shufflePartitions(
+        t(s, dir, "documents")), col("doc_id"))
+      .select(col("doc_id"), col("source"),
       Dedup.shingles(concat(col("text"), lit(" "), col("source"),
         lit("_hdr cookie notice all rights reserved "), col("source"),
         lit("_end")), 2).as("sh"))
@@ -9080,7 +9116,15 @@ object Queries {
         org.apache.spark.sql.GraftSql.expression(col("clean_name"))))
     val w = Window.partitionBy(col("dirty_key"))
       .orderBy(col("sim").desc, col("clean_key").asc)
-    dirty.join(clean,
+    // spread the scoring (r16): the blocking prefix is degenerate on
+    // this fixture (every c_name shares its first 15 chars), so the
+    // broadcast join ran all |dirty|x|clean| Jaro-Winkler evaluations
+    // in customer.parquet's single scan task (3.3s). Hash the dirty
+    // side across the configured parallelism first — the window below
+    // partitions by the same key, so no extra exchange downstream.
+    dirty.repartition(graft.operators.Graph.shufflePartitions(dirty),
+        col("dirty_key"))
+      .join(clean,
         substring(col("dirty_name"), 1, 15) ===
           substring(col("clean_name"), 1, 15))
       .withColumn("sim", jw)

@@ -480,7 +480,14 @@ object Dedup {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      // localCheckpoint, NOT persist: r16 profiling caught the cached
+      // adjacency being RECOMPUTED — minhash chain included — on every
+      // per-round exchange despite persist() (nine ~4s map stages per
+      // q52 run; the block-"already exists" WARNs were the racing
+      // re-materializations). The eager checkpoint materializes the
+      // edge list exactly once and every round scans the stored RDD:
+      // q52 4.3 s → 2.5 s, executor task-time 35 s → 1 s.
+      .localCheckpoint(true)
     // propagate only over nodes incident to an edge — a dedup candidate
     // graph is overwhelmingly singletons, which are their own component
     // by definition and don't need to ride O(diameter) join rounds.
@@ -555,7 +562,6 @@ object Dedup {
     val result = nodes.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    adj.unpersist()
     (result, iter)
   }
 

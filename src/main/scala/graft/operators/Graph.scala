@@ -21,6 +21,17 @@ object Graph {
 
   val Scale: Long = 1L << 30
 
+  /** The session's configured shuffle parallelism — the partition count
+    * to PIN on a pre-checkpoint repartition. An eager localCheckpoint
+    * freezes its input's runtime partitioning, and AQE coalesces a
+    * small exchange to very few partitions (correct for size-
+    * proportional work, disastrous for the expanding joins these
+    * materialized edge lists feed). Pinning to the configured count
+    * keeps the materialized layout as parallel as the session asked
+    * for — scale-adaptive via conf, not a constant. */
+  private[graft] def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   /** Exact integer floor-division for longs (Column./ is always DOUBLE
     * division). Safe because every numerator here is < 2^53: the double
     * quotient m/n can only round across an integer boundary when
@@ -38,14 +49,19 @@ object Graph {
   def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
       iters: Int = 10, dampingPct: Int = 85): DataFrame = {
     require(dampingPct > 0 && dampingPct < 100)
-    val n = nodes.select(col(idCol).as("id")).distinct().persist()
-    // cache the edge list PRE-PARTITIONED on the join key: upstream
-    // distinct()s leave it hash-partitioned on (src, dst), which does
-    // NOT satisfy the per-round ranks⋈e join on src — without this,
-    // every iteration re-exchanges the (large) edge side; with it the
-    // shuffle happens once at build
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint(true)
+    // materialize the edge list PRE-PARTITIONED on the join key:
+    // upstream distinct()s leave it hash-partitioned on (src, dst),
+    // which does NOT satisfy the per-round ranks⋈e join on src.
+    // localCheckpoint, NOT persist (r16): the persisted edge list was
+    // measured being recomputed — lineitem scan and distinct included —
+    // on every round's exchange (q82: ten ~7-9s map stages re-emitting
+    // all 268k edges). The eager checkpoint stores the rows once, and
+    // LogicalRDD carries the repartition's hashpartitioning(src) so the
+    // per-round join still reuses it without a new exchange.
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+      .repartition(shufflePartitions(edges), col("src"))
+      .localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     // N is a bounded driver scalar (1 row) — a literal in every round's
@@ -54,9 +70,7 @@ object Graph {
     // empty graph → well-defined empty rank table (and Scale/nNodes
     // below would otherwise divide by zero)
     if (nNodes == 0) {
-      val out = n.select(col("id"), lit(0L).as("pr_fixed"))
-      n.unpersist(); e.unpersist()
-      return out
+      return n.select(col("id"), lit(0L).as("pr_fixed"))
     }
 
     // the dangling mass rides each round's checkpoint job via
@@ -101,10 +115,7 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
-    val out = ranks.select(col("id"), col("pr").as("pr_fixed"))
-    n.unpersist()
-    e.unpersist()
-    out
+    ranks.select(col("id"), col("pr").as("pr_fixed"))
   }
 
   /** Synchronous label propagation (community detection), fully
@@ -133,8 +144,13 @@ object Graph {
     // doubled edge list
     val doubled = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // localCheckpoint, NOT persist (r16): see pageRank — the persisted
+    // doubled edge list was re-derived from source on every round's
+    // join exchange; the checkpoint stores it once and keeps the
+    // src-hashpartitioning via LogicalRDD.
     val adj = (if (assumeDistinct) doubled else doubled.distinct())
-      .repartition(col("src")).persist()
+      .repartition(shufflePartitions(edges), col("src"))
+      .localCheckpoint(true)
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
@@ -157,7 +173,6 @@ object Graph {
         merged.localCheckpoint(true) else merged
       i += 1
     }
-    adj.unpersist()
     labels
   }
 
@@ -294,8 +309,10 @@ object Graph {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"),
         col("id_a").as("dst")))
+    // localCheckpoint, NOT persist (r16): see pageRank.
     val adj = (if (assumeDistinct) doubled else doubled.distinct())
-      .repartition(col("src")).persist()
+      .repartition(shufflePartitions(edges), col("src"))
+      .localCheckpoint(true)
     var dist = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -312,7 +329,6 @@ object Graph {
       frontier = newly
       i += 1
     }
-    adj.unpersist()
     dist
   }
 
@@ -353,8 +369,10 @@ object Graph {
     * edge is not dominated by a cheaper-looking later one. */
   def temporalReachRounds(edges: DataFrame, seeds: DataFrame,
       startT: Long, rounds: Int): DataFrame = {
+    // localCheckpoint, NOT persist (r16): see pageRank.
     val adj = edges.select(col("src"), col("dst"), col("t"))
-      .repartition(col("src")).persist()
+      .repartition(shufflePartitions(edges), col("src"))
+      .localCheckpoint(true)
     var arr = seeds.select(col("id")).distinct()
       .select(col("id"), lit(startT).as("arr"))
       .localCheckpoint(true)
@@ -368,7 +386,6 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
-    adj.unpersist()
     arr
   }
 
@@ -397,9 +414,14 @@ object Graph {
     *
     * Returns (id, auth_fixed, hub_fixed), absent scores as 0. */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
-    val eS = e.repartition(col("src")).persist()
-    val eD = e.repartition(col("dst")).persist()
+    // localCheckpoint, NOT persist (r16): see pageRank. eD re-shuffles
+    // the MATERIALIZED eS rows instead of re-deriving the distinct, so
+    // the source is scanned once for both layouts.
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val eS = e.repartition(shufflePartitions(edges), col("src"))
+      .localCheckpoint(true)
+    val eD = eS.repartition(shufflePartitions(edges), col("dst"))
+      .localCheckpoint(true)
 
     // x·2^30 DIV total — SQL's IntegralDivide (exact truncating
     // division; all values nonnegative, so ≡ floor), the product in
@@ -445,7 +467,6 @@ object Graph {
       .select(col("id"), coalesce(col("auth_fixed"), lit(0L)).as("auth_fixed"),
         coalesce(col("hub_fixed"), lit(0L)).as("hub_fixed"))
       .localCheckpoint(true)
-    e.unpersist(); eS.unpersist(); eD.unpersist()
     out
   }
 
@@ -456,9 +477,11 @@ object Graph {
       .unionByName(edges.select(col("id_b").as("src"),
         col("id_a").as("dst"), col("w")))
     // parallel edges: only the cheapest can ever matter under min-plus
+    // localCheckpoint, NOT persist (r16): see pageRank.
     val adj = doubled.groupBy(col("src"), col("dst"))
       .agg(min(col("w")).as("w"))
-      .repartition(col("src")).persist()
+      .repartition(shufflePartitions(edges), col("src"))
+      .localCheckpoint(true)
     var dist = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -471,7 +494,6 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
-    adj.unpersist()
     dist
   }
 }
