@@ -981,13 +981,18 @@ object Queries {
     // per-order pair expansion beats a lineitem self-join: one groupBy
     // exchange + an in-memory C(k,2) explode over tiny (≤7-item)
     // sorted part lists, instead of a sort-merge join over the full
-    // table — the order key never re-sorts
+    // table — the order key never re-sorts. Two FLAT generator steps
+    // (posexplode, then explode of the strict suffix), not the earlier
+    // nested transform/slice/flatten HOF: generators run inside
+    // whole-stage codegen while nested lambda trees evaluate
+    // interpreted per element — the HOF form cost ~29 s of executor
+    // time cold (r16 stage profile) for the same 4M pairs.
     val e = li.groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("a"),
+        explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
+          .as("b"))
       .distinct().persist()
     // materialize the cache BEFORE any consumer runs (r16): AQE launches
     // every consumer exchange of the first action concurrently, and each
@@ -1014,77 +1019,74 @@ object Queries {
     // threshold, which is the behavior a 100 TB graph needs.
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    // carry the destination's π-rank (degree, id) so wedge pairs can be
-    // ordered WITHOUT re-joining degrees: only π-ordered wedges (v,w)
-    // are emitted, halving the wedge join and matching the oriented
-    // close edge exactly once per triangle
+      // persisted LAZILY (callers that take only `e` never pay for it):
+      // deg feeds BOTH sides of the orientation join plus q84's
+      // clustering denominator — uncached it was derived from e twice
+      // per run (2 × ~14 s executor cold, r16 stage profile). The
+      // thunk below populates it before its consumers race; cached
+      // stats also let the optimizer broadcast both orientation joins
+      // on this |V|-row frame instead of sort-merging them (and degrade
+      // gracefully to a shuffle join past the threshold at real graph
+      // scale).
+      .persist()
+    // π-orient each edge by (degree, id) so every triangle survives in
+    // exactly one DAG shape a→b→c with a→c; only (src,dst) is needed —
+    // the edge-iterator count below never orders wedges
     def orientedFrame() = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
-        .otherwise(
-          struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+        struct(col("a").as("s"), col("b").as("t")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t")))
         .as("e"))
-      .select(col("e.s").as("src"), col("e.t").as("dst"),
-        col("e.dt").as("dd"))
-      // persisted; the thunk's count() below populates the cache before
-      // the bloom/wedge/close consumers run concurrently (r16 — see
-      // partGraph's e.count() rationale)
-      .persist()
-    // wedge enumeration stays a src-keyed self-join: the tempting
-    // alternative (per-source neighbor-list C(k,2) expansion, as used
-    // for the ≤7-item order baskets above) measured 2× SLOWER here —
-    // π-oriented out-lists reach ~10³ neighbors, and exploding a
-    // million-wedge HOF product through interpreted array code loses
-    // to the codegen'd sort-merge join it replaces
-    // wedges outnumber edges ~34:1 here (41M vs 1.2M at sf0.1) and
-    // only ~5% close into triangles — a bloom over the oriented edge
-    // pairs, keyed by codegen'd xxhash64 (md5 would cost more than the
-    // shuffle it saves on a 40M-row probe), sheds the non-closing
-    // wedges BEFORE the close join's exchange. False positives only
-    // re-admit rows the exact join drops; the count is unchanged. The
-    // q73 runtime-filter shape applied to a self-join.
-    // The bloom is SIZED FROM |E|, not fixed: ProbeGraph caught the
-    // fixed 2 MB bitset saturating at a 25×-replicated graph (29.9M
-    // edges into 16.7M bits → FP≈1), where the unshed wedge stream made
-    // the close exchange 1.19B rows instead of ~70M — shuffle grew 139×
-    // for 25× edges. ~10 bits/key (next pow2), floored at 1<<24 (the
-    // sf0.1 size, unchanged plans there) and capped at 1<<28 (32 MB
-    // driver/literal bound); past ~3 keys/bit the bloom can't shed
-    // anything, so a graph beyond the cap SKIPS the build — the exact
-    // join alone is then the right plan (or Spark's shuffle-side bloom
-    // on a real cluster), and paying for a useless 32 MB probe isn't.
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+    // EDGE-ITERATOR triangle count (r16 rewrite, guide §1.2 step 1:
+    // fix the distributed algorithm before tuning stages). The previous
+    // plan materialized every π-ordered WEDGE (a src-keyed self-join,
+    // ~34 wedges per edge — 41M rows at sf0.1), shed non-closing ones
+    // through a driver-built bloom over the edge set, then equi-joined
+    // the survivors back against the edges: one wedge exchange, one
+    // eager bloom-build pass, one close join, ~170 s of executor time
+    // and three eager actions cold. Counting per EDGE instead —
+    // Σ_{(u,v)∈E} |N⁺(u) ∩ N⁺(v)| over sorted out-neighbor arrays —
+    // needs one groupBy to build the adjacency arrays and two
+    // edge⋈adjacency equi-joins feeding the native merge-walk
+    // intersect kernel: wedges are never materialized, the bloom (and
+    // its driver round-trip) disappears, and the whole count is ONE
+    // action. Each triangle a→b→c (π-DAG) is counted exactly once, at
+    // its (a,b) edge, since c ∈ N⁺(a) ∩ N⁺(b) and neither other edge
+    // sees it: N⁺ lists of b and c cannot contain a (orientation), so
+    // the sum equals the wedge-close count row for row. At scale the
+    // π-oriented out-lists are O(√m) (the classic arboricity bound),
+    // so the collect_list arrays stay task-sized exactly where the
+    // old wedge expansion went quadratic.
     // thunked: the bloom build is an eager driver action, and q86
     // consumes only `e` — callers that never count triangles must not
     // pay for materializing the oriented edges
     val triangles = () => {
+      // populate deg's cache before the oriented branches' four join
+      // consumers race concurrent scans of it (one eager tiny action)
+      deg.count()
+      // oriented is deliberately NOT cached: from cached e it is a
+      // map-only projection behind two broadcast joins of cached deg,
+      // and the two consumers below recompute it for less than the
+      // columnar cache build + populate pass used to cost (r16 stage
+      // profile: the cache build alone sampled hotter than the join)
       val oriented = orientedFrame()
-      // populate oriented's cache FIRST: the bloom build and the close
-      // join otherwise race concurrent scans of the empty cache
-      val nOriented = oriented.count()
-      val w1 = oriented.select(col("src"), col("dst").as("v"),
-        col("dd").as("dv"))
-      val w2 = oriented.select(col("src"), col("dst").as("w"),
-        col("dd").as("dw"))
-      val wedges = w1.join(w2, Seq("src"))
-        .filter(col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w")))
-      val idealBits = math.max(1L, nOriented) * 10
-      val bits = math.max(1L << 24, math.min(1L << 28,
-        java.lang.Long.highestOneBit(idealBits - 1) << 1)).toInt
-      val closeJoin = (w: DataFrame) => w
-        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-          Seq("v", "w"))
-        .agg(count(lit(1)).as("n_triangles"))
-      if (nOriented * 3 > bits.toLong) closeJoin(wedges)
-      else {
-        val closeBloom = RuntimeFilter.bloomBytesOf(
-          oriented, xxhash64(col("src"), col("dst")), numBits = bits)
-        closeJoin(wedges.filter(RuntimeFilter.mightContain(closeBloom,
-          xxhash64(col("v"), col("w")))))
-      }
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      def intersectCount(a: Column, b: Column): Column =
+        org.apache.spark.sql.GraftSql.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.GraftSql.expression(a),
+            org.apache.spark.sql.GraftSql.expression(b)))
+      oriented
+        .join(adj.select(col("src"), col("ns").as("na")), Seq("src"))
+        .join(adj.select(col("src").as("dst"), col("ns").as("nb")),
+          Seq("dst"))
+        .agg(coalesce(sum(intersectCount(col("na"), col("nb"))), lit(0L))
+          .as("n_triangles"))
     }
     (deg, triangles)
   }
@@ -5309,27 +5311,58 @@ object Queries {
   def q220Winnowing(s: SparkSession, dir: String): DataFrame = {
     val W = 4
     val shift = 1048576L // 2^20
+    // trigram hashes via the NATIVE shingle kernel (r16, guide §1.2
+    // step 2): ShingleHashes is hash-identical to the old
+    // tokenize → transform/element_at/concat → md5Mod chain
+    // (HashingSpec pins the equivalence) but runs one flat pass
+    // instead of an interpreted per-gram lambda tree. The per-doc gram
+    // COUNT is the array's size, read before the explode — which
+    // deletes the whole-doc count() window (a full extra pass over
+    // every gram row) outright.
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-    val grams = docs.select(col("doc_id"),
-      posexplode(expr("""transform(sequence(1, size(toks) - 2),
-        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
-          ' ', element_at(toks, i + 2)))""")).as(Seq("i0", "gram")))
-    val hashed = grams.select(col("doc_id"),
-      (col("i0") + 1).cast("long").as("i"),
-      graft.functions.Hashing.md5Mod(col("gram")).as("h"))
+      .select(col("doc_id"), col("text"))
+      // single-row-group fixture ⇒ one scan task; spread the rows
+      // BEFORE the tokenize/hash kernel so it runs suite-wide, not
+      // serially in the scan task (r16, the wave-2 q309 treatment)
+      .repartition(
+        s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3, mod = true).as("hs"))
+    val hashed = docs
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i0", "h")))
+      .select(col("doc_id"),
+        (col("i0") + 1).cast("long").as("i"), col("h"))
       .withColumn("c",
         col("h") * lit(shift) + (lit(shift - 1) - col("i")))
-    val whole = Window.partitionBy(col("doc_id"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, W - 1)
+    // windows as an AGGREGATE, not a window function (r16): each gram
+    // i feeds the ≤W window-starts p ∈ [max(1, i−W+1), i] it is
+    // visible from, and min(c)/count(*) per (doc, p) reproduce the
+    // sliding minimum exactly — count == W marks complete windows
+    // (grams are consecutive, so a (doc, p) group holds
+    // min(p+W−1, gcnt) − p + 1 rows), p == 1 readmits short docs;
+    // together that is precisely the old i ≤ greatest(gcnt−W+1, 1)
+    // cut. The WindowExec it replaces paid a per-doc-GROUP frame
+    // setup — a codegen-cache fetch under Spark's per-key lock — that
+    // profiled as the stage's top cost across 291k doc groups on 32
+    // threads (KeyLock.acquireLock/Object.wait in every sample). With
+    // the input hash-partitioned by doc_id upstream, both this
+    // aggregate and the fingerprint distinct below satisfy their
+    // clustering without ANY further exchange: the whole
+    // tokenize→shingle→window→distinct chain is one codegen stage.
     val fps = hashed
-      .withColumn("gcnt", count(lit(1)).over(whole))
-      .withColumn("wmin", min(col("c")).over(win))
-      .filter(col("i") <= greatest(col("gcnt") - lit(W - 1L), lit(1L)))
+      .select(col("doc_id"), col("c"),
+        explode(sequence(greatest(col("i") - lit(W - 1L), lit(1L)),
+          col("i"))).as("p"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min(col("c")).as("wmin"), count(lit(1)).as("wlen"))
+      .filter(col("wlen") === lit(W.toLong) || col("p") === lit(1L))
       .select(col("doc_id"), expr(s"wmin DIV $shift").as("h"))
       .distinct()
+      // materialized once (r16): fps feeds the df-cap aggregate AND
+      // both sides of the overlap self-join — un-pinned, the whole
+      // tokenize/hash/window chain re-ran per consumer
+      .localCheckpoint(true)
     val dfCap = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 100)
     val kept = fps.join(dfCap.select("h"), Seq("h"))

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** Shared bit derivation for the Bloom pair: k probe positions from one
@@ -115,7 +114,7 @@ case class BloomFilterAgg(
   * the deserialized words per filter instance. */
 case class BloomMightContain(left: Expression, right: Expression,
     numHashes: Int = BloomMightContain.DefaultNumHashes)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == LongType)
@@ -133,7 +132,9 @@ case class BloomMightContain(left: Expression, right: Expression,
   @transient private lazy val cache =
     new mutable.HashMap[Integer, Array[Long]]()
 
-  private def words(bytes: Array[Byte]): Array[Long] =
+  /** Deserialize-once word cache; public because the generated code
+    * calls it through a reference to this expression instance. */
+  def wordsFor(bytes: Array[Byte]): Array[Long] =
     cache.getOrElseUpdate(System.identityHashCode(bytes), {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val out = new Array[Long](bytes.length / 8)
@@ -143,16 +144,68 @@ case class BloomMightContain(left: Expression, right: Expression,
     })
 
   protected override def nullSafeEval(bloomBytes: Any, hashed: Any): Any = {
-    val w = words(bloomBytes.asInstanceOf[Array[Byte]])
-    val numBits = w.length * 64 // m rides the filter itself; k is ours
-    val bits = Bloom.bitPositions(hashed.asInstanceOf[Long], numBits,
-      numHashes)
+    // allocation-free probe loop: this runs once per PROBE ROW (tens of
+    // millions of wedges in q78 alone) — the previous
+    // Bloom.bitPositions call allocated a k-slot array per row
+    val w = wordsFor(bloomBytes.asInstanceOf[Array[Byte]])
+    val mask = w.length * 64 - 1 // m rides the filter itself; k is ours
+    val h = hashed.asInstanceOf[Long]
+    val h1 = (h & 0x3FFFFFFFL).toInt
+    val h2 = (((h >>> 30) & 0x3FFFFFFFL) | 1L).toInt
     var i = 0
-    while (i < bits.length) {
-      if ((w(bits(i) >>> 6) & (1L << (bits(i) & 63))) == 0L) return false
+    while (i < numHashes) {
+      val pos = (h1 + i * h2) & mask
+      if ((w(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
       i += 1
     }
     true
+  }
+
+  /** Real whole-stage codegen (r16, guide §1.2 step 2 / §4): the
+    * CodegenFallback this replaces forced a per-row interpreted eval —
+    * boxing both operands and allocating a bit-position array — inside
+    * the hottest filter in the registry (the q78 wedge shed evaluates
+    * it ~41M times). The generated code inlines the
+    * Kirsch–Mitzenmacher double-hash probe loop with zero allocations;
+    * the deserialized word array is fetched through the expression's
+    * identity-keyed cache (one deserialization per filter instance per
+    * task, exactly as the interpreted path). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val self = ctx.addReferenceObj("bloomMightContain", this,
+      classOf[BloomMightContain].getName)
+    val w = ctx.freshName("bloomWords")
+    val mask = ctx.freshName("mask")
+    val h1 = ctx.freshName("h1")
+    val h2 = ctx.freshName("h2")
+    val i = ctx.freshName("i")
+    val pos = ctx.freshName("pos")
+    val resultCode =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull} || ${rightGen.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          long[] $w = $self.wordsFor(${leftGen.value});
+          int $mask = $w.length * 64 - 1;
+          int $h1 = (int) (${rightGen.value} & 0x3FFFFFFFL);
+          int $h2 = (int) (((${rightGen.value} >>> 30) & 0x3FFFFFFFL) | 1L);
+          ${ev.value} = true;
+          for (int $i = 0; $i < $numHashes; $i++) {
+            int $pos = ($h1 + $i * $h2) & $mask;
+            if (($w[$pos >>> 6] & (1L << ($pos & 63))) == 0L) {
+              ${ev.value} = false;
+              break;
+            }
+          }
+        }"""
+    ev.copy(code = resultCode)
   }
 
   override protected def withNewChildrenInternal(
