@@ -34,9 +34,13 @@ object BenchDiag {
     case class StageRec(id: Int, tasks: Int, ms: Long, shWkb: Long,
       shWrec: Long, shRkb: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]
+    val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet(): Unit
+        jobSites.add(j.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.name.takeWhile(_ != '\n').take(70)).getOrElse("?")): Unit
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo; val m = si.taskMetrics
         taskTime.addAndGet(m.executorRunTime): Unit
@@ -60,8 +64,10 @@ object BenchDiag {
     } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(sel => sel.exists(n.startsWith)) }
+    val showJobs = sys.props.get("graftBenchDiagJobs").exists(_ == "true")
     selected.foreach { case (name, fn) =>
       val gc0 = gcMs; taskTime.set(0); jobCount.set(0); stages.clear()
+      jobSites.clear()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tBuild = (System.nanoTime() - t0) / 1e9
@@ -71,6 +77,13 @@ object BenchDiag {
       println(f"$name%-32s wall $sec%7.2f  build $tBuild%6.2f  " +
         f"gc ${(gcMs - gc0) / 1000.0}%6.2f  jobs ${jobCount.get}%3d  " +
         f"taskTime ${taskTime.get / 1000.0}%8.1f s")
+      if (showJobs) {
+        import scala.jdk.CollectionConverters._
+        jobSites.asScala.toSeq.groupBy(identity).toSeq
+          .sortBy(-_._2.size).take(15).foreach { case (site, js) =>
+            println(f"  job x${js.size}%3d  $site")
+          }
+      }
       if (showStages) {
         import scala.jdk.CollectionConverters._
         stages.asScala.toSeq.sortBy(-_.ms).take(12).foreach { s =>

@@ -789,13 +789,19 @@ private[graft] object IndexCompact {
     // links sun.util.calendar, which a plain JVM (no spark-submit
     // module options) refuses under JDK 17 — LocalDate is pure
     // java.time and flag-free, and Literal/partDirName handle it.
-    val scanSchema = spark.read.parquet(indexPath)
-      .select(partCols.map(col): _*).schema
+    // ONE DataFrame for the schema probe, the touched scan, and the
+    // rewrite below: each fresh spark.read.parquet(indexPath) built
+    // its own file index — at parts-bounded directory counts that is
+    // a redundant listing (a listing JOB past the parallel-discovery
+    // threshold) plus a schema re-inference, three times per delete
+    // batch (r16 job profile)
+    val base = spark.read.parquet(indexPath)
+    val scanSchema = base.select(partCols.map(col): _*).schema
     val dateCols = partCols.filter(c => scanSchema(c).dataType ==
       org.apache.spark.sql.types.DateType).toSet
     val partSel = partCols.map(c =>
       if (dateCols(c)) col(c).cast("string").as(c) else col(c))
-    val touchedAgg = spark.read.parquet(indexPath)
+    val touchedAgg = base
       .select(partSel :+ col(idColName).as("__graft_id"): _*)
       .join(del, col("__graft_id") === col("__graft_del_id"), "left_semi")
       .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("n"))
@@ -821,7 +827,7 @@ private[graft] object IndexCompact {
         .reduce(_ && _)).reduce(_ || _)
     val tmp = sibling(root, ".delete_tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(indexPath)
+    base
       .where(touchedPred)
       .join(del, col(idColName) === col("__graft_del_id"), "left_anti")
       .repartition(touchedVals.size, partCols.map(col): _*)

@@ -133,8 +133,10 @@ object ComplianceLog {
     if (fs.exists(new Path(root, name))) return false
     val row = Row(target, tablePath, lineage, batchId, rowsDeleted,
       dirsRewritten, System.currentTimeMillis())
-    EvidenceCompaction.writeCommitted(spark, root, name,
-      spark.createDataFrame(java.util.Arrays.asList(row), Schema))
+    // driver-direct single-row write (r16): same inflight/rename
+    // protocol, no Spark job for one evidence line
+    EvidenceCompaction.writeCommittedLocal(spark, root, name, Schema,
+      Seq(row))
     true
   }
 

@@ -467,6 +467,69 @@ private[graft] object EvidenceCompaction {
     fs.delete(inflight, true): Unit
   }
 
+  /** [[writeCommitted]] for a DRIVER-LOCAL handful of rows (the
+    * one-line ledger append): same inflight-dir + rename-commit
+    * protocol, same sweep semantics, but the parquet file is written
+    * directly with parquet-hadoop on the driver — a one-row append
+    * does not need a Spark job, its scheduler round-trip, or the
+    * Hadoop commit protocol (r16, guide §5: the ledger capstones spent
+    * most of their wall on ~90 tiny driver-submitted jobs, one per
+    * evidence line among others). Spark reads the file back through
+    * the stores' explicit schemas; only STRING and BIGINT columns are
+    * supported (all evidence schemas qualify — enforced loudly). */
+  private[sinks] def writeCommittedLocal(spark: SparkSession, root: Path,
+      name: String, schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val fs = fsOf(spark, root)
+    fs.mkdirs(root)
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType => b.addField(
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case LongType => b.addField(
+          Types.optional(PrimitiveTypeName.INT64).named(f.name))
+        case dt => throw new IllegalArgumentException(
+          s"writeCommittedLocal supports STRING/BIGINT only, " +
+            s"got ${f.name}: $dt")
+      }
+    }
+    val mt = b.named("spark_schema")
+    val inflight = new Path(root,
+      s".inflight-ts${System.currentTimeMillis()}-$name")
+    fs.delete(inflight, true)
+    fs.mkdirs(inflight)
+    val part = new Path(inflight, "part-00000.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(part, spark.sparkContext.hadoopConfiguration))
+      .withType(mt)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mt)
+      rows.foreach { r =>
+        val g = gf.newGroup()
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!r.isNullAt(i)) f.dataType match {
+            case StringType => g.append(f.name, r.getString(i)): Unit
+            case LongType => g.append(f.name, r.getLong(i)): Unit
+            case _ => () // unreachable: schema checked above
+          }
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    require(fs.rename(part, new Path(root, name)),
+      s"evidence append failed: $root/$name")
+    fs.delete(inflight, true): Unit
+  }
+
   /** Sweeps crashed append `.inflight-*` dirs. Evidence is NOT lost:
     * the stream that crashed replays its batch, finds no final file,
     * and re-appends. `olderThanMs > 0` spares inflights younger than
