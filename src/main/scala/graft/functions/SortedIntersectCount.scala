@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -20,10 +19,13 @@ import org.apache.spark.sql.types._
   * expression. NULL input → NULL; null ELEMENTS cannot occur in the
   * md5-hash arrays the operator builds, but a defensive null element
   * also yields NULL rather than a silent skip.
-  * CodegenFallback: the node itself is one flat loop; surrounding
-  * projections still codegen (the CosineSim rationale). */
+  * Real codegen (r16): the old CodegenFallback boxed both operands and
+  * re-entered interpreted eval once per CANDIDATE PAIR — millions of
+  * rows in q182/q185 and one per oriented edge in q78's edge-iterator
+  * triangle count; the generated merge walk below reads the unsafe
+  * array words directly with zero allocations. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(LongType, _) => true
@@ -60,6 +62,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else j += 1
     }
     c
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val va = ctx.freshName("va")
+    val vb = ctx.freshName("vb")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    val resultCode =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull} || ${rightGen.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $va = ${leftGen.value};
+          org.apache.spark.sql.catalyst.util.ArrayData $vb = ${rightGen.value};
+          int $na = $va.numElements();
+          int $nb = $vb.numElements();
+          int $i = 0;
+          int $j = 0;
+          while ($i < $na && $j < $nb) {
+            if ($va.isNullAt($i) || $vb.isNullAt($j)) {
+              ${ev.isNull} = true;
+              break;
+            }
+            long $x = $va.getLong($i);
+            long $y = $vb.getLong($j);
+            if ($x == $y) { ${ev.value}++; $i++; $j++; }
+            else if ($x < $y) { $i++; } else { $j++; }
+          }
+        }"""
+    ev.copy(code = resultCode)
   }
 
   override protected def withNewChildrenInternal(
