@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,9 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate Catalyst arrays or per-element lambda interpretation.
   * `mod = true` applies the % SmallPrime reduction (minhash/fingerprint
   * family); `mod = false` yields raw 60-bit hashes (simhash family).
-  * shingleSize = 1 degenerates to per-token hashes. */
+  * shingleSize = 1 degenerates to per-token hashes.
+  *
+  * Real codegen (r17): the CodegenFallback this replaces dropped the
+  * WHOLE enclosing projection out of whole-stage codegen and re-entered
+  * interpreted eval (boxing the operand) once per document row across
+  * the text-sketch family (q220/q309/q312, the minhash/simhash
+  * pipelines). The generated code calls straight into the same
+  * per-value evaluator through a reference to this instance (the
+  * BloomMightContain pattern), keeping the surrounding operators
+  * compiled. */
 case class ShingleHashes(child: Expression, shingleSize: Int, mod: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -29,10 +38,15 @@ case class ShingleHashes(child: Expression, shingleSize: Int, mod: Boolean)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  protected override def nullSafeEval(input: Any): Any = {
+  protected override def nullSafeEval(input: Any): Any =
+    evalShingles(input.asInstanceOf[UTF8String])
+
+  /** Public because the generated code calls it through a reference to
+    * this expression instance. */
+  def evalShingles(input: UTF8String): ArrayData = {
     // lower-then-trim exactly as tokens() = split(trim(lower(text)))
     // (UTF8String ops are what Spark's lower()/trim() call)
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val s = input.toLowerCase.trim().toString
     val toks = s.split("\\s+", -1) // Spark split keeps trailing empties
     val n = shingleSize
     val out =
@@ -54,6 +68,13 @@ case class ShingleHashes(child: Expression, shingleSize: Int, mod: Boolean)
   private def hashOne(shingle: String): Long = {
     val h = Md5Long60.hash(UTF8String.fromString(shingle))
     if (mod) h % Hashing.SmallPrime else h
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this,
+      classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalShingles($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =

@@ -73,6 +73,17 @@ object Dedup {
       graft.functions.ShingleHashes(
         org.apache.spark.sql.GraftSql.expression(text), n, mod))
 
+  /** Per-doc robust-winnowing fingerprint hashes over a gram-hash
+    * array in one linear pass (see functions.WinnowFingerprints); the
+    * proven-equal formulation is q220's r16 explode-to-window-starts
+    * `min(c)/count(*) group by (doc, p)` aggregate (WinnowSpec pins
+    * the equivalence). */
+  private[graft] def winnowFingerprints(hashes: Column, windowSize: Int,
+      shift: Long): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftSql.expression(hashes), windowSize, shift))
+
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
     org.apache.spark.sql.GraftSql.column(
       graft.functions.MinHashSignature(
