@@ -993,14 +993,21 @@ object Queries {
       .select(col("col").as("a"),
         explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
           .as("b"))
-      .distinct().persist()
-    // materialize the cache BEFORE any consumer runs (r16): AQE launches
-    // every consumer exchange of the first action concurrently, and each
-    // scanned the still-empty cache, re-running the basket explode +
-    // distinct (two identical 1.196M-record map stages per q78 run). A
-    // populated cache is served to all of them; count() is the cheapest
-    // full materialization (and costs one column).
-    e.count()
+      .distinct()
+      // materialize BEFORE any consumer runs (r16): AQE launches every
+      // consumer exchange of the first action concurrently, and each
+      // re-ran the basket explode + distinct when the pin was lazy.
+      // r17: eager localCheckpoint instead of persist()+count() — the
+      // columnar cache BUILD of the 1.2M-row edge list was the top
+      // stage of q78's cold profile (~20 s of executor time in
+      // CompressibleColumnBuilder) and the count() a second full pass;
+      // the checkpoint stores the rows once with neither. The
+      // partitioning it loses no longer matters: the r16 close join
+      // that a checkpointed e once flipped to a bad broadcast is gone
+      // (triangles are edge-iterated from the adjacency cache), and
+      // every remaining consumer either broadcasts deg or repartitions
+      // internally (labelPropagation).
+      .localCheckpoint(true)
     val (deg, triangles) = orientedTriangles(e)
     (e, deg, triangles)
   }
@@ -1068,23 +1075,37 @@ object Queries {
       // populate deg's cache before the oriented branches' four join
       // consumers race concurrent scans of it (one eager tiny action)
       deg.count()
-      // oriented is deliberately NOT cached: from cached e it is a
-      // map-only projection behind two broadcast joins of cached deg,
-      // and the two consumers below recompute it for less than the
-      // columnar cache build + populate pass used to cost (r16 stage
-      // profile: the cache build alone sampled hotter than the join)
-      val oriented = orientedFrame()
-      val adj = oriented.groupBy(col("src"))
+      // oriented now has exactly ONE consumer (the adjacency build):
+      // the r17 rewrite below regenerates the edge rows by EXPLODING
+      // the adjacency arrays instead of re-joining oriented against
+      // adj on src — (src, N⁺(src)) exploded over N⁺(src) is row for
+      // row the oriented edge list with na already attached. That
+      // deletes the first adjacency join, oriented's hash(src)
+      // exchange (1.2M rows), and — because adj is now persisted and
+      // populated once — the SECOND full adj derivation the old
+      // two-join shape paid (both join sides rebuilt the
+      // scan→orient→collect_list chain from e; two identical ~14 s
+      // partial-aggregate stages in the r17 cold profile).
+      val adj = orientedFrame().groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        .persist()
+      adj.count()
       def intersectCount(a: Column, b: Column): Column =
         org.apache.spark.sql.GraftSql.column(
           graft.functions.SortedIntersectCount(
             org.apache.spark.sql.GraftSql.expression(a),
             org.apache.spark.sql.GraftSql.expression(b)))
-      oriented
-        .join(adj.select(col("src"), col("ns").as("na")), Seq("src"))
-        .join(adj.select(col("src").as("dst"), col("ns").as("nb")),
-          Seq("dst"))
+      // src is dropped before the exchange: only (na, dst) must ride
+      // the shuffle (guide §2.3, project before the exchange). The
+      // nb side is hinted SHUFFLE_HASH: a sort-merge join would SORT
+      // the array-laden edge rows (the one big exchange this count
+      // has left) just to discard the order inside the sum — the
+      // hash build side is the |V|-row adjacency slice per partition,
+      // uniform under vertex hashing, and AQE skew handling still
+      // applies. Results are strategy-invariant (oracle-checked).
+      adj.select(col("ns").as("na"), explode(col("ns")).as("dst"))
+        .join(adj.select(col("src").as("dst"), col("ns").as("nb"))
+          .hint("SHUFFLE_HASH"), Seq("dst"))
         .agg(coalesce(sum(intersectCount(col("na"), col("nb"))), lit(0L))
           .as("n_triangles"))
     }
