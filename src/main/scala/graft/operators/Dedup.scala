@@ -499,6 +499,60 @@ object Dedup {
       // edge list exactly once and every round scans the stored RDD:
       // q52 4.3 s → 2.5 s, executor task-time 35 s → 1 s.
       .localCheckpoint(true)
+    // Bounded DRIVER union-find fast path (r17, guide §1.2 step 1):
+    // the touched/candidate graphs this fixpoint runs on are usually
+    // MODEL-sized (a dedup batch's collision volume, a takedown's
+    // touched components — thousands of edges), while every
+    // distributed double-round costs a checkpoint action plus ~10 AQE
+    // stage round-trips of driver latency, which BenchDiag measured as
+    // the wall of the whole maintenance family (q315: 10.8 s build vs
+    // 5 s executor). When the materialized edge list is small enough
+    // to state exactly — the same bounded-collect contract as q221's
+    // |types|² Markov chain — run union-find on the driver in O(E α)
+    // and skip the loop outright. The threshold is EDGE ROWS
+    // (collected bytes ≈ 32·E), conf-overridable for deployments, and
+    // past it the distributed O(log diameter) loop below runs
+    // unchanged, so corpus-scale graphs never touch the driver.
+    // Labels are identical by construction: union-by-min keeps every
+    // root the minimum member id, exactly the label the loop's
+    // min-propagation converges to (DedupSimilaritySpec pins the
+    // equivalence either side of the threshold).
+    val driverMaxEdges = nodes.sparkSession.conf
+      .getOption("spark.graft.cc.driverMaxEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    val longIds = adj.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && driverMaxEdges > 0 && adj.count() <= driverMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      adj.collect().foreach { row =>
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val labelRows = parent.keySet().asScala.iterator
+        .map(id => (id, find(id))).toSeq
+      val labelsDf = nodes.sparkSession.createDataFrame(labelRows)
+        .toDF("id", "component")
+      val result = nodes.select(col(idCol).as("id"))
+        .join(labelsDf, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+      return (result, 0)
+    }
+
     // propagate only over nodes incident to an edge — a dedup candidate
     // graph is overwhelmingly singletons, which are their own component
     // by definition and don't need to ride O(diameter) join rounds.
@@ -544,6 +598,7 @@ object Dedup {
         .withColumn("component", coalesce(col("cc"), col("component")))
         .drop("cc")
     }
+
 
     var converged = false
     var iter = 0

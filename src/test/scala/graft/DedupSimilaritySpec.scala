@@ -132,6 +132,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connected components: driver union-find path == distributed " +
+    "loop either side of the edge threshold") {
+    val rnd = new scala.util.Random(7)
+    val n = 250
+    val edgePairs = (0 until 300).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      if (a < b) (a, b) else (b, a)
+    }.filter(p => p._1 != p._2).distinct
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = edgePairs.toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponents(nodes, "id", edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDriver = run() // threshold default far above 300 edges
+    val key = "spark.graft.cc.driverMaxEdges"
+    spark.conf.set(key, "0") // forces the distributed double-round loop
+    try assert(run() === viaDriver)
+    finally spark.conf.unset(key)
+  }
+
   test("deleteRepairAssignments == union-find over the remaining graph " +
     "on seeded random graphs with random delete sets (splits, " +
     "re-elections, whole-component removals all covered by volume)") {
