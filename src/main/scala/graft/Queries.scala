@@ -9534,21 +9534,40 @@ object Queries {
     // archive missed batch 1
     val coverage = Seq(("archive", Seq(0, 2)), ("corpus", Seq(0, 1, 2)),
       ("mirror", Seq(0, 1)))
-    val tbls = coverage.map { case (target, batches) =>
-      val tbl = java.nio.file.Files
-        .createTempDirectory(s"graft_audit_${target}_").toString
-      docs.repartition(col("source"))
-        .write.mode("overwrite").partitionBy("source").parquet(tbl)
-      for (b <- batches) {
-        val ids = docs
-          .filter(pmod(col("doc_id"), lit(30)) === lit(b * 10 + 3))
-          .select("doc_id")
-        PartitionedSink.deletePartitionRowsByKey(s, tbl, "doc_id", ids,
-          Some(graft.sinks.ComplianceLog.Key(log, target, "q330",
-            b.toLong))): Unit
+    // the three TARGETS are independent maintenance streams (separate
+    // table roots, separate single-writer leases; ledger lines are
+    // distinct (target, batch) files behind the inflight/rename
+    // protocol), and each stream is a serial chain of small driver
+    // actions — so run the streams from a thread pool (guide §2.6,
+    // overlap independent jobs): the next stream's stages back-fill
+    // the scheduler while the current one waits on its action
+    // round-trips. Batches WITHIN a target stay ordered.
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(coverage.size)
+    val tbls = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = coverage.map { case (target, batches) =>
+        scala.concurrent.Future {
+          val tbl = java.nio.file.Files
+            .createTempDirectory(s"graft_audit_${target}_").toString
+          docs.repartition(col("source"))
+            .write.mode("overwrite").partitionBy("source").parquet(tbl)
+          for (b <- batches) {
+            val ids = docs
+              .filter(pmod(col("doc_id"), lit(30)) === lit(b * 10 + 3))
+              .select("doc_id")
+            PartitionedSink.deletePartitionRowsByKey(s, tbl, "doc_id",
+              ids, Some(graft.sinks.ComplianceLog.Key(log, target,
+                "q330", b.toLong))): Unit
+          }
+          tbl
+        }
       }
-      tbl
-    }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     val grid = coverage.map(_._1)
       .flatMap(target => (0L until 3L).map(b => (target, b)))
       .toDF("target", "batch_id")
