@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,14 +13,16 @@ import org.apache.spark.sql.types._
   * HashingSpec) but computed in ONE flat loop per row instead of three
   * interpreted aggregate/zip_with lambda chains. The three accumulators
   * are independent left folds, so fusing them into one pass changes no
-  * bit of any of them. CodegenFallback: the node itself is the fast
-  * path; surrounding projections still codegen.
+  * bit of any of them. Real codegen (r17): the generated code calls the
+  * same evaluator through an instance reference (the BloomMightContain
+  * pattern), so the enclosing projection stays whole-stage compiled
+  * instead of dropping to interpreted per-row eval around the node.
   *
   * Mismatched lengths yield NULL (the HOF's zip_with pads with nulls,
   * which also nulls the fold), and so does a NULL element on either
   * side (a null product nulls the left fold). */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -49,9 +51,12 @@ case class CosineSim(left: Expression, right: Expression)
   private lazy val rightFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Boxed so a mismatched-length / null-element NULL crosses the
+    * codegen boundary; public because the generated code calls it. */
+  def compute(va: ArrayData, vb: ArrayData): java.lang.Double = {
     val n = va.numElements()
     if (vb.numElements() != n) return null
     var dot = 0.0
@@ -68,6 +73,16 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cosineSim", this,
+      classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}Boxed = $self.compute($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(

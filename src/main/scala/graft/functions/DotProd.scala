@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * (asserted in HashingSpec).
   *
   * Same null contract as CosineSim: mismatched lengths or a null
-  * element yield NULL, hence `nullable = true` unconditionally. */
+  * element yield NULL, hence `nullable = true` unconditionally.
+  * Real codegen (r17): the CosineSim rationale, and this node sits in
+  * the hottest all-pairs inner loops in the registry. */
 case class DotProd(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -41,9 +43,12 @@ case class DotProd(left: Expression, right: Expression)
   private lazy val rightFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Boxed so a mismatched-length / null-element NULL crosses the
+    * codegen boundary; public because the generated code calls it. */
+  def compute(va: ArrayData, vb: ArrayData): java.lang.Double = {
     val n = va.numElements()
     if (vb.numElements() != n) return null
     var dot = 0.0
@@ -56,6 +61,16 @@ case class DotProd(left: Expression, right: Expression)
       i += 1
     }
     dot
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dotProd", this,
+      classOf[DotProd].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}Boxed = $self.compute($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(

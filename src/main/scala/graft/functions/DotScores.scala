@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * nulls the HOF's fold); a NULL element in the vector nulls EVERY
   * centroid's score (the null product nulls each per-centroid fold). */
 case class DotScores(child: Expression, cents: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -37,8 +37,12 @@ case class DotScores(child: Expression, cents: Seq[Seq[Double]])
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val matrix: Array[Array[Double]] = cents.map(_.toArray).toArray
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val ad = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    scoresOf(input.asInstanceOf[ArrayData])
+
+  /** Public because the generated code calls it (r17 real codegen,
+    * the BloomMightContain pattern). */
+  def scoresOf(ad: ArrayData): ArrayData = {
     val n = ad.numElements()
     val v = new Array[Double](n)
     var j = 0
@@ -62,6 +66,13 @@ case class DotScores(child: Expression, cents: Seq[Seq[Double]])
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dotScores", this,
+      classOf[DotScores].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.scoresOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DotScores =

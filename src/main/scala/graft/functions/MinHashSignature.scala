@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -23,10 +23,11 @@ import org.apache.spark.sql.types._
   * null→null and `array_min` ... skips nulls), so to stay exactly
   * equivalent we replicate array_min's null-skipping: null elements
   * are ignored; an all-null/empty input yields an all-null signature.
-  * CodegenFallback: the node is the fast path; surrounding projections
-  * still codegen. */
+  * Real codegen (r17): the generated code calls the same evaluator
+  * through an instance reference (the BloomMightContain pattern), so
+  * the enclosing projection stays whole-stage compiled. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -42,8 +43,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   private val as: Array[Long] = Array.tabulate(numHashes)(Hashing.coefA)
   private val bs: Array[Long] = Array.tabulate(numHashes)(Hashing.coefB)
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val ad = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    signature(input.asInstanceOf[ArrayData])
+
+  /** Public because the generated code calls it. */
+  def signature(ad: ArrayData): ArrayData = {
     val n = ad.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var any = false
@@ -63,6 +67,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
     if (!any) new GenericArrayData(Array.fill[Any](numHashes)(null))
     else new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashSignature", this,
+      classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.signature($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * fold per plane, same Σ bit_i·2^i bucket encoding (asserted in
   * HashingSpec) — but evaluated as one flat loop instead of
   * tables × bits × dim interpreted lambda nodes, which is worth
-  * seconds per million rows. CodegenFallback: the node itself is the
-  * fast path; surrounding projections still codegen. */
+  * seconds per million rows. Real codegen (r17): the generated code
+  * calls the same evaluator through an instance reference (the
+  * BloomMightContain pattern), so the enclosing projection stays
+  * whole-stage compiled. */
 case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
     tables: Int, planeSeed: String = "plane")
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -43,8 +45,11 @@ case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
       (java.lang.Long.parseLong(hex, 16).toDouble / Math.pow(2.0, 56)) - 0.5
     }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val ad = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    bucketsOf(input.asInstanceOf[ArrayData])
+
+  /** Public because the generated code calls it. */
+  def bucketsOf(ad: ArrayData): ArrayData = {
     val v = new Array[Double](dim)
     var j = 0
     while (j < dim) {
@@ -68,6 +73,13 @@ case class SignLshBuckets(child: Expression, dim: Int, bits: Int,
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signLshBuckets", this,
+      classOf[SignLshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.bucketsOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   *
   * Null elements replicate the HOF's semantics exactly: they count
   * toward n (size of the array) but never toward a bit's ones (filter
-  * drops null-predicate elements). CodegenFallback: the node is the
-  * fast path; surrounding projections still codegen. */
+  * drops null-predicate elements). Real codegen (r17): the generated
+  * code calls the same evaluator through an instance reference (the
+  * BloomMightContain pattern), so the enclosing projection stays
+  * whole-stage compiled. */
 case class SimHashBits(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -29,8 +31,11 @@ case class SimHashBits(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_bits"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val ad = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    sketchOf(input.asInstanceOf[ArrayData])
+
+  /** Public because the generated code calls it. */
+  def sketchOf(ad: ArrayData): Long = {
     val n = ad.numElements()
     val ones = new Array[Int](bits)
     var i = 0
@@ -52,6 +57,13 @@ case class SimHashBits(child: Expression, bits: Int)
       b += 1
     }
     sketch
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHashBits", this,
+      classOf[SimHashBits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.sketchOf($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
