@@ -2108,6 +2108,14 @@ object Queries {
     * Every stage is a narrow projection or one hash-shuffle; nothing
     * collects to the driver. */
   def q43TrainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    // NOT repartitioned (r17, measured): spreading the single-row-group
+    // scan over the full partition width before the text kernels (the
+    // r16 wave-2 treatment) measured WORSE at 8 and 32 cores here —
+    // the pipeline's ~4 s of serial text work is spread across six
+    // narrow stages whose per-task fixed costs (first-wave codegen
+    // compile under the KeyLock, bypass-writer file opens) exceed the
+    // saved compute; q200/q322 won that trade only because their
+    // serial stages were single BIG expressions.
     val docs = t(s, dir, "documents")
     val quality = TextAnalysis.withQuality(docs, "text")
       .filter(col("quality_score") >= 0.8)
@@ -7905,17 +7913,26 @@ object Queries {
     * double. */
   def q290Jonckheere(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val cells = t(s, dir, "lineitem")
+    val joined = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(substring(col("o_orderpriority"), 1, 1).cast("long")
         .as("g"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
           .cast("long").as("v"))
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("f"))
     val groups = 1 to 5 // TPC-H o_orderpriority '1-URGENT'..'5-LOW'
+    // pivot straight to one row per value (r17): the old
+    // groupBy(g, v).count → groupBy(v) two-step exchanged the ~|rows|
+    // cell frame twice for the same five conditional counts a single
+    // value-keyed aggregate produces (map-side partial combine does
+    // the same work either way — sum(g = k) over raw rows ≡
+    // sum(when(g = k, f)) over pre-counted cells, both exact longs).
     val slots = groups.map(k =>
-      sum(when(col("g") === k, col("f")).otherwise(0L)).as(s"t$k"))
-    val pv = cells.groupBy(col("v")).agg(slots.head, slots.tail: _*)
+      sum(when(col("g") === k, 1L).otherwise(0L)).as(s"t$k"))
+    // pinned HERE (not only inside globalCumSum) so the group-size
+    // aggregate below reads the collapsed per-value frame instead of
+    // re-running the orders⋈lineitem join
+    val pv = joined.groupBy(col("v")).agg(slots.head, slots.tail: _*)
+      .localCheckpoint(false)
     val cum = Ranking.globalCumSum(pv, "v", groups.map(k => s"t$k"))
     // per-value doubled dominance: t_j · Σ_{i<j} (2·F_i(v⁻) + t_i(v))
     // with F_i(v⁻) = cum_t_i − t_i, so the inner term is 2·cum − t.
@@ -7925,12 +7942,15 @@ object Queries {
       col(s"t$j").cast(dec) * inner
     }.reduce(_ + _)
     val j2 = cum.agg(sum(term).as("j2"))
-    // per-group totals = the MAX cumulative count per group, already
-    // sitting in the checkpoint-backed cum frame — re-aggregating the
-    // cells branch here would re-run the orders⋈lineitem join
-    val nk = (1 to 5).map(k => max(col(s"cum_t$k")).as(s"n$k"))
+    // per-group totals from the PINNED per-value frame: Σ_v t_k(v) is
+    // exactly the final (= max, counts are nonnegative) cumulative
+    // count the old max(cum_t_k) read — but aggregating cum re-ran the
+    // range-bucketed window pass a second time (the two ~9 s window
+    // stages in the r17 profile were this aggregate and j2's, each
+    // recomputing the same windows over 583k values)
+    val nk = (1 to 5).map(k => sum(col(s"t$k")).as(s"n$k"))
     val nkc = (1 to 5).map(k => col(s"n$k"))
-    val sizes = cum.agg(nk.head, nk.tail: _*)
+    val sizes = pv.agg(nk.head, nk.tail: _*)
       .select(nkc.reduce(_ + _).as("nn"),
         nkc.map(n => n.cast(dec) * n).reduce(_ + _).as("sn2"),
         nkc.map(n => n.cast(dec) * n * (lit(2L) * n + lit(3L)))
