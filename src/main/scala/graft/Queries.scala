@@ -5548,12 +5548,25 @@ object Queries {
       .agg(count(lit(1)).as("m"),
         sum(when(col("uncensored"), 1L).otherwise(0L)).as("deaths"),
         max(col("n_users")).as("n_users"))
-    val atRisk = Ranking.globalCumSum(byDay, "life", Seq("m"))
+    // BOUNDED-domain global windows (r17), not globalCumSum: byDay has
+    // one row per distinct lifetime DAY — calendar-bounded (thousands
+    // of rows at any corpus scale), the same boundedness argument as
+    // the histogram/contingency operators — so the range-bucketed
+    // machinery was pure fixed cost here: two lazy checkpoints, two
+    // bounds aggregates, four window passes and two offset joins where
+    // two single-sort windows over a model-sized frame produce the
+    // identical exact integers. Both windows share one ordering, so
+    // the whole post-join story is one tiny stage.
+    val wCum = Window.orderBy(col("life"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byDay
+      .withColumn("cum_m", sum(col("m")).over(wCum))
       .select(col("life"), col("deaths"),
         (col("n_users") - (col("cum_m") - col("m"))).as("n_risk"))
       .withColumn("term",
         expr("CAST(deaths AS DECIMAL(38,0)) * 1000000000000 DIV n_risk"))
-    Ranking.globalCumSum(atRisk, "life", Seq("term"))
+    atRisk
+      .withColumn("cum_term", sum(col("term")).over(wCum))
       .filter(col("deaths") > 0)
       .select(col("life").as("day"), col("n_risk"), col("deaths"),
         col("cum_term").as("h_scaled"),
