@@ -2,11 +2,19 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** TEMPORARY r16 diagnosis harness: Bench's exact loop (one timed noop
-  * run per query, registry order) plus per-query attribution — GC time
-  * delta, job count, executor task-time sum — to locate where the
-  * mid-suite inflation of complex queries goes (driver vs executor vs
-  * GC). Not part of the bench contract; remove when diagnosed.
+/** Standing optimization-round diagnosis harness (promoted r17 after
+  * earning its keep across two rounds): Bench's exact loop (one timed
+  * noop run per query, registry order) plus per-query attribution — GC
+  * time delta, job count, executor task-time sum; add
+  * -DgraftBenchDiagStages=true for a per-stage table and
+  * -DgraftBenchDiagJobs=true for job-site counts — to attribute a
+  * query's wall to driver actions vs executor stages vs GC before
+  * touching it. Not part of the bench contract: never writes the bench
+  * artifacts. Caveat from the r17 winnowing work: executor task-time
+  * is task WALL, not CPU — a fresh query's first task wave blocks on
+  * the codegen compile KeyLock, so 32-wide stages of a cold query
+  * accrue large task-time with healthy wall; compare task-time only
+  * between variants of the same stage width.
   */
 object BenchDiag {
   def main(args: Array[String]): Unit = {

@@ -32,6 +32,26 @@ object Graph {
   private[graft] def shufflePartitions(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
+  /** Scale-GATED broadcast of a per-vertex loop frame (r17). Every
+    * iterative operator joins a |V|-bounded frame (ranks, labels,
+    * frontier) against the checkpointed edge list each round, and the
+    * checkpoint's UnknownPartitioning means Spark re-exchanges and
+    * sorts the |E| edge rows per round for a sort-merge join (q86:
+    * a 2.4M-row exchange plus the round's dominant join stage, three
+    * times per query). When the vertex count — measured, not
+    * estimated — is small enough to broadcast, hint it and the edge
+    * side never moves; past the threshold (conf-overridable; default
+    * 4M rows ≈ 64 MB built) the loop keeps the shuffle join, so
+    * billion-vertex graphs never collect anything. A blanket hint
+    * would be the driver-OOM trap the degree-table comment in
+    * orientedTriangles documents; the gate is what makes it safe. */
+  private[graft] def vertexSide(df: DataFrame, nRows: Long): DataFrame = {
+    val max = df.sparkSession.conf
+      .getOption("spark.graft.graph.broadcastVerticesMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (nRows >= 0 && nRows <= max) broadcast(df) else df
+  }
+
   /** Exact integer floor-division for longs (Column./ is always DOUBLE
     * division). Safe because every numerator here is < 2^53: the double
     * quotient m/n can only round across an integer boundary when
@@ -97,8 +117,12 @@ object Graph {
       // dangling mass
       val dangling: Long = obs.get("dangling").asInstanceOf[Long]
       // per-edge contribution = floor(pr/outdeg); per-node inflow is an
-      // exact long sum — the one shuffle of the round
-      val contrib = ranks.filter(col("outdeg").isNotNull)
+      // exact long sum — the one shuffle of the round. The rank side is
+      // |V|-bounded and nNodes is already measured: the gated broadcast
+      // keeps the checkpointed edge list from re-exchanging+sorting
+      // every round (see vertexSide)
+      val contrib = vertexSide(ranks.filter(col("outdeg").isNotNull),
+          nNodes)
         .join(e, col("id") === col("src"))
         .select(col("dst").as("id"), ldiv(col("pr"), col("outdeg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("inflow"))
@@ -154,16 +178,22 @@ object Graph {
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // measured once (a cheap scan of the just-checkpointed blocks):
+    // |labels| = |incident vertices|, constant across rounds — the
+    // gate for broadcasting the per-round label side (see vertexSide)
+    val nLabels = labels.count()
     var i = 0
     while (i < iters) {
       val counts = adj
-        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .join(vertexSide(
+          labels.select(col("id").as("src"), col("label")), nLabels),
+          Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
       val next = counts.groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
-      val merged = labels.join(next, Seq("id"), "left")
+      val merged = labels.join(vertexSide(next, nLabels), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
       // checkpoint every SECOND round (and the last): two propagation
