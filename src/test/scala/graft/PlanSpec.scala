@@ -462,12 +462,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q212/q213/q224: the CDF-family prefix sums window over " +
+  test("q212/q213: the CDF-family prefix sums window over " +
     "RANGE-BUCKETED partitions (globalCumSum phase 1) — the " +
     "data-sized window is hashpartitioned on _bucket; only the " +
-    "≤buckets-row bucket-totals window is SinglePartition") {
+    "≤buckets-row bucket-totals window is SinglePartition. (q224 left " +
+    "this family in r17: its per-value frame is one row per distinct " +
+    "lifetime DAY — calendar-bounded — so it runs the allowlisted " +
+    "bounded-domain global window instead, see the registry-wide " +
+    "window lint below.)") {
     for (q <- Seq("q212_roc_auc", "q213_spearman",
-        "q224_cumulative_hazard", "q235_ks_test", "q236_mann_whitney")) {
+        "q235_ks_test", "q236_mann_whitney")) {
       val p = plan(q)
       assert(p.contains("hashpartitioning(_bucket"), s"$q:\n$p")
       // every distinct-key aggregate feeding the CDF combines map-side
@@ -692,8 +696,14 @@ class PlanSpec extends SparkSpec {
     // q253's running rank-sum / day index windows run over the joined
     // one-row-per-DAY frame — calendar domain (surfaced when the
     // primitive-internal exemption was tightened in round 8).
+    // q224 (audited r17): the Nelson–Aalen cumulative passes window
+    // over the per-LIFETIME-DAY aggregate — one row per distinct
+    // datediff(last, first) day value, bounded by the calendar span
+    // like q251's daily frame, never by row volume (the scaladoc at
+    // the query carries the argument; the range-bucketed globalCumSum
+    // it replaced was pure fixed cost over the model-sized frame).
     val boundedDomainAllowlist: Set[String] = Set(
-      "q253_pettitt",
+      "q253_pettitt", "q224_cumulative_hazard",
       "q107_anomaly_days", "q115_skyline", "q151_benford",
       "q158_wow_report", "q205_cusum_changepoint",
       "q206_isotonic_calibration", "q215_gini_stump",
