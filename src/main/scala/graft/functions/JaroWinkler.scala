@@ -101,7 +101,14 @@ object JaroWinkler {
       i += 1
     }
     val md = m.toDouble
-    val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+    // t halves by INTEGER division (rapidfuzz, hence DuckDB): the
+    // matched sequences are permutations of each other, but the
+    // disagreement count can still be ODD (a 3-cycle like 150/015
+    // disagrees at all three positions), and rapidfuzz floors the
+    // half. `t / 2.0` diverged from the oracle exactly there —
+    // surfaced by q322 at sf0.001 (r17 inherited-bug fix; the pinned
+    // HashingSpec table now carries an odd-disagreement probe).
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
     if (jaro <= 0.7) jaro
     else {
       var l = 0

@@ -256,6 +256,12 @@ class HashingSpec extends SparkSpec {
       ("aaaaaabc", "aaaaaabd", 0.95), // prefix capped at 4
       ("ab", "az", 0.6666666666666666), // jaro ≤ 0.7 ⇒ NO boost
       ("abcd", "abzz", 0.6666666666666666),
+      // ODD disagreement counts (a 3-cycle of matched chars): rapidfuzz
+      // — hence DuckDB — FLOORS the transposition half; t/2.0 diverged
+      // exactly here (the r17 q322-at-sf0.001 inherited-bug fix)
+      ("Customer#000000150", "Customer#000000015", 0.9888888888888889),
+      ("abcde150", "abcde015", 0.975),
+      ("acb", "bca", 0.5555555555555555),
       ("ab", "ba", 0.0), // window 0: no cross-position matches
       ("a", "b", 0.0), ("", "", 0.0), ("", "abc", 0.0),
       ("abc", "abc", 1.0))
